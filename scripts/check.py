@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the sfDir tables, and
+compares: schema (column names sorted), row count, and values (rows sorted,
+exact match; floats compared both exactly and with 1e-9 rtol to flag
+borderline queries).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_frame(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize dtypes for compare
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted([os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
+                    if os.path.isdir(d)])
+    n_pass = n_fail = 0
+    for name in names:
+        got = pd.read_parquet(f"{out_dir}/{name}")
+        if name not in oracle:
+            print(f"  {name}: NO-ORACLE rows={len(got)}")
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"✗ {name}: oracle SQL failed: {e}")
+            n_fail += 1
+            continue
+        g, e = norm_frame(got), norm_frame(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"✗ {name}: schema mismatch spark={list(g.columns)} duck={list(e.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(e):
+            print(f"✗ {name}: rowcount spark={len(g)} duck={len(e)}")
+            n_fail += 1
+            continue
+        ok = True
+        close_only = False
+        for c in g.columns:
+            gv, ev = g[c].values, e[c].values
+            if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(e[c].dtype, np.floating):
+                gv = gv.astype(float); ev = ev.astype(float)
+                exact = np.array_equal(gv, ev, equal_nan=True)
+                close = np.allclose(gv, ev, rtol=1e-9, atol=1e-12, equal_nan=True)
+                if not exact and close:
+                    close_only = True
+                elif not close:
+                    bad = np.where(~np.isclose(gv, ev, rtol=1e-9, atol=1e-12, equal_nan=True))[0][:3]
+                    print(f"✗ {name}.{c}: value mismatch at rows {bad.tolist()}: "
+                          f"spark={gv[bad].tolist()} duck={ev[bad].tolist()}")
+                    ok = False
+            else:
+                if not (gv == ev).all():
+                    bad = np.where(gv != ev)[0][:3]
+                    print(f"✗ {name}.{c}: mismatch at {bad.tolist()}: "
+                          f"spark={gv[bad].tolist()} duck={ev[bad].tolist()}")
+                    ok = False
+        if ok:
+            n_pass += 1
+            flag = " (float-close, not bit-exact!)" if close_only else ""
+            print(f"✓ {name}: {len(g)} rows{flag}")
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bin-boundary computation + the bin-index expression.
+  *
+  * The reference computes boundaries with 4 streaming algorithms
+  * (`core/binning/`, SURVEY §2.4) then counts per-bin pos/neg in a second
+  * MR job (`UpdateBinningInfoMapper/Reducer`). Spark design: boundaries come
+  * from one agg pass (exact `percentile` at test scale, the SPDT
+  * `HistogramAgg` at cluster scale), and bin counting is a plain
+  * `groupBy(binId)` where binId is a GENERATED comparison chain — pure
+  * Catalyst expressions, whole-stage codegen, no UDF in the hot path.
+  *
+  * Convention (reference `udf/stats/NumericalVarStats.java`): boundaries are
+  * left edges with a -Infinity head; bin i covers [b_i, b_{i+1}); the LAST
+  * bin (index = #boundaries) holds missing/invalid values.
+  */
+object Binning {
+
+  /** Index of the bin containing `value`: count of boundaries (after the
+    * -Inf head) that are <= value; null → missingBin (= boundaries.size).
+    * Generated descending when-chain — codegen-friendly for the default
+    * maxNumBin=10; equivalent of `util/BinUtils.getBinNum` binary search. */
+  def binIndex(value: Column, boundaries: Seq[Double]): Column = {
+    val bs = boundaries.dropWhile(_.isNegInfinity)
+    val missingBin = bs.length + 1
+    var c: Column = when(value.isNull, lit(missingBin))
+    // highest boundary first: first match wins
+    bs.zipWithIndex.reverse.foreach { case (b, i) =>
+      c = c.when(value >= lit(b), lit(i + 1))
+    }
+    c.otherwise(lit(0))
+  }
+
+  /** Equal-interval boundaries (reference `core/binning/EqualIntervalBinning`):
+    * -Inf, min + w, min + 2w, ... min + (k-1)w with w = (max-min)/k. */
+  def equalInterval(min: Double, max: Double, k: Int): Seq[Double] =
+    Double.NegativeInfinity +: (1 until k).map(i => min + (max - min) * i / k)
+
+  /** Equal-population boundaries via exact percentiles — the oracle-parity
+    * path (reference Native binning, `core/binning/NativeBinning.java`).
+    * Returns a 1-row DataFrame with an array column `bounds`. */
+  def equalTotalExact(df: DataFrame, valueCol: String, k: Int): Array[Double] = {
+    val qs = (1 until k).map(i => i.toDouble / k)
+    val row = df.select(
+      percentile_approx(col(valueCol), array(qs.map(lit): _*), lit(1000000))
+        .as("bounds")).head()
+    val raw = row.getSeq[Double](0)
+    (Double.NegativeInfinity +: raw).distinct.toArray
+  }
+
+  /** Per-bin pos/neg (+ weighted) counts with missing-last-bin, one shuffle
+    * of pre-aggregated partials (reference needed a full MR job:
+    * `UpdateBinningInfoMapper.java:349-520` + reducer). */
+  def binCounts(df: DataFrame, valueCol: String, boundaries: Seq[Double],
+                isPos: Column, weight: Column = lit(1.0)): DataFrame = {
+    df.groupBy(binIndex(col(valueCol), boundaries).as("bin_id"))
+      .agg(
+        sum(when(isPos, 1L).otherwise(0L)).as("cnt_pos"),
+        sum(when(isPos, 0L).otherwise(1L)).as("cnt_neg"),
+        sum(when(isPos, weight).otherwise(0.0)).as("w_pos"),
+        sum(when(isPos, 0.0).otherwise(weight)).as("w_neg"))
+  }
+}
