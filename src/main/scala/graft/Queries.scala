@@ -17,22 +17,53 @@ import graft.ops.{Binning, StatsMath}
   *  - boundary arithmetic written with the SAME operation order in the
   *    Scala driver code and the oracle SQL text.
   */
-object Queries {
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
 
-  final case class Q(
-      fn: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
-
-  private def li(s: SparkSession, dir: String): DataFrame =
+/** Shared helpers for query definitions. */
+object QueryUtil {
+  def li(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
   /** Positive tag for the synthetic "model": returned lines are the rare
     * class — mirrors Shifu's posTags/negTags target semantics
     * (`RawSourceData.java:91-96`). */
-  private val posCond = "l_returnflag = 'R'"
-  private def isPos: Column = col("l_returnflag") === "R"
+  val posCond = "l_returnflag = 'R'"
+  def isPos: Column = col("l_returnflag") === "R"
+
+  /** Row-local deterministic "model score" used by eval queries — pure IEEE
+    * arithmetic on the row, bit-identical in Spark and DuckDB. */
+  val scoreSql = "l_extendedprice * (1 - l_discount)"
+  def scoreCol: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  val binK = 10
+
+  /** Shared CASE-chain SQL for equal-interval bin index over l_quantity —
+    * written with identical IEEE operation order as
+    * `Binning.equalInterval` (mn + (mx-mn)*i/k). */
+  def binCaseSql(k: Int): String = {
+    val arms = (1 until k).reverse
+      .map(i => s"WHEN l_quantity >= mn + (mx - mn) * $i / $k THEN $i")
+      .mkString("\n      ")
+    s"""CASE WHEN l_quantity IS NULL THEN $k
+       |      $arms
+       |      ELSE 0 END""".stripMargin
+  }
+
+  /** Driver-side l_quantity equal-interval boundaries (matches binCaseSql). */
+  def quantityBounds(d: DataFrame, k: Int): Seq[Double] = {
+    val Array(mn, mx) = d
+      .agg(min("l_quantity"), max("l_quantity")).head()
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    graft.ops.Binning.equalInterval(mn, mx, k)
+  }
+}
+
+object Queries {
+  import QueryUtil._
 
   // ---- §2.2 JEXL row filter -------------------------------------------------
 
@@ -84,20 +115,6 @@ object Queries {
   }
 
   // ---- §2.4 equal-interval binning + per-bin pos/neg counts ----------------
-
-  /** Shared CASE-chain SQL for equal-interval bin index over l_quantity —
-    * written with identical IEEE operation order as
-    * `Binning.equalInterval` (mn + (mx-mn)*i/k). */
-  private def binCaseSql(k: Int): String = {
-    val arms = (1 until k).reverse
-      .map(i => s"WHEN l_quantity >= mn + (mx - mn) * $i / $k THEN $i")
-      .mkString("\n      ")
-    s"""CASE WHEN l_quantity IS NULL THEN $k
-       |      $arms
-       |      ELSE 0 END""".stripMargin
-  }
-
-  private val binK = 10
 
   private val equalIntervalBins: Q = Q(
     fn = (s, dir) => {
@@ -234,7 +251,7 @@ object Queries {
     "q_zscore_hist"    -> zscoreHist,
     "q_dedup_exact"    -> dedupExact,
     "q_token_count"    -> tokenCount,
-  )
+  ) ++ QueriesEval.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.view.mapValues(_.fn).toMap

@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.eval.Eval
+import graft.expr.Jexl
+import graft.ops.{AutoType, Correlation, Psi}
+
+/** Eval / scoring / drift / typing queries (SURVEY §2.4, §2.7, §2.9). */
+object QueriesEval {
+  import QueryUtil._
+
+  /** Common oracle CTE: bucketed confusion sweep over the row-local score
+    * (ntile-10 over score desc with unique-key tie-break), cumulative
+    * TP/FP/FN/TN — integer math end to end. */
+  private val sweepCte =
+    s"""s AS (
+       |  SELECT CASE WHEN $posCond THEN 1 ELSE 0 END AS pos,
+       |    ntile(10) OVER (ORDER BY $scoreSql DESC, l_orderkey, l_linenumber)
+       |      AS bucket
+       |  FROM lineitem),
+       |pb AS (SELECT bucket, sum(pos) AS b_pos, count(*) AS b_n
+       |       FROM s GROUP BY bucket),
+       |c AS (SELECT bucket,
+       |  sum(b_pos) OVER (ORDER BY bucket) AS tp,
+       |  sum(b_n) OVER (ORDER BY bucket) - sum(b_pos) OVER (ORDER BY bucket) AS fp,
+       |  sum(b_pos) OVER () - sum(b_pos) OVER (ORDER BY bucket) AS fn,
+       |  (sum(b_n) OVER () - sum(b_pos) OVER ())
+       |    - (sum(b_n) OVER (ORDER BY bucket)
+       |       - sum(b_pos) OVER (ORDER BY bucket)) AS tn
+       |FROM pb)""".stripMargin
+
+  // ---- §2.7 confusion-matrix sweep (window cumsum, no driver stream) -------
+
+  private val confusionSweep: Q = Q(
+    fn = (s, dir) => Eval.confusionSweep(li(s, dir), scoreCol, isPos,
+      Seq(col("l_orderkey"), col("l_linenumber"))),
+    oracle = Some(
+      s"""WITH $sweepCte
+         |SELECT bucket, tp, fp, fn, tn FROM c
+         |""".stripMargin))
+
+  // ---- §2.7 ROC AUC (trapezoid over bucket boundaries) ---------------------
+
+  private val rocAuc: Q = Q(
+    fn = (s, dir) => Eval.rocAuc(Eval.confusionSweep(li(s, dir), scoreCol,
+      isPos, Seq(col("l_orderkey"), col("l_linenumber")))),
+    oracle = Some(
+      s"""WITH $sweepCte,
+         |r AS (SELECT bucket, fp::DOUBLE / (fp + tn) AS fpr,
+         |             tp::DOUBLE / (tp + fn) AS tpr FROM c),
+         |l AS (SELECT fpr, tpr,
+         |        lag(fpr, 1, 0.0) OVER (ORDER BY bucket) AS fpr0,
+         |        lag(tpr, 1, 0.0) OVER (ORDER BY bucket) AS tpr0
+         |      FROM r)
+         |SELECT round(sum((fpr - fpr0) * (tpr + tpr0) / 2), 6) AS auc
+         |FROM l
+         |""".stripMargin))
+
+  // ---- §2.7 gain chart -----------------------------------------------------
+
+  private val gainChart: Q = Q(
+    fn = (s, dir) => Eval.gainChart(Eval.confusionSweep(li(s, dir), scoreCol,
+      isPos, Seq(col("l_orderkey"), col("l_linenumber")))),
+    oracle = Some(
+      s"""WITH $sweepCte
+         |SELECT bucket, tp, fp, fn, tn,
+         |  round((tp + fp)::DOUBLE / (tp + fp + fn + tn), 6) AS action_rate,
+         |  round(tp::DOUBLE / (tp + fn), 6) AS recall,
+         |  round(tp::DOUBLE / (tp + fp), 6) AS precision,
+         |  round((tp::DOUBLE / (tp + fn))
+         |    / ((tp + fp)::DOUBLE / (tp + fp + fn + tn)), 6) AS lift
+         |FROM c
+         |""".stripMargin))
+
+  // ---- §2.7 score status counters (runDistScore) ---------------------------
+
+  private val scoreStats: Q = Q(
+    fn = (s, dir) => li(s, dir).agg(
+      sum(when(isPos, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(isPos, 0L).otherwise(1L)).as("n_neg"),
+      round(sum(when(isPos, col("l_quantity")).otherwise(0.0)), 4).as("w_pos"),
+      round(sum(when(isPos, 0.0).otherwise(col("l_quantity"))), 4).as("w_neg"),
+      max(scoreCol).as("max_score"),
+      min(scoreCol).as("min_score"),
+      round(sum(scoreCol) / count(lit(1)), 6).as("avg_score")),
+    oracle = Some(
+      s"""SELECT
+         |  sum(CASE WHEN $posCond THEN 1 ELSE 0 END) AS n_pos,
+         |  sum(CASE WHEN $posCond THEN 0 ELSE 1 END) AS n_neg,
+         |  round(sum(CASE WHEN $posCond THEN l_quantity ELSE 0.0 END), 4) AS w_pos,
+         |  round(sum(CASE WHEN $posCond THEN 0.0 ELSE l_quantity END), 4) AS w_neg,
+         |  max($scoreSql) AS max_score,
+         |  min($scoreSql) AS min_score,
+         |  round(sum($scoreSql) / count(*), 6) AS avg_score
+         |FROM lineitem
+         |""".stripMargin))
+
+  // ---- §2.4 PSI across population units ------------------------------------
+
+  private val psi: Q = Q(
+    fn = (s, dir) => {
+      val d = li(s, dir)
+      Psi.compute(d, col("l_quantity"), month(col("l_shipdate")),
+        quantityBounds(d, binK))
+    },
+    oracle = Some(
+      s"""WITH mm AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx
+         |            FROM lineitem),
+         |b AS (SELECT month(l_shipdate) AS unit, ${binCaseSql(binK)} AS bin_id
+         |      FROM lineitem, mm),
+         |counts AS (SELECT unit, bin_id, count(*) AS c FROM b
+         |           GROUP BY unit, bin_id),
+         |wa AS (SELECT unit, bin_id,
+         |         c::DOUBLE / sum(c) OVER (PARTITION BY unit) AS a
+         |       FROM counts),
+         |g AS (SELECT bin_id, count(*) AS gc FROM b GROUP BY bin_id),
+         |e AS (SELECT bin_id, gc::DOUBLE / sum(gc) OVER () AS e FROM g)
+         |SELECT unit, round(sum(
+         |  CASE WHEN a > 0 AND e > 0 THEN (a - e) * ln(a / e) ELSE 0.0 END
+         |  ), 6) AS psi
+         |FROM wa JOIN e USING (bin_id) GROUP BY unit
+         |""".stripMargin))
+
+  // ---- §2.4 pairwise Pearson correlation -----------------------------------
+
+  private val corrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private val correlation: Q = Q(
+    fn = (s, dir) => Correlation.pearson(li(s, dir), corrCols),
+    oracle = Some {
+      val pairs = for {
+        i <- corrCols.indices; j <- (i + 1) until corrCols.length
+      } yield (corrCols(i), corrCols(j))
+      pairs.map { case (x, y) =>
+        s"""SELECT '$x|$y' AS pair,
+           |  round((count(*) * sum($x * $y) - sum($x) * sum($y))
+           |    / sqrt((count(*) * sum($x * $x) - sum($x) * sum($x))
+           |         * (count(*) * sum($y * $y) - sum($y) * sum($y))), 6) AS corr
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\n"
+    })
+
+  // ---- §2.4 autotype / schema inference ------------------------------------
+
+  private val autoTypeCols =
+    Seq("o_orderstatus", "o_orderpriority", "o_totalprice", "o_custkey")
+
+  private val autotype: Q = Q(
+    fn = (s, dir) =>
+      AutoType.profile(Tables.load(s, dir, "orders"), autoTypeCols),
+    oracle = Some {
+      val union = autoTypeCols
+        .map(c => s"SELECT '$c' AS col_name, cast($c AS VARCHAR) AS v FROM orders")
+        .mkString("\nUNION ALL ")
+      s"""WITH u AS ($union)
+         |SELECT col_name, count(DISTINCT v) AS n_distinct,
+         |  sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+         |  sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS numeric_cnt,
+         |  count(*) AS total_cnt,
+         |  CASE WHEN count(DISTINCT v) <= 2 THEN 'N'
+         |       WHEN sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+         |                THEN 1 ELSE 0 END) >= count(*) * 0.95 THEN 'N'
+         |       ELSE 'C' END AS col_kind
+         |FROM u GROUP BY col_name
+         |""".stripMargin
+    })
+
+  // ---- §2.2 segment expansion (AddColumnNumAndFilterUDF) -------------------
+
+  private val segments = Seq(
+    "l_quantity > 25", "l_discount >= 0.05", "l_returnflag == 'R'")
+  private val segmentsSql = Seq(
+    "l_quantity > 25", "l_discount >= 0.05", "l_returnflag = 'R'")
+
+  private val segmentExpand: Q = Q(
+    fn = (s, dir) => {
+      // one scan: each row explodes into the ids of the segments it matches
+      // (reference duplicates rows per matching segment expression,
+      // AddColumnNumAndFilterUDF.java:77-91,165-183)
+      val segArray = array(segments.zipWithIndex.map { case (e, i) =>
+        when(Jexl.filter(e), lit(i)).otherwise(lit(null))
+      }: _*)
+      li(s, dir)
+        .select(col("l_quantity"),
+          explode(filter(segArray, c => c.isNotNull)).as("seg_id"))
+        .groupBy("seg_id")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 4).as("sum_qty"))
+    },
+    oracle = Some {
+      val union = segmentsSql.zipWithIndex.map { case (e, i) =>
+        s"SELECT $i AS seg_id, l_quantity FROM lineitem WHERE $e"
+      }.mkString("\nUNION ALL ")
+      s"""WITH u AS ($union)
+         |SELECT seg_id, count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+         |FROM u GROUP BY seg_id
+         |""".stripMargin
+    })
+
+  // ---- §2.2 deterministic hash sampling ------------------------------------
+
+  private val hashSample: Q = Q(
+    fn = (s, dir) =>
+      li(s, dir)
+        .withColumn("h", md5(concat(
+          col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string")).cast("binary")))
+        .filter(substring(col("h"), 1, 1).isin("0", "1"))
+        .select("l_orderkey", "l_linenumber"),
+    oracle = Some(
+      """SELECT l_orderkey, l_linenumber
+        |FROM lineitem
+        |WHERE substr(md5(cast(l_orderkey AS VARCHAR) || '|'
+        |  || cast(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
+        |""".stripMargin))
+
+  // ---- §2.8 JEXL weight expression -----------------------------------------
+
+  private val weightExpr: Q = Q(
+    fn = (s, dir) =>
+      li(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        Jexl.translate("l_quantity * 0.5 + l_tax * 100").as("weight")),
+    oracle = Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity * 0.5 + l_tax * 100 AS weight
+        |FROM lineitem
+        |""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "q_confusion_sweep" -> confusionSweep,
+    "q_roc_auc"         -> rocAuc,
+    "q_gain_chart"      -> gainChart,
+    "q_score_stats"     -> scoreStats,
+    "q_psi"             -> psi,
+    "q_correlation"     -> correlation,
+    "q_autotype"        -> autotype,
+    "q_segment_expand"  -> segmentExpand,
+    "q_hash_sample"     -> hashSample,
+    "q_weight_expr"     -> weightExpr,
+  )
+}
