@@ -251,7 +251,7 @@ object Queries {
     "q_zscore_hist"    -> zscoreHist,
     "q_dedup_exact"    -> dedupExact,
     "q_token_count"    -> tokenCount,
-  ) ++ QueriesEval.all
+  ) ++ QueriesEval.all ++ QueriesText.all ++ QueriesSim.all ++ QueriesEvents.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.view.mapValues(_.fn).toMap

@@ -1,0 +1,72 @@
+package graft
+
+import graft.sim.Similarity
+
+/** Similarity-search queries over the `embeddings` table. */
+object QueriesSim {
+
+  /** Shared DuckDB CTE: double-cast embeddings + norms, folds in list
+    * order like the Spark `aggregate` higher-order function. */
+  private val vCte =
+    """v AS (SELECT vec_id,
+      |  list_transform(embedding, x -> x::DOUBLE) AS e,
+      |  sqrt(list_sum(list_transform(embedding,
+      |       x -> x::DOUBLE * x::DOUBLE))) AS norm
+      |FROM embeddings)""".stripMargin
+
+  private val cosineTopK: Q = Q(
+    fn = (s, dir) => Similarity.cosineTopK(Tables.load(s, dir, "embeddings")),
+    oracle = Some(
+      s"""WITH $vCte,
+         |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+         |  list_sum(list_transform(list_zip(a.e, b.e), pr -> pr[1] * pr[2]))
+         |    / (a.norm * b.norm) AS cos
+         |  FROM v a, v b WHERE a.vec_id <> b.vec_id),
+         |r AS (SELECT vec_id, nb_id, cos,
+         |  row_number() OVER (PARTITION BY vec_id
+         |                     ORDER BY cos DESC, nb_id) AS rank
+         |  FROM p)
+         |SELECT vec_id, rank, nb_id, round(cos, 6) AS cos_r
+         |FROM r WHERE rank <= 5
+         |""".stripMargin))
+
+  private val annLsh: Q = Q(
+    fn = (s, dir) => Similarity.annTopK(Tables.load(s, dir, "embeddings")),
+    oracle = Some {
+      val nt = Similarity.NumTables
+      val bt = Similarity.BitsPerTable
+      val ps = Similarity.planes(nt * bt, 64)
+      val tableSelects = (0 until nt).map { t =>
+        val sigExpr = (0 until bt).map { b =>
+          val lits = ps(t * bt + b).mkString("[", ", ", "]::DOUBLE[]")
+          s"""CASE WHEN list_sum(list_transform(list_zip(e, $lits),
+             |  pr -> pr[1] * pr[2])) >= 0 THEN ${1 << b} ELSE 0 END""".stripMargin
+        }.mkString("\n + ")
+        s"SELECT vec_id, $t AS tbl, ($sigExpr) AS sig FROM v"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $vCte,
+         |sg AS (
+         |$tableSelects),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nb_id
+         |  FROM sg a JOIN sg b
+         |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |p AS (SELECT c.vec_id, c.nb_id,
+         |  list_sum(list_transform(list_zip(va.e, vb.e), pr -> pr[1] * pr[2]))
+         |    / (va.norm * vb.norm) AS cos
+         |  FROM cand c
+         |  JOIN v va ON c.vec_id = va.vec_id
+         |  JOIN v vb ON c.nb_id = vb.vec_id),
+         |r AS (SELECT vec_id, nb_id, cos,
+         |  row_number() OVER (PARTITION BY vec_id
+         |                     ORDER BY cos DESC, nb_id) AS rank
+         |  FROM p)
+         |SELECT vec_id, rank, nb_id, round(cos, 6) AS cos_r
+         |FROM r WHERE rank <= 3
+         |""".stripMargin
+    })
+
+  val all: Map[String, Q] = Map(
+    "q_cosine_topk" -> cosineTopK,
+    "q_ann_lsh"     -> annLsh,
+  )
+}

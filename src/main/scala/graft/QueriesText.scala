@@ -1,0 +1,160 @@
+package graft
+
+import graft.text.TextOps
+
+/** Dedup / text-analysis queries over the `documents` table. */
+object QueriesText {
+  import QueryUtil.docs
+
+  /** DuckDB CTEs mirroring TextOps.shingles: distinct 3-gram word shingles
+    * (short docs → whole text). */
+  private val shingleCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+      |  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |       i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+      |  ELSE [array_to_string(toks, ' ')] END AS sh FROM t)""".stripMargin
+
+  private def minhashSelect(numHashes: Int): String =
+    (0 until numHashes).map(h =>
+      s"  list_min(list_transform(sh, s -> md5('$h|' || s))) AS m_$h")
+      .mkString(",\n")
+
+  // ---- MinHash signatures --------------------------------------------------
+
+  private val minhash: Q = Q(
+    fn = (s, dir) => TextOps.minhash(docs(s, dir)),
+    oracle = Some(
+      s"""WITH $shingleCte
+         |SELECT doc_id,
+         |${minhashSelect(8)}
+         |FROM s
+         |""".stripMargin))
+
+  // ---- MinHash-LSH candidate pairs ----------------------------------------
+
+  private val lshPairs: Q = Q(
+    fn = (s, dir) => TextOps.lshPairs(TextOps.minhash(docs(s, dir))),
+    oracle = Some(
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id,
+         |${minhashSelect(8)}
+         |FROM s),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |         md5(m_0 || m_1 || m_2 || m_3) AS band_hash FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(m_4 || m_5 || m_6 || m_7) FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         | AND a.doc_id < b.doc_id
+         |""".stripMargin))
+
+  // ---- exact n-gram Jaccard near-dup pairs --------------------------------
+
+  private val jaccard: Q = Q(
+    fn = (s, dir) => TextOps.jaccardPairs(docs(s, dir), 0.5),
+    oracle = Some(
+      s"""WITH $shingleCte,
+         |sh AS (SELECT doc_id, unnest(sh) AS s FROM s),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter,
+         |  round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5
+         |""".stripMargin))
+
+  // ---- SimHash fingerprints ------------------------------------------------
+
+  private val simhashBits = 16
+
+  private val simhash: Q = Q(
+    fn = (s, dir) => TextOps.simhash(docs(s, dir), simhashBits),
+    oracle = Some {
+      val sums = (0 until simhashBits).map { j =>
+        val di = j / 4 + 1
+        val shift = 3 - (j % 4)
+        s"  sum(CAST(floor((instr('0123456789abcdef', substr(h, $di, 1)) - 1)" +
+          s" / ${1 << shift}) % 2 AS BIGINT)) AS s_$j"
+      }.mkString(",\n")
+      val simExpr = (0 until simhashBits).map { j =>
+        s"CASE WHEN 2 * s_$j >= n THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+         |  FROM documents),
+         |bits AS (
+         |  SELECT doc_id, count(*) AS n,
+         |$sums
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $simExpr AS simhash FROM bits
+         |""".stripMargin
+    })
+
+  // ---- language ID ---------------------------------------------------------
+
+  private val langId: Q = Q(
+    fn = (s, dir) => TextOps.langId(docs(s, dir)),
+    oracle = Some {
+      val values = TextOps.lexicon
+        .map { case (t, l) => s"('$t','$l')" }.mkString(", ")
+      s"""WITH lex(t, lang) AS (VALUES $values),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |         FROM documents),
+         |votes AS (SELECT doc_id, lang, count(*) AS votes
+         |          FROM toks JOIN lex USING (t) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, lang, votes,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY votes DESC, lang) AS rn
+         |  FROM votes)
+         |SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang,
+         |       coalesce(b.votes, 0) AS votes
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+         |""".stripMargin
+    })
+
+  // ---- quality scoring (row-local) ----------------------------------------
+
+  private val quality: Q = Q(
+    fn = (s, dir) => TextOps.quality(docs(s, dir)),
+    oracle = Some(
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  length(text) AS n_chars,
+        |  length(regexp_replace(text, ' ', '', 'g'))::DOUBLE
+        |    / len(string_split(text, ' ')) AS mean_tok_len,
+        |  length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+        |    / length(text) AS digit_ratio,
+        |  length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+        |    / length(text) AS upper_ratio
+        |FROM documents
+        |""".stripMargin))
+
+  // ---- document fingerprinting --------------------------------------------
+
+  private val fingerprint: Q = Q(
+    fn = (s, dir) => TextOps.fingerprint(docs(s, dir)),
+    oracle = Some(
+      """SELECT doc_id, md5(text) AS fp,
+        |  md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp_norm
+        |FROM documents
+        |""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "q_minhash"       -> minhash,
+    "q_lsh_pairs"     -> lshPairs,
+    "q_ngram_jaccard" -> jaccard,
+    "q_simhash"       -> simhash,
+    "q_lang_id"       -> langId,
+    "q_quality"       -> quality,
+    "q_fingerprint"   -> fingerprint,
+  )
+}

@@ -12,6 +12,13 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects; read
+      // as raw nanos-since-epoch LONG and do integer time arithmetic (a
+      // double would lose precision above 2^53 ns ≈ 1970+104 days).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 }

@@ -1,0 +1,163 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis & deduplication operators for large-scale training-data
+  * pipelines (beyond the reference's surface; the reference has no text ops).
+  *
+  * Everything is built from codegen'd `functions._` expressions — shingling
+  * and hashing happen inside whole-stage codegen with no UDFs, so the ops
+  * scale as pure narrow maps; only the candidate-pair joins shuffle, keyed
+  * by hash/band values (the standard MinHash-LSH sharding at cluster scale).
+  *
+  * md5 is used as the cross-engine-deterministic hash everywhere (fixed
+  * output for a given string in any engine).
+  */
+object TextOps {
+
+  /** Distinct 3-gram word shingles; docs shorter than 3 tokens contribute
+    * their whole text as one shingle. */
+  def shingles(text: String = "text"): Column = expr(
+    s"""CASE WHEN size(split($text, ' ')) >= 3
+       |  THEN array_distinct(transform(
+       |    sequence(1, size(split($text, ' ')) - 2),
+       |    i -> concat_ws(' ', slice(split($text, ' '), i, 3))))
+       |  ELSE array(concat_ws(' ', split($text, ' ')))
+       |END""".stripMargin)
+
+  /** MinHash signature: for hash function h, min over shingles of
+    * md5("h|" + shingle) — k independent permutation approximations.
+    * One narrow pass, no shuffle. */
+  def minhash(docs: DataFrame, numHashes: Int = 8): DataFrame = {
+    val withSh = docs.select(col("doc_id"), shingles().as("sh"))
+    val sigCols = (0 until numHashes).map { h =>
+      expr(s"array_min(transform(sh, s -> md5('$h|' || s)))").as(s"m_$h")
+    }
+    withSh.select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** LSH banding: group the k minhashes into bands of `rowsPerBand`, hash
+    * each band, and emit candidate pairs sharing any band bucket. The join
+    * shuffles on (band_id, band_hash) — the distributed near-dup pattern
+    * that replaces the O(n²) scan at scale. */
+  def lshPairs(sig: DataFrame, numHashes: Int = 8,
+               rowsPerBand: Int = 4): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val bandCols = (0 until bands).map { b =>
+      val ms = (0 until rowsPerBand).map(r => s"m_${b * rowsPerBand + r}")
+      struct(lit(b).as("band_id"),
+        md5(concat(ms.map(col): _*).cast("binary")).as("band_hash"))
+    }
+    val exploded = sig.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs above `threshold`:
+    * explode distinct shingles, self-join on shingle (shuffle keyed by
+    * shingle — skew-safe for natural text), count intersections, compute
+    * |A∩B| / (|A|+|B|−|A∩B|). */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles()).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+  }
+
+  /** SimHash (Charikar): `bits`-bit fingerprint. Per token, bit j of the
+    * md5 is ±1-voted; bit set iff the vote sum is non-negative
+    * (2·Σbit_j ≥ n). Explode + groupBy — one shuffle keyed by doc_id with
+    * map-side partial agg. Bit extraction is pure integer arithmetic on hex
+    * digits so any engine agrees. */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", md5(col("t").cast("binary")))
+    val bitCols = (0 until bits).map { j =>
+      val di = j / 4 + 1  // 1-based hex digit index
+      val shift = 3 - (j % 4)
+      val digitVal = s"(instr('0123456789abcdef', substr(h, $di, 1)) - 1)"
+      expr(s"CAST(floor($digitVal / ${1 << shift}) % 2 AS LONG)").as(s"b_$j")
+    }
+    val votes = toks.select(col("doc_id") +: bitCols: _*)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        (0 until bits).map(j => sum(s"b_$j").as(s"s_$j")): _*)
+    val sim = (0 until bits).map { j =>
+      when(lit(2) * col(s"s_$j") >= col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Language lexicons for the n-gram/stopword language-ID heuristic. */
+  val lexicon: Seq[(String, String)] = Seq(
+    "the" -> "en", "a" -> "en", "of" -> "en", "and" -> "en", "is" -> "en",
+    "el" -> "es", "la" -> "es", "de" -> "es", "y" -> "es", "que" -> "es",
+    "le" -> "fr", "les" -> "fr", "et" -> "fr", "un" -> "fr", "une" -> "fr",
+    "der" -> "de", "die" -> "de", "das" -> "de", "und" -> "de", "ein" -> "de",
+    "shi" -> "zh", "de5" -> "zh", "le5" -> "zh", "he" -> "zh", "zai" -> "zh")
+
+  /** Stopword-vote language ID: explode tokens, broadcast-join the lexicon,
+    * argmax votes per doc (tie → lexicographically first language); docs
+    * with zero hits → "und". */
+  def langId(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = lexicon.toDF("t", "lang")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+    val votes = toks.join(broadcast(lex), "t")
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("votes").desc, col("lang").asc)
+    val best = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("votes"))
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("votes"), lit(0L)).as("votes"))
+  }
+
+  /** Row-local quality signals (pure IEEE arithmetic — bit-exact anywhere):
+    * token count, char count, mean token length, digit/upper ratios. */
+  def quality(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(split(col("text"), " "))).as("mean_tok_len"),
+      (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+        length(col("text"))).as("digit_ratio"),
+      (length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double") /
+        length(col("text"))).as("upper_ratio"))
+
+  /** Document fingerprints: content md5 + whitespace-normalized md5. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("fp"),
+      md5(trim(regexp_replace(lower(col("text")), " +", " "))
+        .cast("binary")).as("fp_norm"))
+}
