@@ -251,7 +251,8 @@ object Queries {
     "q_zscore_hist"    -> zscoreHist,
     "q_dedup_exact"    -> dedupExact,
     "q_token_count"    -> tokenCount,
-  ) ++ QueriesEval.all ++ QueriesText.all ++ QueriesSim.all ++ QueriesEvents.all
+  ) ++ QueriesEval.all ++ QueriesText.all ++ QueriesSim.all ++
+    QueriesEvents.all ++ QueriesScore.all ++ QueriesNorm.all ++ QueriesMisc.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.view.mapValues(_.fn).toMap

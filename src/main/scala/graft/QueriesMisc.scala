@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Joins, set ops, sorts/top-k, repartition, time/string utilities,
+  * multimodal stub (SURVEY §2.1, §2.5, §2.6, §2.8, §2.9). */
+object QueriesMisc {
+  import QueryUtil._
+
+  // ---- §2.5 multi-way join with broadcast dims -----------------------------
+
+  private val joinEnrich: Q = Q(
+    fn = (s, dir) => {
+      val l = li(s, dir)
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      // dims are orders-of-magnitude smaller than lineitem: broadcast all
+      // three so the fact table never shuffles
+      l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(scoreCol), 2).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"))
+    },
+    oracle = Some(
+      s"""SELECT n_name, round(sum($scoreSql), 2) AS revenue,
+         |  count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name
+         |""".stripMargin))
+
+  // ---- §2.5 semi / anti joins ----------------------------------------------
+
+  private val semiAnti: Q = Q(
+    fn = (s, dir) => {
+      val l = li(s, dir)
+      val bigOrders = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 150000)
+      val semi = l.join(broadcast(bigOrders), l("l_orderkey") ===
+        bigOrders("o_orderkey"), "left_semi").count()
+      val anti = l.join(broadcast(bigOrders), l("l_orderkey") ===
+        bigOrders("o_orderkey"), "left_anti").count()
+      import s.implicits._
+      Seq((semi, anti)).toDF("n_semi", "n_anti")
+    },
+    oracle = Some(
+      """SELECT
+        |  (SELECT count(*) FROM lineitem WHERE EXISTS (
+        |     SELECT 1 FROM orders WHERE o_orderkey = l_orderkey
+        |       AND o_totalprice > 150000)) AS n_semi,
+        |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS (
+        |     SELECT 1 FROM orders WHERE o_orderkey = l_orderkey
+        |       AND o_totalprice > 150000)) AS n_anti
+        |""".stripMargin))
+
+  // ---- §2.6 global top-N ---------------------------------------------------
+
+  private val topN: Q = Q(
+    fn = (s, dir) => li(s, dir)
+      .orderBy(scoreCol.desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(20)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(scoreCol, 4).as("score")),
+    oracle = Some(
+      s"""SELECT l_orderkey, l_linenumber, round($scoreSql, 4) AS score
+         |FROM lineitem
+         |ORDER BY $scoreSql DESC, l_orderkey, l_linenumber
+         |LIMIT 20
+         |""".stripMargin))
+
+  // ---- §2.6 exact frequent items (top-3 per column) ------------------------
+
+  private val freqItems: Q = Q(
+    fn = (s, dir) => {
+      val d = li(s, dir)
+      val stacked = d.select(expr(
+        "stack(2, 'l_returnflag', l_returnflag, 'l_linestatus', l_linestatus)" +
+          " as (col_name, v)"))
+      val counts = stacked.groupBy("col_name", "v").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("col_name").orderBy(col("n").desc, col("v").asc)
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("col_name", "rnk", "v", "n")
+    },
+    oracle = Some(
+      """WITH u AS (
+        |  SELECT 'l_returnflag' AS col_name, l_returnflag AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', l_linestatus FROM lineitem),
+        |c AS (SELECT col_name, v, count(*) AS n FROM u GROUP BY 1, 2),
+        |r AS (SELECT col_name, v, n, row_number() OVER (
+        |        PARTITION BY col_name ORDER BY n DESC, v) AS rnk FROM c)
+        |SELECT col_name, rnk, v, n FROM r WHERE rnk <= 3
+        |""".stripMargin))
+
+  // ---- §2.5 union of eval sets ---------------------------------------------
+
+  private val unionSets: Q = Q(
+    fn = (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val setA = o.filter(col("o_orderstatus") === "F")
+        .withColumn("eval_set", lit("setA"))
+      val setB = o.filter(col("o_totalprice") > 200000)
+        .withColumn("eval_set", lit("setB"))
+      setA.unionByName(setB)
+        .groupBy("eval_set")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    },
+    oracle = Some(
+      """WITH u AS (
+        |  SELECT 'setA' AS eval_set, o_totalprice FROM orders
+        |  WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT 'setB', o_totalprice FROM orders WHERE o_totalprice > 200000)
+        |SELECT eval_set, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM u GROUP BY eval_set
+        |""".stripMargin))
+
+  // ---- §2.9 random shuffle / repartition -----------------------------------
+
+  private val shuffleRepartition: Q = Q(
+    fn = (s, dir) => {
+      // the reference's `norm -shuffle` re-spreads output files
+      // (core/shuffle/MapReduceShuffle.java:40-100): repartition + verify
+      // content is preserved by aggregating after the shuffle
+      val d = li(s, dir).repartition(64)
+      d.agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+    oracle = Some(
+      """SELECT count(*) AS n, round(sum(l_quantity), 4) AS sum_qty,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |""".stripMargin))
+
+  // ---- §2.8 date → unix time (ConvertToUnixTimeUDF) ------------------------
+
+  private val unixTime: Q = Q(
+    fn = (s, dir) => li(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        // l_shipdate is TIMESTAMP_NTZ; session TZ is UTC so the cast
+        // interprets the wall clock as UTC — matching DuckDB's naive epoch
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms")),
+    oracle = Some(
+      """SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms
+        |FROM lineitem
+        |""".stripMargin))
+
+  // ---- §2.8 log concat / split round trip ----------------------------------
+
+  private val concatSplit: Q = Q(
+    fn = (s, dir) => li(s, dir)
+      .withColumn("log_line", concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity").cast("string")))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("log_line"),
+        size(split(col("log_line"), "\\|")).as("n_fields"),
+        split(col("log_line"), "\\|").getItem(1).as("field_2")),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    cast(l_orderkey AS VARCHAR) || '|' || l_returnflag || '|'
+        |      || l_linestatus || '|' || cast(l_quantity AS VARCHAR)
+        |      AS log_line
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, log_line,
+        |  len(string_split(log_line, '|')) AS n_fields,
+        |  string_split(log_line, '|')[2] AS field_2
+        |FROM t
+        |""".stripMargin))
+
+  // ---- multimodal: opaque binary columns + decode-stub (mapPartitions) -----
+
+  private val multimodal: Q = Q(
+    fn = (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      // treat the utf-8 bytes of `text` as an opaque media payload with
+      // typed metadata — the real pipeline plumbing (binary column,
+      // partition-wise batch decode via mapPartitions, typed output
+      // schema); the actual media decoder is STUBBED with a deterministic
+      // byte-sum "feature" since no image/audio libs exist here.
+      val payloads = docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+          col("source"))
+        .as[(Long, Array[Byte], String)]
+      payloads.mapPartitions { it =>
+        it.map { case (id, bytes, source) =>
+          val nBytes = bytes.length.toLong
+          // ??? real decode (e.g. image resize / audio frames) goes here;
+          // deterministic stub: sum of the first 16 byte values
+          val fakeFeature = bytes.take(16).map(_.toLong & 0xff).sum
+          (id, source, nBytes, fakeFeature)
+        }
+      }.toDF("doc_id", "source", "n_bytes", "feat")
+    },
+    oracle = Some(
+      """SELECT doc_id, source, length(text)::BIGINT AS n_bytes,
+        |  list_sum(list_transform(
+        |    generate_series(1, least(16, length(text))),
+        |    i -> ascii(substr(text, i, 1))))::BIGINT AS feat
+        |FROM documents
+        |""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "q_join_enrich"   -> joinEnrich,
+    "q_semi_anti"     -> semiAnti,
+    "q_topn"          -> topN,
+    "q_freq_items"    -> freqItems,
+    "q_union_sets"    -> unionSets,
+    "q_shuffle"       -> shuffleRepartition,
+    "q_unixtime"      -> unixTime,
+    "q_concat_split"  -> concatSplit,
+    "q_multimodal"    -> multimodal,
+  )
+}

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Binning, Normalize, StatsPipeline}
+
+/** Normalize-family queries (SURVEY §2.8) driven by the stats-built catalog
+  * — the `stats → ColumnConfig → norm` lifecycle end to end. */
+object QueriesNorm {
+  import QueryUtil._
+
+  /** Oracle CTE producing per-bin WoE for l_quantity (matches
+    * StatsPipeline.profileNumeric + StatsMath.columnMetrics). */
+  private val qtyWoeCte =
+    s"""mm AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx
+       |       FROM lineitem),
+       |b AS (SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+       |        ${binCaseSql(binK)} AS bin_id,
+       |        CASE WHEN $posCond THEN 1 ELSE 0 END AS pos
+       |      FROM lineitem, mm),
+       |tot AS (SELECT sum(pos)::DOUBLE AS sp,
+       |               (count(*) - sum(pos))::DOUBLE AS sn FROM b),
+       |qw AS (SELECT bin_id,
+       |         ln((sum(pos) / sp + 1e-10)
+       |            / ((count(*) - sum(pos)) / sn + 1e-10)) AS woe
+       |       FROM b, tot GROUP BY bin_id, sp, sn)""".stripMargin
+
+  // ---- WOE normalize (numeric + categorical) -------------------------------
+
+  private val normWoe: Q = Q(
+    fn = (s, dir) => {
+      val d = li(s, dir)
+      val num = StatsPipeline.profileNumeric(d, Seq("l_quantity"), isPos)
+      val cat = StatsPipeline.profileCategorical(d, Seq("l_returnflag"), isPos)
+      val q = num("l_quantity"); val r = cat("l_returnflag")
+      d.select(col("l_orderkey"), col("l_linenumber"),
+        round(Normalize.woeNumeric(col("l_quantity"),
+          q.binning.binBoundary, q.binning.binCountWoe), 6).as("woe_qty"),
+        round(Normalize.woeCategorical(col("l_returnflag"),
+          r.binning.binCategory, r.binning.binCountWoe), 6).as("woe_rf"))
+    },
+    oracle = Some(
+      s"""WITH $qtyWoeCte,
+         |cw AS (SELECT l_returnflag,
+         |         ln((sum(pos) / sp + 1e-10)
+         |            / ((count(*) - sum(pos)) / sn + 1e-10)) AS woe
+         |       FROM b, tot GROUP BY l_returnflag, sp, sn)
+         |SELECT b.l_orderkey, b.l_linenumber,
+         |  round(qw.woe, 6) AS woe_qty, round(cw.woe, 6) AS woe_rf
+         |FROM b JOIN qw USING (bin_id) JOIN cw USING (l_returnflag)
+         |""".stripMargin))
+
+  // ---- ZSCALE_ONEHOT: numeric z-score + categorical one-hot ----------------
+
+  private val normOnehot: Q = Q(
+    fn = (s, dir) => {
+      val d = li(s, dir)
+      val cat = StatsPipeline.profileCategorical(d, Seq("l_returnflag"), isPos)
+      val cats = cat("l_returnflag").binning.binCategory
+      val oh = Normalize.oneHot(col("l_returnflag"), cats)
+        .zipWithIndex.map { case (c, i) => c.as(s"rf_$i") }
+      val st = StatsPipeline.numericStats(d, Seq("l_extendedprice"))("l_extendedprice")
+      val z = round(Normalize.zscore(col("l_extendedprice"), st.mean,
+        st.stdDev), 3).as("z_price")
+      d.select(Seq(col("l_orderkey"), col("l_linenumber"), z) ++ oh: _*)
+    },
+    oracle = Some {
+      // categories are A,N,R lexicographically (profileCategorical sorts)
+      val cats = Seq("A", "N", "R")
+      val oh = cats.zipWithIndex.map { case (c, i) =>
+        s"CASE WHEN l_returnflag = '$c' THEN 1 ELSE 0 END AS rf_$i"
+      }.mkString(",\n  ")
+      val missing = s"CASE WHEN l_returnflag IS NULL OR NOT l_returnflag IN " +
+        s"(${cats.map(c => s"'$c'").mkString(",")}) THEN 1 ELSE 0 END AS rf_3"
+      s"""WITH a AS (SELECT count(l_extendedprice) AS cnt,
+         |    sum(l_extendedprice) AS s1,
+         |    sum(l_extendedprice * l_extendedprice) AS s2 FROM lineitem)
+         |SELECT l_orderkey, l_linenumber,
+         |  round(least(greatest(
+         |    (l_extendedprice - s1 / cnt)
+         |      / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), -6.0), 6.0), 3)
+         |    AS z_price,
+         |  $oh,
+         |  $missing
+         |FROM lineitem, a
+         |""".stripMargin
+    })
+
+  // ---- category → ordinal index (ZSCALE_INDEX family) ----------------------
+
+  private val normIndex: Q = Q(
+    fn = (s, dir) => {
+      val d = li(s, dir)
+      val cat = StatsPipeline.profileCategorical(
+        d, Seq("l_returnflag", "l_linestatus"), isPos)
+      d.select(col("l_orderkey"), col("l_linenumber"),
+        Normalize.categoryIndex(col("l_returnflag"),
+          cat("l_returnflag").binning.binCategory).as("idx_rf"),
+        Normalize.categoryIndex(col("l_linestatus"),
+          cat("l_linestatus").binning.binCategory).as("idx_ls"))
+    },
+    oracle = Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 WHEN 'R' THEN 2
+        |    ELSE 3 END AS idx_rf,
+        |  CASE l_linestatus WHEN 'F' THEN 0 WHEN 'O' THEN 1
+        |    ELSE 2 END AS idx_ls
+        |FROM lineitem
+        |""".stripMargin))
+
+  // ---- missing-value semantics: masked nulls → missing-last bin ------------
+
+  /** ~25% of quantities masked to NULL by a deterministic md5 predicate;
+    * verifies the missing-last-bin convention and missing-bin WoE. */
+  private val missingBin: Q = Q(
+    fn = (s, dir) => {
+      val d0 = li(s, dir)
+      val key = concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string"))
+      val masked = when(
+        substring(md5(key.cast("binary")), 1, 1).isin("0", "1", "2", "3"),
+        lit(null)).otherwise(col("l_quantity"))
+      val d = d0.withColumn("qm", masked)
+      // bounds from the UNMASKED column (train-time boundaries)
+      val bounds = quantityBounds(d0, binK)
+      val counts = Binning.binCounts(d, "qm", bounds, isPos)
+        .select("bin_id", "cnt_pos", "cnt_neg").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val pos = Array.fill(binK + 1)(0.0)
+      val neg = Array.fill(binK + 1)(0.0)
+      counts.foreach { case (b, p, n) => pos(b) = p.toDouble; neg(b) = n.toDouble }
+      val m = graft.ops.StatsMath
+        .columnMetrics(neg.toIndexedSeq, pos.toIndexedSeq).get
+      import s.implicits._
+      counts.map { case (b, p, n) =>
+        (b, p, n, math.rint(m.binWoe(b) * 1e6) / 1e6) }
+        .toSeq.toDF("bin_id", "cnt_pos", "cnt_neg", "woe")
+    },
+    oracle = Some {
+      val arms = (1 until binK).reverse
+        .map(i => s"WHEN qm >= mn + (mx - mn) * $i / $binK THEN $i")
+        .mkString(" ")
+      s"""WITH mm AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx
+         |            FROM lineitem),
+         |mk AS (SELECT CASE WHEN substr(md5(cast(l_orderkey AS VARCHAR)
+         |          || '|' || cast(l_linenumber AS VARCHAR)), 1, 1)
+         |          IN ('0','1','2','3') THEN NULL ELSE l_quantity END AS qm,
+         |        CASE WHEN $posCond THEN 1 ELSE 0 END AS pos
+         |       FROM lineitem),
+         |b AS (SELECT CASE WHEN qm IS NULL THEN $binK $arms ELSE 0 END
+         |        AS bin_id, pos FROM mk, mm),
+         |bins AS (SELECT bin_id, sum(pos) AS cnt_pos,
+         |           count(*) - sum(pos) AS cnt_neg
+         |         FROM b GROUP BY bin_id),
+         |tot AS (SELECT sum(cnt_pos)::DOUBLE AS sp,
+         |               sum(cnt_neg)::DOUBLE AS sn FROM bins)
+         |SELECT bin_id, cnt_pos, cnt_neg,
+         |  round(ln((cnt_pos / sp + 1e-10) / (cnt_neg / sn + 1e-10)), 6)
+         |    AS woe
+         |FROM bins, tot
+         |""".stripMargin
+    })
+
+  val all: Map[String, Q] = Map(
+    "q_norm_woe"     -> normWoe,
+    "q_norm_onehot"  -> normOnehot,
+    "q_norm_index"   -> normIndex,
+    "q_missing_bin"  -> missingBin,
+  )
+}

@@ -1,0 +1,87 @@
+package graft.score
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Model scoring & encoding operators (reference `core/Scorer.java:40-200`,
+  * `core/ModelRunner.java:180-230`, `udf/EvalScoreUDF.java:226-400`).
+  *
+  * The reference deserializes N model specs in every task and loops rows in
+  * a Pig UDF. Here a model is a driver-side spec folded into the plan as a
+  * literal Column expression tree — scoring is a pure narrow map inside
+  * whole-stage codegen, and a bagged ensemble is just N parallel expression
+  * trees + array aggregates (mean/median/max/min per
+  * `container/CaseScoreResult.java:30-90`).
+  */
+object Score {
+
+  /** Logistic model as (feature → weight) + bias; weight order is the Seq
+    * order so the z-sum folds deterministically. */
+  final case class LinearModel(weights: Seq[(String, Double)], bias: Double) {
+    def z: Column =
+      weights.map { case (c, w) => col(c) * lit(w) }.reduce(_ + _) + lit(bias)
+    /** sigmoid(z), the reference's NN output activation. */
+    def score: Column = lit(1.0) / (lit(1.0) + exp(lit(0.0) - z))
+    /** z with feature `f` replaced by a fixed value — the sensitivity
+      * masking of `core/varselect/VarSelectMapper.java:277-400`. */
+    def zMasked(f: String, fill: Double): Column =
+      weights.map { case (c, w) =>
+        (if (c == f) lit(fill) else col(c)) * lit(w)
+      }.reduce(_ + _) + lit(bias)
+    def scoreMasked(f: String, fill: Double): Column =
+      lit(1.0) / (lit(1.0) + exp(lit(0.0) - zMasked(f, fill)))
+  }
+
+  /** Ensemble stats over N model scores, scaled by `scoreScale` (reference
+    * default 1000, `EvalConfig.java:50`): mean/max/min/median. */
+  def ensemble(models: Seq[LinearModel], scale: Double = 1000.0)
+      : Seq[Column] = {
+    val arr = array(models.map(_.score): _*)
+    val sorted = array_sort(arr)
+    val n = models.length
+    val median =
+      if (n % 2 == 1) element_at(sorted, n / 2 + 1)
+      else (element_at(sorted, n / 2) + element_at(sorted, n / 2 + 1)) / 2
+    Seq(
+      round(aggregate(arr, lit(0.0), (acc, x) => acc + x) / n * scale, 3)
+        .as("score_mean"),
+      round(array_max(arr) * scale, 3).as("score_max"),
+      round(array_min(arr) * scale, 3).as("score_min"),
+      round(median * scale, 3).as("score_median"))
+  }
+
+  /** Literal decision-tree node for tree-path encoding (reference
+    * `udf/EncodeDataUDF.java:84-130`, `IndependentTreeModel.encode`). */
+  sealed trait TreeNode
+  final case class Split(feature: String, threshold: Double,
+      left: TreeNode, right: TreeNode) extends TreeNode
+  final case class Leaf(id: Int) extends TreeNode
+
+  /** Root-to-leaf path string ("L"/"R" per split, ≤ depth chars) — pure
+    * comparison CASE tree, bit-exact in any engine. */
+  def encodePath(n: TreeNode): Column = n match {
+    case Leaf(_) => lit("")
+    case Split(f, t, l, r) =>
+      when(col(f) <= lit(t), concat(lit("L"), encodePath(l)))
+        .otherwise(concat(lit("R"), encodePath(r)))
+  }
+
+  /** Leaf id reached by the row. */
+  def encodeLeaf(n: TreeNode): Column = n match {
+    case Leaf(id) => lit(id)
+    case Split(f, t, l, r) =>
+      when(col(f) <= lit(t), encodeLeaf(l)).otherwise(encodeLeaf(r))
+  }
+
+  /** Equivalent SQL text for the same tree (oracle generation). */
+  def pathSql(n: TreeNode): String = n match {
+    case Leaf(_) => "''"
+    case Split(f, t, l, r) =>
+      s"CASE WHEN $f <= $t THEN 'L' || ${pathSql(l)} ELSE 'R' || ${pathSql(r)} END"
+  }
+  def leafSql(n: TreeNode): String = n match {
+    case Leaf(id) => id.toString
+    case Split(f, t, l, r) =>
+      s"CASE WHEN $f <= $t THEN ${leafSql(l)} ELSE ${leafSql(r)} END"
+  }
+}
