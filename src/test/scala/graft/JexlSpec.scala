@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr.Jexl
+
+class JexlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions.col
+
+  private def rows = {
+    import spark.implicits._
+    Seq((1, 10.0, "R"), (2, 50.0, "N"), (3, 30.0, "R"), (4, 5.0, "A"))
+      .toDF("id", "qty", "flag")
+  }
+
+  test("comparison + boolean operators") {
+    val got = rows.filter(Jexl.filter("qty > 20 and flag == 'R'"))
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(got === Set(3))
+  }
+
+  test("jexl keyword operators (eq/and/or/not)") {
+    val got = rows.filter(Jexl.filter("flag eq 'R' or qty le 5"))
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(got === Set(1, 3, 4))
+  }
+
+  test("arithmetic expression as value") {
+    val got = rows.select(Jexl.translate("qty * 2 + 1").as("v"))
+      .collect().map(_.getDouble(0)).toSet
+    assert(got === Set(21.0, 101.0, 61.0, 11.0))
+  }
+
+  test("unary minus and parentheses") {
+    val got = rows.filter(Jexl.filter("-(qty - 20) > 0"))
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(got === Set(1, 4))
+  }
+
+  test("lenient mode keeps all rows on a broken expression (DataPurifier semantics)") {
+    assert(rows.filter(Jexl.filter("qty >>>> garbage((")).count() === 4)
+  }
+
+  test("strict mode throws on a broken expression") {
+    intercept[Jexl.ParseError] {
+      rows.filter(Jexl.filter("qty >>>> garbage((", strict = true)).count()
+    }
+  }
+}
