@@ -252,7 +252,8 @@ object Queries {
     "q_dedup_exact"    -> dedupExact,
     "q_token_count"    -> tokenCount,
   ) ++ QueriesEval.all ++ QueriesText.all ++ QueriesSim.all ++
-    QueriesEvents.all ++ QueriesScore.all ++ QueriesNorm.all ++ QueriesMisc.all
+    QueriesEvents.all ++ QueriesScore.all ++ QueriesNorm.all ++
+    QueriesMisc.all ++ QueriesExtra.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.view.mapValues(_.fn).toMap

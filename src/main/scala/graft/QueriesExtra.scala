@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.agg.HistogramAgg
+import graft.ops.DynamicBinning
+import graft.sources.Delimited
+import graft.streaming.StreamOps
+import graft.train.Train
+
+/** Ingestion, equal-population binning, dynamic rebin, training, and
+  * streaming queries (SURVEY §2.1, §2.4, §2.11, §7.8). */
+object QueriesExtra {
+  import QueryUtil._
+
+  // ---- §2.1 delimited text round trip with missing sentinels ---------------
+
+  private val csvRoundtrip: Q = Q(
+    fn = (s, dir) => {
+      // write a '|'-delimited, schema-less, gzip'd extract with '?' as the
+      // missing sentinel (reference RawSourceData defaults), read it back
+      // all-string through the delimited scanner, and aggregate leniently
+      val key = concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string"))
+      val masked = li(s, dir).select(
+        col("l_orderkey").cast("string").as("l_orderkey"),
+        col("l_linenumber").cast("string").as("l_linenumber"),
+        when(substring(md5(key.cast("binary")), 1, 1).isin("0", "1"),
+          lit("?")).otherwise(col("l_quantity").cast("string"))
+          .as("l_quantity"),
+        col("l_returnflag"))
+      val tmp = s"/tmp/graft_csv_${java.util.UUID.randomUUID()}"
+      Delimited.write(masked, tmp, "|", gzip = true)
+      val back = Delimited.read(s, tmp,
+        "|", Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+      back.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("n_missing"),
+        round(sum(expr("try_cast(l_quantity AS double)")), 4).as("sum_qty"),
+        count_distinct(col("l_returnflag")).as("n_flags"))
+    },
+    oracle = Some(
+      """WITH m AS (
+        |  SELECT CASE WHEN substr(md5(cast(l_orderkey AS VARCHAR) || '|'
+        |      || cast(l_linenumber AS VARCHAR)), 1, 1) IN ('0','1')
+        |    THEN NULL ELSE l_quantity END AS qm, l_returnflag
+        |  FROM lineitem)
+        |SELECT count(*) AS n_rows,
+        |  sum(CASE WHEN qm IS NULL THEN 1 ELSE 0 END) AS n_missing,
+        |  round(sum(qm), 4) AS sum_qty,
+        |  count(DISTINCT l_returnflag) AS n_flags
+        |FROM m
+        |""".stripMargin))
+
+  // ---- §2.4 equal-population (Native) binning via exact percentiles --------
+
+  private val equalPopBins: Q = Q(
+    fn = (s, dir) => {
+      val qs = (1 until 10).map(_ / 10.0)
+      li(s, dir)
+        .select(percentile_approx(col("l_extendedprice"),
+          array(qs.map(lit): _*), lit(Int.MaxValue)).as("bounds"))
+        .select(posexplode(col("bounds")).as(Seq("q_idx", "b")))
+        .select((col("q_idx") + 1).as("q_idx"), round(col("b"), 6).as("bound"))
+    },
+    oracle = Some {
+      (1 until 10).map(i =>
+        s"SELECT $i AS q_idx, round(quantile_disc(l_extendedprice, ${i / 10.0}), 6)" +
+          s" AS bound FROM lineitem").mkString("\nUNION ALL ") + "\n"
+    })
+
+  // ---- §2.4 SPDT streaming-histogram binning (scale path, rows-only) -------
+
+  private val spdtBins: Q = Q(
+    fn = (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val agg = new HistogramAgg(10, 100)
+      val bounds = li(s, dir)
+        .select(col("l_extendedprice"), lit(1.0))
+        .as[(Double, Double)]
+        .select(agg.toColumn.name("bounds"))
+        .head()
+      bounds.zipWithIndex.map { case (b, i) => (i, b) }.toSeq
+        .toDF("bin_idx", "bound")
+    },
+    oracle = None) // approximate by design; driver records rows-only
+
+  // ---- §2.4 dynamic rebin (two-phase small-bin merge, rows-only) -----------
+
+  private val dynamicRebin: Q = Q(
+    fn = (s, dir) => {
+      val bins = DynamicBinning.rebin(li(s, dir), "l_quantity", isPos,
+        fineK = 100, maxBins = 10)
+      import s.implicits._
+      bins.zipWithIndex.map { case (b, i) => (i, b.lo, b.pos, b.neg) }
+        .toDF("bin_id", "lo", "cnt_pos", "cnt_neg")
+    },
+    oracle = None) // sequential greedy merge isn't SQL-expressible
+
+  // ---- §7.8 MLlib training (capability parity, rows-only) ------------------
+
+  private val trainLr: Q = Q(
+    fn = (s, dir) => {
+      val t = Train.logistic(li(s, dir),
+        Seq("l_quantity", "l_discount", "l_tax"), isPos)
+      import s.implicits._
+      Seq(("logistic", math.rint(t.auc * 1000) / 1000,
+        t.model.stages.length)).toDF("algo", "auc", "n_stages")
+    },
+    oracle = None) // iterative optimizer state isn't SQL-expressible
+
+  // ---- §2.11 Structured Streaming windowed aggregation ---------------------
+
+  private val streamWindow: Q = Q(
+    fn = (s, dir) => StreamOps.tumblingCounts(s, dir),
+    // the streaming result must equal the BATCH oracle — same SQL as
+    // q_events_window
+    oracle = Some(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "q_csv_roundtrip"  -> csvRoundtrip,
+    "q_equal_pop_bins" -> equalPopBins,
+    "q_spdt_bins"      -> spdtBins,
+    "q_dynamic_rebin"  -> dynamicRebin,
+    "q_train_lr"       -> trainLr,
+    "q_stream_window"  -> streamWindow,
+  )
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Delimited-text ingestion with the reference's semantics (SURVEY §1.1,
+  * §2.1): row-oriented delimited text, NO embedded schema, all values
+  * strings at load, header from a separate source or first-line sniffing,
+  * missing sentinels ("" and "?" by default, `ModelSourceDataConf.java:50`)
+  * nulled at read, numeric parsing lenient per-operator (`try_cast`).
+  *
+  * Spark's csv source handles splitting/quoting/compression (gzip/bzip2
+  * transparently by extension, like PigStorage); schema is all-string so
+  * nothing is coerced before an operator asks for it.
+  */
+object Delimited {
+
+  /** Read with an explicit header (the `.pig_header` pattern —
+    * `udf/ColumnProjector.java:59-99`). */
+  def read(spark: SparkSession, path: String, delimiter: String,
+           header: Seq[String],
+           missingValues: Set[String] = Set("", "?")): DataFrame = {
+    val schema = StructType(header.map(StructField(_, StringType, true)))
+    val raw = spark.read
+      .option("delimiter", delimiter)
+      .option("header", "false")
+      .schema(schema)
+      .csv(path)
+    nullifyMissing(raw, missingValues)
+  }
+
+  /** First-line header sniffing (CSV-with-header). */
+  def readWithHeaderLine(spark: SparkSession, path: String,
+                         delimiter: String,
+                         missingValues: Set[String] = Set("", "?")): DataFrame =
+    nullifyMissing(
+      spark.read.option("delimiter", delimiter).option("header", "true")
+        .option("inferSchema", "false").csv(path),
+      missingValues)
+
+  /** Missing sentinels → null, on every column (done at scan so the
+    * missing-last-bin convention holds downstream without re-checks). */
+  def nullifyMissing(df: DataFrame, missing: Set[String]): DataFrame =
+    if (missing.isEmpty) df
+    else df.select(df.columns.map { c =>
+      when(col(c).isin(missing.toSeq.map(lit): _*), lit(null))
+        .otherwise(col(c)).as(c)
+    }.toIndexedSeq: _*)
+
+  /** Delimited sink (+ optional gzip), `ShifuPigStorage`/`STORE` parity. */
+  def write(df: DataFrame, path: String, delimiter: String,
+            gzip: Boolean = false): Unit = {
+    val w = df.write.mode("overwrite").option("delimiter", delimiter)
+    (if (gzip) w.option("compression", "gzip") else w).csv(path)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators (SURVEY §2.11 — the reference is
+  * batch-only; this is the engine's forward-looking streaming surface).
+  * The same event-time logic as the batch queries: tumbling windows with
+  * watermark, memory sink for synchronous verification (a parquet dir
+  * drives the stream, `processAllAvailable` barriers it).
+  */
+object StreamOps {
+
+  /** events.parquet physical schema with ts as nanos LONG (see
+    * Tables.load nanosAsLong note). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming tumbling 1-hour counts per event_type over the events dir;
+    * runs the stream to completion against the static files and returns
+    * the result table — output matches the batch q_events_window oracle. */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"stream_window_${counter.incrementAndGet()}"
+    val events = spark.readStream
+      .schema(eventsSchema)
+      // file-stream sources need a directory: stream the sf dir with a
+      // glob restricted to the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("ts_ts", "1 hour")
+    val agg = events
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

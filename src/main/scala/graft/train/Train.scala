@@ -1,0 +1,70 @@
+package graft.train
+
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression,
+  RandomForestClassifier}
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed training (reference `core/dtrain/` Guagua NN/LR/GBT/RF →
+  * Spark MLlib pipelines, SURVEY §7.8). Capability parity, not weight
+  * parity: the reference trains bagged NN/LR/GBT over normalized columns;
+  * here the same dataflow is VectorAssembler → estimator → evaluator, with
+  * bagging as k models over deterministic hash-split subsets (the
+  * reference's bagging-with-replacement ≈ `BaggingSubsampleUDF`).
+  */
+object Train {
+
+  final case class Trained(model: PipelineModel, auc: Double)
+
+  private def assemble(features: Seq[String]): VectorAssembler =
+    new VectorAssembler().setInputCols(features.toArray)
+      .setOutputCol("features")
+
+  def logistic(df: DataFrame, features: Seq[String], label: Column,
+               maxIter: Int = 20): Trained = {
+    val lr = new LogisticRegression().setMaxIter(maxIter)
+      .setLabelCol("label").setFeaturesCol("features")
+    fit(df, features, label, new Pipeline().setStages(Array(assemble(features), lr)))
+  }
+
+  def gbt(df: DataFrame, features: Seq[String], label: Column,
+          maxIter: Int = 10, maxDepth: Int = 4): Trained = {
+    val g = new GBTClassifier().setMaxIter(maxIter).setMaxDepth(maxDepth)
+      .setLabelCol("label").setFeaturesCol("features").setSeed(42L)
+    fit(df, features, label, new Pipeline().setStages(Array(assemble(features), g)))
+  }
+
+  def randomForest(df: DataFrame, features: Seq[String], label: Column,
+                   numTrees: Int = 20, maxDepth: Int = 5): Trained = {
+    val rf = new RandomForestClassifier().setNumTrees(numTrees)
+      .setMaxDepth(maxDepth).setLabelCol("label").setFeaturesCol("features")
+      .setSeed(42L)
+    fit(df, features, label, new Pipeline().setStages(Array(assemble(features), rf)))
+  }
+
+  private def fit(df: DataFrame, features: Seq[String], label: Column,
+                  pipeline: Pipeline): Trained = {
+    val data = df.select(features.map(col) :+
+      label.cast("double").as("label"): _*)
+    val model = pipeline.fit(data)
+    val scored = model.transform(data)
+    val auc = new BinaryClassificationEvaluator().setLabelCol("label")
+      .setRawPredictionCol("rawPrediction").evaluate(scored)
+    Trained(model, auc)
+  }
+
+  /** Bagging: k models over deterministic md5-hash row subsets (the
+    * reference replicates rows into k bags, `BaggingSubsampleUDF.java`);
+    * prediction = mean of member probabilities. */
+  def bagged(df: DataFrame, features: Seq[String], label: Column,
+             key: Column, k: Int = 3): Seq[Trained] =
+    (0 until k).map { i =>
+      val sub = df.filter(
+        pmod(crc32(concat(key.cast("string"), lit(s"_$i")).cast("binary")),
+          lit(10)) < lit(7)) // ~70% per bag, disjoint-ish, deterministic
+      logistic(sub, features, label)
+    }
+}
