@@ -253,7 +253,7 @@ object Queries {
     "q_token_count"    -> tokenCount,
   ) ++ QueriesEval.all ++ QueriesText.all ++ QueriesSim.all ++
     QueriesEvents.all ++ QueriesScore.all ++ QueriesNorm.all ++
-    QueriesMisc.all ++ QueriesExtra.all
+    QueriesMisc.all ++ QueriesExtra.all ++ QueriesEval2.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.view.mapValues(_.fn).toMap

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Normalize, StatsPipeline}
+import graft.score.Score
+
+/** Second eval/normalize batch: quartiles, eval-set normalization with
+  * train-time stats, multi-class confusion, precision cast, tag cleaning
+  * (SURVEY §2.4, §2.7, §2.8). */
+object QueriesEval2 {
+  import QueryUtil._
+
+  // ---- §2.4 median / quartiles ---------------------------------------------
+
+  private val quartiles: Q = Q(
+    fn = (s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val stackExpr = "stack(" + cols.length + ", " +
+        cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, v)"
+      li(s, dir).select(expr(stackExpr))
+        .groupBy("col_name")
+        .agg(
+          round(expr("percentile_approx(v, 0.25, 2147483647)"), 6).as("p25"),
+          round(expr("percentile_approx(v, 0.5, 2147483647)"), 6).as("median"),
+          round(expr("percentile_approx(v, 0.75, 2147483647)"), 6).as("p75"))
+    },
+    oracle = Some {
+      val union = Seq("l_quantity", "l_extendedprice", "l_discount")
+        .map(c => s"SELECT '$c' AS col_name, $c AS v FROM lineitem")
+        .mkString("\nUNION ALL ")
+      s"""WITH u AS ($union)
+         |SELECT col_name,
+         |  round(quantile_disc(v, 0.25), 6) AS p25,
+         |  round(quantile_disc(v, 0.5), 6) AS median,
+         |  round(quantile_disc(v, 0.75), 6) AS p75
+         |FROM u GROUP BY col_name
+         |""".stripMargin
+    })
+
+  // ---- §2.7 eval normalization (train-time stats applied to eval set) ------
+
+  private val evalNorm: Q = Q(
+    fn = (s, dir) => {
+      val d = li(s, dir)
+      // "train" = shipped before 1995-07; eval = the rest. Stats come from
+      // TRAIN only and are applied, frozen, to the EVAL rows — the strict
+      // schema/stats reuse of udf/EvalNormUDF.java:246-396.
+      val train = d.filter(col("l_shipdate") < lit("1995-07-01").cast("timestamp_ntz"))
+      val eval_ = d.filter(col("l_shipdate") >= lit("1995-07-01").cast("timestamp_ntz"))
+      val st = StatsPipeline.numericStats(train, Seq("l_extendedprice"))("l_extendedprice")
+      eval_.select(col("l_orderkey"), col("l_linenumber"),
+        round(Normalize.zscore(col("l_extendedprice"), st.mean, st.stdDev), 3)
+          .as("z_eval"))
+    },
+    oracle = Some(
+      """WITH tr AS (
+        |  SELECT count(l_extendedprice) AS cnt, sum(l_extendedprice) AS s1,
+        |         sum(l_extendedprice * l_extendedprice) AS s2
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-07-01')
+        |SELECT l_orderkey, l_linenumber,
+        |  round(least(greatest(
+        |    (l_extendedprice - s1 / cnt)
+        |      / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), -6.0), 6.0), 3)
+        |    AS z_eval
+        |FROM lineitem, tr
+        |WHERE l_shipdate >= TIMESTAMP '1995-07-01'
+        |""".stripMargin))
+
+  // ---- §2.7 multi-class confusion matrix -----------------------------------
+
+  private val multiclassTree: Score.TreeNode = Score.Split("l_quantity", 17.0,
+    Score.Leaf(0),
+    Score.Split("l_quantity", 34.0, Score.Leaf(1), Score.Leaf(2)))
+
+  private val multiclassConfusion: Q = Q(
+    fn = (s, dir) => {
+      // actual = 3-class returnflag; predicted = quantity-threshold tree
+      val predName = when(Score.encodeLeaf(multiclassTree) === 0, "A")
+        .when(Score.encodeLeaf(multiclassTree) === 1, "N")
+        .otherwise("R")
+      li(s, dir)
+        .groupBy(col("l_returnflag").as("actual"), predName.as("predicted"))
+        .agg(count(lit(1)).as("n"))
+    },
+    oracle = Some(
+      s"""SELECT l_returnflag AS actual,
+         |  CASE WHEN (${Score.leafSql(multiclassTree)}) = 0 THEN 'A'
+         |       WHEN (${Score.leafSql(multiclassTree)}) = 1 THEN 'N'
+         |       ELSE 'R' END AS predicted,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY 1, 2
+         |""".stripMargin))
+
+  // ---- §2.8 precision cast (FLOAT7/16/32/DOUBLE64 output rounding) ---------
+
+  private val precisionCast: Q = Q(
+    fn = (s, dir) => li(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      // FLOAT32: round-trip through float32 (NormalizeUDF FLOAT32 mode)
+      col("l_extendedprice").cast("float").cast("double").as("f32"),
+      // FLOAT7: 7 decimal digits (reference's default text precision)
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")), 7).as("f7")),
+    oracle = Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice::REAL::DOUBLE AS f32,
+        |  round(l_extendedprice * (1 - l_discount), 7) AS f7
+        |FROM lineitem
+        |""".stripMargin))
+
+  // ---- §2.8 tag trim / clean (CommonUtils.trimTag) -------------------------
+
+  private val tagClean: Q = Q(
+    fn = (s, dir) => {
+      // simulate messy tags then clean: trim + lower, the reference's
+      // tag normalization before posTags/negTags matching
+      val messy = concat(lit("  "), col("l_returnflag"), lit(" "))
+      li(s, dir)
+        .groupBy(trim(lower(messy)).as("tag"))
+        .agg(count(lit(1)).as("n"))
+    },
+    oracle = Some(
+      """SELECT trim(lower('  ' || l_returnflag || ' ')) AS tag,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1
+        |""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "q_quartiles"       -> quartiles,
+    "q_eval_norm"       -> evalNorm,
+    "q_multiclass_conf" -> multiclassConfusion,
+    "q_precision_cast"  -> precisionCast,
+    "q_tag_clean"       -> tagClean,
+  )
+}

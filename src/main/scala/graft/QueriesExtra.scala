@@ -122,7 +122,26 @@ object QueriesExtra {
         |FROM events GROUP BY 1, 2
         |""".stripMargin))
 
+  // ---- §2.11 stateful streaming sessionization (mapGroupsWithState) --------
+
+  private val streamSessionize: Q = Q(
+    fn = (s, dir) => StreamOps.sessionizeStream(s, dir),
+    // must equal the BATCH lag-window sessionize oracle
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+        |      THEN 1 ELSE 0 END) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM t GROUP BY user_id
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "q_stream_sessionize" -> streamSessionize,
     "q_csv_roundtrip"  -> csvRoundtrip,
     "q_equal_pop_bins" -> equalPopBins,
     "q_spdt_bins"      -> spdtBins,

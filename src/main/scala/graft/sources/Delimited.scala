@@ -48,6 +48,32 @@ object Delimited {
         .otherwise(col(c)).as(c)
     }.toIndexedSeq: _*)
 
+  /** Malformed-row guard (reference `AddColumnNumAndFilterUDF.java:104-117`,
+    * MAX_MISMATCH_CNT=500): parse raw lines, DROP rows whose field count
+    * mismatches the header, and surface the drop count as an `observe()`
+    * metric ("malformed_cnt") — the Spark-native replacement for the
+    * reference's MR counters (§2.9), readable via
+    * `org.apache.spark.sql.Observation` without a second pass. */
+  def readGuarded(spark: SparkSession, path: String, delimiter: String,
+                  header: Seq[String],
+                  observation: Option[org.apache.spark.sql.Observation] = None,
+                  missingValues: Set[String] = Set("", "?")): DataFrame = {
+    val n = header.length
+    val parts = split(col("value"), java.util.regex.Pattern.quote(delimiter))
+    val lines = spark.read.text(path)
+    val observed = observation match {
+      case Some(obs) => lines.observe(obs,
+        sum(when(size(parts) =!= n, 1L).otherwise(0L)).as("malformed_cnt"),
+        count(lit(1)).as("total_cnt"))
+      case None => lines
+    }
+    val cells = observed.filter(size(parts) === n)
+      .select(header.zipWithIndex.map { case (h, i) =>
+        parts.getItem(i).as(h)
+      }.toIndexedSeq: _*)
+    nullifyMissing(cells, missingValues)
+  }
+
   /** Delimited sink (+ optional gzip), `ShifuPigStorage`/`STORE` parity. */
   def write(df: DataFrame, path: String, delimiter: String,
             gzip: Boolean = false): Unit = {

@@ -22,6 +22,57 @@ object StreamOps {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Per-user session accumulator for stateful streaming sessionization. */
+  final case class SessState(lastMs: Long, sessions: Long, events: Long)
+
+  /** Stateful streaming sessionization via `mapGroupsWithState` (the
+    * KeyValueGroupedDataset custom-state path, SURVEY §2.11): 30-min
+    * inactivity gap starts a new session. Events are sorted inside each
+    * group (state function receives them unordered), so with the whole
+    * input in one AvailableNow batch the result equals the batch
+    * lag-window sessionize — verified against the same SQL oracle. */
+  def sessionizeStream(spark: SparkSession, dir: String,
+                       gapMs: Long = 1800000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"stream_sess_${counter.incrementAndGet()}"
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ms"))
+      .as[(Long, Long, Long)]
+    val sessions = events
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessState, (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) { (user, it, state) =>
+        val evs = it.toVector.sortBy(e => (e._3, e._2))
+        val prev = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+        var last = prev.lastMs
+        var sess = prev.sessions
+        var cnt = prev.events
+        evs.foreach { e =>
+          if (last == Long.MinValue || e._3 - last > gapMs) sess += 1
+          last = e._3
+          cnt += 1
+        }
+        state.update(SessState(last, sess, cnt))
+        (user, sess, cnt)
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+    val q = sessions.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming tumbling 1-hour counts per event_type over the events dir;
     * runs the stream to completion against the static files and returns
     * the result table — output matches the batch q_events_window oracle. */

@@ -59,6 +59,21 @@ class CatalogIoSourcesSpec extends AnyFunSuite {
     assert(rows(2).getString(1) === "y")
   }
 
+  test("malformed-row guard drops bad rows and reports the observe() counter") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_guard").toString
+    Seq("1|a|2.0", "2|b", "3|c|4.0|extra", "4|d|5.0").toDF("v")
+      .coalesce(1).write.mode("overwrite").text(tmp + "/in")
+    val obs = new org.apache.spark.sql.Observation("guard")
+    val df = Delimited.readGuarded(spark, tmp + "/in", "|",
+      Seq("id", "cat", "num"), Some(obs))
+    val rows = df.collect()
+    assert(rows.length === 2) // rows 2 (short) and 3 (long) dropped
+    val metrics = obs.get
+    assert(metrics("malformed_cnt") === 2L)
+    assert(metrics("total_cnt") === 4L)
+  }
+
   test("dynamic rebin merges small bins and respects maxBins") {
     import spark.implicits._
     // skewed data: 90% of mass at small values
