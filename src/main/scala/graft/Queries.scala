@@ -253,7 +253,8 @@ object Queries {
     "q_token_count"    -> tokenCount,
   ) ++ QueriesEval.all ++ QueriesText.all ++ QueriesSim.all ++
     QueriesEvents.all ++ QueriesScore.all ++ QueriesNorm.all ++
-    QueriesMisc.all ++ QueriesExtra.all ++ QueriesEval2.all
+    QueriesMisc.all ++ QueriesExtra.all ++ QueriesEval2.all ++
+    QueriesWeighted.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.view.mapValues(_.fn).toMap

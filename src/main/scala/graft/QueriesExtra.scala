@@ -103,7 +103,7 @@ object QueriesExtra {
   private val trainLr: Q = Q(
     fn = (s, dir) => {
       val t = Train.logistic(li(s, dir),
-        Seq("l_quantity", "l_discount", "l_tax"), isPos)
+        Seq("l_quantity", "l_discount", "l_tax"), isPos, maxIter = 10)
       import s.implicits._
       Seq(("logistic", math.rint(t.auc * 1000) / 1000,
         t.model.stages.length)).toDF("algo", "auc", "n_stages")
