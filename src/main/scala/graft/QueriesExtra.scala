@@ -69,6 +69,23 @@ object QueriesExtra {
           s" AS bound FROM lineitem").mkString("\nUNION ALL ") + "\n"
     })
 
+  // ---- §2.4 Munro-Paterson quantile-sketch binning (rows-only) -------------
+
+  private val munroPatBins: Q = Q(
+    fn = (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val agg = new graft.agg.MunroPatAgg(10)
+      val bounds = li(s, dir)
+        .select(col("l_extendedprice"))
+        .as[Double]
+        .select(agg.toColumn.name("bounds"))
+        .head()
+      bounds.zipWithIndex.map { case (b, i) => (i, b) }.toSeq
+        .toDF("bin_idx", "bound")
+    },
+    oracle = None) // sketch is approximate by design; rows-only
+
   // ---- §2.4 SPDT streaming-histogram binning (scale path, rows-only) -------
 
   private val spdtBins: Q = Q(
@@ -142,6 +159,7 @@ object QueriesExtra {
 
   val all: Map[String, Q] = Map(
     "q_stream_sessionize" -> streamSessionize,
+    "q_munropat_bins"  -> munroPatBins,
     "q_csv_roundtrip"  -> csvRoundtrip,
     "q_equal_pop_bins" -> equalPopBins,
     "q_spdt_bins"      -> spdtBins,

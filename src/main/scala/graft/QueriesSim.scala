@@ -65,8 +65,13 @@ object QueriesSim {
          |""".stripMargin
     })
 
+  private val annIvf: Q = Q(
+    fn = (s, dir) => graft.sim.Ivf.ivfTopK(Tables.load(s, dir, "embeddings")),
+    oracle = None) // k-means means depend on FP summation order → rows-only
+
   val all: Map[String, Q] = Map(
     "q_cosine_topk" -> cosineTopK,
     "q_ann_lsh"     -> annLsh,
+    "q_ann_ivf"     -> annIvf,
   )
 }
