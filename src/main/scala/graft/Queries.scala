@@ -254,7 +254,7 @@ object Queries {
   ) ++ QueriesEval.all ++ QueriesText.all ++ QueriesSim.all ++
     QueriesEvents.all ++ QueriesScore.all ++ QueriesNorm.all ++
     QueriesMisc.all ++ QueriesExtra.all ++ QueriesEval2.all ++
-    QueriesWeighted.all
+    QueriesWeighted.all ++ QueriesHybrid.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.view.mapValues(_.fn).toMap

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hybrid (H) column type + PSI unit stats (SURVEY §1.2 ColumnType.H,
+  * §2.4 PSI unitStats). */
+object QueriesHybrid {
+  import QueryUtil._
+
+  /** A hybrid column: mostly-numeric string with categorized special
+    * values — the reference's H type (`container/obj/ColumnType.java:19-21`,
+    * threshold at `ColumnConfig.java:79`). Built deterministically from
+    * l_quantity: ~12.5% of rows carry the special token "SPECIAL_LOW" or
+    * "SPECIAL_HIGH"; ~6% are missing. */
+  private val hybridCol =
+    "CASE WHEN substr(md5(cast(l_orderkey AS VARCHAR) || '|' || " +
+      "cast(l_linenumber AS VARCHAR)), 1, 1) = '0' THEN " +
+      "CASE WHEN l_quantity < 25 THEN 'SPECIAL_LOW' ELSE 'SPECIAL_HIGH' END " +
+      "WHEN substr(md5(cast(l_orderkey AS VARCHAR) || '|' || " +
+      "cast(l_linenumber AS VARCHAR)), 1, 1) = '1' THEN NULL " +
+      "ELSE cast(l_quantity AS VARCHAR) END"
+
+  /** Spark-side identical expression (same md5/same CASE order). */
+  private def hybridSparkCol = expr(
+    hybridCol
+      .replace("cast(l_orderkey AS VARCHAR)", "cast(l_orderkey AS string)")
+      .replace("cast(l_linenumber AS VARCHAR)", "cast(l_linenumber AS string)")
+      .replace("cast(l_quantity AS VARCHAR)", "cast(l_quantity AS string)"))
+
+  /** Hybrid stats: numeric values → equal-interval bins (bin_kind 'N'),
+    * special categories → their own bins ('C'), missing → 'M'; pos/neg
+    * counts per bin — the missing-last + special-category semantics that
+    * SURVEY flags as hard-part (b), exercised end to end. */
+  private val hybridStats: Q = Q(
+    fn = (s, dir) => {
+      val d = li(s, dir).withColumn("h", hybridSparkCol)
+        .withColumn("hv", expr("try_cast(h AS double)"))
+      val Array(mn, mx) = d.agg(min("hv"), max("hv")).head()
+        .toSeq.map(_.asInstanceOf[Double]).toArray
+      val arms = (1 until binK).reverse
+      var binId: org.apache.spark.sql.Column =
+        when(col("h").isNull, concat(lit("M|"), lit(binK + 2)))
+          .when(col("hv").isNull, concat(lit("C|"), col("h")))
+      arms.foreach { i =>
+        binId = binId.when(col("hv") >= lit(mn + (mx - mn) * i / binK),
+          concat(lit("N|"), lit(i)))
+      }
+      d.groupBy(binId.otherwise(lit("N|0")).as("bin_key"))
+        .agg(sum(when(isPos, 1L).otherwise(0L)).as("cnt_pos"),
+          sum(when(isPos, 0L).otherwise(1L)).as("cnt_neg"))
+    },
+    oracle = Some {
+      val arms = (1 until binK).reverse
+        .map(i => s"WHEN hv >= mn + (mx - mn) * $i / $binK THEN 'N|' || $i")
+        .mkString("\n      ")
+      s"""WITH h AS (
+         |  SELECT $hybridCol AS h,
+         |    CASE WHEN $posCond THEN 1 ELSE 0 END AS pos
+         |  FROM lineitem),
+         |hv AS (SELECT h, TRY_CAST(h AS DOUBLE) AS hv, pos FROM h),
+         |mm AS (SELECT min(hv) AS mn, max(hv) AS mx FROM hv)
+         |SELECT CASE
+         |    WHEN h IS NULL THEN 'M|' || ${binK + 2}
+         |    WHEN hv IS NULL THEN 'C|' || h
+         |      $arms
+         |    ELSE 'N|0' END AS bin_key,
+         |  sum(pos) AS cnt_pos, count(*) - sum(pos) AS cnt_neg
+         |FROM hv, mm GROUP BY 1
+         |""".stripMargin
+    })
+
+  /** PSI unit stats (reference `PSICalculatorUDF.java:60-66` per-unit
+    * mean / missing-rate strings): per month, mean of quantity and the
+    * missing rate of a masked variant. */
+  private val psiUnitStats: Q = Q(
+    fn = (s, dir) => {
+      val key = concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string"))
+      li(s, dir)
+        .withColumn("qm",
+          when(substring(md5(key.cast("binary")), 1, 1) === "0", lit(null))
+            .otherwise(col("l_quantity")))
+        .groupBy(month(col("l_shipdate")).as("unit"))
+        .agg(
+          round(sum("l_quantity") / count(col("l_quantity")), 6)
+            .as("unit_mean"),
+          round(sum(when(col("qm").isNull, 1.0).otherwise(0.0)) /
+            count(lit(1)), 6).as("missing_rate"),
+          count(lit(1)).as("n"))
+    },
+    oracle = Some(
+      """SELECT month(l_shipdate) AS unit,
+        |  round(sum(l_quantity) / count(l_quantity), 6) AS unit_mean,
+        |  round(sum(CASE WHEN substr(md5(cast(l_orderkey AS VARCHAR) || '|'
+        |      || cast(l_linenumber AS VARCHAR)), 1, 1) = '0'
+        |    THEN 1.0 ELSE 0.0 END) / count(*), 6) AS missing_rate,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1
+        |""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "q_hybrid_stats"   -> hybridStats,
+    "q_psi_unit_stats" -> psiUnitStats,
+  )
+}

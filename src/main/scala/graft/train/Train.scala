@@ -56,6 +56,29 @@ object Train {
     Trained(model, auc)
   }
 
+  /** Grid search + k-fold cross validation (reference `gs/` grid configs +
+    * `ModelTrainConf` numKFold → `ParamGridBuilder` + `CrossValidator`). */
+  def gridSearchLogistic(df: DataFrame, features: Seq[String], label: Column,
+                         regParams: Seq[Double] = Seq(0.0, 0.1),
+                         numFolds: Int = 3): (PipelineModel, Double) = {
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val lr = new LogisticRegression().setMaxIter(10)
+      .setLabelCol("label").setFeaturesCol("features")
+    val pipeline = new Pipeline().setStages(Array(assemble(features), lr))
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, regParams.toArray).build()
+    val cv = new CrossValidator()
+      .setEstimator(pipeline)
+      .setEvaluator(new BinaryClassificationEvaluator().setLabelCol("label"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(numFolds)
+      .setSeed(42L)
+    val data = df.select(features.map(col) :+
+      label.cast("double").as("label"): _*)
+    val model = cv.fit(data)
+    (model.bestModel.asInstanceOf[PipelineModel], model.avgMetrics.max)
+  }
+
   /** Bagging: k models over deterministic md5-hash row subsets (the
     * reference replicates rows into k bags, `BaggingSubsampleUDF.java`);
     * prediction = mean of member probabilities. */

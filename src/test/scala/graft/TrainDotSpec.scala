@@ -49,6 +49,19 @@ class TrainDotSpec extends AnyFunSuite {
     assert(t.auc > 0.85, s"auc=${t.auc}")
   }
 
+  test("grid search + k-fold picks a model with sane CV metric") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val d = (1 to 600).map { _ =>
+      val pos = rnd.nextBoolean()
+      (rnd.nextGaussian() + (if (pos) 1.2 else -1.2), rnd.nextGaussian(), pos)
+    }.toDF("x1", "x2", "label")
+    val (model, cvAuc) = Train.gridSearchLogistic(d, Seq("x1", "x2"),
+      col("label"), regParams = Seq(0.0, 0.5), numFolds = 3)
+    assert(model.stages.length === 2)
+    assert(cvAuc > 0.8, s"cv auc=$cvAuc")
+  }
+
   test("GBT and RF train and evaluate") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
