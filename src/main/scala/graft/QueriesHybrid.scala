@@ -98,8 +98,76 @@ object QueriesHybrid {
         |FROM lineitem GROUP BY 1
         |""".stripMargin))
 
+  /** Posttrain feature importance (reference
+    * `core/posttrain/FeatureImportanceMapper.java:150-220`): rank features
+    * by |Pearson corr(feature, model score)| — one agg over raw sums. */
+  private val featureImportance: Q = Q(
+    fn = (s, dir) => {
+      val feats = Seq("l_quantity", "l_discount", "l_tax")
+      val stackExpr = "stack(" + feats.length + ", " +
+        feats.map(c => s"'$c', $c").mkString(", ") + ") as (feature, x)"
+      val d = li(s, dir)
+        .withColumn("sc", scoreCol)
+        .select(col("sc"), expr(stackExpr))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("imp").desc, col("feature").asc)
+      d.groupBy("feature")
+        .agg(round(abs(
+          (count(lit(1)) * sum(col("x") * col("sc")) - sum("x") * sum("sc")) /
+            sqrt((count(lit(1)) * sum(col("x") * col("x")) - sum("x") * sum("x")) *
+              (count(lit(1)) * sum(col("sc") * col("sc")) - sum("sc") * sum("sc")))),
+          6).as("imp"))
+        .withColumn("rank", row_number().over(w))
+    },
+    oracle = Some {
+      val per = Seq("l_quantity", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS feature, round(abs(
+           |  (count(*) * sum($c * ($scoreSql)) - sum($c) * sum($scoreSql))
+           |  / sqrt((count(*) * sum($c * $c) - sum($c) * sum($c))
+           |       * (count(*) * sum(($scoreSql) * ($scoreSql))
+           |          - sum($scoreSql) * sum($scoreSql)))), 6) AS imp
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH f AS (
+         |$per)
+         |SELECT feature, imp,
+         |  row_number() OVER (ORDER BY imp DESC, feature) AS rank
+         |FROM f
+         |""".stripMargin
+    })
+
+  /** TPC-H Q3 shape: filtered 3-way join + agg + global top-10. */
+  private val tpchQ3: Q = Q(
+    fn = (s, dir) => {
+      val l = li(s, dir)
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING" &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(scoreCol), 2).as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    oracle = Some(
+      s"""SELECT l_orderkey, round(sum($scoreSql), 2) AS revenue,
+         |  count(*) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY l_orderkey
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10
+         |""".stripMargin))
+
   val all: Map[String, Q] = Map(
-    "q_hybrid_stats"   -> hybridStats,
-    "q_psi_unit_stats" -> psiUnitStats,
+    "q_hybrid_stats"       -> hybridStats,
+    "q_psi_unit_stats"     -> psiUnitStats,
+    "q_feature_importance" -> featureImportance,
+    "q_tpch_q3"            -> tpchQ3,
   )
 }

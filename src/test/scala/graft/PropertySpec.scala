@@ -1,0 +1,91 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.{Histogram, MunroPatSketch}
+import graft.ops.StatsMath
+
+/** Property-based invariants over the sketch/stats kernels (ScalaCheck
+  * generators driven from fixed seeds — deterministic, no scalatestplus
+  * bridge needed). */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).toSeq)
+
+  private val doubleList: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))
+
+  test("histogram boundaries are sorted and bracket the data") {
+    samples(doubleList, 60).foreach { xs =>
+      val h = Histogram(5)
+      xs.foreach(h.add(_))
+      val b = h.quantileBoundaries(5)
+      assert(b.head.isNegInfinity)
+      assert(b.sameElements(b.sorted))
+      b.drop(1).foreach { x =>
+        assert(x >= xs.min - 1e-9 && x <= xs.max + 1e-9)
+      }
+    }
+  }
+
+  test("histogram total weight equals number of points") {
+    samples(doubleList, 60).foreach { xs =>
+      val h = Histogram(8)
+      xs.foreach(h.add(_))
+      assert(math.abs(h.totalWeight - xs.length) < 1e-6)
+    }
+  }
+
+  test("munropat quantiles are sorted and within range") {
+    samples(doubleList, 60).foreach { xs =>
+      val s = MunroPatSketch(6)
+      xs.foreach(s.add)
+      val qs = s.quantiles()
+      assert(qs.sameElements(qs.sorted))
+      qs.foreach(q => assert(q >= xs.min && q <= xs.max))
+    }
+  }
+
+  test("KS is within [0, 100] and IV non-negative on arbitrary bin counts") {
+    val binCounts = for {
+      n <- Gen.choose(2, 12)
+      neg <- Gen.listOfN(n, Gen.choose(0L, 10000L))
+      pos <- Gen.listOfN(n, Gen.choose(0L, 10000L))
+    } yield (neg.map(_.toDouble), pos.map(_.toDouble))
+    samples(binCounts, 100).foreach { case (neg, pos) =>
+      StatsMath.columnMetrics(neg, pos).foreach { m =>
+        assert(m.ks >= 0.0 && m.ks <= 100.0 + 1e-9)
+        assert(m.iv >= -1e-9) // iv = Σ(p−n)(ln(p+ε)−ln(n+ε)) ≥ 0 termwise
+        assert(m.binWoe.length === neg.length)
+      }
+    }
+  }
+
+  test("PSI is non-negative for probability vectors") {
+    val probVec = for {
+      n <- Gen.choose(2, 10)
+      a <- Gen.listOfN(n, Gen.choose(1e-6, 1.0))
+      b <- Gen.listOfN(n, Gen.choose(1e-6, 1.0))
+    } yield (a.map(_ / a.sum), b.map(_ / b.sum))
+    samples(probVec, 100).foreach { case (a, e) =>
+      assert(StatsMath.psi(a, e) >= -1e-12)
+    }
+  }
+
+  test("jexl filter matches native Column filter for arbitrary thresholds") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = (1 to 50).map(i => (i, i * 2.0)).toDF("id", "v")
+    d.cache(); d.count()
+    samples(Gen.choose(0.0, 120.0), 8).foreach { t =>
+      val viaJexl = d.filter(graft.expr.Jexl.filter(s"v > $t")).count()
+      val direct = d.filter(org.apache.spark.sql.functions.col("v") > t).count()
+      assert(viaJexl === direct, s"threshold $t")
+    }
+    d.unpersist()
+  }
+}
