@@ -76,15 +76,18 @@ object Jexl {
     }
     private def parseCmp(): Column = {
       val l = parseAdd()
+      // JEXL equality is null-aware: `x == null` is TRUE for null x (the
+      // reference's DataPurifierTest relies on "diagnosis == null"). Spark
+      // `===` yields NULL there; `<=>` (eqNullSafe) matches JEXL exactly.
       peek match {
-        case Op("==") => next(); l === parseAdd()
-        case Op("!=") => next(); l =!= parseAdd()
+        case Op("==") => next(); l <=> parseAdd()
+        case Op("!=") => next(); !(l <=> parseAdd())
         case Op("<")  => next(); l < parseAdd()
         case Op("<=") => next(); l <= parseAdd()
         case Op(">")  => next(); l > parseAdd()
         case Op(">=") => next(); l >= parseAdd()
-        case Op("eq") => next(); l === parseAdd()
-        case Op("ne") => next(); l =!= parseAdd()
+        case Op("eq") => next(); l <=> parseAdd()
+        case Op("ne") => next(); !(l <=> parseAdd())
         case Op("lt") => next(); l < parseAdd()
         case Op("le") => next(); l <= parseAdd()
         case Op("gt") => next(); l > parseAdd()

@@ -100,16 +100,28 @@ object StatsPipeline {
   }
 
   /** Categorical profiling: one scan collects per-category pos/neg counts;
-    * categories ordered lexicographically (deterministic catalog). */
-  def profileCategorical(df: DataFrame, cols: Seq[String],
-                         isPos: Column): Map[String, ColumnProfile] = {
+    * categories ordered lexicographically (deterministic catalog).
+    * High-cardinality guard: only the `maxCategories` most frequent
+    * categories per column ever reach the driver (the reference's
+    * MAX_CATEGORICAL_BINC_COUNT cap) — the rank filter runs distributed,
+    * partitioned by column. */
+  def profileCategorical(df: DataFrame, cols: Seq[String], isPos: Column,
+                         maxCategories: Int = 10000)
+      : Map[String, ColumnProfile] = {
     val pairs = cols.map(c => struct(lit(c).as("col_name"),
       col(c).cast("string").as("v")))
-    val counts = df
+    val grouped = df
       .select(explode(array(pairs: _*)).as("cv"), isPos.cast("long").as("pos"))
       .select(col("cv.col_name"), col("cv.v"), col("pos"))
       .groupBy("col_name", "v")
       .agg(sum("pos").as("cnt_pos"), (count(lit(1)) - sum("pos")).as("cnt_neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("col_name")
+      .orderBy((col("cnt_pos") + col("cnt_neg")).desc, col("v").asc)
+    val counts = grouped
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= maxCategories)
+      .drop("rnk")
       .collect()
       .groupBy(_.getString(0))
     cols.zipWithIndex.map { case (c, i) =>

@@ -38,6 +38,20 @@ class JexlSpec extends AnyFunSuite {
     assert(got === Set(1, 4))
   }
 
+  test("null equality follows JEXL semantics (DataPurifierTest patterns)") {
+    import spark.implicits._
+    val d = Seq((1, Some("M")), (2, Some("B")), (3, None))
+      .toDF("id", "diagnosis")
+    // "diagnosis == null" must keep ONLY the null row
+    assert(d.filter(Jexl.filter("diagnosis == null"))
+      .select("id").collect().map(_.getInt(0)).toSet === Set(3))
+    // "diagnosis != null" keeps the non-null rows
+    assert(d.filter(Jexl.filter("diagnosis != null"))
+      .select("id").collect().map(_.getInt(0)).toSet === Set(1, 2))
+    // constant expressions
+    assert(d.filter(Jexl.filter("1 == 2")).count() === 0)
+  }
+
   test("lenient mode keeps all rows on a broken expression (DataPurifier semantics)") {
     assert(rows.filter(Jexl.filter("qty >>>> garbage((")).count() === 4)
   }
