@@ -157,7 +157,18 @@ object QueriesExtra {
         |FROM t GROUP BY user_id
         |""".stripMargin))
 
+  // ---- §2.11 streaming exact dedup (dropDuplicates state) ------------------
+
+  private val streamDedup: Q = Q(
+    fn = (s, dir) => StreamOps.dedupCounts(s, dir),
+    // streaming dedup must match the batch distinct-count oracle
+    oracle = Some(
+      """SELECT source, count(DISTINCT text) AS n_distinct_texts
+        |FROM documents GROUP BY source
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "q_stream_dedup"      -> streamDedup,
     "q_stream_sessionize" -> streamSessionize,
     "q_munropat_bins"  -> munroPatBins,
     "q_csv_roundtrip"  -> csvRoundtrip,

@@ -22,6 +22,38 @@ object StreamOps {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** documents.parquet physical schema (for the streaming dedup source). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact deduplication: `dropDuplicates` state keeps the first
+    * event per (source, text); the deduped stream lands in a memory sink
+    * and the per-source distinct counts are read off it. Keyed on BOTH
+    * columns so the result is deterministic — text-only dedup would keep an
+    * arbitrary source for duplicates that span sources (observed at sf0.1).
+    * The streaming-dedup analog of the batch `q_dedup_exact`. */
+  def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_dedup_${counter.incrementAndGet()}"
+    val docs = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .dropDuplicates("source", "text")
+      .select("source", "text")
+    val q = docs.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).groupBy("source")
+      .agg(count(lit(1)).as("n_distinct_texts"))
+  }
+
   /** Per-user session accumulator for stateful streaming sessionization. */
   final case class SessState(lastMs: Long, sessions: Long, events: Long)
 
