@@ -19,10 +19,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // keep the JSON line SHORT (3-decimal secs): the driver greps it out of
+    // a bounded output tail — round 1's full-precision line was ~2.4 kB and
+    // its head fell outside the capture window ("parsed": null)
+    def f(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces: persist the same line for post-hoc inspection
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/graft_bench_last.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

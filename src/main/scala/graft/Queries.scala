@@ -132,7 +132,8 @@ object Queries {
          |  SELECT ${binCaseSql(binK)} AS bin_id,
          |    CASE WHEN $posCond THEN 1 ELSE 0 END AS pos
          |  FROM lineitem, mm)
-         |SELECT bin_id, sum(pos) AS cnt_pos, count(*) - sum(pos) AS cnt_neg
+         |SELECT bin_id, sum(pos)::BIGINT AS cnt_pos,
+         |  (count(*) - sum(pos))::BIGINT AS cnt_neg
          |FROM b GROUP BY bin_id
          |""".stripMargin))
 
@@ -210,7 +211,7 @@ object Queries {
          |    (l_extendedprice - s1 / cnt) /
          |      sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), -6.0), 6.0) AS zv
          |  FROM lineitem, a)
-         |SELECT round(zv, 1) AS z_bucket, count(*) AS cnt
+         |SELECT round(zv, 1) + 0 AS z_bucket, count(*) AS cnt
          |FROM z GROUP BY 1
          |""".stripMargin))
 

@@ -37,7 +37,8 @@ object QueriesEval {
       Seq(col("l_orderkey"), col("l_linenumber"))),
     oracle = Some(
       s"""WITH $sweepCte
-         |SELECT bucket, tp, fp, fn, tn FROM c
+         |SELECT bucket, tp::BIGINT AS tp, fp::BIGINT AS fp,
+         |  fn::BIGINT AS fn, tn::BIGINT AS tn FROM c
          |""".stripMargin))
 
   // ---- §2.7 ROC AUC (trapezoid over bucket boundaries) ---------------------
@@ -64,7 +65,8 @@ object QueriesEval {
       isPos, Seq(col("l_orderkey"), col("l_linenumber")))),
     oracle = Some(
       s"""WITH $sweepCte
-         |SELECT bucket, tp, fp, fn, tn,
+         |SELECT bucket, tp::BIGINT AS tp, fp::BIGINT AS fp,
+         |  fn::BIGINT AS fn, tn::BIGINT AS tn,
          |  round((tp + fp)::DOUBLE / (tp + fp + fn + tn), 6) AS action_rate,
          |  round(tp::DOUBLE / (tp + fn), 6) AS recall,
          |  round(tp::DOUBLE / (tp + fp), 6) AS precision,
@@ -86,8 +88,8 @@ object QueriesEval {
       round(sum(scoreCol) / count(lit(1)), 6).as("avg_score")),
     oracle = Some(
       s"""SELECT
-         |  sum(CASE WHEN $posCond THEN 1 ELSE 0 END) AS n_pos,
-         |  sum(CASE WHEN $posCond THEN 0 ELSE 1 END) AS n_neg,
+         |  sum(CASE WHEN $posCond THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         |  sum(CASE WHEN $posCond THEN 0 ELSE 1 END)::BIGINT AS n_neg,
          |  round(sum(CASE WHEN $posCond THEN l_quantity ELSE 0.0 END), 4) AS w_pos,
          |  round(sum(CASE WHEN $posCond THEN 0.0 ELSE l_quantity END), 4) AS w_neg,
          |  max($scoreSql) AS max_score,
@@ -156,9 +158,9 @@ object QueriesEval {
         .mkString("\nUNION ALL ")
       s"""WITH u AS ($union)
          |SELECT col_name, count(DISTINCT v) AS n_distinct,
-         |  sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
-         |  sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END)
-         |    AS numeric_cnt,
+         |  sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         |  sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+         |      THEN 1 ELSE 0 END)::BIGINT AS numeric_cnt,
          |  count(*) AS total_cnt,
          |  CASE WHEN count(DISTINCT v) <= 2 THEN 'N'
          |       WHEN sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL

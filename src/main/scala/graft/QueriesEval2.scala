@@ -61,7 +61,7 @@ object QueriesEval2 {
         |SELECT l_orderkey, l_linenumber,
         |  round(least(greatest(
         |    (l_extendedprice - s1 / cnt)
-        |      / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), -6.0), 6.0), 3)
+        |      / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), -6.0), 6.0), 3) + 0
         |    AS z_eval
         |FROM lineitem, tr
         |WHERE l_shipdate >= TIMESTAMP '1995-07-01'

@@ -52,7 +52,7 @@ object QueriesEvents {
         |  FROM events)
         |SELECT user_id,
         |  sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
-        |      THEN 1 ELSE 0 END) AS n_sessions,
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
         |  count(*) AS n_events
         |FROM t GROUP BY user_id
         |""".stripMargin))
@@ -72,7 +72,7 @@ object QueriesEvents {
         |  SELECT event_type,
         |    TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         |  FROM events)
-        |SELECT event_type, count(k) AS n_k, sum(k) AS sum_k
+        |SELECT event_type, count(k) AS n_k, sum(k)::BIGINT AS sum_k
         |FROM t GROUP BY event_type
         |""".stripMargin))
 

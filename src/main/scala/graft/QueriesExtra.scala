@@ -46,7 +46,7 @@ object QueriesExtra {
         |    THEN NULL ELSE l_quantity END AS qm, l_returnflag
         |  FROM lineitem)
         |SELECT count(*) AS n_rows,
-        |  sum(CASE WHEN qm IS NULL THEN 1 ELSE 0 END) AS n_missing,
+        |  sum(CASE WHEN qm IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing,
         |  round(sum(qm), 4) AS sum_qty,
         |  count(DISTINCT l_returnflag) AS n_flags
         |FROM m
@@ -152,7 +152,7 @@ object QueriesExtra {
         |  FROM events)
         |SELECT user_id,
         |  sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
-        |      THEN 1 ELSE 0 END) AS n_sessions,
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
         |  count(*) AS n_events
         |FROM t GROUP BY user_id
         |""".stripMargin))

@@ -64,7 +64,8 @@ object QueriesHybrid {
          |    WHEN hv IS NULL THEN 'C|' || h
          |      $arms
          |    ELSE 'N|0' END AS bin_key,
-         |  sum(pos) AS cnt_pos, count(*) - sum(pos) AS cnt_neg
+         |  sum(pos)::BIGINT AS cnt_pos,
+         |  (count(*) - sum(pos))::BIGINT AS cnt_neg
          |FROM hv, mm GROUP BY 1
          |""".stripMargin
     })

@@ -78,7 +78,7 @@ object QueriesNorm {
          |SELECT l_orderkey, l_linenumber,
          |  round(least(greatest(
          |    (l_extendedprice - s1 / cnt)
-         |      / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), -6.0), 6.0), 3)
+         |      / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), -6.0), 6.0), 3) + 0
          |    AS z_price,
          |  $oh,
          |  $missing
@@ -149,8 +149,8 @@ object QueriesNorm {
          |       FROM lineitem),
          |b AS (SELECT CASE WHEN qm IS NULL THEN $binK $arms ELSE 0 END
          |        AS bin_id, pos FROM mk, mm),
-         |bins AS (SELECT bin_id, sum(pos) AS cnt_pos,
-         |           count(*) - sum(pos) AS cnt_neg
+         |bins AS (SELECT bin_id, sum(pos)::BIGINT AS cnt_pos,
+         |           (count(*) - sum(pos))::BIGINT AS cnt_neg
          |         FROM b GROUP BY bin_id),
          |tot AS (SELECT sum(cnt_pos)::DOUBLE AS sp,
          |               sum(cnt_neg)::DOUBLE AS sn FROM bins)
