@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.DotProduct.dot
@@ -23,26 +22,41 @@ object Ivf {
   private def toArr(r: Row, i: Int): Array[Double] =
     r.getSeq[Double](i).toArray
 
-  /** Lloyd iterations over double-cast embeddings; returns centroids. */
-  def centroids(v: DataFrame, nCells: Int,
-                iters: Int = 2): Array[Array[Double]] = {
-    val spark = v.sparkSession
-    var cents = v.orderBy("vec_id").limit(nCells)
-      .select("e").collect().map(toArr(_, 0))
+  /** Coarse-quantizer training: a deterministic hash-stride SAMPLE of the
+    * vectors comes to the driver (bounded by `sampleCap` — at 10⁹ vectors
+    * the quantizer still trains on ~50k, the standard IVF recipe) and
+    * Lloyd runs locally; executors only ever see the final broadcast
+    * centroids. This replaces per-iteration distributed jobs — quantizer
+    * quality needs a sample, not the corpus. */
+  def centroids(v: DataFrame, nCells: Int, iters: Int = 4,
+                sampleCap: Int = 50000, nHint: Long = -1L): Array[Array[Double]] = {
+    val n = if (nHint > 0) nHint else v.count()
+    val step = math.max(1L, n / sampleCap)
+    val sample = v.filter(pmod(col("vec_id"), lit(step)) === 0)
+      .select("vec_id", "e").collect()
+      .sortBy(_.getLong(0)).map(toArr(_, 1))
+    var cents = sample.take(nCells)
     for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val assigned = assignCells(v, bc.value)
-      val dims = assigned
-        .select(col("cell"), posexplode(col("e")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.clone())
-      dims.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) =
-          r.getDouble(2) / r.getLong(3)
+      val sums = Array.fill(nCells)(new Array[Double](cents(0).length))
+      val cnts = new Array[Long](nCells)
+      sample.foreach { e =>
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          val cv = cents(c)
+          while (i < e.length) { val t = e(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < e.length) { s(i) += e(i); i += 1 }
+        cnts(best) += 1
       }
-      cents = next
+      cents = Array.tabulate(nCells) { c =>
+        if (cnts(c) == 0) cents(c)
+        else sums(c).map(_ / cnts(c))
+      }
     }
     cents
   }
@@ -70,23 +84,29 @@ object Ivf {
       .toDF("vec_id", "e", "norm", "cell")
   }
 
-  /** Single-probe IVF top-k: quadratic search only within each cell. */
-  def ivfTopK(emb: DataFrame, k: Int = 3, nCells: Int = 16): DataFrame = {
+  /** Single-probe IVF top-k: quadratic search only within each cell.
+    * Candidate ids come from one groupBy over the cell assignment (cells
+    * are disjoint → no dedup pass), vectors re-attach afterwards, and the
+    * final selection is the bounded [[graft.agg.TopKAgg]] — the assignment
+    * map runs once instead of twice (self-join) and no full pair set ever
+    * crosses a shuffle. */
+  def ivfTopK(emb: DataFrame, k: Int = 3, nCells0: Int = 0): DataFrame = {
     val v = Similarity.prep(emb)
-    val cents = centroids(v, nCells)
+    // cell count tracks corpus size (in-cell work is ~n²/cells): target
+    // ~100-vector cells, clamped — the IVF nlist ≈ c·√n/…-style sizing
+    val n = emb.count()
+    val nCells = if (nCells0 > 0) nCells0
+      else math.min(256, math.max(16, (n / 96L).toInt))
+    val cents = centroids(v, nCells, nHint = n)
     val assigned = assignCells(v, cents)
-    val a = assigned.select(col("cell"), col("vec_id"),
-      col("e").as("ea"), col("norm").as("na"))
-    val b = assigned.select(col("cell"), col("vec_id").as("nb_id"),
-      col("e").as("eb"), col("norm").as("nb"))
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("vec_id") =!= col("nb_id"))
+    val cand = Similarity.bucketPairs(
+      assigned.select(col("cell"), col("vec_id")), Seq("cell"), dedup = false)
+    val va = broadcast(
+      v.select(col("vec_id"), col("e").as("ea"), col("norm").as("na")))
+    val vb = broadcast(v.select(col("vec_id").as("nb_id"),
+      col("e").as("eb"), col("norm").as("nb")))
+    val pairs = cand.join(va, "vec_id").join(vb, "nb_id")
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("nb_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank"), col("nb_id"),
-        round(col("cos"), 6).as("cos_r"))
+    Similarity.topKSelect(pairs, k)
   }
 }

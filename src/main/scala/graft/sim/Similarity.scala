@@ -1,9 +1,9 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.agg.TopKAgg
 import graft.expr.DotProduct.dot
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -13,10 +13,17 @@ import graft.expr.DotProduct.dot
   *  - `cosineTopK`: exact brute-force — O(n²) pairs. Correctness baseline
   *    and fine up to ~10⁴ vectors per shard.
   *  - `hyperplaneSig`/`annTopK`: random-hyperplane LSH (Charikar) with
-  *    multiple hash tables. Candidate generation joins on the (table,
-  *    signature) bucket key — id pairs only, vectors re-attached after
-  *    dedup, so the shuffle carries ids, not 64-dim arrays. The scale path
-  *    for 10⁹ vectors: signature buckets ARE the partitioner.
+  *    multiple hash tables. Candidates come from grouping the signature
+  *    rows by (table, signature) bucket and emitting in-bucket id pairs —
+  *    signatures are computed ONCE and the only wide exchange is the
+  *    bucket groupBy; id pairs are deduped before any 64-dim vector is
+  *    re-attached. The scale path for 10⁹ vectors: signature buckets ARE
+  *    the partitioner.
+  *
+  * Top-k selection everywhere is [[graft.agg.TopKAgg]] — a bounded
+  * partial-aggregating top-k, so the candidate→result step shuffles
+  * `n × k` rows, never the full candidate set (a window row_number over
+  * all pairs would).
   *
   * The inner product is the custom codegen'd [[graft.expr.DotProduct]]
   * expression (a strict in-order fold — deterministic in any engine); all
@@ -31,7 +38,20 @@ object Similarity {
       .withColumn("norm", sqrt(dot(col("e"), col("e"))))
   }
 
-  /** Exact top-k cosine neighbors per vector. */
+  /** (vec_id, rank, nb_id, cos_r) from candidate pair rows carrying a
+    * `cos` column — bounded top-k agg + posexplode, ordering identical to
+    * row_number over (cos desc, nb_id asc). */
+  private[sim] def topKSelect(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy("vec_id")
+      .agg(TopKAgg.topK(k)(col("cos"), col("nb_id")).as("nn"))
+      .select(col("vec_id"), posexplode(col("nn")).as(Seq("p", "nb")))
+      .select(col("vec_id"), (col("p") + 1).cast("int").as("rank"),
+        col("nb._2").as("nb_id"), round(col("nb._1"), 6).as("cos_r"))
+
+  /** Exact top-k cosine neighbors per vector. The pair generator is a
+    * broadcast nested-loop (B side is only ids+vectors); all pairs for one
+    * vec_id stay in one partition, so the partial top-k is already final
+    * on the map side — the shuffle moves n×k rows. */
   def cosineTopK(emb: DataFrame, k: Int = 5): DataFrame = {
     val v = prep(emb)
     val a = v.select(col("vec_id"), col("e").as("ea"), col("norm").as("na"))
@@ -39,16 +59,15 @@ object Similarity {
       col("norm").as("nb"))
     val pairs = a.join(b, col("vec_id") =!= col("nb_id"))
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("nb_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank"), col("nb_id"),
-        round(col("cos"), 6).as("cos_r"))
+    topKSelect(pairs, k)
   }
 
   val NumTables = 8     // independent hash tables (recall knob)
-  val BitsPerTable = 4  // planes per table (selectivity knob; grow with n)
+  // planes per table (selectivity knob; grow with n: candidate work per
+  // table is ~n²/2^bits, so bits ≈ log2(n/targetBucket)). 6 bits → 64
+  // buckets/table; with 8 tables the union recall stays useful while the
+  // per-table candidate set shrinks 4× vs 4 bits.
+  val BitsPerTable = 6
 
   /** Deterministic hyperplane weights: component c of plane h is
     * hexdigit(md5("h|c")[0]) − 7.5 ∈ {−7.5 … 7.5}. Same values computable
@@ -64,8 +83,9 @@ object Similarity {
 
   /** Multi-table bucket keys: one (tbl, sig) row per table per vector.
     * Single-table LSH has poor recall on near-orthogonal data (measured
-    * ~2% rank-1 on random 64-dim vectors); `NumTables` independent tables
-    * union their candidates (Indyk–Motwani E2LSH design) → ~65%. */
+    * ~2% rank-1 on random 64-dim vectors with 4-bit tables); `NumTables`
+    * independent tables union their candidates (Indyk–Motwani E2LSH
+    * design), trading candidate volume back for recall. */
   def hyperplaneSig(emb: DataFrame, numTables: Int = NumTables,
                     bitsPerTable: Int = BitsPerTable,
                     dim: Int = 64): DataFrame = {
@@ -82,28 +102,42 @@ object Similarity {
       .select(col("vec_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
   }
 
-  /** LSH-bucketed ANN: candidate id-pairs from each (table, signature)
-    * bucket, deduped BEFORE vectors are re-attached — the shuffle moves
-    * only ids, and the quadratic work happens only within buckets. */
+  /** Directed in-bucket candidate id pairs from grouped key rows: one
+    * groupBy on the bucket key, pairs generated from the collected id list
+    * (both directions), deduped — the input (signatures, shingle hashes…)
+    * is scanned once, vs twice for a self-join. Buckets are assumed small
+    * relative to a task (LSH's contract); a pathological all-equal bucket
+    * degenerates quadratically in either formulation. */
+  private[sim] def bucketPairs(keyed: DataFrame, keyCols: Seq[String],
+                               idCol: String = "vec_id",
+                               dedup: Boolean = true): DataFrame = {
+    val pairs = keyed.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, x ->
+          |  filter(transform(ids, y -> struct(x AS a, y AS b)),
+          |         p -> p.a != p.b)))""".stripMargin)).as("p"))
+      .select(col("p.a").as("vec_id"), col("p.b").as("nb_id"))
+    if (dedup) pairs.distinct() else pairs
+  }
+
+  /** LSH-bucketed ANN: candidate id-pairs per (table, signature) bucket,
+    * deduped BEFORE vectors are re-attached — the shuffles move only ids,
+    * and the quadratic work happens only within buckets. */
   def annTopK(emb: DataFrame, k: Int = 3): DataFrame = {
-    val sig = hyperplaneSig(emb)
-    val a = sig.select(col("tbl"), col("sig"), col("vec_id"))
-    val b = sig.select(col("tbl"), col("sig"), col("vec_id").as("nb_id"))
-    val cand = a.join(b, Seq("tbl", "sig"))
-      .filter(col("vec_id") =!= col("nb_id"))
-      .select("vec_id", "nb_id")
-      .distinct()
+    val cand = bucketPairs(hyperplaneSig(emb), Seq("tbl", "sig"))
     val v = prep(emb)
-    val va = v.select(col("vec_id"), col("e").as("ea"), col("norm").as("na"))
-    val vb = v.select(col("vec_id").as("nb_id"), col("e").as("eb"),
-      col("norm").as("nb"))
+    // vector re-attach: broadcast the (id → vector) side at bench scale —
+    // candidates stay map-local. At 10⁹ vectors this hint flips to a
+    // shuffle-hash join on the id (AQE picks it once the side outgrows the
+    // broadcast threshold); the candidate set is already deduped ids-only.
+    val va = broadcast(
+      v.select(col("vec_id"), col("e").as("ea"), col("norm").as("na")))
+    val vb = broadcast(v.select(col("vec_id").as("nb_id"),
+      col("e").as("eb"), col("norm").as("nb")))
     val pairs = cand.join(va, "vec_id").join(vb, "nb_id")
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("nb_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank"), col("nb_id"),
-        round(col("cos"), 6).as("cos_r"))
+    topKSelect(pairs, k)
   }
 }

@@ -22,6 +22,18 @@ object StreamOps {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run `body` with a reduced `spark.sql.shuffle.partitions` (streaming
+    * state-store instances are per-partition; dozens of near-empty state
+    * partitions are pure fixed overhead per micro-batch). On a real
+    * cluster the state partition count should track key cardinality ÷
+    * target state-per-task, not the batch shuffle width. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** documents.parquet physical schema (for the streaming dedup source). */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
@@ -34,7 +46,8 @@ object StreamOps {
     * columns so the result is deterministic — text-only dedup would keep an
     * arbitrary source for duplicates that span sources (observed at sf0.1).
     * The streaming-dedup analog of the batch `q_dedup_exact`. */
-  def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
+  def dedupCounts(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark, 8) {
     val name = s"stream_dedup_${counter.incrementAndGet()}"
     val docs = spark.readStream
       .schema(documentsSchema)
@@ -52,7 +65,7 @@ object StreamOps {
     q.stop()
     spark.table(name).groupBy("source")
       .agg(count(lit(1)).as("n_distinct_texts"))
-  }
+    }
 
   /** Per-user session accumulator for stateful streaming sessionization. */
   final case class SessState(lastMs: Long, sessions: Long, events: Long)
@@ -64,7 +77,8 @@ object StreamOps {
     * input in one AvailableNow batch the result equals the batch
     * lag-window sessionize — verified against the same SQL oracle. */
   def sessionizeStream(spark: SparkSession, dir: String,
-                       gapMs: Long = 1800000L): DataFrame = {
+                       gapMs: Long = 1800000L): DataFrame =
+    withStatePartitions(spark, 8) {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -103,12 +117,13 @@ object StreamOps {
     q.processAllAvailable()
     q.stop()
     spark.table(name)
-  }
+    }
 
   /** Streaming tumbling 1-hour counts per event_type over the events dir;
     * runs the stream to completion against the static files and returns
     * the result table — output matches the batch q_events_window oracle. */
-  def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark, 8) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"stream_window_${counter.incrementAndGet()}"
     val events = spark.readStream
@@ -134,5 +149,5 @@ object StreamOps {
     q.processAllAvailable()
     q.stop()
     spark.table(name)
-  }
+    }
 }

@@ -38,10 +38,27 @@ object TextOps {
     withSh.select(col("doc_id") +: sigCols: _*)
   }
 
+  /** Ordered (a < b) unique pairs from each group of a keyed id stream:
+    * ONE groupBy-collect on the key — the id source (minhash signatures,
+    * exploded shingles…) is scanned once, where a self-join would compute
+    * it twice and shuffle both sides. Buckets are assumed small (the LSH
+    * contract); an all-identical-docs bucket degenerates quadratically in
+    * either formulation. */
+  private def groupedPairs(keyed: DataFrame, keyCols: Seq[String],
+                           idCol: String): DataFrame =
+    keyed.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+
   /** LSH banding: group the k minhashes into bands of `rowsPerBand`, hash
-    * each band, and emit candidate pairs sharing any band bucket. The join
-    * shuffles on (band_id, band_hash) — the distributed near-dup pattern
-    * that replaces the O(n²) scan at scale. */
+    * each band, and emit candidate pairs sharing any band bucket. One
+    * shuffle keyed on (band_id, band_hash) — the distributed near-dup
+    * pattern that replaces the O(n²) scan at scale. */
   def lshPairs(sig: DataFrame, numHashes: Int = 8,
                rowsPerBand: Int = 4): DataFrame = {
     val bands = numHashes / rowsPerBand
@@ -53,26 +70,21 @@ object TextOps {
     val exploded = sig.select(col("doc_id"),
       explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-    val a = exploded.as("a")
-    val b = exploded.as("b")
-    a.join(b,
-        col("a.band_id") === col("b.band_id") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    groupedPairs(exploded, Seq("band_id", "band_hash"), "doc_id").distinct()
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs above `threshold`:
-    * explode distinct shingles, self-join on shingle (shuffle keyed by
-    * shingle — skew-safe for natural text), count intersections, compute
-    * |A∩B| / (|A|+|B|−|A∩B|). */
+    * explode distinct shingles, group by shingle (ONE shuffle keyed by
+    * shingle — skew-safe for natural text), emit in-group ordered pairs,
+    * count intersections, compute |A∩B| / (|A|+|B|−|A∩B|). */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(shingles()).as("s"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // |A| is just the shingle-array length — a narrow map over documents,
+    // not a second explode+groupBy pass
+    val sizes = docs.select(col("doc_id"),
+      size(shingles()).cast("long").as("sz"))
+    val inter = groupedPairs(sh, Seq("s"), "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))

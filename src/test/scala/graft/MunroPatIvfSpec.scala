@@ -49,7 +49,7 @@ class MunroPatIvfSpec extends AnyFunSuite {
     }
     // add an exact twin of vector 0
     val d = (base :+ ((60L, base.head._2.clone()))).toDF("vec_id", "embedding")
-    val top = Ivf.ivfTopK(d, k = 1, nCells = 4).collect()
+    val top = Ivf.ivfTopK(d, k = 1, nCells0 = 4).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     // twin pair must be mutual rank-1 (identical vectors share a cell)
     assert(top(0L) === 60L)
