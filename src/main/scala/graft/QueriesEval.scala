@@ -75,6 +75,121 @@ object QueriesEval {
          |FROM c
          |""".stripMargin))
 
+  // ---- §2.7 PR AUC (AreaUnderCurve.ofPr trapezoid) -------------------------
+
+  private val prAuc: Q = Q(
+    fn = (s, dir) => Eval.prAuc(Eval.confusionSweep(li(s, dir), scoreCol,
+      isPos, Seq(col("l_orderkey"), col("l_linenumber")))),
+    oracle = Some(
+      s"""WITH $sweepCte,
+         |r AS (SELECT bucket, tp::DOUBLE / (tp + fn) AS recall,
+         |             tp::DOUBLE / (tp + fp) AS precision FROM c),
+         |l AS (SELECT recall, precision,
+         |        lag(recall, 1, 0.0) OVER (ORDER BY bucket) AS r0,
+         |        lag(precision, 1) OVER (ORDER BY bucket) AS p0
+         |      FROM r)
+         |SELECT round(sum((recall - r0)
+         |  * (precision + coalesce(p0, precision)) / 2), 6) AS pr_auc
+         |FROM l
+         |""".stripMargin))
+
+  // ---- §2.7 weighted confusion sweep (PerformanceObject weighted duals) ----
+
+  private val weightedSweep: Q = Q(
+    fn = (s, dir) => Eval.weightedSweep(li(s, dir), scoreCol, isPos,
+      col("l_quantity"), Seq(col("l_orderkey"), col("l_linenumber"))),
+    oracle = Some(
+      s"""WITH s AS (
+         |  SELECT CASE WHEN $posCond THEN 1 ELSE 0 END AS pos,
+         |    l_quantity AS w,
+         |    ntile(10) OVER (ORDER BY $scoreSql DESC, l_orderkey, l_linenumber)
+         |      AS bucket
+         |  FROM lineitem),
+         |pb AS (SELECT bucket, sum(pos) AS b_pos, count(*) AS b_n,
+         |         sum(CASE WHEN pos = 1 THEN w ELSE 0.0 END) AS b_wpos,
+         |         sum(w) AS b_w
+         |       FROM s GROUP BY bucket),
+         |c AS (SELECT bucket,
+         |  sum(b_pos) OVER (ORDER BY bucket) AS tp,
+         |  sum(b_n) OVER (ORDER BY bucket) - sum(b_pos) OVER (ORDER BY bucket) AS fp,
+         |  sum(b_pos) OVER () - sum(b_pos) OVER (ORDER BY bucket) AS fn,
+         |  (sum(b_n) OVER () - sum(b_pos) OVER ())
+         |    - (sum(b_n) OVER (ORDER BY bucket)
+         |       - sum(b_pos) OVER (ORDER BY bucket)) AS tn,
+         |  sum(b_wpos) OVER (ORDER BY bucket) AS wtp,
+         |  sum(b_w) OVER (ORDER BY bucket) - sum(b_wpos) OVER (ORDER BY bucket) AS wfp,
+         |  sum(b_wpos) OVER () - sum(b_wpos) OVER (ORDER BY bucket) AS wfn,
+         |  (sum(b_w) OVER () - sum(b_wpos) OVER ())
+         |    - (sum(b_w) OVER (ORDER BY bucket)
+         |       - sum(b_wpos) OVER (ORDER BY bucket)) AS wtn
+         |FROM pb)
+         |SELECT bucket, tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn,
+         |  tn::BIGINT AS tn, round(wtp, 4) AS wtp, round(wfp, 4) AS wfp,
+         |  round(wfn, 4) AS wfn, round(wtn, 4) AS wtn
+         |FROM c
+         |""".stripMargin))
+
+  // ---- §2.2 bagging subsample (BaggingSubsampleUDF, deterministic) ---------
+
+  /** Row replicated into each of 3 bags that "accept" it — acceptance is
+    * hex digit j+1 of md5(key) < 8, i.e. rate 0.5 per bag (the reference
+    * uses `Random` per bag, `udf/BaggingSubsampleUDF.java:39-52`; hashing
+    * keeps the oracle deterministic). */
+  private val bagging: Q = Q(
+    fn = (s, dir) => {
+      val key = md5(concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string")).cast("binary"))
+      val accept = "01234567".toSeq.map(_.toString)
+      val bagArr = array((0 until 3).map { j =>
+        when(substring(key, j + 1, 1).isin(accept: _*), lit(j))
+          .otherwise(lit(null))
+      }: _*)
+      li(s, dir)
+        .select(col("l_quantity"),
+          explode(filter(bagArr, c => c.isNotNull)).as("bag_id"))
+        .groupBy("bag_id")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+    },
+    oracle = Some {
+      // single-line WHERE: this fragment is embedded in an outer
+      // stripMargin string, where a continuation line starting with `||`
+      // would lose a pipe
+      val per = (0 until 3).map { j =>
+        s"SELECT $j AS bag_id, l_quantity FROM lineitem " +
+          s"WHERE substr(md5(cast(l_orderkey AS VARCHAR) || '|' || " +
+          s"cast(l_linenumber AS VARCHAR)), ${j + 1}, 1) " +
+          "IN ('0','1','2','3','4','5','6','7')"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH u AS (
+         |$per)
+         |SELECT bag_id, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+         |FROM u GROUP BY bag_id
+         |""".stripMargin
+    })
+
+  // ---- §2.2 negative-only sampling (sampleNegOnly) -------------------------
+
+  /** Keep every positive, sample ~25% of negatives by md5 digit — the
+    * reference's `sampleNegOnly` path (`udf/AddColumnNumUDF.java:110-120`),
+    * deterministic for the oracle. */
+  private val sampleNegOnly: Q = Q(
+    fn = (s, dir) => {
+      val key = md5(concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string")).cast("binary"))
+      li(s, dir)
+        .filter(isPos || substring(key, 1, 1).isin("0", "1", "2", "3"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+    },
+    oracle = Some(
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  round(sum(l_quantity), 4) AS sum_qty
+         |FROM lineitem
+         |WHERE $posCond OR substr(md5(cast(l_orderkey AS VARCHAR) || '|'
+         |  || cast(l_linenumber AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+         |GROUP BY l_returnflag
+         |""".stripMargin))
+
   // ---- §2.7 score status counters (runDistScore) ---------------------------
 
   private val scoreStats: Q = Q(
@@ -234,6 +349,10 @@ object QueriesEval {
   val all: Map[String, Q] = Map(
     "q_confusion_sweep" -> confusionSweep,
     "q_roc_auc"         -> rocAuc,
+    "q_pr_auc"          -> prAuc,
+    "q_weighted_sweep"  -> weightedSweep,
+    "q_bagging"         -> bagging,
+    "q_sample_negonly"  -> sampleNegOnly,
     "q_gain_chart"      -> gainChart,
     "q_score_stats"     -> scoreStats,
     "q_psi"             -> psi,

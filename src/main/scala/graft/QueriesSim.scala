@@ -69,9 +69,45 @@ object QueriesSim {
     fn = (s, dir) => graft.sim.Ivf.ivfTopK(Tables.load(s, dir, "embeddings")),
     oracle = None) // k-means means depend on FP summation order → rows-only
 
+  /** Embedding-cosine near-dup dedup: LSH candidates + exact-cosine
+    * confirm at threshold 0.35 (the synthetic vectors are random — no
+    * planted dups — so the threshold sits in the observable tail). */
+  private val dedupEmbed: Q = Q(
+    fn = (s, dir) =>
+      Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"), 0.35),
+    oracle = Some {
+      val nt = Similarity.NumTables
+      val bt = Similarity.BitsPerTable
+      val ps = Similarity.planes(nt * bt, 64)
+      val tableSelects = (0 until nt).map { t =>
+        val sigExpr = (0 until bt).map { b =>
+          val lits = ps(t * bt + b).mkString("[", ", ", "]::DOUBLE[]")
+          s"""CASE WHEN list_sum(list_transform(list_zip(e, $lits),
+             |  pr -> pr[1] * pr[2])) >= 0 THEN ${1 << b} ELSE 0 END""".stripMargin
+        }.mkString("\n + ")
+        s"SELECT vec_id, $t AS tbl, ($sigExpr) AS sig FROM v"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $vCte,
+         |sg AS (
+         |$tableSelects),
+         |cand AS (SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+         |  FROM sg a JOIN sg b
+         |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |p AS (SELECT c.keep_id, c.dup_id,
+         |  list_sum(list_transform(list_zip(va.e, vb.e), pr -> pr[1] * pr[2]))
+         |    / (va.norm * vb.norm) AS cos
+         |  FROM cand c
+         |  JOIN v va ON c.keep_id = va.vec_id
+         |  JOIN v vb ON c.dup_id = vb.vec_id)
+         |SELECT keep_id, dup_id, round(cos, 6) AS cos_r
+         |FROM p WHERE cos >= 0.35
+         |""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "q_cosine_topk" -> cosineTopK,
     "q_ann_lsh"     -> annLsh,
     "q_ann_ivf"     -> annIvf,
+    "q_dedup_embed" -> dedupEmbed,
   )
 }

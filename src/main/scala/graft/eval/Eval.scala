@@ -32,28 +32,60 @@ object Eval {
   def confusionSweep(df: DataFrame, score: Column, isPos: Column,
                      tieBreak: Seq[Column], buckets: Int = 10): DataFrame = {
     val spark = df.sparkSession
-    val cols = Seq(isPos.cast("long").as("pos"), score.as("s")) ++
+    import spark.implicits._
+    sweepBuckets(df, score, isPos, tieBreak, lit(1.0), buckets)
+      .map { case (b, tp, fp, fn, tn, _, _, _, _) => (b, tp, fp, fn, tn) }
+      .toSeq.toDF("bucket", "tp", "fp", "fn", "tn")
+  }
+
+  /** Weighted dual of the sweep (reference PerformanceObject's weighted
+    * TP/FP/FN/TN, `core/PerformanceEvaluator.java:201-330`): cumulative
+    * POSITIVE-WEIGHT and total-weight sums at the same ntile boundaries. */
+  def weightedSweep(df: DataFrame, score: Column, isPos: Column,
+                    weight: Column, tieBreak: Seq[Column],
+                    buckets: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    sweepBuckets(df, score, isPos, tieBreak, weight, buckets)
+      .map { case (b, tp, fp, fn, tn, wtp, wfp, wfn, wtn) =>
+        (b, tp, fp, fn, tn, math.rint(wtp * 1e4) / 1e4,
+          math.rint(wfp * 1e4) / 1e4, math.rint(wfn * 1e4) / 1e4,
+          math.rint(wtn * 1e4) / 1e4)
+      }
+      .toSeq
+      .toDF("bucket", "tp", "fp", "fn", "tn", "wtp", "wfp", "wfn", "wtn")
+  }
+
+  /** Shared distributed sweep core: range-sort + zipWithIndex ranking,
+    * closed-form ntile buckets, per-bucket (count, weight) partials, and
+    * the tiny cumulative pass on the driver. */
+  private def sweepBuckets(df: DataFrame, score: Column, isPos: Column,
+                           tieBreak: Seq[Column], weight: Column,
+                           buckets: Int): Array[(Int, Long, Long, Long, Long,
+                             Double, Double, Double, Double)] = {
+    val cols = Seq(isPos.cast("long").as("pos"),
+      weight.cast("double").as("w"), score.as("s")) ++
       tieBreak.zipWithIndex.map { case (c, i) => c.as(s"tb_$i") }
     val order = col("s").desc +: tieBreak.indices.map(i => col(s"tb_$i").asc)
     val parts = math.max(df.rdd.getNumPartitions, 1)
     val sorted = df.select(cols: _*)
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-      .select("pos")
+      .select("pos", "w")
     val posRanked = sorted.rdd.zipWithIndex() // (row, 0-based global rank)
-      .map { case (r, i) => (r.getLong(0), i) }
+      .map { case (r, i) => (r.getLong(0), r.getDouble(1), i) }
     posRanked.cache()
     val n = posRanked.count()
     val base = n / buckets
     val rem = (n % buckets).toInt
     val cut = rem * (base + 1) // ranks below this are in the +1-sized buckets
     val perBucket = posRanked
-      .map { case (pos, r) =>
+      .map { case (pos, w, r) =>
         val b = if (base == 0 || r < cut) (r / (base + 1)).toInt + 1
                 else rem + ((r - cut) / base).toInt + 1
-        (b, (pos, 1L))
+        (b, (pos, 1L, if (pos == 1L) w else 0.0, w))
       }
-      .reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2))
+      .reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
       .collect()
       .sortBy(_._1)
     posRanked.unpersist(false)
@@ -61,14 +93,16 @@ object Eval {
     // reference's ColumnStatsCalculator pattern
     val totPos = perBucket.map(_._2._1).sum
     val totN = perBucket.map(_._2._2).sum
-    var cumPos = 0L; var cumN = 0L
-    val rows = perBucket.map { case (b, (bPos, bN)) =>
-      cumPos += bPos; cumN += bN
+    val totWPos = perBucket.map(_._2._3).sum
+    val totW = perBucket.map(_._2._4).sum
+    var cumPos = 0L; var cumN = 0L; var cumWPos = 0.0; var cumW = 0.0
+    perBucket.map { case (b, (bPos, bN, bWPos, bW)) =>
+      cumPos += bPos; cumN += bN; cumWPos += bWPos; cumW += bW
       (b, cumPos, cumN - cumPos, totPos - cumPos,
-        (totN - totPos) - (cumN - cumPos))
+        (totN - totPos) - (cumN - cumPos),
+        cumWPos, cumW - cumWPos, totWPos - cumWPos,
+        (totW - totWPos) - (cumW - cumWPos))
     }
-    import spark.implicits._
-    rows.toSeq.toDF("bucket", "tp", "fp", "fn", "tn")
   }
 
   /** Gain-chart rows per bucket (reference `core/eval/GainChart.java` /
@@ -85,6 +119,25 @@ object Eval {
       round((col("tp").cast("double") / (col("tp") + col("fn"))) /
         ((col("tp") + col("fp")).cast("double") /
           (col("tp") + col("fp") + col("fn") + col("tn"))), 6).as("lift"))
+
+  /** PR AUC by trapezoid over the bucket boundaries
+    * (`AreaUnderCurve.ofPr`): recall on x, precision on y; the first
+    * segment extends flat from recall 0 at the first bucket's precision
+    * (lag-coalesce — identical formulation in the SQL oracle). */
+  def prAuc(sweep: DataFrame): DataFrame = {
+    val w = Window.orderBy("bucket")
+    sweep.select(
+      col("bucket"),
+      (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
+      (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"))
+      .select(
+        col("recall"), col("precision"),
+        lag("recall", 1, 0.0).over(w).as("r0"),
+        lag("precision", 1).over(w).as("p0"))
+      .agg(round(sum((col("recall") - col("r0")) *
+        (col("precision") + coalesce(col("p0"), col("precision"))) / 2), 6)
+        .as("pr_auc"))
+  }
 
   /** ROC AUC by trapezoid over the bucket boundaries, with the (0,0) origin
     * prepended (`AreaUnderCurve.ofRoc`). Driver gets only bucket rows. */

@@ -122,6 +122,27 @@ object Similarity {
     if (dedup) pairs.distinct() else pairs
   }
 
+  /** Embedding-cosine near-duplicate pairs (the dedup-family member over
+    * vectors): LSH buckets propose candidates, the exact cosine confirms
+    * — i.e. MinHash-LSH dedup transplanted to embedding space. Returns
+    * undirected (keep_id < dup_id) pairs with cosine ≥ threshold; recall
+    * is the LSH union-recall, the standard at-scale trade (brute force
+    * for exhaustive dedup is the `cosineTopK` shape). */
+  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val cand = bucketPairs(hyperplaneSig(emb), Seq("tbl", "sig"))
+      .filter(col("vec_id") < col("nb_id"))
+    val v = prep(emb)
+    val va = broadcast(
+      v.select(col("vec_id"), col("e").as("ea"), col("norm").as("na")))
+    val vb = broadcast(v.select(col("vec_id").as("nb_id"),
+      col("e").as("eb"), col("norm").as("nb")))
+    cand.join(va, "vec_id").join(vb, "nb_id")
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id").as("keep_id"), col("nb_id").as("dup_id"),
+        round(col("cos"), 6).as("cos_r"))
+  }
+
   /** LSH-bucketed ANN: candidate id-pairs per (table, signature) bucket,
     * deduped BEFORE vectors are re-attached — the shuffles move only ids,
     * and the quadratic work happens only within buckets. */

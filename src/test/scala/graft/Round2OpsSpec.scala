@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.agg.TopKAgg
+import graft.eval.Eval
+import graft.sim.Similarity
+
+/** Round-2 operators: bounded top-k aggregator, PR AUC, weighted sweep,
+  * embedding near-dup dedup. */
+class Round2OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("TopKAgg keeps k best by (score desc, id asc), partial-merge safe") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0.9, 10L), (1L, 0.7, 11L), (1L, 0.9, 9L), (1L, 0.95, 12L),
+      (1L, 0.1, 13L), (2L, 0.5, 20L))
+      .toDF("g", "score", "id").repartition(4) // force partial buffers
+    val out = rows.groupBy("g")
+      .agg(TopKAgg.topK(3)(col("score"), col("id")).as("nn"))
+      .select(col("g"), posexplode(col("nn")).as(Seq("p", "nb")))
+      .select(col("g"), col("p"), col("nb._1").as("s"), col("nb._2").as("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out === Array(
+      (1L, 0, 0.95, 12L), (1L, 1, 0.9, 9L), (1L, 2, 0.9, 10L),
+      (2L, 0, 0.5, 20L)))
+  }
+
+  test("weightedSweep: weighted duals consistent with unweighted on w=1") {
+    import spark.implicits._
+    val d = (1 to 40).map(i => (i.toLong, i % 4 == 0)).toDF("id", "pos")
+    val sw = Eval.weightedSweep(d, col("id").cast("double"), col("pos"),
+      lit(1.0), Seq(col("id")), 4).orderBy("bucket").collect()
+    sw.foreach { r =>
+      assert(r.getAs[Double]("wtp") === r.getAs[Long]("tp").toDouble)
+      assert(r.getAs[Double]("wfp") === r.getAs[Long]("fp").toDouble)
+    }
+  }
+
+  test("prAuc: perfect ranking gives PR AUC 1") {
+    import spark.implicits._
+    val d = (1 to 100).map(i => (i.toLong, i <= 20)).toDF("id", "pos")
+    // score descending with id: positives (ids 1..20) rank first
+    val sweep = Eval.confusionSweep(d, (lit(1000) - col("id")).cast("double"),
+      col("pos"), Seq(col("id")), 10)
+    val auc = Eval.prAuc(sweep).head().getDouble(0)
+    assert(auc === 1.0)
+  }
+
+  test("nearDupPairs finds planted near-duplicates") {
+    import spark.implicits._
+    val dim = 64
+    val base = Array.tabulate(dim)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(dim)(i => math.cos(3 * i + 2).toFloat * (if (i % 2 == 0) 1 else -1))
+    val emb = Seq((0L, base), (1L, near), (2L, far))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(emb, 0.99)
+      .select("keep_id", "dup_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+}
