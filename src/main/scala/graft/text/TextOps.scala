@@ -18,24 +18,46 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Distinct 3-gram word shingles; docs shorter than 3 tokens contribute
-    * their whole text as one shingle. */
-  def shingles(text: String = "text"): Column = expr(
-    s"""CASE WHEN size(split($text, ' ')) >= 3
+    * their whole text as one shingle.
+    *
+    * IMPORTANT: evaluate over a pre-split token-array column (see
+    * [[withShingles]]), never inline over `split(text, ' ')` — the lambda
+    * would re-split the full text once per sequence element, turning a
+    * linear shingle pass into O(tokens²) string work (measured 5× on the
+    * sf0.1 documents table). */
+  def shinglesOf(toks: String): Column = expr(
+    s"""CASE WHEN size($toks) >= 3
        |  THEN array_distinct(transform(
-       |    sequence(1, size(split($text, ' ')) - 2),
-       |    i -> concat_ws(' ', slice(split($text, ' '), i, 3))))
-       |  ELSE array(concat_ws(' ', split($text, ' ')))
+       |    sequence(1, size($toks) - 2),
+       |    i -> concat_ws(' ', slice($toks, i, 3))))
+       |  ELSE array(concat_ws(' ', $toks))
        |END""".stripMargin)
+
+  /** Respread a DataFrame whose scan yields fewer partitions than cores —
+    * shingling/hashing are compute-bound narrow maps, and a small file
+    * count (one split at bench scale) would serialize them on one core.
+    * On big inputs (splits ≥ cores) this is a no-op: no shuffle is added
+    * at 100 TB, where the file count already exceeds the cluster. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
+  /** (doc_id, sh: array<string>) with the token split materialized in its
+    * own projection — Catalyst keeps the multi-referenced, non-cheap
+    * `split` from being inlined back into the shingle lambda. */
+  def withShingles(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), shinglesOf("toks").as("sh"))
 
   /** MinHash signature: for hash function h, min over shingles of
     * md5("h|" + shingle) — k independent permutation approximations.
     * One narrow pass, no shuffle. */
   def minhash(docs: DataFrame, numHashes: Int = 8): DataFrame = {
-    val withSh = docs.select(col("doc_id"), shingles().as("sh"))
     val sigCols = (0 until numHashes).map { h =>
       expr(s"array_min(transform(sh, s -> md5('$h|' || s)))").as(s"m_$h")
     }
-    withSh.select(col("doc_id") +: sigCols: _*)
+    withShingles(docs).select(col("doc_id") +: sigCols: _*)
   }
 
   /** Ordered (a < b) unique pairs from each group of a keyed id stream:
@@ -78,11 +100,12 @@ object TextOps {
     * shingle — skew-safe for natural text), emit in-group ordered pairs,
     * count intersections, compute |A∩B| / (|A|+|B|−|A∩B|). */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles()).as("s"))
+    val shingled = withShingles(docs)
+    val sh = shingled.select(col("doc_id"), explode(col("sh")).as("s"))
     // |A| is just the shingle-array length — a narrow map over documents,
     // not a second explode+groupBy pass
-    val sizes = docs.select(col("doc_id"),
-      size(shingles()).cast("long").as("sz"))
+    val sizes = shingled.select(col("doc_id"),
+      size(col("sh")).cast("long").as("sz"))
     val inter = groupedPairs(sh, Seq("s"), "doc_id")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))

@@ -42,7 +42,7 @@ class EvalTextSimSpec extends AnyFunSuite {
   test("shingles: short docs fall back to whole text") {
     import spark.implicits._
     val d = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
-    val got = d.select(col("doc_id"), TextOps.shingles().as("sh"))
+    val got = TextOps.withShingles(d)
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(got(1L) === Seq("one two"))
     assert(got(2L) === Seq("a b c", "b c d"))
