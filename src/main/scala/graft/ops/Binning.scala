@@ -51,6 +51,43 @@ object Binning {
     (Double.NegativeInfinity +: raw).distinct.toArray
   }
 
+  /** WeightEqual* boundaries (reference `ModelStatsConf.java:34-36`
+    * WeightEqualPositive/Negative/Total): value v_j such that the running
+    * INTEGER weight first reaches j/k of the total. Fully distributed:
+    * groupBy(value) compresses ties (RANGE-frame semantics for free),
+    * range-repartition orders the distinct values, per-partition totals →
+    * driver offsets → one flatMap emits each crossed threshold. All
+    * comparisons are exact long arithmetic (`cw·k ≥ j·tot`) — no FP
+    * summation order anywhere, so any engine agrees bit-for-bit. */
+  def weightedEqualBounds(df: DataFrame, valueCol: String, weight: Column,
+                          k: Int): Seq[(Int, Double)] = {
+    val g = df.groupBy(col(valueCol).as("v"))
+      .agg(sum(weight.cast("long")).as("wv"))
+    val parts = math.max(df.rdd.getNumPartitions, 1)
+    val rdd = g.repartitionByRange(parts, col("v"))
+      .sortWithinPartitions("v")
+      .select("v", "wv").rdd
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    rdd.cache()
+    val partTotals = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.map(_._2).sum)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val tot = offsets.last
+    val bounds = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets(i)
+      it.flatMap { case (v, w) =>
+        val prev = cum
+        cum += w
+        // thresholds j with prev·k < j·tot ≤ cum·k, 1 ≤ j ≤ k-1
+        (1 until k).filter(j => prev * k < j.toLong * tot &&
+          j.toLong * tot <= cum * k).map(j => (j, v))
+      }
+    }.collect().sortBy(_._1).toSeq
+    rdd.unpersist(false)
+    bounds
+  }
+
   /** Per-bin pos/neg (+ weighted) counts with missing-last-bin, one shuffle
     * of pre-aggregated partials (reference needed a full MR job:
     * `UpdateBinningInfoMapper.java:349-520` + reducer). */
