@@ -157,6 +157,38 @@ object QueriesExtra {
         |FROM t GROUP BY user_id
         |""".stripMargin))
 
+  // ---- §2.11 streaming PSI drift monitor (train-frozen bins) ---------------
+
+  private val streamPsi: Q = Q(
+    fn = (s, dir) => StreamOps.psiWindows(s, dir),
+    // streaming per-hour PSI must equal the batch formulation over the
+    // same frozen equal-interval bins
+    oracle = Some {
+      val k = 10
+      val arms = (1 until k).reverse
+        .map(i => s"WHEN value >= mn + (mx - mn) * $i / $k THEN $i")
+        .mkString("\n      ")
+      s"""WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+         |b AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
+         |        AS hour_start,
+         |      CASE WHEN value IS NULL THEN $k
+         |      $arms
+         |      ELSE 0 END AS bin_id
+         |      FROM events, mm),
+         |counts AS (SELECT hour_start, bin_id, count(*) AS c FROM b
+         |           GROUP BY 1, 2),
+         |wa AS (SELECT hour_start, bin_id,
+         |         c::DOUBLE / sum(c) OVER (PARTITION BY hour_start) AS a
+         |       FROM counts),
+         |g AS (SELECT bin_id, count(*) AS gc FROM b GROUP BY bin_id),
+         |e AS (SELECT bin_id, gc::DOUBLE / sum(gc) OVER () AS e FROM g)
+         |SELECT hour_start, round(sum(
+         |  CASE WHEN a > 0 AND e > 0 THEN (a - e) * ln(a / e) ELSE 0.0 END
+         |  ), 6) AS psi
+         |FROM wa JOIN e USING (bin_id) GROUP BY hour_start
+         |""".stripMargin
+    })
+
   // ---- §2.11 streaming exact dedup (dropDuplicates state) ------------------
 
   private val streamDedup: Q = Q(
@@ -170,6 +202,7 @@ object QueriesExtra {
   val all: Map[String, Q] = Map(
     "q_stream_dedup"      -> streamDedup,
     "q_stream_sessionize" -> streamSessionize,
+    "q_stream_psi"        -> streamPsi,
     "q_munropat_bins"  -> munroPatBins,
     "q_csv_roundtrip"  -> csvRoundtrip,
     "q_equal_pop_bins" -> equalPopBins,

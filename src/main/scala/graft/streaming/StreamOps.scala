@@ -119,6 +119,64 @@ object StreamOps {
     spark.table(name)
     }
 
+  /** Streaming PSI drift monitor (the "natural first streaming feature",
+    * SURVEY §2.11): event `value` is binned with TRAIN-FROZEN equal-interval
+    * boundaries (computed once from the batch table, like eval-norm's frozen
+    * stats), per-hour bin counts accumulate in the stream, and per-window
+    * PSI vs the batch expected distribution is computed on the sink — the
+    * streaming analog of batch `q_psi`. State is (window × bins), tiny. */
+  def psiWindows(spark: SparkSession, dir: String,
+                 bins: Int = 10): DataFrame =
+    withStatePartitions(spark, 8) {
+    import graft.ops.Binning
+    val batch = graft.Tables.load(spark, dir, "events")
+    val Array(mn, mx) = batch.agg(min("value"), max("value")).head()
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    val bounds = Binning.equalInterval(mn, mx, bins)
+    val name = s"stream_psi_${counter.incrementAndGet()}"
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("ts_ts", "1 hour")
+    val agg = events
+      .groupBy(window(col("ts_ts"), "1 hour"),
+        Binning.binIndex(col("value"), bounds).as("bin_id"))
+      .agg(count(lit(1)).as("c"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("bin_id"), col("c"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // final PSI math on the (windows × bins) sink — same join shape as the
+    // batch Psi.compute
+    val counts = spark.table(name)
+    val unitTot = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour_start")
+    val withActual = counts.withColumn("a",
+      col("c").cast("double") / sum("c").over(unitTot))
+    val expected = batch
+      .groupBy(Binning.binIndex(col("value"), bounds).as("bin_id"))
+      .agg(count(lit(1)).as("gc"))
+      .withColumn("e", col("gc").cast("double") /
+        sum("gc").over(org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    withActual.join(broadcast(expected), "bin_id")
+      .groupBy("hour_start")
+      .agg(round(sum(
+        when(col("a") > 0 && col("e") > 0,
+          (col("a") - col("e")) * log(col("a") / col("e")))
+          .otherwise(0.0)), 6).as("psi"))
+    }
+
   /** Streaming tumbling 1-hour counts per event_type over the events dir;
     * runs the stream to completion against the static files and returns
     * the result table — output matches the batch q_events_window oracle. */
