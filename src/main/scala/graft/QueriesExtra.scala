@@ -52,6 +52,42 @@ object QueriesExtra {
         |FROM m
         |""".stripMargin))
 
+  // ---- §2.2 malformed-row guard + observe() counters -----------------------
+
+  /** ~12.5% of rows get an extra trailing field in a text extract; the
+    * guarded reader must drop exactly those (reference
+    * `AddColumnNumAndFilterUDF.java:104-117`) while surfacing the count as
+    * an `observe()` metric — no second scan. Oracle = aggregate over the
+    * uncorrupted complement. */
+  private val malformedGuard: Q = Q(
+    fn = (s, dir) => {
+      val key = md5(concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string")).cast("binary"))
+      val corrupt = substring(key, 1, 1).isin("0", "1")
+      val line = concat(
+        concat_ws("|", col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"),
+          col("l_quantity").cast("string"), col("l_returnflag")),
+        when(corrupt, lit("|EXTRA")).otherwise(lit("")))
+      val tmp = s"/tmp/graft_guard_${java.util.UUID.randomUUID()}"
+      li(s, dir).select(line.as("value")).write.mode("overwrite").text(tmp)
+      val obs = new org.apache.spark.sql.Observation()
+      val back = graft.sources.Delimited.readGuarded(s, tmp, "|",
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+        Some(obs))
+      back.agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(expr("try_cast(l_quantity AS double)")), 4).as("sum_qty"),
+        count_distinct(col("l_returnflag")).as("n_flags"))
+    },
+    oracle = Some(
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 4) AS sum_qty,
+        |  count(DISTINCT l_returnflag) AS n_flags
+        |FROM lineitem
+        |WHERE substr(md5(cast(l_orderkey AS VARCHAR) || '|'
+        |  || cast(l_linenumber AS VARCHAR)), 1, 1) NOT IN ('0','1')
+        |""".stripMargin))
+
   // ---- §2.4 equal-population (Native) binning via exact percentiles --------
 
   private val equalPopBins: Q = Q(
@@ -205,6 +241,7 @@ object QueriesExtra {
     "q_stream_psi"        -> streamPsi,
     "q_munropat_bins"  -> munroPatBins,
     "q_csv_roundtrip"  -> csvRoundtrip,
+    "q_malformed"      -> malformedGuard,
     "q_equal_pop_bins" -> equalPopBins,
     "q_spdt_bins"      -> spdtBins,
     "q_dynamic_rebin"  -> dynamicRebin,
