@@ -68,27 +68,48 @@ object Eval {
       tieBreak.zipWithIndex.map { case (c, i) => c.as(s"tb_$i") }
     val order = col("s").desc +: tieBreak.indices.map(i => col(s"tb_$i").asc)
     val parts = math.max(df.rdd.getNumPartitions, 1)
-    val sorted = df.select(cols: _*)
+    val ranked = df.select(cols: _*)
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-      .select("pos", "w")
-    val posRanked = sorted.rdd.zipWithIndex() // (row, 0-based global rank)
-      .map { case (r, i) => (r.getLong(0), r.getDouble(1), i) }
-    posRanked.cache()
-    val n = posRanked.count()
+      .select("pos", "w").rdd
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    ranked.cache()
+    // job 1 (fills the cache): per-partition row counts → rank offsets
+    val partCounts = ranked
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partCounts.scanLeft(0L)(_ + _)
+    val n = offsets.last
     val base = n / buckets
     val rem = (n % buckets).toInt
     val cut = rem * (base + 1) // ranks below this are in the +1-sized buckets
-    val perBucket = posRanked
-      .map { case (pos, w, r) =>
+    // job 2 (from cache): per-partition per-bucket partials — ≤ buckets
+    // tiny tuples per task come to the driver, no shuffle at all
+    val perBucket = ranked.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i)
+      val acc = new java.util.TreeMap[Int, Array[Double]]()
+      it.foreach { case (pos, w) =>
         val b = if (base == 0 || r < cut) (r / (base + 1)).toInt + 1
                 else rem + ((r - cut) / base).toInt + 1
-        (b, (pos, 1L, if (pos == 1L) w else 0.0, w))
+        val slot = acc.computeIfAbsent(b, _ => new Array[Double](4))
+        slot(0) += pos; slot(1) += 1
+        if (pos == 1L) slot(2) += w
+        slot(3) += w
+        r += 1
       }
-      .reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
-      .collect()
-      .sortBy(_._1)
-    posRanked.unpersist(false)
+      import scala.jdk.CollectionConverters._
+      acc.asScala.iterator.map { case (b, s) =>
+        (b, (s(0).toLong, s(1).toLong, s(2), s(3)))
+      }
+    }.collect()
+      .groupBy(_._1).map { case (b, xs) =>
+        // partitions are rank-contiguous: merge order is by partition, and
+        // all weights per bucket are integer-valued → sums exact anyway
+        (b, xs.map(_._2).reduce((a, c) =>
+          (a._1 + c._1, a._2 + c._2, a._3 + c._3, a._4 + c._4)))
+      }
+      .toArray.sortBy(_._1)
+    ranked.unpersist(false)
     // cumulative sweep over <= buckets rows: driver math, like the
     // reference's ColumnStatsCalculator pattern
     val totPos = perBucket.map(_._2._1).sum
