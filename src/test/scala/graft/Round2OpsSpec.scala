@@ -50,6 +50,49 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(auc === 1.0)
   }
 
+  test("weightedEqualBounds: hand-computed thresholds on integer weights") {
+    import spark.implicits._
+    // values 1..4 with weights 1,2,3,4 (tot=10), k=2: threshold j=1 at
+    // cw*2 >= 10 → first v with cw >= 5 → v=3 (cw=6)
+    val d = Seq((1.0, 1), (2.0, 2), (3.0, 3), (4.0, 4)).toDF("v", "w")
+    val b = graft.ops.Binning.weightedEqualBounds(d, "v", col("w"), 2)
+    assert(b === Seq((1, 3.0)))
+    // k=4: thresholds at cw>=2.5,5,7.5 → v=2 (cw=3), v=3 (cw=6), v=4 (cw=10)
+    val b4 = graft.ops.Binning.weightedEqualBounds(d, "v", col("w"), 4)
+    assert(b4 === Seq((1, 2.0), (2, 3.0), (3, 4.0)))
+  }
+
+  test("streaming PSI equals batch PSI on the same frozen bins") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamOps.psiWindows(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val events = Tables.load(spark, dir, "events")
+    val Array(mn, mx) = events.agg(min("value"), max("value")).head()
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    val batch = graft.ops.Psi.compute(events, col("value"),
+      date_format(timestamp_millis(expr("ts div 1000000")), "yyyy-MM-dd HH:00"),
+      graft.ops.Binning.equalInterval(mn, mx, 10))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(streamed.size === batch.size)
+    streamed.foreach { case (hr, psi) =>
+      assert(math.abs(psi - batch(hr)) < 1e-9, s"hour $hr")
+    }
+  }
+
+  test("readGuarded drops malformed rows and reports them via observe") {
+    import spark.implicits._
+    val tmp = s"/tmp/graft_guard_spec_${java.util.UUID.randomUUID()}"
+    Seq("1|a|x", "2|b|y", "3|c", "4|d|z|EXTRA", "5|e|w")
+      .toDF("value").write.text(tmp)
+    val obs = new org.apache.spark.sql.Observation()
+    val df = graft.sources.Delimited.readGuarded(spark, tmp, "|",
+      Seq("id", "s", "t"), Some(obs))
+    assert(df.count() === 3)
+    val m = obs.get
+    assert(m("malformed_cnt") === 2L)
+    assert(m("total_cnt") === 5L)
+  }
+
   test("nearDupPairs finds planted near-duplicates") {
     import spark.implicits._
     val dim = 64
