@@ -255,7 +255,8 @@ object Queries {
   ) ++ QueriesEval.all ++ QueriesText.all ++ QueriesSim.all ++
     QueriesEvents.all ++ QueriesScore.all ++ QueriesNorm.all ++
     QueriesMisc.all ++ QueriesExtra.all ++ QueriesEval2.all ++
-    QueriesWeighted.all ++ QueriesHybrid.all ++ QueriesBinning2.all
+    QueriesWeighted.all ++ QueriesHybrid.all ++ QueriesBinning2.all ++
+    QueriesPipeline.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.view.mapValues(_.fn).toMap
