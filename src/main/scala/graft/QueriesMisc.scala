@@ -211,7 +211,38 @@ object QueriesMisc {
         |FROM documents
         |""".stripMargin))
 
+  // ---- multimodal: frame-sampling over opaque payloads ---------------------
+
+  /** The frame-sample plumbing for video/audio payloads: chunk the opaque
+    * payload into fixed 32-byte "frames", keep every 4th (stride sampling),
+    * fingerprint each — schema/partitioning/batch shape are the real
+    * pipeline; the codec is the deterministic chunker (no media libs in
+    * this container). */
+  private val frameSample: Q = Q(
+    fn = (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(expr(
+            """transform(
+              |  sequence(0, cast(ceil(length(text) / 32.0) AS int) - 1),
+              |  i -> substr(text, i * 32 + 1, 32))""".stripMargin))
+            .as(Seq("frame_idx", "frame")))
+        .filter(col("frame_idx") % 4 === 0)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"),
+          md5(col("frame").cast("binary")).as("frame_md5")),
+    oracle = Some(
+      """SELECT doc_id, f.i AS frame_idx,
+        |  length(substr(text, (f.i * 32 + 1)::INT, 32)) AS frame_len,
+        |  md5(substr(text, (f.i * 32 + 1)::INT, 32)) AS frame_md5
+        |FROM documents,
+        |  LATERAL (SELECT unnest(generate_series(0,
+        |    ceil(length(text) / 32.0)::BIGINT - 1)) AS i) f
+        |WHERE f.i % 4 = 0
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "q_frame_sample"  -> frameSample,
     "q_join_enrich"   -> joinEnrich,
     "q_semi_anti"     -> semiAnti,
     "q_topn"          -> topN,
