@@ -11,9 +11,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warm-up so the first measured query isn't
-    // charged ~8s of JVM start; run queries in name order for stable
-    // cross-round comparison
+    // charged ~8s of JVM start; also touch every table once so the
+    // alphabetically-first queries don't absorb parquet-reader init.
+    // Queries run in name order for stable cross-round comparison
     spark.range(1000000).selectExpr("sum(id)").collect()
+    graft.Tables.all.foreach { t =>
+      try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
