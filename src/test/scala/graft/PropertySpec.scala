@@ -76,6 +76,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKAgg equals sort-based top-k on random grouped data") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rowsGen = Gen.nonEmptyListOf(for {
+      g <- Gen.choose(0L, 5L)
+      s <- Gen.oneOf(Gen.choose(-10.0, 10.0), Gen.oneOf(1.0, 2.0)) // dups → ties
+      id <- Gen.choose(0L, 30L)
+    } yield (g, s, id))
+    samples(rowsGen, 6).foreach { rows =>
+      val df = rows.toDF("g", "s", "id").repartition(5)
+      val got = df.groupBy("g")
+        .agg(graft.agg.TopKAgg.topK(3)(col("s"), col("id")).as("nn"))
+        .select(col("g"), posexplode(col("nn")).as(Seq("p", "nb")))
+        .select(col("g"), col("p"), col("nb._1"), col("nb._2"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val want = rows.groupBy(_._1).flatMap { case (g, xs) =>
+        xs.map(x => (x._2, x._3))
+          .sortBy { case (s, id) => (-s, id) }
+          .take(3).zipWithIndex
+          .map { case ((s, id), i) => (g, i, s, id) }
+      }.toSet
+      assert(got === want)
+    }
+  }
+
   test("jexl filter matches native Column filter for arbitrary thresholds") {
     val spark = TestSpark.spark
     import spark.implicits._
