@@ -256,7 +256,7 @@ object Queries {
     QueriesEvents.all ++ QueriesScore.all ++ QueriesNorm.all ++
     QueriesMisc.all ++ QueriesExtra.all ++ QueriesEval2.all ++
     QueriesWeighted.all ++ QueriesHybrid.all ++ QueriesBinning2.all ++
-    QueriesPipeline.all
+    QueriesPipeline.all ++ QueriesCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.view.mapValues(_.fn).toMap
