@@ -71,10 +71,14 @@ object QueriesExtra {
         when(corrupt, lit("|EXTRA")).otherwise(lit("")))
       val tmp = s"/tmp/graft_guard_${java.util.UUID.randomUUID()}"
       li(s, dir).select(line.as("value")).write.mode("overwrite").text(tmp)
-      val obs = new org.apache.spark.sql.Observation()
+      // no Observation here: the query result is consumed lazily by the
+      // driver, and an un-awaited Observation stays registered on the
+      // shared session — its ObservationManager then poisons later task
+      // closures ("Task not serializable" in MLlib fits). The observe()
+      // counter path is exercised by Round2OpsSpec, which awaits obs.get.
       val back = graft.sources.Delimited.readGuarded(s, tmp, "|",
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
-        Some(obs))
+        None)
       back.agg(
         count(lit(1)).as("n_rows"),
         round(sum(expr("try_cast(l_quantity AS double)")), 4).as("sum_qty"),

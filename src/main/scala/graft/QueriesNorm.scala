@@ -86,6 +86,46 @@ object QueriesNorm {
          |""".stripMargin
     })
 
+  // ---- WOE_ZSCORE: z-scale the woe-mapped values ---------------------------
+
+  /** WOE then z-score of the woe distribution (reference
+    * `Normalizer.java:250-253` woeZScoreNormalize): woe per bin from the
+    * counts, woe-mean/std from the bin vector (Σcnt·woe / n — tiny exact
+    * loops both sides, bin order fixed), per-row z clamped and rounded. */
+  private val normWoeZ: Q = Q(
+    fn = (s, dir) => {
+      val d = li(s, dir)
+      val prof = StatsPipeline.profileNumeric(d, Seq("l_quantity"), isPos)("l_quantity")
+      val woes = prof.binning.binCountWoe.map(w => math.rint(w * 1e6) / 1e6)
+      val cnts = prof.binning.binCountPos.zip(prof.binning.binCountNeg)
+        .map { case (p, n) => p + n }
+      val n = cnts.sum.toDouble
+      val mean = woes.zip(cnts).map { case (w, c) => w * c }.sum / n
+      val s2 = woes.zip(cnts).map { case (w, c) => w * w * c }.sum
+      val std = math.sqrt((s2 - mean * mean * n) / (n - 1))
+      val woeCol = Normalize.woeNumeric(col("l_quantity"),
+        prof.binning.binBoundary, woes)
+      d.select(col("l_orderkey"), col("l_linenumber"),
+        round(least(greatest((woeCol - lit(mean)) / lit(std), lit(-6.0)),
+          lit(6.0)), 3).as("woe_z"))
+    },
+    oracle = Some(
+      s"""WITH $qtyWoeCte,
+         |qw6 AS (SELECT bin_id, round(woe, 6) AS woe,
+         |          (SELECT count(*) FROM b bb WHERE bb.bin_id = qw.bin_id)
+         |            AS cnt
+         |        FROM qw),
+         |ms AS (SELECT sum(woe * cnt) / sum(cnt) AS mean,
+         |         sqrt((sum(woe * woe * cnt)
+         |           - (sum(woe * cnt) / sum(cnt)) * (sum(woe * cnt) / sum(cnt))
+         |             * sum(cnt)) / (sum(cnt) - 1)) AS std
+         |       FROM qw6)
+         |SELECT b.l_orderkey, b.l_linenumber,
+         |  round(least(greatest((round(qw.woe, 6) - mean) / std, -6.0), 6.0), 3)
+         |    AS woe_z
+         |FROM b JOIN qw USING (bin_id) CROSS JOIN ms
+         |""".stripMargin))
+
   // ---- category → ordinal index (ZSCALE_INDEX family) ----------------------
 
   private val normIndex: Q = Q(
@@ -163,6 +203,7 @@ object QueriesNorm {
 
   val all: Map[String, Q] = Map(
     "q_norm_woe"     -> normWoe,
+    "q_norm_woe_z"   -> normWoeZ,
     "q_norm_onehot"  -> normOnehot,
     "q_norm_index"   -> normIndex,
     "q_missing_bin"  -> missingBin,
