@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.catalog._
+import graft.expr.Jexl
+import graft.ops.{Normalize, StatsPipeline}
+
+/** Step orchestration (SURVEY §7.1 `graft.pipeline`): the reference's CLI
+  * verbs `init → stats → varsel → norm → train → eval`
+  * (`ShifuCLI.java:174-417`) as one driver-side flow over a DataFrame and
+  * a [[DataSpec]]. Each step is DataFrame-in/DataFrame-out with the typed
+  * catalog as the side-channel state (persisted via [[CatalogIO]] for
+  * ColumnConfig.json compatibility) — no HDFS JSON mutation, no per-task
+  * catalog reloads, and every transform folds catalog values in as
+  * literals.
+  */
+object Pipeline {
+
+  final case class Result(
+      catalog: Seq[ColumnProfile],
+      selected: Seq[String],
+      normalized: DataFrame,
+      auc: Double)
+
+  /** `init`: tag filter + JEXL purify (lenient), per the reference's
+    * AddColumnNumAndFilterUDF valid-tag semantics. */
+  def init(df: DataFrame, spec: DataSpec): DataFrame = {
+    val tag = trim(lower(col(spec.targetColumn)))
+    val tags = (spec.posTags ++ spec.negTags).map(_.toLowerCase)
+    val tagged = df.filter(tag.isin(tags.toSeq.map(lit): _*))
+    spec.filterExpressions.foldLeft(tagged)((d, e) => d.filter(Jexl.filter(e)))
+  }
+
+  def isPos(spec: DataSpec): Column =
+    trim(lower(col(spec.targetColumn)))
+      .isin(spec.posTags.map(_.toLowerCase).toSeq.map(lit): _*)
+
+  /** `stats`: numeric + categorical profiling into the typed catalog. */
+  def stats(df: DataFrame, spec: DataSpec, numericCols: Seq[String],
+            categoricalCols: Seq[String]): Seq[ColumnProfile] = {
+    val num = StatsPipeline.profileNumeric(df, numericCols, isPos(spec),
+      spec.maxNumBin)
+    val cat = StatsPipeline.profileCategorical(df, categoricalCols, isPos(spec))
+    val all = numericCols.map(num) ++ categoricalCols.map(cat)
+    all.zipWithIndex.map { case (p, i) => p.copy(columnNum = i) }
+  }
+
+  /** `varsel`: KS-ranked top-N (reference `VariableSelector.java:180-260`,
+    * filterBy=KS default), ForceSelect/ForceRemove honored via flags. */
+  def varsel(catalog: Seq[ColumnProfile], topN: Int): Seq[ColumnProfile] = {
+    val ranked = catalog
+      .filter(p => p.isCandidate)
+      .sortBy(p => (-p.stats.ks.getOrElse(0.0), p.columnName))
+    val keep = (catalog.filter(_.flag.contains(ColumnFlag.ForceSelect)) ++
+      ranked.filterNot(_.flag.contains(ColumnFlag.ForceRemove)).take(topN))
+      .map(_.columnName).toSet
+    catalog.map(p => p.copy(finalSelect = keep(p.columnName)))
+  }
+
+  /** `norm`: compact normalized output [tag, selected..., weight]
+    * (reference `NormalizeUDF.java:108-135` column order). */
+  def norm(df: DataFrame, spec: DataSpec, catalog: Seq[ColumnProfile],
+           normType: NormType): DataFrame = {
+    val sel = catalog.filter(_.finalSelect)
+    val outCols =
+      isPos(spec).cast("int").as("tag") +:
+        sel.map(p => Normalize.forProfile(col(p.columnName), p, normType,
+          spec.stdDevCutOff).as(s"n_${p.columnName}")) :+
+        spec.weightColumn.map(w => Jexl.translate(w).as("weight"))
+          .getOrElse(lit(1.0).as("weight"))
+    df.select(outCols: _*)
+  }
+
+  /** `train` + `eval`: MLlib logistic over the normalized features; AUC
+    * from the engine's own distributed sweep (not a driver stream). */
+  def trainEval(normalized: DataFrame, maxIter: Int = 10): Double = {
+    val feats = normalized.columns.filter(_.startsWith("n_")).toSeq
+    val t = graft.train.Train.logistic(normalized, feats,
+      col("tag") === 1, maxIter)
+    t.auc
+  }
+
+  /** The whole lifecycle; catalog persisted when `catalogPath` is given. */
+  def run(df: DataFrame, spec: DataSpec, numericCols: Seq[String],
+          categoricalCols: Seq[String], topN: Int = 5,
+          normType: NormType = NormType.ZScale,
+          catalogPath: Option[String] = None): Result = {
+    val clean = init(df, spec)
+    val catalog0 = stats(clean, spec, numericCols, categoricalCols)
+    val catalog = varsel(catalog0, topN)
+    catalogPath.foreach(p => CatalogIO.write(p, catalog))
+    val normed = norm(clean, spec, catalog, normType)
+    val auc = trainEval(normed)
+    Result(catalog, catalog.filter(_.finalSelect).map(_.columnName),
+      normed, auc)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{DataSpec, NormType}
+import graft.pipeline.Pipeline
+
+/** End-to-end lifecycle over the sf0.001 lineitem table: init → stats →
+  * varsel → norm → train → eval, with ColumnConfig.json round-trip. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("full pipeline runs, selects by KS, persists catalog, yields AUC") {
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val spec = DataSpec(
+      targetColumn = "l_returnflag",
+      posTags = Set("R"), negTags = Set("A", "N"),
+      filterExpressions = Seq("l_quantity > 0"))
+    val tmp = s"/tmp/graft_catalog_${java.util.UUID.randomUUID()}.json"
+    val res = Pipeline.run(df, spec,
+      numericCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      categoricalCols = Seq("l_linestatus"),
+      topN = 3, normType = NormType.Hybrid, catalogPath = Some(tmp))
+    assert(res.catalog.length === 5)
+    assert(res.selected.length === 3)
+    // selection follows KS rank over candidates
+    val byKs = res.catalog.sortBy(p => (-p.stats.ks.getOrElse(0.0), p.columnName))
+      .take(3).map(_.columnName).toSet
+    assert(res.selected.toSet === byKs)
+    // normalized output: [tag, n_*..., weight], tag ∈ {0,1}
+    assert(res.normalized.columns.head === "tag")
+    assert(res.normalized.columns.last === "weight")
+    val tags = res.normalized.select("tag").distinct().collect().map(_.getInt(0)).toSet
+    assert(tags.subsetOf(Set(0, 1)))
+    assert(res.auc >= 0.0 && res.auc <= 1.0)
+    // catalog JSON round-trips
+    val back = graft.catalog.CatalogIO.read(tmp)
+    assert(back.map(_.columnName) === res.catalog.map(_.columnName))
+    assert(back.count(_.finalSelect) === 3)
+  }
+}
