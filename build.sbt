@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// one suite at a time: a registered (in-flight) sql.Observation on the
+// shared session makes ANY concurrent closure serialization fail
+// ("Task not serializable: ObservationManager") — e.g. an MLlib fit in
+// another suite. Sequential suites keep observation windows exclusive.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

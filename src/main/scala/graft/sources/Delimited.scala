@@ -53,7 +53,13 @@ object Delimited {
     * mismatches the header, and surface the drop count as an `observe()`
     * metric ("malformed_cnt") — the Spark-native replacement for the
     * reference's MR counters (§2.9), readable via
-    * `org.apache.spark.sql.Observation` without a second pass. */
+    * `org.apache.spark.sql.Observation` without a second pass.
+    *
+    * CAUTION: a registered Observation stays attached to the session's
+    * ObservationManager and breaks closure serialization for LATER jobs on
+    * that session ("Task not serializable: ObservationManager"). Pass an
+    * Observation only when the caller consumes it promptly, and prefer a
+    * dedicated `spark.newSession()` when the session is long-lived. */
   def readGuarded(spark: SparkSession, path: String, delimiter: String,
                   header: Seq[String],
                   observation: Option[org.apache.spark.sql.Observation] = None,

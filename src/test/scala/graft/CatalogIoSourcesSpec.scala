@@ -64,8 +64,9 @@ class CatalogIoSourcesSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_guard").toString
     Seq("1|a|2.0", "2|b", "3|c|4.0|extra", "4|d|5.0").toDF("v")
       .coalesce(1).write.mode("overwrite").text(tmp + "/in")
+    val s2 = spark.newSession()
     val obs = new org.apache.spark.sql.Observation("guard")
-    val df = Delimited.readGuarded(spark, tmp + "/in", "|",
+    val df = Delimited.readGuarded(s2, tmp + "/in", "|",
       Seq("id", "cat", "num"), Some(obs))
     val rows = df.collect()
     assert(rows.length === 2) // rows 2 (short) and 3 (long) dropped

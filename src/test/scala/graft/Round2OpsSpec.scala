@@ -84,8 +84,12 @@ class Round2OpsSpec extends AnyFunSuite {
     val tmp = s"/tmp/graft_guard_spec_${java.util.UUID.randomUUID()}"
     Seq("1|a|x", "2|b|y", "3|c", "4|d|z|EXTRA", "5|e|w")
       .toDF("value").write.text(tmp)
+    // isolated session: a registered Observation poisons closure
+    // serialization for every later job on the owning session (see
+    // build.sbt note); newSession() gives a private ObservationManager
+    val s2 = spark.newSession()
     val obs = new org.apache.spark.sql.Observation()
-    val df = graft.sources.Delimited.readGuarded(spark, tmp, "|",
+    val df = graft.sources.Delimited.readGuarded(s2, tmp, "|",
       Seq("id", "s", "t"), Some(obs))
     assert(df.count() === 3)
     val m = obs.get
