@@ -239,6 +239,48 @@ object QueriesEval {
          |FROM wa JOIN e USING (bin_id) GROUP BY unit
          |""".stripMargin))
 
+  // ---- §2.4 PSI over categorical bins (CategoryCounter path) ---------------
+
+  private val psiCategorical: Q = Q(
+    fn = (s, dir) => {
+      val d = li(s, dir)
+      // categorical "bins" are the category values themselves — the
+      // reference's udf/stats/CategoryCounter.java distribution; same
+      // per-unit vs global ratio math as numeric PSI
+      val binned = d.select(month(col("l_shipdate")).as("unit"),
+        col("l_returnflag").as("bin_id"))
+      val counts = binned.groupBy("unit", "bin_id").agg(count(lit(1)).as("c"))
+      val unitTot = org.apache.spark.sql.expressions.Window.partitionBy("unit")
+      val withActual = counts.withColumn("a",
+        col("c").cast("double") /
+          sum("c").over(unitTot))
+      val global = binned.groupBy("bin_id").agg(count(lit(1)).as("gc"))
+      val expected = global.withColumn("e", col("gc").cast("double") /
+        sum("gc").over(org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      withActual.join(broadcast(expected), "bin_id")
+        .groupBy("unit")
+        .agg(round(sum(
+          when(col("a") > 0 && col("e") > 0,
+            (col("a") - col("e")) * log(col("a") / col("e")))
+            .otherwise(0.0)), 6).as("psi_cat"))
+    },
+    oracle = Some(
+      """WITH b AS (SELECT month(l_shipdate) AS unit, l_returnflag AS bin_id
+        |           FROM lineitem),
+        |counts AS (SELECT unit, bin_id, count(*) AS c FROM b GROUP BY 1, 2),
+        |wa AS (SELECT unit, bin_id,
+        |         c::DOUBLE / sum(c) OVER (PARTITION BY unit) AS a
+        |       FROM counts),
+        |g AS (SELECT bin_id, count(*) AS gc FROM b GROUP BY bin_id),
+        |e AS (SELECT bin_id, gc::DOUBLE / sum(gc) OVER () AS e FROM g)
+        |SELECT unit, round(sum(
+        |  CASE WHEN a > 0 AND e > 0 THEN (a - e) * ln(a / e) ELSE 0.0 END
+        |  ), 6) AS psi_cat
+        |FROM wa JOIN e USING (bin_id) GROUP BY unit
+        |""".stripMargin))
+
   // ---- §2.4 pairwise Pearson correlation -----------------------------------
 
   private val corrCols =
@@ -356,6 +398,7 @@ object QueriesEval {
     "q_gain_chart"      -> gainChart,
     "q_score_stats"     -> scoreStats,
     "q_psi"             -> psi,
+    "q_psi_cat"         -> psiCategorical,
     "q_correlation"     -> correlation,
     "q_autotype"        -> autotype,
     "q_segment_expand"  -> segmentExpand,
