@@ -96,9 +96,86 @@ object QueriesBinning2 {
          |""".stripMargin
     })
 
+  // ---- §2.4 skewness / kurtosis from raw moment sums -----------------------
+
+  /** Population skew/kurtosis from Σx, Σx², Σx³, Σx⁴ exactly as the
+    * reference accumulates them (`BinningInfoWritable.java:48-68`,
+    * formulas `ColumnStatsCalculator.java:185-213`); l_quantity's integer
+    * values keep every sum exact, so both engines agree bit-for-bit. */
+  private val skewKurtosis: Q = Q(
+    fn = (s, dir) => {
+      val v = col("l_quantity")
+      val r = li(s, dir).agg(
+        count(v).as("cnt"), sum(v).as("s1"), sum(v * v).as("s2"),
+        sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4")).head()
+      val (n, s1, s2, s3, s4) = (r.getLong(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val mean = s1 / n
+      val std = graft.ops.StatsMath.stdDevFromSums(n, s1, s2)
+      import s.implicits._
+      Seq((
+        math.rint(graft.ops.StatsMath.skewness(n, mean, std, s1, s2, s3) * 1e6) / 1e6,
+        math.rint(graft.ops.StatsMath.kurtosis(n, mean, std, s1, s2, s3, s4) * 1e6) / 1e6
+      )).toDF("skewness", "kurtosis")
+    },
+    oracle = Some(
+      // identical expression structure as StatsMath.skewness/kurtosis
+      // (the reference ColumnStatsCalculator formulas): sample σ from
+      // (Σx² − (Σx)²/n)/(n−1), moments expanded about the mean
+      """WITH a AS (
+        |  SELECT count(l_quantity)::DOUBLE AS n, sum(l_quantity) AS s1,
+        |    sum(l_quantity * l_quantity) AS s2,
+        |    sum(l_quantity * l_quantity * l_quantity) AS s3,
+        |    sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+        |  FROM lineitem),
+        |m AS (SELECT n, s1, s2, s3, s4, s1 / n AS mu,
+        |        sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd FROM a)
+        |SELECT
+        |  round((s3 - 3 * s2 * mu + 3 * mu * mu * s1 - n * mu * mu * mu)
+        |    / (n * sd * sd * sd), 6) AS skewness,
+        |  round((s4 - 4 * s3 * mu + 6 * s2 * mu * mu
+        |    - 4 * s1 * mu * mu * mu + n * mu * mu * mu * mu)
+        |    / (n * sd * sd * sd * sd), 6) AS kurtosis
+        |FROM m
+        |""".stripMargin))
+
+  // ---- §2.9 skew salting (AddColumnNumUDF's 300-way salt, done right) ------
+
+  /** The reference salts every grouped key with rand()%300
+    * (`AddColumnNumUDF.java:146`). Spark's partial aggregation already
+    * combines map-side, but for pathological single-key skew an explicit
+    * two-phase salt still helps: groupBy(key, salt) partials → final
+    * groupBy(key). Results are EXACTLY the integer sums of the one-phase
+    * plan — same oracle as q_bin_counts. */
+  private val binCountsSalted: Q = Q(
+    fn = (s, dir) => {
+      val d = li(s, dir)
+      val bounds = quantityBounds(d, binK)
+      val salt = pmod(crc32(concat(col("l_orderkey").cast("string"), lit("#"),
+        col("l_linenumber").cast("string")).cast("binary")), lit(32))
+      d.groupBy(Binning.binIndex(col("l_quantity"), bounds).as("bin_id"),
+          salt.as("salt"))
+        .agg(sum(when(isPos, 1L).otherwise(0L)).as("p"),
+          sum(when(isPos, 0L).otherwise(1L)).as("n"))
+        .groupBy("bin_id")
+        .agg(sum("p").as("cnt_pos"), sum("n").as("cnt_neg"))
+    },
+    oracle = Some(
+      s"""WITH mm AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem),
+         |b AS (
+         |  SELECT ${binCaseSql(binK)} AS bin_id,
+         |    CASE WHEN $posCond THEN 1 ELSE 0 END AS pos
+         |  FROM lineitem, mm)
+         |SELECT bin_id, sum(pos)::BIGINT AS cnt_pos,
+         |  (count(*) - sum(pos))::BIGINT AS cnt_neg
+         |FROM b GROUP BY bin_id
+         |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_equal_pos_bins"   -> equalPosBins,
     "q_weight_equal_bins" -> weightEqualBins,
     "q_norm_variants"    -> normVariants,
+    "q_skew_kurtosis"    -> skewKurtosis,
+    "q_bin_counts_salted" -> binCountsSalted,
   )
 }
