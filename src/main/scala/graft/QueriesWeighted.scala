@@ -44,6 +44,94 @@ object QueriesWeighted {
          |""".stripMargin
     })
 
+  // ---- §2.4 weighted KS / IV (ColumnStats.weightedKs/weightedIv) -----------
+
+  /** The weighted duals of KS/IV: bin mass = Σweight instead of counts
+    * (reference carries both sets through `UpdateBinningInfoReducer`).
+    * Integer-valued l_quantity weights keep all sums exact. */
+  private val weightedIvKs: Q = Q(
+    fn = (s, dir) => {
+      val d = li(s, dir)
+      val bounds = quantityBounds(d, binK)
+      val counts = Binning.binCounts(d, "l_quantity", bounds, isPos,
+        col("l_quantity"))
+        .select("bin_id", "w_pos", "w_neg").collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val pos = Array.fill(binK + 1)(0.0)
+      val neg = Array.fill(binK + 1)(0.0)
+      counts.foreach { case (b, p, n) => pos(b) = p; neg(b) = n }
+      val m = graft.ops.StatsMath
+        .columnMetrics(neg.toIndexedSeq, pos.toIndexedSeq).get
+      import s.implicits._
+      Seq((math.rint(m.ks * 1e6) / 1e6, math.rint(m.iv * 1e6) / 1e6))
+        .toDF("w_ks", "w_iv")
+    },
+    oracle = Some {
+      val arms = (1 until binK).reverse
+        .map(i => s"WHEN l_quantity >= mn + (mx - mn) * $i / $binK THEN $i")
+        .mkString(" ")
+      s"""WITH mm AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx
+         |            FROM lineitem),
+         |b AS (
+         |  SELECT CASE WHEN l_quantity IS NULL THEN $binK $arms ELSE 0 END
+         |      AS bin_id,
+         |    CASE WHEN $posCond THEN l_quantity ELSE 0.0 END AS wp,
+         |    CASE WHEN $posCond THEN 0.0 ELSE l_quantity END AS wn
+         |  FROM lineitem, mm),
+         |bins AS (SELECT bin_id, sum(wp) AS cp, sum(wn) AS cn
+         |         FROM b GROUP BY bin_id),
+         |tot AS (SELECT sum(cp) AS sp, sum(cn) AS sn FROM bins),
+         |r AS (
+         |  SELECT bin_id, cp / sp AS p, cn / sn AS n,
+         |    sum(cp / sp) OVER (ORDER BY bin_id) AS cump,
+         |    sum(cn / sn) OVER (ORDER BY bin_id) AS cumn
+         |  FROM bins, tot)
+         |SELECT round(100 * max(abs(cump - cumn)), 6) AS w_ks,
+         |  round(sum((p - n) * ln((p + 1e-10) / (n + 1e-10))), 6) AS w_iv
+         |FROM r
+         |""".stripMargin
+    })
+
+  // ---- §2.4 varsel missing-rate filter (missingRateThreshold) --------------
+
+  /** Per-column missing rate over deterministically masked variants; the
+    * reference drops candidates above `missingRateThreshold=0.98`
+    * (`ModelVarSelectConf.java:97`) — here the column with ~every value
+    * masked is flagged out, the lightly-masked one kept. */
+  private val varselMissing: Q = Q(
+    fn = (s, dir) => {
+      val key = md5(concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string")).cast("binary"))
+      // heavy: masked unless first hex digit is '0' (~94% missing at 1/16);
+      // light: masked on '0' only (~6% missing)
+      val heavy = when(substring(key, 1, 1) =!= "0", lit(null))
+        .otherwise(col("l_quantity"))
+      val light = when(substring(key, 1, 1) === "0", lit(null))
+        .otherwise(col("l_quantity"))
+      val d = li(s, dir).select(heavy.as("c_heavy"), light.as("c_light"))
+      val stacked = d.select(expr(
+        "stack(2, 'c_heavy', c_heavy, 'c_light', c_light) as (col_name, v)"))
+      stacked.groupBy("col_name")
+        .agg(round(sum(when(col("v").isNull, 1.0).otherwise(0.0)) /
+          count(lit(1)), 6).as("missing_rate"))
+        .withColumn("kept", (col("missing_rate") <= 0.9).cast("int"))
+    },
+    oracle = Some(
+      s"""WITH k AS (
+         |  SELECT substr(md5(cast(l_orderkey AS VARCHAR) || '|'
+         |    || cast(l_linenumber AS VARCHAR)), 1, 1) AS h FROM lineitem),
+         |u AS (
+         |  SELECT 'c_heavy' AS col_name,
+         |    CASE WHEN h <> '0' THEN 1.0 ELSE 0.0 END AS miss FROM k
+         |  UNION ALL
+         |  SELECT 'c_light', CASE WHEN h = '0' THEN 1.0 ELSE 0.0 END FROM k)
+         |SELECT col_name, round(sum(miss) / count(*), 6) AS missing_rate,
+         |  CASE WHEN round(sum(miss) / count(*), 6) <= 0.9 THEN 1 ELSE 0 END
+         |    AS kept
+         |FROM u GROUP BY col_name
+         |""".stripMargin))
+
   // ---- §2.4 NormPearson: correlation over z-scored, mean-imputed values ----
 
   private val normPearson: Q = Q(
@@ -115,6 +203,8 @@ object QueriesWeighted {
 
   val all: Map[String, Q] = Map(
     "q_weighted_woe" -> weightedWoe,
+    "q_weighted_iv_ks" -> weightedIvKs,
+    "q_varsel_missing" -> varselMissing,
     "q_norm_pearson" -> normPearson,
     "q_tpch_q1"      -> tpchQ1,
   )
