@@ -71,6 +71,46 @@ object QueriesText {
          |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5
          |""".stripMargin))
 
+  // ---- dedup applied: survivors after near-dup removal ---------------------
+
+  /** The consumer side of MinHash-LSH dedup: every doc named as the GREATER
+    * member of a candidate pair is dropped (keep-first-id policy), via
+    * anti-join — the corpus-scrub a training-data pipeline actually runs.
+    * Note this is single-hop removal (b of (a,b) goes away even if a is
+    * itself removed by an earlier pair) — the deterministic one-pass policy;
+    * full transitive clustering needs iterated connected components. */
+  private val dedupApply: Q = Q(
+    fn = (s, dir) => {
+      val docsDf = docs(s, dir)
+      val pairs = TextOps.lshPairs(TextOps.minhash(docsDf))
+      val dups = pairs.select(org.apache.spark.sql.functions.col("doc_b"))
+        .distinct()
+      docsDf.join(dups,
+          docsDf("doc_id") === dups("doc_b"), "left_anti")
+        .groupBy("source")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_kept"))
+    },
+    oracle = Some(
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id,
+         |${minhashSelect(8)}
+         |FROM s),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |         md5(m_0 || m_1 || m_2 || m_3) AS band_hash FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(m_4 || m_5 || m_6 || m_7) FROM sig),
+         |dups AS (SELECT DISTINCT b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id)
+         |SELECT source, count(*) AS n_kept
+         |FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_b = d.doc_id)
+         |GROUP BY source
+         |""".stripMargin))
+
   // ---- SimHash fingerprints ------------------------------------------------
 
   private val simhashBits = 16
@@ -151,6 +191,7 @@ object QueriesText {
   val all: Map[String, Q] = Map(
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,
+    "q_dedup_apply"   -> dedupApply,
     "q_ngram_jaccard" -> jaccard,
     "q_simhash"       -> simhash,
     "q_lang_id"       -> langId,
