@@ -126,6 +126,55 @@ object QueriesNorm {
          |FROM b JOIN qw USING (bin_id) CROSS JOIN ms
          |""".stripMargin))
 
+  // ---- HYBRID + ASIS_WOE: per-kind dispatch in one select ------------------
+
+  /** HYBRID (cat→woe, num→zscore, `Normalizer.java:245-247`) and ASIS_WOE's
+    * numeric branch (passthrough with missing→mean) — the per-column-kind
+    * dispatch of `Normalize.forProfile` exercised against SQL. The masked
+    * quantity column exercises missing→mean on exact integer sums. */
+  private val normHybrid: Q = Q(
+    fn = (s, dir) => {
+      val d0 = li(s, dir)
+      val key = concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string"))
+      val masked = when(substring(md5(key.cast("binary")), 1, 1) === "0",
+        lit(null)).otherwise(col("l_quantity"))
+      val d = d0.withColumn("qm", masked)
+      val cat = StatsPipeline.profileCategorical(d, Seq("l_returnflag"), isPos)
+      val st = StatsPipeline.numericStats(d, Seq("qm"))("qm")
+      val p = cat("l_returnflag")
+      d.select(col("l_orderkey"), col("l_linenumber"),
+        round(Normalize.woeCategorical(col("l_returnflag"),
+          p.binning.binCategory, p.binning.binCountWoe), 6).as("h_cat"),
+        round(Normalize.zscore(col("qm"), st.mean, st.stdDev), 6).as("h_num"),
+        round(Normalize.asIs(col("qm"), st.mean), 6).as("asis_num"))
+    },
+    oracle = Some(
+      s"""WITH mk AS (
+         |  SELECT l_orderkey, l_linenumber, l_returnflag,
+         |    CASE WHEN substr(md5(cast(l_orderkey AS VARCHAR) || '|'
+         |      || cast(l_linenumber AS VARCHAR)), 1, 1) = '0'
+         |    THEN NULL ELSE l_quantity END AS qm,
+         |    CASE WHEN $posCond THEN 1 ELSE 0 END AS pos
+         |  FROM lineitem),
+         |tot AS (SELECT sum(pos)::DOUBLE AS sp,
+         |          (count(*) - sum(pos))::DOUBLE AS sn FROM mk),
+         |cw AS (SELECT l_returnflag,
+         |         ln((sum(pos) / sp + 1e-10)
+         |            / ((count(*) - sum(pos)) / sn + 1e-10)) AS woe
+         |       FROM mk, tot GROUP BY l_returnflag, sp, sn),
+         |a AS (SELECT count(qm) AS cnt, sum(qm) AS s1,
+         |        sum(qm * qm) AS s2 FROM mk)
+         |SELECT l_orderkey, l_linenumber,
+         |  round(cw.woe, 6) AS h_cat,
+         |  round(CASE WHEN qm IS NULL THEN 0.0 ELSE
+         |    least(greatest((qm - s1 / cnt)
+         |      / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), -6.0), 6.0) END, 6)
+         |    AS h_num,
+         |  round(coalesce(qm, s1 / cnt), 6) AS asis_num
+         |FROM mk JOIN cw USING (l_returnflag) CROSS JOIN a
+         |""".stripMargin))
+
   // ---- category → ordinal index (ZSCALE_INDEX family) ----------------------
 
   private val normIndex: Q = Q(
@@ -204,6 +253,7 @@ object QueriesNorm {
   val all: Map[String, Q] = Map(
     "q_norm_woe"     -> normWoe,
     "q_norm_woe_z"   -> normWoeZ,
+    "q_norm_hybrid"  -> normHybrid,
     "q_norm_onehot"  -> normOnehot,
     "q_norm_index"   -> normIndex,
     "q_missing_bin"  -> missingBin,

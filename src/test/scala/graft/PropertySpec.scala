@@ -103,6 +103,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("weightedEqualBounds equals brute-force cumulative thresholds") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(for {
+      v <- Gen.choose(0, 20)
+      w <- Gen.choose(1, 9)
+    } yield (v.toDouble, w))
+    samples(gen, 5).foreach { rows =>
+      val k = 4
+      val got = graft.ops.Binning.weightedEqualBounds(
+        rows.toDF("v", "w").repartition(3), "v", col("w"), k)
+      // brute force: distinct values ascending, running weight, min v per j
+      val byV = rows.groupBy(_._1).view.mapValues(_.map(_._2.toLong).sum)
+        .toSeq.sortBy(_._1)
+      val tot = byV.map(_._2).sum
+      val want = (1 until k).flatMap { j =>
+        var cum = 0L
+        byV.collectFirst {
+          case (v, w) if { cum += w; cum * k >= j * tot } => (j, v)
+        }
+      }
+      assert(got === want, s"rows=$rows")
+    }
+  }
+
   test("jexl filter matches native Column filter for arbitrary thresholds") {
     val spark = TestSpark.spark
     import spark.implicits._
