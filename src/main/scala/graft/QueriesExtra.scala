@@ -30,7 +30,9 @@ object QueriesExtra {
           .as("l_quantity"),
         col("l_returnflag"))
       val tmp = s"/tmp/graft_csv_${java.util.UUID.randomUUID()}"
-      Delimited.write(masked, tmp, "|", gzip = true)
+      // spread before writing: gzip is unsplittable, so file count is both
+      // the compression parallelism AND the read-back parallelism
+      Delimited.write(masked.repartition(16), tmp, "|", gzip = true)
       val back = Delimited.read(s, tmp,
         "|", Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
       back.agg(
@@ -70,7 +72,8 @@ object QueriesExtra {
           col("l_quantity").cast("string"), col("l_returnflag")),
         when(corrupt, lit("|EXTRA")).otherwise(lit("")))
       val tmp = s"/tmp/graft_guard_${java.util.UUID.randomUUID()}"
-      li(s, dir).select(line.as("value")).write.mode("overwrite").text(tmp)
+      li(s, dir).select(line.as("value")).repartition(16)
+        .write.mode("overwrite").text(tmp)
       // no Observation here: the query result is consumed lazily by the
       // driver, and an un-awaited Observation stays registered on the
       // shared session — its ObservationManager then poisons later task
