@@ -50,6 +50,34 @@ object Score {
       round(median * scale, 3).as("score_median"))
   }
 
+  /** Model export/import (reference `shifu export` verb,
+    * `ShifuCLI.java:818-866`; spec-file model persistence): linear models
+    * round-trip through a plain JSON spec so another process (or the eval
+    * step of a later round) can reload and score identically — the exact
+    * doubles survive via Double.toString/parseDouble round-trip. */
+  def exportJson(models: Seq[LinearModel]): String = {
+    def one(m: LinearModel): String = {
+      val ws = m.weights.map { case (c, w) => s"""{"col":"$c","w":$w}""" }
+        .mkString("[", ",", "]")
+      s"""{"weights":$ws,"bias":${m.bias}}"""
+    }
+    models.map(one).mkString("[", ",", "]")
+  }
+
+  def importJson(json: String): Seq[LinearModel] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    (0 until root.size()).map { i =>
+      val m = root.get(i)
+      val ws = m.get("weights")
+      val weights = (0 until ws.size()).map { j =>
+        val w = ws.get(j)
+        (w.get("col").asText(), w.get("w").asDouble())
+      }
+      LinearModel(weights, m.get("bias").asDouble())
+    }
+  }
+
   /** Literal decision-tree node for tree-path encoding (reference
     * `udf/EncodeDataUDF.java:84-130`, `IndependentTreeModel.encode`). */
   sealed trait TreeNode

@@ -97,6 +97,21 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(m("total_cnt") === 5L)
   }
 
+  test("linear model export/import round-trips exactly and scores equal") {
+    import spark.implicits._
+    val models = Seq(
+      graft.score.Score.LinearModel(
+        Seq("a" -> 0.12345678901234567, "b" -> -3.5e-7), 0.25),
+      graft.score.Score.LinearModel(Seq("a" -> 1.5, "b" -> 2.5), -1.0))
+    val back = graft.score.Score.importJson(
+      graft.score.Score.exportJson(models))
+    assert(back === models)
+    val d = Seq((1.0, 2.0), (-0.5, 3.5)).toDF("a", "b")
+    val s1 = d.select(models.head.score.as("s")).collect().map(_.getDouble(0))
+    val s2 = d.select(back.head.score.as("s")).collect().map(_.getDouble(0))
+    assert(s1.toSeq === s2.toSeq)
+  }
+
   test("nearDupPairs finds planted near-duplicates") {
     import spark.implicits._
     val dim = 64
