@@ -54,6 +54,33 @@ object QueriesExtra {
         |FROM m
         |""".stripMargin))
 
+  // ---- JSONL source round trip (training-data staple format) ---------------
+
+  /** JSON-lines, the de-facto LLM-corpus interchange format (beyond the
+    * reference's delimited-text/parquet surface): write the documents table
+    * as JSONL, read it back through Spark's json source with an explicit
+    * schema, and aggregate — losslessness (incl. text escaping) is checked
+    * against the ORIGINAL table by the oracle. */
+  private val jsonlRoundtrip: Q = Q(
+    fn = (s, dir) => {
+      val d = QueryUtil.docs(s, dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = s"/tmp/graft_jsonl_${java.util.UUID.randomUUID()}"
+      d.repartition(8).write.mode("overwrite").json(tmp)
+      val back = s.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(tmp)
+      back.groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"),
+          count_distinct(col("text")).as("n_texts"))
+    },
+    oracle = Some(
+      """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars,
+        |  count(DISTINCT text) AS n_texts
+        |FROM documents GROUP BY lang
+        |""".stripMargin))
+
   // ---- §2.2 malformed-row guard + observe() counters -----------------------
 
   /** ~12.5% of rows get an extra trailing field in a text extract; the
@@ -248,6 +275,7 @@ object QueriesExtra {
     "q_stream_psi"        -> streamPsi,
     "q_munropat_bins"  -> munroPatBins,
     "q_csv_roundtrip"  -> csvRoundtrip,
+    "q_jsonl_roundtrip" -> jsonlRoundtrip,
     "q_malformed"      -> malformedGuard,
     "q_equal_pop_bins" -> equalPopBins,
     "q_spdt_bins"      -> spdtBins,
