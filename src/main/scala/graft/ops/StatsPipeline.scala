@@ -65,6 +65,7 @@ object StatsPipeline {
     * KS/IV/WoE. Returns catalog profiles keyed by column. */
   def profileNumeric(df: DataFrame, cols: Seq[String], isPos: Column,
                      k: Int = 10): Map[String, ColumnProfile] = {
+    if (cols.isEmpty) return Map.empty
     val stats = numericStats(df, cols)
     val bounds = cols.map { c =>
       val s = stats(c)
@@ -108,6 +109,7 @@ object StatsPipeline {
   def profileCategorical(df: DataFrame, cols: Seq[String], isPos: Column,
                          maxCategories: Int = 10000)
       : Map[String, ColumnProfile] = {
+    if (cols.isEmpty) return Map.empty
     val pairs = cols.map(c => struct(lit(c).as("col_name"),
       col(c).cast("string").as("v")))
     val grouped = df

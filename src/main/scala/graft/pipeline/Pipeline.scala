@@ -82,12 +82,39 @@ object Pipeline {
     t.auc
   }
 
+  /** `init -autotype`: decide numeric vs categorical per candidate column
+    * (reference `InitModelProcessor.java:105-210` thresholds via
+    * [[graft.ops.AutoType]]) — returns (numericCols, categoricalCols) in
+    * the candidates' order. */
+  def autoColumns(df: DataFrame, candidates: Seq[String],
+                  approxDistinct: Boolean = false): (Seq[String], Seq[String]) = {
+    val kinds = graft.ops.AutoType.profile(df, candidates, approxDistinct)
+      .select("col_name", "col_kind").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (candidates.filter(kinds(_) == "N"), candidates.filter(kinds(_) == "C"))
+  }
+
+  /** Lifecycle with auto-typing: columns split by [[autoColumns]] first. */
+  def autoRun(df: DataFrame, spec: DataSpec, candidates: Seq[String],
+              topN: Int = 5, normType: NormType = NormType.ZScale,
+              catalogPath: Option[String] = None): Result = {
+    val clean = init(df, spec)
+    val (num, cat) = autoColumns(clean, candidates)
+    runOn(clean, spec, num, cat, topN, normType, catalogPath)
+  }
+
   /** The whole lifecycle; catalog persisted when `catalogPath` is given. */
   def run(df: DataFrame, spec: DataSpec, numericCols: Seq[String],
           categoricalCols: Seq[String], topN: Int = 5,
           normType: NormType = NormType.ZScale,
-          catalogPath: Option[String] = None): Result = {
-    val clean = init(df, spec)
+          catalogPath: Option[String] = None): Result =
+    runOn(init(df, spec), spec, numericCols, categoricalCols, topN,
+      normType, catalogPath)
+
+  private def runOn(clean: DataFrame, spec: DataSpec,
+          numericCols: Seq[String], categoricalCols: Seq[String],
+          topN: Int, normType: NormType,
+          catalogPath: Option[String]): Result = {
     val catalog0 = stats(clean, spec, numericCols, categoricalCols)
     val catalog = varsel(catalog0, topN)
     catalogPath.foreach(p => CatalogIO.write(p, catalog))

@@ -39,4 +39,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.map(_.columnName) === res.catalog.map(_.columnName))
     assert(back.count(_.finalSelect) === 3)
   }
+
+  test("autoRun types candidates and completes the lifecycle") {
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val spec = DataSpec(targetColumn = "l_returnflag",
+      posTags = Set("R"), negTags = Set("A", "N"))
+    // binary l_linestatus (2 distincts) → "N" per the reference's
+    // binary-variable detection (InitModelProcessor.java:194); 3-level
+    // non-numeric l_returnflag → "C"
+    val (num, cat) = Pipeline.autoColumns(df,
+      Seq("l_quantity", "l_discount", "l_returnflag"))
+    assert(num.toSet === Set("l_quantity", "l_discount"))
+    assert(cat === Seq("l_returnflag"))
+    val (numB, _) = Pipeline.autoColumns(df, Seq("l_linestatus"))
+    assert(numB === Seq("l_linestatus")) // binary → numeric-kind
+    val res = Pipeline.autoRun(df, spec,
+      Seq("l_quantity", "l_discount"), topN = 2)
+    assert(res.catalog.length === 2)
+    assert(res.selected.length === 2)
+    assert(res.auc >= 0.0 && res.auc <= 1.0)
+  }
 }
