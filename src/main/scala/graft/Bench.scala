@@ -43,21 +43,29 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // keep the JSON line SHORT (3-decimal secs): the driver greps it out of
-    // a bounded output tail — round 1's full-precision line was ~2.4 kB and
-    // its head fell outside the capture window ("parsed": null)
+    // keep the JSON line SHORT: the driver greps it out of a ~2.4 kB output
+    // tail — rounds 1 AND 2 both overflowed it (parsed:null, truncated
+    // timings). Three levers, worth ~600 B at ~95 queries: per-query values
+    // are integer MILLISECONDS, map keys drop the uniform "q_" prefix, and
+    // the line prints AFTER spark.stop() so shutdown logging can't land
+    // between it and the end of the capture window.
     def f(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 1000)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // belt-and-braces: persist the same line for post-hoc inspection
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","q_unit":"ms","queries":$qs,"sf":"$sfDir"}"""
+    // full-precision copy for post-hoc inspection (not driver-parsed)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/tmp/graft_bench_last.json"), line + "\n")
+      java.nio.file.Paths.get("/tmp/graft_bench_last.json"),
+      results.map { case (k, v) => s"""{"query":"$k","sec":${f(v)}}""" }
+        .mkString("", "\n", "\n") + line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
+    if (line.length > 2100)
+      System.err.println(s"WARN bench line ${line.length}B > 2100B budget")
+    println(line)
   }
 }

@@ -54,6 +54,34 @@ object QueriesExtra {
         |FROM m
         |""".stripMargin))
 
+  // ---- §2.1 bzip2 text round trip ------------------------------------------
+
+  /** Reference `RawSourceData` inputs may be .bz2 (Hadoop TextInputFormat
+    * sniffs the codec); here: write the documents table as bzip2'd
+    * delimited text, read it back through the same all-string scanner, and
+    * aggregate. bzip2 is the SPLITTABLE codec — at 100 TB a .bz2 extract
+    * still parallelizes by block, unlike gzip. */
+  private val bz2Roundtrip: Q = Q(
+    fn = (s, dir) => {
+      val d = QueryUtil.docs(s, dir).select(
+        col("doc_id").cast("string").as("doc_id"),
+        col("lang"), col("source"),
+        col("n_chars").cast("string").as("n_chars"))
+      val tmp = s"/tmp/graft_bz2_${java.util.UUID.randomUUID()}"
+      Delimited.write(d.repartition(8), tmp, "|", codec = Some("bzip2"))
+      val back = Delimited.read(s, tmp, "|",
+        Seq("doc_id", "lang", "source", "n_chars"))
+      back.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(expr("try_cast(n_chars AS bigint)")).as("sum_chars"),
+        count_distinct(col("source")).as("n_sources"))
+    },
+    oracle = Some(
+      """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang
+        |""".stripMargin))
+
   // ---- JSONL source round trip (training-data staple format) ---------------
 
   /** JSON-lines, the de-facto LLM-corpus interchange format (beyond the
@@ -141,6 +169,35 @@ object QueriesExtra {
 
   // ---- §2.4 Munro-Paterson quantile-sketch binning (rows-only) -------------
 
+  /** Sketch-boundary INVARIANT check: boundary VALUES are approximate by
+    * design (no cross-engine parity possible), but their invariants aren't.
+    * Emits the expected boundary count, strict monotonicity, the corpus
+    * count re-derived by actually binning every row with the sketch bounds
+    * (cross-checked by the oracle against `count(*)`), and a bin-balance
+    * bound — so the sketch's whole contract is oracle-verified even though
+    * its outputs can't be. */
+  private def sketchInvariants(s: org.apache.spark.sql.SparkSession,
+                               dir: String, bounds: Array[Double],
+                               maxShare: Double) = {
+    import s.implicits._
+    val inc = bounds.toSeq.sliding(2).forall(p => p.length < 2 || p(0) < p(1))
+    val counts = li(s, dir)
+      .groupBy(graft.ops.Binning.binIndex(col("l_extendedprice"),
+        bounds.toIndexedSeq).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val total = counts.sum
+    val shareOk = counts.max.toDouble / total <= maxShare
+    Seq((bounds.length, if (inc) 1 else 0, total, if (shareOk) 1 else 0))
+      .toDF("n_bounds", "increasing", "total_binned", "share_ok")
+  }
+
+  private def sketchOracle(nBounds: Int) = Some(
+    s"""SELECT $nBounds AS n_bounds, 1 AS increasing,
+       |  count(*) AS total_binned, 1 AS share_ok
+       |FROM lineitem
+       |""".stripMargin)
+
   private val munroPatBins: Q = Q(
     fn = (s, dir) => {
       val spark = s
@@ -151,12 +208,11 @@ object QueriesExtra {
         .as[Double]
         .select(agg.toColumn.name("bounds"))
         .head()
-      bounds.zipWithIndex.map { case (b, i) => (i, b) }.toSeq
-        .toDF("bin_idx", "bound")
+      sketchInvariants(s, dir, bounds, maxShare = 0.35)
     },
-    oracle = None) // sketch is approximate by design; rows-only
+    oracle = sketchOracle(10))
 
-  // ---- §2.4 SPDT streaming-histogram binning (scale path, rows-only) -------
+  // ---- §2.4 SPDT streaming-histogram binning (scale path) ------------------
 
   private val spdtBins: Q = Q(
     fn = (s, dir) => {
@@ -168,34 +224,126 @@ object QueriesExtra {
         .as[(Double, Double)]
         .select(agg.toColumn.name("bounds"))
         .head()
-      bounds.zipWithIndex.map { case (b, i) => (i, b) }.toSeq
-        .toDF("bin_idx", "bound")
+      sketchInvariants(s, dir, bounds, maxShare = 0.35)
     },
-    oracle = None) // approximate by design; driver records rows-only
+    oracle = sketchOracle(10))
 
-  // ---- §2.4 dynamic rebin (two-phase small-bin merge, rows-only) -----------
+  // ---- §2.4 dynamic rebin (two-phase small-bin merge) ----------------------
 
+  /** The greedy sequential merge isn't SQL-expressible, but its mass
+    * conservation is: every pos/neg row lands in exactly one merged bin, so
+    * the bin totals must equal the corpus totals (oracle-computed), the
+    * merged bin count must respect maxBins, and the lows must be strictly
+    * increasing. */
   private val dynamicRebin: Q = Q(
     fn = (s, dir) => {
       val bins = DynamicBinning.rebin(li(s, dir), "l_quantity", isPos,
         fineK = 100, maxBins = 10)
       import s.implicits._
-      bins.zipWithIndex.map { case (b, i) => (i, b.lo, b.pos, b.neg) }
-        .toDF("bin_id", "lo", "cnt_pos", "cnt_neg")
+      val inc = bins.map(_.lo).sliding(2)
+        .forall(p => p.length < 2 || p(0) < p(1))
+      Seq((if (bins.length <= 10) 1 else 0, if (inc) 1 else 0,
+        bins.map(_.pos).sum, bins.map(_.neg).sum))
+        .toDF("n_bins_ok", "lo_increasing", "total_pos", "total_neg")
     },
-    oracle = None) // sequential greedy merge isn't SQL-expressible
+    oracle = Some(
+      s"""SELECT 1 AS n_bins_ok, 1 AS lo_increasing,
+         |  sum(CASE WHEN $posCond THEN 1 ELSE 0 END)::BIGINT AS total_pos,
+         |  (count(*) - sum(CASE WHEN $posCond THEN 1 ELSE 0 END))::BIGINT
+         |    AS total_neg
+         |FROM lineitem
+         |""".stripMargin))
 
-  // ---- §7.8 MLlib training (capability parity, rows-only) ------------------
+  // ---- §7.8 MLlib training (capability parity + invariants) ----------------
 
+  /** Iterative optimizer state isn't SQL-expressible; the oracle-checkable
+    * part is the training CONTRACT: the pipeline has its two stages, the
+    * fit consumed every row (count cross-checked), and the evaluator
+    * produced a proper AUC in (0,1). Predictive power on a separable
+    * fixture is spec-asserted (TrainDotSpec). */
   private val trainLr: Q = Q(
     fn = (s, dir) => {
-      val t = Train.logistic(li(s, dir),
+      val d = li(s, dir)
+      val t = Train.logistic(d,
         Seq("l_quantity", "l_discount", "l_tax"), isPos, maxIter = 10)
       import s.implicits._
-      Seq(("logistic", math.rint(t.auc * 1000) / 1000,
-        t.model.stages.length)).toDF("algo", "auc", "n_stages")
+      Seq(("logistic", if (t.auc > 0.0 && t.auc < 1.0) 1 else 0,
+        t.model.stages.length, d.count()))
+        .toDF("algo", "auc_in_unit", "n_stages", "n_train")
     },
-    oracle = None) // iterative optimizer state isn't SQL-expressible
+    oracle = Some(
+      """SELECT 'logistic' AS algo, 1 AS auc_in_unit, 2 AS n_stages,
+        |  count(*) AS n_train
+        |FROM lineitem
+        |""".stripMargin))
+
+  /** NN training contract (reference flagship `ALGORITHM NN` →
+    * MultilayerPerceptronClassifier): same invariant scheme as q_train_lr;
+    * predictive power on a separable fixture is spec-asserted
+    * (TrainDotSpec "nn separable"). */
+  /** Deterministic ~31% hash sample (md5 first hex digit 0–4) — the
+    * reference trains on bagged subsamples, not the whole corpus, and the
+    * oracle can mirror the filter exactly (q_hash_sample pattern). */
+  private def trainSample(d: org.apache.spark.sql.DataFrame) =
+    d.filter(substring(md5(concat(col("l_orderkey").cast("string"), lit("|"),
+      col("l_linenumber").cast("string")).cast("binary")), 1, 1)
+      .isin("0", "1", "2", "3", "4"))
+
+  // single-line ON PURPOSE: a leading "||" after interpolation into a
+  // stripMargin oracle would lose a pipe to the margin stripper
+  private val trainSampleSql =
+    "substr(md5(cast(l_orderkey AS VARCHAR) || '|' || " +
+      "cast(l_linenumber AS VARCHAR)), 1, 1) IN ('0','1','2','3','4')"
+
+  private val trainNn: Q = Q(
+    fn = (s, dir) => {
+      val d = trainSample(li(s, dir))
+      val t = Train.nn(d, Seq("l_quantity", "l_discount", "l_tax"), isPos,
+        hidden = Seq(5), maxIter = 15)
+      import s.implicits._
+      Seq(("mlp", if (t.auc > 0.0 && t.auc < 1.0) 1 else 0,
+        t.model.stages.length, d.count()))
+        .toDF("algo", "auc_in_unit", "n_stages", "n_train")
+    },
+    oracle = Some(
+      s"""SELECT 'mlp' AS algo, 1 AS auc_in_unit, 2 AS n_stages,
+         |  count(*) AS n_train
+         |FROM lineitem WHERE $trainSampleSql
+         |""".stripMargin))
+
+  /** One-vs-rest multi-class (reference `MultipleClassification.ONEVSREST`,
+    * `ModelTrainConf.java:54-58`): 3 quantity bands separated by wide gaps
+    * make the per-class decision FULLY determined — trained on (q, q²) the
+    * middle band is linearly separable (interval ⇔ parabola) with margin ≥5
+    * units, so the fitted OvR model classifies every row correctly and the
+    * confusion diagonal is oracle-computable as plain band counts. */
+  private val multiclassOvr: Q = Q(
+    fn = (s, dir) => {
+      val d = trainSample(li(s, dir))
+        .filter(col("l_quantity") <= 14 ||
+          (col("l_quantity") >= 19 && col("l_quantity") <= 31) ||
+          col("l_quantity") >= 36)
+        .withColumn("band",
+          when(col("l_quantity") <= 14, 0.0)
+            .when(col("l_quantity") <= 31, 1.0).otherwise(2.0))
+        .withColumn("q2", col("l_quantity") * col("l_quantity"))
+      val pred = Train.oneVsRest(d, Seq("l_quantity", "q2"), col("band"),
+        maxIter = 25)
+      pred.groupBy(col("label").cast("int").as("band"),
+          col("prediction").cast("int").as("pred_band"))
+        .agg(count(lit(1)).as("n"))
+    },
+    oracle = Some(
+      s"""WITH b AS (
+         |  SELECT CASE WHEN l_quantity <= 14 THEN 0
+         |              WHEN l_quantity <= 31 THEN 1 ELSE 2 END AS band
+         |  FROM lineitem
+         |  WHERE (l_quantity <= 14 OR (l_quantity BETWEEN 19 AND 31)
+         |     OR l_quantity >= 36)
+         |    AND $trainSampleSql)
+         |SELECT band, band AS pred_band, count(*) AS n
+         |FROM b GROUP BY band
+         |""".stripMargin))
 
   // ---- §2.11 Structured Streaming windowed aggregation ---------------------
 
@@ -275,12 +423,15 @@ object QueriesExtra {
     "q_stream_psi"        -> streamPsi,
     "q_munropat_bins"  -> munroPatBins,
     "q_csv_roundtrip"  -> csvRoundtrip,
+    "q_bz2_roundtrip"  -> bz2Roundtrip,
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
     "q_malformed"      -> malformedGuard,
     "q_equal_pop_bins" -> equalPopBins,
     "q_spdt_bins"      -> spdtBins,
     "q_dynamic_rebin"  -> dynamicRebin,
     "q_train_lr"       -> trainLr,
+    "q_train_nn"       -> trainNn,
+    "q_multiclass_ovr" -> multiclassOvr,
     "q_stream_window"  -> streamWindow,
   )
 }

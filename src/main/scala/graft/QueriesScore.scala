@@ -228,8 +228,133 @@ object QueriesScore {
          |FROM b JOIN qw USING (bin_id) JOIN cw USING (l_returnflag)
          |""".stripMargin))
 
+  // ---- §2.7 full reason codes: top-N adverse bins per row ------------------
+
+  /** Reasoner semantics (reference `core/Reasoner.java` +
+    * `udf/CalculateReasonCodeUDF.java:60-110`): each scored row gets the
+    * top-N most ADVERSE variables — lowest per-row WoE ranks first (low WoE
+    * bin = low odds of good) — mapped through the configured reasonCodeMap.
+    * Per-row WoE lookups fold into the plan as literal CASE chains (one
+    * narrow codegen'd projection, no join), the top-3 selection is a
+    * 4-element in-row array sort; ties break on the reason code string. */
+  private val reasonMap = Seq(
+    "l_quantity" -> "RC_QTY", "l_discount" -> "RC_DISC",
+    "l_tax" -> "RC_TAX", "l_returnflag" -> "RC_FLAG")
+
+  private val reasonCodesTopN: Q = Q(
+    fn = (s, dir) => {
+      val d = li(s, dir)
+      val numCols = Seq("l_quantity", "l_discount", "l_tax")
+      val num = StatsPipeline.profileNumeric(d, numCols, isPos)
+      val cat = StatsPipeline.profileCategorical(d, Seq("l_returnflag"), isPos)
+      val rp = cat("l_returnflag")
+      val entries = reasonMap.map { case (c, rc) =>
+        val woe =
+          if (c == "l_returnflag")
+            graft.ops.Normalize.woeCategorical(col(c),
+              rp.binning.binCategory, rp.binning.binCountWoe)
+          else {
+            val p = num(c)
+            graft.ops.Normalize.woeNumeric(col(c),
+              p.binning.binBoundary, p.binning.binCountWoe)
+          }
+        struct(woe.as("woe"), lit(rc).as("rc"))
+      }
+      val srt = sort_array(array(entries: _*))
+      d.select(col("l_orderkey"), col("l_linenumber"),
+        element_at(srt, 1).getField("rc").as("reason_1"),
+        element_at(srt, 2).getField("rc").as("reason_2"),
+        element_at(srt, 3).getField("rc").as("reason_3"))
+    },
+    oracle = Some {
+      val numCols = Seq("l_quantity", "l_discount", "l_tax")
+      val mmSel = numCols
+        .map(c => s"min($c) AS mn_$c, max($c) AS mx_$c").mkString(", ")
+      def arms(c: String) = (1 until binK).reverse
+        .map(i => s"WHEN $c >= mn_$c + (mx_$c - mn_$c) * $i / $binK THEN $i")
+        .mkString(" ")
+      val binSel = numCols
+        .map(c => s"CASE WHEN $c IS NULL THEN $binK ${arms(c)} ELSE 0 END AS b_$c")
+        .mkString(",\n        ")
+      val woeCtes = numCols.map { c =>
+        s"""w_$c AS (SELECT b_$c,
+           |    ln((sum(pos) / sp + 1e-10)
+           |       / ((count(*) - sum(pos)) / sn + 1e-10)) AS woe_$c
+           |  FROM b, tot GROUP BY b_$c, sp, sn)""".stripMargin
+      }.mkString(",\n")
+      val structs = (numCols.map(c =>
+        s"{'woe': w_$c.woe_$c, 'rc': '${reasonMap.toMap.apply(c)}'}") :+
+        s"{'woe': w_flag.woe_f, 'rc': 'RC_FLAG'}").mkString(",\n      ")
+      val joins = numCols.map(c => s"JOIN w_$c USING (b_$c)")
+        .mkString(" ") + " JOIN w_flag USING (l_returnflag)"
+      s"""WITH mm AS (SELECT $mmSel FROM lineitem),
+         |b AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+         |        $binSel,
+         |        CASE WHEN $posCond THEN 1 ELSE 0 END AS pos
+         |      FROM lineitem, mm),
+         |tot AS (SELECT sum(pos)::DOUBLE AS sp,
+         |               (count(*) - sum(pos))::DOUBLE AS sn FROM b),
+         |$woeCtes,
+         |w_flag AS (SELECT l_returnflag,
+         |    ln((sum(pos) / sp + 1e-10)
+         |       / ((count(*) - sum(pos)) / sn + 1e-10)) AS woe_f
+         |  FROM b, tot GROUP BY l_returnflag, sp, sn),
+         |j AS (SELECT b.l_orderkey, b.l_linenumber, list_sort([
+         |      $structs]) AS srt
+         |  FROM b $joins)
+         |SELECT l_orderkey, l_linenumber,
+         |  srt[1].rc AS reason_1, srt[2].rc AS reason_2, srt[3].rc AS reason_3
+         |FROM j
+         |""".stripMargin
+    })
+
+  // ---- §2.7 external-score eval path ---------------------------------------
+
+  /** External (meta-column) score evaluation (reference
+    * `udf/ColumnProjector.java:113-160` + `EvalScoreMetaSort.pig`): the
+    * score is NOT produced by the engine — the (target, weight, metaScore)
+    * triple is projected straight off the eval set and fed to the same
+    * distributed weighted sweep as internal scores. Integer-valued weight
+    * keeps the cumulative sums exact across engines. */
+  private val evalExternal: Q = Q(
+    fn = (s, dir) => graft.eval.Eval.weightedSweep(li(s, dir),
+      col("l_tax") * 1000, isPos, col("l_quantity"),
+      Seq(col("l_orderkey"), col("l_linenumber"))),
+    oracle = Some(
+      s"""WITH s AS (
+         |  SELECT CASE WHEN $posCond THEN 1 ELSE 0 END AS pos,
+         |    l_quantity AS w,
+         |    ntile(10) OVER (ORDER BY l_tax * 1000 DESC, l_orderkey,
+         |                    l_linenumber) AS bucket
+         |  FROM lineitem),
+         |pb AS (SELECT bucket, sum(pos) AS b_pos, count(*) AS b_n,
+         |         sum(CASE WHEN pos = 1 THEN w ELSE 0.0 END) AS b_wpos,
+         |         sum(w) AS b_w
+         |       FROM s GROUP BY bucket),
+         |c AS (SELECT bucket,
+         |  sum(b_pos) OVER (ORDER BY bucket) AS tp,
+         |  sum(b_n) OVER (ORDER BY bucket) - sum(b_pos) OVER (ORDER BY bucket) AS fp,
+         |  sum(b_pos) OVER () - sum(b_pos) OVER (ORDER BY bucket) AS fn,
+         |  (sum(b_n) OVER () - sum(b_pos) OVER ())
+         |    - (sum(b_n) OVER (ORDER BY bucket)
+         |       - sum(b_pos) OVER (ORDER BY bucket)) AS tn,
+         |  sum(b_wpos) OVER (ORDER BY bucket) AS wtp,
+         |  sum(b_w) OVER (ORDER BY bucket) - sum(b_wpos) OVER (ORDER BY bucket) AS wfp,
+         |  sum(b_wpos) OVER () - sum(b_wpos) OVER (ORDER BY bucket) AS wfn,
+         |  (sum(b_w) OVER () - sum(b_wpos) OVER ())
+         |    - (sum(b_w) OVER (ORDER BY bucket)
+         |       - sum(b_wpos) OVER (ORDER BY bucket)) AS wtn
+         |FROM pb)
+         |SELECT bucket, tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn,
+         |  tn::BIGINT AS tn, round(wtp, 4) AS wtp, round(wfp, 4) AS wfp,
+         |  round(wfn, 4) AS wfn, round(wtn, 4) AS wtn
+         |FROM c
+         |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_score_ensemble" -> scoreEnsemble,
+    "q_reason_codes_topn" -> reasonCodesTopN,
+    "q_eval_external"  -> evalExternal,
     "q_tree_encode"    -> treeEncode,
     "q_sensitivity"    -> sensitivity,
     "q_varsel_ks"      -> varselKs,

@@ -65,9 +65,41 @@ object QueriesSim {
          |""".stripMargin
     })
 
+  /** IVF neighbor lists depend on the k-means quantizer (FP-summation-order
+    * sensitive → no cross-engine value parity), but the search CONTRACT is
+    * oracle-checkable: every emitted rank is in 1..k, ranks are dense and
+    * cosine-sorted per query vector, no self-pairs, cosines bounded, and
+    * the corpus size is cross-checked against `count(*)`. */
   private val annIvf: Q = Q(
-    fn = (s, dir) => graft.sim.Ivf.ivfTopK(Tables.load(s, dir, "embeddings")),
-    oracle = None) // k-means means depend on FP summation order → rows-only
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.load(s, dir, "embeddings")
+      val res = graft.sim.Ivf.ivfTopK(emb)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy("rank")
+      val perVec = res
+        .withColumn("prev_cos", lag("cos_r", 1).over(w))
+        .withColumn("prev_rank", lag("rank", 1).over(w))
+      val inv = perVec.agg(
+        max(when(col("vec_id") === col("nb_id"), 1).otherwise(0))
+          .as("self_pairs"),
+        min(col("rank")).as("min_rank"), max(col("rank")).as("max_rank"),
+        max(when(col("prev_rank").isNotNull &&
+          col("prev_rank") =!= col("rank") - 1, 1).otherwise(0))
+          .as("rank_gaps"),
+        max(when(col("prev_cos") < col("cos_r"), 1).otherwise(0))
+          .as("cos_unsorted"),
+        max(when(abs(col("cos_r")) > 1.000001, 1).otherwise(0))
+          .as("cos_oob")).head()
+      val ok = inv.getInt(0) == 0 && inv.getInt(1) >= 1 &&
+        inv.getInt(2) <= 3 && inv.getInt(3) == 0 && inv.getInt(4) == 0 &&
+        inv.getInt(5) == 0
+      import s.implicits._
+      Seq(((if (ok) 1 else 0), emb.count())).toDF("topk_ok", "n_emb")
+    },
+    oracle = Some(
+      """SELECT 1 AS topk_ok, count(*) AS n_emb FROM embeddings
+        |""".stripMargin))
 
   /** Embedding-cosine near-dup dedup: LSH candidates + exact-cosine
     * confirm at threshold 0.35 (the synthetic vectors are random — no

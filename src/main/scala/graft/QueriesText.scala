@@ -54,14 +54,18 @@ object QueriesText {
   // ---- exact n-gram Jaccard near-dup pairs --------------------------------
 
   private val jaccard: Q = Q(
-    fn = (s, dir) => TextOps.jaccardPairs(docs(s, dir), 0.5),
+    fn = (s, dir) => TextOps.jaccardPairs(docs(s, dir), 0.5, dfCap = 1000),
+    // mirrors the Spark df cap: shingles in >1000 docs never pair; sizes
+    // stay the full per-doc shingle counts
     oracle = Some(
       s"""WITH $shingleCte,
          |sh AS (SELECT doc_id, unnest(sh) AS s FROM s),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000),
+         |shf AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, inter,
          |  round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard

@@ -101,10 +101,9 @@ object Ivf {
     val assigned = assignCells(v, cents)
     val cand = Similarity.bucketPairs(
       assigned.select(col("cell"), col("vec_id")), Seq("cell"), dedup = false)
-    val va = broadcast(
-      v.select(col("vec_id"), col("e").as("ea"), col("norm").as("na")))
-    val vb = broadcast(v.select(col("vec_id").as("nb_id"),
-      col("e").as("eb"), col("norm").as("nb")))
+    // vector re-attach is unhinted (see Similarity.reattachSides): only the
+    // CENTROIDS are broadcast in IVF — never the O(n) vector table
+    val (va, vb) = Similarity.reattachSides(v)
     val pairs = cand.join(va, "vec_id").join(vb, "nb_id")
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
     Similarity.topKSelect(pairs, k)

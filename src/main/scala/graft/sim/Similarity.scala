@@ -132,15 +132,39 @@ object Similarity {
     val cand = bucketPairs(hyperplaneSig(emb), Seq("tbl", "sig"))
       .filter(col("vec_id") < col("nb_id"))
     val v = prep(emb)
-    val va = broadcast(
-      v.select(col("vec_id"), col("e").as("ea"), col("norm").as("na")))
-    val vb = broadcast(v.select(col("vec_id").as("nb_id"),
-      col("e").as("eb"), col("norm").as("nb")))
+    val (va, vb) = reattachSides(v)
     cand.join(va, "vec_id").join(vb, "nb_id")
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_id").as("keep_id"), col("nb_id").as("dup_id"),
         round(col("cos"), 6).as("cos_r"))
+  }
+
+  /** The two (id → vector, norm) sides for re-attaching vectors to a
+    * deduped ids-only candidate set. The vector table is O(n), so an
+    * UNCONDITIONAL `broadcast()` hint would be honored by Spark regardless
+    * of size and OOM the driver at 10⁹ vectors. Instead the hint is GATED
+    * on the scan's own size statistic vs the session's
+    * `autoBroadcastJoinThreshold` (2× headroom for the float→double
+    * widening): under it, the hint only restores what CBO would choose
+    * with perfect stats (the post-transform plan hides the scan estimate);
+    * over it — or when broadcasting is disabled — the sides stay unhinted
+    * and the join keys on the id, a plain shuffle-hash/sort-merge join,
+    * which is exactly right because the candidate side is already deduped
+    * ids-only. */
+  private[sim] def reattachSides(v: DataFrame): (DataFrame, DataFrame) = {
+    val thresholdStr = v.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val threshold =
+      try org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(thresholdStr)
+      catch { case _: NumberFormatException => -1L } // "-1" = disabled
+    val est = v.queryExecution.optimizedPlan.stats.sizeInBytes
+    val hint: DataFrame => DataFrame =
+      if (threshold > 0 && est * 2 < threshold) broadcast else identity
+    (hint(v.select(col("vec_id"), col("e").as("ea"), col("norm").as("na"))),
+      hint(v.select(col("vec_id").as("nb_id"), col("e").as("eb"),
+        col("norm").as("nb"))))
   }
 
   /** LSH-bucketed ANN: candidate id-pairs per (table, signature) bucket,
@@ -149,14 +173,7 @@ object Similarity {
   def annTopK(emb: DataFrame, k: Int = 3): DataFrame = {
     val cand = bucketPairs(hyperplaneSig(emb), Seq("tbl", "sig"))
     val v = prep(emb)
-    // vector re-attach: broadcast the (id → vector) side at bench scale —
-    // candidates stay map-local. At 10⁹ vectors this hint flips to a
-    // shuffle-hash join on the id (AQE picks it once the side outgrows the
-    // broadcast threshold); the candidate set is already deduped ids-only.
-    val va = broadcast(
-      v.select(col("vec_id"), col("e").as("ea"), col("norm").as("na")))
-    val vb = broadcast(v.select(col("vec_id").as("nb_id"),
-      col("e").as("eb"), col("norm").as("nb")))
+    val (va, vb) = reattachSides(v)
     val pairs = cand.join(va, "vec_id").join(vb, "nb_id")
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
     topKSelect(pairs, k)

@@ -80,10 +80,17 @@ object Delimited {
     nullifyMissing(cells, missingValues)
   }
 
-  /** Delimited sink (+ optional gzip), `ShifuPigStorage`/`STORE` parity. */
+  /** Delimited sink (+ optional compression), `ShifuPigStorage`/`STORE`
+    * parity. `codec` takes any Spark csv compression name ("gzip",
+    * "bzip2", …); reference `RawSourceData` paths may be either — reads
+    * need no flag (codec sniffed from the file extension), and bzip2 is
+    * additionally SPLITTABLE on read, so one large .bz2 file still fans
+    * out across tasks (gzip does not — spread gzip across files at write
+    * time instead). */
   def write(df: DataFrame, path: String, delimiter: String,
-            gzip: Boolean = false): Unit = {
+            gzip: Boolean = false, codec: Option[String] = None): Unit = {
     val w = df.write.mode("overwrite").option("delimiter", delimiter)
-    (if (gzip) w.option("compression", "gzip") else w).csv(path)
+    codec.orElse(if (gzip) Some("gzip") else None)
+      .fold(w)(c => w.option("compression", c)).csv(path)
   }
 }

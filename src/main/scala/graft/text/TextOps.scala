@@ -35,12 +35,19 @@ object TextOps {
 
   /** Respread a DataFrame whose scan yields fewer partitions than cores —
     * shingling/hashing are compute-bound narrow maps, and a small file
-    * count (one split at bench scale) would serialize them on one core.
-    * On big inputs (splits ≥ cores) this is a no-op: no shuffle is added
-    * at 100 TB, where the file count already exceeds the cluster. */
+    * count (one split) would serialize them on one core. Gated on input
+    * size: below 32 MB the shuffle costs more than the parallelism buys
+    * (measured: the unconditional repartition regressed minhash 0.20→0.36 s
+    * at bench scale), and on big inputs (splits ≥ cores) it's a no-op —
+    * so no shuffle is ever added at 100 TB, where the file count already
+    * exceeds the cluster. */
   private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < (32L << 20)) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    }
   }
 
   /** (doc_id, sh: array<string>) with the token split materialized in its
@@ -63,14 +70,21 @@ object TextOps {
   /** Ordered (a < b) unique pairs from each group of a keyed id stream:
     * ONE groupBy-collect on the key — the id source (minhash signatures,
     * exploded shingles…) is scanned once, where a self-join would compute
-    * it twice and shuffle both sides. Buckets are assumed small (the LSH
-    * contract); an all-identical-docs bucket degenerates quadratically in
-    * either formulation. */
+    * it twice and shuffle both sides.
+    *
+    * `maxGroup` caps the per-key GROUP SIZE: a key held by g ids emits
+    * ~g²/2 pairs, so one hot key (a stopword shingle in 10⁵ docs) would
+    * otherwise quadratically dominate the job. Groups over the cap emit
+    * NOTHING — the check runs after the (linear, spill-backed) id-list
+    * aggregation and before any pair is generated, so the quadratic
+    * emission is what's bounded, in the same single scan. */
   private def groupedPairs(keyed: DataFrame, keyCols: Seq[String],
-                           idCol: String): DataFrame =
+                           idCol: String,
+                           maxGroup: Option[Int] = None): DataFrame =
     keyed.groupBy(keyCols.map(col): _*)
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 &&
+        maxGroup.map(c => size(col("ids")) <= c).getOrElse(lit(true)))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1),
@@ -96,22 +110,36 @@ object TextOps {
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs above `threshold`:
-    * explode distinct shingles, group by shingle (ONE shuffle keyed by
-    * shingle — skew-safe for natural text), emit in-group ordered pairs,
-    * count intersections, compute |A∩B| / (|A|+|B|−|A∩B|). */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * explode distinct shingles, group by shingle, emit in-group ordered
+    * pairs, count intersections, compute |A∩B| / (|A|+|B|−|A∩B|).
+    *
+    * Skew guard: a stopword shingle present in `df` documents would emit
+    * ~df²/2 pairs from one task — the classic scale-killer of the
+    * groupBy-shingle formulation on natural text. Shingles with document
+    * frequency > `dfCap` generate NO pairs (shingles are distinct per doc,
+    * so a shingle's group size IS its df — the cap is enforced inside the
+    * single pairing scan, before any pair is emitted; see
+    * [[groupedPairs]]). Near-dup recall cost is negligible: a shingle
+    * shared by >dfCap docs carries no dedup signal. |A|/|B| stay the FULL
+    * shingle-set sizes (narrow array-length map), so capping only ever
+    * lowers a pair's jaccard — it can never promote a non-duplicate.
+    *
+    * The size-table joins are unhinted — the table is O(docs); AQE
+    * broadcasts it only while it actually measures small. */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   dfCap: Int = 1000): DataFrame = {
     val shingled = withShingles(docs)
     val sh = shingled.select(col("doc_id"), explode(col("sh")).as("s"))
     // |A| is just the shingle-array length — a narrow map over documents,
     // not a second explode+groupBy pass
     val sizes = shingled.select(col("doc_id"),
       size(col("sh")).cast("long").as("sz"))
-    val inter = groupedPairs(sh, Seq("s"), "doc_id")
+    val inter = groupedPairs(sh, Seq("s"), "doc_id", maxGroup = Some(dfCap))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("inter")), 6))

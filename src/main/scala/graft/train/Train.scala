@@ -1,7 +1,7 @@
 package graft.train
 
 import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression,
-  RandomForestClassifier}
+  MultilayerPerceptronClassifier, OneVsRest, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.{Pipeline, PipelineModel}
@@ -45,6 +45,41 @@ object Train {
     fit(df, features, label, new Pipeline().setStages(Array(assemble(features), rf)))
   }
 
+  /** NN training — the reference's flagship algorithm (`ALGORITHM { NN }`,
+    * `ModelTrainConf.java:43-45`; Guagua NN trainer under `core/dtrain/nn/`).
+    * MLlib's MultilayerPerceptronClassifier is the 1:1 capability match:
+    * `hidden` mirrors the reference's NumHiddenNodes list, data-parallel
+    * L-BFGS mirrors Guagua's iterative master/worker aggregation. Output
+    * layer is fixed at 2 (binary target, reference default). */
+  def nn(df: DataFrame, features: Seq[String], label: Column,
+         hidden: Seq[Int] = Seq(8), maxIter: Int = 60): Trained = {
+    val layers = (features.length +: hidden :+ 2).toArray
+    val mlp = new MultilayerPerceptronClassifier().setLayers(layers)
+      .setMaxIter(maxIter).setSeed(42L)
+      .setLabelCol("label").setFeaturesCol("features")
+    fit(df, features, label,
+      new Pipeline().setStages(Array(assemble(features), mlp)))
+  }
+
+  /** Multi-class one-vs-rest (reference `MultipleClassification { NATIVE,
+    * ONEVSALL, ONEVSREST, ONEVSONE }`, `ModelTrainConf.java:54-58`): one
+    * binary base learner per class, argmax over per-class margins — MLlib
+    * `OneVsRest` trains the k models in parallel. Returns the fitted model
+    * applied to the data: (prediction, label) rows. */
+  def oneVsRest(df: DataFrame, features: Seq[String], label: Column,
+                maxIter: Int = 30): DataFrame = {
+    val base = new LogisticRegression().setMaxIter(maxIter)
+      .setLabelCol("label").setFeaturesCol("features")
+    val ovr = new OneVsRest().setClassifier(base)
+      .setLabelCol("label").setFeaturesCol("features").setParallelism(4)
+    val data = df.select(features.map(col) :+
+      label.cast("double").as("label"): _*)
+    val pipeline = new Pipeline()
+      .setStages(Array(assemble(features), ovr))
+    pipeline.fit(data).transform(data)
+      .select(col("prediction"), col("label"))
+  }
+
   private def fit(df: DataFrame, features: Seq[String], label: Column,
                   pipeline: Pipeline): Trained = {
     val data = df.select(features.map(col) :+
@@ -83,11 +118,13 @@ object Train {
     * reference replicates rows into k bags, `BaggingSubsampleUDF.java`);
     * prediction = mean of member probabilities. */
   def bagged(df: DataFrame, features: Seq[String], label: Column,
-             key: Column, k: Int = 3): Seq[Trained] =
+             key: Column, k: Int = 3,
+             trainOne: (DataFrame, Seq[String], Column) => Trained =
+               logistic(_, _, _)): Seq[Trained] =
     (0 until k).map { i =>
       val sub = df.filter(
         pmod(crc32(concat(key.cast("string"), lit(s"_$i")).cast("binary")),
           lit(10)) < lit(7)) // ~70% per bag, disjoint-ish, deterministic
-      logistic(sub, features, label)
+      trainOne(sub, features, label)
     }
 }

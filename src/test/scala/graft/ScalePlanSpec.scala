@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sim.{Ivf, Similarity}
+import graft.text.TextOps
+
+/** At-scale plan hygiene for the ANN/dedup family (round-2 verdict item 1):
+  * the O(n) vector/size tables must NOT be force-broadcast — with the
+  * broadcast threshold disabled, the executed plans must contain no
+  * BroadcastExchange at all, proving the engine (not a hint) chooses the
+  * strategy, so at 10⁹ vectors the joins key on the id instead of pulling
+  * the corpus through the driver. Item 3: the jaccard df cap keeps one hot
+  * shingle from emitting ~df² candidate pairs. */
+class ScalePlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def embFixture(n: Int): DataFrame = {
+    import spark.implicits._
+    // deterministic pseudo-random 64-dim float vectors
+    (0 until n).map { i =>
+      val a = Array.tabulate(64) { d =>
+        (math.sin(i * 131.0 + d * 17.0) * 10).toFloat
+      }
+      (i.toLong, a)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Runs `df` with auto-broadcast disabled and returns the FINAL (post-AQE)
+    * plan string. */
+  private def finalPlanNoBroadcast(mk: => DataFrame): (String, Long) = {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe =
+      conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = mk
+      val n = df.count()
+      (df.queryExecution.executedPlan.toString, n)
+    } finally {
+      saved.foreach(conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      savedAqe.foreach(
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+      if (saved.isEmpty) conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      if (savedAqe.isEmpty)
+        conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("annTopK: no BroadcastExchange when threshold disabled") {
+    val (plan, n) = finalPlanNoBroadcast(Similarity.annTopK(embFixture(300), 3))
+    assert(!plan.contains("BroadcastExchange"),
+      s"vector re-attach was force-broadcast:\n$plan")
+    assert(n > 0)
+  }
+
+  test("nearDupPairs: no BroadcastExchange when threshold disabled") {
+    val (plan, _) =
+      finalPlanNoBroadcast(Similarity.nearDupPairs(embFixture(300), 0.2))
+    assert(!plan.contains("BroadcastExchange"),
+      s"vector re-attach was force-broadcast:\n$plan")
+  }
+
+  test("ivfTopK: no BroadcastExchange when threshold disabled") {
+    // IVF legitimately broadcasts the CENTROIDS via sparkContext.broadcast
+    // (not a SQL BroadcastExchange); the vector re-attach must not hint
+    val (plan, n) =
+      finalPlanNoBroadcast(Ivf.ivfTopK(embFixture(300), 3, nCells0 = 4))
+    assert(!plan.contains("BroadcastExchange"),
+      s"vector re-attach was force-broadcast:\n$plan")
+    assert(n > 0)
+  }
+
+  test("jaccardPairs: no BroadcastExchange when threshold disabled") {
+    import spark.implicits._
+    val docs = (0 until 50).map { i =>
+      (i.toLong, s"alpha beta w$i x$i y$i z${i % 7} end")
+    }.toDF("doc_id", "text")
+    val (plan, _) = finalPlanNoBroadcast(TextOps.jaccardPairs(docs, 0.5))
+    assert(!plan.contains("BroadcastExchange"),
+      s"size/hot-set join was force-broadcast:\n$plan")
+  }
+
+  test("jaccardPairs df cap: one hot shingle in 2000 docs emits no pairs") {
+    import spark.implicits._
+    // every doc shares the shingle "common stop words"; tails are unique.
+    // Without the cap this key alone would emit ~2·10⁶ candidate pairs.
+    val skewed = (0 until 2000).map { i =>
+      (i.toLong, s"common stop words unique$i tail$i")
+    }
+    // plus one genuine near-dup pair with all-rare shingles
+    val dups = Seq(
+      (9001L, "alpha beta gamma delta epsilon zeta"),
+      (9002L, "alpha beta gamma delta epsilon zeta"))
+    val docs = (skewed ++ dups).toDF("doc_id", "text")
+    val got = TextOps.jaccardPairs(docs, 0.5, dfCap = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((9001L, 9002L)),
+      "df cap must suppress hot-shingle pairs but keep rare-shingle dups")
+  }
+
+  test("jaccardPairs df cap: capped hot shingle lowers jaccard, full sizes") {
+    import spark.implicits._
+    // docs share 'a b c' (hot at cap=1) and each has 3 more shingles;
+    // capping drops the shared shingle from pairing only — sizes stay full
+    val docs = Seq(
+      (1L, "a b c p q r"), // shingles: abc, bcp, cpq, pqr
+      (2L, "a b c p q r"),
+      (3L, "a b c x y z")).toDF("doc_id", "text")
+    val capped = TextOps.jaccardPairs(docs, 0.1, dfCap = 2)
+      .select("doc_a", "doc_b", "inter").as[(Long, Long, Long)]
+      .collect().toSet
+    // 'a b c' df=3 > 2 → dropped; docs 1,2 still share bcp,cpq,pqr →
+    // inter=3, jaccard = 3/(4+4-3) = 0.6; doc 3 pairs with nothing
+    assert(capped === Set((1L, 2L, 3L)))
+  }
+}

@@ -62,6 +62,39 @@ class TrainDotSpec extends AnyFunSuite {
     assert(cvAuc > 0.8, s"cv auc=$cvAuc")
   }
 
+  test("NN (MLP) reaches AUC > 0.8 on separable data; bagged variant too") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val d = (1 to 2000).map { i =>
+      val pos = rnd.nextBoolean()
+      val x1 = rnd.nextGaussian() + (if (pos) 1.5 else -1.5)
+      val x2 = rnd.nextGaussian()
+      (i.toLong, x1, x2, pos)
+    }.toDF("id", "x1", "x2", "label")
+    val t = Train.nn(d, Seq("x1", "x2"), col("label"),
+      hidden = Seq(6), maxIter = 60)
+    assert(t.auc > 0.8, s"mlp auc=${t.auc}")
+    assert(t.model.stages.length === 2)
+    val bags = Train.bagged(d, Seq("x1", "x2"), col("label"), col("id"),
+      k = 2, trainOne = Train.nn(_, _, _, hidden = Seq(4), maxIter = 40))
+    assert(bags.length === 2)
+    bags.foreach(b => assert(b.auc > 0.75, s"bagged mlp auc=${b.auc}"))
+  }
+
+  test("OneVsRest separates 3 gap-separated bands perfectly on (x, x²)") {
+    import spark.implicits._
+    // mirrors q_multiclass_ovr: integer feature with wide gaps between
+    // bands → every row must classify to its own band
+    val qs = (1 to 14) ++ (19 to 31) ++ (36 to 50)
+    val d = qs.flatMap(q => Seq.fill(20)(q)).map { q =>
+      val band = if (q <= 14) 0.0 else if (q <= 31) 1.0 else 2.0
+      (q.toDouble, (q * q).toDouble, band)
+    }.toDF("q", "q2", "band")
+    val pred = Train.oneVsRest(d, Seq("q", "q2"), col("band"), maxIter = 25)
+    val wrong = pred.filter(col("prediction") =!= col("label")).count()
+    assert(wrong === 0L, s"$wrong misclassified rows")
+  }
+
   test("GBT and RF train and evaluate") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
