@@ -319,7 +319,13 @@ object QueriesExtra {
     * confusion diagonal is oracle-computable as plain band counts. */
   private val multiclassOvr: Q = Q(
     fn = (s, dir) => {
-      val d = trainSample(li(s, dir))
+      // tighter 12.5% sample than trainSample: 3 LR fits make OvR the
+      // costliest training query, and the margin is wide enough that the
+      // per-class boundary doesn't need the extra rows
+      val d = li(s, dir)
+        .filter(substring(md5(concat(col("l_orderkey").cast("string"),
+          lit("|"), col("l_linenumber").cast("string")).cast("binary")), 1, 1)
+          .isin("0", "1"))
         .filter(col("l_quantity") <= 14 ||
           (col("l_quantity") >= 19 && col("l_quantity") <= 31) ||
           col("l_quantity") >= 36)
@@ -328,7 +334,7 @@ object QueriesExtra {
             .when(col("l_quantity") <= 31, 1.0).otherwise(2.0))
         .withColumn("q2", col("l_quantity") * col("l_quantity"))
       val pred = Train.oneVsRest(d, Seq("l_quantity", "q2"), col("band"),
-        maxIter = 25)
+        maxIter = 15)
       pred.groupBy(col("label").cast("int").as("band"),
           col("prediction").cast("int").as("pred_band"))
         .agg(count(lit(1)).as("n"))
@@ -340,7 +346,8 @@ object QueriesExtra {
          |  FROM lineitem
          |  WHERE (l_quantity <= 14 OR (l_quantity BETWEEN 19 AND 31)
          |     OR l_quantity >= 36)
-         |    AND $trainSampleSql)
+         |    AND substr(md5(cast(l_orderkey AS VARCHAR) || '|' ||
+         |      cast(l_linenumber AS VARCHAR)), 1, 1) IN ('0','1'))
          |SELECT band, band AS pred_band, count(*) AS n
          |FROM b GROUP BY band
          |""".stripMargin))

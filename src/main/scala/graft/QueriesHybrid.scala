@@ -137,6 +137,124 @@ object QueriesHybrid {
          |""".stripMargin
     })
 
+  /** EXACT posttrain feature importance (reference
+    * `core/posttrain/FeatureImportanceMapper.java:150-220`, replacing the
+    * corr proxy of q_feature_importance): per row, every final-select
+    * variable is scored by its BIN AVERAGE SCORE (`config.getBinAvgScore`),
+    * variables sort by that score descending — STABLE, ties keep column
+    * order — and the top-3 earn 3/2/1 points; importance = total points
+    * per variable.
+    *
+    * Spark-first shape: bin average scores are integer longs
+    * (`floor-div(Σ intScore, n)` per bin, one stacked groupBy pass), the
+    * per-row "stable sort rank" folds into closed-form comparison sums
+    * (rank_v = 1 + #{w : s_w > s_v ∨ (s_w = s_v ∧ ord_w < ord_v)}) — a
+    * fully codegen'd narrow projection + one final agg; no per-row arrays,
+    * no shuffle beyond the two aggs. All comparisons are exact long
+    * arithmetic, so the oracle matches bit-for-bit. */
+  private val featureImportanceRef: Q = Q(
+    fn = (s, dir) => {
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val d = li(s, dir)
+      val srow = floor(scoreCol + lit(0.5)).cast("long")
+      val mmCols = feats.flatMap(c =>
+        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+      val mm = d.agg(mmCols.head, mmCols.tail: _*).head()
+      val bounds = feats.zipWithIndex.map { case (c, i) =>
+        c -> graft.ops.Binning.equalInterval(
+          mm.getDouble(2 * i), mm.getDouble(2 * i + 1), binK)
+      }.toMap
+      val binCols = feats.map(c =>
+        graft.ops.Binning.binIndex(col(c), bounds(c)).as(s"b_$c"))
+      val withBins = d.select(binCols :+ srow.as("s"): _*)
+      val stackExpr = "stack(" + feats.length + ", " +
+        feats.map(c => s"'$c', b_$c").mkString(", ") + ") as (feature, bin)"
+      val bas = withBins.select(expr(stackExpr), col("s"))
+        .groupBy("feature", "bin")
+        .agg(expr("sum(s) div count(1)").as("bscore"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // literal per-bin score lookup: bin ids 0..binK+1 (missing-last)
+      val scoreOf = feats.map { c =>
+        val arr = (0 to binK + 1).map(b => bas.getOrElse((c, b), 0L))
+        c -> element_at(
+          array(arr.map(lit): _*), col(s"b_$c").cast("int") + 1)
+      }.toMap
+      val scored = withBins.select(feats.map(c =>
+        scoreOf(c).as(s"s_$c")): _*)
+      val rankOf = feats.zipWithIndex.map { case (v, ov) =>
+        v -> feats.zipWithIndex.filter(_._1 != v).map { case (w, ow) =>
+          val beats = if (ow < ov) col(s"s_$w") >= col(s"s_$v")
+            else col(s"s_$w") > col(s"s_$v")
+          when(beats, 1).otherwise(0)
+        }.reduce(_ + _)
+      }.toMap // rank_v - 1
+      val ptsCols = feats.map { v =>
+        val rm1 = rankOf(v)
+        sum(when(rm1 <= 2, lit(3) - rm1).otherwise(0)).cast("long")
+          .as(s"p_$v")
+      }
+      val ptsRow = scored.agg(ptsCols.head, ptsCols.tail: _*).head()
+      import s.implicits._
+      feats.zipWithIndex.map { case (c, i) => (c, ptsRow.getLong(i)) }
+        .sortBy { case (c, p) => (-p, c) }.zipWithIndex
+        .map { case ((c, p), i) => (c, p, i + 1) }
+        .toDF("feature", "importance", "rank")
+    },
+    oracle = Some {
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val mmSel = feats
+        .map(c => s"min($c) AS mn_$c, max($c) AS mx_$c").mkString(", ")
+      def armsOf(c: String) = (1 until binK).reverse
+        .map(i => s"WHEN $c >= mn_$c + (mx_$c - mn_$c) * $i / $binK THEN $i")
+        .mkString(" ")
+      val binSel = feats.map(c =>
+        s"CASE WHEN $c IS NULL THEN $binK ${armsOf(c)} ELSE 0 END AS b_$c")
+        .mkString(",\n        ")
+      val unions = feats.map(c =>
+        s"SELECT '$c' AS feature, b_$c AS bin, s FROM b")
+        .mkString("\n  UNION ALL ")
+      val joins = feats.map(c =>
+        s"LEFT JOIN bas j_$c ON j_$c.feature = '$c' AND j_$c.bin = b.b_$c")
+        .mkString("\n  ")
+      val sSel = feats
+        .map(c => s"coalesce(j_$c.bscore, 0) AS s_$c").mkString(", ")
+      def rankM1(v: String, ov: Int) = feats.zipWithIndex
+        .filter(_._1 != v).map { case (w, ow) =>
+          val cmp = if (ow < ov) ">=" else ">"
+          s"(CASE WHEN s_$w $cmp s_$v THEN 1 ELSE 0 END)"
+        }.mkString(" + ")
+      val ptsSel = feats.zipWithIndex.map { case (v, ov) =>
+        s"""sum(CASE WHEN ${rankM1(v, ov)} <= 2
+           |    THEN 3 - (${rankM1(v, ov)}) ELSE 0 END)::BIGINT AS p_$v"""
+          .stripMargin
+      }.mkString(",\n    ")
+      val outUnions = feats.map(c =>
+        s"SELECT '$c' AS feature, p_$c AS importance FROM pts")
+        .mkString("\n  UNION ALL ")
+      s"""WITH mm AS (SELECT $mmSel FROM lineitem),
+         |b AS (SELECT
+         |        $binSel,
+         |        CAST(floor(($scoreSql) + 0.5) AS BIGINT) AS s
+         |      FROM lineitem, mm),
+         |u AS (
+         |  $unions),
+         |bas AS (SELECT feature, bin, sum(s)::BIGINT // count(*) AS bscore
+         |        FROM u GROUP BY feature, bin),
+         |r AS (SELECT $sSel
+         |      FROM b
+         |  $joins),
+         |pts AS (SELECT
+         |    $ptsSel
+         |  FROM r),
+         |f AS (
+         |  $outUnions)
+         |SELECT feature, importance,
+         |  row_number() OVER (ORDER BY importance DESC, feature) AS rank
+         |FROM f
+         |""".stripMargin
+    })
+
   /** TPC-H Q3 shape: filtered 3-way join + agg + global top-10. */
   private val tpchQ3: Q = Q(
     fn = (s, dir) => {
@@ -169,6 +287,7 @@ object QueriesHybrid {
     "q_hybrid_stats"       -> hybridStats,
     "q_psi_unit_stats"     -> psiUnitStats,
     "q_feature_importance" -> featureImportance,
+    "q_feature_importance_ref" -> featureImportanceRef,
     "q_tpch_q3"            -> tpchQ3,
   )
 }

@@ -78,6 +78,80 @@ object Score {
     }
   }
 
+  /** PMML export (reference `shifu export pmml`,
+    * `core/processor/ExportModelProcessor.java:70-150` +
+    * `core/pmml/PMMLTranslator`): each logistic model becomes a PMML-4.2
+    * `RegressionModel` (functionName="classification",
+    * normalizationMethod="logit") with one `NumericPredictor` per weight —
+    * the industry interchange so any PMML consumer can score the exported
+    * model. Doubles are serialized with `Double.toString` so the
+    * parse-back is bit-exact. */
+  def exportPmml(models: Seq[LinearModel]): String = {
+    val fields = models.flatMap(_.weights.map(_._1)).distinct
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    val dict = fields.map(f =>
+      s"""    <DataField name="${esc(f)}" optype="continuous" dataType="double"/>""")
+      .mkString("\n")
+    val ms = models.zipWithIndex.map { case (m, i) =>
+      val mining = (m.weights.map(_._1).map(f =>
+        s"""      <MiningField name="${esc(f)}"/>""") :+
+        s"""      <MiningField name="target" usageType="target"/>""")
+        .mkString("\n")
+      val preds = m.weights.map { case (f, w) =>
+        s"""        <NumericPredictor name="${esc(f)}" coefficient="$w"/>"""
+      }.mkString("\n")
+      s"""  <RegressionModel modelName="model_$i" functionName="classification" normalizationMethod="logit">
+         |    <MiningSchema>
+         |$mining
+         |    </MiningSchema>
+         |    <RegressionTable intercept="${m.bias}" targetCategory="1">
+         |$preds
+         |    </RegressionTable>
+         |    <RegressionTable intercept="0.0" targetCategory="0"/>
+         |  </RegressionModel>""".stripMargin
+    }.mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<PMML version="4.2" xmlns="http://www.dmg.org/PMML-4_2">
+       |  <Header description="graft logistic ensemble"/>
+       |  <DataDictionary numberOfFields="${fields.length + 1}">
+       |$dict
+       |    <DataField name="target" optype="categorical" dataType="string">
+       |      <Value value="0"/>
+       |      <Value value="1"/>
+       |    </DataField>
+       |  </DataDictionary>
+       |$ms
+       |</PMML>
+       |""".stripMargin
+  }
+
+  /** Parse a PMML document produced by [[exportPmml]] (or any PMML-4.x
+    * logistic `RegressionModel` with NumericPredictors on the
+    * targetCategory="1" table) back into [[LinearModel]]s. JDK DOM only —
+    * no external dependency. */
+  def importPmml(xml: String): Seq[LinearModel] = {
+    val db = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    db.setNamespaceAware(false)
+    val doc = db.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(
+        xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val rms = doc.getElementsByTagName("RegressionModel")
+    (0 until rms.getLength).map { i =>
+      val rm = rms.item(i).asInstanceOf[org.w3c.dom.Element]
+      val tables = rm.getElementsByTagName("RegressionTable")
+      val t1 = (0 until tables.getLength).map(
+        tables.item(_).asInstanceOf[org.w3c.dom.Element])
+        .find(_.getAttribute("targetCategory") == "1").get
+      val preds = t1.getElementsByTagName("NumericPredictor")
+      val weights = (0 until preds.getLength).map { j =>
+        val p = preds.item(j).asInstanceOf[org.w3c.dom.Element]
+        (p.getAttribute("name"), p.getAttribute("coefficient").toDouble)
+      }
+      LinearModel(weights, t1.getAttribute("intercept").toDouble)
+    }
+  }
+
   /** Literal decision-tree node for tree-path encoding (reference
     * `udf/EncodeDataUDF.java:84-130`, `IndependentTreeModel.encode`). */
   sealed trait TreeNode

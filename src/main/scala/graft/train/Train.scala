@@ -117,6 +117,24 @@ object Train {
   /** Bagging: k models over deterministic md5-hash row subsets (the
     * reference replicates rows into k bags, `BaggingSubsampleUDF.java`);
     * prediction = mean of member probabilities. */
+  /** `shifu combo` assembling (reference `ShifuCLI.java:818-866`,
+    * ComboModelProcessor): score the data with EVERY member model —
+    * possibly different algorithms — and combine per-row P(positive) by
+    * mean. Each member adds one narrow transform pass; no shuffle, no
+    * retraining. Returns the input plus per-member `combo_i` scores and
+    * the assembled `combo_mean`. */
+  def comboScore(members: Seq[Trained], df: DataFrame): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val scored = members.zipWithIndex.foldLeft(df) { case (cur, (t, i)) =>
+      t.model.transform(cur)
+        .withColumn(s"combo_$i", vector_to_array(col("probability"))(1))
+        .drop("features", "rawPrediction", "probability", "prediction")
+    }
+    val mean = members.indices.map(i => col(s"combo_$i"))
+      .reduce(_ + _) / members.length
+    scored.withColumn("combo_mean", mean)
+  }
+
   def bagged(df: DataFrame, features: Seq[String], label: Column,
              key: Column, k: Int = 3,
              trainOne: (DataFrame, Seq[String], Column) => Trained =
