@@ -311,6 +311,42 @@ object QueriesExtra {
          |FROM lineitem WHERE $trainSampleSql
          |""".stripMargin))
 
+  /** SVM / DT training contracts — same invariant scheme as q_train_lr,
+    * completing the reference ALGORITHM enum's distributed members
+    * (NN, LR, SVM, DT, RF, GBT; TENSORFLOW/WDL are external runtimes the
+    * reference shells out to — out of engine scope). */
+  private val trainSvm: Q = Q(
+    fn = (s, dir) => {
+      val d = trainSample(li(s, dir))
+      val t = Train.svm(d, Seq("l_quantity", "l_discount", "l_tax"), isPos,
+        maxIter = 10)
+      import s.implicits._
+      Seq(("svm", if (t.auc > 0.0 && t.auc < 1.0) 1 else 0,
+        t.model.stages.length, d.count()))
+        .toDF("algo", "auc_in_unit", "n_stages", "n_train")
+    },
+    oracle = Some(
+      s"""SELECT 'svm' AS algo, 1 AS auc_in_unit, 2 AS n_stages,
+         |  count(*) AS n_train
+         |FROM lineitem WHERE $trainSampleSql
+         |""".stripMargin))
+
+  private val trainDt: Q = Q(
+    fn = (s, dir) => {
+      val d = trainSample(li(s, dir))
+      val t = Train.decisionTree(d,
+        Seq("l_quantity", "l_discount", "l_tax"), isPos, maxDepth = 5)
+      import s.implicits._
+      Seq(("dt", if (t.auc > 0.0 && t.auc < 1.0) 1 else 0,
+        t.model.stages.length, d.count()))
+        .toDF("algo", "auc_in_unit", "n_stages", "n_train")
+    },
+    oracle = Some(
+      s"""SELECT 'dt' AS algo, 1 AS auc_in_unit, 2 AS n_stages,
+         |  count(*) AS n_train
+         |FROM lineitem WHERE $trainSampleSql
+         |""".stripMargin))
+
   /** One-vs-rest multi-class (reference `MultipleClassification.ONEVSREST`,
     * `ModelTrainConf.java:54-58`): 3 quantity bands separated by wide gaps
     * make the per-class decision FULLY determined — trained on (q, q²) the
@@ -438,6 +474,8 @@ object QueriesExtra {
     "q_dynamic_rebin"  -> dynamicRebin,
     "q_train_lr"       -> trainLr,
     "q_train_nn"       -> trainNn,
+    "q_train_svm"      -> trainSvm,
+    "q_train_dt"       -> trainDt,
     "q_multiclass_ovr" -> multiclassOvr,
     "q_stream_window"  -> streamWindow,
   )

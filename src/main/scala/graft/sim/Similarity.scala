@@ -153,17 +153,10 @@ object Similarity {
     * which is exactly right because the candidate side is already deduped
     * ids-only. */
   private[sim] def reattachSides(v: DataFrame): (DataFrame, DataFrame) = {
-    val thresholdStr = v.sparkSession.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    val threshold =
-      try org.apache.spark.network.util.JavaUtils
-        .byteStringAsBytes(thresholdStr)
-      catch { case _: NumberFormatException => -1L } // "-1" = disabled
-    val est = v.queryExecution.optimizedPlan.stats.sizeInBytes
-    val hint: DataFrame => DataFrame =
-      if (threshold > 0 && est * 2 < threshold) broadcast else identity
-    (hint(v.select(col("vec_id"), col("e").as("ea"), col("norm").as("na"))),
-      hint(v.select(col("vec_id").as("nb_id"), col("e").as("eb"),
+    import graft.ops.PlanHints.gatedBroadcast
+    (gatedBroadcast(
+      v.select(col("vec_id"), col("e").as("ea"), col("norm").as("na"))),
+      gatedBroadcast(v.select(col("vec_id").as("nb_id"), col("e").as("eb"),
         col("norm").as("nb"))))
   }
 

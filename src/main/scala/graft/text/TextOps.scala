@@ -124,8 +124,9 @@ object TextOps {
     * shingle-set sizes (narrow array-length map), so capping only ever
     * lowers a pair's jaccard — it can never promote a non-duplicate.
     *
-    * The size-table joins are unhinted — the table is O(docs); AQE
-    * broadcasts it only while it actually measures small. */
+    * The O(docs) size-table joins use the size-GATED broadcast hint
+    * ([[graft.ops.PlanHints]]): broadcast while the scan estimate says it
+    * fits, id-keyed shuffle join beyond. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    dfCap: Int = 1000): DataFrame = {
     val shingled = withShingles(docs)
@@ -137,9 +138,12 @@ object TextOps {
     val inter = groupedPairs(sh, Seq("s"), "doc_id", maxGroup = Some(dfCap))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // size-gated hint (see PlanHints): O(docs) table, broadcast only while
+    // the scan's size estimate says it fits
+    val szb = graft.ops.PlanHints.gatedBroadcast(sizes)
     inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(szb.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(szb.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("inter")), 6))

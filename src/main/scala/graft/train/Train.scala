@@ -1,6 +1,7 @@
 package graft.train
 
-import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression,
+import org.apache.spark.ml.classification.{DecisionTreeClassifier,
+  GBTClassifier, LinearSVC, LogisticRegression,
   MultilayerPerceptronClassifier, OneVsRest, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
@@ -43,6 +44,29 @@ object Train {
       .setMaxDepth(maxDepth).setLabelCol("label").setFeaturesCol("features")
       .setSeed(42L)
     fit(df, features, label, new Pipeline().setStages(Array(assemble(features), rf)))
+  }
+
+  /** SVM (reference `ALGORITHM.SVM`, `ModelTrainConf.java:43-45`; Encog
+    * SVMTrainer under `core/alg/`): MLlib LinearSVC — distributed hinge
+    * loss. rawPrediction is the margin, so the AUC evaluator applies
+    * unchanged. */
+  def svm(df: DataFrame, features: Seq[String], label: Column,
+          maxIter: Int = 20, regParam: Double = 0.01): Trained = {
+    val s = new LinearSVC().setMaxIter(maxIter).setRegParam(regParam)
+      .setLabelCol("label").setFeaturesCol("features")
+    fit(df, features, label,
+      new Pipeline().setStages(Array(assemble(features), s)))
+  }
+
+  /** Single decision tree (reference `ALGORITHM.DT`): MLlib
+    * DecisionTreeClassifier — the depth-limited CART the reference's
+    * RF/GBT members build on. */
+  def decisionTree(df: DataFrame, features: Seq[String], label: Column,
+                   maxDepth: Int = 5): Trained = {
+    val dt = new DecisionTreeClassifier().setMaxDepth(maxDepth)
+      .setLabelCol("label").setFeaturesCol("features").setSeed(42L)
+    fit(df, features, label,
+      new Pipeline().setStages(Array(assemble(features), dt)))
   }
 
   /** NN training — the reference's flagship algorithm (`ALGORITHM { NN }`,

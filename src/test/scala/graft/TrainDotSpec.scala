@@ -95,6 +95,18 @@ class TrainDotSpec extends AnyFunSuite {
     assert(wrong === 0L, s"$wrong misclassified rows")
   }
 
+  test("SVM and DT train and evaluate on separable data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val d = (1 to 600).map { _ =>
+      val pos = rnd.nextBoolean()
+      (rnd.nextGaussian() + (if (pos) 1.3 else -1.3), rnd.nextGaussian(), pos)
+    }.toDF("x1", "x2", "label")
+    assert(Train.svm(d, Seq("x1", "x2"), col("label"), maxIter = 15).auc > 0.8)
+    assert(Train.decisionTree(d, Seq("x1", "x2"), col("label"),
+      maxDepth = 4).auc > 0.8)
+  }
+
   test("GBT and RF train and evaluate") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
