@@ -281,19 +281,24 @@ object QueriesExtra {
     * MultilayerPerceptronClassifier): same invariant scheme as q_train_lr;
     * predictive power on a separable fixture is spec-asserted
     * (TrainDotSpec "nn separable"). */
-  /** Deterministic ~31% hash sample (md5 first hex digit 0–4) — the
+  /** Deterministic hash sample (md5 first hex digit ∈ `digits`) — the
     * reference trains on bagged subsamples, not the whole corpus, and the
-    * oracle can mirror the filter exactly (q_hash_sample pattern). */
+    * oracle can mirror the filter exactly (q_hash_sample pattern). The
+    * training CONTRACT queries use 2 digits (12.5%): iterative fits
+    * dominate the bench and need rows only for a non-degenerate AUC. */
+  private val trainDigits = Seq("0", "1")
+
   private def trainSample(d: org.apache.spark.sql.DataFrame) =
     d.filter(substring(md5(concat(col("l_orderkey").cast("string"), lit("|"),
       col("l_linenumber").cast("string")).cast("binary")), 1, 1)
-      .isin("0", "1", "2", "3", "4"))
+      .isin(trainDigits: _*))
 
   // single-line ON PURPOSE: a leading "||" after interpolation into a
   // stripMargin oracle would lose a pipe to the margin stripper
   private val trainSampleSql =
     "substr(md5(cast(l_orderkey AS VARCHAR) || '|' || " +
-      "cast(l_linenumber AS VARCHAR)), 1, 1) IN ('0','1','2','3','4')"
+      "cast(l_linenumber AS VARCHAR)), 1, 1) IN (" +
+      trainDigits.map(d => s"'$d'").mkString(",") + ")"
 
   private val trainNn: Q = Q(
     fn = (s, dir) => {
@@ -319,7 +324,7 @@ object QueriesExtra {
     fn = (s, dir) => {
       val d = trainSample(li(s, dir))
       val t = Train.svm(d, Seq("l_quantity", "l_discount", "l_tax"), isPos,
-        maxIter = 10)
+        maxIter = 5)
       import s.implicits._
       Seq(("svm", if (t.auc > 0.0 && t.auc < 1.0) 1 else 0,
         t.model.stages.length, d.count()))
@@ -355,13 +360,7 @@ object QueriesExtra {
     * confusion diagonal is oracle-computable as plain band counts. */
   private val multiclassOvr: Q = Q(
     fn = (s, dir) => {
-      // tighter 12.5% sample than trainSample: 3 LR fits make OvR the
-      // costliest training query, and the margin is wide enough that the
-      // per-class boundary doesn't need the extra rows
-      val d = li(s, dir)
-        .filter(substring(md5(concat(col("l_orderkey").cast("string"),
-          lit("|"), col("l_linenumber").cast("string")).cast("binary")), 1, 1)
-          .isin("0", "1"))
+      val d = trainSample(li(s, dir))
         .filter(col("l_quantity") <= 14 ||
           (col("l_quantity") >= 19 && col("l_quantity") <= 31) ||
           col("l_quantity") >= 36)
@@ -460,7 +459,24 @@ object QueriesExtra {
         |FROM documents GROUP BY source
         |""".stripMargin))
 
+  // ---- §2.11 streaming model scoring (frozen-model serving) ----------------
+
+  private val streamScore: Q = Q(
+    fn = (s, dir) => StreamOps.scoreStream(s, dir),
+    // the streaming result must equal the BATCH formulation of the same
+    // frozen model — row-local sigmoid is bit-exact IEEE in both engines
+    oracle = Some(
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(1.0 / (1.0 + exp(0.0 - (l_quantity * 0.08 +
+        |      l_discount * -12.0 + -1.0))) * 10) AS INTEGER) AS band
+        |  FROM lineitem)
+        |SELECT l_returnflag, band, count(*) AS n
+        |FROM s GROUP BY l_returnflag, band
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "q_stream_score"      -> streamScore,
     "q_stream_dedup"      -> streamDedup,
     "q_stream_sessionize" -> streamSessionize,
     "q_stream_psi"        -> streamPsi,

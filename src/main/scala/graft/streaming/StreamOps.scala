@@ -177,6 +177,48 @@ object StreamOps {
           .otherwise(0.0)), 6).as("psi"))
     }
 
+  /** lineitem.parquet partial schema for the streaming score source —
+    * Spark's parquet reader prunes to this subset, so the stream never
+    * deserializes the unused columns. */
+  val lineitemScoreSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType), StructField("l_discount", DoubleType),
+    StructField("l_returnflag", StringType)))
+
+  /** Streaming model scoring (model serving over a stream): a TRAIN-FROZEN
+    * logistic model — literal weights folded into the plan exactly like the
+    * batch `Score.LinearModel` path — scores each arriving row inside the
+    * stream's narrow projection; per-(returnflag, score-decile) counts
+    * accumulate. The model never changes mid-stream (the eval-norm frozen
+    * contract); scoring itself adds NO state — only the monitoring agg
+    * keys state, bounded by flags × 11 bands. */
+  def scoreStream(spark: SparkSession, dir: String,
+                  weights: Seq[(String, Double)] = Seq(
+                    "l_quantity" -> 0.08, "l_discount" -> -12.0),
+                  bias: Double = -1.0): DataFrame =
+    withStatePartitions(spark, 8) {
+    val name = s"stream_score_${counter.incrementAndGet()}"
+    val z = weights.map { case (c, w) => col(c) * lit(w) }
+      .reduce(_ + _) + lit(bias)
+    val score = lit(1.0) / (lit(1.0) + exp(lit(0.0) - z))
+    val scored = spark.readStream
+      .schema(lineitemScoreSchema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(dir)
+      .withColumn("band", floor(score * 10).cast("int"))
+    val agg = scored.groupBy(col("l_returnflag"), col("band"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+    }
+
   /** Streaming tumbling 1-hour counts per event_type over the events dir;
     * runs the stream to completion against the static files and returns
     * the result table — output matches the batch q_events_window oracle. */

@@ -103,6 +103,45 @@ class ScalePlanSpec extends AnyFunSuite {
       "df cap must suppress hot-shingle pairs but keep rare-shingle dups")
   }
 
+  test("filters and projection push down into the parquet scan") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_push").toString
+    (1 to 1000).map(i => (i.toLong, i * 2.0, s"s$i", i % 7, i * 1.1))
+      .toDF("a", "b", "c", "d", "e")
+      .write.mode("overwrite").parquet(tmp)
+    val q = spark.read.parquet(tmp)
+      .filter(col("b") > 100.0).select("a", "b")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(b), GreaterThan(b,100.0)]"),
+      s"filter not pushed to scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<a:bigint,b:double>"),
+      s"projection not pruned at scan:\n$plan")
+    assert(q.count() === 950)
+  }
+
+  test("HLL distinct path: within rsd bound and same typing decisions") {
+    // the scale path for autotype distinct counts (approx_count_distinct =
+    // HyperLogLog++): no oracle possible (engines' sketches differ), so
+    // the contract is spec-asserted — estimate within ~3×rsd of exact,
+    // and the downstream col_kind decision unchanged
+    import spark.implicits._
+    val d = (1 to 60000).map(i =>
+      (i % 20000, s"cat_${i % 37}", i * 0.5)).toDF("hi_card", "lo_card", "num")
+    val cols = Seq("hi_card", "lo_card", "num")
+    val exact = graft.ops.AutoType.profile(d, cols).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(5))).toMap
+    val approx = graft.ops.AutoType.profile(d, cols, approxDistinct = true)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(5))).toMap
+    cols.foreach { c =>
+      val (ne, ke) = exact(c)
+      val (na, ka) = approx(c)
+      assert(math.abs(na - ne).toDouble / ne <= 0.06,
+        s"$c: approx $na vs exact $ne")
+      assert(ka === ke, s"$c: typing decision changed")
+    }
+  }
+
   test("jaccardPairs df cap: capped hot shingle lowers jaccard, full sizes") {
     import spark.implicits._
     // docs share 'a b c' (hot at cap=1) and each has 3 more shingles;
