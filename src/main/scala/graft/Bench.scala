@@ -26,7 +26,16 @@ object Bench {
       import org.apache.spark.sql.functions._
       val tiny = spark.range(100)
         .select(col("id").cast("double").as("f"), (col("id") % 2 === 0).as("y"))
+      // one 100-row fit per algorithm family: BLAS/optimizer/tree class
+      // loading and codegen are steady-state costs, not query costs
       graft.train.Train.logistic(tiny, Seq("f"), col("y"), maxIter = 1)
+      graft.train.Train.svm(tiny, Seq("f"), col("y"), maxIter = 1)
+      graft.train.Train.decisionTree(tiny, Seq("f"), col("y"), maxDepth = 2)
+      graft.train.Train.nn(tiny, Seq("f"), col("y"), hidden = Seq(2),
+        maxIter = 1)
+      graft.train.Train.oneVsRest(tiny, Seq("f"),
+        (col("f") > 66).cast("int") + (col("f") > 33).cast("int"),
+        maxIter = 1).count()
       val tmp = java.nio.file.Files.createTempDirectory("graft_warm").toString
       tiny.select(col("f")).write.mode("overwrite").parquet(tmp)
       val q = spark.readStream

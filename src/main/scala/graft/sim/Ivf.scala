@@ -61,6 +61,21 @@ object Ivf {
     cents
   }
 
+  /** Squared distances of `e` to every centroid. */
+  private def distances(cs: Array[Array[Double]],
+                        e: Array[Double]): Array[Double] = {
+    val d2 = new Array[Double](cs.length)
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      val cv = cs(c)
+      while (i < e.length) { val t = e(i) - cv(i); d += t * t; i += 1 }
+      d2(c) = d
+      c += 1
+    }
+    d2
+  }
+
   /** Nearest-centroid assignment: broadcast centroids, narrow map. */
   def assignCells(v: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val spark = v.sparkSession
@@ -69,28 +84,56 @@ object Ivf {
     v.select(col("vec_id"), col("e"), col("norm"))
       .as[(Long, Array[Double], Double)]
       .map { case (id, e, norm) =>
-        val cs = bc.value
-        var best = 0; var bestD = Double.PositiveInfinity
-        var c = 0
-        while (c < cs.length) {
-          var d = 0.0; var i = 0
-          val cv = cs(c)
-          while (i < e.length) { val t = e(i) - cv(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
+        val d2 = distances(bc.value, e)
+        var best = 0; var c = 1
+        while (c < d2.length) { if (d2(c) < d2(best)) best = c; c += 1 }
         (id, e, norm, best)
       }
       .toDF("vec_id", "e", "norm", "cell")
   }
 
-  /** Single-probe IVF top-k: quadratic search only within each cell.
-    * Candidate ids come from one groupBy over the cell assignment (cells
-    * are disjoint → no dedup pass), vectors re-attach afterwards, and the
-    * final selection is the bounded [[graft.agg.TopKAgg]] — the assignment
-    * map runs once instead of twice (self-join) and no full pair set ever
-    * crosses a shuffle. */
-  def ivfTopK(emb: DataFrame, k: Int = 3, nCells0: Int = 0): DataFrame = {
+  /** Multi-probe QUERY assignment (the IVF nprobe recall knob): each
+    * vector probes its `nProbe` nearest cells — one (vec_id, cell) row per
+    * probe, narrow flatMap over the broadcast centroids. The INDEX side
+    * stays single-assigned; candidate volume scales ×nProbe and recall
+    * approaches brute force as nProbe → nCells. */
+  def assignProbes(v: DataFrame, cents: Array[Array[Double]],
+                   nProbe: Int): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    val p = nProbe
+    v.select(col("vec_id"), col("e"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, e) =>
+        val cs = bc.value
+        val d2 = distances(cs, e)
+        d2.zipWithIndex.sortBy { case (d, i) => (d, i) }
+          .take(math.min(p, cs.length))
+          .map { case (_, cell) => (id, cell) }
+      }
+      .toDF("vec_id", "cell")
+  }
+
+  /** IVF top-k: quadratic search only within each (probed) cell.
+    *
+    * Single-probe (`nProbe = 1`, the scale default): candidate ids come
+    * from one groupBy over the cell assignment (cells are disjoint → no
+    * dedup pass) — the assignment map runs once and no full pair set ever
+    * crosses a shuffle.
+    *
+    * Multi-probe (`nProbe > 1`): the query side probes its nProbe nearest
+    * cells and joins the single-assigned index side on `cell` — the
+    * standard IVF recall knob; candidate volume and recall scale with
+    * nProbe. Both shuffles key on `cell`; no dedup pass is needed either
+    * way because the index side assigns each member to exactly one cell.
+    *
+    * Selection is the bounded [[graft.agg.TopKAgg]]; the vector re-attach
+    * is size-gate-hinted (see Similarity.reattachSides) — only the
+    * CENTROIDS are unconditionally broadcast in IVF, never the O(n)
+    * vector table. */
+  def ivfTopK(emb: DataFrame, k: Int = 3, nCells0: Int = 0,
+              nProbe: Int = 1): DataFrame = {
     val v = Similarity.prep(emb)
     // cell count tracks corpus size (in-cell work is ~n²/cells): target
     // ~100-vector cells, clamped — the IVF nlist ≈ c·√n/…-style sizing
@@ -99,10 +142,17 @@ object Ivf {
       else math.min(256, math.max(16, (n / 96L).toInt))
     val cents = centroids(v, nCells, nHint = n)
     val assigned = assignCells(v, cents)
-    val cand = Similarity.bucketPairs(
-      assigned.select(col("cell"), col("vec_id")), Seq("cell"), dedup = false)
-    // vector re-attach is unhinted (see Similarity.reattachSides): only the
-    // CENTROIDS are broadcast in IVF — never the O(n) vector table
+    val cand =
+      if (nProbe <= 1)
+        Similarity.bucketPairs(
+          assigned.select(col("cell"), col("vec_id")), Seq("cell"),
+          dedup = false)
+      else
+        assignProbes(v, cents, nProbe)
+          .join(assigned.select(col("cell"), col("vec_id").as("nb_id")),
+            "cell")
+          .filter(col("vec_id") =!= col("nb_id"))
+          .select("vec_id", "nb_id")
     val (va, vb) = Similarity.reattachSides(v)
     val pairs = cand.join(va, "vec_id").join(vb, "nb_id")
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))

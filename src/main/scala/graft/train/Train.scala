@@ -141,6 +141,17 @@ object Train {
   /** Bagging: k models over deterministic md5-hash row subsets (the
     * reference replicates rows into k bags, `BaggingSubsampleUDF.java`);
     * prediction = mean of member probabilities. */
+  /** Bridge an MLlib logistic fit to the literal [[graft.score.Score]]
+    * model form (weights in `features` order + intercept) — the hand-off
+    * that lets a trained model be folded into a scoring plan as literals,
+    * exported to PMML/JSON, or fed to the reason-code path. */
+  def toLinear(t: Trained, features: Seq[String]): graft.score.Score.LinearModel = {
+    val lr = t.model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    val cs = lr.coefficients.toArray
+    graft.score.Score.LinearModel(features.zip(cs.toIndexedSeq), lr.intercept)
+  }
+
   /** `shifu combo` assembling (reference `ShifuCLI.java:818-866`,
     * ComboModelProcessor): score the data with EVERY member model —
     * possibly different algorithms — and combine per-row P(positive) by

@@ -55,4 +55,25 @@ class MunroPatIvfSpec extends AnyFunSuite {
     assert(top(0L) === 60L)
     assert(top(60L) === 0L)
   }
+
+  test("IVF multi-probe recall: nProbe=nCells equals brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(33)
+    val d = (0L until 80L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    def rank1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(org.apache.spark.sql.functions.col("rank") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val brute = rank1(graft.sim.Similarity.cosineTopK(d, 1))
+    val single = rank1(Ivf.ivfTopK(d, k = 1, nCells0 = 4))
+    val multi = rank1(Ivf.ivfTopK(d, k = 1, nCells0 = 4, nProbe = 4))
+    def recall(got: Map[Long, Long]): Double =
+      brute.count { case (q, nb) => got.get(q).contains(nb) }.toDouble /
+        brute.size
+    // probing every cell must recover the exact brute-force rank-1 set
+    assert(recall(multi) === 1.0)
+    // and the recall knob is monotone: multi-probe ≥ single-probe
+    assert(recall(multi) >= recall(single))
+  }
 }
