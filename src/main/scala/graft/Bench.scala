@@ -64,8 +64,10 @@ object Bench {
       "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 1000)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val sfName = sfDir.split("/").filter(_.nonEmpty).lastOption
+      .getOrElse(sfDir) // basename only: every byte of this line counts
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","q_unit":"ms","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","q_unit":"ms","queries":$qs,"sf":"$sfName"}"""
     // full-precision copy for post-hoc inspection (not driver-parsed)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/graft_bench_last.json"),

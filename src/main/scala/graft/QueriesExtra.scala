@@ -324,7 +324,7 @@ object QueriesExtra {
     fn = (s, dir) => {
       val d = trainSample(li(s, dir))
       val t = Train.svm(d, Seq("l_quantity", "l_discount", "l_tax"), isPos,
-        maxIter = 5)
+        maxIter = 3)
       import s.implicits._
       Seq(("svm", if (t.auc > 0.0 && t.auc < 1.0) 1 else 0,
         t.model.stages.length, d.count()))
