@@ -170,6 +170,54 @@ object QueriesScore {
          |""".stripMargin
     })
 
+  // ---- §2.4 IV-ranked variable selection (filterBy=IV) ---------------------
+
+  /** The reference's second ranking mode (`ModelVarSelectConf.java:74`
+    * `filterBy` ∈ {KS, IV, SE, …}): identical pipeline to q_varsel_ks but
+    * ranked by information value. Same single stats pass computes both
+    * metrics — selecting by either costs no extra scan. */
+  private val varselIv: Q = Q(
+    fn = (s, dir) => {
+      val profiles = StatsPipeline.profileNumeric(li(s, dir), ksCols, isPos)
+      import s.implicits._
+      ksCols.map(c => (c, profiles(c).stats.iv.getOrElse(0.0)))
+        .sortBy { case (c, iv) => (-iv, c) }
+        .zipWithIndex
+        .map { case ((c, iv), i) =>
+          (i + 1, c, math.rint(iv * 1e6) / 1e6) }
+        .toDF("rank", "col_name", "iv")
+    },
+    oracle = Some {
+      val perCol = ksCols.map { c =>
+        val arms = (1 until binK).reverse
+          .map(i => s"WHEN $c >= mn_$c + (mx_$c - mn_$c) * $i / $binK THEN $i")
+          .mkString(" ")
+        s"""i_$c AS (
+           |  SELECT '$c' AS col_name,
+           |    sum((p - n) * ln((p + 1e-10) / (n + 1e-10))) AS iv FROM (
+           |    SELECT cp / sp AS p, cn / sn AS n
+           |    FROM (
+           |      SELECT bin_id, sum(pos)::DOUBLE AS cp,
+           |             (count(*) - sum(pos))::DOUBLE AS cn
+           |      FROM (
+           |        SELECT CASE WHEN $c IS NULL THEN $binK $arms ELSE 0 END
+           |          AS bin_id,
+           |          CASE WHEN $posCond THEN 1 ELSE 0 END AS pos
+           |        FROM lineitem,
+           |          (SELECT min($c) AS mn_$c, max($c) AS mx_$c FROM lineitem))
+           |      GROUP BY bin_id),
+           |      (SELECT sum(CASE WHEN $posCond THEN 1.0 ELSE 0.0 END) AS sp,
+           |              sum(CASE WHEN $posCond THEN 0.0 ELSE 1.0 END) AS sn
+           |       FROM lineitem)))""".stripMargin
+      }.mkString(",\n")
+      val unions = ksCols.map(c => s"SELECT * FROM i_$c").mkString(" UNION ALL ")
+      s"""WITH $perCol
+         |SELECT row_number() OVER (ORDER BY iv DESC, col_name) AS rank,
+         |  col_name, round(iv, 6) AS iv
+         |FROM ($unions)
+         |""".stripMargin
+    })
+
   // ---- §2.4 posttrain: bin average score ----------------------------------
 
   private val binAvgScore: Q = Q(
@@ -358,6 +406,7 @@ object QueriesScore {
     "q_tree_encode"    -> treeEncode,
     "q_sensitivity"    -> sensitivity,
     "q_varsel_ks"      -> varselKs,
+    "q_varsel_iv"      -> varselIv,
     "q_bin_avg_score"  -> binAvgScore,
     "q_reason_codes"   -> reasonCodes,
   )
