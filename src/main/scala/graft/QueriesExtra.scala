@@ -154,6 +154,10 @@ object QueriesExtra {
 
   private val equalPopBins: Q = Q(
     fn = (s, dir) => {
+      // Int.MaxValue accuracy = EXACT ranks, required for quantile_disc
+      // oracle parity — a parity-at-test-scale choice, not the 100 TB
+      // path (see Binning.equalTotalExact scale contract; the bounded
+      // sketches in graft.agg are the at-scale equal-population route)
       val qs = (1 until 10).map(_ / 10.0)
       li(s, dir)
         .select(percentile_approx(col("l_extendedprice"),

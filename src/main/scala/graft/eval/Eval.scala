@@ -141,6 +141,58 @@ object Eval {
         ((col("tp") + col("fp")).cast("double") /
           (col("tp") + col("fp") + col("fn") + col("tn"))), 6).as("lift"))
 
+  /** Self-contained HTML gain-chart report (reference `shifu eval`'s
+    * `core/eval/GainChart.java:39-110` `generateHtml`; the reference
+    * inlines a JS template — here a dependency-free static page): the
+    * per-bucket table plus an inline SVG of recall & lift vs action rate.
+    * Driver-side rendering of an already-aggregated ≤buckets-row frame —
+    * no executor work beyond the sweep itself. */
+  def gainChartHtml(gain: DataFrame, path: String,
+                    title: String = "graft eval"): Unit = {
+    val rows = gain.orderBy("bucket").collect()
+    def fmt(v: Any): String = v match {
+      case d: Double => f"$d%.6f"
+      case x => String.valueOf(x)
+    }
+    val cols = gain.columns
+    val thead = cols.map(c => s"<th>$c</th>").mkString
+    val tbody = rows.map(r =>
+      "<tr>" + cols.indices.map(i => s"<td>${fmt(r.get(i))}</td>").mkString +
+        "</tr>").mkString("\n")
+    def polyline(xs: Seq[Double], ys: Seq[Double], color: String): String = {
+      val pts = xs.zip(ys).map { case (x, y) =>
+        f"${40 + x * 500}%.1f,${260 - y * 220}%.1f"
+      }.mkString(" ")
+      s"""<polyline fill="none" stroke="$color" stroke-width="2" points="$pts"/>"""
+    }
+    val ar = rows.map(_.getAs[Double]("action_rate"))
+    val recall = rows.map(_.getAs[Double]("recall"))
+    val maxLift = rows.map(_.getAs[Double]("lift")).max.max(1e-9)
+    val lift = rows.map(_.getAs[Double]("lift") / maxLift)
+    val svg =
+      s"""<svg width="580" height="300" style="border:1px solid #ccc">
+         |<line x1="40" y1="260" x2="540" y2="260" stroke="#888"/>
+         |<line x1="40" y1="40" x2="40" y2="260" stroke="#888"/>
+         |${polyline(ar.toIndexedSeq, recall.toIndexedSeq, "#1f77b4")}
+         |${polyline(ar.toIndexedSeq, lift.toIndexedSeq, "#d62728")}
+         |<text x="440" y="60" fill="#1f77b4">recall</text>
+         |<text x="440" y="80" fill="#d62728">lift (/${f"$maxLift%.2f"})</text>
+         |<text x="250" y="285" fill="#555">action rate</text>
+         |</svg>""".stripMargin
+    val html =
+      s"""<!DOCTYPE html><html><head><meta charset="utf-8">
+         |<title>$title</title>
+         |<style>table{border-collapse:collapse}td,th{border:1px solid #999;
+         |padding:3px 8px;font:12px monospace}</style></head>
+         |<body><h2>$title — gain chart</h2>
+         |$svg
+         |<table><thead><tr>$thead</tr></thead><tbody>
+         |$tbody
+         |</tbody></table></body></html>
+         |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), html)
+  }
+
   /** PR AUC by trapezoid over the bucket boundaries
     * (`AreaUnderCurve.ofPr`): recall on x, precision on y; the first
     * segment extends flat from recall 0 at the first bucket's precision

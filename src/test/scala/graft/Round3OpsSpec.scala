@@ -33,6 +33,23 @@ class Round3OpsSpec extends AnyFunSuite {
     a.zip(b).foreach { case (x, y) => assert(x === y) } // bit-exact
   }
 
+  test("gain-chart HTML report renders table rows and SVG curves") {
+    import spark.implicits._
+    val d = (1 to 200).map(i => (i.toLong, i <= 60)).toDF("id", "pos")
+      .withColumn("score", col("pos").cast("double") * 100 - col("id"))
+    val sweep = graft.eval.Eval.confusionSweep(d, col("score"),
+      col("pos"), Seq(col("id")), 10)
+    val gain = graft.eval.Eval.gainChart(sweep)
+    val out = java.nio.file.Files.createTempDirectory("graft_html")
+      .resolve("report.html").toString
+    graft.eval.Eval.gainChartHtml(gain, out, "spec")
+    val html = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+    assert(html.contains("<svg") && html.contains("polyline"))
+    assert(html.contains("<th>lift</th>"))
+    // one table row per bucket
+    assert(html.sliding(4).count(_ == "<tr>") === 11) // 1 header + 10 buckets
+  }
+
   test("combo assembling: mean of member probabilities, sane ensemble AUC") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
