@@ -59,6 +59,35 @@ object Pipeline {
     catalog.map(p => p.copy(finalSelect = keep(p.columnName)))
   }
 
+  /** `varsel` pareto mode (reference `ModelVarSelectConf.java:83-90`
+    * filterBy=pareto): layered non-dominated sorting on (KS, IV) — the
+    * first front is every column no other column beats on BOTH metrics;
+    * fronts are peeled NSGA-style until `topN` columns are kept (within a
+    * front, KS-then-name order). ForceSelect/ForceRemove honored as in
+    * [[varsel]]. Pure driver math over the ≤columns-sized catalog. */
+  def varselPareto(catalog: Seq[ColumnProfile], topN: Int): Seq[ColumnProfile] = {
+    def m(p: ColumnProfile) =
+      (p.stats.ks.getOrElse(0.0), p.stats.iv.getOrElse(0.0))
+    def dominates(a: ColumnProfile, b: ColumnProfile): Boolean = {
+      val ((ka, ia), (kb, ib)) = (m(a), m(b))
+      ka >= kb && ia >= ib && (ka > kb || ia > ib)
+    }
+    val kept = scala.collection.mutable.LinkedHashSet[String]()
+    var remaining = catalog
+      .filter(p => p.isCandidate && !p.flag.contains(ColumnFlag.ForceRemove))
+    while (kept.size < topN && remaining.nonEmpty) {
+      val front = remaining
+        .filterNot(p => remaining.exists(q => dominates(q, p)))
+      front.sortBy(p => (-p.stats.ks.getOrElse(0.0), p.columnName))
+        .take(topN - kept.size).foreach(p => kept += p.columnName)
+      val frontNames = front.map(_.columnName).toSet
+      remaining = remaining.filterNot(p => frontNames(p.columnName))
+    }
+    val keep = catalog.filter(_.flag.contains(ColumnFlag.ForceSelect))
+      .map(_.columnName).toSet ++ kept
+    catalog.map(p => p.copy(finalSelect = keep(p.columnName)))
+  }
+
   /** `norm`: compact normalized output [tag, selected..., weight]
     * (reference `NormalizeUDF.java:108-135` column order). */
   def norm(df: DataFrame, spec: DataSpec, catalog: Seq[ColumnProfile],

@@ -141,6 +141,45 @@ object Train {
   /** Bagging: k models over deterministic md5-hash row subsets (the
     * reference replicates rows into k bags, `BaggingSubsampleUDF.java`);
     * prediction = mean of member probabilities. */
+  /** One-vs-one multi-class (reference `MultipleClassification.ONEVSONE`,
+    * `ModelTrainConf.java:54-58`): one binary LR per CLASS PAIR, each
+    * trained only on that pair's rows, majority vote over all pairs with
+    * ties broken toward the lowest class id. MLlib has no OvO estimator —
+    * this composes it from k·(k−1)/2 logistic fits; prediction is a narrow
+    * vote expression (no joins: each member model adds one transform
+    * pass, like comboScore). Returns (prediction, label) rows. */
+  def oneVsOne(df: DataFrame, features: Seq[String], label: Column,
+               maxIter: Int = 20): DataFrame = {
+    val data = df.select(features.map(col) :+
+      label.cast("double").as("label"): _*)
+    val classes = data.select("label").distinct()
+      .collect().map(_.getDouble(0)).sorted
+    val pairs = for {
+      i <- classes.indices; j <- (i + 1) until classes.length
+    } yield (classes(i), classes(j))
+    val withPreds = pairs.zipWithIndex.foldLeft(data) {
+      case (cur, ((a, b), idx)) =>
+        val sub = data.filter(col("label") === a || col("label") === b)
+          .withColumn("pair_label", (col("label") === b).cast("double"))
+        val lr = new LogisticRegression().setMaxIter(maxIter)
+          .setLabelCol("pair_label").setFeaturesCol("features")
+        val m = new Pipeline()
+          .setStages(Array(assemble(features), lr)).fit(sub)
+        m.transform(cur)
+          .withColumn(s"p_$idx",
+            when(col("prediction") === 1.0, lit(b)).otherwise(lit(a)))
+          .drop("features", "rawPrediction", "probability", "prediction")
+    }
+    val voteStructs = classes.map { c =>
+      val votes = pairs.indices.map(i =>
+        when(col(s"p_$i") === c, 1).otherwise(0)).reduce(_ + _)
+      struct(votes.as("v"), lit(-c).as("negc"))
+    }
+    // lexicographic max: most votes, then lowest class id
+    val winner = -array_max(array(voteStructs: _*)).getField("negc")
+    withPreds.select(winner.as("prediction"), col("label"))
+  }
+
   /** Bridge an MLlib logistic fit to the literal [[graft.score.Score]]
     * model form (weights in `features` order + intercept) — the hand-off
     * that lets a trained model be folded into a scoring plan as literals,

@@ -40,6 +40,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.count(_.finalSelect) === 3)
   }
 
+  test("pareto varsel keeps the non-dominated (KS, IV) front first") {
+    import graft.catalog.{ColumnProfile, ColumnStats}
+    def prof(n: Int, name: String, ks: Double, iv: Double) =
+      ColumnProfile(n, name,
+        stats = ColumnStats(ks = Some(ks), iv = Some(iv)))
+    val cat = Seq(
+      prof(0, "a", 10.0, 1.0),  // dominated by c on both
+      prof(1, "b", 30.0, 0.5),  // front: best KS
+      prof(2, "c", 20.0, 2.0),  // front: best IV
+      prof(3, "d", 5.0, 0.1))   // dominated by everything
+    val sel2 = Pipeline.varselPareto(cat, 2)
+      .filter(_.finalSelect).map(_.columnName).toSet
+    assert(sel2 === Set("b", "c"))
+    // topN beyond the first front peels the next layer (a dominates d)
+    val sel3 = Pipeline.varselPareto(cat, 3)
+      .filter(_.finalSelect).map(_.columnName).toSet
+    assert(sel3 === Set("b", "c", "a"))
+  }
+
   test("autoRun types candidates and completes the lifecycle") {
     val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val spec = DataSpec(targetColumn = "l_returnflag",

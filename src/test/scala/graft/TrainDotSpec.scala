@@ -95,6 +95,17 @@ class TrainDotSpec extends AnyFunSuite {
     assert(wrong === 0L, s"$wrong misclassified rows")
   }
 
+  test("OneVsOne pairwise vote separates the 3 bands perfectly too") {
+    import spark.implicits._
+    val qs = (1 to 14) ++ (19 to 31) ++ (36 to 50)
+    val d = qs.flatMap(q => Seq.fill(10)(q)).map { q =>
+      val band = if (q <= 14) 0.0 else if (q <= 31) 1.0 else 2.0
+      (q.toDouble, (q * q).toDouble, band)
+    }.toDF("q", "q2", "band")
+    val pred = Train.oneVsOne(d, Seq("q", "q2"), col("band"), maxIter = 25)
+    assert(pred.filter(col("prediction") =!= col("label")).count() === 0L)
+  }
+
   test("SVM and DT train and evaluate on separable data") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
