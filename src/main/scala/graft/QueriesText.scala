@@ -115,6 +115,52 @@ object QueriesText {
          |GROUP BY source
          |""".stripMargin))
 
+  // ---- transitive dedup clusters (bounded-round connected components) ------
+
+  /** LSH candidate pairs → connected components (3 unrolled min-label
+    * rounds, exact for clique-like dup clusters) → per-cluster sizes.
+    * Closes the single-hop-removal gap of q_dedup_apply: a transitive
+    * chain a~b~c collapses to one cluster labeled min(id). */
+  private val dedupCc: Q = Q(
+    fn = (s, dir) => {
+      val pairs = TextOps.lshPairs(TextOps.minhash(docs(s, dir)))
+      TextOps.dedupClusters(pairs, rounds = 3)
+        .groupBy("cluster")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_members"))
+    },
+    oracle = Some {
+      def round(prev: String, next: String) =
+        s"""$next AS (SELECT doc_id, min(label) AS label FROM (
+           |  SELECT doc_id, label FROM $prev
+           |  UNION ALL
+           |  SELECT e.dst AS doc_id, l.label
+           |  FROM edges e JOIN $prev l ON e.src = l.doc_id) GROUP BY doc_id)"""
+          .stripMargin
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id,
+         |${minhashSelect(8)}
+         |FROM s),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |         md5(m_0 || m_1 || m_2 || m_3) AS band_hash FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(m_4 || m_5 || m_6 || m_7) FROM sig),
+         |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |          UNION ALL SELECT doc_b, doc_a FROM prs),
+         |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")}
+         |SELECT label AS cluster, count(*) AS n_members
+         |FROM l3 GROUP BY label
+         |""".stripMargin
+    })
+
   // ---- SimHash fingerprints ------------------------------------------------
 
   private val simhashBits = 16
@@ -196,6 +242,7 @@ object QueriesText {
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,
     "q_dedup_apply"   -> dedupApply,
+    "q_dedup_cc"      -> dedupCc,
     "q_ngram_jaccard" -> jaccard,
     "q_simhash"       -> simhash,
     "q_lang_id"       -> langId,

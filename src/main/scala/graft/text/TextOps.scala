@@ -151,6 +151,36 @@ object TextOps {
       .select("doc_a", "doc_b", "inter", "jaccard")
   }
 
+  /** Transitive duplicate clustering over candidate pairs: bounded-round
+    * min-label propagation (each round: label(d) ← min(label(d),
+    * min over neighbors' labels); `rounds` ≥ graph diameter yields exact
+    * connected components). Near-dup clusters are cliques or near-cliques
+    * (every member paired with most others), so diameter is tiny and the
+    * default 3 rounds is exact in practice while keeping the computation
+    * a FIXED chain of id-keyed join+groupBy stages — deterministic,
+    * SQL-mirrorable, and free of driver-side iteration-to-convergence
+    * checks (each would be a blocking action at 100 TB; fixed unrolling
+    * keeps the whole thing one lazy plan).
+    *
+    * Returns (doc_id, cluster) for every doc appearing in `pairs`, where
+    * `cluster` is the component's minimum doc_id — the keep-id under the
+    * reference-style keep-first policy. */
+  def dedupClusters(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.union(
+      pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val init = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    val fin = (1 to rounds).foldLeft(init) { case (labels, _) =>
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("label"))
+      labels.select("doc_id", "label").union(viaNeighbor)
+        .groupBy("doc_id").agg(min("label").as("label"))
+    }
+    fin.select(col("doc_id"), col("label").as("cluster"))
+  }
+
   /** SimHash (Charikar): `bits`-bit fingerprint. Per token, bit j of the
     * md5 is ±1-voted; bit set iff the vote sum is non-negative
     * (2·Σbit_j ≥ n). Explode + groupBy — one shuffle keyed by doc_id with

@@ -119,6 +119,18 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(q.count() === 950)
   }
 
+  test("dedupClusters: transitive chain collapses to one min-labeled cluster") {
+    import spark.implicits._
+    // chain 1~2~3~4 (diameter 3) + separate pair 10~11 + clique 20,21,22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (21L, 22L)).toDF("doc_a", "doc_b")
+    val got = TextOps.dedupClusters(pairs, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L))
+    assert(got(10L) === 10L && got(11L) === 10L)
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
+  }
+
   test("HLL distinct path: within rsd bound and same typing decisions") {
     // the scale path for autotype distinct counts (approx_count_distinct =
     // HyperLogLog++): no oracle possible (engines' sketches differ), so
