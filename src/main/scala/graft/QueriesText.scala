@@ -34,7 +34,7 @@ object QueriesText {
   // ---- MinHash-LSH candidate pairs ----------------------------------------
 
   private val lshPairs: Q = Q(
-    fn = (s, dir) => TextOps.lshPairs(TextOps.minhash(docs(s, dir))),
+    fn = (s, dir) => TextOps.lshPairs(TextOps.minhash(docs(s, dir), respread = true)),
     oracle = Some(
       s"""WITH $shingleCte,
          |sig AS (SELECT doc_id,
@@ -86,7 +86,7 @@ object QueriesText {
   private val dedupApply: Q = Q(
     fn = (s, dir) => {
       val docsDf = docs(s, dir)
-      val pairs = TextOps.lshPairs(TextOps.minhash(docsDf))
+      val pairs = TextOps.lshPairs(TextOps.minhash(docsDf, respread = true))
       val dups = pairs.select(org.apache.spark.sql.functions.col("doc_b"))
         .distinct()
       docsDf.join(dups,
@@ -123,7 +123,7 @@ object QueriesText {
     * chain a~b~c collapses to one cluster labeled min(id). */
   private val dedupCc: Q = Q(
     fn = (s, dir) => {
-      val pairs = TextOps.lshPairs(TextOps.minhash(docs(s, dir)))
+      val pairs = TextOps.lshPairs(TextOps.minhash(docs(s, dir), respread = true))
       TextOps.dedupClusters(pairs, rounds = 3)
         .groupBy("cluster")
         .agg(org.apache.spark.sql.functions.count(

@@ -34,37 +34,40 @@ object TextOps {
        |END""".stripMargin)
 
   /** Respread a DataFrame whose scan yields fewer partitions than cores —
-    * shingling/hashing are compute-bound narrow maps, and a small file
-    * count (one split) would serialize them on one core. Gated on input
-    * size: below 32 MB the shuffle costs more than the parallelism buys
-    * (measured: the unconditional repartition regressed minhash 0.20→0.36 s
-    * at bench scale), and on big inputs (splits ≥ cores) it's a no-op —
-    * so no shuffle is ever added at 100 TB, where the file count already
-    * exceeds the cluster. */
+    * a small file count (one split) would serialize the downstream work on
+    * one core. On big inputs (splits ≥ cores) this is a no-op: no shuffle
+    * is ever added at 100 TB, where the file count already exceeds the
+    * cluster. Whether to respread is the CALLER's call, by downstream
+    * weight: the pair-generation pipelines (jaccard, LSH banding) win big
+    * from a parallel explode+partial-agg map side (measured 3.98 s vs
+    * ~4.8 s for q_ngram_jaccard at bench scale), while a plain narrow
+    * signature map (q_minhash) loses more to the extra shuffle than it
+    * gains (0.20 s vs 0.36 s) — so heaviness can't be inferred from input
+    * bytes alone. */
   private def spread(df: DataFrame): DataFrame = {
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < (32L << 20)) df
-    else {
-      val target = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
-    }
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
   /** (doc_id, sh: array<string>) with the token split materialized in its
     * own projection — Catalyst keeps the multi-referenced, non-cheap
-    * `split` from being inlined back into the shingle lambda. */
-  def withShingles(docs: DataFrame): DataFrame =
-    spread(docs).select(col("doc_id"), split(col("text"), " ").as("toks"))
+    * `split` from being inlined back into the shingle lambda.
+    * `respread = true` for explode/pair-heavy consumers (see [[spread]]). */
+  def withShingles(docs: DataFrame, respread: Boolean = true): DataFrame =
+    (if (respread) spread(docs) else docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shinglesOf("toks").as("sh"))
 
   /** MinHash signature: for hash function h, min over shingles of
     * md5("h|" + shingle) — k independent permutation approximations.
-    * One narrow pass, no shuffle. */
-  def minhash(docs: DataFrame, numHashes: Int = 8): DataFrame = {
+    * One narrow pass; respread only when a heavy consumer (LSH banding)
+    * follows. */
+  def minhash(docs: DataFrame, numHashes: Int = 8,
+              respread: Boolean = false): DataFrame = {
     val sigCols = (0 until numHashes).map { h =>
       expr(s"array_min(transform(sh, s -> md5('$h|' || s)))").as(s"m_$h")
     }
-    withShingles(docs).select(col("doc_id") +: sigCols: _*)
+    withShingles(docs, respread).select(col("doc_id") +: sigCols: _*)
   }
 
   /** Ordered (a < b) unique pairs from each group of a keyed id stream:
