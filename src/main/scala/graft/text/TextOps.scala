@@ -165,6 +165,12 @@ object TextOps {
     * checks (each would be a blocking action at 100 TB; fixed unrolling
     * keeps the whole thing one lazy plan).
     *
+    * Keep `rounds` SMALL: each round references the previous labels twice
+    * (union + join), so the unrolled plan TREE doubles per round — ~6 is
+    * the practical ceiling before analysis time bites. Components of
+    * larger diameter (not a near-dup shape) call for a checkpointed
+    * iterative CC instead.
+    *
     * Returns (doc_id, cluster) for every doc appearing in `pairs`, where
     * `cluster` is the component's minimum doc_id — the keep-id under the
     * reference-style keep-first policy. */

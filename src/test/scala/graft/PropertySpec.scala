@@ -129,6 +129,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dedupClusters: labels are component minima on random sparse graphs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // NOTE rounds stays small: the unrolled plan references the previous
+    // round twice (union + join), so the plan TREE doubles per round —
+    // rounds=6 covers diameter ≤ 6, ample for 20-node random graphs here
+    // and far beyond clique-like dup clusters (see dedupClusters docs)
+    val edgeGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+    samples(edgeGen, 2).foreach { raw =>
+      val edges = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      if (edges.nonEmpty) {
+        val got = graft.text.TextOps
+          .dedupClusters(edges.toDF("doc_a", "doc_b"), rounds = 6)
+          .as[(Long, Long)].collect().toMap
+        // reference CC by union-find on the driver
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        got.foreach { case (d, label) =>
+          assert(label === find(d), s"doc $d in $edges")
+        }
+      }
+    }
+  }
+
+  test("jaccard df cap: capped pair set is a subset of the uncapped set") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"w${i % 5} common words here tail$i x${i % 3} y${i % 7}")
+    }.toDF("doc_id", "text")
+    def pairsAt(cap: Int) = graft.text.TextOps
+      .jaccardPairs(docs, 0.05, dfCap = cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairsAt(1000000)
+    Seq(3, 8, 20).foreach { cap =>
+      val capped = pairsAt(cap)
+      assert(capped.subsetOf(uncapped), s"cap=$cap added pairs")
+    }
+  }
+
   test("jexl filter matches native Column filter for arbitrary thresholds") {
     val spark = TestSpark.spark
     import spark.implicits._
