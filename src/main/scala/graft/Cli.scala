@@ -29,10 +29,16 @@ import graft.pipeline.Pipeline
   */
 object Cli {
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    // strict pairing: every token must be a --flag followed by a value —
+    // a silently shifted/dropped pair would misconfigure the whole run
+    args.grouped(2).map {
+      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.drop(2) -> v
+      case bad => throw new IllegalArgumentException(
+        s"expected '--flag value' pairs, got '${bad.mkString(" ")}'")
     }.toMap
+  }
 
   private def normTypeOf(s: String): NormType = s.toLowerCase match {
     case "zscale"    => NormType.ZScale

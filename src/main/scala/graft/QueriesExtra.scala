@@ -262,29 +262,31 @@ object QueriesExtra {
 
   /** Iterative optimizer state isn't SQL-expressible; the oracle-checkable
     * part is the training CONTRACT: the pipeline has its two stages, the
-    * fit consumed every row (count cross-checked), and the evaluator
-    * produced a proper AUC in (0,1). Predictive power on a separable
-    * fixture is spec-asserted (TrainDotSpec). */
-  private val trainLr: Q = Q(
+    * fit consumed every row (count cross-checked against the oracle's
+    * identically-filtered count(*)), and the evaluator produced a proper
+    * AUC in (0,1). Predictive power on separable fixtures is spec-asserted
+    * (TrainDotSpec). One shared shape for all four algorithm families. */
+  private val trainFeats = Seq("l_quantity", "l_discount", "l_tax")
+
+  private def trainContract(algo: String, sampled: Boolean,
+      fit: org.apache.spark.sql.DataFrame => Train.Trained): Q = Q(
     fn = (s, dir) => {
-      val d = li(s, dir)
-      val t = Train.logistic(d,
-        Seq("l_quantity", "l_discount", "l_tax"), isPos, maxIter = 10)
+      val d = if (sampled) trainSample(li(s, dir)) else li(s, dir)
+      val t = fit(d)
       import s.implicits._
-      Seq(("logistic", if (t.auc > 0.0 && t.auc < 1.0) 1 else 0,
+      Seq((algo, if (t.auc > 0.0 && t.auc < 1.0) 1 else 0,
         t.model.stages.length, d.count()))
         .toDF("algo", "auc_in_unit", "n_stages", "n_train")
     },
     oracle = Some(
-      """SELECT 'logistic' AS algo, 1 AS auc_in_unit, 2 AS n_stages,
-        |  count(*) AS n_train
-        |FROM lineitem
-        |""".stripMargin))
+      s"""SELECT '$algo' AS algo, 1 AS auc_in_unit, 2 AS n_stages,
+         |  count(*) AS n_train
+         |FROM lineitem${if (sampled) s" WHERE $trainSampleSql" else ""}
+         |""".stripMargin))
 
-  /** NN training contract (reference flagship `ALGORITHM NN` →
-    * MultilayerPerceptronClassifier): same invariant scheme as q_train_lr;
-    * predictive power on a separable fixture is spec-asserted
-    * (TrainDotSpec "nn separable"). */
+  private val trainLr = trainContract("logistic", sampled = false,
+    Train.logistic(_, trainFeats, isPos, maxIter = 10))
+
   /** Deterministic hash sample (md5 first hex digit ∈ `digits`) — the
     * reference trains on bagged subsamples, not the whole corpus, and the
     * oracle can mirror the filter exactly (q_hash_sample pattern). The
@@ -304,57 +306,20 @@ object QueriesExtra {
       "cast(l_linenumber AS VARCHAR)), 1, 1) IN (" +
       trainDigits.map(d => s"'$d'").mkString(",") + ")"
 
-  private val trainNn: Q = Q(
-    fn = (s, dir) => {
-      val d = trainSample(li(s, dir))
-      val t = Train.nn(d, Seq("l_quantity", "l_discount", "l_tax"), isPos,
-        hidden = Seq(5), maxIter = 15)
-      import s.implicits._
-      Seq(("mlp", if (t.auc > 0.0 && t.auc < 1.0) 1 else 0,
-        t.model.stages.length, d.count()))
-        .toDF("algo", "auc_in_unit", "n_stages", "n_train")
-    },
-    oracle = Some(
-      s"""SELECT 'mlp' AS algo, 1 AS auc_in_unit, 2 AS n_stages,
-         |  count(*) AS n_train
-         |FROM lineitem WHERE $trainSampleSql
-         |""".stripMargin))
+  /** NN / SVM / DT training contracts (NN = the reference flagship
+    * `ALGORITHM NN` → MultilayerPerceptronClassifier) — completing the
+    * reference ALGORITHM enum's distributed members (NN, LR, SVM, DT, RF,
+    * GBT; TENSORFLOW/WDL are external runtimes the reference shells out
+    * to — out of engine scope). Predictive power is spec-asserted on
+    * separable fixtures (TrainDotSpec). */
+  private val trainNn = trainContract("mlp", sampled = true,
+    Train.nn(_, trainFeats, isPos, hidden = Seq(5), maxIter = 15))
 
-  /** SVM / DT training contracts — same invariant scheme as q_train_lr,
-    * completing the reference ALGORITHM enum's distributed members
-    * (NN, LR, SVM, DT, RF, GBT; TENSORFLOW/WDL are external runtimes the
-    * reference shells out to — out of engine scope). */
-  private val trainSvm: Q = Q(
-    fn = (s, dir) => {
-      val d = trainSample(li(s, dir))
-      val t = Train.svm(d, Seq("l_quantity", "l_discount", "l_tax"), isPos,
-        maxIter = 3)
-      import s.implicits._
-      Seq(("svm", if (t.auc > 0.0 && t.auc < 1.0) 1 else 0,
-        t.model.stages.length, d.count()))
-        .toDF("algo", "auc_in_unit", "n_stages", "n_train")
-    },
-    oracle = Some(
-      s"""SELECT 'svm' AS algo, 1 AS auc_in_unit, 2 AS n_stages,
-         |  count(*) AS n_train
-         |FROM lineitem WHERE $trainSampleSql
-         |""".stripMargin))
+  private val trainSvm = trainContract("svm", sampled = true,
+    Train.svm(_, trainFeats, isPos, maxIter = 3))
 
-  private val trainDt: Q = Q(
-    fn = (s, dir) => {
-      val d = trainSample(li(s, dir))
-      val t = Train.decisionTree(d,
-        Seq("l_quantity", "l_discount", "l_tax"), isPos, maxDepth = 5)
-      import s.implicits._
-      Seq(("dt", if (t.auc > 0.0 && t.auc < 1.0) 1 else 0,
-        t.model.stages.length, d.count()))
-        .toDF("algo", "auc_in_unit", "n_stages", "n_train")
-    },
-    oracle = Some(
-      s"""SELECT 'dt' AS algo, 1 AS auc_in_unit, 2 AS n_stages,
-         |  count(*) AS n_train
-         |FROM lineitem WHERE $trainSampleSql
-         |""".stripMargin))
+  private val trainDt = trainContract("dt", sampled = true,
+    Train.decisionTree(_, trainFeats, isPos, maxDepth = 5))
 
   /** One-vs-rest multi-class (reference `MultipleClassification.ONEVSREST`,
     * `ModelTrainConf.java:54-58`): 3 quantity bands separated by wide gaps

@@ -150,12 +150,20 @@ object Eval {
   def gainChartHtml(gain: DataFrame, path: String,
                     title: String = "graft eval"): Unit = {
     val rows = gain.orderBy("bucket").collect()
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
     def fmt(v: Any): String = v match {
       case d: Double => f"$d%.6f"
-      case x => String.valueOf(x)
+      case x => esc(String.valueOf(x))
+    }
+    if (rows.isEmpty) {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        s"<!DOCTYPE html><html><body><h2>${esc(title)} — gain chart" +
+          "</h2><p>no buckets</p></body></html>\n")
+      return
     }
     val cols = gain.columns
-    val thead = cols.map(c => s"<th>$c</th>").mkString
+    val thead = cols.map(c => s"<th>${esc(c)}</th>").mkString
     val tbody = rows.map(r =>
       "<tr>" + cols.indices.map(i => s"<td>${fmt(r.get(i))}</td>").mkString +
         "</tr>").mkString("\n")
@@ -181,10 +189,10 @@ object Eval {
          |</svg>""".stripMargin
     val html =
       s"""<!DOCTYPE html><html><head><meta charset="utf-8">
-         |<title>$title</title>
+         |<title>${esc(title)}</title>
          |<style>table{border-collapse:collapse}td,th{border:1px solid #999;
          |padding:3px 8px;font:12px monospace}</style></head>
-         |<body><h2>$title — gain chart</h2>
+         |<body><h2>${esc(title)} — gain chart</h2>
          |$svg
          |<table><thead><tr>$thead</tr></thead><tbody>
          |$tbody

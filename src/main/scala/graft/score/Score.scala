@@ -133,6 +133,11 @@ object Score {
   def importPmml(xml: String): Seq[LinearModel] = {
     val db = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     db.setNamespaceAware(false)
+    // XXE hardening: PMML arrives from user-supplied files (CLI path) —
+    // never resolve DOCTYPE/external entities
+    db.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    db.setXIncludeAware(false)
+    db.setExpandEntityReferences(false)
     val doc = db.newDocumentBuilder()
       .parse(new java.io.ByteArrayInputStream(
         xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)))

@@ -76,7 +76,10 @@ object Ivf {
     d2
   }
 
-  /** Nearest-centroid assignment: broadcast centroids, narrow map. */
+  /** Nearest-centroid assignment: broadcast centroids, narrow map.
+    * Allocation-free running-min loop — this is the per-row hot path over
+    * the whole corpus, so it must not share the array-returning
+    * [[distances]] helper (2 KB of garbage per row at nCells=256). */
   def assignCells(v: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val spark = v.sparkSession
     import spark.implicits._
@@ -84,9 +87,16 @@ object Ivf {
     v.select(col("vec_id"), col("e"), col("norm"))
       .as[(Long, Array[Double], Double)]
       .map { case (id, e, norm) =>
-        val d2 = distances(bc.value, e)
-        var best = 0; var c = 1
-        while (c < d2.length) { if (d2(c) < d2(best)) best = c; c += 1 }
+        val cs = bc.value
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          val cv = cs(c)
+          while (i < e.length) { val t = e(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
         (id, e, norm, best)
       }
       .toDF("vec_id", "e", "norm", "cell")

@@ -154,6 +154,8 @@ object Train {
       label.cast("double").as("label"): _*)
     val classes = data.select("label").distinct()
       .collect().map(_.getDouble(0)).sorted
+    require(classes.length >= 2,
+      s"oneVsOne needs ≥2 classes, got ${classes.mkString(",")}")
     val pairs = for {
       i <- classes.indices; j <- (i + 1) until classes.length
     } yield (classes(i), classes(j))
@@ -194,14 +196,23 @@ object Train {
   /** `shifu combo` assembling (reference `ShifuCLI.java:818-866`,
     * ComboModelProcessor): score the data with EVERY member model —
     * possibly different algorithms — and combine per-row P(positive) by
-    * mean. Each member adds one narrow transform pass; no shuffle, no
-    * retraining. Returns the input plus per-member `combo_i` scores and
-    * the assembled `combo_mean`. */
+    * mean. Probabilistic members contribute P(1) directly; margin-only
+    * members (LinearSVC) contribute sigmoid(margin) — the standard Platt
+    * bridge, so SVM members compose too. Each member adds one narrow
+    * transform pass; no shuffle, no retraining. Returns the input plus
+    * per-member `combo_i` scores and the assembled `combo_mean`. */
   def comboScore(members: Seq[Trained], df: DataFrame): DataFrame = {
+    require(members.nonEmpty, "comboScore needs at least one member model")
     import org.apache.spark.ml.functions.vector_to_array
     val scored = members.zipWithIndex.foldLeft(df) { case (cur, (t, i)) =>
-      t.model.transform(cur)
-        .withColumn(s"combo_$i", vector_to_array(col("probability"))(1))
+      val out = t.model.transform(cur)
+      val p =
+        if (out.columns.contains("probability"))
+          vector_to_array(col("probability"))(1)
+        else // margin-only classifier: sigmoid of the raw margin
+          lit(1.0) / (lit(1.0) +
+            exp(lit(0.0) - vector_to_array(col("rawPrediction"))(1)))
+      out.withColumn(s"combo_$i", p)
         .drop("features", "rawPrediction", "probability", "prediction")
     }
     val mean = members.indices.map(i => col(s"combo_$i"))

@@ -59,13 +59,17 @@ class Round3OpsSpec extends AnyFunSuite {
     }.toDF("x1", "x2", "label")
     val members = Seq(
       Train.logistic(d, Seq("x1", "x2"), col("label")),
-      Train.randomForest(d, Seq("x1", "x2"), col("label"), numTrees = 5))
+      Train.randomForest(d, Seq("x1", "x2"), col("label"), numTrees = 5),
+      // margin-only member: exercises the sigmoid(rawPrediction) bridge
+      Train.svm(d, Seq("x1", "x2"), col("label"), maxIter = 10))
     val combo = Train.comboScore(members, d)
     // combo_mean really is the mean of the member scores
     val chk = combo.select(abs(col("combo_mean") -
-      (col("combo_0") + col("combo_1")) / 2).as("d"))
+      (col("combo_0") + col("combo_1") + col("combo_2")) / 3).as("d"))
       .agg(max("d")).head().getDouble(0)
     assert(chk === 0.0)
+    val svmScores = combo.agg(min("combo_2"), max("combo_2")).head()
+    assert(svmScores.getDouble(0) >= 0.0 && svmScores.getDouble(1) <= 1.0)
     val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
       .setLabelCol("label_d").setRawPredictionCol("combo_mean")
       .evaluate(combo.withColumn("label_d", col("label").cast("double")))
