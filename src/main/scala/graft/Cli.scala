@@ -18,6 +18,8 @@ import graft.pipeline.Pipeline
   *                  --candidates ... --catalog ColumnConfig.json
   * graft.Cli norm   --data ... --target ... --pos ... --neg ... \
   *                  --catalog ColumnConfig.json --out outDir [--normtype woe]
+  * graft.Cli eval   --data ... --target ... --pos ... --neg ... \
+  *                  --score <metaCol> [--weight <col>] [--out report.html]
   * graft.Cli export --data ... --target ... --pos ... --neg ... \
   *                  --candidates ... --out model.pmml
   * }}}
@@ -89,6 +91,24 @@ object Cli {
         normed.write.mode("overwrite").parquet(opts("out"))
         Seq(s"normalized: ${opts("out")} (${normed.columns.length} columns)")
 
+      case "eval" =>
+        // external-score eval (`shifu eval` with a metaColumn score):
+        // distributed sweep -> ROC AUC + gain chart, optional HTML report
+        val clean = Pipeline.init(df, spec)
+        val scoreCol = col(opts("score"))
+        val weightCol = opts.get("weight").map(col).getOrElse(lit(1.0))
+        val sweep = graft.eval.Eval.weightedSweep(clean, scoreCol,
+          Pipeline.isPos(spec), weightCol,
+          Seq(monotonically_increasing_id()))
+        val auc = graft.eval.Eval.rocAuc(sweep).head().getDouble(0)
+        val gain = graft.eval.Eval.gainChart(
+          sweep.select("bucket", "tp", "fp", "fn", "tn"))
+        opts.get("out").foreach(o =>
+          graft.eval.Eval.gainChartHtml(gain, o, s"eval ${opts("score")}"))
+        Seq(f"auc: $auc%.6f",
+          s"buckets: ${gain.count()}") ++
+          opts.get("out").map(o => s"report: $o")
+
       case "export" =>
         val r = Pipeline.autoRun(df, spec, candidates, topN, normType, None)
         val feats = r.normalized.columns.filter(_.startsWith("n_")).toSeq
@@ -102,7 +122,7 @@ object Cli {
 
       case other =>
         throw new IllegalArgumentException(
-          s"unknown verb '$other' (run|stats|norm|export)")
+          s"unknown verb '$other' (run|stats|norm|eval|export)")
     }
   }
 

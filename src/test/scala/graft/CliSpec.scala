@@ -38,6 +38,18 @@ class CliSpec extends AnyFunSuite {
     assert(normed.count() > 0)
   }
 
+  test("eval: external meta-score sweep reports AUC and writes the report") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli4").toString
+    val out = Cli.run(spark, "eval", base +
+      ("score" -> "l_tax") + ("weight" -> "l_quantity") +
+      ("out" -> s"$tmp/report.html"))
+    val auc = out.find(_.startsWith("auc: ")).get.drop(5).toDouble
+    assert(auc > 0.0 && auc < 1.0)
+    val html = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/report.html"))
+    assert(html.contains("<svg") && html.contains("<th>lift</th>"))
+  }
+
   test("export: writes a parseable PMML with the selected predictors") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli3").toString
     val out = Cli.run(spark, "export", base + ("out" -> s"$tmp/model.pmml"))
