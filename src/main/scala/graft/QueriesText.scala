@@ -161,6 +161,70 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- PII scrubbing (compliance pass) -------------------------------------
+
+  /** The synthetic corpus carries no PII, so ~25% of docs get a
+    * deterministic seeded contact line (md5-gated, q_csv_roundtrip
+    * pattern) before the scrub — the query then proves masking, per-kind
+    * counts, and the cleaned-text fingerprint all match the oracle's
+    * identical RE2-compatible regex chain. */
+  private val piiScrub: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val gate = substring(md5(col("text").cast("binary")), 1, 1)
+      val seeded = docs(s, dir).withColumn("text",
+        when(gate.isin("0", "1", "2", "3"),
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@mail.example.org or 555-123-4567")))
+          .when(gate === "4",
+            concat(col("text"), lit(" id 123-45-6789")))
+          .otherwise(col("text")))
+      TextOps.scrubPii(seeded)
+        .select("doc_id", "n_email", "n_phone", "n_ssn", "clean_fp")
+    },
+    oracle = Some {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+      val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3')
+         |      THEN text || ' contact u' || doc_id ||
+         |           '@mail.example.org or 555-123-4567'
+         |    WHEN substr(md5(text), 1, 1) = '4'
+         |      THEN text || ' id 123-45-6789'
+         |    ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$email'))::BIGINT AS n_email,
+         |  len(regexp_extract_all(text, '$phone'))::BIGINT AS n_phone,
+         |  len(regexp_extract_all(text, '$ssn'))::BIGINT AS n_ssn,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g'),
+         |    '$ssn', '<SSN>', 'g')) AS clean_fp
+         |FROM seeded
+         |""".stripMargin
+    })
+
+  // ---- repetition signal (Gopher-style corpus hygiene) ---------------------
+
+  private val repetition: Q = Q(
+    fn = (s, dir) => TextOps.repetition(docs(s, dir)),
+    oracle = Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |    THEN list_transform(generate_series(1, len(toks) - 1),
+        |         i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+        |    ELSE [array_to_string(toks, ' ')] END) AS bg FROM t),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+        |  max(c)::BIGINT AS top_bigram_cnt,
+        |  round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_share
+        |FROM c GROUP BY doc_id
+        |""".stripMargin))
+
   // ---- SimHash fingerprints ------------------------------------------------
 
   private val simhashBits = 16
@@ -245,6 +309,8 @@ object QueriesText {
     "q_dedup_cc"      -> dedupCc,
     "q_ngram_jaccard" -> jaccard,
     "q_simhash"       -> simhash,
+    "q_pii_scrub"     -> piiScrub,
+    "q_repetition"    -> repetition,
     "q_lang_id"       -> langId,
     "q_quality"       -> quality,
     "q_fingerprint"   -> fingerprint,

@@ -215,6 +215,58 @@ object TextOps {
     votes.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** PII patterns — conservative regexes valid and IDENTICAL under both
+    * java.util.regex and RE2 (no backrefs, no lookaround), so the scrub is
+    * oracle-checkable cross-engine. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"))
+
+  /** PII scrubbing (training-data compliance pass): masks emails, phone
+    * numbers, and SSN-shaped tokens with typed placeholders and reports
+    * per-kind hit counts (counted on the ORIGINAL text). One narrow
+    * codegen'd projection — regex masking never shuffles; at 100 TB this
+    * runs as a pure map over the corpus. The three patterns are mutually
+    * disjoint (3-3-4 phone vs 3-2-4 SSN digit groups), so mask order is
+    * immaterial. */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val masked = piiPatterns.foldLeft(col("text")) {
+      case (c, (_, re, repl)) => regexp_replace(c, re, repl)
+    }
+    val counts = piiPatterns.map { case (name, re, _) =>
+      size(regexp_extract_all(col("text"), lit(re), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    docs.select(Seq(col("doc_id")) ++ counts ++ Seq(
+      masked.as("clean_text"),
+      md5(masked.cast("binary")).as("clean_fp")): _*)
+  }
+
+  /** Gopher-style repetition signal (Rae et al. 2021 §A1.1 repetition
+    * filters, standard LLM-corpus hygiene): share of the document's token
+    * BIGRAMS taken by its single most frequent bigram (non-distinct —
+    * repetition is exactly what dedup's `array_distinct` shingles erase).
+    * A high share flags boilerplate/looping text. Explode + two-level
+    * groupBy with map-side partial agg; shuffles are keyed by
+    * (doc_id, bigram) then doc_id — no skew beyond a single document's
+    * own bigram set. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val bigrams = toks.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(toks) >= 2
+        |  THEN transform(sequence(1, size(toks) - 1),
+        |       i -> concat_ws(' ', slice(toks, i, 2)))
+        |  ELSE array(concat_ws(' ', toks)) END""".stripMargin)).as("bg"))
+    bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        max("c").as("top_bigram_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_cnt"),
+        round(col("top_bigram_cnt").cast("double") / col("n_bigrams"), 6)
+          .as("top_bigram_share"))
+  }
+
   /** Language lexicons for the n-gram/stopword language-ID heuristic. */
   val lexicon: Seq[(String, String)] = Seq(
     "the" -> "en", "a" -> "en", "of" -> "en", "and" -> "en", "is" -> "en",

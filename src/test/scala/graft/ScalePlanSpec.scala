@@ -119,6 +119,34 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(q.count() === 950)
   }
 
+  test("scrubPii masks all three kinds and counts the originals") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a.b+c@x.co.uk and b@y.io phone 555-123-4567 ssn 123-45-6789"),
+      (2L, "clean text no pii at all")).toDF("doc_id", "text")
+    val got = TextOps.scrubPii(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_email") === 2)
+    assert(got(1L).getAs[Long]("n_phone") === 1)
+    assert(got(1L).getAs[Long]("n_ssn") === 1)
+    val clean = got(1L).getAs[String]("clean_text")
+    assert(clean.contains("<EMAIL>") && clean.contains("<PHONE>") &&
+      clean.contains("<SSN>"))
+    assert(!clean.contains("@") && !clean.contains("555-123-4567"))
+    assert(got(2L).getAs[String]("clean_text") === "clean text no pii at all")
+  }
+
+  test("repetition: looping text scores near 1, diverse text near 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq.fill(50)("buy now").mkString(" ")), // one bigram dominates
+      (2L, (1 to 100).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextOps.repetition(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("top_bigram_share")).toMap
+    assert(got(1L) > 0.49, s"looping doc share=${got(1L)}")
+    assert(got(2L) < 0.02, s"diverse doc share=${got(2L)}")
+  }
+
   test("dedupClusters: transitive chain collapses to one min-labeled cluster") {
     import spark.implicits._
     // chain 1~2~3~4 (diameter 3) + separate pair 10~11 + clique 20,21,22
