@@ -235,12 +235,20 @@ object Queries {
       docs(s, dir).select(
         col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        // BPE-ish pre-tokenizer count (GPT2-style regex, ASCII approx) —
+        // the token-budget estimate an LLM-corpus pipeline actually needs
+        size(regexp_extract_all(col("text"),
+          lit(graft.text.TextOps.bpeTokenRegex), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
         length(col("text")).cast("long").as("n_chars_m")),
     oracle = Some(
-      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-        |  length(text) AS n_chars_m
-        |FROM documents
-        |""".stripMargin))
+      s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |  len(regexp_extract_all(text,
+         |    '${graft.text.TextOps.bpeTokenRegex.replace("'", "''")}'))
+         |    AS n_bpe_tokens,
+         |  length(text) AS n_chars_m
+         |FROM documents
+         |""".stripMargin))
 
   // ---- registry ------------------------------------------------------------
 

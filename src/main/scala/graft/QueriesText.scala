@@ -279,18 +279,23 @@ object QueriesText {
 
   private val quality: Q = Q(
     fn = (s, dir) => TextOps.quality(docs(s, dir)),
-    oracle = Some(
-      """SELECT doc_id,
-        |  len(string_split(text, ' ')) AS n_tokens,
-        |  length(text) AS n_chars,
-        |  length(regexp_replace(text, ' ', '', 'g'))::DOUBLE
-        |    / len(string_split(text, ' ')) AS mean_tok_len,
-        |  length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
-        |    / length(text) AS digit_ratio,
-        |  length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
-        |    / length(text) AS upper_ratio
-        |FROM documents
-        |""".stripMargin))
+    oracle = Some {
+      val stopList = TextOps.enStopwords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  length(text) AS n_chars,
+         |  length(regexp_replace(text, ' ', '', 'g'))::DOUBLE
+         |    / len(string_split(text, ' ')) AS mean_tok_len,
+         |  length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+         |    / length(text) AS digit_ratio,
+         |  length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+         |    / length(text) AS upper_ratio,
+         |  round(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($stopList)))::DOUBLE
+         |    / len(string_split(text, ' ')), 6) AS stopword_ratio
+         |FROM documents
+         |""".stripMargin
+    })
 
   // ---- document fingerprinting --------------------------------------------
 

@@ -297,19 +297,37 @@ object TextOps {
         coalesce(col("votes"), lit(0L)).as("votes"))
   }
 
+  /** English stopwords for the quality stopword-ratio signal (Gopher §A1.1
+    * uses a must-contain-stopwords rule; the lexicon's EN row serves). */
+  val enStopwords: Seq[String] =
+    lexicon.collect { case (t, "en") => t }
+
   /** Row-local quality signals (pure IEEE arithmetic — bit-exact anywhere):
-    * token count, char count, mean token length, digit/upper ratios. */
-  def quality(docs: DataFrame): DataFrame =
+    * token count, char count, mean token length, digit/upper ratios, and
+    * the Gopher-style stopword ratio. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopCnt = size(filter(toks,
+      t => t.isin(enStopwords.map(lit): _*))).cast("long")
     docs.select(
       col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      size(toks).cast("long").as("n_tokens"),
       length(col("text")).cast("long").as("n_chars"),
       (length(regexp_replace(col("text"), " ", "")).cast("double") /
-        size(split(col("text"), " "))).as("mean_tok_len"),
+        size(toks)).as("mean_tok_len"),
       (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
         length(col("text"))).as("digit_ratio"),
       (length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double") /
-        length(col("text"))).as("upper_ratio"))
+        length(col("text"))).as("upper_ratio"),
+      round(stopCnt.cast("double") / size(toks), 6).as("stopword_ratio"))
+  }
+
+  /** GPT2-style pre-tokenizer regex, ASCII approximation — contractions,
+    * letter runs, digit runs, punctuation runs, each with an optional
+    * leading space. RE2-compatible (no lookaround/backrefs) so the count
+    * is oracle-checkable cross-engine. */
+  val bpeTokenRegex: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 
   /** Document fingerprints: content md5 + whitespace-normalized md5. */
   def fingerprint(docs: DataFrame): DataFrame =
