@@ -161,6 +161,44 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- SimHash near-dup pairs (hamming-banded) -----------------------------
+
+  /** SimHash fingerprints → banded candidates → exact hamming confirm
+    * (xor + bit_count; DuckDB's ^ is POWER, so the oracle uses xor()). */
+  private val simhashPairsQ: Q = Q(
+    fn = (s, dir) => TextOps.simhashPairs(docs(s, dir), 16, maxHamming = 3),
+    oracle = Some {
+      val sums = (0 until 16).map { j =>
+        val di = j / 4 + 1
+        val shift = 3 - (j % 4)
+        s"  sum(CAST(floor((instr('0123456789abcdef', substr(h, $di, 1)) - 1)" +
+          s" / ${1 << shift}) % 2 AS BIGINT)) AS s_$j"
+      }.mkString(",\n")
+      val simExpr = (0 until 16).map { j =>
+        s"CASE WHEN 2 * s_$j >= n THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+         |  FROM documents),
+         |bits AS (
+         |  SELECT doc_id, count(*) AS n,
+         |$sums
+         |  FROM toks GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $simExpr AS simhash FROM bits),
+         |bands AS (SELECT doc_id, 0 AS band, simhash % 256 AS bv FROM sig
+         |          UNION ALL SELECT doc_id, 1, simhash // 256 FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+         |FROM cand
+         |JOIN sig sa ON doc_a = sa.doc_id
+         |JOIN sig sb ON doc_b = sb.doc_id
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+         |""".stripMargin
+    })
+
   // ---- PII scrubbing (compliance pass) -------------------------------------
 
   /** The synthetic corpus carries no PII, so ~25% of docs get a
@@ -314,6 +352,7 @@ object QueriesText {
     "q_dedup_cc"      -> dedupCc,
     "q_ngram_jaccard" -> jaccard,
     "q_simhash"       -> simhash,
+    "q_simhash_pairs" -> simhashPairsQ,
     "q_pii_scrub"     -> piiScrub,
     "q_repetition"    -> repetition,
     "q_lang_id"       -> langId,

@@ -154,6 +154,31 @@ object TextOps {
       .select("doc_a", "doc_b", "inter", "jaccard")
   }
 
+  /** SimHash near-dup candidate pairs: the 16-bit fingerprint splits into
+    * two 8-bit bands — by pigeonhole, any pair within hamming distance ≤ 8
+    * shares at least one exact band, and close pairs (≤ maxHamming, small)
+    * almost surely share one — then the EXACT hamming distance (xor +
+    * bit_count, codegen'd integer ops) confirms. Same shape as MinHash-LSH:
+    * one groupBy keyed on (band, value) moves ids only; fingerprints
+    * re-attach afterwards. */
+  def simhashPairs(docs: DataFrame, bits: Int = 16,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs, bits)
+    val bands = sig.select(col("doc_id"), explode(array(
+      struct(lit(0).as("band"), (col("simhash") % 256).as("bv")),
+      // `div` not `/`: Spark's / is double division and the two band
+      // structs must agree on the value type for the array
+      struct(lit(1).as("band"), expr("simhash div 256").as("bv")))).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bv"))
+    val cand = groupedPairs(bands, Seq("band", "bv"), "doc_id").distinct()
+    val sa = sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("hamming", bit_count(expr("ha ^ hb")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Transitive duplicate clustering over candidate pairs: bounded-round
     * min-label propagation (each round: label(d) ← min(label(d),
     * min over neighbors' labels); `rounds` ≥ graph diameter yields exact
