@@ -53,30 +53,34 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // keep the JSON line SHORT: the driver greps it out of a ~2.4 kB output
-    // tail — rounds 1 AND 2 both overflowed it (parsed:null, truncated
-    // timings). Three levers, worth ~600 B at ~95 queries: per-query values
-    // are integer MILLISECONDS, map keys drop the uniform "q_" prefix, and
-    // the line prints AFTER spark.stop() so shutdown logging can't land
+    // tail — rounds 1–3 ALL overflowed it at full query count (parsed:null).
+    // The summary line now carries only total + top-5 slowest (≈300 B,
+    // stable as the query count grows); the full per-query map goes to
+    // BENCH_DETAILS_latest.jsonl in the repo root, which gets committed.
+    // The line prints AFTER spark.stop() so shutdown logging can't land
     // between it and the end of the capture window.
     def f(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) =>
-      "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 1000)
+    val top5 = results.sortBy(-_._2).take(5).map { case (k, v) =>
+      "\"" + k.stripPrefix("q_") + "\":" + f(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = sfDir.split("/").filter(_.nonEmpty).lastOption
       .getOrElse(sfDir) // basename only: every byte of this line counts
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","q_unit":"ms","queries":$qs,"sf":"$sfName"}"""
-    // full-precision copy for post-hoc inspection (not driver-parsed)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/tmp/graft_bench_last.json"),
-      results.map { case (k, v) => s"""{"query":"$k","sec":${f(v)}}""" }
-        .mkString("", "\n", "\n") + line + "\n")
-    catch { case _: Throwable => () }
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"top5_sec":$top5,"sf":"$sfName"}"""
+    // full-precision per-query detail — committed artifact, not tail-parsed
+    val detail = results.map { case (k, v) =>
+      s"""{"query":"$k","sec":${f(v)}}"""
+    }.mkString("", "\n", "\n") + line + "\n"
+    Seq("BENCH_DETAILS_latest.jsonl", "/tmp/graft_bench_last.json").foreach {
+      p => try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), detail)
+      catch { case _: Throwable => () }
+    }
     spark.stop()
-    if (line.length > 2100)
-      System.err.println(s"WARN bench line ${line.length}B > 2100B budget")
+    if (line.length > 1500)
+      System.err.println(s"WARN bench line ${line.length}B > 1500B budget")
     println(line)
   }
 }

@@ -163,32 +163,55 @@ object QueriesText {
 
   // ---- SimHash near-dup pairs (hamming-banded) -----------------------------
 
-  /** SimHash fingerprints → banded candidates → exact hamming confirm
-    * (xor + bit_count; DuckDB's ^ is POWER, so the oracle uses xor()). */
+  /** DuckDB CTE chain `toks`→`bits`→`sig` mirroring [[TextOps.simhash]]
+    * at `bits` bits. Bit 63's weight is Long.MinValue, spelled
+    * `(-...807 - 1)` because the positive literal 2^63 would parse as
+    * HUGEINT; partial sums of the bit weights never overflow BIGINT
+    * (bits 0–62 sum to ≤ 2^63−1 before the one negative term). */
+  private def simhashSigCtes(bits: Int): String = {
+    val sums = (0 until bits).map { j =>
+      val di = j / 4 + 1
+      val shift = 3 - (j % 4)
+      s"  sum(CAST(floor((instr('0123456789abcdef', substr(h, $di, 1)) - 1)" +
+        s" / ${1 << shift}) % 2 AS BIGINT)) AS s_$j"
+    }.mkString(",\n")
+    val simExpr = (0 until bits).map { j =>
+      val w = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+      s"CASE WHEN 2 * s_$j >= n THEN $w ELSE 0 END"
+    }.mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+       |  FROM documents),
+       |bits AS (
+       |  SELECT doc_id, count(*) AS n,
+       |$sums
+       |  FROM toks GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash
+       |        FROM bits)""".stripMargin
+  }
+
+  /** 64-bit SimHash → 4×16-bit banded candidates (bucket-capped, the
+    * [[TextOps.jaccardPairs]] df-cap policy) → exact hamming confirm
+    * (xor + bit_count; DuckDB's ^ is POWER, so the oracle uses xor()).
+    * `>>`+mask band extraction is shift-semantics-proof: the & keeps only
+    * bits whose sources sit at position ≤ 63, identical under arithmetic
+    * or logical shift. */
   private val simhashPairsQ: Q = Q(
-    fn = (s, dir) => TextOps.simhashPairs(docs(s, dir), 16, maxHamming = 3),
+    fn = (s, dir) => TextOps.simhashPairs(docs(s, dir), 64, maxHamming = 3,
+      bandBits = 16, maxBucket = 1000),
     oracle = Some {
-      val sums = (0 until 16).map { j =>
-        val di = j / 4 + 1
-        val shift = 3 - (j % 4)
-        s"  sum(CAST(floor((instr('0123456789abcdef', substr(h, $di, 1)) - 1)" +
-          s" / ${1 << shift}) % 2 AS BIGINT)) AS s_$j"
-      }.mkString(",\n")
-      val simExpr = (0 until 16).map { j =>
-        s"CASE WHEN 2 * s_$j >= n THEN ${1L << j} ELSE 0 END"
-      }.mkString(" + ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
-         |  FROM documents),
-         |bits AS (
-         |  SELECT doc_id, count(*) AS n,
-         |$sums
-         |  FROM toks GROUP BY doc_id),
-         |sig AS (SELECT doc_id, $simExpr AS simhash FROM bits),
-         |bands AS (SELECT doc_id, 0 AS band, simhash % 256 AS bv FROM sig
-         |          UNION ALL SELECT doc_id, 1, simhash // 256 FROM sig),
+      val bandSelects = (0 until 4).map { k =>
+        s"SELECT doc_id, $k AS band, (simhash >> ${k * 16}) & 65535 AS bv" +
+          " FROM sig"
+      }.mkString("\n          UNION ALL ")
+      s"""WITH ${simhashSigCtes(64)},
+         |bands AS (${bandSelects}),
+         |hot AS (SELECT band, bv FROM bands
+         |        GROUP BY 1, 2 HAVING count(*) > 1000),
+         |bf AS (SELECT * FROM bands b WHERE NOT EXISTS (
+         |  SELECT 1 FROM hot h WHERE h.band = b.band AND h.bv = b.bv)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
+         |  FROM bf a JOIN bf b
          |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
          |  bit_count(xor(sa.simhash, sb.simhash)) AS hamming
@@ -265,30 +288,14 @@ object QueriesText {
 
   // ---- SimHash fingerprints ------------------------------------------------
 
-  private val simhashBits = 16
+  private val simhashBits = 64
 
   private val simhash: Q = Q(
     fn = (s, dir) => TextOps.simhash(docs(s, dir), simhashBits),
-    oracle = Some {
-      val sums = (0 until simhashBits).map { j =>
-        val di = j / 4 + 1
-        val shift = 3 - (j % 4)
-        s"  sum(CAST(floor((instr('0123456789abcdef', substr(h, $di, 1)) - 1)" +
-          s" / ${1 << shift}) % 2 AS BIGINT)) AS s_$j"
-      }.mkString(",\n")
-      val simExpr = (0 until simhashBits).map { j =>
-        s"CASE WHEN 2 * s_$j >= n THEN ${1L << j} ELSE 0 END"
-      }.mkString(" + ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
-         |  FROM documents),
-         |bits AS (
-         |  SELECT doc_id, count(*) AS n,
-         |$sums
-         |  FROM toks GROUP BY doc_id)
-         |SELECT doc_id, $simExpr AS simhash FROM bits
-         |""".stripMargin
-    })
+    oracle = Some(
+      s"""WITH ${simhashSigCtes(simhashBits)}
+         |SELECT doc_id, simhash FROM sig
+         |""".stripMargin))
 
   // ---- language ID ---------------------------------------------------------
 

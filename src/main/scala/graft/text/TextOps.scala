@@ -154,23 +154,37 @@ object TextOps {
       .select("doc_a", "doc_b", "inter", "jaccard")
   }
 
-  /** SimHash near-dup candidate pairs: the 16-bit fingerprint splits into
-    * two 8-bit bands — by pigeonhole, any pair within hamming distance ≤ 8
-    * shares at least one exact band, and close pairs (≤ maxHamming, small)
-    * almost surely share one — then the EXACT hamming distance (xor +
-    * bit_count, codegen'd integer ops) confirms. Same shape as MinHash-LSH:
-    * one groupBy keyed on (band, value) moves ids only; fingerprints
-    * re-attach afterwards. */
-  def simhashPairs(docs: DataFrame, bits: Int = 16,
-                   maxHamming: Int = 3): DataFrame = {
+  /** SimHash near-dup candidate pairs over the standard 64-bit fingerprint,
+    * banded as 4×16 bits: by pigeonhole, any pair within hamming distance
+    * ≤ 3 (< number of bands) shares at least one band EXACTLY, so banding
+    * loses no recall at maxHamming ≤ 3; the exact hamming distance (xor +
+    * bit_count, codegen'd integer ops) then confirms each candidate. Same
+    * shape as MinHash-LSH: one groupBy keyed on (band, value) moves ids
+    * only; fingerprints re-attach afterwards.
+    *
+    * Scale guards: 16-bit bands give 65,536 values per band (vs the 256 of
+    * a naive 8-bit banding, whose ≤512 corpus-wide buckets go quadratic on
+    * any large corpus), and `maxBucket` caps the per-bucket group size
+    * inside the single pairing scan (see [[groupedPairs]]) — a degenerate
+    * fingerprint value shared by >maxBucket docs emits no pairs, the same
+    * df-cap policy as [[jaccardPairs]]. */
+  def simhashPairs(docs: DataFrame, bits: Int = 64, maxHamming: Int = 3,
+                   bandBits: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    require(bits % bandBits == 0, "bits must divide into equal bands")
+    val nBands = bits / bandBits
+    val mask = (1L << bandBits) - 1
     val sig = simhash(docs, bits)
-    val bands = sig.select(col("doc_id"), explode(array(
-      struct(lit(0).as("band"), (col("simhash") % 256).as("bv")),
-      // `div` not `/`: Spark's / is double division and the two band
-      // structs must agree on the value type for the array
-      struct(lit(1).as("band"), expr("simhash div 256").as("bv")))).as("b"))
+    // shiftright is arithmetic, but the & mask keeps only the low bandBits
+    // bits, which shift semantics can't affect for band offsets < 64
+    val bandStructs = (0 until nBands).map { k =>
+      struct(lit(k).as("band"),
+        expr(s"shiftright(simhash, ${k * bandBits}) & $mask").as("bv"))
+    }
+    val bands = sig.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bv"))
-    val cand = groupedPairs(bands, Seq("band", "bv"), "doc_id").distinct()
+    val cand = groupedPairs(bands, Seq("band", "bv"), "doc_id",
+      maxGroup = Some(maxBucket)).distinct()
     val sa = sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
@@ -215,12 +229,17 @@ object TextOps {
     fin.select(col("doc_id"), col("label").as("cluster"))
   }
 
-  /** SimHash (Charikar): `bits`-bit fingerprint. Per token, bit j of the
-    * md5 is ±1-voted; bit set iff the vote sum is non-negative
-    * (2·Σbit_j ≥ n). Explode + groupBy — one shuffle keyed by doc_id with
-    * map-side partial agg. Bit extraction is pure integer arithmetic on hex
-    * digits so any engine agrees. */
-  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+  /** SimHash (Charikar): `bits`-bit fingerprint (default 64, the standard
+    * corpus-scale size — 16 bits collides far too often past ~10⁵ docs).
+    * Per token, bit j of the md5 is ±1-voted; bit set iff the vote sum is
+    * non-negative (2·Σbit_j ≥ n). Explode + groupBy — one shuffle keyed by
+    * doc_id with map-side partial agg. Bit extraction is pure integer
+    * arithmetic on hex digits so any engine agrees. Bit 63's weight is
+    * Long.MinValue; the bit-weight sum stays overflow-free in two's
+    * complement because bits 0–62 sum to ≤ Long.MaxValue before the one
+    * possibly-negative term is added. */
+  def simhash(docs: DataFrame, bits: Int = 64): DataFrame = {
+    require(bits <= 64, "fingerprint is packed into one LONG")
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("t"))
       .withColumn("h", md5(col("t").cast("binary")))

@@ -178,6 +178,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simhash bucket cap: capped pair set is a subset of the uncapped set") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // clusters of near-identical docs → many same-band buckets of varying
+    // size; the cap may only ever REMOVE candidate pairs
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"shared prose body common to the cluster v${i % 4} t${i % 9}")
+    }.toDF("doc_id", "text")
+    def pairsAt(cap: Int) = graft.text.TextOps
+      .simhashPairs(docs, maxHamming = 6, maxBucket = cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairsAt(1000000)
+    Seq(2, 5, 15).foreach { cap =>
+      val capped = pairsAt(cap)
+      assert(capped.subsetOf(uncapped), s"cap=$cap added pairs")
+    }
+  }
+
+  test("simhash 64-bit: hamming distance is symmetric-difference sensitive") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // identical docs → hamming 0; near-identical → small; disjoint → large
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val sig = graft.text.TextOps.simhash(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) === sig(2L), "identical docs must fingerprint identically")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sig(a) ^ sig(b))
+    assert(ham(1L, 3L) < ham(1L, 4L),
+      s"near-dup hamming ${ham(1L, 3L)} should be < disjoint ${ham(1L, 4L)}")
+  }
+
   test("jexl filter matches native Column filter for arbitrary thresholds") {
     val spark = TestSpark.spark
     import spark.implicits._

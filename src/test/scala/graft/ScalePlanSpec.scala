@@ -103,6 +103,24 @@ class ScalePlanSpec extends AnyFunSuite {
       "df cap must suppress hot-shingle pairs but keep rare-shingle dups")
   }
 
+  test("simhashPairs bucket cap: a degenerate hot bucket emits no pairs") {
+    import spark.implicits._
+    // 500 identical docs land in the same (band, value) bucket in all four
+    // bands — uncapped, that one bucket alone emits ~1.2·10⁵ pairs (the
+    // round-3 scale-killer shape); the cap must suppress it while keeping
+    // the small genuine near-dup bucket.
+    val hot = (0 until 500).map(i =>
+      (i.toLong, "the exact same boilerplate text repeated everywhere"))
+    val dups = Seq(
+      (9001L, "alpha beta gamma delta epsilon zeta"),
+      (9002L, "alpha beta gamma delta epsilon zeta"))
+    val docs = (hot ++ dups).toDF("doc_id", "text")
+    val got = TextOps.simhashPairs(docs, maxHamming = 3, maxBucket = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((9001L, 9002L)),
+      "bucket cap must suppress the hot fingerprint but keep rare dups")
+  }
+
   test("filters and projection push down into the parquet scan") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_push").toString
