@@ -301,6 +301,32 @@ object QueriesEval {
       }.mkString("\nUNION ALL\n") + "\n"
     })
 
+  /** Wide-k correlation: same math, gramian physical path (forced via
+    * wideK=6 on 6 columns — one `ml.stat.Correlation` pass over an
+    * assembled vector, no k²-row stack; see
+    * [[graft.ops.Correlation.pearsonGramian]]). Oracle = the identical
+    * closed-form SQL, proving the two physical paths agree at 6 decimals.
+    * Columns stay modest-magnitude so the oracle's raw-sum form doesn't
+    * lose the 6th decimal to cancellation. */
+  private val wideCorrCols = corrCols ++ Seq("l_linenumber", "l_suppkey")
+
+  private val correlationWide: Q = Q(
+    fn = (s, dir) => Correlation.pearson(li(s, dir), wideCorrCols, wideK = 6),
+    oracle = Some {
+      val pairs = for {
+        i <- wideCorrCols.indices; j <- (i + 1) until wideCorrCols.length
+      } yield (wideCorrCols(i) + "::DOUBLE", wideCorrCols(j) + "::DOUBLE")
+      pairs.map { case (x, y) =>
+        // ::DOUBLE up front: the int columns would otherwise sum exactly
+        // in DuckDB HUGEINT while Spark accumulates in double
+        s"""SELECT '${x.stripSuffix("::DOUBLE")}|${y.stripSuffix("::DOUBLE")}' AS pair,
+           |  round((count(*) * sum($x * $y) - sum($x) * sum($y))
+           |    / sqrt((count(*) * sum($x * $x) - sum($x) * sum($x))
+           |         * (count(*) * sum($y * $y) - sum($y) * sum($y))), 6) AS corr
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\n"
+    })
+
   // ---- §2.4 autotype / schema inference ------------------------------------
 
   private val autoTypeCols =
@@ -400,6 +426,7 @@ object QueriesEval {
     "q_psi"             -> psi,
     "q_psi_cat"         -> psiCategorical,
     "q_correlation"     -> correlation,
+    "q_correlation_wide" -> correlationWide,
     "q_autotype"        -> autotype,
     "q_segment_expand"  -> segmentExpand,
     "q_hash_sample"     -> hashSample,

@@ -161,6 +161,46 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- exact (iterative) dedup clusters ------------------------------------
+
+  /** Same LSH pair graph as q_dedup_cc but clustered by the ITERATIVE
+    * checkpointed CC ([[TextOps.dedupClustersIterative]]) — exact for any
+    * component diameter, convergence-checked per round. The oracle is
+    * DuckDB's exact transitive closure via a recursive CTE (reach(s) is
+    * every node reachable from s; undirected edges put s in its own reach
+    * set, so min(reach) IS the component minimum). */
+  private val dedupCcIter: Q = Q(
+    fn = (s, dir) => {
+      val pairs = TextOps.lshPairs(TextOps.minhash(docs(s, dir), respread = true))
+      TextOps.dedupClustersIterative(pairs)
+        .groupBy("cluster")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_members"))
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE $shingleCte,
+         |sig AS (SELECT doc_id,
+         |${minhashSelect(8)}
+         |FROM s),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |         md5(m_0 || m_1 || m_2 || m_3) AS band_hash FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(m_4 || m_5 || m_6 || m_7) FROM sig),
+         |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |          UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(s, d) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.s, e.dst FROM reach r JOIN edges e ON r.d = e.src),
+         |lab AS (SELECT s AS doc_id, min(d) AS cluster FROM reach GROUP BY s)
+         |SELECT cluster, count(*) AS n_members FROM lab GROUP BY cluster
+         |""".stripMargin))
+
   // ---- SimHash near-dup pairs (hamming-banded) -----------------------------
 
   /** DuckDB CTE chain `toks`→`bits`→`sig` mirroring [[TextOps.simhash]]
@@ -357,6 +397,7 @@ object QueriesText {
     "q_lsh_pairs"     -> lshPairs,
     "q_dedup_apply"   -> dedupApply,
     "q_dedup_cc"      -> dedupCc,
+    "q_dedup_cc_iter" -> dedupCcIter,
     "q_ngram_jaccard" -> jaccard,
     "q_simhash"       -> simhash,
     "q_simhash_pairs" -> simhashPairsQ,

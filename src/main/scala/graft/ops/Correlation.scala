@@ -13,14 +13,61 @@ import org.apache.spark.sql.functions._
   * but one scan, map-side partial agg reduces to k² tiny partials before the
   * shuffle), then the closed-form Pearson from raw sums:
   * r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)).
-  * For k in the hundreds at 100 TB prefer `ml.stat.Correlation` on an
-  * assembled vector (BLAS gramian); this form is the oracle-parity path.
+  *
+  * Two physical paths behind one API, dispatched on k:
+  *  - stack unpivot (below `wideK` columns): k² rows per input row but one
+  *    scan with map-side partial agg — fine for tens of columns and
+  *    SQL-mirrorable for the oracle.
+  *  - gramian ([[pearsonGramian]], ≥ `wideK`): `ml.stat.Correlation` over
+  *    one assembled vector — ONE pass accumulating a k×k co-moment matrix
+  *    per partition (BLAS), no row blowup at all. This is the
+  *    hundreds-of-candidate-columns regime of the reference
+  *    (`core/correlation/FastCorrelationMapper.java` ships the same k×k
+  *    partial arrays through MR); at 100 TB the k² row expansion of the
+  *    stack form in the scan stage is real, the gramian's k²-sized partial
+  *    per partition is not.
   */
 object Correlation {
 
   /** Pairwise Pearson over the given numeric columns; output
-    * (pair, corr) rounded to 6, pair = "a|b" with a before b in `cols`. */
-  def pearson(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * (pair, corr) rounded to 6, pair = "a|b" with a before b in `cols`.
+    * Dispatches to the gramian single-pass path at `wideK`+ columns. */
+  def pearson(df: DataFrame, cols: Seq[String], wideK: Int = 16): DataFrame =
+    if (cols.length >= wideK) pearsonGramian(df, cols)
+    else pearsonStack(df, cols)
+
+  /** Wide-k path: assemble the columns into one ml vector and let
+    * `ml.stat.Correlation` accumulate the gramian — a single scan whose
+    * shuffle payload is one k×k matrix per partition, never k² rows. The
+    * k×k result lands on the driver (k in the hundreds → a few MB) and the
+    * upper triangle is re-emitted with the exact output schema of the
+    * stack path (same pair labels, same HALF_UP 6-decimal rounding), so
+    * the two paths are interchangeable to callers and oracles. */
+  def pearsonGramian(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.stat.{Correlation => MlCorrelation}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assembled = new VectorAssembler()
+      .setInputCols(cols.toArray).setOutputCol("features")
+      .transform(df.select(cols.map(c => col(c).cast("double").as(c)): _*))
+      .select("features")
+    val m = MlCorrelation.corr(assembled, "features", "pearson")
+      .head().getAs[org.apache.spark.ml.linalg.Matrix](0)
+    def round6(v: Double): Double =
+      if (v.isNaN || v.isInfinite) v
+      // valueOf (decimal-string repr) mirrors Spark's Round expression on
+      // DoubleType, not the exact-binary scala BigDecimal(double)
+      else java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = for {
+      i <- cols.indices; j <- (i + 1) until cols.length
+    } yield (s"${cols(i)}|${cols(j)}", round6(m(i, j)))
+    rows.toDF("pair", "corr")
+  }
+
+  /** Narrow-k stack-unpivot path (see object doc). */
+  def pearsonStack(df: DataFrame, cols: Seq[String]): DataFrame = {
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.length
     } yield (cols(i), cols(j))

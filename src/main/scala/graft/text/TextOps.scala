@@ -229,6 +229,52 @@ object TextOps {
     fin.select(col("doc_id"), col("label").as("cluster"))
   }
 
+  /** Exact connected components for ARBITRARY-diameter duplicate graphs:
+    * iterated min-label propagation with per-round `localCheckpoint`
+    * lineage truncation and a driver-side convergence check (stop when no
+    * label changed). This is the general-case companion to
+    * [[dedupClusters]]'s fixed unrolled chain: the unrolled plan doubles
+    * per round so it must stay shallow, while this variant pays one small
+    * blocking action per round (count over the O(docs) label table — ids
+    * only, never corpus bytes) and in exchange handles duplicate CHAINS
+    * (a~b~c~…) of any length exactly. Standard iterated-CC-on-MapReduce
+    * shape (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — the simple-propagation baseline; rounds =
+    * diameter). On a real cluster swap `localCheckpoint` for a reliable
+    * `checkpoint` dir so executor loss can't drop materialized rounds.
+    *
+    * The candidate-pair input is materialized ONCE up front (it is
+    * usually an expensive LSH/banding pipeline) and every subsequent
+    * round joins ids against ids. Returns (doc_id, cluster), cluster =
+    * component minimum, like [[dedupClusters]]. */
+  def dedupClustersIterative(pairs: DataFrame,
+                             maxRounds: Int = 50): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.union(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint() // truncates lineage: next round reads rows, not plan
+      // min-label is monotone, so convergence == zero strict decreases;
+      // both sides are checkpointed so this count scans materialized ids
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      round += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster"))
+  }
+
   /** SimHash (Charikar): `bits`-bit fingerprint (default 64, the standard
     * corpus-scale size — 16 bits collides far too often past ~10⁵ docs).
     * Per token, bit j of the md5 is ±1-voted; bit set iff the vote sum is

@@ -162,6 +162,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dedupClustersIterative: exact on a 10-node chain (diameter 9)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // a duplicate CHAIN a~b~c~… — the shape the fixed-round unrolled CC
+    // cannot close (3 rounds only reach distance 3); the iterative variant
+    // must converge to one cluster labeled by the minimum id
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.text.TextOps.dedupClustersIterative(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === (1L to 10L).toSet)
+    assert(got.values.toSet === Set(1L), s"chain split into $got")
+    // and document WHY the iterative variant exists: the bounded version
+    // genuinely splits this chain
+    val bounded = graft.text.TextOps.dedupClusters(chain, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(bounded.values.toSet.size > 1,
+      "bounded 3-round CC unexpectedly closed a diameter-9 chain")
+  }
+
+  test("dedupClustersIterative matches union-find on random sparse graphs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(15,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+    samples(edgeGen, 2).foreach { raw =>
+      val edges = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      if (edges.nonEmpty) {
+        val got = graft.text.TextOps
+          .dedupClustersIterative(edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        got.foreach { case (d, label) =>
+          assert(label === find(d), s"doc $d in $edges")
+        }
+      }
+    }
+  }
+
   test("jaccard df cap: capped pair set is a subset of the uncapped set") {
     val spark = TestSpark.spark
     import spark.implicits._
