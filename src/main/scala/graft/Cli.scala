@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.catalog.{CatalogIO, DataSpec, NormType}
+import graft.ops.Normalize
 import graft.pipeline.Pipeline
 
 /** User-facing CLI — the reference's verb surface (`ShifuCLI.java:174-417`:
@@ -22,6 +23,13 @@ import graft.pipeline.Pipeline
   *                  --score <metaCol> [--weight <col>] [--out report.html]
   * graft.Cli export --data ... --target ... --pos ... --neg ... \
   *                  --candidates ... --out model.pmml
+  * graft.Cli varsel --catalog ColumnConfig.json --topn 5 [--method ks|iv|pareto]
+  * graft.Cli train  --data ... --catalog ... [--algo lr|nn|svm|dt|rf|gbt] \
+  *                  [--out model.json]
+  * graft.Cli posttrain --data ... --catalog ...      # binAvgScore update
+  * graft.Cli encode --data ... --catalog ... [--depth 4] [--out dir]
+  * graft.Cli combo  --data ... --catalog ... [--algos lr,dt] [--out dir]
+  * graft.Cli test   --data ... --filter 'e1;e2' [--n 100]  # filter dry-run
   * }}}
   *
   * `run` = init(autotype) → stats → varsel → norm → train → eval, printing
@@ -120,9 +128,186 @@ object Cli {
           java.nio.file.Paths.get(opts("out")), pmml)
         Seq(s"pmml: ${opts("out")} (${feats.length} predictors)")
 
+      case "varsel" =>
+        // `shifu varselect` (ShifuCLI.java:280-310): re-rank an EXISTING
+        // catalog's stats and update finalSelect — no data scan at all
+        val catalog0 = CatalogIO.read(opts("catalog"))
+        val catalog = opts.getOrElse("method", "ks") match {
+          case "ks"     => Pipeline.varsel(catalog0, topN)
+          case "iv"     => Pipeline.varselBy(catalog0, topN,
+            _.stats.iv.getOrElse(0.0))
+          case "pareto" => Pipeline.varselPareto(catalog0, topN)
+          case other => throw new IllegalArgumentException(
+            s"unknown varsel method '$other' (ks|iv|pareto)")
+        }
+        CatalogIO.write(opts("catalog"), catalog)
+        Seq("selected: " +
+          catalog.filter(_.finalSelect).map(_.columnName).mkString(","))
+
+      case "train" =>
+        // `shifu train` (TrainModelProcessor): normalize with the frozen
+        // catalog, fit the configured algorithm, report AUC; LR models
+        // export to the literal JSON spec, others save as MLlib pipelines
+        val catalog = CatalogIO.read(opts("catalog"))
+        val clean = Pipeline.init(df, spec)
+        val normed = Pipeline.norm(clean, spec, catalog, normType)
+        val feats = normed.columns.filter(_.startsWith("n_")).toSeq
+        val label = col("tag") === 1
+        val algo = opts.getOrElse("algo", "lr")
+        val t = algo match {
+          case "lr"  => graft.train.Train.logistic(normed, feats, label)
+          case "nn"  => graft.train.Train.nn(normed, feats, label)
+          case "svm" => graft.train.Train.svm(normed, feats, label)
+          case "dt"  => graft.train.Train.decisionTree(normed, feats, label)
+          case "rf"  => graft.train.Train.randomForest(normed, feats, label)
+          case "gbt" => graft.train.Train.gbt(normed, feats, label)
+          case other => throw new IllegalArgumentException(
+            s"unknown algo '$other' (lr|nn|svm|dt|rf|gbt)")
+        }
+        opts.get("out").foreach { o =>
+          if (algo == "lr")
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(o),
+              graft.score.Score.exportJson(
+                Seq(graft.train.Train.toLinear(t, feats))))
+          else t.model.write.overwrite().save(o)
+        }
+        Seq(f"auc: ${t.auc}%.6f", s"algo: $algo",
+          s"features: ${feats.length}")
+
+      case "posttrain" =>
+        // `shifu posttrain` (PostTrainModelProcessor): score the training
+        // data with a fresh LR fit and write per-bin average scores back
+        // into the catalog (binAvgScore, reference scoreScale=1000). ONE
+        // scan: every selected column contributes a (col_name, bin_id)
+        // struct, exploded and aggregated together — k structs per row,
+        // never k passes over the data
+        val catalog = CatalogIO.read(opts("catalog"))
+        val clean = Pipeline.init(df, spec)
+        val sel = catalog.filter(_.finalSelect)
+        require(sel.nonEmpty, "posttrain needs a catalog with finalSelect " +
+          "columns (run stats/varsel first)")
+        val normExprs = sel.map(p => Normalize.forProfile(col(p.columnName),
+          p, normType, spec.stdDevCutOff).as(s"n_${p.columnName}"))
+        val feats = sel.map(p => s"n_${p.columnName}")
+        val withN = clean.select(
+          sel.map(p => col(p.columnName)) ++ normExprs :+
+            Pipeline.isPos(spec).cast("int").as("tag"): _*)
+        val t = graft.train.Train.logistic(withN, feats, col("tag") === 1)
+        val lm = graft.train.Train.toLinear(t, feats)
+        val binStructs = sel.map { p =>
+          val binId =
+            if (p.binning.binBoundary.nonEmpty)
+              graft.ops.Binning.binIndex(col(p.columnName),
+                p.binning.binBoundary)
+            else {
+              val cats = p.binning.binCategory
+              val pos = array_position(array(cats.map(lit): _*),
+                col(p.columnName).cast("string"))
+              when(col(p.columnName).isNull || pos === 0, lit(cats.length))
+                .otherwise((pos - 1).cast("int"))
+            }
+          struct(lit(p.columnName).as("col_name"), binId.as("bin_id"))
+        }
+        val avg = withN
+          .withColumn("score", lm.score * 1000.0)
+          .select(col("score"), explode(array(binStructs: _*)).as("cb"))
+          .groupBy(col("cb.col_name").as("col_name"),
+            col("cb.bin_id").as("bin_id"))
+          .agg(org.apache.spark.sql.functions.avg("score").as("avg_score"))
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (c, rows) =>
+            c -> rows.map(r => r.getAs[Number](1).intValue() ->
+              r.getDouble(2)).toMap
+          }
+        val updated = catalog.map { p =>
+          avg.get(p.columnName) match {
+            case Some(byBin) =>
+              val n = p.binning.length + 1 // + missing bin
+              p.copy(binning = p.binning.copy(binAvgScore =
+                (0 until n).map(i => byBin.getOrElse(i, 0.0)).toVector))
+            case None => p
+          }
+        }
+        CatalogIO.write(opts("catalog"), updated)
+        Seq(s"binAvgScore updated: ${sel.size} columns",
+          f"auc: ${t.auc}%.6f")
+
+      case "encode" =>
+        // `shifu encode` (ShifuCLI encode -run): fit a depth-limited tree
+        // on the normalized features and emit each row's root-to-leaf PATH
+        // as a categorical encoding — a narrow codegen'd projection once
+        // the tree folds in as literals (Score.encodePath)
+        val catalog = CatalogIO.read(opts("catalog"))
+        val clean = Pipeline.init(df, spec)
+        val normed = Pipeline.norm(clean, spec, catalog, normType)
+        val feats = normed.columns.filter(_.startsWith("n_")).toSeq
+        val t = graft.train.Train.decisionTree(normed, feats,
+          col("tag") === 1, maxDepth = opts.getOrElse("depth", "4").toInt)
+        val tree = graft.train.Train.toTree(t, feats)
+        val encoded = normed.select(
+          col("tag"),
+          graft.score.Score.encodePath(tree).as("enc_path"),
+          graft.score.Score.encodeLeaf(tree).as("enc_leaf"))
+        opts.get("out").foreach(o =>
+          encoded.write.mode("overwrite").parquet(o))
+        val nPaths = encoded.select("enc_path").distinct().count()
+        Seq(s"paths: $nPaths", f"auc: ${t.auc}%.6f") ++
+          opts.get("out").map(o => s"encoded: $o")
+
+      case "combo" =>
+        // `shifu combo` (ComboModelProcessor): train every requested
+        // algorithm on the same normalized data, assemble per-row mean
+        // P(positive) (Train.comboScore), report member + assembled AUC
+        val catalog = CatalogIO.read(opts("catalog"))
+        val clean = Pipeline.init(df, spec)
+        val normed = Pipeline.norm(clean, spec, catalog, normType)
+        val feats = normed.columns.filter(_.startsWith("n_")).toSeq
+        val label = col("tag") === 1
+        val algos = opts.getOrElse("algos", "lr,dt").split(",").toSeq
+        val members = algos.map {
+          case "lr"  => graft.train.Train.logistic(normed, feats, label)
+          case "dt"  => graft.train.Train.decisionTree(normed, feats, label)
+          case "svm" => graft.train.Train.svm(normed, feats, label)
+          case "rf"  => graft.train.Train.randomForest(normed, feats, label)
+          case "gbt" => graft.train.Train.gbt(normed, feats, label)
+          case "nn"  => graft.train.Train.nn(normed, feats, label)
+          case other => throw new IllegalArgumentException(
+            s"unknown combo algo '$other' (lr|dt|svm|rf|gbt|nn)")
+        }
+        val scored = graft.train.Train.comboScore(members, normed)
+        val sweep = graft.eval.Eval.weightedSweep(scored, col("combo_mean"),
+          col("tag") === 1, lit(1.0), Seq(monotonically_increasing_id()))
+        val comboAuc = graft.eval.Eval.rocAuc(sweep).head().getDouble(0)
+        opts.get("out").foreach(o =>
+          scored.select((Seq("tag") ++ members.indices.map(i => s"combo_$i")
+            :+ "combo_mean").map(col): _*)
+            .write.mode("overwrite").parquet(o))
+        algos.zip(members).map { case (a, m) =>
+          f"member $a auc: ${m.auc}%.6f" } :+ f"combo auc: $comboAuc%.6f"
+
+      case "test" =>
+        // `shifu test -filter` (ShifuTestProcessor.java:33-45): dry-run
+        // each filter expression over the first N records and report
+        // per-expression match counts — ONE aggregation pass, no output
+        // data flow to disturb
+        val n = opts.getOrElse("n", "100").toInt
+        val exprs = opts("filter").split(";").map(_.trim).filter(_.nonEmpty)
+        require(exprs.nonEmpty, "test needs --filter 'expr1;expr2;...'")
+        val aggs = count(lit(1)).as("n_records") +:
+          exprs.toSeq.zipWithIndex.map { case (e, i) =>
+            coalesce(sum(graft.expr.Jexl.filter(e).cast("long")), lit(0L))
+              .as(s"m_$i") }
+        val row = df.limit(n).agg(aggs.head, aggs.tail: _*).head()
+        val total = row.getLong(0)
+        exprs.toSeq.zipWithIndex.map { case (e, i) =>
+          s"filter[$i] '$e': ${row.getLong(i + 1)} of $total records matched"
+        }
+
       case other =>
         throw new IllegalArgumentException(
-          s"unknown verb '$other' (run|stats|norm|eval|export)")
+          s"unknown verb '$other' (run|stats|varsel|norm|train|posttrain|" +
+            "encode|combo|eval|export|test)")
     }
   }
 

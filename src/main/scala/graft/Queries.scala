@@ -79,6 +79,37 @@ object Queries {
         |WHERE l_quantity > 45 AND (l_returnflag = 'R' OR l_discount >= 0.05)
         |""".stripMargin))
 
+  // ---- §2.2 filter dry-run (`shifu test -filter`) ---------------------------
+
+  /** Per-expression match counts over the whole table — the distributed
+    * form of `ShifuTestProcessor.doFilterTest` (reference
+    * `core/processor/ShifuTestProcessor.java:120-146` counts matches of
+    * each JEXL filter over the first N records; the engine counts them all
+    * in ONE aggregation pass with no row limit — same diagnostic, cluster
+    * scale). The CLI verb (`graft.Cli test`) applies the reference's
+    * first-N cap for interactive parity. */
+  private val dryRunExprs = Seq(
+    "l_quantity > 25",
+    "l_returnflag == 'R' or l_discount >= 0.05",
+    "l_tax < 0.03 and l_quantity <= 10")
+
+  private val filterDryRun: Q = Q(
+    fn = (s, dir) => {
+      val aggs = count(lit(1)).as("n_records") +:
+        dryRunExprs.zipWithIndex.map { case (e, i) =>
+          coalesce(sum(Jexl.filter(e).cast("long")), lit(0L)).as(s"m_$i") }
+      li(s, dir).agg(aggs.head, aggs.tail: _*)
+    },
+    oracle = Some(
+      """SELECT count(*) AS n_records,
+        |  coalesce(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END), 0)::BIGINT AS m_0,
+        |  coalesce(sum(CASE WHEN l_returnflag = 'R' OR l_discount >= 0.05
+        |                    THEN 1 ELSE 0 END), 0)::BIGINT AS m_1,
+        |  coalesce(sum(CASE WHEN l_tax < 0.03 AND l_quantity <= 10
+        |                    THEN 1 ELSE 0 END), 0)::BIGINT AS m_2
+        |FROM lineitem
+        |""".stripMargin))
+
   // ---- §2.4 moment sums / basic column stats -------------------------------
 
   private val statsCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -254,6 +285,7 @@ object Queries {
 
   val all: Map[String, Q] = Map(
     "q_jexl_filter"    -> jexlFilter,
+    "q_filter_dryrun"  -> filterDryRun,
     "q_stats_moments"  -> statsMoments,
     "q_bin_counts"     -> equalIntervalBins,
     "q_woe_iv_ks"      -> woeIvKs,

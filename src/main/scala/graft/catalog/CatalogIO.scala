@@ -59,6 +59,7 @@ object CatalogIO {
       putLongArray(bn, "binCountNeg", p.binning.binCountNeg)
       putLongArray(bn, "binCountPos", p.binning.binCountPos)
       putDoubleArray(bn, "binPosRate", p.binning.binPosRate)
+      putDoubleArray(bn, "binAvgScore", p.binning.binAvgScore)
       putDoubleArray(bn, "binCountWoe", p.binning.binCountWoe)
       putDoubleArray(bn, "binWeightedWoe", p.binning.binWeightedWoe)
     }
@@ -107,6 +108,7 @@ object CatalogIO {
           binCountNeg = longVec(bn, "binCountNeg"),
           binCountPos = longVec(bn, "binCountPos"),
           binPosRate = doubleVec(bn, "binPosRate"),
+          binAvgScore = doubleVec(bn, "binAvgScore"),
           binCountWoe = doubleVec(bn, "binCountWoe"),
           binWeightedWoe = doubleVec(bn, "binWeightedWoe")))
     }.toSeq

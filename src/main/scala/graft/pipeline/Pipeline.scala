@@ -49,10 +49,17 @@ object Pipeline {
 
   /** `varsel`: KS-ranked top-N (reference `VariableSelector.java:180-260`,
     * filterBy=KS default), ForceSelect/ForceRemove honored via flags. */
-  def varsel(catalog: Seq[ColumnProfile], topN: Int): Seq[ColumnProfile] = {
+  def varsel(catalog: Seq[ColumnProfile], topN: Int): Seq[ColumnProfile] =
+    varselBy(catalog, topN, _.stats.ks.getOrElse(0.0))
+
+  /** [[varsel]] with a caller-chosen ranking metric (reference filterBy=KS
+    * or IV, `ModelVarSelectConf.java:83-90`); pure driver math over the
+    * catalog, no data scan. */
+  def varselBy(catalog: Seq[ColumnProfile], topN: Int,
+               metric: ColumnProfile => Double): Seq[ColumnProfile] = {
     val ranked = catalog
       .filter(p => p.isCandidate)
-      .sortBy(p => (-p.stats.ks.getOrElse(0.0), p.columnName))
+      .sortBy(p => (-metric(p), p.columnName))
     val keep = (catalog.filter(_.flag.contains(ColumnFlag.ForceSelect)) ++
       ranked.filterNot(_.flag.contains(ColumnFlag.ForceRemove)).take(topN))
       .map(_.columnName).toSet

@@ -193,6 +193,33 @@ object Train {
     graft.score.Score.LinearModel(features.zip(cs.toIndexedSeq), lr.intercept)
   }
 
+  /** Bridge a fitted MLlib decision tree to the literal
+    * [[graft.score.Score.TreeNode]] form, so `shifu encode`-style
+    * tree-path encoding ([[graft.score.Score.encodePath]]) can fold a
+    * TRAINED tree into a narrow codegen'd projection. Leaf ids are
+    * assigned in depth-first (left-first) order. Continuous splits only —
+    * the engine's trees are fit on normalized numeric features. */
+  def toTree(t: Trained, features: Seq[String]): graft.score.Score.TreeNode = {
+    import org.apache.spark.ml.tree.{ContinuousSplit, InternalNode, Node}
+    val dt = t.model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.DecisionTreeClassificationModel]
+    var nextLeaf = -1
+    def walk(n: Node): graft.score.Score.TreeNode = n match {
+      case i: InternalNode =>
+        val s = i.split match {
+          case c: ContinuousSplit => c
+          case other => throw new IllegalArgumentException(
+            s"only continuous splits encode to paths, got $other")
+        }
+        graft.score.Score.Split(features(s.featureIndex), s.threshold,
+          walk(i.leftChild), walk(i.rightChild))
+      case leaf =>
+        nextLeaf += 1
+        graft.score.Score.Leaf(nextLeaf)
+    }
+    walk(dt.rootNode)
+  }
+
   /** `shifu combo` assembling (reference `ShifuCLI.java:818-866`,
     * ComboModelProcessor): score the data with EVERY member model —
     * possibly different algorithms — and combine per-row P(positive) by

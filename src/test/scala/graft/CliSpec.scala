@@ -50,6 +50,112 @@ class CliSpec extends AnyFunSuite {
     assert(html.contains("<svg") && html.contains("<th>lift</th>"))
   }
 
+  test("varsel: re-ranks an existing catalog without a data scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli5").toString
+    Cli.run(spark, "stats", base + ("catalog" -> s"$tmp/ColumnConfig.json"))
+    Seq("ks", "iv", "pareto").foreach { m =>
+      val out = Cli.run(spark, "varsel", Map(
+        "catalog" -> s"$tmp/ColumnConfig.json", "topn" -> "2",
+        "method" -> m,
+        // varsel reads no data; these satisfy the shared spec parse only
+        "data" -> data, "target" -> "l_returnflag",
+        "pos" -> "R", "neg" -> "A,N", "candidates" -> "x"))
+      assert(out.head.startsWith("selected: "), s"method $m")
+      assert(out.head.drop(10).split(",").length === 2, s"method $m")
+    }
+  }
+
+  test("train: fits the configured algorithm from a frozen catalog") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli6").toString
+    Cli.run(spark, "stats", base + ("catalog" -> s"$tmp/ColumnConfig.json"))
+    val out = Cli.run(spark, "train", base +
+      ("catalog" -> s"$tmp/ColumnConfig.json") +
+      ("algo" -> "lr") + ("out" -> s"$tmp/model.json"))
+    val auc = out.find(_.startsWith("auc: ")).get.drop(5).toDouble
+    assert(auc > 0.0 && auc <= 1.0)
+    val models = graft.score.Score.importJson(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$tmp/model.json")))
+    assert(models.head.weights.nonEmpty)
+    // a non-LR algorithm saves an MLlib pipeline directory
+    val out2 = Cli.run(spark, "train", base +
+      ("catalog" -> s"$tmp/ColumnConfig.json") +
+      ("algo" -> "dt") + ("out" -> s"$tmp/dtmodel"))
+    assert(out2.exists(_ == "algo: dt"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/dtmodel")))
+  }
+
+  test("posttrain: writes per-bin average scores back into the catalog") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli7").toString
+    Cli.run(spark, "stats", base + ("catalog" -> s"$tmp/ColumnConfig.json"))
+    val out = Cli.run(spark, "posttrain", base +
+      ("catalog" -> s"$tmp/ColumnConfig.json"))
+    assert(out.head.startsWith("binAvgScore updated: "))
+    val catalog = graft.catalog.CatalogIO.read(s"$tmp/ColumnConfig.json")
+    val sel = catalog.filter(_.finalSelect)
+    assert(sel.nonEmpty)
+    sel.foreach { p =>
+      assert(p.binning.binAvgScore.length === p.binning.length + 1,
+        s"${p.columnName}: expected value bins + missing bin")
+      // reference scoreScale=1000: scores land in [0, 1000]
+      assert(p.binning.binAvgScore.forall(s => s >= 0.0 && s <= 1000.0))
+    }
+  }
+
+  test("encode: tree-path encoding round-trips through the verb") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli8").toString
+    Cli.run(spark, "stats", base + ("catalog" -> s"$tmp/ColumnConfig.json"))
+    val out = Cli.run(spark, "encode", base +
+      ("catalog" -> s"$tmp/ColumnConfig.json") + ("depth" -> "3") +
+      ("out" -> s"$tmp/encoded"))
+    val nPaths = out.find(_.startsWith("paths: ")).get.drop(7).toLong
+    assert(nPaths >= 1 && nPaths <= 8) // depth-3 tree has <= 8 leaves
+    val enc = spark.read.parquet(s"$tmp/encoded")
+    assert(enc.columns.toSet === Set("tag", "enc_path", "enc_leaf"))
+    // every path is L/R steps; leaf ids match the distinct path count
+    import spark.implicits._
+    val paths = enc.select("enc_path").distinct().as[String].collect()
+    assert(paths.forall(_.matches("[LR]+")), paths.mkString(","))
+    // leaf ids are in bijection with paths (depth-first assignment)
+    assert(enc.select("enc_path", "enc_leaf").distinct().count() === nPaths)
+  }
+
+  test("combo: assembles member models and reports both AUCs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli9").toString
+    Cli.run(spark, "stats", base + ("catalog" -> s"$tmp/ColumnConfig.json"))
+    val out = Cli.run(spark, "combo", base +
+      ("catalog" -> s"$tmp/ColumnConfig.json") +
+      ("algos" -> "lr,dt") + ("out" -> s"$tmp/combo"))
+    assert(out.count(_.startsWith("member ")) === 2)
+    val comboAuc = out.find(_.startsWith("combo auc: ")).get
+      .drop(11).toDouble
+    assert(comboAuc > 0.0 && comboAuc <= 1.0)
+    val scored = spark.read.parquet(s"$tmp/combo")
+    assert(scored.columns.toSet ===
+      Set("tag", "combo_0", "combo_1", "combo_mean"))
+  }
+
+  test("test: filter dry-run reports per-expression match counts") {
+    val out = Cli.run(spark, "test", Map(
+      "data" -> data, "target" -> "l_returnflag",
+      "pos" -> "R", "neg" -> "A,N", "candidates" -> "x",
+      "filter" -> "l_quantity > 25;l_returnflag == 'R'", "n" -> "200"))
+    assert(out.length === 2)
+    val counts = out.map { line =>
+      val m = "(\\d+) of (\\d+) records matched$".r
+        .findFirstMatchIn(line).get
+      (m.group(1).toLong, m.group(2).toLong)
+    }
+    assert(counts.forall { case (m, t) => t == 200 && m <= t })
+    // a filter that matches everything counts every record
+    val all = Cli.run(spark, "test", Map(
+      "data" -> data, "target" -> "l_returnflag",
+      "pos" -> "R", "neg" -> "A,N", "candidates" -> "x",
+      "filter" -> "l_quantity > 0", "n" -> "50"))
+    assert(all.head.endsWith("50 of 50 records matched"))
+  }
+
   test("export: writes a parseable PMML with the selected predictors") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli3").toString
     val out = Cli.run(spark, "export", base + ("out" -> s"$tmp/model.pmml"))
