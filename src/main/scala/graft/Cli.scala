@@ -118,12 +118,27 @@ object Cli {
           opts.get("out").map(o => s"report: $o")
 
       case "export" =>
+        // --algo picks the PMML family: lr → RegressionModel (default),
+        // nn → NeuralNetwork, dt → TreeModel (reference
+        // `core/pmml/builder/impl/` creator family)
         val r = Pipeline.autoRun(df, spec, candidates, topN, normType, None)
         val feats = r.normalized.columns.filter(_.startsWith("n_")).toSeq
-        val t = graft.train.Train.logistic(r.normalized, feats,
-          col("tag") === 1)
-        val pmml = graft.score.Score.exportPmml(
-          Seq(graft.train.Train.toLinear(t, feats)))
+        val label = col("tag") === 1
+        val pmml = opts.getOrElse("algo", "lr") match {
+          case "lr" =>
+            val t = graft.train.Train.logistic(r.normalized, feats, label)
+            graft.score.Score.exportPmml(
+              Seq(graft.train.Train.toLinear(t, feats)))
+          case "nn" =>
+            val t = graft.train.Train.nn(r.normalized, feats, label)
+            graft.score.Pmml.exportNN(graft.train.Train.toMlp(t, feats))
+          case "dt" =>
+            val t = graft.train.Train.decisionTree(r.normalized, feats, label)
+            graft.score.Pmml.exportTree(
+              graft.train.Train.toTree(t, feats), feats)
+          case other => throw new IllegalArgumentException(
+            s"unknown export algo '$other' (lr|nn|dt)")
+        }
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(opts("out")), pmml)
         Seq(s"pmml: ${opts("out")} (${feats.length} predictors)")

@@ -1,0 +1,247 @@
+package graft.score
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PMML export/import for the two non-linear model families the reference
+  * ships PMML builders for (`core/pmml/builder/impl/` — NN creators
+  * `NeuralNetworkModelIntegrator.java` / `NNPmmlModelCreator.java`, tree
+  * creators `TreeModelPmmlCreator` family; ~1,870 LoC of builder code).
+  *
+  * Spark design: the in-engine model forms are literal case classes
+  * ([[Pmml.MlpModel]], [[Score.TreeNode]]) that FOLD INTO PLANS as codegen'd
+  * Column expression trees — PMML is only the interchange format. Doubles
+  * serialize via `Double.toString` so parse-back is bit-exact, like the
+  * existing [[Score.exportPmml]] RegressionModel path.
+  */
+object Pmml {
+
+  /** One affine layer: `w(out)(in)` + bias(out). */
+  final case class MlpLayer(w: Vector[Vector[Double]], b: Vector[Double])
+
+  /** A feed-forward MLP matching MLlib's MultilayerPerceptronClassifier
+    * topology: sigmoid hidden layers, softmax output layer (reference NN
+    * models are sigmoid-activated feed-forward nets, `core/dtrain/nn/`). */
+  final case class MlpModel(features: Seq[String], layers: Seq[MlpLayer]) {
+    require(layers.nonEmpty && layers.last.b.length == 2,
+      "binary MLP: output layer must have 2 units (softmax)")
+
+    /** P(class 1) as a pure Column expression — the whole forward pass
+      * (every affine + sigmoid + the final softmax) runs inside
+      * whole-stage codegen as scalar arithmetic; no UDF, no vector
+      * assembly at scoring time. */
+    def score: Column = {
+      val input: Seq[Column] = features.map(col)
+      def affine(layer: MlpLayer, h: Seq[Column]): Seq[Column] =
+        layer.w.indices.map { o =>
+          layer.w(o).zip(h).map { case (wi, hi) => lit(wi) * hi }
+            .reduce(_ + _) + lit(layer.b(o))
+        }
+      val hidden = layers.dropRight(1).foldLeft(input) { (h, layer) =>
+        affine(layer, h).map(z => lit(1.0) / (lit(1.0) + exp(lit(0.0) - z)))
+      }
+      val zs = affine(layers.last, hidden)
+      // 2-class softmax, computed max-shifted for numerical stability
+      val m = greatest(zs(0), zs(1))
+      exp(zs(1) - m) / (exp(zs(0) - m) + exp(zs(1) - m))
+    }
+  }
+
+  private def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+    .replace(">", "&gt;").replace("\"", "&quot;")
+
+  // ---- NeuralNetwork --------------------------------------------------------
+
+  /** PMML-4.2 `NeuralNetwork`: NeuralInputs (one DerivedField/FieldRef per
+    * feature), one NeuralLayer per affine layer (neuron ids "layer,idx",
+    * `Con` weights in input order), hidden layers logistic, output layer
+    * identity + softmax — the exact shape the reference's
+    * `NeuralNetworkModelIntegrator` emits for its Encog nets. */
+  def exportNN(m: MlpModel): String = {
+    val dict = m.features.map(f =>
+      s"""    <DataField name="${esc(f)}" optype="continuous" dataType="double"/>""")
+      .mkString("\n")
+    val mining = (m.features.map(f =>
+      s"""      <MiningField name="${esc(f)}"/>""") :+
+      s"""      <MiningField name="target" usageType="target"/>""")
+      .mkString("\n")
+    val inputs = m.features.zipWithIndex.map { case (f, i) =>
+      s"""      <NeuralInput id="0,$i">
+         |        <DerivedField optype="continuous" dataType="double">
+         |          <FieldRef field="${esc(f)}"/>
+         |        </DerivedField>
+         |      </NeuralInput>""".stripMargin
+    }.mkString("\n")
+    val layerXml = m.layers.zipWithIndex.map { case (layer, li) =>
+      val attrs =
+        if (li == m.layers.length - 1)
+          """activationFunction="identity" normalizationMethod="softmax""""
+        else """activationFunction="logistic""""
+      val neurons = layer.w.indices.map { o =>
+        val cons = layer.w(o).zipWithIndex.map { case (w, in) =>
+          s"""          <Con from="$li,$in" weight="$w"/>"""
+        }.mkString("\n")
+        s"""        <Neuron id="${li + 1},$o" bias="${layer.b(o)}">
+           |$cons
+           |        </Neuron>""".stripMargin
+      }.mkString("\n")
+      s"""      <NeuralLayer numberOfNeurons="${layer.b.length}" $attrs>
+         |$neurons
+         |      </NeuralLayer>""".stripMargin
+    }.mkString("\n")
+    val lastL = m.layers.length
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<PMML version="4.2" xmlns="http://www.dmg.org/PMML-4_2">
+       |  <Header description="graft mlp"/>
+       |  <DataDictionary numberOfFields="${m.features.length + 1}">
+       |$dict
+       |    <DataField name="target" optype="categorical" dataType="string">
+       |      <Value value="0"/>
+       |      <Value value="1"/>
+       |    </DataField>
+       |  </DataDictionary>
+       |  <NeuralNetwork functionName="classification" activationFunction="logistic" numberOfLayers="${m.layers.length}">
+       |    <MiningSchema>
+       |$mining
+       |    </MiningSchema>
+       |    <NeuralInputs numberOfInputs="${m.features.length}">
+       |$inputs
+       |    </NeuralInputs>
+       |$layerXml
+       |    <NeuralOutputs numberOfOutputs="2">
+       |      <NeuralOutput outputNeuron="$lastL,0">
+       |        <DerivedField optype="categorical" dataType="string">
+       |          <NormDiscrete field="target" value="0"/>
+       |        </DerivedField>
+       |      </NeuralOutput>
+       |      <NeuralOutput outputNeuron="$lastL,1">
+       |        <DerivedField optype="categorical" dataType="string">
+       |          <NormDiscrete field="target" value="1"/>
+       |        </DerivedField>
+       |      </NeuralOutput>
+       |    </NeuralOutputs>
+       |  </NeuralNetwork>
+       |</PMML>
+       |""".stripMargin
+  }
+
+  private def parseDoc(xml: String): org.w3c.dom.Document = {
+    val db = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    db.setNamespaceAware(false)
+    // XXE hardening, same policy as Score.importPmml: user-supplied files
+    db.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    db.setXIncludeAware(false)
+    db.setExpandEntityReferences(false)
+    db.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(
+      xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  private def childElems(e: org.w3c.dom.Element,
+                         tag: String): Seq[org.w3c.dom.Element] = {
+    val nl = e.getChildNodes
+    (0 until nl.getLength).map(nl.item).collect {
+      case c: org.w3c.dom.Element if c.getTagName == tag => c
+    }
+  }
+
+  /** Parse a document produced by [[exportNN]] back into [[MlpModel]]. */
+  def importNN(xml: String): MlpModel = {
+    val doc = parseDoc(xml)
+    val nn = doc.getElementsByTagName("NeuralNetwork").item(0)
+      .asInstanceOf[org.w3c.dom.Element]
+    val ins = nn.getElementsByTagName("NeuralInput")
+    val features = (0 until ins.getLength).map { i =>
+      ins.item(i).asInstanceOf[org.w3c.dom.Element]
+        .getElementsByTagName("FieldRef").item(0)
+        .asInstanceOf[org.w3c.dom.Element].getAttribute("field")
+    }
+    val layerNodes = nn.getElementsByTagName("NeuralLayer")
+    val layers = (0 until layerNodes.getLength).map { li =>
+      val layer = layerNodes.item(li).asInstanceOf[org.w3c.dom.Element]
+      val neurons = childElems(layer, "Neuron")
+      val w = neurons.map { n =>
+        childElems(n, "Con").map(_.getAttribute("weight").toDouble).toVector
+      }.toVector
+      val b = neurons.map(_.getAttribute("bias").toDouble).toVector
+      MlpLayer(w, b)
+    }
+    MlpModel(features, layers)
+  }
+
+  // ---- TreeModel ------------------------------------------------------------
+
+  /** PMML-4.2 `TreeModel` (binarySplit, leaf score = leaf id) from the
+    * literal [[Score.TreeNode]] form — the reference's tree PMML family
+    * (`TreeModelPmmlCreator`); splits serialize as
+    * `SimplePredicate lessOrEqual` / `greaterThan` mirroring
+    * [[Score.encodePath]]'s `<=` convention. */
+  def exportTree(t: Score.TreeNode, features: Seq[String]): String = {
+    var nextId = 0
+    def node(n: Score.TreeNode, pred: String, indent: String): String = {
+      nextId += 1
+      val id = nextId
+      n match {
+        case Score.Leaf(leafId) =>
+          s"""$indent<Node id="$id" score="$leafId">
+             |$indent  $pred
+             |$indent</Node>""".stripMargin
+        case Score.Split(f, th, l, r) =>
+          val left = node(l,
+            s"""<SimplePredicate field="${esc(f)}" operator="lessOrEqual" value="$th"/>""",
+            indent + "  ")
+          val right = node(r,
+            s"""<SimplePredicate field="${esc(f)}" operator="greaterThan" value="$th"/>""",
+            indent + "  ")
+          s"""$indent<Node id="$id">
+             |$indent  $pred
+             |$left
+             |$right
+             |$indent</Node>""".stripMargin
+      }
+    }
+    val dict = features.map(f =>
+      s"""    <DataField name="${esc(f)}" optype="continuous" dataType="double"/>""")
+      .mkString("\n")
+    val mining = (features.map(f =>
+      s"""      <MiningField name="${esc(f)}"/>""") :+
+      s"""      <MiningField name="target" usageType="target"/>""")
+      .mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<PMML version="4.2" xmlns="http://www.dmg.org/PMML-4_2">
+       |  <Header description="graft tree"/>
+       |  <DataDictionary numberOfFields="${features.length + 1}">
+       |$dict
+       |    <DataField name="target" optype="categorical" dataType="string"/>
+       |  </DataDictionary>
+       |  <TreeModel functionName="classification" splitCharacteristic="binarySplit">
+       |    <MiningSchema>
+       |$mining
+       |    </MiningSchema>
+       |${node(t, "<True/>", "    ")}
+       |  </TreeModel>
+       |</PMML>
+       |""".stripMargin
+  }
+
+  /** Parse a document produced by [[exportTree]] back into the literal
+    * [[Score.TreeNode]] form (leaf ids from the `score` attribute). */
+  def importTree(xml: String): Score.TreeNode = {
+    val doc = parseDoc(xml)
+    val tm = doc.getElementsByTagName("TreeModel").item(0)
+      .asInstanceOf[org.w3c.dom.Element]
+    def parse(e: org.w3c.dom.Element): Score.TreeNode = {
+      val kids = childElems(e, "Node")
+      if (kids.isEmpty) Score.Leaf(e.getAttribute("score").toInt)
+      else {
+        require(kids.length == 2, s"binarySplit expects 2 children")
+        val Seq(l, r) = kids
+        val p = childElems(l, "SimplePredicate").head
+        require(p.getAttribute("operator") == "lessOrEqual",
+          "left child must carry the lessOrEqual predicate")
+        Score.Split(p.getAttribute("field"),
+          p.getAttribute("value").toDouble, parse(l), parse(r))
+      }
+    }
+    parse(childElems(tm, "Node").head)
+  }
+}

@@ -193,6 +193,34 @@ object Train {
     graft.score.Score.LinearModel(features.zip(cs.toIndexedSeq), lr.intercept)
   }
 
+  /** Bridge a fitted MLlib MLP to the literal [[graft.score.Pmml.MlpModel]]
+    * form for PMML export and expression-tree scoring. MLlib flattens the
+    * weights per affine layer as a COLUMN-MAJOR (numOut × numIn) matrix
+    * followed by the bias vector (`ml.ann.AffineLayerModel` wraps breeze
+    * `DenseMatrix(numOut, numIn, data, offset)`, breeze default
+    * column-major) — w(o)(in) = data(off + in·numOut + o). */
+  def toMlp(t: Trained, features: Seq[String]): graft.score.Pmml.MlpModel = {
+    val mlp = t.model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel]
+    val sizes = mlp.getLayers
+    require(sizes.head == features.length,
+      s"feature count ${features.length} != input layer ${sizes.head}")
+    val data = mlp.weights.toArray
+    var off = 0
+    val layers = (0 until sizes.length - 1).map { i =>
+      val (nIn, nOut) = (sizes(i), sizes(i + 1))
+      val w = Vector.tabulate(nOut)(o =>
+        Vector.tabulate(nIn)(in => data(off + in * nOut + o)))
+      off += nIn * nOut
+      val b = Vector.tabulate(nOut)(o => data(off + o))
+      off += nOut
+      graft.score.Pmml.MlpLayer(w, b)
+    }
+    require(off == data.length,
+      s"weight layout mismatch: consumed $off of ${data.length}")
+    graft.score.Pmml.MlpModel(features, layers)
+  }
+
   /** Bridge a fitted MLlib decision tree to the literal
     * [[graft.score.Score.TreeNode]] form, so `shifu encode`-style
     * tree-path encoding ([[graft.score.Score.encodePath]]) can fold a

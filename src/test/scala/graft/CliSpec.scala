@@ -166,4 +166,18 @@ class CliSpec extends AnyFunSuite {
     assert(models.length === 1)
     assert(models.head.weights.nonEmpty)
   }
+
+  test("export --algo nn/dt: NeuralNetwork and TreeModel PMML parse back") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli10").toString
+    Cli.run(spark, "export", base +
+      ("algo" -> "nn") + ("out" -> s"$tmp/nn.pmml"))
+    val mlp = graft.score.Pmml.importNN(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/nn.pmml")))
+    assert(mlp.layers.nonEmpty && mlp.layers.last.b.length === 2)
+    Cli.run(spark, "export", base +
+      ("algo" -> "dt") + ("out" -> s"$tmp/dt.pmml"))
+    val tree = graft.score.Pmml.importTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/dt.pmml")))
+    assert(tree.isInstanceOf[graft.score.Score.Split])
+  }
 }

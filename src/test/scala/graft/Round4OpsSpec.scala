@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 operator specs: PMML export/import for NN (MLP) and tree
+  * models, with bit-exact round-trips and score parity against MLlib's
+  * own transform (which proves the weight-layout extraction, not just the
+  * serialization). */
+class Round4OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fixture = {
+    val s = spark
+    import s.implicits._
+    (1 to 400).map { i =>
+      val x1 = (i % 17).toDouble / 17.0
+      val x2 = (i % 29).toDouble / 29.0
+      val x3 = ((i * 7) % 13).toDouble / 13.0
+      val y = if (x1 + 2 * x2 - x3 > 1.0) 1 else 0
+      (x1, x2, x3, y)
+    }.toDF("f1", "f2", "f3", "y")
+  }
+
+  private val feats = Seq("f1", "f2", "f3")
+
+  test("MLP: PMML round-trip is bit-exact and the expression-tree score " +
+    "matches MLlib's forward pass") {
+    val df = fixture
+    val t = graft.train.Train.nn(df, feats, col("y") === 1,
+      hidden = Seq(5, 4), maxIter = 30)
+    val mlp = graft.train.Train.toMlp(t, feats)
+    assert(mlp.layers.map(_.b.length) === Seq(5, 4, 2))
+    assert(mlp.layers.head.w.head.length === 3)
+
+    // bit-exact PMML round-trip (Double.toString survives)
+    val back = graft.score.Pmml.importNN(graft.score.Pmml.exportNN(mlp))
+    assert(back === mlp)
+
+    // score parity: the literal Column forward pass vs MLlib transform
+    import org.apache.spark.ml.functions.vector_to_array
+    val scored = t.model.transform(
+        df.select(feats.map(col) :+ lit(0.0).as("label"): _*))
+      .withColumn("p_mllib", vector_to_array(col("probability"))(1))
+      .withColumn("p_expr", mlp.score)
+      .select(max(abs(col("p_mllib") - col("p_expr"))).as("max_diff"))
+      .head().getDouble(0)
+    assert(scored < 1e-9, s"max |p_mllib - p_expr| = $scored")
+  }
+
+  test("DT: PMML round-trip reproduces the literal tree bit-exactly") {
+    val df = fixture
+    val t = graft.train.Train.decisionTree(df, feats, col("y") === 1,
+      maxDepth = 4)
+    val tree = graft.train.Train.toTree(t, feats)
+    val xml = graft.score.Pmml.exportTree(tree, feats)
+    val back = graft.score.Pmml.importTree(xml)
+    assert(back === tree) // case-class structural equality: fields,
+                          // thresholds, and leaf ids all survive
+    // and the encoded paths from the round-tripped tree agree everywhere
+    val diff = df.select(
+      (graft.score.Score.encodePath(tree) =!=
+        graft.score.Score.encodePath(back)).as("d"))
+      .filter(col("d")).count()
+    assert(diff === 0)
+  }
+
+  test("hand-built MLP scores match a by-hand forward computation") {
+    val s = spark
+    import s.implicits._
+    // 2-2-2 net with known weights: verify the expression tree implements
+    // sigmoid(W x + b) then softmax exactly
+    val m = graft.score.Pmml.MlpModel(Seq("a", "b"), Seq(
+      graft.score.Pmml.MlpLayer(
+        Vector(Vector(0.5, -1.0), Vector(1.5, 0.25)), Vector(0.1, -0.2)),
+      graft.score.Pmml.MlpLayer(
+        Vector(Vector(1.0, -0.5), Vector(-1.0, 2.0)), Vector(0.0, 0.3))))
+    val rows = Seq((0.2, 0.7), (1.0, -1.0), (0.0, 0.0))
+    def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    val want = rows.map { case (a, b) =>
+      val h = Seq(sigmoid(0.5 * a - 1.0 * b + 0.1),
+        sigmoid(1.5 * a + 0.25 * b - 0.2))
+      val z0 = 1.0 * h(0) - 0.5 * h(1)
+      val z1 = -1.0 * h(0) + 2.0 * h(1) + 0.3
+      math.exp(z1) / (math.exp(z0) + math.exp(z1))
+    }
+    val got = rows.toDF("a", "b").select(m.score.as("p"))
+      .collect().map(_.getDouble(0)).toSeq
+    want.zip(got).foreach { case (w, g) =>
+      assert(math.abs(w - g) < 1e-12, s"want $w got $g")
+    }
+  }
+}
