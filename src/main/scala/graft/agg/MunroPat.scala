@@ -19,14 +19,22 @@ import scala.collection.mutable.ArrayBuffer
   * cascading upward on collision. `merge` collapses same-level buffers
   * pairwise, making the sketch usable as a distributed Aggregator with the
   * usual partial/final contract.
+  *
+  * Buffers are PRIMITIVE `Array[Double]` (sorted with
+  * `java.util.Arrays.sort`): the previous `ArrayBuffer[Double]` levels
+  * boxed every element on add and every comparison in the collapse sort,
+  * which dominated the sketch query's cost at sf0.1.
   */
 final class MunroPatSketch(val numQuantiles: Int, val k: Int)
     extends Serializable {
 
-  // levels(0) and levels(1): fill buffers (weight 1, possibly not full);
-  // levels(l >= 2): at most one sorted buffer of EXACTLY k, weight 2^(l-1)
-  var levels: ArrayBuffer[ArrayBuffer[Double]] =
-    ArrayBuffer(ArrayBuffer.empty[Double], ArrayBuffer.empty[Double])
+  // two weight-1 fill buffers (live prefixes n0/n1); high(i) is the level
+  // i+2 buffer (exactly k elements, sorted, weight 2^(i+1)) or null
+  var fill0: Array[Double] = new Array[Double](k)
+  var fill1: Array[Double] = new Array[Double](k)
+  var n0: Int = 0
+  var n1: Int = 0
+  var high: ArrayBuffer[Array[Double]] = ArrayBuffer.empty
   var total: Long = 0L
   var minV: Double = Double.PositiveInfinity
   var maxV: Double = Double.NegativeInfinity
@@ -34,59 +42,60 @@ final class MunroPatSketch(val numQuantiles: Int, val k: Int)
   def add(v: Double): Unit = {
     if (v < minV) minV = v
     if (v > maxV) maxV = v
-    if (levels(0).length >= k && levels(1).length >= k) collapseFill()
-    val idx = if (levels(0).length < k) 0 else 1
-    levels(idx) += v
+    appendFill(v)
     total += 1
   }
 
-  /** merge two sorted buffers, keeping every 2nd element (the collapse). */
-  private def collapse(a: ArrayBuffer[Double],
-                       b: ArrayBuffer[Double]): ArrayBuffer[Double] = {
-    val out = new ArrayBuffer[Double](k)
-    var ia = 0; var ib = 0; var count = 0
-    while (ia < a.length || ib < b.length) {
-      val takeB = ia >= a.length || (ib < b.length && a(ia) >= b(ib))
+  private def appendFill(v: Double): Unit = {
+    if (n0 >= k && n1 >= k) collapseFill()
+    if (n0 < k) { fill0(n0) = v; n0 += 1 }
+    else { fill1(n1) = v; n1 += 1 }
+  }
+
+  /** merge two sorted arrays, keeping every 2nd element (the collapse). */
+  private def collapse(a: Array[Double], na: Int,
+                       b: Array[Double], nb: Int): Array[Double] = {
+    val out = new Array[Double]((na + nb + 1) / 2)
+    var ia = 0; var ib = 0; var count = 0; var o = 0
+    while (ia < na || ib < nb) {
+      val takeB = ia >= na || (ib < nb && a(ia) >= b(ib))
       val v = if (takeB) { val x = b(ib); ib += 1; x }
               else { val x = a(ia); ia += 1; x }
-      if (count % 2 == 0) out += v
+      if (count % 2 == 0) { out(o) = v; o += 1 }
       count += 1
     }
     out
   }
 
   private def collapseFill(): Unit = {
-    val a = levels(0).sorted
-    val b = levels(1).sorted
-    levels(0) = ArrayBuffer.empty
-    levels(1) = ArrayBuffer.empty
-    pushUp(collapse(a, b), 2)
+    java.util.Arrays.sort(fill0)
+    java.util.Arrays.sort(fill1)
+    val c = collapse(fill0, k, fill1, k)
+    n0 = 0; n1 = 0
+    pushUp(c, 0)
   }
 
-  private def pushUp(buf: ArrayBuffer[Double], level: Int): Unit = {
-    while (levels.length <= level) levels += ArrayBuffer.empty[Double]
-    if (levels(level).isEmpty) levels(level) = buf
+  private def pushUp(buf: Array[Double], lvl: Int): Unit = {
+    while (high.length <= lvl) high += null
+    if (high(lvl) == null) high(lvl) = buf
     else {
-      val merged = collapse(levels(level), buf)
-      levels(level) = ArrayBuffer.empty
-      pushUp(merged, level + 1)
+      val merged = collapse(high(lvl), high(lvl).length, buf, buf.length)
+      high(lvl) = null
+      pushUp(merged, lvl + 1)
     }
   }
 
   /** Distributed combine: fold the other sketch's fill elements in, then
     * collapse same-level sorted buffers upward. */
   def mergeWith(other: MunroPatSketch): MunroPatSketch = {
-    other.levels.take(2).foreach(_.foreach { v =>
-      if (v < minV) minV = v
-      if (v > maxV) maxV = v
-      if (levels(0).length >= k && levels(1).length >= k) collapseFill()
-      val idx = if (levels(0).length < k) 0 else 1
-      levels(idx) += v
-    })
-    var l = 2
-    while (l < other.levels.length) {
-      if (other.levels(l).nonEmpty) pushUp(other.levels(l), l)
-      l += 1
+    var i = 0
+    while (i < other.n0) { appendFill(other.fill0(i)); i += 1 }
+    i = 0
+    while (i < other.n1) { appendFill(other.fill1(i)); i += 1 }
+    i = 0
+    while (i < other.high.length) {
+      if (other.high(i) != null) pushUp(other.high(i), i)
+      i += 1
     }
     total += other.total
     if (other.minV < minV) minV = other.minV
@@ -99,26 +108,44 @@ final class MunroPatSketch(val numQuantiles: Int, val k: Int)
     * values at the weighted target ranks. */
   def quantiles(): Array[Double] = {
     if (total == 0) return Array.empty
-    // (value, weight) across all buffers
-    val weighted = ArrayBuffer.empty[(Double, Long)]
-    levels.take(2).foreach(_.foreach(v => weighted += ((v, 1L))))
-    var l = 2
-    while (l < levels.length) {
-      val w = 1L << (l - 1)
-      levels(l).foreach(v => weighted += ((v, w)))
+    var count = n0 + n1
+    var l = 0
+    while (l < high.length) {
+      if (high(l) != null) count += high(l).length
       l += 1
     }
-    val sorted = weighted.sortBy(_._1)
-    val sumW = sorted.map(_._2).sum
-    val out = new Array[Double](numQuantiles - 1)
-    var cum = 0L
-    var qi = 0
+    // (value, weight) across all buffers; weights are exact in double
+    // far past any realistic level count (2^53 bound)
+    val wv = new Array[Double](count)
+    val ww = new Array[Double](count)
+    var o = 0
     var i = 0
-    while (i < sorted.length && qi < out.length) {
-      cum += sorted(i)._2
+    while (i < n0) { wv(o) = fill0(i); ww(o) = 1.0; o += 1; i += 1 }
+    i = 0
+    while (i < n1) { wv(o) = fill1(i); ww(o) = 1.0; o += 1; i += 1 }
+    l = 0
+    while (l < high.length) {
+      val buf = high(l)
+      if (buf != null) {
+        val w = (1L << (l + 1)).toDouble
+        i = 0
+        while (i < buf.length) { wv(o) = buf(i); ww(o) = w; o += 1; i += 1 }
+      }
+      l += 1
+    }
+    DualSort.sort(wv, ww, 0, count - 1)
+    var sumW = 0.0
+    i = 0
+    while (i < count) { sumW += ww(i); i += 1 }
+    val out = new Array[Double](numQuantiles - 1)
+    var cum = 0.0
+    var qi = 0
+    i = 0
+    while (i < count && qi < out.length) {
+      cum += ww(i)
       while (qi < out.length &&
-        cum.toDouble / sumW >= (qi + 1).toDouble / numQuantiles) {
-        out(qi) = sorted(i)._1
+        cum / sumW >= (qi + 1).toDouble / numQuantiles) {
+        out(qi) = wv(i)
         qi += 1
       }
       i += 1
