@@ -309,14 +309,38 @@ object QueriesExtra {
   /** NN / SVM / DT training contracts (NN = the reference flagship
     * `ALGORITHM NN` → MultilayerPerceptronClassifier) — completing the
     * reference ALGORITHM enum's distributed members (NN, LR, SVM, DT, RF,
-    * GBT; TENSORFLOW/WDL are external runtimes the reference shells out
-    * to — out of engine scope). Predictive power is spec-asserted on
-    * separable fixtures (TrainDotSpec). */
+    * GBT; WDL → the [[Train.wideAndDeep]] composite below; TENSORFLOW is
+    * an external-runtime shell-out in the reference — descoped, see
+    * SURVEY §2.9). Predictive power is spec-asserted on separable
+    * fixtures (TrainDotSpec). */
   private val trainNn = trainContract("mlp", sampled = true,
     Train.nn(_, trainFeats, isPos, hidden = Seq(5), maxIter = 15))
 
   private val trainSvm = trainContract("svm", sampled = true,
     Train.svm(_, trainFeats, isPos, maxIter = 3))
+
+  /** Wide-and-deep composite contract (reference `ALGORITHM.WDL`,
+    * `core/dtrain/wdl/`): wide = hashed crosses of l_linestatus × a
+    * bucketized quantity (the wdl bucket-cross recipe), deep = MLP over
+    * the dense features, output = logistic over [wide ++ deep logit].
+    * 5 total stages: deep (assembler+mlp) + wide (hasher+assembler+lr). */
+  private val trainWdl: Q = Q(
+    fn = (s, dir) => {
+      val d = trainSample(li(s, dir))
+        .withColumn("qb", floor(col("l_quantity") / 10).cast("string"))
+      val t = Train.wideAndDeep(d, Seq("l_linestatus", "qb"), trainFeats,
+        isPos, hidden = Seq(5), hashDim = 64, maxIter = 10)
+      import s.implicits._
+      Seq(("wdl", if (t.auc > 0.0 && t.auc < 1.0) 1 else 0,
+        t.deep.model.stages.length + t.wideModel.stages.length,
+        d.count()))
+        .toDF("algo", "auc_in_unit", "n_stages", "n_train")
+    },
+    oracle = Some(
+      s"""SELECT 'wdl' AS algo, 1 AS auc_in_unit, 5 AS n_stages,
+         |  count(*) AS n_train
+         |FROM lineitem WHERE $trainSampleSql
+         |""".stripMargin))
 
   private val trainDt = trainContract("dt", sampled = true,
     Train.decisionTree(_, trainFeats, isPos, maxDepth = 5))
@@ -461,6 +485,7 @@ object QueriesExtra {
     "q_train_nn"       -> trainNn,
     "q_train_svm"      -> trainSvm,
     "q_train_dt"       -> trainDt,
+    "q_train_wdl"      -> trainWdl,
     "q_multiclass_ovr" -> multiclassOvr,
     "q_stream_window"  -> streamWindow,
   )

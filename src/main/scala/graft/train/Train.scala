@@ -275,6 +275,79 @@ object Train {
     scored.withColumn("combo_mean", mean)
   }
 
+  /** Wide-and-deep composite (reference `ALGORITHM.WDL`,
+    * `ModelTrainConf.java:44`, `core/dtrain/wdl/` ~5k LoC of custom
+    * trainer). MLlib has no jointly-trained wide+deep estimator, so this
+    * is the honest Spark composite with the same capability shape:
+    *
+    *  - DEEP: an MLP over the dense numeric features (the wdl DNN tower).
+    *  - WIDE: hashed crossed categorical features (`FeatureHasher` over
+    *    the raw categoricals plus their pairwise crosses — the
+    *    crossed-column recipe of Cheng et al., "Wide & Deep Learning for
+    *    Recommender Systems", DLRS 2016 §3).
+    *  - OUTPUT: a logistic layer over [wide hashed vector ++ deep LOGIT]
+    *    — stacking instead of joint backprop: sigmoid(w·x_wide + a·z_deep
+    *    + b) is exactly the wdl output-unit form, with the deep tower
+    *    frozen rather than co-trained.
+    *
+    * Everything is two MLlib fits plus narrow transforms — distributed,
+    * no custom optimizer. */
+  final case class WideDeep(deep: Trained, wideModel: PipelineModel,
+      wideCols: Seq[String], auc: Double) {
+    /** Score new rows: rebuild the crossed columns, add the deep logit,
+      * then the hashed wide features + output layer (adds the output
+      * LR's probability/prediction columns). */
+    def score(df: DataFrame): DataFrame =
+      wideModel.transform(WideDeep.withDeepLogit(deep,
+        df.select(col("*") +: WideDeep.crossCols(wideCols): _*)))
+  }
+  object WideDeep {
+    /** Pairwise crossed columns (string concat ≡ crossed_column pre-hash). */
+    private[train] def crossCols(wideCols: Seq[String]): Seq[Column] =
+      wideCols.combinations(2).toSeq.map { pair =>
+        val Seq(a, b) = pair
+        concat_ws("_", col(a), col(b)).as(s"x_${a}_$b")
+      }
+    private[train] def withDeepLogit(deep: Trained, df: DataFrame): DataFrame = {
+      import org.apache.spark.ml.functions.vector_to_array
+      val p = vector_to_array(col("probability"))(1)
+      val eps = 1e-12
+      val clamped = least(greatest(p, lit(eps)), lit(1 - eps))
+      deep.model.transform(df)
+        .withColumn("deep_logit", log(clamped / (lit(1.0) - clamped)))
+        .drop("features", "rawPrediction", "probability", "prediction")
+    }
+  }
+
+  def wideAndDeep(df: DataFrame, wideCols: Seq[String], deepCols: Seq[String],
+                  label: Column, hidden: Seq[Int] = Seq(8),
+                  hashDim: Int = 256, maxIter: Int = 20): WideDeep = {
+    import org.apache.spark.ml.feature.FeatureHasher
+    require(wideCols.nonEmpty && deepCols.nonEmpty)
+    val crosses = WideDeep.crossCols(wideCols)
+    val crossNames = wideCols.combinations(2).toSeq.map { pair =>
+      val Seq(a, b) = pair; s"x_${a}_$b"
+    }
+    val data = df.select(
+      (deepCols.map(col) ++ wideCols.map(c => col(c).cast("string").as(c))
+        ++ crosses) :+ label.cast("double").as("label"): _*)
+    val deep = nn(data, deepCols, col("label") === 1, hidden, maxIter)
+    val withLogit = WideDeep.withDeepLogit(deep, data)
+    val hasher = new FeatureHasher()
+      .setInputCols((wideCols ++ crossNames).toArray)
+      .setOutputCol("wide_vec").setNumFeatures(hashDim)
+    val outAssembler = new VectorAssembler()
+      .setInputCols(Array("wide_vec", "deep_logit")).setOutputCol("features")
+    val outLr = new LogisticRegression().setMaxIter(maxIter)
+      .setLabelCol("label").setFeaturesCol("features")
+    val wideModel = new Pipeline()
+      .setStages(Array(hasher, outAssembler, outLr)).fit(withLogit)
+    val scored = wideModel.transform(withLogit)
+    val auc = new BinaryClassificationEvaluator().setLabelCol("label")
+      .setRawPredictionCol("rawPrediction").evaluate(scored)
+    WideDeep(deep, wideModel, wideCols, auc)
+  }
+
   def bagged(df: DataFrame, features: Seq[String], label: Column,
              key: Column, k: Int = 3,
              trainOne: (DataFrame, Seq[String], Column) => Trained =

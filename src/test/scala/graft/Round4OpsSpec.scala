@@ -65,6 +65,31 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
+  test("wide-and-deep: crossed wide features capture a signal the " +
+    "individual columns cannot") {
+    val s = spark
+    import s.implicits._
+    // label = XOR of two categoricals — invisible to either column alone
+    // (each is independent of the label marginally), visible ONLY to the
+    // crossed feature; the dense features are pure noise. A composite
+    // whose wide side carries crosses must reach high AUC here.
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 2000).map { i =>
+      val a = if (rnd.nextBoolean()) "p" else "q"
+      val b = if (rnd.nextBoolean()) "u" else "v"
+      val y = if ((a == "p") ^ (b == "u")) 1 else 0
+      (a, b, rnd.nextGaussian(), rnd.nextGaussian(), y)
+    }.toDF("ca", "cb", "d1", "d2", "y")
+    val t = graft.train.Train.wideAndDeep(df, Seq("ca", "cb"),
+      Seq("d1", "d2"), org.apache.spark.sql.functions.col("y") === 1,
+      hidden = Seq(4), hashDim = 64, maxIter = 20)
+    assert(t.auc > 0.95, s"wdl auc ${t.auc} — crosses not learned")
+    // scoring new rows end-to-end adds the output layer's probability
+    val scored = t.score(df.limit(50))
+    assert(scored.columns.contains("probability"))
+    assert(scored.count() === 50)
+  }
+
   test("hand-built MLP scores match a by-hand forward computation") {
     val s = spark
     import s.implicits._
