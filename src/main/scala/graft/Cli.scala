@@ -152,8 +152,15 @@ object Cli {
           case "iv"     => Pipeline.varselBy(catalog0, topN,
             _.stats.iv.getOrElse(0.0))
           case "pareto" => Pipeline.varselPareto(catalog0, topN)
+          case "itsa"   =>
+            // iterative sensitivity (mask → drop-worst → refit) over the
+            // raw candidate columns; the only method here that scans data
+            val kept = graft.train.Train.itsaVarsel(
+              Pipeline.init(df, spec), candidates, Pipeline.isPos(spec),
+              keepN = topN).toSet
+            catalog0.map(p => p.copy(finalSelect = kept(p.columnName)))
           case other => throw new IllegalArgumentException(
-            s"unknown varsel method '$other' (ks|iv|pareto)")
+            s"unknown varsel method '$other' (ks|iv|pareto|itsa)")
         }
         CatalogIO.write(opts("catalog"), catalog)
         Seq("selected: " +

@@ -275,6 +275,41 @@ object Train {
     scored.withColumn("combo_mean", mean)
   }
 
+  /** Iterative sensitivity-analysis variable selection (reference ITSA,
+    * `core/varselect/itsa/` wrapper over the `VarSelectMapper.java:277-400`
+    * masked-score sensitivity): fit → score every row with each feature
+    * masked to `fill` → drop the feature whose masking moves the score
+    * LEAST → refit on the survivors → repeat, until `keepN` remain or the
+    * round budget runs out. Unlike single-pass sensitivity (q_sensitivity),
+    * re-fitting between drops lets correlated features re-rank after a
+    * proxy is removed — the reason the reference iterates.
+    *
+    * Per round: ONE MLlib logistic fit plus ONE aggregation pass computing
+    * every feature's mean |score − maskedScore| simultaneously (k+1
+    * parallel expression trees, narrow + codegen; never k passes).
+    * Rounds are driver-bounded (≤ maxRounds, each a blocking fit) — this
+    * is a model-selection loop, not a data pipeline stage. */
+  def itsaVarsel(df: DataFrame, features: Seq[String], label: Column,
+                 keepN: Int, dropPerRound: Int = 1, maxRounds: Int = 20,
+                 fill: Double = 0.0, maxIter: Int = 20): Seq[String] = {
+    require(keepN >= 1 && keepN <= features.length)
+    var current = features
+    var round = 0
+    while (current.length > keepN && round < maxRounds) {
+      val t = logistic(df, current, label, maxIter)
+      val lm = toLinear(t, current)
+      val deltas = df.select(current.map(f =>
+        avg(abs(lm.score - lm.scoreMasked(f, fill))).as(f)): _*).head()
+      val ranked = current.indices.map(i => current(i) -> deltas.getDouble(i))
+        .sortBy { case (f, d) => (d, f) } // ties broken by name: determinism
+      val nDrop = math.min(dropPerRound, current.length - keepN)
+      val dropped = ranked.take(nDrop).map(_._1).toSet
+      current = current.filterNot(dropped)
+      round += 1
+    }
+    current
+  }
+
   /** Wide-and-deep composite (reference `ALGORITHM.WDL`,
     * `ModelTrainConf.java:44`, `core/dtrain/wdl/` ~5k LoC of custom
     * trainer). MLlib has no jointly-trained wide+deep estimator, so this

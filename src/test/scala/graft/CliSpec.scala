@@ -63,6 +63,12 @@ class CliSpec extends AnyFunSuite {
       assert(out.head.startsWith("selected: "), s"method $m")
       assert(out.head.drop(10).split(",").length === 2, s"method $m")
     }
+    // itsa scans the data (mask -> drop-worst -> refit on real candidates)
+    val outItsa = Cli.run(spark, "varsel", base +
+      ("catalog" -> s"$tmp/ColumnConfig.json") + ("topn" -> "2") +
+      ("method" -> "itsa"))
+    assert(outItsa.head.startsWith("selected: "))
+    assert(outItsa.head.drop(10).split(",").length === 2)
   }
 
   test("train: fits the configured algorithm from a frozen catalog") {

@@ -90,6 +90,23 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(scored.count() === 50)
   }
 
+  test("ITSA iterative sensitivity recovers the planted signal features") {
+    val s = spark
+    import s.implicits._
+    // two signal features + three pure-noise features; iterative
+    // mask-and-refit must keep exactly the signal pair
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 1500).map { _ =>
+      val f1 = rnd.nextGaussian(); val f2 = rnd.nextGaussian()
+      val y = if (1.5 * f1 - 2.0 * f2 + 0.3 * rnd.nextGaussian() > 0) 1 else 0
+      (f1, f2, rnd.nextGaussian(), rnd.nextGaussian(), rnd.nextGaussian(), y)
+    }.toDF("f1", "f2", "n1", "n2", "n3", "y")
+    val kept = graft.train.Train.itsaVarsel(df,
+      Seq("f1", "f2", "n1", "n2", "n3"),
+      org.apache.spark.sql.functions.col("y") === 1, keepN = 2)
+    assert(kept.toSet === Set("f1", "f2"), s"kept $kept")
+  }
+
   test("hand-built MLP scores match a by-hand forward computation") {
     val s = spark
     import s.implicits._
