@@ -161,6 +161,88 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- stratified (per-source) deterministic sampling ----------------------
+
+  /** Per-source stratified sampling — the corpus-mixing step of an LLM
+    * data pipeline (downsample over-represented sources). Deterministic
+    * md5 thresholding (q_hash_sample pattern), with the RATE itself
+    * derived from md5(source) so the query needs no source enumeration:
+    * sources whose md5 first hex digit < '8' keep 25%, others 50%. Pure
+    * narrow filter + groupBy(source) — one scan, one tiny shuffle; rates
+    * in a real pipeline come from a broadcast config table instead. */
+  private val stratifiedSample: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val hx = "'0123456789abcdef'"
+      val rowH = "md5(cast(concat(cast(doc_id AS string), '|', source) AS binary))"
+      val v = s"(instr($hx, substr($rowH, 1, 1)) - 1) * 16 + " +
+        s"(instr($hx, substr($rowH, 2, 1)) - 1)"
+      val srcDigit = s"instr($hx, substr(md5(cast(source AS binary)), 1, 1)) - 1"
+      val kept = docs(s, dir)
+        .filter(expr(s"$v < CASE WHEN $srcDigit < 8 THEN 64 ELSE 128 END"))
+      kept.groupBy("source").agg(count(lit(1)).as("n_kept"))
+    },
+    oracle = Some {
+      val hx = "'0123456789abcdef'"
+      val rowH = "md5(cast(doc_id AS VARCHAR) || '|' || source)"
+      val v = s"(instr($hx, substr($rowH, 1, 1)) - 1) * 16 + " +
+        s"(instr($hx, substr($rowH, 2, 1)) - 1)"
+      val srcDigit = s"instr($hx, substr(md5(source), 1, 1)) - 1"
+      s"""SELECT source, count(*) AS n_kept
+         |FROM documents
+         |WHERE $v < CASE WHEN $srcDigit < 8 THEN 64 ELSE 128 END
+         |GROUP BY source
+         |""".stripMargin
+    })
+
+  // ---- MinHash Jaccard ESTIMATION on candidate pairs -----------------------
+
+  /** The estimator the MinHash signatures exist for: for LSH candidate
+    * pairs, estimate Jaccard as the fraction of agreeing minhash
+    * components (E[agree] = J by the permutation argument) — the cheap
+    * screen a pipeline applies before the exact [[TextOps.jaccardPairs]]
+    * confirm. Signatures re-attach by id join (size-gated broadcast
+    * pattern); one narrow comparison expression per pair. */
+  private val minhashJaccardEst: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sig = TextOps.minhash(docs(s, dir), respread = true)
+      val pairs = TextOps.lshPairs(sig)
+      val sa = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+      val sb = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+      val agree = (0 until 8).map(h =>
+        when(col(s"a_m_$h") === col(s"b_m_$h"), 1).otherwise(0))
+        .reduce(_ + _)
+      pairs
+        .join(sa, col("doc_a") === col("a_doc_id"))
+        .join(sb, col("doc_b") === col("b_doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          round(agree.cast("double") / 8, 6).as("jaccard_est"))
+    },
+    oracle = Some {
+      val agree = (0 until 8).map(h =>
+        s"CASE WHEN sa.m_$h = sb.m_$h THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id,
+         |${minhashSelect(8)}
+         |FROM s),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |         md5(m_0 || m_1 || m_2 || m_3) AS band_hash FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(m_4 || m_5 || m_6 || m_7) FROM sig),
+         |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(($agree)::DOUBLE / 8, 6) AS jaccard_est
+         |FROM prs
+         |JOIN sig sa ON doc_a = sa.doc_id
+         |JOIN sig sb ON doc_b = sb.doc_id
+         |""".stripMargin
+    })
+
   // ---- exact (iterative) dedup clusters ------------------------------------
 
   /** Same LSH pair graph as q_dedup_cc but clustered by the ITERATIVE
@@ -398,6 +480,8 @@ object QueriesText {
     "q_dedup_apply"   -> dedupApply,
     "q_dedup_cc"      -> dedupCc,
     "q_dedup_cc_iter" -> dedupCcIter,
+    "q_stratified_sample" -> stratifiedSample,
+    "q_minhash_est"   -> minhashJaccardEst,
     "q_ngram_jaccard" -> jaccard,
     "q_simhash"       -> simhash,
     "q_simhash_pairs" -> simhashPairsQ,
