@@ -186,9 +186,60 @@ object Cli {
           sweep.select("bucket", "tp", "fp", "fn", "tn"))
         opts.get("out").foreach(o =>
           graft.eval.Eval.gainChartHtml(gain, o, s"eval ${opts("score")}"))
+        // reference sub-modes: `eval -confmat` (TP/FP/FN/TN buckets) and
+        // `eval -score` (per-row score dump)
+        opts.get("confmat").foreach(o =>
+          sweep.write.mode("overwrite").parquet(o))
+        opts.get("scoreout").foreach(o =>
+          clean.select(monotonically_increasing_id().as("row_id"),
+            scoreCol.as("score"),
+            Pipeline.isPos(spec).cast("int").as("tag"))
+            .write.mode("overwrite").parquet(o))
         Seq(f"auc: $auc%.6f",
           s"buckets: ${gain.count()}") ++
-          opts.get("out").map(o => s"report: $o")
+          opts.get("out").map(o => s"report: $o") ++
+          opts.get("confmat").map(o => s"confmat: $o") ++
+          opts.get("scoreout").map(o => s"scores: $o")
+
+      case "export" if opts.get("type").contains("columnstats") =>
+        // `shifu export -t columnstats` (ExportModelProcessor): flatten
+        // the catalog's per-column stats to a parquet table
+        val catalog = CatalogIO.read(opts("catalog"))
+        val s2 = spark
+        import s2.implicits._
+        catalog.map(p => (p.columnNum, p.columnName,
+            p.kind.toString, p.finalSelect,
+            p.stats.ks.getOrElse(0.0), p.stats.iv.getOrElse(0.0),
+            p.stats.mean.getOrElse(0.0), p.stats.stdDev.getOrElse(0.0),
+            p.stats.missingCount, p.stats.totalCount))
+          .toDF("column_num", "column_name", "kind", "final_select",
+            "ks", "iv", "mean", "std_dev", "missing_count", "total_count")
+          .coalesce(1).write.mode("overwrite").parquet(opts("out"))
+        Seq(s"columnstats: ${opts("out")} (${catalog.length} rows)")
+
+      case "export" if opts.get("type").contains("woemapping") =>
+        // `shifu export -t woemapping`: per selected column, the bin →
+        // WOE mapping (numeric lower bound or category, count WOE)
+        val catalog = CatalogIO.read(opts("catalog"))
+        val s2 = spark
+        import s2.implicits._
+        val rows = catalog.filter(p =>
+          p.finalSelect && p.binning.binCountWoe.nonEmpty).flatMap { p =>
+          p.binning.binCountWoe.zipWithIndex.map { case (w, i) =>
+            val binLabel =
+              if (p.binning.binBoundary.nonEmpty)
+                if (i < p.binning.binBoundary.length)
+                  p.binning.binBoundary(i).toString
+                else "missing"
+              else if (i < p.binning.binCategory.length)
+                p.binning.binCategory(i)
+              else "missing"
+            (p.columnName, i, binLabel, w)
+          }
+        }
+        rows.toDF("column_name", "bin_id", "bin_lo_or_category", "woe")
+          .coalesce(1).write.mode("overwrite").parquet(opts("out"))
+        Seq(s"woemapping: ${opts("out")} (${rows.length} rows)")
 
       case "export" =>
         // --algo picks the PMML family: lr → RegressionModel (default),

@@ -222,6 +222,41 @@ class CliSpec extends AnyFunSuite {
     assert(models.head.weights.nonEmpty)
   }
 
+  test("eval --confmat/--scoreout write the sweep and per-row scores") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli14").toString
+    val out = Cli.run(spark, "eval", base +
+      ("score" -> "l_tax") + ("confmat" -> s"$tmp/confmat") +
+      ("scoreout" -> s"$tmp/scores"))
+    assert(out.exists(_.startsWith("confmat: ")))
+    assert(out.exists(_.startsWith("scores: ")))
+    val cm = spark.read.parquet(s"$tmp/confmat")
+    assert(Set("tp", "fp", "fn", "tn").subsetOf(cm.columns.toSet))
+    assert(cm.count() === 10) // sweep buckets
+    val sc = spark.read.parquet(s"$tmp/scores")
+    assert(sc.columns.toSet === Set("row_id", "score", "tag"))
+    assert(sc.count() > 0)
+  }
+
+  test("export -t columnstats/woemapping flatten the catalog") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli15").toString
+    Cli.run(spark, "stats", base + ("catalog" -> s"$tmp/ColumnConfig.json"))
+    val o1 = Cli.run(spark, "export", base +
+      ("type" -> "columnstats") + ("catalog" -> s"$tmp/ColumnConfig.json") +
+      ("out" -> s"$tmp/colstats"))
+    assert(o1.head.startsWith("columnstats: "))
+    val cs = spark.read.parquet(s"$tmp/colstats")
+    assert(cs.count() === 4)
+    assert(cs.columns.contains("ks") && cs.columns.contains("iv"))
+    val o2 = Cli.run(spark, "export", base +
+      ("type" -> "woemapping") + ("catalog" -> s"$tmp/ColumnConfig.json") +
+      ("out" -> s"$tmp/woemap"))
+    assert(o2.head.startsWith("woemapping: "))
+    val wm = spark.read.parquet(s"$tmp/woemap")
+    assert(wm.columns.toSet ===
+      Set("column_name", "bin_id", "bin_lo_or_category", "woe"))
+    assert(wm.count() > 0)
+  }
+
   test("export --algo nn/dt: NeuralNetwork and TreeModel PMML parse back") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli10").toString
     Cli.run(spark, "export", base +
