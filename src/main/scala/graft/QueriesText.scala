@@ -464,6 +464,76 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- URL / domain provenance profiling -----------------------------------
+
+  /** The synthetic corpus carries no URLs, so ~1/4 of docs get a
+    * deterministic seeded link (md5-gated, the q_pii_scrub pattern)
+    * before extraction — the query then proves regex extraction, domain
+    * stripping, and the per-domain rollup against the oracle. */
+  private val urlDomains: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val gate = substring(md5(col("text").cast("binary")), 1, 1)
+      val seeded = docs(s, dir).withColumn("text",
+        when(gate.isin("0", "1", "2"),
+          concat(col("text"), lit(" see https://site"), col("doc_id") % 7,
+            lit(".example.org/page")))
+          .when(gate === "3",
+            concat(col("text"), lit(" http://mirror.example.net and "),
+              lit("https://site0.example.org/dup")))
+          .otherwise(col("text")))
+      TextOps.urlDomains(seeded)
+    },
+    oracle = Some(
+      s"""WITH seeded AS (
+         |  SELECT CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2')
+         |    THEN text || ' see https://site' || (doc_id % 7) ||
+         |         '.example.org/page'
+         |  WHEN substr(md5(text), 1, 1) = '3'
+         |    THEN text || ' http://mirror.example.net and ' ||
+         |         'https://site0.example.org/dup'
+         |  ELSE text END AS text FROM documents),
+         |urls AS (SELECT unnest(regexp_extract_all(text,
+         |  '${TextOps.urlRegex}')) AS url FROM seeded)
+         |SELECT regexp_replace(url, '^https?://', '') AS domain,
+         |       count(*) AS n_urls
+         |FROM urls GROUP BY domain
+         |""".stripMargin))
+
+  // ---- benchmark contamination screen --------------------------------------
+
+  /** Benchmark shingles taken deterministically from doc 0's own text
+    * (its first few 3-gram shingles), so the screen provably hits doc 0
+    * plus any doc sharing those n-grams — an executable contamination
+    * check with an exact oracle. */
+  private val contamination: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      // 5 lexicographically-smallest shingles of doc 0 — sorted first
+      // because DuckDB's list_distinct does NOT preserve occurrence
+      // order, so any "first N" selection must be order-insensitive
+      val bench = TextOps
+        .withShingles(d.filter(col("doc_id") === 0), respread = false)
+        .select(expr("slice(array_sort(sh), 1, 5)").as("b")).head()
+        .getSeq[String](0)
+      TextOps.contamination(d, bench)
+    },
+    oracle = Some {
+      // mirror: the 5 lexicographically-smallest shingles of doc 0
+      s"""WITH $shingleCte,
+         |bench AS (
+         |  SELECT DISTINCT unnest(list_sort(sh)[1:5]) AS b
+         |  FROM s WHERE doc_id = 0),
+         |hits AS (
+         |  SELECT doc_id, count(DISTINCT x.s) AS n_hits
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM s) x
+         |  JOIN bench ON x.s = bench.b
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
+         |""".stripMargin
+    })
+
   // ---- document fingerprinting --------------------------------------------
 
   private val fingerprint: Q = Q(
@@ -482,6 +552,8 @@ object QueriesText {
     "q_dedup_cc_iter" -> dedupCcIter,
     "q_stratified_sample" -> stratifiedSample,
     "q_minhash_est"   -> minhashJaccardEst,
+    "q_url_domains"   -> urlDomains,
+    "q_contamination" -> contamination,
     "q_ngram_jaccard" -> jaccard,
     "q_simhash"       -> simhash,
     "q_simhash_pairs" -> simhashPairsQ,

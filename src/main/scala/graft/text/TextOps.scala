@@ -419,6 +419,32 @@ object TextOps {
   val bpeTokenRegex: String =
     "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 
+  /** URL extraction + per-domain counts — corpus provenance profiling
+    * (which domains dominate a crawl slice). RE2-compatible regex so the
+    * count is oracle-checkable; extraction is a narrow codegen map, the
+    * only shuffle is the tiny groupBy(domain). */
+  val urlRegex: String = "https?://[A-Za-z0-9.-]+"
+
+  def urlDomains(docs: DataFrame): DataFrame =
+    docs.select(explode(
+        expr(s"regexp_extract_all(text, '$urlRegex', 0)")).as("url"))
+      .select(regexp_replace(col("url"), "^https?://", "").as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("n_urls"))
+
+  /** Benchmark-contamination screen (standard LLM-corpus hygiene: drop
+    * training documents that contain evaluation-set n-grams). The
+    * benchmark shingle set is SMALL by construction (a benchmark's worth
+    * of n-grams) — it broadcasts; each doc reports how many distinct
+    * benchmark shingles it contains. One narrow shingle pass + a
+    * broadcast semi-structure; no shuffle keyed by corpus size. */
+  def contamination(docs: DataFrame, benchShingles: Seq[String]): DataFrame = {
+    val bench = array(benchShingles.distinct.map(lit): _*)
+    withShingles(docs, respread = false)
+      .select(col("doc_id"),
+        size(array_intersect(col("sh"), bench)).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
   /** Document fingerprints: content md5 + whitespace-normalized md5. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
