@@ -200,6 +200,16 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination: zero shuffle exchanges — a pure narrow map") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, s"alpha beta gamma tail$i"))
+      .toDF("doc_id", "text")
+    val plan = TextOps.contamination(docs, Seq("alpha beta gamma"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange "),
+      s"contamination should never shuffle:\n$plan")
+  }
+
   test("jaccardPairs df cap: capped hot shingle lowers jaccard, full sizes") {
     import spark.implicits._
     // docs share 'a b c' (hot at cap=1) and each has 3 more shingles;
