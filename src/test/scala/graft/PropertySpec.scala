@@ -181,6 +181,19 @@ class PropertySpec extends AnyFunSuite {
       "bounded 3-round CC unexpectedly closed a diameter-9 chain")
   }
 
+  test("dedupClustersIterative: 120-node chain converges in the round " +
+    "budget (pointer jumping, not plain propagation)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // diameter 119 >> maxRounds: plain neighbor-min propagation would
+    // silently return split clusters; hook+jump closes it in O(log d)
+    val chain = (1L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.text.TextOps.dedupClustersIterative(chain, maxRounds = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === (1L to 120L).toSet)
+    assert(got.values.toSet === Set(1L), s"chain split: ${got.values.toSet}")
+  }
+
   test("dedupClustersIterative matches union-find on random sparse graphs") {
     val spark = TestSpark.spark
     import spark.implicits._
