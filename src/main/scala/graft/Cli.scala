@@ -34,6 +34,8 @@ import graft.pipeline.Pipeline
   * graft.Cli encode --data ... --catalog ... [--depth 4] [--out dir]
   * graft.Cli combo  --data ... --catalog ... [--algos lr,dt] [--out dir]
   * graft.Cli test   --data ... --filter 'e1;e2' [--n 100]  # filter dry-run
+  * graft.Cli export ... [--type pmml|bagging|baggingpmml|columnstats|woemapping]
+  * graft.Cli eval   ... [--confmat dir] [--scoreout dir]
   * }}}
   *
   * `run` = init(autotype) → stats → varsel → norm → train → eval, printing
@@ -244,28 +246,44 @@ object Cli {
       case "export" =>
         // --algo picks the PMML family: lr → RegressionModel (default),
         // nn → NeuralNetwork, dt → TreeModel (reference
-        // `core/pmml/builder/impl/` creator family)
+        // `core/pmml/builder/impl/` creator family); --type
+        // bagging/baggingpmml export the k-member bagged ensemble
+        // (reference `export -t bagging|baggingpmml`)
         val r = Pipeline.autoRun(df, spec, candidates, topN, normType, None)
         val feats = r.normalized.columns.filter(_.startsWith("n_")).toSeq
         val label = col("tag") === 1
-        val pmml = opts.getOrElse("algo", "lr") match {
-          case "lr" =>
-            val t = graft.train.Train.logistic(r.normalized, feats, label)
-            graft.score.Score.exportPmml(
-              Seq(graft.train.Train.toLinear(t, feats)))
-          case "nn" =>
-            val t = graft.train.Train.nn(r.normalized, feats, label)
-            graft.score.Pmml.exportNN(graft.train.Train.toMlp(t, feats))
-          case "dt" =>
-            val t = graft.train.Train.decisionTree(r.normalized, feats, label)
-            graft.score.Pmml.exportTree(
-              graft.train.Train.toTree(t, feats), feats)
+        def baggedModels = graft.train.Train.bagged(r.normalized, feats,
+            label, monotonically_increasing_id(),
+            k = opts.getOrElse("bags", "3").toInt)
+          .map(graft.train.Train.toLinear(_, feats))
+        val (kind, out) = opts.getOrElse("type", "pmml") match {
+          case "bagging" =>
+            ("bagging", graft.score.Score.exportJson(baggedModels))
+          case "baggingpmml" =>
+            ("baggingpmml", graft.score.Score.exportPmml(baggedModels))
+          case "pmml" => ("pmml", opts.getOrElse("algo", "lr") match {
+            case "lr" =>
+              val t = graft.train.Train.logistic(r.normalized, feats, label)
+              graft.score.Score.exportPmml(
+                Seq(graft.train.Train.toLinear(t, feats)))
+            case "nn" =>
+              val t = graft.train.Train.nn(r.normalized, feats, label)
+              graft.score.Pmml.exportNN(graft.train.Train.toMlp(t, feats))
+            case "dt" =>
+              val t = graft.train.Train.decisionTree(r.normalized, feats,
+                label)
+              graft.score.Pmml.exportTree(
+                graft.train.Train.toTree(t, feats), feats)
+            case other => throw new IllegalArgumentException(
+              s"unknown export algo '$other' (lr|nn|dt)")
+          })
           case other => throw new IllegalArgumentException(
-            s"unknown export algo '$other' (lr|nn|dt)")
+            s"unknown export type '$other' " +
+              "(pmml|bagging|baggingpmml|columnstats|woemapping)")
         }
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(opts("out")), pmml)
-        Seq(s"pmml: ${opts("out")} (${feats.length} predictors)")
+          java.nio.file.Paths.get(opts("out")), out)
+        Seq(s"$kind: ${opts("out")} (${feats.length} predictors)")
 
       case "varsel" =>
         // `shifu varselect` (ShifuCLI.java:280-310): re-rank an EXISTING

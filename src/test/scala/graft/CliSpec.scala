@@ -257,6 +257,24 @@ class CliSpec extends AnyFunSuite {
     assert(wm.count() > 0)
   }
 
+  test("export -t bagging/baggingpmml round-trip the k-member ensemble") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli16").toString
+    val o1 = Cli.run(spark, "export", base + ("type" -> "bagging") +
+      ("bags" -> "3") + ("out" -> s"$tmp/bagged.json"))
+    assert(o1.head.startsWith("bagging: "))
+    val models = graft.score.Score.importJson(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$tmp/bagged.json")))
+    assert(models.length === 3)
+    assert(models.forall(_.weights.nonEmpty))
+    val o2 = Cli.run(spark, "export", base + ("type" -> "baggingpmml") +
+      ("bags" -> "2") + ("out" -> s"$tmp/bagged.pmml"))
+    assert(o2.head.startsWith("baggingpmml: "))
+    val pm = graft.score.Score.importPmml(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/bagged.pmml")))
+    assert(pm.length === 2)
+  }
+
   test("export --algo nn/dt: NeuralNetwork and TreeModel PMML parse back") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli10").toString
     Cli.run(spark, "export", base +
