@@ -112,6 +112,20 @@ object Cli {
         Seq(s"selected: ${r.selected.mkString(",")}",
           f"auc: ${r.auc}%.6f")
 
+      case "init" =>
+        // `shifu init` (InitModelProcessor): create the ColumnConfig
+        // skeleton — column numbers, auto-typed kinds, no stats yet
+        val clean = Pipeline.init(df, spec)
+        val (num, cat) = Pipeline.autoColumns(clean, candidates)
+        val skeleton = candidates.zipWithIndex.map { case (c, i) =>
+          graft.catalog.ColumnProfile(columnNum = i, columnName = c,
+            kind = if (num.contains(c)) graft.catalog.ColumnKind.Numeric
+                   else graft.catalog.ColumnKind.Categorical)
+        }
+        CatalogIO.write(opts("catalog"), skeleton)
+        Seq(s"catalog: ${opts("catalog")} initialized " +
+          s"(${num.length} numeric, ${cat.length} categorical)")
+
       case "stats" =>
         val clean = Pipeline.init(df, spec)
         val (num, cat) = Pipeline.autoColumns(clean, candidates)

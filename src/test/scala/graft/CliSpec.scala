@@ -24,6 +24,21 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/norm").columns.contains("tag"))
   }
 
+  test("init: writes the auto-typed catalog skeleton") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli17").toString
+    // l_returnflag: 3 distinct non-numeric values → C (l_linestatus has
+    // only 2 and hits the reference's binary-is-numeric rule)
+    val out = Cli.run(spark, "init", base +
+      ("candidates" -> "l_quantity,l_returnflag") +
+      ("catalog" -> s"$tmp/ColumnConfig.json"))
+    assert(out.head.contains("1 numeric, 1 categorical"), out.head)
+    val cat = graft.catalog.CatalogIO.read(s"$tmp/ColumnConfig.json")
+    assert(cat.map(_.columnName) === Seq("l_quantity", "l_returnflag"))
+    assert(cat.head.kind === graft.catalog.ColumnKind.Numeric)
+    assert(cat(1).kind === graft.catalog.ColumnKind.Categorical)
+    assert(cat.forall(!_.finalSelect))
+  }
+
   test("stats then norm: catalog round-trips through the verbs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli2").toString
     val s1 = Cli.run(spark, "stats", base +
