@@ -82,16 +82,20 @@ object Cli {
       graft.catalog.SpecIO.write(opts("out"), starter)
       return Seq(s"spec: ${opts("out")}")
     }
-    val df = spark.read.parquet(opts("data"))
+    // LAZY context: catalog-only verbs (varsel list/reset/rank, export -t
+    // columnstats/woemapping) never read data, and `test` needs no tag
+    // spec — each verb pays only for what it touches, and "missing
+    // --target" surfaces only where a spec is actually required
+    lazy val df = spark.read.parquet(opts("data"))
     // --spec ModelConfig.json supplies dataSet defaults; explicit flags win
-    val fileSpec = opts.get("spec").map(graft.catalog.SpecIO.read)
+    lazy val fileSpec = opts.get("spec").map(graft.catalog.SpecIO.read)
     def fromEither[A](flag: String, parse: String => A,
                       fromFile: DataSpec => A): A =
       opts.get(flag).map(parse)
         .orElse(fileSpec.map(fromFile))
         .getOrElse(throw new IllegalArgumentException(
           s"missing --$flag (or provide it via --spec <file>)"))
-    val spec = DataSpec(
+    lazy val spec = DataSpec(
       targetColumn = fromEither("target", identity, _.targetColumn),
       posTags = fromEither("pos", _.split(",").toSet, _.posTags),
       negTags = fromEither("neg", _.split(",").toSet, _.negTags),
@@ -319,11 +323,20 @@ object Cli {
           case "pareto" => Pipeline.varselPareto(catalog0, topN)
           case "itsa"   =>
             // iterative sensitivity (mask → drop-worst → refit) over the
-            // raw candidate columns; the only method here that scans data
+            // raw candidate columns; the only method here that scans
+            // data. ForceSelect/ForceRemove are honored like the other
+            // methods: forced columns pin regardless of sensitivity
             val kept = graft.train.Train.itsaVarsel(
               Pipeline.init(df, spec), candidates, Pipeline.isPos(spec),
               keepN = topN).toSet
-            catalog0.map(p => p.copy(finalSelect = kept(p.columnName)))
+            val force = catalog0.filter(
+              _.flag.contains(graft.catalog.ColumnFlag.ForceSelect))
+              .map(_.columnName).toSet
+            val removed = catalog0.filter(
+              _.flag.contains(graft.catalog.ColumnFlag.ForceRemove))
+              .map(_.columnName).toSet
+            val keep = force ++ (kept -- removed)
+            catalog0.map(p => p.copy(finalSelect = keep(p.columnName)))
           case other => throw new IllegalArgumentException(
             s"unknown varsel method '$other' (ks|iv|pareto|itsa)")
         }

@@ -32,9 +32,12 @@ object Correlation {
   /** Pairwise Pearson over the given numeric columns; output
     * (pair, corr) rounded to 6, pair = "a|b" with a before b in `cols`.
     * Dispatches to the gramian single-pass path at `wideK`+ columns. */
-  def pearson(df: DataFrame, cols: Seq[String], wideK: Int = 16): DataFrame =
+  def pearson(df: DataFrame, cols: Seq[String], wideK: Int = 16): DataFrame = {
+    require(cols.length >= 2,
+      s"pearson needs >= 2 numeric columns, got ${cols.length}")
     if (cols.length >= wideK) pearsonGramian(df, cols)
     else pearsonStack(df, cols)
+  }
 
   /** Wide-k path: assemble the columns into one ml vector and let
     * `ml.stat.Correlation` accumulate the gramian — a single scan whose
@@ -48,10 +51,17 @@ object Correlation {
     import org.apache.spark.ml.stat.{Correlation => MlCorrelation}
     val spark = df.sparkSession
     import spark.implicits._
+    // handleInvalid=skip: rows with any null are dropped (listwise
+    // deletion) rather than throwing; the stack path's raw sums skip
+    // nulls per-pair instead — callers with nulls who need pairwise
+    // semantics should use pearsonStack explicitly
     val assembled = new VectorAssembler()
       .setInputCols(cols.toArray).setOutputCol("features")
+      .setHandleInvalid("skip")
       .transform(df.select(cols.map(c => col(c).cast("double").as(c)): _*))
       .select("features")
+    if (assembled.isEmpty)
+      return Seq.empty[(String, Double)].toDF("pair", "corr")
     val m = MlCorrelation.corr(assembled, "features", "pearson")
       .head().getAs[org.apache.spark.ml.linalg.Matrix](0)
     def round6(v: Double): Double =

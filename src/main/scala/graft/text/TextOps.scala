@@ -290,9 +290,14 @@ object TextOps {
       // both sides are checkpointed so this count scans materialized ids
       changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
         .filter(col("label") =!= col("prev")).count()
+      // free the superseded rounds' O(docs) blocks NOW — waiting for GC +
+      // ContextCleaner would pin ~2 tables per round in executor storage
+      hc.unpersist(false)
+      labels.unpersist(false)
       labels = next
       round += 1
     }
+    edges.unpersist(false)
     labels.select(col("doc_id"), col("label").as("cluster"))
   }
 

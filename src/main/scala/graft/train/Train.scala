@@ -329,12 +329,19 @@ object Train {
     * no custom optimizer. */
   final case class WideDeep(deep: Trained, wideModel: PipelineModel,
       wideCols: Seq[String], auc: Double) {
-    /** Score new rows: rebuild the crossed columns, add the deep logit,
-      * then the hashed wide features + output layer (adds the output
-      * LR's probability/prediction columns). */
-    def score(df: DataFrame): DataFrame =
+    /** Score new rows: cast the wide columns to string EXACTLY as
+      * training did (FeatureHasher treats string input as categorical
+      * "col=value" but numeric input as a real-valued feature — without
+      * the cast, an Int wide column would hash to entirely different
+      * indices than the ones the output layer was fit on), rebuild the
+      * crossed columns, add the deep logit, then the hashed wide
+      * features + output layer. */
+    def score(df: DataFrame): DataFrame = {
+      val cast = wideCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, col(c).cast("string")))
       wideModel.transform(WideDeep.withDeepLogit(deep,
-        df.select(col("*") +: WideDeep.crossCols(wideCols): _*)))
+        cast.select(col("*") +: WideDeep.crossCols(wideCols): _*)))
+    }
   }
   object WideDeep {
     /** Pairwise crossed columns (string concat ≡ crossed_column pre-hash). */

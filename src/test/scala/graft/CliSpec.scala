@@ -78,6 +78,14 @@ class CliSpec extends AnyFunSuite {
       assert(out.head.startsWith("selected: "), s"method $m")
       assert(out.head.drop(10).split(",").length === 2, s"method $m")
     }
+    // catalog-only modes need NO --data/--target at all (lazy context)
+    val listed = Cli.run(spark, "varsel", Map(
+      "catalog" -> s"$tmp/ColumnConfig.json", "list" -> "true"))
+    assert(listed.head.startsWith("selected: "))
+    val ranked = Cli.run(spark, "varsel", Map(
+      "catalog" -> s"$tmp/ColumnConfig.json", "topn" -> "3",
+      "method" -> "iv"))
+    assert(ranked.head.drop(10).split(",").length === 3)
     // itsa scans the data (mask -> drop-worst -> refit on real candidates)
     val outItsa = Cli.run(spark, "varsel", base +
       ("catalog" -> s"$tmp/ColumnConfig.json") + ("topn" -> "2") +

@@ -90,6 +90,32 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(scored.count() === 50)
   }
 
+  test("wide-and-deep: NUMERIC wide columns score consistently " +
+    "(train/serve hashing parity)") {
+    val s = spark
+    import s.implicits._
+    // Int-typed wide columns: training casts them to string before
+    // FeatureHasher (categorical semantics); score() must apply the same
+    // cast or the hashed indices diverge and serving AUC collapses
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 1200).map { _ =>
+      val a = rnd.nextInt(2); val b = rnd.nextInt(2)
+      val y = if ((a == 1) ^ (b == 1)) 1 else 0
+      (a, b, rnd.nextGaussian(), y)
+    }.toDF("ia", "ib", "d1", "y")
+    val t = graft.train.Train.wideAndDeep(df, Seq("ia", "ib"), Seq("d1"),
+      org.apache.spark.sql.functions.col("y") === 1,
+      hidden = Seq(3), hashDim = 64, maxIter = 15)
+    assert(t.auc > 0.95, s"fit auc ${t.auc}")
+    val scored = t.score(df.withColumn("label",
+      org.apache.spark.sql.functions.col("y").cast("double")))
+    val servedAuc = new org.apache.spark.ml.evaluation
+      .BinaryClassificationEvaluator().setLabelCol("label")
+      .setRawPredictionCol("rawPrediction").evaluate(scored)
+    assert(math.abs(servedAuc - t.auc) < 1e-6,
+      s"served $servedAuc != fit ${t.auc} — hashing skew")
+  }
+
   test("ITSA iterative sensitivity recovers the planted signal features") {
     val s = spark
     import s.implicits._
