@@ -321,6 +321,10 @@ object Cli {
           case "iv"     => Pipeline.varselBy(catalog0, topN,
             _.stats.iv.getOrElse(0.0))
           case "pareto" => Pipeline.varselPareto(catalog0, topN)
+          case "autofilter" =>
+            // missing-rate + correlation-redundancy + KS-rank screens;
+            // scans data once for the correlation matrix
+            Pipeline.autoFilter(Pipeline.init(df, spec), catalog0, topN)
           case "itsa"   =>
             // iterative sensitivity (mask → drop-worst → refit) over the
             // raw candidate columns; the only method here that scans
@@ -338,7 +342,7 @@ object Cli {
             val keep = force ++ (kept -- removed)
             catalog0.map(p => p.copy(finalSelect = keep(p.columnName)))
           case other => throw new IllegalArgumentException(
-            s"unknown varsel method '$other' (ks|iv|pareto|itsa)")
+            s"unknown varsel method '$other' (ks|iv|pareto|itsa|autofilter)")
         }
         CatalogIO.write(opts("catalog"), catalog)
         Seq("selected: " +

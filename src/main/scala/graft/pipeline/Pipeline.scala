@@ -95,6 +95,56 @@ object Pipeline {
     catalog.map(p => p.copy(finalSelect = keep(p.columnName)))
   }
 
+  /** `varsel -autofilter` (reference usage `ShifuCLI.java`: "Auto filter
+    * variables by MissingRate, KS/IV, and Correlation";
+    * `VariableSelector` auto-filter path): three screens in sequence —
+    *  1. drop columns whose missing rate exceeds `missingThreshold`
+    *     (reference default 0.98, `ModelVarSelectConf.java:97`);
+    *  2. of every pair with |Pearson corr| > `corrThreshold`, drop the
+    *     LOWER-KS member (the redundancy screen — corr comes from ONE
+    *     [[graft.ops.Correlation.pearson]] pass over the surviving
+    *     numeric candidates, gramian path at wide k);
+    *  3. keep the `topN` KS-ranked survivors.
+    * ForceSelect/ForceRemove honored as in [[varsel]]. */
+  def autoFilter(df: DataFrame, catalog: Seq[ColumnProfile], topN: Int,
+                 missingThreshold: Double = 0.98,
+                 corrThreshold: Double = 0.9): Seq[ColumnProfile] = {
+    val lowMissing = catalog.filter { p =>
+      p.isCandidate && (p.stats.totalCount == 0 ||
+        p.stats.missingCount.toDouble / p.stats.totalCount
+          <= missingThreshold)
+    }
+    val numeric = lowMissing
+      .filter(p => p.kind == ColumnKind.Numeric ||
+        p.kind == ColumnKind.Hybrid)
+      .map(_.columnName)
+    val ksOf = catalog.map(p =>
+      p.columnName -> p.stats.ks.getOrElse(0.0)).toMap
+    val dropped = scala.collection.mutable.Set[String]()
+    if (numeric.length >= 2) {
+      val hot = graft.ops.Correlation.pearson(df, numeric)
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .collect { case (pair, c) if math.abs(c) > corrThreshold =>
+          val Array(a, b) = pair.split("\\|"); (a, b)
+        }
+      // deterministic order: stronger-KS member survives, ties by name
+      hot.foreach { case (a, b) =>
+        if (!dropped(a) && !dropped(b)) {
+          val loser =
+            if (ksOf(a) < ksOf(b) || (ksOf(a) == ksOf(b) && a > b)) a else b
+          dropped += loser
+        }
+      }
+    }
+    val screened = lowMissing.filterNot(p => dropped(p.columnName))
+    val ranked = screened
+      .sortBy(p => (-p.stats.ks.getOrElse(0.0), p.columnName))
+    val keep = (catalog.filter(_.flag.contains(ColumnFlag.ForceSelect)) ++
+      ranked.take(topN)).map(_.columnName).toSet
+    catalog.map(p => p.copy(finalSelect = keep(p.columnName)))
+  }
+
   /** `norm`: compact normalized output [tag, selected..., weight]
     * (reference `NormalizeUDF.java:108-135` column order). */
   def norm(df: DataFrame, spec: DataSpec, catalog: Seq[ColumnProfile],

@@ -133,6 +133,29 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(kept.toSet === Set("f1", "f2"), s"kept $kept")
   }
 
+  test("autoFilter: drops high-missing and correlated-redundant columns, " +
+    "keeps the KS-ranked rest") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 800).map { i =>
+      val g = rnd.nextGaussian()
+      val y = if (g + 0.2 * rnd.nextGaussian() > 0) "1" else "0"
+      val miss: Option[Double] = if (i % 100 == 0) Some(1.0) else None
+      (y, g, g * 2 + 0.001 * rnd.nextGaussian(), rnd.nextGaussian(), miss)
+    }.toDF("tag", "good", "dupe", "noise", "mostly_missing")
+    val spec = graft.catalog.DataSpec("tag", Set("1"), Set("0"))
+    val catalog = graft.pipeline.Pipeline.stats(df, spec,
+      Seq("good", "dupe", "noise", "mostly_missing"), Nil)
+    val out = graft.pipeline.Pipeline.autoFilter(df, catalog, topN = 2)
+    val sel = out.filter(_.finalSelect).map(_.columnName).toSet
+    // corr(good, dupe) ~ 1 → exactly one survives the redundancy screen
+    assert(sel.intersect(Set("good", "dupe")).size === 1, sel)
+    // 99% missing → dropped by the missing-rate screen
+    assert(!sel.contains("mostly_missing"), sel)
+    assert(sel.contains("noise") && sel.size === 2, sel)
+  }
+
   test("hand-built MLP scores match a by-hand forward computation") {
     val s = spark
     import s.implicits._
