@@ -327,19 +327,22 @@ object Cli {
             Pipeline.autoFilter(Pipeline.init(df, spec), catalog0, topN)
           case "itsa"   =>
             // iterative sensitivity (mask → drop-worst → refit) over the
-            // raw candidate columns; the only method here that scans
-            // data. ForceSelect/ForceRemove are honored like the other
-            // methods: forced columns pin regardless of sensitivity
-            val kept = graft.train.Train.itsaVarsel(
-              Pipeline.init(df, spec), candidates, Pipeline.isPos(spec),
-              keepN = topN).toSet
-            val force = catalog0.filter(
-              _.flag.contains(graft.catalog.ColumnFlag.ForceSelect))
-              .map(_.columnName).toSet
+            // candidate columns; the only method here that scans data.
+            // ForceRemove columns are excluded BEFORE the loop (they must
+            // not occupy keepN slots or waste refit rounds), ForceSelect
+            // pins regardless of sensitivity — same contract as the other
+            // methods
             val removed = catalog0.filter(
               _.flag.contains(graft.catalog.ColumnFlag.ForceRemove))
               .map(_.columnName).toSet
-            val keep = force ++ (kept -- removed)
+            val eligible = candidates.filterNot(removed)
+            val kept = graft.train.Train.itsaVarsel(
+              Pipeline.init(df, spec), eligible, Pipeline.isPos(spec),
+              keepN = math.min(topN, eligible.length)).toSet
+            val force = catalog0.filter(
+              _.flag.contains(graft.catalog.ColumnFlag.ForceSelect))
+              .map(_.columnName).toSet
+            val keep = force ++ kept
             catalog0.map(p => p.copy(finalSelect = keep(p.columnName)))
           case other => throw new IllegalArgumentException(
             s"unknown varsel method '$other' (ks|iv|pareto|itsa|autofilter)")

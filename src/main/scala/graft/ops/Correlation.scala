@@ -51,10 +51,13 @@ object Correlation {
     import org.apache.spark.ml.stat.{Correlation => MlCorrelation}
     val spark = df.sparkSession
     import spark.implicits._
-    // handleInvalid=skip: rows with any null are dropped (listwise
-    // deletion) rather than throwing; the stack path's raw sums skip
-    // nulls per-pair instead — callers with nulls who need pairwise
-    // semantics should use pearsonStack explicitly
+    // handleInvalid=skip: rows with ANY null column are dropped (LISTWISE
+    // deletion) rather than throwing. NOTE the null semantics differ from
+    // the stack path, which is PAIRWISE-complete (each pair uses every
+    // row where both ITS columns are present) — on null-free data the
+    // paths agree exactly; with nulls, listwise uses fewer rows per pair.
+    // Degenerate case: zero fully-complete rows → empty result (callers
+    // treat as "no correlations computable").
     val assembled = new VectorAssembler()
       .setInputCols(cols.toArray).setOutputCol("features")
       .setHandleInvalid("skip")
@@ -85,6 +88,11 @@ object Correlation {
       pairs.map { case (a, b) => s"'$a|$b', $a, $b" }.mkString(", ") +
       ") as (pair, x, y)"
     df.select(expr(stackExpr))
+      // pairwise-complete: every aggregate (including n) must range over
+      // exactly the rows where BOTH of the pair's columns are present —
+      // without this filter n counted ALL rows while the sums skipped
+      // nulls, corrupting r whenever a column had missing values
+      .filter(col("x").isNotNull && col("y").isNotNull)
       .groupBy("pair")
       .agg(round(
         (count(lit(1)) * sum(col("x") * col("y")) - sum("x") * sum("y")) /

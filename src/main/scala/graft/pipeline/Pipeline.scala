@@ -109,9 +109,12 @@ object Pipeline {
   def autoFilter(df: DataFrame, catalog: Seq[ColumnProfile], topN: Int,
                  missingThreshold: Double = 0.98,
                  corrThreshold: Double = 0.9): Seq[ColumnProfile] = {
+    require(catalog.exists(p => p.isCandidate && p.stats.totalCount > 0),
+      "autofilter needs a stats-populated catalog (run stats first — an " +
+        "init skeleton has no missing rates or KS to screen on)")
     val lowMissing = catalog.filter { p =>
-      p.isCandidate && (p.stats.totalCount == 0 ||
-        p.stats.missingCount.toDouble / p.stats.totalCount
+      p.isCandidate &&
+        (p.stats.missingCount.toDouble / p.stats.totalCount
           <= missingThreshold)
     }
     val numeric = lowMissing
@@ -128,7 +131,12 @@ object Pipeline {
         .collect { case (pair, c) if math.abs(c) > corrThreshold =>
           val Array(a, b) = pair.split("\\|"); (a, b)
         }
-      // deterministic order: stronger-KS member survives, ties by name
+        // collect() order after a shuffle is arbitrary, and the greedy
+        // loop's outcome depends on pair order for correlation CHAINS —
+        // sort by pair label so the selected set is reproducible at any
+        // parallelism
+        .sortBy { case (a, b) => (a, b) }
+      // stronger-KS member survives, ties by name
       hot.foreach { case (a, b) =>
         if (!dropped(a) && !dropped(b)) {
           val loser =

@@ -337,10 +337,17 @@ object Train {
       * crossed columns, add the deep logit, then the hashed wide
       * features + output layer. */
     def score(df: DataFrame): DataFrame = {
-      val cast = wideCols.foldLeft(df)((d, c) =>
+      // originals parked under temp names: the string cast is
+      // FeatureHasher input plumbing, not a schema change the caller
+      // should see in the output
+      val parked = wideCols.foldLeft(df)((d, c) =>
+        d.withColumn(s"__wd_keep_$c", col(c)))
+      val cast = wideCols.foldLeft(parked)((d, c) =>
         d.withColumn(c, col(c).cast("string")))
-      wideModel.transform(WideDeep.withDeepLogit(deep,
+      val scored = wideModel.transform(WideDeep.withDeepLogit(deep,
         cast.select(col("*") +: WideDeep.crossCols(wideCols): _*)))
+      wideCols.foldLeft(scored)((d, c) =>
+        d.withColumn(c, col(s"__wd_keep_$c")).drop(s"__wd_keep_$c"))
     }
   }
   object WideDeep {

@@ -114,6 +114,10 @@ class Round4OpsSpec extends AnyFunSuite {
       .setRawPredictionCol("rawPrediction").evaluate(scored)
     assert(math.abs(servedAuc - t.auc) < 1e-6,
       s"served $servedAuc != fit ${t.auc} — hashing skew")
+    // the output keeps the CALLER's column types (the internal string
+    // cast is hasher plumbing, not a visible schema change)
+    assert(scored.schema("ia").dataType ===
+      org.apache.spark.sql.types.IntegerType)
   }
 
   test("ITSA iterative sensitivity recovers the planted signal features") {
