@@ -16,6 +16,16 @@ Test / fork := true
 // another suite. Sequential suites keep observation windows exclusive.
 Test / parallelExecution := false
 run / fork := true
+// The bench/verify harness greps a short stdout tail for ONE bare JSON
+// line. With the default LoggedOutput strategy sbt prefixes every forked
+// line with "[info] " and appends a "[success] Total time" line after it —
+// both of which defeat a strict line-oriented JSON parse. Stream the forked
+// process's output through verbatim and drop the success banner so the
+// program's own final println IS the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+// the run task reads outputStrategy at task scope; the lint just can't see it
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -139,6 +139,13 @@ object Cli {
         // reference sub-modes of the stats step (`ShifuCLI.java` usage:
         // `stats -correlation`, `stats -psi <col>`, `stats -rebin -vars`)
         val corrLine = opts.get("corr").map { out =>
+          // NOTE on nulls: pearson's two physical paths differ on nully
+          // data (stack = pairwise-complete, gramian at >= wideK columns
+          // = listwise). `stats --corr` reports raw-data correlations, so
+          // we keep pairwise semantics explicit by staying on the raw
+          // input; callers needing path-independent answers on nully data
+          // should impute first (autoFilter mean-imputes from the
+          // catalog before its redundancy screen).
           graft.ops.Correlation.pearson(clean, num)
             .write.mode("overwrite").parquet(out)
           s"corr: $out (${num.length * (num.length - 1) / 2} pairs)"
@@ -160,27 +167,55 @@ object Cli {
         }
         val rebinLine = opts.get("rebin").map { c =>
           // dynamic rebin (two-phase fine-bin + small-bin merge) replaces
-          // the column's boundaries and per-bin counts in the catalog
+          // the column's boundaries AND every bin-derived artifact in one
+          // shot: counts, weighted masses, per-bin WOE vectors and KS/IV
+          // are all recomputed against the NEW boundaries (a WOE-based
+          // norm/train or varsel after `--rebin` must never index old-bin
+          // vectors by new bin ids), and binAvgScore — which needs a
+          // score pass the stats verb doesn't have — is cleared so a
+          // downstream reader fails loudly instead of reading misaligned
+          // averages; a fresh `posttrain` refills it.
           val bins = graft.ops.DynamicBinning.rebin(clean, c,
             Pipeline.isPos(spec), fineK = 100, maxBins = spec.maxNumBin)
           val nb = (Double.NegativeInfinity +: bins.map(_.lo).drop(1)).toVector
+          val weight = spec.weightColumn
+            .map(w => graft.expr.Jexl.translate(w)).getOrElse(lit(1.0))
           val byBin = graft.ops.Binning
-            .binCounts(clean, c, nb, Pipeline.isPos(spec))
-            .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+            .binCounts(clean, c, nb, Pipeline.isPos(spec), weight)
+            .collect().map(r => r.getInt(0) ->
+              (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
             .toMap
           val k = nb.length + 1 // value bins + missing
-          val (ps, ns) = (0 until k).map(i =>
-            byBin.getOrElse(i, (0L, 0L))).toVector.unzip
+          val fresh = (0 until k).map(i =>
+            byBin.getOrElse(i, (0L, 0L, 0.0, 0.0)))
+          val ps  = fresh.map(_._1).toVector
+          val ns  = fresh.map(_._2).toVector
+          val wps = fresh.map(_._3).toVector
+          val wns = fresh.map(_._4).toVector
+          val m  = graft.ops.StatsMath.columnMetrics(
+            ns.map(_.toDouble), ps.map(_.toDouble))
+          val wm = graft.ops.StatsMath.columnMetrics(wns, wps)
           val updated = CatalogIO.read(opts("catalog")).map { p =>
             if (p.columnName == c)
-              p.copy(binning = p.binning.copy(binBoundary = nb,
-                binCountPos = ps, binCountNeg = ns,
-                binPosRate = ps.zip(ns).map { case (a, b) =>
-                  if (a + b == 0) 0.0 else a.toDouble / (a + b) }))
+              p.copy(
+                stats = p.stats.copy(
+                  ks = m.map(_.ks), iv = m.map(_.iv), woe = m.map(_.woe),
+                  weightedKs = wm.map(_.ks), weightedIv = wm.map(_.iv),
+                  weightedWoe = wm.map(_.woe)),
+                binning = p.binning.copy(binBoundary = nb,
+                  binCountPos = ps, binCountNeg = ns,
+                  binWeightedPos = wps, binWeightedNeg = wns,
+                  binPosRate = ps.zip(ns).map { case (a, b) =>
+                    if (a + b == 0) 0.0 else a.toDouble / (a + b) },
+                  binCountWoe = m.map(_.binWoe)
+                    .getOrElse(Vector.fill(k)(0.0)),
+                  binWeightedWoe = wm.map(_.binWoe)
+                    .getOrElse(Vector.fill(k)(0.0)),
+                  binAvgScore = Vector.empty))
             else p
           }
           CatalogIO.write(opts("catalog"), updated)
-          s"rebin: $c -> ${nb.length} bins"
+          s"rebin: $c -> ${nb.length} bins (woe/ks/iv recomputed)"
         }
         Seq(s"catalog: ${opts("catalog")} (${catalog.length} columns)") ++
           corrLine ++ psiLine ++ rebinLine

@@ -22,12 +22,42 @@ import org.apache.spark.sql.expressions.Aggregator
   * and every comparison in compress — measured 2.5× slower end-to-end on
   * the sf0.1 sketch query.
   */
-final class Histogram(val cap: Int) extends Serializable {
+final class Histogram(initialCap: Int) extends Serializable
+    with com.esotericsoftware.kryo.KryoSerializable {
+  private var _cap: Int = initialCap
+  def cap: Int = _cap
   // parallel primitive arrays; live prefix [0, n), sorted after compress()
-  private var vs: Array[Double] = new Array[Double](cap * 4)
-  private var ws: Array[Double] = new Array[Double](cap * 4)
+  private var vs: Array[Double] = new Array[Double](_cap * 4)
+  private var ws: Array[Double] = new Array[Double](_cap * 4)
   private var n: Int = 0
   private var isSorted = true
+
+  /** Kryo wire format: compress first, ship ONLY the live prefix. The
+    * default field serialization shipped the full backing arrays (≥ cap×4
+    * doubles ×2, and `ensure` can have grown them far past that), breaking
+    * the "at most cap pairs per group on the shuffle" contract. At 100 TB
+    * the partial-agg exchange payload IS the sketch cost, so the wire form
+    * must be the compressed sketch, not the scratch space. */
+  override def write(kryo: com.esotericsoftware.kryo.Kryo,
+                     out: com.esotericsoftware.kryo.io.Output): Unit = {
+    compress() // sorts and reduces n to <= cap
+    out.writeInt(_cap)
+    out.writeInt(n)
+    var i = 0
+    while (i < n) { out.writeDouble(vs(i)); out.writeDouble(ws(i)); i += 1 }
+  }
+
+  override def read(kryo: com.esotericsoftware.kryo.Kryo,
+                    in: com.esotericsoftware.kryo.io.Input): Unit = {
+    _cap = in.readInt()
+    n = in.readInt()
+    val c = math.max(_cap * 4, n)
+    vs = new Array[Double](c)
+    ws = new Array[Double](c)
+    var i = 0
+    while (i < n) { vs(i) = in.readDouble(); ws(i) = in.readDouble(); i += 1 }
+    isSorted = true
+  }
 
   /** Live centroid values (compressed view; copies — test/inspection use). */
   def values: Array[Double] = {

@@ -19,8 +19,14 @@ object SpecIO {
     val pos = ds.putArray("posTags"); s.posTags.toSeq.sorted.foreach(pos.add)
     val neg = ds.putArray("negTags"); s.negTags.toSeq.sorted.foreach(neg.add)
     s.weightColumn.foreach(ds.put("weightColumnName", _))
-    if (s.filterExpressions.nonEmpty)
-      ds.put("filterExpressions", s.filterExpressions.mkString(";"))
+    if (s.filterExpressions.nonEmpty) {
+      // JSON array, NOT a ';'-joined string: a JEXL expression may itself
+      // contain ';' (e.g. inside a string literal) and must round-trip
+      // unsplit. The reader still accepts the reference's legacy
+      // semicolon-joined string form.
+      val fe = ds.putArray("filterExpressions")
+      s.filterExpressions.foreach(fe.add)
+    }
     val miss = ds.putArray("missingOrInvalidValues")
     s.missingValues.toSeq.sorted.foreach(miss.add)
     ds.put("maxNumBin", s.maxNumBin)
@@ -44,8 +50,12 @@ object SpecIO {
       missingValues =
         if (ds.has("missingOrInvalidValues")) strs("missingOrInvalidValues")
         else Set("", "?"),
-      filterExpressions = Option(ds.path("filterExpressions").asText(null))
-        .filter(_.nonEmpty).map(_.split(";").toSeq).getOrElse(Nil),
+      filterExpressions = {
+        val n = ds.path("filterExpressions")
+        if (n.isArray) (0 until n.size()).map(n.get(_).asText())
+        else Option(n.asText(null)) // legacy ';'-joined reference form
+          .filter(_.nonEmpty).map(_.split(";").toSeq).getOrElse(Nil)
+      },
       maxNumBin = ds.path("maxNumBin").asInt(10),
       stdDevCutOff = ds.path("stdDevCutOff").asDouble(6.0))
   }

@@ -39,6 +39,41 @@ object Correlation {
     else pearsonStack(df, cols)
   }
 
+  /** [[pearson]] with the pair carried as TWO fields (col_a, col_b, corr)
+    * instead of an "a|b" label — for programmatic callers
+    * ([[graft.pipeline.Pipeline.autoFilter]]): a column name may legally
+    * contain '|', which would corrupt a label split. Same dispatch and
+    * rounding as [[pearson]]. */
+  def pearsonPairs(df: DataFrame, cols: Seq[String],
+                   wideK: Int = 16): DataFrame = {
+    require(cols.length >= 2,
+      s"pearson needs >= 2 numeric columns, got ${cols.length}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (cols.length >= wideK) {
+      gramianUpper(df, cols)
+        .map { case (i, j, r) => (cols(i), cols(j), r) }
+        .toDF("col_a", "col_b", "corr")
+    } else {
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.length
+      } yield (cols(i), cols(j))
+      val stackExpr = "stack(" + pairs.length + ", " +
+        pairs.map { case (a, b) => s"'$a', '$b', $a, $b" }.mkString(", ") +
+        ") as (col_a, col_b, x, y)"
+      df.select(expr(stackExpr))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+        .groupBy("col_a", "col_b")
+        .agg(round(
+          (count(lit(1)) * sum(col("x") * col("y")) - sum("x") * sum("y")) /
+            sqrt((count(lit(1)) * sum(col("x") * col("x")) -
+                   sum("x") * sum("x")) *
+                 (count(lit(1)) * sum(col("y") * col("y")) -
+                   sum("y") * sum("y"))),
+          6).as("corr"))
+    }
+  }
+
   /** Wide-k path: assemble the columns into one ml vector and let
     * `ml.stat.Correlation` accumulate the gramian — a single scan whose
     * shuffle payload is one k×k matrix per partition, never k² rows. The
@@ -47,24 +82,35 @@ object Correlation {
     * stack path (same pair labels, same HALF_UP 6-decimal rounding), so
     * the two paths are interchangeable to callers and oracles. */
   def pearsonGramian(df: DataFrame, cols: Seq[String]): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
-    import org.apache.spark.ml.stat.{Correlation => MlCorrelation}
     val spark = df.sparkSession
     import spark.implicits._
+    gramianUpper(df, cols)
+      .map { case (i, j, r) => (s"${cols(i)}|${cols(j)}", r) }
+      .toDF("pair", "corr")
+  }
+
+  /** Shared gramian core: one `ml.stat.Correlation` pass, upper-triangle
+    * (i, j, corr) index triples with the stack path's HALF_UP 6-decimal
+    * rounding. Empty when no fully-complete row exists. */
+  private def gramianUpper(df: DataFrame,
+                           cols: Seq[String]): Seq[(Int, Int, Double)] = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.stat.{Correlation => MlCorrelation}
     // handleInvalid=skip: rows with ANY null column are dropped (LISTWISE
     // deletion) rather than throwing. NOTE the null semantics differ from
     // the stack path, which is PAIRWISE-complete (each pair uses every
     // row where both ITS columns are present) — on null-free data the
     // paths agree exactly; with nulls, listwise uses fewer rows per pair.
-    // Degenerate case: zero fully-complete rows → empty result (callers
-    // treat as "no correlations computable").
+    // Callers that can see nulls should impute/drop consistently BEFORE
+    // dispatch (autoFilter mean-imputes from the catalog) so the physical
+    // path never changes the answer. Degenerate case: zero fully-complete
+    // rows → empty result (callers treat as "no correlations computable").
     val assembled = new VectorAssembler()
       .setInputCols(cols.toArray).setOutputCol("features")
       .setHandleInvalid("skip")
       .transform(df.select(cols.map(c => col(c).cast("double").as(c)): _*))
       .select("features")
-    if (assembled.isEmpty)
-      return Seq.empty[(String, Double)].toDF("pair", "corr")
+    if (assembled.isEmpty) return Seq.empty
     val m = MlCorrelation.corr(assembled, "features", "pearson")
       .head().getAs[org.apache.spark.ml.linalg.Matrix](0)
     def round6(v: Double): Double =
@@ -73,10 +119,9 @@ object Correlation {
       // DoubleType, not the exact-binary scala BigDecimal(double)
       else java.math.BigDecimal.valueOf(v)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    val rows = for {
+    for {
       i <- cols.indices; j <- (i + 1) until cols.length
-    } yield (s"${cols(i)}|${cols(j)}", round6(m(i, j)))
-    rows.toDF("pair", "corr")
+    } yield (i, j, round6(m(i, j)))
   }
 
   /** Narrow-k stack-unpivot path (see object doc). */

@@ -113,24 +113,49 @@ object Pipeline {
       "autofilter needs a stats-populated catalog (run stats first — an " +
         "init skeleton has no missing rates or KS to screen on)")
     val lowMissing = catalog.filter { p =>
-      p.isCandidate &&
-        (p.stats.missingCount.toDouble / p.stats.totalCount
-          <= missingThreshold)
+      // totalCount == 0 means the column was never observed (e.g. a
+      // candidate added after stats ran): its missing rate is DEFINED as
+      // 1.0 — dropped by any threshold < 1 as an explicit policy, not as
+      // a NaN-comparison accident
+      val missingRate =
+        if (p.stats.totalCount == 0) 1.0
+        else p.stats.missingCount.toDouble / p.stats.totalCount
+      p.isCandidate && missingRate <= missingThreshold
     }
-    val numeric = lowMissing
+    val numericProfiles = lowMissing
       .filter(p => p.kind == ColumnKind.Numeric ||
         p.kind == ColumnKind.Hybrid)
-      .map(_.columnName)
+    val numeric = numericProfiles.map(_.columnName)
     val ksOf = catalog.map(p =>
       p.columnName -> p.stats.ks.getOrElse(0.0)).toMap
     val dropped = scala.collection.mutable.Set[String]()
     if (numeric.length >= 2) {
-      val hot = graft.ops.Correlation.pearson(df, numeric)
+      // mean-impute missing values from the catalog BEFORE the corr pass:
+      // the two physical Pearson paths treat nulls differently (stack =
+      // pairwise-complete, gramian = listwise deletion), so on nully data
+      // the answer would otherwise depend on which side of the wideK
+      // dispatch the column count lands. Imputation makes the input
+      // null-free — both paths agree exactly — and matches the
+      // reference's NormPearson missing→mean convention
+      // (`ModelNormalizeConf.java:60-63`). Columns with no computable
+      // mean (zero valid numeric values) fall back to 0.0 — constant
+      // after imputation, so they produce NaN corr and never hit the
+      // redundancy screen.
+      val imputed = df.select(numericProfiles.map { p =>
+        val c = org.apache.spark.sql.functions.col(p.columnName)
+          .cast("double")
+        org.apache.spark.sql.functions
+          .coalesce(c, org.apache.spark.sql.functions
+            .lit(p.stats.mean.getOrElse(0.0)))
+          .as(p.columnName)
+      }: _*)
+      val hot = graft.ops.Correlation.pearsonPairs(imputed, numeric)
         .collect()
-        .map(r => (r.getString(0), r.getDouble(1)))
-        .collect { case (pair, c) if math.abs(c) > corrThreshold =>
-          val Array(a, b) = pair.split("\\|"); (a, b)
-        }
+        // constant columns yield null corr (stack path) or NaN (gramian):
+        // no linear relationship either way — never a redundancy hit
+        .filterNot(r => r.isNullAt(2) || r.getDouble(2).isNaN)
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .collect { case (a, b, c) if math.abs(c) > corrThreshold => (a, b) }
         // collect() order after a shuffle is arbitrary, and the greedy
         // loop's outcome depends on pair order for correlation CHAINS —
         // sort by pair label so the selected set is reproducible at any
