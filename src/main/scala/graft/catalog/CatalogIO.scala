@@ -28,6 +28,25 @@ object CatalogIO {
     case _   => ColumnKind.Auto
   }
 
+  /** Flag names per reference `ColumnConfig.java:38-40` enum ColumnFlag. */
+  private def flagToName(f: ColumnFlag): String = f match {
+    case ColumnFlag.ForceSelect => "ForceSelect"
+    case ColumnFlag.ForceRemove => "ForceRemove"
+    case ColumnFlag.Candidate   => "Candidate"
+    case ColumnFlag.Meta        => "Meta"
+    case ColumnFlag.Target      => "Target"
+    case ColumnFlag.Weight      => "Weight"
+  }
+  private def nameToFlag(s: String): Option[ColumnFlag] = s match {
+    case "ForceSelect" => Some(ColumnFlag.ForceSelect)
+    case "ForceRemove" => Some(ColumnFlag.ForceRemove)
+    case "Candidate"   => Some(ColumnFlag.Candidate)
+    case "Meta"        => Some(ColumnFlag.Meta)
+    case "Target"      => Some(ColumnFlag.Target)
+    case "Weight"      => Some(ColumnFlag.Weight)
+    case _             => None
+  }
+
   def toJson(profiles: Seq[ColumnProfile]): String = {
     val arr = mapper.createArrayNode()
     profiles.foreach { p =>
@@ -35,19 +54,33 @@ object CatalogIO {
       o.put("columnNum", p.columnNum)
       o.put("columnName", p.columnName)
       o.put("columnType", kindToType(p.kind))
+      p.flag match {
+        case Some(f) => o.put("columnFlag", flagToName(f))
+        case None    => o.putNull("columnFlag")
+      }
       o.put("finalSelect", p.finalSelect)
+      // Full ColumnStats field set per reference ColumnStats.java:37-142.
       val st = o.putObject("columnStats")
       p.stats.max.foreach(st.put("max", _))
       p.stats.min.foreach(st.put("min", _))
       p.stats.mean.foreach(st.put("mean", _))
       p.stats.median.foreach(st.put("median", _))
+      p.stats.p25.foreach(st.put("p25th", _))
+      p.stats.p75.foreach(st.put("p75th", _))
       st.put("totalCount", p.stats.totalCount)
       st.put("missingCount", p.stats.missingCount)
+      st.put("validNumCount", p.stats.validNumCount)
+      st.put("missingPercentage", p.stats.missingPercentage)
       p.stats.stdDev.foreach(st.put("stdDev", _))
       p.stats.distinctCount.foreach(st.put("distinctCount", _))
       p.stats.ks.foreach(st.put("ks", _))
       p.stats.iv.foreach(st.put("iv", _))
       p.stats.woe.foreach(st.put("woe", _))
+      p.stats.weightedKs.foreach(st.put("weightedKs", _))
+      p.stats.weightedIv.foreach(st.put("weightedIv", _))
+      p.stats.weightedWoe.foreach(st.put("weightedWoe", _))
+      p.stats.skewness.foreach(st.put("skewness", _))
+      p.stats.kurtosis.foreach(st.put("kurtosis", _))
       p.stats.psi.foreach(st.put("psi", _))
       val bn = o.putObject("columnBinning")
       bn.put("length", p.binning.length)
@@ -60,6 +93,8 @@ object CatalogIO {
       putLongArray(bn, "binCountPos", p.binning.binCountPos)
       putDoubleArray(bn, "binPosRate", p.binning.binPosRate)
       putDoubleArray(bn, "binAvgScore", p.binning.binAvgScore)
+      putDoubleArray(bn, "binWeightedNeg", p.binning.binWeightedNeg)
+      putDoubleArray(bn, "binWeightedPos", p.binning.binWeightedPos)
       putDoubleArray(bn, "binCountWoe", p.binning.binCountWoe)
       putDoubleArray(bn, "binWeightedWoe", p.binning.binWeightedWoe)
     }
@@ -92,15 +127,26 @@ object CatalogIO {
         columnNum = n.path("columnNum").asInt(),
         columnName = n.path("columnName").asText(),
         kind = typeToKind(n.path("columnType").asText("A")),
+        flag = {
+          val f = n.path("columnFlag")
+          if (f.isMissingNode || f.isNull) None else nameToFlag(f.asText())
+        },
         finalSelect = n.path("finalSelect").asBoolean(false),
         stats = ColumnStats(
           max = optD(st, "max"), min = optD(st, "min"),
           mean = optD(st, "mean"), median = optD(st, "median"),
+          p25 = optD(st, "p25th"), p75 = optD(st, "p75th"),
           totalCount = st.path("totalCount").asLong(0),
           missingCount = st.path("missingCount").asLong(0),
+          validNumCount = st.path("validNumCount").asLong(0),
+          missingPercentage = st.path("missingPercentage").asDouble(0.0),
           stdDev = optD(st, "stdDev"),
           distinctCount = optL(st, "distinctCount"),
           ks = optD(st, "ks"), iv = optD(st, "iv"), woe = optD(st, "woe"),
+          weightedKs = optD(st, "weightedKs"),
+          weightedIv = optD(st, "weightedIv"),
+          weightedWoe = optD(st, "weightedWoe"),
+          skewness = optD(st, "skewness"), kurtosis = optD(st, "kurtosis"),
           psi = optD(st, "psi")),
         binning = ColumnBinning(
           binBoundary = doubleVec(bn, "binBoundary"),
@@ -109,6 +155,8 @@ object CatalogIO {
           binCountPos = longVec(bn, "binCountPos"),
           binPosRate = doubleVec(bn, "binPosRate"),
           binAvgScore = doubleVec(bn, "binAvgScore"),
+          binWeightedNeg = doubleVec(bn, "binWeightedNeg"),
+          binWeightedPos = doubleVec(bn, "binWeightedPos"),
           binCountWoe = doubleVec(bn, "binCountWoe"),
           binWeightedWoe = doubleVec(bn, "binWeightedWoe")))
     }.toSeq

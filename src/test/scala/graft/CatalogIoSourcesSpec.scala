@@ -33,6 +33,92 @@ class CatalogIoSourcesSpec extends AnyFunSuite {
     assert(b.stats.ks === Some(65.7))
   }
 
+  test("catalog JSON round trip preserves EVERY profile field " +
+    "(full ColumnStats + ColumnBinning + columnFlag)") {
+    val p = ColumnProfile(
+      columnNum = 7, columnName = "full", kind = ColumnKind.Hybrid,
+      flag = Some(ColumnFlag.ForceSelect), finalSelect = true,
+      stats = ColumnStats(
+        max = Some(99.9), min = Some(-3.25), mean = Some(11.0),
+        median = Some(9.5), p25 = Some(4.0), p75 = Some(20.5),
+        totalCount = 1234, distinctCount = Some(321), missingCount = 34,
+        validNumCount = 1200, stdDev = Some(2.75),
+        missingPercentage = 0.02755, woe = Some(0.12),
+        weightedWoe = Some(0.11), ks = Some(44.4), weightedKs = Some(43.3),
+        iv = Some(0.9), weightedIv = Some(0.85), skewness = Some(-0.4),
+        kurtosis = Some(3.1), psi = Some(0.07)),
+      binning = ColumnBinning(
+        binBoundary = Vector(Double.NegativeInfinity, 1.5, 8.25),
+        binCountNeg = Vector(10, 20, 30), binCountPos = Vector(5, 25, 15),
+        binPosRate = Vector(0.33, 0.55, 0.33),
+        binAvgScore = Vector(0.2, 0.5, 0.8),
+        binWeightedNeg = Vector(9.5, 19.5, 29.5),
+        binWeightedPos = Vector(5.5, 24.5, 14.5),
+        binCountWoe = Vector(0.1, -0.2, 0.3),
+        binWeightedWoe = Vector(0.11, -0.21, 0.31)))
+    val back = CatalogIO.fromJson(CatalogIO.toJson(Seq(p)))
+    assert(back.length === 1)
+    assert(back.head === p)
+    // flags round-trip independently for every enum value, and None
+    val flags: Seq[Option[ColumnFlag]] = Seq(None,
+      Some(ColumnFlag.ForceSelect), Some(ColumnFlag.ForceRemove),
+      Some(ColumnFlag.Candidate), Some(ColumnFlag.Meta),
+      Some(ColumnFlag.Target), Some(ColumnFlag.Weight))
+    flags.foreach { f =>
+      val q = p.copy(flag = f)
+      assert(CatalogIO.fromJson(CatalogIO.toJson(Seq(q))).head.flag === f)
+    }
+  }
+
+  test("catalog JSON round trip holds for generated profiles " +
+    "(every Option populated/empty, +/-Inf, empty vs non-empty vectors)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val finiteD = Gen.chooseNum(-1e6, 1e6)
+    val edgeD = Gen.oneOf(
+      Gen.const(Double.NegativeInfinity), Gen.const(Double.PositiveInfinity),
+      finiteD)
+    def opt[A](g: Gen[A]): Gen[Option[A]] = Gen.option(g)
+    val dVec = Gen.oneOf(Gen.const(Vector.empty[Double]),
+      Gen.listOfN(4, edgeD).map(_.toVector))
+    val lVec = Gen.oneOf(Gen.const(Vector.empty[Long]),
+      Gen.listOfN(4, Gen.chooseNum(0L, 1e9.toLong)).map(_.toVector))
+    val genStats = for {
+      mx <- opt(finiteD); mn <- opt(finiteD); me <- opt(finiteD)
+      md <- opt(finiteD); q1 <- opt(finiteD); q3 <- opt(finiteD)
+      tc <- Gen.chooseNum(0L, 1e9.toLong); dc <- opt(Gen.chooseNum(0L, 1e6.toLong))
+      mc <- Gen.chooseNum(0L, 1e6.toLong); vc <- Gen.chooseNum(0L, 1e9.toLong)
+      sd <- opt(finiteD); mp <- Gen.chooseNum(0.0, 1.0)
+      w <- opt(finiteD); ww <- opt(finiteD); k <- opt(finiteD)
+      wk <- opt(finiteD); i <- opt(finiteD); wi <- opt(finiteD)
+      sk <- opt(finiteD); ku <- opt(finiteD); ps <- opt(finiteD)
+    } yield ColumnStats(mx, mn, me, md, q1, q3, tc, dc, mc, vc, sd, mp,
+      w, ww, k, wk, i, wi, sk, ku, ps)
+    val genBinning = for {
+      bb <- dVec; bc <- Gen.oneOf(Gen.const(Vector.empty[String]),
+        Gen.listOfN(3, Gen.alphaNumStr.map(_.take(8))).map(_.toVector))
+      cn <- lVec; cp <- lVec; pr <- dVec; as <- dVec
+      wn <- dVec; wp <- dVec; cw <- dVec; wwv <- dVec
+    } yield ColumnBinning(bb, bc, cn, cp, pr, as, wn, wp, cw, wwv)
+    val genProfile = for {
+      num <- Gen.chooseNum(0, 9999)
+      name <- Gen.alphaNumStr.map(s => "c_" + s.take(12))
+      kind <- Gen.oneOf(ColumnKind.Auto, ColumnKind.Numeric,
+        ColumnKind.Categorical, ColumnKind.Hybrid)
+      flag <- Gen.option(Gen.oneOf[ColumnFlag](ColumnFlag.ForceSelect,
+        ColumnFlag.ForceRemove, ColumnFlag.Candidate, ColumnFlag.Meta,
+        ColumnFlag.Target, ColumnFlag.Weight))
+      fs <- Gen.oneOf(true, false)
+      st <- genStats; bn <- genBinning
+    } yield ColumnProfile(num, name, kind, flag, fs, st, bn)
+    (0 until 200).foreach { i =>
+      val p = genProfile.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val back = CatalogIO.fromJson(CatalogIO.toJson(Seq(p)))
+      assert(back.length === 1, s"seed $i")
+      assert(back.head === p, s"seed $i: round-trip mismatch")
+    }
+  }
+
   test("loads the reference's own ColumnConfig.json (labor-neg fixture)") {
     val path = "/root/reference/src/test/resources/example/labor-neg/" +
       "DataStore/DataSet1/ColumnConfig.json"
