@@ -7,9 +7,11 @@ import graft.ops.StatsPipeline
 /** The `shifu stats` catalog itself as an oracle-verified result set: one
   * row per candidate column with the ColumnStats fields the reference
   * persists to ColumnConfig.json (`container/obj/ColumnStats.java:37-142`)
-  * — moments, missing counts, and the KS/IV metrics from the per-bin
-  * vectors. Exercises `StatsPipeline.profileNumeric` end to end (both
-  * scans + driver `StatsMath`), catalog-out. */
+  * — moments, quartiles, skewness/kurtosis, missing counts, and the
+  * KS/IV metrics (count AND weighted duals) from the per-bin vectors.
+  * Exercises `StatsPipeline.profileNumeric` end to end (both scans +
+  * driver `StatsMath`), catalog-out. Weight column = l_quantity
+  * (integer-valued, so the weighted sums stay bit-exact vs the oracle). */
 object QueriesCatalog {
   import QueryUtil._
 
@@ -17,20 +19,25 @@ object QueriesCatalog {
 
   private val catalogStats: Q = Q(
     fn = (s, dir) => {
-      val profiles = StatsPipeline.profileNumeric(li(s, dir), cols, isPos)
+      val profiles = StatsPipeline.profileNumeric(li(s, dir), cols, isPos,
+        weight = col("l_quantity"), pctAccuracy = Int.MaxValue)
       import s.implicits._
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
       cols.map { c =>
         val p = profiles(c)
         val st = p.stats
         (p.columnName, st.totalCount, st.missingCount,
           st.min.get, st.max.get,
-          math.rint(st.mean.get * 1e6) / 1e6,
-          math.rint(st.stdDev.get * 1e6) / 1e6,
-          math.rint(st.ks.get * 1e6) / 1e6,
-          math.rint(st.iv.get * 1e6) / 1e6,
+          r6(st.mean.get), r6(st.stdDev.get),
+          r6(st.p25.get), r6(st.median.get), r6(st.p75.get),
+          r6(st.missingPercentage),
+          r6(st.skewness.get), r6(st.kurtosis.get),
+          r6(st.ks.get), r6(st.iv.get),
+          r6(st.weightedKs.get), r6(st.weightedIv.get),
           p.binning.binBoundary.length.toLong)
       }.toDF("column_name", "total_cnt", "missing_cnt", "min_v", "max_v",
-        "mean_v", "std_v", "ks", "iv", "n_bins")
+        "mean_v", "std_v", "p25_v", "median_v", "p75_v", "miss_pct",
+        "skew_v", "kurt_v", "ks", "iv", "w_ks", "w_iv", "n_bins")
     },
     oracle = Some {
       val k = binK
@@ -39,37 +46,62 @@ object QueriesCatalog {
           .map(i => s"WHEN $c >= mn + (mx - mn) * $i / $k THEN $i")
           .mkString(" ")
         s"""SELECT '$c' AS column_name, total_cnt, missing_cnt, min_v, max_v,
-           |  mean_v, std_v, ks, iv, n_bins FROM (
+           |  mean_v, std_v, p25_v, median_v, p75_v, miss_pct, skew_v,
+           |  kurt_v, ks, iv, w_ks, w_iv, n_bins FROM (
            |WITH a AS (
            |  SELECT count($c) AS cnt,
            |    sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS miss,
            |    sum($c) AS s1, sum($c * $c) AS s2,
-           |    min($c) AS mn, max($c) AS mx
+           |    sum($c * $c * $c) AS s3, sum($c * $c * $c * $c) AS s4,
+           |    min($c) AS mn, max($c) AS mx,
+           |    quantile_disc($c, 0.25) AS q1, quantile_disc($c, 0.5) AS q2,
+           |    quantile_disc($c, 0.75) AS q3
            |  FROM lineitem),
            |b AS (
            |  SELECT CASE WHEN $c IS NULL THEN $k $arms ELSE 0 END AS bin_id,
-           |    CASE WHEN $posCond THEN 1 ELSE 0 END AS pos
+           |    CASE WHEN $posCond THEN 1 ELSE 0 END AS pos,
+           |    l_quantity AS w
            |  FROM lineitem, a),
            |bins AS (
            |  SELECT bin_id, sum(pos)::DOUBLE AS cp,
-           |    (count(*) - sum(pos))::DOUBLE AS cn
+           |    (count(*) - sum(pos))::DOUBLE AS cn,
+           |    sum(CASE WHEN pos = 1 THEN w ELSE 0.0 END) AS wp,
+           |    sum(CASE WHEN pos = 1 THEN 0.0 ELSE w END) AS wn
            |  FROM b GROUP BY bin_id),
-           |tot AS (SELECT sum(cp) AS sp, sum(cn) AS sn FROM bins),
+           |tot AS (SELECT sum(cp) AS sp, sum(cn) AS sn,
+           |               sum(wp) AS swp, sum(wn) AS swn FROM bins),
            |r AS (
            |  SELECT bin_id, cp / sp AS p, cn / sn AS n,
            |    sum(cp / sp) OVER (ORDER BY bin_id) AS cump,
-           |    sum(cn / sn) OVER (ORDER BY bin_id) AS cumn
+           |    sum(cn / sn) OVER (ORDER BY bin_id) AS cumn,
+           |    wp / swp AS pw, wn / swn AS nw,
+           |    sum(wp / swp) OVER (ORDER BY bin_id) AS cumpw,
+           |    sum(wn / swn) OVER (ORDER BY bin_id) AS cumnw
            |  FROM bins, tot),
            |m AS (
            |  SELECT round(100 * max(abs(cump - cumn)), 6) AS ks,
-           |    round(sum((p - n) * ln((p + 1e-10) / (n + 1e-10))), 6) AS iv
-           |  FROM r)
+           |    round(sum((p - n) * ln((p + 1e-10) / (n + 1e-10))), 6) AS iv,
+           |    round(100 * max(abs(cumpw - cumnw)), 6) AS w_ks,
+           |    round(sum((pw - nw) * ln((pw + 1e-10) / (nw + 1e-10))), 6)
+           |      AS w_iv
+           |  FROM r),
+           |d AS (
+           |  SELECT s1 / cnt AS mr,
+           |    sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)) AS sd FROM a)
            |SELECT cnt + miss AS total_cnt, miss AS missing_cnt,
            |  mn AS min_v, mx AS max_v,
            |  round(s1 / cnt, 6) AS mean_v,
-           |  round(sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 6) AS std_v,
-           |  ks, iv, ${k}::BIGINT AS n_bins
-           |FROM a, m)""".stripMargin
+           |  round(sd, 6) AS std_v,
+           |  round(q1, 6) AS p25_v, round(q2, 6) AS median_v,
+           |  round(q3, 6) AS p75_v,
+           |  round(miss::DOUBLE / (cnt + miss), 6) AS miss_pct,
+           |  round((s3 - 3 * s2 * mr + 3 * mr * mr * s1 - cnt * mr * mr * mr)
+           |    / (cnt * sd * sd * sd), 6) AS skew_v,
+           |  round((s4 - 4 * s3 * mr + 6 * s2 * mr * mr
+           |      - 4 * s1 * mr * mr * mr + cnt * mr * mr * mr * mr)
+           |    / (cnt * sd * sd * sd * sd), 6) AS kurt_v,
+           |  ks, iv, w_ks, w_iv, ${k}::BIGINT AS n_bins
+           |FROM a, m, d)""".stripMargin
       }.mkString("\nUNION ALL\n")
       per + "\n"
     })

@@ -24,6 +24,24 @@ object StatsPipeline {
     def stdDev: Double = StatsMath.stdDevFromSums(count, sum, sumSq)
   }
 
+  /** [[NumStats]] plus the long tail of ColumnStats: raw 3rd/4th moment
+    * sums (→ NIST skewness/kurtosis, `ColumnStatsCalculator.java:185-214`),
+    * quartiles, and an HLL distinct estimate. */
+  final case class FullNumStats(basic: NumStats, sumCube: Double,
+      sumQuartic: Double, p25: Option[Double], median: Option[Double],
+      p75: Option[Double], distinct: Long) {
+    def skewness: Option[Double] =
+      if (basic.count > 0 && basic.stdDev > 0)
+        Some(StatsMath.skewness(basic.count, basic.mean, basic.stdDev,
+          basic.sum, basic.sumSq, sumCube))
+      else None
+    def kurtosis: Option[Double] =
+      if (basic.count > 0 && basic.stdDev > 0)
+        Some(StatsMath.kurtosis(basic.count, basic.mean, basic.stdDev,
+          basic.sum, basic.sumSq, sumCube, sumQuartic))
+      else None
+  }
+
   /** Pass 1: moments for all numeric columns in ONE aggregation. */
   def numericStats(df: DataFrame, cols: Seq[String]): Map[String, NumStats] = {
     val aggs = cols.flatMap { c =>
@@ -43,60 +61,125 @@ object StatsPipeline {
     }.toMap
   }
 
+  /** Pass 1 extended: the FULL ColumnStats field family for all columns,
+    * still ONE aggregation / one scan. `pctAccuracy` trades percentile
+    * sketch memory for exactness (`Int.MaxValue` = exact — fine for tests,
+    * keep the 10000 default at scale; the sketch is O(accuracy) per
+    * column per partition, merged map-side). */
+  def fullNumericStats(df: DataFrame, cols: Seq[String],
+                       pctAccuracy: Int = 10000): Map[String, FullNumStats] = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__cnt"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__miss"),
+        sum(col(c)).as(s"${c}__sum"),
+        sum(col(c) * col(c)).as(s"${c}__sumsq"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"),
+        sum(col(c) * col(c) * col(c)).as(s"${c}__sum3"),
+        sum(col(c) * col(c) * col(c) * col(c)).as(s"${c}__sum4"),
+        expr(s"percentile_approx(`$c`, array(0.25D, 0.5D, 0.75D), " +
+          s"$pctAccuracy)").as(s"${c}__pct"),
+        approx_count_distinct(col(c)).as(s"${c}__dist"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.map { c =>
+      val basic = NumStats(c,
+        r.getAs[Long](s"${c}__cnt"), r.getAs[Long](s"${c}__miss"),
+        r.getAs[Double](s"${c}__sum"), r.getAs[Double](s"${c}__sumsq"),
+        r.getAs[Double](s"${c}__min"), r.getAs[Double](s"${c}__max"))
+      // arrays come back as mutable.ArraySeq — use the collection root type
+      val pct = Option(r.getAs[scala.collection.Seq[Double]](s"${c}__pct"))
+        .filter(_.length == 3)
+      c -> FullNumStats(basic,
+        r.getAs[Double](s"${c}__sum3"), r.getAs[Double](s"${c}__sum4"),
+        p25 = pct.map(_(0)), median = pct.map(_(1)), p75 = pct.map(_(2)),
+        distinct = r.getAs[Long](s"${c}__dist"))
+    }.toMap
+  }
+
   /** Pass 2: per-bin pos/neg counts for ALL columns in one scan — each row
     * contributes (column, binId, pos) via `stack`, then a single
     * groupBy((col, bin)) with map-side combine. `boundsFor` gives each
     * column's boundary list (missing → last bin inside binIndex). */
   def allBinCounts(df: DataFrame, cols: Seq[String],
                    boundsFor: Map[String, Seq[Double]],
-                   isPos: Column): DataFrame = {
+                   isPos: Column,
+                   weight: Column = lit(1.0)): DataFrame = {
     val pairs = cols.map { c =>
       struct(lit(c).as("col_name"),
         Binning.binIndex(col(c), boundsFor(c)).as("bin_id"))
     }
-    df.select(explode(array(pairs: _*)).as("cb"), isPos.cast("long").as("pos"))
-      .select(col("cb.col_name"), col("cb.bin_id"), col("pos"))
+    df.select(explode(array(pairs: _*)).as("cb"),
+        isPos.cast("long").as("pos"), weight.cast("double").as("w"))
+      .select(col("cb.col_name"), col("cb.bin_id"), col("pos"), col("w"))
       .groupBy("col_name", "bin_id")
       .agg(sum("pos").as("cnt_pos"),
-        (count(lit(1)) - sum("pos")).as("cnt_neg"))
+        (count(lit(1)) - sum("pos")).as("cnt_neg"),
+        sum(when(col("pos") === 1, col("w")).otherwise(0.0)).as("w_pos"),
+        sum(when(col("pos") === 1, 0.0).otherwise(col("w"))).as("w_neg"))
   }
 
-  /** Full numeric profiling: moments + equal-interval bins + bin counts +
-    * KS/IV/WoE. Returns catalog profiles keyed by column. */
+  /** Full numeric profiling: moments + quartiles + skew/kurtosis + HLL
+    * distinct + equal-interval bins + (count AND weighted) bin duals +
+    * KS/IV/WoE with their weighted duals — the reference's complete
+    * per-column ColumnStats/ColumnBinning assembly
+    * (`udf/CalculateNewStatsUDF.java:86-117`), in two scans total.
+    * `weight` defaults to 1.0, which makes the weighted duals equal the
+    * count metrics (the reference's no-weightColumnName convention). */
   def profileNumeric(df: DataFrame, cols: Seq[String], isPos: Column,
-                     k: Int = 10): Map[String, ColumnProfile] = {
+                     k: Int = 10, weight: Column = lit(1.0),
+                     pctAccuracy: Int = 10000): Map[String, ColumnProfile] = {
     if (cols.isEmpty) return Map.empty
-    val stats = numericStats(df, cols)
+    val stats = fullNumericStats(df, cols, pctAccuracy)
     val bounds = cols.map { c =>
-      val s = stats(c)
+      val s = stats(c).basic
       c -> Binning.equalInterval(s.min, s.max, k)
     }.toMap
-    val counts = allBinCounts(df, cols, bounds, isPos).collect()
+    val counts = allBinCounts(df, cols, bounds, isPos, weight).collect()
       .groupBy(_.getString(0))
     cols.zipWithIndex.map { case (c, i) =>
-      val s = stats(c)
+      val f = stats(c)
+      val s = f.basic
       val nBins = bounds(c).length + 1 // + missing bin
       val pos = Array.fill(nBins)(0.0)
       val neg = Array.fill(nBins)(0.0)
+      val wPos = Array.fill(nBins)(0.0)
+      val wNeg = Array.fill(nBins)(0.0)
       counts.getOrElse(c, Array.empty).foreach { r =>
         pos(r.getInt(1)) = r.getLong(2).toDouble
         neg(r.getInt(1)) = r.getLong(3).toDouble
+        wPos(r.getInt(1)) = r.getDouble(4)
+        wNeg(r.getInt(1)) = r.getDouble(5)
       }
       val m = StatsMath.columnMetrics(neg.toIndexedSeq, pos.toIndexedSeq)
+      val wm = StatsMath.columnMetrics(wNeg.toIndexedSeq, wPos.toIndexedSeq)
+      val total = s.count + s.missing
       c -> ColumnProfile(
         columnNum = i, columnName = c, kind = ColumnKind.Numeric,
         stats = ColumnStats(
           max = Some(s.max), min = Some(s.min), mean = Some(s.mean),
-          totalCount = s.count + s.missing, missingCount = s.missing,
-          validNumCount = s.count, stdDev = Some(s.stdDev),
-          ks = m.map(_.ks), iv = m.map(_.iv), woe = m.map(_.woe)),
+          median = f.median, p25 = f.p25, p75 = f.p75,
+          totalCount = total, missingCount = s.missing,
+          validNumCount = s.count,
+          missingPercentage =
+            if (total > 0) s.missing.toDouble / total else 0.0,
+          distinctCount = Some(f.distinct),
+          stdDev = Some(s.stdDev),
+          ks = m.map(_.ks), iv = m.map(_.iv), woe = m.map(_.woe),
+          weightedKs = wm.map(_.ks), weightedIv = wm.map(_.iv),
+          weightedWoe = wm.map(_.woe),
+          skewness = f.skewness, kurtosis = f.kurtosis),
         binning = ColumnBinning(
           binBoundary = bounds(c).toVector,
           binCountPos = pos.map(_.toLong).toVector,
           binCountNeg = neg.map(_.toLong).toVector,
           binPosRate = pos.zip(neg).map { case (p, n) =>
             if (p + n > 0) p / (p + n) else 0.0 }.toVector,
-          binCountWoe = m.map(_.binWoe).getOrElse(Vector.fill(nBins)(0.0))))
+          binWeightedPos = wPos.toVector,
+          binWeightedNeg = wNeg.toVector,
+          binCountWoe = m.map(_.binWoe).getOrElse(Vector.fill(nBins)(0.0)),
+          binWeightedWoe = wm.map(_.binWoe)
+            .getOrElse(Vector.fill(nBins)(0.0))))
     }.toMap
   }
 

@@ -37,11 +37,15 @@ object Pipeline {
     trim(lower(col(spec.targetColumn)))
       .isin(spec.posTags.map(_.toLowerCase).toSeq.map(lit): _*)
 
-  /** `stats`: numeric + categorical profiling into the typed catalog. */
+  /** `stats`: numeric + categorical profiling into the typed catalog.
+    * The spec's weight expression (JEXL) feeds the weighted stat duals;
+    * absent → weight 1.0 (weighted fields equal the count metrics, the
+    * reference's no-weightColumnName convention). */
   def stats(df: DataFrame, spec: DataSpec, numericCols: Seq[String],
             categoricalCols: Seq[String]): Seq[ColumnProfile] = {
+    val w = spec.weightColumn.map(Jexl.translate).getOrElse(lit(1.0))
     val num = StatsPipeline.profileNumeric(df, numericCols, isPos(spec),
-      spec.maxNumBin)
+      spec.maxNumBin, w)
     val cat = StatsPipeline.profileCategorical(df, categoricalCols, isPos(spec))
     val all = numericCols.map(num) ++ categoricalCols.map(cat)
     all.zipWithIndex.map { case (p, i) => p.copy(columnNum = i) }

@@ -94,6 +94,39 @@ class CliSpec extends AnyFunSuite {
     assert(outItsa.head.drop(10).split(",").length === 2)
   }
 
+  test("varsel honors ForceSelect/ForceRemove flags PERSISTED in the " +
+    "catalog JSON (reference VariableSelector.java:180-260 semantics)") {
+    import graft.catalog._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli18").toString
+    val path = s"$tmp/ColumnConfig.json"
+    Cli.run(spark, "stats", base + ("catalog" -> path))
+    // find the best- and worst-KS candidates, then pin them the WRONG way
+    // round through the persisted file — exactly what a reference user
+    // editing ColumnConfig.json does
+    val cat0 = CatalogIO.read(path)
+    val byKs = cat0.sortBy(-_.stats.ks.getOrElse(0.0)).map(_.columnName)
+    val (bestKs, worstKs) = (byKs.head, byKs.last)
+    CatalogIO.write(path, cat0.map { p =>
+      if (p.columnName == bestKs) p.copy(flag = Some(ColumnFlag.ForceRemove))
+      else if (p.columnName == worstKs)
+        p.copy(flag = Some(ColumnFlag.ForceSelect))
+      else p
+    })
+    Seq("ks", "iv", "pareto").foreach { m =>
+      val out = Cli.run(spark, "varsel", Map(
+        "catalog" -> path, "topn" -> "2", "method" -> m))
+      val sel = out.head.drop(10).split(",").toSet
+      assert(sel.contains(worstKs), s"method $m ignored ForceSelect: $sel")
+      assert(!sel.contains(bestKs), s"method $m ignored ForceRemove: $sel")
+      // flags themselves survive the verb's write-back
+      val after = CatalogIO.read(path)
+      assert(after.find(_.columnName == bestKs).get.flag ===
+        Some(ColumnFlag.ForceRemove), s"method $m")
+      assert(after.find(_.columnName == worstKs).get.flag ===
+        Some(ColumnFlag.ForceSelect), s"method $m")
+    }
+  }
+
   test("new + --spec: ModelConfig-style dataSet file drives the lifecycle") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli11").toString
     val out = Cli.run(spark, "new", Map("out" -> s"$tmp/ModelConfig.json",
