@@ -29,6 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object Correlation {
 
+  /** Backtick-quote an identifier for splicing into a parsed SQL string
+    * (stack() exprs below): a name like "a|b" must not parse as a
+    * bitwise-OR of columns a and b, and spaces/leading digits must not
+    * break the parse. Embedded backticks double per the SQL rule. */
+  private def qid(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  /** Single-quoted SQL string literal with backslash escaping (Spark's
+    * default literal syntax) — pair labels carry raw column names. */
+  private def qlit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** Pairwise Pearson over the given numeric columns; output
     * (pair, corr) rounded to 6, pair = "a|b" with a before b in `cols`.
     * Dispatches to the gramian single-pass path at `wideK`+ columns. */
@@ -59,7 +71,8 @@ object Correlation {
         i <- cols.indices; j <- (i + 1) until cols.length
       } yield (cols(i), cols(j))
       val stackExpr = "stack(" + pairs.length + ", " +
-        pairs.map { case (a, b) => s"'$a', '$b', $a, $b" }.mkString(", ") +
+        pairs.map { case (a, b) =>
+          s"${qlit(a)}, ${qlit(b)}, ${qid(a)}, ${qid(b)}" }.mkString(", ") +
         ") as (col_a, col_b, x, y)"
       df.select(expr(stackExpr))
         .filter(col("x").isNotNull && col("y").isNotNull)
@@ -130,7 +143,8 @@ object Correlation {
       i <- cols.indices; j <- (i + 1) until cols.length
     } yield (cols(i), cols(j))
     val stackExpr = "stack(" + pairs.length + ", " +
-      pairs.map { case (a, b) => s"'$a|$b', $a, $b" }.mkString(", ") +
+      pairs.map { case (a, b) =>
+        s"${qlit(s"$a|$b")}, ${qid(a)}, ${qid(b)}" }.mkString(", ") +
       ") as (pair, x, y)"
     df.select(expr(stackExpr))
       // pairwise-complete: every aggregate (including n) must range over
