@@ -47,10 +47,24 @@ object Bench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.processAllAvailable(); q.stop()
     } catch { case _: Throwable => () }
+    // /proc/loadavg stamped at start AND end: a contaminated window (noisy
+    // neighbor on the shared box) is self-identifying in the artifact
+    // instead of reading as a code regression (round-5 lesson)
+    def loadavg(): String =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ").head
+      catch { case _: Throwable => "-1" }
+    val load0 = loadavg()
+    // each query runs TWICE and scores its MIN: one noisy scheduler window
+    // can't poison the artifact; both raw times go to BENCH_DETAILS
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val r1 = once(); val r2 = once()
+      (name, math.min(r1, r2), r1, r2)
     }
     // keep the JSON line SHORT: the driver greps it out of a ~2.4 kB output
     // tail — rounds 1–3 ALL overflowed it at full query count (parsed:null).
@@ -61,17 +75,18 @@ object Bench {
     // between it and the end of the capture window.
     def f(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val top5 = results.sortBy(-_._2).take(5).map { case (k, v) =>
+    val load1 = loadavg()
+    val top5 = results.sortBy(-_._2).take(5).map { case (k, v, _, _) =>
       "\"" + k.stripPrefix("q_") + "\":" + f(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = sfDir.split("/").filter(_.nonEmpty).lastOption
       .getOrElse(sfDir) // basename only: every byte of this line counts
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"top5_sec":$top5,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"top5_sec":$top5,"runs_per_query":2,"loadavg":["$load0","$load1"],"sf":"$sfName"}"""
     // full-precision per-query detail — committed artifact, not tail-parsed
-    val detail = results.map { case (k, v) =>
-      s"""{"query":"$k","sec":${f(v)}}"""
+    val detail = results.map { case (k, v, r1, r2) =>
+      s"""{"query":"$k","sec":${f(v)},"r1":${f(r1)},"r2":${f(r2)}}"""
     }.mkString("", "\n", "\n") + line + "\n"
     Seq("BENCH_DETAILS_latest.jsonl", "/tmp/graft_bench_last.json").foreach {
       p => try java.nio.file.Files.writeString(
