@@ -100,7 +100,12 @@ object Cli {
       posTags = fromEither("pos", _.split(",").toSet, _.posTags),
       negTags = fromEither("neg", _.split(",").toSet, _.negTags),
       weightColumn = opts.get("weight").orElse(fileSpec.flatMap(_.weightColumn)),
-      filterExpressions = opts.get("filter").map(_.split(";").toSeq)
+      // --filter splits on --filtersep (default ';', the reference's
+      // convention); a JEXL expression that needs a literal ';' passes
+      // e.g. --filtersep '@@' --filter "a == 'x;y' @@ b > 3"
+      filterExpressions = opts.get("filter")
+        .map(_.split(java.util.regex.Pattern.quote(
+          opts.getOrElse("filtersep", ";"))).toSeq)
         .orElse(fileSpec.map(_.filterExpressions).filter(_.nonEmpty))
         .getOrElse(Nil))
     val normType = normTypeOf(opts.getOrElse("normtype", "zscale"))
@@ -327,8 +332,23 @@ object Cli {
                 label)
               graft.score.Pmml.exportTree(
                 graft.train.Train.toTree(t, feats), feats)
+            case "rf" =>
+              // whole RF as ONE MiningModel/Segmentation document
+              val t = graft.train.Train.randomForest(r.normalized, feats,
+                label, numTrees = opts.getOrElse("trees", "10").toInt)
+              graft.score.Pmml.exportEnsemble(graft.score.Pmml.fromRF(
+                t.model.stages.last.asInstanceOf[
+                  org.apache.spark.ml.classification.RandomForestClassificationModel],
+                feats))
+            case "gbt" =>
+              val t = graft.train.Train.gbt(r.normalized, feats, label,
+                maxIter = opts.getOrElse("trees", "10").toInt)
+              graft.score.Pmml.exportEnsemble(graft.score.Pmml.fromGBT(
+                t.model.stages.last.asInstanceOf[
+                  org.apache.spark.ml.classification.GBTClassificationModel],
+                feats))
             case other => throw new IllegalArgumentException(
-              s"unknown export algo '$other' (lr|nn|dt)")
+              s"unknown export algo '$other' (lr|nn|dt|rf|gbt)")
           })
           case other => throw new IllegalArgumentException(
             s"unknown export type '$other' " +

@@ -20,12 +20,22 @@ object SpecIO {
     val neg = ds.putArray("negTags"); s.negTags.toSeq.sorted.foreach(neg.add)
     s.weightColumn.foreach(ds.put("weightColumnName", _))
     if (s.filterExpressions.nonEmpty) {
-      // JSON array, NOT a ';'-joined string: a JEXL expression may itself
-      // contain ';' (e.g. inside a string literal) and must round-trip
-      // unsplit. The reader still accepts the reference's legacy
-      // semicolon-joined string form.
-      val fe = ds.putArray("filterExpressions")
-      s.filterExpressions.foreach(fe.add)
+      // Write-compat: the reference's RawSourceData.filterExpressions is a
+      // STRING (';'-joined), so emit that form whenever it's lossless —
+      // a graft-written ModelConfig.json then Jackson-binds in reference
+      // tooling. Only when an expression itself contains ';' (would be
+      // corrupted by the join) do we fall back to a JSON array, which the
+      // reader on both sides of this codebase accepts but the reference
+      // does not — a documented divergence limited to the unrepresentable
+      // case.
+      if (s.filterExpressions.forall(!_.contains(";"))) {
+        ds.put("filterExpressions", s.filterExpressions.mkString(";"))
+        ()
+      } else {
+        val fe = ds.putArray("filterExpressions")
+        s.filterExpressions.foreach(fe.add)
+        ()
+      }
     }
     val miss = ds.putArray("missingOrInvalidValues")
     s.missingValues.toSeq.sorted.foreach(miss.add)

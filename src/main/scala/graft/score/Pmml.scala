@@ -223,6 +223,201 @@ object Pmml {
        |""".stripMargin
   }
 
+  // ---- MiningModel / Segmentation (RF + GBT ensembles) ----------------------
+
+  /** Regression-tree node for ensemble members: leaves carry the member's
+    * real-valued contribution (class-1 probability for RF members, margin
+    * contribution for GBT members) rather than a leaf id. */
+  sealed trait RNode
+  final case class RSplit(feature: String, threshold: Double,
+      left: RNode, right: RNode) extends RNode
+  final case class RLeaf(value: Double) extends RNode
+
+  /** A tree ensemble as ONE literal model (reference intent:
+    * `core/pmml/builder/impl/` tree creator family emits a single
+    * MiningModel/Segmentation document per ensemble).
+    *
+    * `method` fixes the combination semantics to match MLlib scoring:
+    *  - "average": P(1) = (Σ treeᵢ) / n — RandomForestClassificationModel's
+    *    normalized-vote probability (each leaf carries its class-1 share);
+    *  - "sum": P(1) = 1 / (1 + e^(−2·Σ wᵢ·treeᵢ)) —
+    *    GBTClassificationModel's logistic link over the weighted margin. */
+  final case class Ensemble(features: Seq[String], trees: Vector[RNode],
+      weights: Vector[Double], method: String) {
+    require(method == "average" || method == "sum", s"bad method '$method'")
+    require(trees.length == weights.length, "one weight per tree")
+
+    /** P(class 1) as a pure Column expression: every member tree folds
+      * into a nested CASE WHEN chain inside whole-stage codegen — scoring
+      * an n-tree ensemble is a narrow projection, no UDF, no model object
+      * on the executors. */
+    def score: Column = {
+      def eval(n: RNode): Column = n match {
+        case RLeaf(v) => lit(v)
+        case RSplit(f, t, l, r) =>
+          when(col(f) <= lit(t), eval(l)).otherwise(eval(r))
+      }
+      method match {
+        case "average" =>
+          trees.map(eval).reduce(_ + _) / lit(trees.length.toDouble)
+        case "sum" =>
+          val margin = trees.zip(weights)
+            .map { case (t, w) => lit(w) * eval(t) }.reduce(_ + _)
+          lit(1.0) / (lit(1.0) + exp(lit(-2.0) * margin))
+      }
+    }
+  }
+
+  /** Walk an MLlib tree into [[RNode]] form; `leafValue` maps a leaf to
+    * its member contribution. Continuous splits only (the engine's
+    * normalized feature space), same contract as `Train.toTree`. */
+  private def walkMlTree(n: org.apache.spark.ml.tree.Node,
+                         features: Seq[String],
+                         leafValue: org.apache.spark.ml.tree.LeafNode => Double)
+      : RNode = n match {
+    case in: org.apache.spark.ml.tree.InternalNode =>
+      val s = in.split match {
+        case c: org.apache.spark.ml.tree.ContinuousSplit => c
+        case other => throw new IllegalArgumentException(
+          s"only continuous splits supported, got $other")
+      }
+      RSplit(features(s.featureIndex), s.threshold,
+        walkMlTree(in.leftChild, features, leafValue),
+        walkMlTree(in.rightChild, features, leafValue))
+    case leaf: org.apache.spark.ml.tree.LeafNode => RLeaf(leafValue(leaf))
+  }
+
+  /** Leaf class-count vector via reflection: `LeafNode.impurityStats` and
+    * `ImpurityCalculator.stats` are private[ml]/private[spark] in the
+    * Scala signatures but public in bytecode — reading them is the only
+    * way to get per-leaf class distributions without re-scoring data. */
+  private def leafClassShare(leaf: org.apache.spark.ml.tree.LeafNode): Double = {
+    val calc = leaf.getClass.getMethod("impurityStats").invoke(leaf)
+    val stats = calc.getClass.getMethod("stats").invoke(calc)
+      .asInstanceOf[Array[Double]]
+    val total = stats.sum
+    if (total == 0 || stats.length < 2) 0.0 else stats(1) / total
+  }
+
+  /** RF classifier → [[Ensemble]]: each member's leaves carry the class-1
+    * share of that leaf's training rows; combination = plain average —
+    * exactly `RandomForestClassificationModel.predictProbability`. */
+  def fromRF(m: org.apache.spark.ml.classification.RandomForestClassificationModel,
+             features: Seq[String]): Ensemble =
+    Ensemble(features,
+      m.trees.map(t => walkMlTree(t.rootNode, features, leafClassShare)).toVector,
+      Vector.fill(m.trees.length)(1.0), "average")
+
+  /** GBT classifier → [[Ensemble]]: members are the regression trees with
+    * their boosting weights; combination = logistic over the weighted
+    * margin — exactly `GBTClassificationModel`'s probability. */
+  def fromGBT(m: org.apache.spark.ml.classification.GBTClassificationModel,
+              features: Seq[String]): Ensemble =
+    Ensemble(features,
+      m.trees.map(t =>
+        walkMlTree(t.rootNode, features, _.prediction)).toVector,
+      m.treeWeights.toVector, "sum")
+
+  /** PMML-4.2 `MiningModel` with one `Segment`/`TreeModel` per member —
+    * `multipleModelMethod` carries the combination ("average" = RF,
+    * "sum" = GBT; the GBT logistic link is the importer's contract, noted
+    * in an `Extension`), `Segment/@weight` the boosting weights. Doubles
+    * via `Double.toString`, so parse-back is bit-exact. */
+  def exportEnsemble(e: Ensemble): String = {
+    def node(n: RNode, pred: String, indent: String): String = n match {
+      case RLeaf(v) =>
+        s"""$indent<Node score="$v">
+           |$indent  $pred
+           |$indent</Node>""".stripMargin
+      case RSplit(f, th, l, r) =>
+        val left = node(l,
+          s"""<SimplePredicate field="${esc(f)}" operator="lessOrEqual" value="$th"/>""",
+          indent + "  ")
+        val right = node(r,
+          s"""<SimplePredicate field="${esc(f)}" operator="greaterThan" value="$th"/>""",
+          indent + "  ")
+        s"""$indent<Node>
+           |$indent  $pred
+           |$left
+           |$right
+           |$indent</Node>""".stripMargin
+    }
+    val dict = e.features.map(f =>
+      s"""    <DataField name="${esc(f)}" optype="continuous" dataType="double"/>""")
+      .mkString("\n")
+    val mining = e.features.map(f =>
+      s"""      <MiningField name="${esc(f)}"/>""").mkString("\n")
+    val link = if (e.method == "sum") "scaledLogit" else "identity"
+    val segments = e.trees.zip(e.weights).zipWithIndex.map {
+      case ((t, w), i) =>
+        s"""      <Segment id="${i + 1}" weight="$w">
+           |        <True/>
+           |        <TreeModel functionName="regression" splitCharacteristic="binarySplit">
+           |          <MiningSchema>
+           |$mining
+           |          </MiningSchema>
+           |${node(t, "<True/>", "          ")}
+           |        </TreeModel>
+           |      </Segment>""".stripMargin
+    }.mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<PMML version="4.2" xmlns="http://www.dmg.org/PMML-4_2">
+       |  <Header description="graft tree ensemble">
+       |    <Extension name="link" value="$link"/>
+       |  </Header>
+       |  <DataDictionary numberOfFields="${e.features.length}">
+       |$dict
+       |  </DataDictionary>
+       |  <MiningModel functionName="regression">
+       |    <MiningSchema>
+       |$mining
+       |    </MiningSchema>
+       |    <Segmentation multipleModelMethod="${e.method}">
+       |$segments
+       |    </Segmentation>
+       |  </MiningModel>
+       |</PMML>
+       |""".stripMargin
+  }
+
+  /** Parse a document produced by [[exportEnsemble]] back into
+    * [[Ensemble]] (method from `multipleModelMethod`, weights from
+    * `Segment/@weight`, bit-exact doubles). */
+  def importEnsemble(xml: String): Ensemble = {
+    val doc = parseDoc(xml)
+    val dictFields = doc.getElementsByTagName("DataField")
+    val features = (0 until dictFields.getLength).map(i =>
+      dictFields.item(i).asInstanceOf[org.w3c.dom.Element]
+        .getAttribute("name"))
+    def parseNode(e: org.w3c.dom.Element): RNode = {
+      val kids = childElems(e, "Node")
+      if (kids.isEmpty) RLeaf(e.getAttribute("score").toDouble)
+      else {
+        require(kids.length == 2, "binarySplit expects 2 children")
+        val Seq(l, r) = kids
+        val p = childElems(l, "SimplePredicate").head
+        require(p.getAttribute("operator") == "lessOrEqual",
+          "left child must carry the lessOrEqual predicate")
+        RSplit(p.getAttribute("field"), p.getAttribute("value").toDouble,
+          parseNode(l), parseNode(r))
+      }
+    }
+    val seg = doc.getElementsByTagName("Segmentation").item(0)
+      .asInstanceOf[org.w3c.dom.Element]
+    val method = seg.getAttribute("multipleModelMethod")
+    val segs = childElems(seg, "Segment")
+    val trees = segs.map { s =>
+      val tm = s.getElementsByTagName("TreeModel").item(0)
+        .asInstanceOf[org.w3c.dom.Element]
+      parseNode(childElems(tm, "Node").head)
+    }.toVector
+    val weights = segs.map { s =>
+      val w = s.getAttribute("weight")
+      if (w.isEmpty) 1.0 else w.toDouble
+    }.toVector
+    Ensemble(features, trees, weights, method)
+  }
+
   /** Parse a document produced by [[exportTree]] back into the literal
     * [[Score.TreeNode]] form (leaf ids from the `score` attribute). */
   def importTree(xml: String): Score.TreeNode = {

@@ -344,4 +344,20 @@ class CliSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$tmp/dt.pmml")))
     assert(tree.isInstanceOf[graft.score.Score.Split])
   }
+
+  test("export --algo rf/gbt: one MiningModel/Segmentation document " +
+    "per ensemble parses back with the right combination method") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli19").toString
+    Cli.run(spark, "export", base +
+      ("algo" -> "rf") + ("trees" -> "3") + ("out" -> s"$tmp/rf.pmml"))
+    val rf = graft.score.Pmml.importEnsemble(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/rf.pmml")))
+    assert(rf.trees.length === 3 && rf.method === "average")
+    Cli.run(spark, "export", base +
+      ("algo" -> "gbt") + ("trees" -> "3") + ("out" -> s"$tmp/gbt.pmml"))
+    val g = graft.score.Pmml.importEnsemble(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/gbt.pmml")))
+    assert(g.trees.length === 3 && g.method === "sum")
+    assert(g.weights.head === 1.0)
+  }
 }

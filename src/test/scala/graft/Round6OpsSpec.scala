@@ -39,4 +39,83 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(labeled.keySet === Set(
       "a|b|don't stop", "a|b|2fast", "don't stop|2fast"))
   }
+
+  test("SpecIO writes the reference's legacy STRING filterExpressions " +
+    "whenever lossless; array only for expressions containing ';'") {
+    val plain = graft.catalog.DataSpec("tag", Set("1"), Set("0"),
+      filterExpressions = Seq("qty > 3", "price < 9"))
+    val js = graft.catalog.SpecIO.toJson(plain)
+    // reference RawSourceData.filterExpressions is a String — emit that
+    assert(js.contains("\"filterExpressions\" : \"qty > 3;price < 9\""), js)
+    assert(graft.catalog.SpecIO.fromJson(js).filterExpressions ===
+      plain.filterExpressions)
+    val hostile = plain.copy(filterExpressions = Seq("name != 'a;b'"))
+    val js2 = graft.catalog.SpecIO.toJson(hostile)
+    assert(js2.contains("[")) // array fallback, not a corrupting join
+    assert(graft.catalog.SpecIO.fromJson(js2).filterExpressions ===
+      hostile.filterExpressions)
+  }
+
+  private def trainData = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    (1 to 600).map { _ =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      val x3 = rnd.nextGaussian()
+      (x1, x2, x3, x1 + 0.5 * x2 + 0.3 * rnd.nextGaussian() > 0)
+    }.toDF("f1", "f2", "f3", "y")
+  }
+
+  test("RF ensemble PMML: ONE MiningModel/Segmentation document " +
+    "round-trips bit-exactly and scores like MLlib (3-tree RF)") {
+    import org.apache.spark.sql.functions._
+    val feats = Seq("f1", "f2", "f3")
+    val df = trainData
+    val t = graft.train.Train.randomForest(df, feats, col("y"),
+      numTrees = 3, maxDepth = 3)
+    val rf = t.model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel]
+    val e = graft.score.Pmml.fromRF(rf, feats)
+    assert(e.trees.length === 3)
+    assert(e.method === "average")
+    val xml = graft.score.Pmml.exportEnsemble(e)
+    assert(xml.contains("multipleModelMethod=\"average\""))
+    assert(xml.split("<Segment ").length === 4) // 3 segments in 1 document
+    val back = graft.score.Pmml.importEnsemble(xml)
+    assert(back === e, "bit-exact ensemble round-trip")
+    // the literal Column ensemble matches MLlib's transform probability
+    val scored = t.model.transform(
+      df.withColumn("label", col("y").cast("double")))
+    val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1)
+    val maxDiff = scored.select(
+      max(abs(p1 - back.score)).as("d")).head().getDouble(0)
+    assert(maxDiff < 1e-12, s"RF ensemble score drift $maxDiff")
+  }
+
+  test("GBT ensemble PMML: weighted-sum segments + logistic link " +
+    "round-trip and score like MLlib") {
+    import org.apache.spark.sql.functions._
+    val feats = Seq("f1", "f2", "f3")
+    val df = trainData
+    val t = graft.train.Train.gbt(df, feats, col("y"),
+      maxIter = 3, maxDepth = 3)
+    val g = t.model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel]
+    val e = graft.score.Pmml.fromGBT(g, feats)
+    assert(e.trees.length === 3)
+    assert(e.method === "sum")
+    assert(e.weights.head === 1.0 && e.weights.forall(_ > 0))
+    val xml = graft.score.Pmml.exportEnsemble(e)
+    assert(xml.contains("multipleModelMethod=\"sum\""))
+    assert(xml.contains("<Extension name=\"link\" value=\"scaledLogit\"/>"))
+    val back = graft.score.Pmml.importEnsemble(xml)
+    assert(back === e, "bit-exact ensemble round-trip")
+    val scored = t.model.transform(
+      df.withColumn("label", col("y").cast("double")))
+    val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1)
+    val maxDiff = scored.select(
+      max(abs(p1 - back.score)).as("d")).head().getDouble(0)
+    assert(maxDiff < 1e-12, s"GBT ensemble score drift $maxDiff")
+  }
 }
