@@ -20,7 +20,7 @@ object QueriesCatalog {
   private val catalogStats: Q = Q(
     fn = (s, dir) => {
       val profiles = StatsPipeline.profileNumeric(li(s, dir), cols, isPos,
-        weight = col("l_quantity"), pctAccuracy = Int.MaxValue)
+        weight = col("l_quantity"), pctAccuracy = Int.MaxValue, full = true)
       import s.implicits._
       def r6(x: Double) = math.rint(x * 1e6) / 1e6
       cols.map { c =>

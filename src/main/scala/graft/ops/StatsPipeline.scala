@@ -119,18 +119,27 @@ object StatsPipeline {
         sum(when(col("pos") === 1, 0.0).otherwise(col("w"))).as("w_neg"))
   }
 
-  /** Full numeric profiling: moments + quartiles + skew/kurtosis + HLL
-    * distinct + equal-interval bins + (count AND weighted) bin duals +
-    * KS/IV/WoE with their weighted duals — the reference's complete
-    * per-column ColumnStats/ColumnBinning assembly
-    * (`udf/CalculateNewStatsUDF.java:86-117`), in two scans total.
+  /** Numeric profiling: moments + equal-interval bins + (count AND
+    * weighted) bin duals + KS/IV/WoE with their weighted duals, in two
+    * scans total. With `full = true` the first scan additionally fills
+    * the long tail of the reference's per-column ColumnStats
+    * (`udf/CalculateNewStatsUDF.java:86-117`): quartiles,
+    * skewness/kurtosis, HLL distinct, missing percentage. The tail costs
+    * real time (two TypedImperative sketches per column), so the
+    * lifecycle `stats` step opts in while binning-only callers (norm,
+    * varsel ranking, posttrain) stay on the lean pass.
     * `weight` defaults to 1.0, which makes the weighted duals equal the
     * count metrics (the reference's no-weightColumnName convention). */
   def profileNumeric(df: DataFrame, cols: Seq[String], isPos: Column,
                      k: Int = 10, weight: Column = lit(1.0),
-                     pctAccuracy: Int = 10000): Map[String, ColumnProfile] = {
+                     pctAccuracy: Int = 10000,
+                     full: Boolean = false): Map[String, ColumnProfile] = {
     if (cols.isEmpty) return Map.empty
-    val stats = fullNumericStats(df, cols, pctAccuracy)
+    val stats: Map[String, FullNumStats] =
+      if (full) fullNumericStats(df, cols, pctAccuracy)
+      else numericStats(df, cols).map { case (c, b) =>
+        c -> FullNumStats(b, 0.0, 0.0, None, None, None, -1L)
+      }
     val bounds = cols.map { c =>
       val s = stats(c).basic
       c -> Binning.equalInterval(s.min, s.max, k)
@@ -163,12 +172,13 @@ object StatsPipeline {
           validNumCount = s.count,
           missingPercentage =
             if (total > 0) s.missing.toDouble / total else 0.0,
-          distinctCount = Some(f.distinct),
+          distinctCount = if (full) Some(f.distinct) else None,
           stdDev = Some(s.stdDev),
           ks = m.map(_.ks), iv = m.map(_.iv), woe = m.map(_.woe),
           weightedKs = wm.map(_.ks), weightedIv = wm.map(_.iv),
           weightedWoe = wm.map(_.woe),
-          skewness = f.skewness, kurtosis = f.kurtosis),
+          skewness = if (full) f.skewness else None,
+          kurtosis = if (full) f.kurtosis else None),
         binning = ColumnBinning(
           binBoundary = bounds(c).toVector,
           binCountPos = pos.map(_.toLong).toVector,

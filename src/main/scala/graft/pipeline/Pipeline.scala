@@ -45,7 +45,7 @@ object Pipeline {
             categoricalCols: Seq[String]): Seq[ColumnProfile] = {
     val w = spec.weightColumn.map(Jexl.translate).getOrElse(lit(1.0))
     val num = StatsPipeline.profileNumeric(df, numericCols, isPos(spec),
-      spec.maxNumBin, w)
+      spec.maxNumBin, w, full = true)
     val cat = StatsPipeline.profileCategorical(df, categoricalCols, isPos(spec))
     val all = numericCols.map(num) ++ categoricalCols.map(cat)
     all.zipWithIndex.map { case (p, i) => p.copy(columnNum = i) }
