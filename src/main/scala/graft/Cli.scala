@@ -158,12 +158,18 @@ object Cli {
         val psiLine = opts.get("psi").map { unitCol =>
           // per-column PSI vs the unit column; catalog stats.psi carries
           // the mean over units (one scalar per column, ColumnStats.psi)
+          // and stats.unitStats the sorted per-unit "unit|psi" strings
+          // (reference PSICalculatorUDF.java:69-106 collects + sorts the
+          // unit payloads into ColumnStats.unitStats)
           val updated = catalog.map { p =>
             if (p.binning.binBoundary.nonEmpty) {
-              val m = graft.ops.Psi.compute(clean, col(p.columnName),
+              val perUnit = graft.ops.Psi.compute(clean, col(p.columnName),
                   col(unitCol), p.binning.binBoundary)
-                .agg(avg("psi")).head().getDouble(0)
-              p.copy(stats = p.stats.copy(psi = Some(m)))
+                .collect().map(r => (r.get(0).toString, r.getDouble(1)))
+              val mean = perUnit.map(_._2).sum / perUnit.length
+              p.copy(stats = p.stats.copy(psi = Some(mean),
+                unitStats = perUnit.map { case (u, v) => s"$u|$v" }
+                  .sorted.toVector))
             } else p
           }
           CatalogIO.write(opts("catalog"), updated)

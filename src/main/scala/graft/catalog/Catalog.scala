@@ -54,7 +54,8 @@ final case class ColumnStats(
     weightedIv: Option[Double] = None,
     skewness: Option[Double] = None,
     kurtosis: Option[Double] = None,
-    psi: Option[Double] = None)
+    psi: Option[Double] = None,
+    unitStats: Vector[String] = Vector.empty)  // ColumnStats.java:142
 
 /** Per-column binning — reference `container/obj/ColumnBinning.java:40-100`.
   * Numeric bins hold left edges with a -Infinity head; categorical bins hold

@@ -82,6 +82,10 @@ object CatalogIO {
       p.stats.skewness.foreach(st.put("skewness", _))
       p.stats.kurtosis.foreach(st.put("kurtosis", _))
       p.stats.psi.foreach(st.put("psi", _))
+      if (p.stats.unitStats.nonEmpty) {
+        val us = st.putArray("unitStats")
+        p.stats.unitStats.foreach(us.add)
+      }
       val bn = o.putObject("columnBinning")
       bn.put("length", p.binning.length)
       putDoubleArray(bn, "binBoundary", p.binning.binBoundary)
@@ -147,7 +151,8 @@ object CatalogIO {
           weightedIv = optD(st, "weightedIv"),
           weightedWoe = optD(st, "weightedWoe"),
           skewness = optD(st, "skewness"), kurtosis = optD(st, "kurtosis"),
-          psi = optD(st, "psi")),
+          psi = optD(st, "psi"),
+          unitStats = stringVec(st, "unitStats")),
         binning = ColumnBinning(
           binBoundary = doubleVec(bn, "binBoundary"),
           binCategory = stringVec(bn, "binCategory"),

@@ -200,16 +200,20 @@ object StatsPipeline {
     * MAX_CATEGORICAL_BINC_COUNT cap) — the rank filter runs distributed,
     * partitioned by column. */
   def profileCategorical(df: DataFrame, cols: Seq[String], isPos: Column,
-                         maxCategories: Int = 10000)
+                         maxCategories: Int = 10000,
+                         weight: Column = lit(1.0))
       : Map[String, ColumnProfile] = {
     if (cols.isEmpty) return Map.empty
     val pairs = cols.map(c => struct(lit(c).as("col_name"),
       col(c).cast("string").as("v")))
     val grouped = df
-      .select(explode(array(pairs: _*)).as("cv"), isPos.cast("long").as("pos"))
-      .select(col("cv.col_name"), col("cv.v"), col("pos"))
+      .select(explode(array(pairs: _*)).as("cv"),
+        isPos.cast("long").as("pos"), weight.cast("double").as("w"))
+      .select(col("cv.col_name"), col("cv.v"), col("pos"), col("w"))
       .groupBy("col_name", "v")
-      .agg(sum("pos").as("cnt_pos"), (count(lit(1)) - sum("pos")).as("cnt_neg"))
+      .agg(sum("pos").as("cnt_pos"), (count(lit(1)) - sum("pos")).as("cnt_neg"),
+        sum(when(col("pos") === 1, col("w")).otherwise(0.0)).as("w_pos"),
+        sum(when(col("pos") === 1, 0.0).otherwise(col("w"))).as("w_neg"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("col_name")
       .orderBy((col("cnt_pos") + col("cnt_neg")).desc, col("v").asc)
@@ -221,29 +225,44 @@ object StatsPipeline {
       .groupBy(_.getString(0))
     cols.zipWithIndex.map { case (c, i) =>
       val rows = counts.getOrElse(c, Array.empty)
-        .map(r => (Option(r.getString(1)), r.getLong(2), r.getLong(3)))
-      val cats = rows.collect { case (Some(v), p, n) => (v, p, n) }
-        .sortBy(_._1)
-      val missing = rows.collect { case (None, p, n) => (p, n) }
+        .map(r => (Option(r.getString(1)), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))
+      val cats = rows.collect { case (Some(v), p, n, wp, wn) =>
+        (v, p, n, wp, wn) }.sortBy(_._1)
+      val missing = rows.collect { case (None, p, n, wp, wn) =>
+        (p, n, wp, wn) }
       val pos = cats.map(_._2.toDouble) :+
         missing.map(_._1).sum.toDouble
       val neg = cats.map(_._3.toDouble) :+
         missing.map(_._2).sum.toDouble
+      val wPos = cats.map(_._4) :+ missing.map(_._3).sum
+      val wNeg = cats.map(_._5) :+ missing.map(_._4).sum
       val m = StatsMath.columnMetrics(neg.toIndexedSeq, pos.toIndexedSeq)
+      val wm = StatsMath.columnMetrics(wNeg.toIndexedSeq, wPos.toIndexedSeq)
+      val total = (pos.sum + neg.sum).toLong
+      val missCnt = missing.map(t => t._1 + t._2).sum
       c -> ColumnProfile(
         columnNum = i, columnName = c, kind = ColumnKind.Categorical,
         stats = ColumnStats(
-          totalCount = (pos.sum + neg.sum).toLong,
-          missingCount = missing.map(t => t._1 + t._2).sum,
+          totalCount = total,
+          missingCount = missCnt,
+          missingPercentage =
+            if (total > 0) missCnt.toDouble / total else 0.0,
           distinctCount = Some(cats.length.toLong),
-          ks = m.map(_.ks), iv = m.map(_.iv), woe = m.map(_.woe)),
+          ks = m.map(_.ks), iv = m.map(_.iv), woe = m.map(_.woe),
+          weightedKs = wm.map(_.ks), weightedIv = wm.map(_.iv),
+          weightedWoe = wm.map(_.woe)),
         binning = ColumnBinning(
           binCategory = cats.map(_._1).toVector,
           binCountPos = pos.map(_.toLong).toVector,
           binCountNeg = neg.map(_.toLong).toVector,
           binPosRate = pos.zip(neg).map { case (p, n) =>
             if (p + n > 0) p / (p + n) else 0.0 }.toVector,
+          binWeightedPos = wPos.toVector,
+          binWeightedNeg = wNeg.toVector,
           binCountWoe = m.map(_.binWoe)
+            .getOrElse(Vector.fill(pos.length)(0.0)),
+          binWeightedWoe = wm.map(_.binWoe)
             .getOrElse(Vector.fill(pos.length)(0.0))))
     }.toMap
   }

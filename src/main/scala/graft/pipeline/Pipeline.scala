@@ -46,7 +46,8 @@ object Pipeline {
     val w = spec.weightColumn.map(Jexl.translate).getOrElse(lit(1.0))
     val num = StatsPipeline.profileNumeric(df, numericCols, isPos(spec),
       spec.maxNumBin, w, full = true)
-    val cat = StatsPipeline.profileCategorical(df, categoricalCols, isPos(spec))
+    val cat = StatsPipeline.profileCategorical(df, categoricalCols,
+      isPos(spec), weight = w)
     val all = numericCols.map(num) ++ categoricalCols.map(cat)
     all.zipWithIndex.map { case (p, i) => p.copy(columnNum = i) }
   }

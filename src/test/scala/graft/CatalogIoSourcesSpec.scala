@@ -46,7 +46,8 @@ class CatalogIoSourcesSpec extends AnyFunSuite {
         missingPercentage = 0.02755, woe = Some(0.12),
         weightedWoe = Some(0.11), ks = Some(44.4), weightedKs = Some(43.3),
         iv = Some(0.9), weightedIv = Some(0.85), skewness = Some(-0.4),
-        kurtosis = Some(3.1), psi = Some(0.07)),
+        kurtosis = Some(3.1), psi = Some(0.07),
+        unitStats = Vector("2023-01|0.012", "2023-02|0.034")),
       binning = ColumnBinning(
         binBoundary = Vector(Double.NegativeInfinity, 1.5, 8.25),
         binCountNeg = Vector(10, 20, 30), binCountPos = Vector(5, 25, 15),
@@ -92,8 +93,10 @@ class CatalogIoSourcesSpec extends AnyFunSuite {
       w <- opt(finiteD); ww <- opt(finiteD); k <- opt(finiteD)
       wk <- opt(finiteD); i <- opt(finiteD); wi <- opt(finiteD)
       sk <- opt(finiteD); ku <- opt(finiteD); ps <- opt(finiteD)
+      us <- Gen.oneOf(Gen.const(Vector.empty[String]),
+        Gen.listOfN(3, Gen.alphaNumStr.map(_.take(6))).map(_.toVector))
     } yield ColumnStats(mx, mn, me, md, q1, q3, tc, dc, mc, vc, sd, mp,
-      w, ww, k, wk, i, wi, sk, ku, ps)
+      w, ww, k, wk, i, wi, sk, ku, ps, us)
     val genBinning = for {
       bb <- dVec; bc <- Gen.oneOf(Gen.const(Vector.empty[String]),
         Gen.listOfN(3, Gen.alphaNumStr.map(_.take(8))).map(_.toVector))

@@ -158,6 +158,11 @@ class CliSpec extends AnyFunSuite {
     val catalog = graft.catalog.CatalogIO.read(s"$tmp/ColumnConfig.json")
     val q = catalog.find(_.columnName == "l_quantity").get
     assert(q.stats.psi.isDefined)
+    // --psi persists the sorted per-unit "unit|psi" strings
+    // (ColumnStats.unitStats, one entry per l_linestatus value: O/F)
+    assert(q.stats.unitStats.length === 2)
+    assert(q.stats.unitStats === q.stats.unitStats.sorted)
+    assert(q.stats.unitStats.forall(_.contains("|")))
     assert(q.binning.binBoundary.head.isNegInfinity)
     // rebin counts cover every row: pos+neg across bins == filtered total
     assert(q.binning.binCountPos.sum + q.binning.binCountNeg.sum > 0)

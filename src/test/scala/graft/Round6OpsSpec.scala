@@ -56,6 +56,32 @@ class Round6OpsSpec extends AnyFunSuite {
       hostile.filterExpressions)
   }
 
+  test("profileCategorical carries the weighted duals, missing pct, and " +
+    "per-category weighted WoE consistent with the count math") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // category 'a' rows weigh 10x, so weighted WoE must diverge from the
+    // count WoE; one null row exercises the missing-last bin
+    val df = Seq(
+      ("a", 1, 10.0), ("a", 0, 10.0), ("a", 1, 10.0),
+      ("b", 1, 1.0), ("b", 0, 1.0), ("b", 0, 1.0),
+      (null, 0, 1.0)).toDF("c", "pos", "w")
+    val p = graft.ops.StatsPipeline.profileCategorical(
+      df, Seq("c"), col("pos") === 1, weight = col("w"))("c")
+    assert(p.binning.binCategory === Vector("a", "b"))
+    assert(p.binning.binCountPos === Vector(2L, 1L, 0L))
+    assert(p.binning.binWeightedPos === Vector(20.0, 1.0, 0.0))
+    assert(p.binning.binWeightedNeg === Vector(10.0, 2.0, 1.0))
+    assert(p.stats.missingPercentage === 1.0 / 7)
+    assert(p.stats.weightedKs.isDefined && p.stats.weightedIv.isDefined)
+    // weighted per-bin WoE from the weighted masses, EPS convention
+    val e = graft.ops.StatsMath.Eps
+    val expectA = math.log((20.0 / 21 + e) / (10.0 / 13 + e))
+    assert(math.abs(p.binning.binWeightedWoe(0) - expectA) < 1e-12)
+    assert(p.binning.binWeightedWoe !== p.binning.binCountWoe)
+  }
+
   private def trainData = {
     val s = spark
     import s.implicits._
