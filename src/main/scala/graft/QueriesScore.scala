@@ -399,8 +399,47 @@ object QueriesScore {
          |FROM c
          |""".stripMargin))
 
+  // ---- §2.7 tree-ensemble scoring (MiningModel/Segmentation semantics) ----
+
+  /** A literal 3-tree "random forest" scored through
+    * [[graft.score.Pmml.Ensemble.score]] — the whole forest folds into one
+    * codegen'd CASE chain per tree, averaged row-locally (the PMML
+    * MiningModel "average" combination). Thresholds/leaves are exact
+    * binary fractions, the SQL mirrors the identical IEEE op order, so the
+    * per-row doubles are bit-exact against the oracle. */
+  private val treeEnsemble: Q = {
+    import graft.score.Pmml.{Ensemble, RLeaf, RSplit}
+    val trees = Vector(
+      RSplit("l_quantity", 25.0,
+        RSplit("l_discount", 0.05, RLeaf(0.125), RLeaf(0.375)),
+        RLeaf(0.75)),
+      RSplit("l_extendedprice", 30000.0,
+        RLeaf(0.25),
+        RSplit("l_quantity", 40.0, RLeaf(0.5), RLeaf(0.875))),
+      RSplit("l_tax", 0.04, RLeaf(0.0625), RLeaf(0.5625)))
+    val e = Ensemble(Seq("l_quantity", "l_discount", "l_extendedprice",
+      "l_tax"), trees, Vector.fill(3)(1.0), "average")
+    def sql(n: graft.score.Pmml.RNode): String = n match {
+      case RLeaf(v) => v.toString
+      case RSplit(f, t, l, r) =>
+        s"(CASE WHEN $f <= $t THEN ${sql(l)} ELSE ${sql(r)} END)"
+    }
+    Q(
+      fn = (s, dir) => li(s, dir).select(col("l_orderkey"),
+        col("l_linenumber"), e.score.as("rf_score")),
+      oracle = Some {
+        val Seq(t1, t2, t3) = trees.map(sql)
+        // same reduce order as Ensemble.score: ((t1 + t2) + t3) / 3.0
+        s"""SELECT l_orderkey, l_linenumber,
+           |  (($t1 + $t2) + $t3) / 3.0 AS rf_score
+           |FROM lineitem
+           |""".stripMargin
+      })
+  }
+
   val all: Map[String, Q] = Map(
     "q_score_ensemble" -> scoreEnsemble,
+    "q_score_tree_ensemble" -> treeEnsemble,
     "q_reason_codes_topn" -> reasonCodesTopN,
     "q_eval_external"  -> evalExternal,
     "q_tree_encode"    -> treeEncode,

@@ -119,6 +119,39 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(maxDiff < 1e-12, s"RF ensemble score drift $maxDiff")
   }
 
+  test("a 60-tree depth-5 ensemble still scores correctly as one Column " +
+    "(codegen or fallback), matching a driver-side evaluation") {
+    import graft.score.Pmml.{Ensemble, RLeaf, RNode, RSplit}
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val feats = Vector("g1", "g2", "g3")
+    val rnd = new scala.util.Random(29)
+    def genTree(depth: Int): RNode =
+      if (depth == 0) RLeaf((rnd.nextInt(16) + 1) / 16.0)
+      else RSplit(feats(rnd.nextInt(3)),
+        math.rint(rnd.nextGaussian() * 8) / 8.0,
+        genTree(depth - 1), genTree(depth - 1))
+    val e = Ensemble(feats, Vector.fill(60)(genTree(5)),
+      Vector.fill(60)(1.0), "average")
+    def evalLocal(n: RNode, row: Map[String, Double]): Double = n match {
+      case RLeaf(v) => v
+      case RSplit(f, t, l, r) =>
+        if (row(f) <= t) evalLocal(l, row) else evalLocal(r, row)
+    }
+    val rows = (1 to 2000).map { i =>
+      (i, rnd.nextGaussian(), rnd.nextGaussian(), rnd.nextGaussian())
+    }
+    val df = rows.toDF("id", "g1", "g2", "g3")
+    val got = df.select(col("id"), e.score.as("p")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (i, a, b, c) =>
+      val m = Map("g1" -> a, "g2" -> b, "g3" -> c)
+      val want = e.trees.map(t => evalLocal(t, m)).sum / 60.0
+      assert(math.abs(got(i) - want) < 1e-12, s"row $i")
+    }
+  }
+
   test("GBT ensemble PMML: weighted-sum segments + logistic link " +
     "round-trip and score like MLlib") {
     import org.apache.spark.sql.functions._
