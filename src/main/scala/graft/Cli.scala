@@ -238,20 +238,72 @@ object Cli {
         normed.write.mode("overwrite").parquet(opts("out"))
         Seq(s"normalized: ${opts("out")} (${normed.columns.length} columns)")
 
+      // `shifu eval -new/-list/-delete/-switch` (EvalModelProcessor
+      // set-management modes): pure bookkeeping over the named eval-set
+      // file, no data scan — each set freezes its own dataSet spec +
+      // data path + score column (reference EvalConfig.java:41-84)
+      case "eval" if opts.contains("new") || opts.contains("delete") ||
+          opts.contains("switch") || opts.get("list").contains("true") =>
+        import graft.catalog.{EvalSet, EvalSetIO, EvalSets}
+        val path = opts("sets")
+        val cur = EvalSetIO.readOrEmpty(path)
+        if (opts.get("list").contains("true")) {
+          val names = cur.sets.map(s =>
+            if (cur.current.contains(s.name)) s"${s.name}*" else s.name)
+          return Seq(s"evals: ${names.mkString(",")}")
+        }
+        val next = opts.get("new").map { name =>
+          val set = EvalSet(name, opts("data"), spec,
+            scoreColumn = opts.get("score"),
+            performanceBucketNum = opts.getOrElse("buckets", "10").toInt,
+            scoreScale = opts.getOrElse("scale", "1000").toLong)
+          EvalSets(cur.current.orElse(Some(name)),
+            cur.sets.filterNot(_.name == name) :+ set)
+        }.orElse(opts.get("delete").map { name =>
+          EvalSets(cur.current.filterNot(_ == name),
+            cur.sets.filterNot(_.name == name))
+        }).getOrElse {
+          val name = opts("switch")
+          require(cur.find(name).isDefined, s"no eval set '$name'")
+          EvalSets(Some(name), cur.sets)
+        }
+        EvalSetIO.write(path, next)
+        Seq(s"evals: ${next.sets.map(_.name).mkString(",")} " +
+          s"(current: ${next.current.getOrElse("-")})")
+
       case "eval" =>
         // external-score eval (`shifu eval` with a metaColumn score):
-        // distributed sweep -> ROC AUC + gain chart, optional HTML report
-        val clean = Pipeline.init(df, spec)
-        val scoreCol = col(opts("score"))
-        val weightCol = opts.get("weight").map(col).getOrElse(lit(1.0))
+        // distributed sweep -> ROC AUC + gain chart, optional HTML report.
+        // `--run <name>` (reference `eval -run EvalSetName`) pulls the
+        // FROZEN config — data path, dataSet spec, score column, bucket
+        // count — from the named set; flag-driven eval otherwise.
+        val runSet = opts.get("run").map { name =>
+          val sets = graft.catalog.EvalSetIO.read(opts("sets"))
+          sets.find(name).getOrElse(
+            throw new IllegalArgumentException(s"no eval set '$name'"))
+        }
+        val evalDf = runSet.map(s => spark.read.parquet(s.dataPath))
+          .getOrElse(df)
+        val evalSpec = runSet.map(_.spec).getOrElse(spec)
+        val scoreName = runSet.flatMap(_.scoreColumn)
+          .orElse(opts.get("score"))
+          .getOrElse(throw new IllegalArgumentException(
+            "missing --score (or a scoreMetaColumn in the eval set)"))
+        val buckets = runSet.map(_.performanceBucketNum)
+          .getOrElse(opts.getOrElse("buckets", "10").toInt)
+        val clean = Pipeline.init(evalDf, evalSpec)
+        val scoreCol = col(scoreName)
+        val weightCol = evalSpec.weightColumn
+          .map(graft.expr.Jexl.translate)
+          .orElse(opts.get("weight").map(col)).getOrElse(lit(1.0))
         val sweep = graft.eval.Eval.weightedSweep(clean, scoreCol,
-          Pipeline.isPos(spec), weightCol,
-          Seq(monotonically_increasing_id()))
+          Pipeline.isPos(evalSpec), weightCol,
+          Seq(monotonically_increasing_id()), buckets)
         val auc = graft.eval.Eval.rocAuc(sweep).head().getDouble(0)
         val gain = graft.eval.Eval.gainChart(
           sweep.select("bucket", "tp", "fp", "fn", "tn"))
         opts.get("out").foreach(o =>
-          graft.eval.Eval.gainChartHtml(gain, o, s"eval ${opts("score")}"))
+          graft.eval.Eval.gainChartHtml(gain, o, s"eval $scoreName"))
         // reference sub-modes: `eval -confmat` (TP/FP/FN/TN buckets) and
         // `eval -score` (per-row score dump)
         opts.get("confmat").foreach(o =>
@@ -259,7 +311,7 @@ object Cli {
         opts.get("scoreout").foreach(o =>
           clean.select(monotonically_increasing_id().as("row_id"),
             scoreCol.as("score"),
-            Pipeline.isPos(spec).cast("int").as("tag"))
+            Pipeline.isPos(evalSpec).cast("int").as("tag"))
             .write.mode("overwrite").parquet(o))
         Seq(f"auc: $auc%.6f",
           s"buckets: ${gain.count()}") ++

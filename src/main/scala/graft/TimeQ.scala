@@ -21,6 +21,10 @@ object TimeQ {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val fn = SparkEntry.queries(name)
+    // SPARK_GRAFT_EXPLAIN=1 dumps the formatted physical plan once before
+    // timing — the audit loop for "is this the plan I'd want at 100 TB"
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+      fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

@@ -350,6 +350,34 @@ class CliSpec extends AnyFunSuite {
     assert(tree.isInstanceOf[graft.score.Score.Split])
   }
 
+  test("eval sets: -new/-list/-switch/-run/-delete lifecycle persists " +
+    "frozen per-set configs and runs the named set") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli20").toString
+    val sets = s"$tmp/EvalSets.json"
+    // two sets with different frozen score columns
+    Cli.run(spark, "eval", base + ("sets" -> sets) +
+      ("new" -> "EvalA") + ("score" -> "l_tax"))
+    Cli.run(spark, "eval", base + ("sets" -> sets) +
+      ("new" -> "EvalB") + ("score" -> "l_discount") + ("buckets" -> "20"))
+    val listed = Cli.run(spark, "eval",
+      Map("sets" -> sets, "list" -> "true"))
+    assert(listed.head === "evals: EvalA*,EvalB") // first created = current
+    Cli.run(spark, "eval", Map("sets" -> sets, "switch" -> "EvalB"))
+    assert(Cli.run(spark, "eval", Map("sets" -> sets, "list" -> "true"))
+      .head === "evals: EvalA,EvalB*")
+    // --run pulls data path, spec, score column AND bucket count from the
+    // frozen set — no --data/--target/--score flags at all
+    val out = Cli.run(spark, "eval",
+      Map("sets" -> sets, "run" -> "EvalB"))
+    val auc = out.find(_.startsWith("auc: ")).get.drop(5).toDouble
+    assert(auc > 0.0 && auc < 1.0)
+    assert(out.exists(_ == "buckets: 20"), out)
+    Cli.run(spark, "eval", Map("sets" -> sets, "delete" -> "EvalB"))
+    val after = graft.catalog.EvalSetIO.read(sets)
+    assert(after.sets.map(_.name) === Vector("EvalA"))
+    assert(after.current === None) // deleted set was current
+  }
+
   test("export --algo rf/gbt: one MiningModel/Segmentation document " +
     "per ensemble parses back with the right combination method") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli19").toString
