@@ -407,4 +407,52 @@ object Train {
           lit(10)) < lit(7)) // ~70% per bag, disjoint-ish, deterministic
       trainOne(sub, features, label)
     }
+
+  /** External-trainer shell-out — the reference's `ALGORITHM.TENSORFLOW`
+    * path (`ModelTrainConf.java:574-587` TF params,
+    * `GenericModelConfig.java:34-90` properties + inputnames contract):
+    * Shifu materializes the normalized training set, launches an external
+    * Python/TF process, and loads the exported model back for scoring.
+    *
+    * Spark-side contract (the plumbing is real; the trainer binary is the
+    * user's, exactly as in the reference — no TF runtime ships here):
+    *  1. normalized (features, label) rows land in `workDir/data` as
+    *     parquet — written distributed, the only cluster-scale step;
+    *  2. `workDir/GenericModelConfig.json` carries inputnames + properties
+    *     (algorithm, workDir) with the reference's field names;
+    *  3. `cmd workDir` runs (user-supplied trainer: reads data+config,
+    *     writes `workDir/model.json`); non-zero exit fails loudly;
+    *  4. `model.json` — the engine's literal LinearModel JSON
+    *     (`Score.exportJson` shape) — folds back into plans as codegen'd
+    *     Column expressions, so serving never touches the external
+    *     runtime.
+    * Returns the parsed literal models (ensemble if the trainer wrote
+    * several). */
+  def externalTrainer(df: DataFrame, features: Seq[String], label: Column,
+                      cmd: Seq[String], workDir: String)
+      : Seq[graft.score.Score.LinearModel] = {
+    require(cmd.nonEmpty, "externalTrainer needs a command")
+    val dir = java.nio.file.Paths.get(workDir)
+    java.nio.file.Files.createDirectories(dir)
+    df.select((features.map(col) :+ label.cast("int").as("label")): _*)
+      .write.mode("overwrite").parquet(s"$workDir/data")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cfg = mapper.createObjectNode()
+    val names = cfg.putArray("inputnames")
+    features.foreach(names.add)
+    val props = cfg.putObject("properties")
+    props.put("algorithm", "TENSORFLOW")
+    props.put("workDir", workDir)
+    java.nio.file.Files.writeString(dir.resolve("GenericModelConfig.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(cfg))
+    val proc = new ProcessBuilder((cmd :+ workDir): _*)
+      .redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    val code = proc.waitFor()
+    require(code == 0, s"external trainer failed (exit $code): $out")
+    val modelPath = dir.resolve("model.json")
+    require(java.nio.file.Files.exists(modelPath),
+      s"external trainer wrote no $modelPath")
+    graft.score.Score.importJson(java.nio.file.Files.readString(modelPath))
+  }
 }

@@ -82,6 +82,87 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(p.binning.binWeightedWoe !== p.binning.binCountWoe)
   }
 
+  test("externalTrainer shell-out: writes data + GenericModelConfig, runs " +
+    "the user command, folds the returned model back into the plan") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_tf").toString
+    // stand-in trainer: validates the contract (config + data exist),
+    // then writes a fixed literal model — exactly what a real TF script
+    // would do after fitting
+    val script = java.nio.file.Paths.get(work, "fake_tf.sh")
+    java.nio.file.Files.writeString(script,
+      """#!/bin/sh
+        |set -e
+        |d="$1"
+        |test -f "$d/GenericModelConfig.json"
+        |test -d "$d/data"
+        |grep -q '"inputnames"' "$d/GenericModelConfig.json"
+        |grep -q '"algorithm" : "TENSORFLOW"' "$d/GenericModelConfig.json"
+        |cat > "$d/model.json" <<'EOF'
+        |[{"weights":[{"col":"f1","w":1.5},{"col":"f2","w":-0.5}],"bias":0.25}]
+        |EOF
+        |""".stripMargin)
+    script.toFile.setExecutable(true)
+    val df = Seq((1.0, 2.0, true), (0.5, 1.0, false))
+      .toDF("f1", "f2", "y")
+    val models = graft.train.Train.externalTrainer(df, Seq("f1", "f2"),
+      col("y"), Seq(script.toString), work)
+    assert(models.length === 1)
+    assert(models.head.bias === 0.25)
+    assert(models.head.weights.toMap === Map("f1" -> 1.5, "f2" -> -0.5))
+    // the returned literal model scores as a plan expression
+    val p = df.select(models.head.score.as("p")).collect().map(_.getDouble(0))
+    assert(p.forall(x => x > 0 && x < 1))
+    // the materialized training set carries (features, label)
+    val data = spark.read.parquet(s"$work/data")
+    assert(data.columns.toSeq === Seq("f1", "f2", "label"))
+    assert(data.count() === 2)
+    // a failing trainer surfaces loudly
+    val bad = java.nio.file.Paths.get(work, "bad.sh")
+    java.nio.file.Files.writeString(bad, "#!/bin/sh\nexit 3\n")
+    bad.toFile.setExecutable(true)
+    val ex = intercept[IllegalArgumentException] {
+      graft.train.Train.externalTrainer(df, Seq("f1"), col("y"),
+        Seq(bad.toString), work + "/bad")
+    }
+    assert(ex.getMessage.contains("exit 3"))
+  }
+
+  test("EvalSetIO round-trips generated eval-set files field-complete") {
+    import graft.catalog._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genSpec = for {
+      t <- Gen.alphaNumStr.map("t_" + _.take(8))
+      pos <- Gen.nonEmptyListOf(Gen.alphaNumStr.map(_.take(4))).map(_.toSet)
+      neg <- Gen.nonEmptyListOf(Gen.alphaNumStr.map(_.take(4))).map(_.toSet)
+      w <- Gen.option(Gen.alphaNumStr.map("w_" + _.take(6)))
+      fe <- Gen.listOf(Gen.oneOf("a > 1", "b == 'x'", "c != 'p;q'"))
+      mb <- Gen.chooseNum(2, 64)
+    } yield DataSpec(t, pos, neg, w, filterExpressions = fe, maxNumBin = mb)
+    val genSet = for {
+      n <- Gen.alphaNumStr.map("es_" + _.take(8))
+      d <- Gen.alphaNumStr.map("/data/" + _.take(8))
+      sp <- genSpec
+      sc <- Gen.option(Gen.alphaNumStr.map("s_" + _.take(6)))
+      b <- Gen.chooseNum(2, 100)
+      ss <- Gen.chooseNum(1L, 100000L)
+    } yield EvalSet(n, d, sp, sc, b, ss)
+    val genSets = for {
+      sets <- Gen.listOf(genSet)
+        .map(_.distinctBy(_.name).toVector)
+      cur <- if (sets.isEmpty) Gen.const(None)
+             else Gen.option(Gen.oneOf(sets.map(_.name)))
+    } yield EvalSets(cur, sets)
+    (0 until 100).foreach { i =>
+      val es = genSets.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val back = EvalSetIO.fromJson(EvalSetIO.toJson(es))
+      assert(back === es, s"seed $i: eval-sets round-trip mismatch")
+    }
+  }
+
   private def trainData = {
     val s = spark
     import s.implicits._
