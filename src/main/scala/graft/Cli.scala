@@ -474,6 +474,23 @@ object Cli {
         val feats = normed.columns.filter(_.startsWith("n_")).toSeq
         val label = col("tag") === 1
         val algo = opts.getOrElse("algo", "lr")
+        // ALGORITHM.TENSORFLOW (reference ModelTrainConf.java:574-587):
+        // shell out to the user's trainer command (--cmd), score the
+        // returned literal model for the AUC line — no MLlib fit at all
+        if (algo == "tensorflow") {
+          val models = graft.train.Train.externalTrainer(normed, feats,
+            label, opts("cmd").split("\\s+").toSeq, opts("workdir"))
+          val scored = normed.select(label.cast("long").as("pos"),
+            (models.map(_.score).reduce(_ + _) / models.length).as("p"))
+          val sweep = graft.eval.Eval.weightedSweep(scored, col("p"),
+            col("pos") === 1, lit(1.0), Seq(monotonically_increasing_id()))
+          val auc = graft.eval.Eval.rocAuc(sweep).head().getDouble(0)
+          opts.get("out").foreach(o =>
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(o),
+              graft.score.Score.exportJson(models)))
+          return Seq(f"auc: $auc%.6f", s"algo: tensorflow",
+            s"features: ${feats.length}")
+        }
         val t = algo match {
           case "lr"  => graft.train.Train.logistic(normed, feats, label)
           case "nn"  => graft.train.Train.nn(normed, feats, label)
@@ -482,7 +499,7 @@ object Cli {
           case "rf"  => graft.train.Train.randomForest(normed, feats, label)
           case "gbt" => graft.train.Train.gbt(normed, feats, label)
           case other => throw new IllegalArgumentException(
-            s"unknown algo '$other' (lr|nn|svm|dt|rf|gbt)")
+            s"unknown algo '$other' (lr|nn|svm|dt|rf|gbt|tensorflow)")
         }
         opts.get("out").foreach { o =>
           if (algo == "lr")

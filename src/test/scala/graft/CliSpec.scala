@@ -378,6 +378,37 @@ class CliSpec extends AnyFunSuite {
     assert(after.current === None) // deleted set was current
   }
 
+  test("train --algo tensorflow: shells out to the external trainer and " +
+    "scores the returned literal model") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli21").toString
+    val script = java.nio.file.Paths.get(tmp, "tf.sh")
+    java.nio.file.Files.writeString(script,
+      """#!/bin/sh
+        |set -e
+        |test -d "$1/data" && test -f "$1/GenericModelConfig.json"
+        |cat > "$1/model.json" <<'EOF'
+        |[{"weights":[{"col":"n_l_quantity","w":2.0}],"bias":-0.5}]
+        |EOF
+        |""".stripMargin)
+    script.toFile.setExecutable(true)
+    val cat = s"$tmp/ColumnConfig.json"
+    Cli.run(spark, "stats", base + ("catalog" -> cat))
+    val out = Cli.run(spark, "train", base + ("catalog" -> cat) +
+      ("algo" -> "tensorflow") + ("cmd" -> script.toString) +
+      ("workdir" -> s"$tmp/work") + ("out" -> s"$tmp/model.json"))
+    assert(out.exists(_ == "algo: tensorflow"))
+    val auc = out.find(_.startsWith("auc: ")).get.drop(5).toDouble
+    assert(auc > 0.0 && auc < 1.0)
+    val models = graft.score.Score.importJson(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$tmp/model.json")))
+    assert(models.head.weights === Seq("n_l_quantity" -> 2.0))
+    // the materialized training set carries every normalized feature
+    val data = spark.read.parquet(s"$tmp/work/data")
+    assert(data.columns.contains("n_l_quantity") &&
+      data.columns.contains("label"))
+  }
+
   test("export --algo rf/gbt: one MiningModel/Segmentation document " +
     "per ensemble parses back with the right combination method") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli19").toString
