@@ -106,5 +106,46 @@ object QueriesCatalog {
       per + "\n"
     })
 
-  val all: Map[String, Q] = Map("q_catalog_stats" -> catalogStats)
+  /** Categorical weighted duals (`profileCategorical` weight path): per
+    * category the (count, weight) masses and the weighted WoE — the
+    * reference carries both sets for categorical columns through
+    * `UpdateBinningInfoReducer` exactly as for numeric. Integer
+    * l_quantity weights keep the sums bit-exact; the missing bin (last)
+    * is present-but-zero on this null-free column in BOTH engines. */
+  private val weightedWoeCat: Q = Q(
+    fn = (s, dir) => {
+      val p = StatsPipeline.profileCategorical(li(s, dir),
+        Seq("l_linestatus"), isPos, weight = col("l_quantity"))("l_linestatus")
+      import s.implicits._
+      val cats = p.binning.binCategory :+ "__missing__"
+      cats.zipWithIndex.map { case (c, i) =>
+        (c, p.binning.binCountPos(i), p.binning.binCountNeg(i),
+          math.rint(p.binning.binWeightedPos(i) * 1e4) / 1e4,
+          math.rint(p.binning.binWeightedNeg(i) * 1e4) / 1e4,
+          math.rint(p.binning.binWeightedWoe(i) * 1e6) / 1e6)
+      }.toDF("category", "cnt_pos", "cnt_neg", "w_pos", "w_neg", "w_woe")
+    },
+    oracle = Some(
+      s"""WITH b AS (
+         |  SELECT l_linestatus AS category,
+         |    CASE WHEN $posCond THEN 1 ELSE 0 END AS pos,
+         |    l_quantity AS w
+         |  FROM lineitem),
+         |bins AS (
+         |  SELECT category, sum(pos)::BIGINT AS cp,
+         |    (count(*) - sum(pos))::BIGINT AS cn,
+         |    sum(CASE WHEN pos = 1 THEN w ELSE 0.0 END) AS wp,
+         |    sum(CASE WHEN pos = 1 THEN 0.0 ELSE w END) AS wn
+         |  FROM b GROUP BY category
+         |  UNION ALL SELECT '__missing__', 0, 0, 0.0, 0.0),
+         |tot AS (SELECT sum(wp) AS swp, sum(wn) AS swn FROM bins)
+         |SELECT category, cp AS cnt_pos, cn AS cnt_neg,
+         |  round(wp, 4) AS w_pos, round(wn, 4) AS w_neg,
+         |  round(ln((wp / swp + 1e-10) / (wn / swn + 1e-10)), 6) AS w_woe
+         |FROM bins, tot
+         |""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "q_catalog_stats" -> catalogStats,
+    "q_weighted_woe_cat" -> weightedWoeCat)
 }
