@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 import graft.catalog.{CatalogIO, DataSpec, NormType}
 import graft.ops.Normalize
 import graft.pipeline.Pipeline
@@ -420,7 +422,10 @@ object Cli {
         // `shifu varselect` (ShifuCLI.java:280-310): re-rank an EXISTING
         // catalog's stats and update finalSelect — no data scan at all
         val catalog0 = CatalogIO.read(opts("catalog"))
-        // reference sub-modes: `varsel -list` / `varsel -reset`
+        val histPath = java.nio.file.Paths.get(
+          opts("catalog") + ".varsel_history")
+        // reference sub-modes: `varsel -list` / `varsel -reset` /
+        // `varsel -recoverauto`
         if (opts.get("list").contains("true"))
           return Seq("selected: " +
             catalog0.filter(_.finalSelect).map(_.columnName).mkString(","))
@@ -428,6 +433,27 @@ object Cli {
           CatalogIO.write(opts("catalog"),
             catalog0.map(_.copy(finalSelect = false)))
           return Seq("selected: (reset)")
+        }
+        if (opts.get("recover").contains("true")) {
+          // `varsel -recoverauto` (VarSelectModelProcessor.java:283-293):
+          // replay the history's VarSelDesc lines — wherever the current
+          // status equals the recorded NEW status, restore the OLD one
+          require(java.nio.file.Files.exists(histPath),
+            s"no varsel history at $histPath to recover from")
+          val descs = java.nio.file.Files.readAllLines(histPath)
+            .asScala.map(_.trim)
+            .filter(l => l.nonEmpty && !l.startsWith("#"))
+            .map(_.split(",")).filter(_.length == 5)
+          val recovered = descs.foldLeft(catalog0) { (cat, f) =>
+            val (name, oldSel, newSel) = (f(1), f(2).toBoolean, f(3).toBoolean)
+            cat.map(p =>
+              if (p.columnName == name && p.finalSelect == newSel)
+                p.copy(finalSelect = oldSel)
+              else p)
+          }
+          CatalogIO.write(opts("catalog"), recovered)
+          return Seq("selected: " +
+            recovered.filter(_.finalSelect).map(_.columnName).mkString(","))
         }
         val catalog = opts.getOrElse("method", "ks") match {
           case "ks"     => Pipeline.varsel(catalog0, topN)
@@ -460,6 +486,24 @@ object Cli {
           case other => throw new IllegalArgumentException(
             s"unknown varsel method '$other' (ks|iv|pareto|itsa|autofilter)")
         }
+        // varsel history (reference VarSelDesc "id,name,old,new,REASON"
+        // lines, VarSelectModelProcessor.java:145-148): every status flip
+        // appends, so `varsel --recover` can replay it back
+        val oldSel = catalog0.map(p => p.columnName -> p.finalSelect).toMap
+        val reason = opts.getOrElse("method", "ks") match {
+          case "iv"         => "IV_TOO_LOW"
+          case "autofilter" => "HIGH_CORRELATED"
+          case _            => "KS_TOO_LOW"
+        }
+        val flips = catalog
+          .filter(p => oldSel(p.columnName) != p.finalSelect)
+          .map(p => s"${p.columnNum},${p.columnName}," +
+            s"${oldSel(p.columnName)},${p.finalSelect},$reason")
+        if (flips.nonEmpty)
+          java.nio.file.Files.writeString(histPath,
+            flips.mkString("", "\n", "\n"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
         CatalogIO.write(opts("catalog"), catalog)
         Seq("selected: " +
           catalog.filter(_.finalSelect).map(_.columnName).mkString(","))

@@ -378,6 +378,26 @@ class CliSpec extends AnyFunSuite {
     assert(after.current === None) // deleted set was current
   }
 
+  test("varsel --recover replays the history file and restores the " +
+    "pre-varsel selection (reference -recoverauto)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli22").toString
+    val cat = s"$tmp/ColumnConfig.json"
+    Cli.run(spark, "stats", base + ("catalog" -> cat)) // selects top-5 (all 4)
+    val before = graft.catalog.CatalogIO.read(cat)
+      .map(p => p.columnName -> p.finalSelect).toMap
+    Cli.run(spark, "varsel", Map("catalog" -> cat, "topn" -> "1"))
+    val narrowed = graft.catalog.CatalogIO.read(cat)
+    assert(narrowed.count(_.finalSelect) === 1)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$cat.varsel_history")))
+    val out = Cli.run(spark, "varsel",
+      Map("catalog" -> cat, "recover" -> "true"))
+    assert(out.head.startsWith("selected: "))
+    val after = graft.catalog.CatalogIO.read(cat)
+      .map(p => p.columnName -> p.finalSelect).toMap
+    assert(after === before, "recover must restore the pre-varsel statuses")
+  }
+
   test("train --algo tensorflow: shells out to the external trainer and " +
     "scores the returned literal model") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli21").toString
