@@ -237,7 +237,15 @@ object Cli {
         val catalog = CatalogIO.read(opts("catalog"))
         val clean = Pipeline.init(df, spec)
         val normed = Pipeline.norm(clean, spec, catalog, normType)
-        normed.write.mode("overwrite").parquet(opts("out"))
+        // `shifu norm -shuffle` (NormalizeModelProcessor.java:82-121
+        // MapReduceShuffle): rebalance the normalized output so no
+        // downstream trainer worker gets a giant part-file — Spark-native
+        // this is a round-robin repartition before the write
+        val out = opts.get("shuffle") match {
+          case Some(n) => normed.repartition(n.toInt)
+          case None    => normed
+        }
+        out.write.mode("overwrite").parquet(opts("out"))
         Seq(s"normalized: ${opts("out")} (${normed.columns.length} columns)")
 
       // `shifu eval -new/-list/-delete/-switch` (EvalModelProcessor

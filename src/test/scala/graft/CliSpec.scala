@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 /** The CLI verb surface drives the full lifecycle on real test data. */
 class CliSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -51,6 +53,16 @@ class CliSpec extends AnyFunSuite {
     val normed = spark.read.parquet(s"$tmp/norm")
     assert(normed.columns.toSet.contains("weight"))
     assert(normed.count() > 0)
+    // --shuffle N rebalances the output into N part-files (reference
+    // `norm -shuffle` MapReduceShuffle semantics)
+    Cli.run(spark, "norm", base +
+      ("catalog" -> s"$tmp/ColumnConfig.json") + ("out" -> s"$tmp/norm3") +
+      ("shuffle" -> "3"))
+    val parts = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$tmp/norm3")).iterator().asScala
+      .count(_.getFileName.toString.startsWith("part-"))
+    assert(parts === 3)
+    assert(spark.read.parquet(s"$tmp/norm3").count() === normed.count())
   }
 
   test("eval: external meta-score sweep reports AUC and writes the report") {
