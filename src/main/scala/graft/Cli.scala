@@ -165,11 +165,15 @@ object Cli {
           // unit payloads into ColumnStats.unitStats)
           val updated = catalog.map { p =>
             if (p.binning.binBoundary.nonEmpty) {
+              // String.valueOf: a NULL unit group is a legal row ("null"
+              // unit label), not a crash; empty result → leave psi unset
+              // rather than persisting 0/0 = NaN into the catalog JSON
               val perUnit = graft.ops.Psi.compute(clean, col(p.columnName),
                   col(unitCol), p.binning.binBoundary)
-                .collect().map(r => (r.get(0).toString, r.getDouble(1)))
-              val mean = perUnit.map(_._2).sum / perUnit.length
-              p.copy(stats = p.stats.copy(psi = Some(mean),
+                .collect().map(r => (String.valueOf(r.get(0)), r.getDouble(1)))
+              if (perUnit.isEmpty) p
+              else p.copy(stats = p.stats.copy(
+                psi = Some(perUnit.map(_._2).sum / perUnit.length),
                 unitStats = perUnit.map { case (u, v) => s"$u|$v" }
                   .sorted.toVector))
             } else p
@@ -303,7 +307,10 @@ object Cli {
           .getOrElse(opts.getOrElse("buckets", "10").toInt)
         val clean = Pipeline.init(evalDf, evalSpec)
         val scoreCol = col(scoreName)
-        val weightCol = evalSpec.weightColumn
+        // frozen-set weights are JEXL expressions (spec semantics); the
+        // --weight FLAG stays a plain column name as before — routing it
+        // through the JEXL lexer would break names like 'my-weight'
+        val weightCol = runSet.flatMap(_.spec.weightColumn)
           .map(graft.expr.Jexl.translate)
           .orElse(opts.get("weight").map(col)).getOrElse(lit(1.0))
         val sweep = graft.eval.Eval.weightedSweep(clean, scoreCol,
@@ -318,9 +325,13 @@ object Cli {
         // `eval -score` (per-row score dump)
         opts.get("confmat").foreach(o =>
           sweep.write.mode("overwrite").parquet(o))
+        // per-row dump carries the set's scoreScale (reference
+        // EvalConfig.scoreScale=1000 multiplies exported scores)
+        val scale = runSet.map(_.scoreScale)
+          .orElse(opts.get("scale").map(_.toLong)).getOrElse(1L)
         opts.get("scoreout").foreach(o =>
           clean.select(monotonically_increasing_id().as("row_id"),
-            scoreCol.as("score"),
+            (scoreCol * lit(scale.toDouble)).as("score"),
             Pipeline.isPos(evalSpec).cast("int").as("tag"))
             .write.mode("overwrite").parquet(o))
         Seq(f"auc: $auc%.6f",
@@ -448,12 +459,17 @@ object Cli {
           // status equals the recorded NEW status, restore the OLD one
           require(java.nio.file.Files.exists(histPath),
             s"no varsel history at $histPath to recover from")
+          // positional parse from both ends (id | name... | old | new |
+          // reason) so a column NAME containing ',' still replays — the
+          // name is everything between the first and last-3 fields
           val descs = java.nio.file.Files.readAllLines(histPath)
             .asScala.map(_.trim)
             .filter(l => l.nonEmpty && !l.startsWith("#"))
-            .map(_.split(",")).filter(_.length == 5)
+            .map(_.split(",", -1)).filter(_.length >= 5)
           val recovered = descs.foldLeft(catalog0) { (cat, f) =>
-            val (name, oldSel, newSel) = (f(1), f(2).toBoolean, f(3).toBoolean)
+            val name = f.slice(1, f.length - 3).mkString(",")
+            val oldSel = f(f.length - 3).toBoolean
+            val newSel = f(f.length - 2).toBoolean
             cat.map(p =>
               if (p.columnName == name && p.finalSelect == newSel)
                 p.copy(finalSelect = oldSel)
@@ -498,6 +514,11 @@ object Cli {
         // lines, VarSelectModelProcessor.java:145-148): every status flip
         // appends, so `varsel --recover` can replay it back
         val oldSel = catalog0.map(p => p.columnName -> p.finalSelect).toMap
+        // REASON tags the varsel method that caused the flip (reference
+        // VarSelReason enum names). Unlike the reference, BOTH directions
+        // are recorded — re-selects too — so --recover can replay the
+        // full history, not just auto-filter drops; for a false→true flip
+        // the tag reads as "the method that re-ranked it in"
         val reason = opts.getOrElse("method", "ks") match {
           case "iv"         => "IV_TOO_LOW"
           case "autofilter" => "HIGH_CORRELATED"

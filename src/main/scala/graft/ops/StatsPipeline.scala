@@ -42,23 +42,27 @@ object StatsPipeline {
       else None
   }
 
+  /** The shared six moment aggregates per column — ONE definition so the
+    * lean and full stats passes can never diverge on the null/miss
+    * convention. */
+  private def momentAggs(c: String): Seq[Column] =
+    Seq(count(col(c)).as(s"${c}__cnt"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__miss"),
+      sum(col(c)).as(s"${c}__sum"),
+      sum(col(c) * col(c)).as(s"${c}__sumsq"),
+      min(col(c)).as(s"${c}__min"),
+      max(col(c)).as(s"${c}__max"))
+  private def decodeMoments(r: org.apache.spark.sql.Row, c: String): NumStats =
+    NumStats(c,
+      r.getAs[Long](s"${c}__cnt"), r.getAs[Long](s"${c}__miss"),
+      r.getAs[Double](s"${c}__sum"), r.getAs[Double](s"${c}__sumsq"),
+      r.getAs[Double](s"${c}__min"), r.getAs[Double](s"${c}__max"))
+
   /** Pass 1: moments for all numeric columns in ONE aggregation. */
   def numericStats(df: DataFrame, cols: Seq[String]): Map[String, NumStats] = {
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}__cnt"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__miss"),
-        sum(col(c)).as(s"${c}__sum"),
-        sum(col(c) * col(c)).as(s"${c}__sumsq"),
-        min(col(c)).as(s"${c}__min"),
-        max(col(c)).as(s"${c}__max"))
-    }
+    val aggs = cols.flatMap(momentAggs)
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.map { c =>
-      c -> NumStats(c,
-        r.getAs[Long](s"${c}__cnt"), r.getAs[Long](s"${c}__miss"),
-        r.getAs[Double](s"${c}__sum"), r.getAs[Double](s"${c}__sumsq"),
-        r.getAs[Double](s"${c}__min"), r.getAs[Double](s"${c}__max"))
-    }.toMap
+    cols.map(c => c -> decodeMoments(r, c)).toMap
   }
 
   /** Pass 1 extended: the FULL ColumnStats field family for all columns,
@@ -69,24 +73,19 @@ object StatsPipeline {
   def fullNumericStats(df: DataFrame, cols: Seq[String],
                        pctAccuracy: Int = 10000): Map[String, FullNumStats] = {
     val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}__cnt"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__miss"),
-        sum(col(c)).as(s"${c}__sum"),
-        sum(col(c) * col(c)).as(s"${c}__sumsq"),
-        min(col(c)).as(s"${c}__min"),
-        max(col(c)).as(s"${c}__max"),
+      momentAggs(c) ++ Seq(
         sum(col(c) * col(c) * col(c)).as(s"${c}__sum3"),
         sum(col(c) * col(c) * col(c) * col(c)).as(s"${c}__sum4"),
-        expr(s"percentile_approx(`$c`, array(0.25D, 0.5D, 0.75D), " +
-          s"$pctAccuracy)").as(s"${c}__pct"),
+        // Column API, not string SQL: hostile column names (backticks,
+        // '|', spaces) never reach a parser here
+        percentile_approx(col(c),
+          array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(pctAccuracy)).as(s"${c}__pct"),
         approx_count_distinct(col(c)).as(s"${c}__dist"))
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     cols.map { c =>
-      val basic = NumStats(c,
-        r.getAs[Long](s"${c}__cnt"), r.getAs[Long](s"${c}__miss"),
-        r.getAs[Double](s"${c}__sum"), r.getAs[Double](s"${c}__sumsq"),
-        r.getAs[Double](s"${c}__min"), r.getAs[Double](s"${c}__max"))
+      val basic = decodeMoments(r, c)
       // arrays come back as mutable.ArraySeq — use the collection root type
       val pct = Option(r.getAs[scala.collection.Seq[Double]](s"${c}__pct"))
         .filter(_.length == 3)

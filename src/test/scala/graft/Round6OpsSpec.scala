@@ -130,6 +130,29 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("exit 3"))
   }
 
+  test("profileNumeric(full=true) survives hostile column names — the " +
+    "percentile/HLL aggs never reach a SQL parser") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    // (a raw '`' in a name is rejected by Spark's own col() attribute
+    // parser everywhere, so it is out of scope for every operator here)
+    val names = Seq("a|b", "don't", "2 fast")
+    val df = (1 to 300).map(_ =>
+      (rnd.nextDouble() * 10, rnd.nextDouble(), rnd.nextGaussian()))
+      .toDF(names: _*)
+      .withColumn("pos", rand(7) > 0.5)
+    val profiles = graft.ops.StatsPipeline.profileNumeric(
+      df, names, col("pos"), full = true)
+    names.foreach { n =>
+      val st = profiles(n).stats
+      assert(st.median.isDefined && st.p25.isDefined && st.p75.isDefined, n)
+      assert(st.skewness.isDefined && st.distinctCount.isDefined, n)
+      assert(st.p25.get <= st.median.get && st.median.get <= st.p75.get, n)
+    }
+  }
+
   test("EvalSetIO round-trips generated eval-set files field-complete") {
     import graft.catalog._
     import org.scalacheck.Gen
