@@ -133,6 +133,14 @@ class CatalogIoSourcesSpec extends AnyFunSuite {
     assert(wage.stats.ks === Some(65.71428571428571))
     assert(wage.binning.binBoundary.head.isNegInfinity)
     assert(wage.binning.binCountNeg === Vector(24L, 2L, 2L, 0L, 0L, 0L))
+    // the reference's own machine-written fields parse field-complete:
+    // median/missingPercentage and the weighted bin masses
+    assert(wage.stats.median === Some(3.5))
+    assert(wage.stats.missingPercentage === 0.025)
+    assert(wage.binning.binWeightedNeg.length ===
+      wage.binning.binCountNeg.length)
+    assert(wage.binning.binWeightedPos.length ===
+      wage.binning.binCountPos.length)
   }
 
   test("delimited read applies missing sentinels and all-string schema") {

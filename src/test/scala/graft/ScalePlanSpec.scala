@@ -121,6 +121,47 @@ class ScalePlanSpec extends AnyFunSuite {
       "bucket cap must suppress the hot fingerprint but keep rare dups")
   }
 
+  test("profileNumeric(full=true) is exactly TWO scans regardless of " +
+    "column count: one wide agg pass + one stacked bin-count pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(37)
+    val cols = (1 to 12).map(i => s"c$i")
+    val df = (1 to 2000).map { _ =>
+      (rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble(),
+        rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble(),
+        rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble(),
+        rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble())
+    }.toDF(cols: _*).withColumn("pos", rand(11) > 0.5)
+    // materialize to parquet so task input metrics count source rows
+    val tmp = java.nio.file.Files.createTempDirectory("graft_twoscan").toString
+    df.write.mode("overwrite").parquet(tmp)
+    val src = spark.read.parquet(tmp)
+    val rowsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null)
+          rowsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val profiles = graft.ops.StatsPipeline.profileNumeric(
+        src, cols, col("pos"), full = true)
+      // listener events are async; the actions have returned, give the
+      // bus a beat to drain
+      Thread.sleep(1000)
+      assert(profiles.size === 12)
+      // exactly TWO source scans — full-stats agg + stacked bin counts.
+      // A per-column implementation would read 12x+ here and O(k) scans
+      // of 100 TB in production
+      assert(rowsRead.get() === 2L * 2000,
+        s"expected 2 scans x 2000 rows, saw ${rowsRead.get()} records read")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("filters and projection push down into the parquet scan") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_push").toString
