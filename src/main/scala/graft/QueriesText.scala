@@ -544,7 +544,40 @@ object QueriesText {
         |FROM documents
         |""".stripMargin))
 
+  // ---- sequence packing (token-budget contiguous fill, sharded) ------------
+
+  /** LLM-training sequence packing: each doc lands in a 512-token pack,
+    * contiguous fill inside a deterministic md5 shard — 16 independent
+    * windows so nothing serializes through one partition at 100 TB (a
+    * global running sum would). pack = (shard, pack_in_shard). The shard
+    * mod 16 equals the 6th md5 hex digit, which the oracle mirrors via
+    * strpos — identical integer on both engines. */
+  private val docPacking: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.text.TextOps.packSequences(
+        docs(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        col("n_tokens"), budget = 512, numShards = 16)
+    },
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(cast(doc_id AS VARCHAR)), 6, 1)) - 1)::BIGINT
+        |      AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens, shard,
+        |  floor((cum - n_tokens) / 512)::BIGINT AS pack_in_shard
+        |FROM c
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "q_doc_packing"    -> docPacking,
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,
     "q_dedup_apply"   -> dedupApply,

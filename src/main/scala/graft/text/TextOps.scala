@@ -478,4 +478,33 @@ object TextOps {
       md5(col("text").cast("binary")).as("fp"),
       md5(trim(regexp_replace(lower(col("text")), " +", " "))
         .cast("binary")).as("fp_norm"))
+
+  /** Sequence packing for LLM training: assign each document to a pack
+    * whose cumulative token budget is `budget`, contiguous-fill within a
+    * deterministic md5 shard ordering. Docs longer than the budget get a
+    * pack of their own (the floor arithmetic does this naturally).
+    *
+    * Scale design: a GLOBAL running sum would serialize 100 TB through
+    * one window partition, so packing runs per md5-derived shard —
+    * `numShards` independent windows, each shard a (budget-bounded)
+    * stream of documents; pack identity is (shard, local pack). Packs
+    * never cross shards, which costs a sliver of tail fill and buys full
+    * parallelism — the standard distributed-packing tradeoff.
+    * One shuffle total (the shard window sort). */
+  def packSequences(docs: DataFrame, tokensCol: Column, budget: Long,
+                    numShards: Int = 32): DataFrame = {
+    val shard = pmod(conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("long"), lit(numShards))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    docs.select(col("doc_id"), tokensCol.cast("long").as("n_tokens"),
+        shard.as("shard"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        // explicit floor: '/' is double division and a bare long cast
+        // would TRUNCATE in Spark but ROUND in DuckDB-style engines
+        floor((col("cum") - col("n_tokens")) / budget).cast("long")
+          .as("pack_in_shard"))
+  }
 }
