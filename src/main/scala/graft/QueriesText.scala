@@ -576,8 +576,31 @@ object QueriesText {
         |FROM c
         |""".stripMargin))
 
+  // ---- unigram logprob quality scoring (perplexity proxy) ------------------
+
+  /** CCNet-style quality proxy: per-doc mean log10 unigram probability
+    * against the corpus' own unigram LM (full vocab here = exact oracle
+    * parity; production path caps + broadcasts the vocab). */
+  private val unigramLp: Q = Q(
+    fn = (s, dir) => graft.text.TextOps.unigramLogprob(
+      docs(s, dir), vocabCap = None),
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents),
+        |tk AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        |vc AS (SELECT t, count(*)::DOUBLE AS c FROM tk GROUP BY t),
+        |tot AS (SELECT sum(c) AS n FROM vc),
+        |lp AS (SELECT t, log10(c / n) AS logp FROM vc, tot)
+        |SELECT doc_id, round(avg(logp), 6) AS avg_logprob,
+        |  count(*) AS n_tokens
+        |FROM tk JOIN lp USING (t)
+        |GROUP BY doc_id
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_doc_packing"    -> docPacking,
+    "q_unigram_logprob" -> unigramLp,
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,
     "q_dedup_apply"   -> dedupApply,

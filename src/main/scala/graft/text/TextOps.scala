@@ -479,6 +479,44 @@ object TextOps {
       md5(trim(regexp_replace(lower(col("text")), " +", " "))
         .cast("binary")).as("fp_norm"))
 
+  /** Unigram log-probability scorer — the perplexity-proxy quality filter
+    * of CCNet-style corpus pipelines (score docs by how "language-like"
+    * their token distribution is; low average logprob → gibberish /
+    * boilerplate). Two passes: corpus unigram counts, then per-doc mean
+    * log10 token probability.
+    *
+    * Scale: `vocabCap` bounds the language model — top-cap tokens by
+    * frequency (deterministic count-then-name order), everything else
+    * scores at the 1/total floor; the capped vocab is a few MB and
+    * broadcast-joins against the token stream, so the scoring pass is
+    * one narrow join + one doc-keyed aggregation. `vocabCap = None`
+    * keeps the exact full vocabulary (test-scale / oracle parity). */
+  def unigramLogprob(docs: DataFrame,
+                     vocabCap: Option[Int] = Some(1 << 20)): DataFrame = {
+    val tk = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val counts = tk.groupBy("t").agg(count(lit(1)).cast("double").as("c"))
+    val total = counts.agg(sum("c")).head().getDouble(0)
+    val vocab = vocabCap match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("t").asc)
+        // rank window is over the VOCAB (≤ distinct tokens), not the
+        // corpus — bounded, and only run when capping
+        counts.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= cap).drop("rnk")
+      case None => counts
+    }
+    val lp = vocab.select(col("t"), log10(col("c") / total).as("logp"))
+    val floorLp = math.log10(1.0 / total)
+    tk.join(graft.ops.PlanHints.gatedBroadcast(lp), Seq("t"), "left")
+      .select(col("doc_id"), coalesce(col("logp"), lit(floorLp)).as("logp"))
+      .groupBy("doc_id")
+      .agg(round(avg("logp"), 6).as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Sequence packing for LLM training: assign each document to a pack
     * whose cumulative token budget is `budget`, contiguous-fill within a
     * deterministic md5 shard ordering. Docs longer than the budget get a

@@ -153,6 +153,27 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("unigramLogprob: capped vocab floors OOV tokens and ranks " +
+    "repetitive common text above rare-token gibberish") {
+    val s = spark
+    import s.implicits._
+    val common = Seq.fill(30)("the cat sat on the mat").mkString(" ")
+    val rare = (1 to 180).map(i => s"zq$i").mkString(" ")
+    val df = Seq((1L, common), (2L, rare)).toDF("doc_id", "text")
+    val full = graft.text.TextOps.unigramLogprob(df, vocabCap = None)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // common tokens have high corpus probability -> higher avg logprob
+    assert(full(1L) > full(2L))
+    // cap of 6 keeps exactly the common vocab; every rare token floors
+    val capped = graft.text.TextOps.unigramLogprob(df, vocabCap = Some(6))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(capped(1L) === full(1L), "in-vocab doc unchanged by the cap")
+    val nTok = 30 * 6 + 180
+    val floor = math.log10(1.0 / nTok)
+    assert(math.abs(capped(2L) - math.rint(floor * 1e6) / 1e6) < 1e-9,
+      s"all-OOV doc must sit exactly at the 1/total floor, got ${capped(2L)}")
+  }
+
   test("EvalSetIO round-trips generated eval-set files field-complete") {
     import graft.catalog._
     import org.scalacheck.Gen
