@@ -598,9 +598,33 @@ object QueriesText {
         |GROUP BY doc_id
         |""".stripMargin))
 
+  // ---- corpus mixture weights ----------------------------------------------
+
+  /** Per-source token shares + the resampling weight toward a uniform
+    * mixture — the pre-sampling bookkeeping of a multi-source run. */
+  private val mixture: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.text.TextOps.mixtureWeights(docs(s, dir),
+        size(split(col("text"), " ")).cast("long"))
+    },
+    oracle = Some(
+      """WITH per AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_tokens)::DOUBLE AS n, count(*)::DOUBLE AS k
+        |        FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  round(n_tokens / n, 6) AS token_share,
+        |  round((1.0 / k) * n / n_tokens, 6) AS resample_weight
+        |FROM per, tot
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_doc_packing"    -> docPacking,
     "q_unigram_logprob" -> unigramLp,
+    "q_mixture_weights" -> mixture,
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,
     "q_dedup_apply"   -> dedupApply,

@@ -479,6 +479,31 @@ object TextOps {
       md5(trim(regexp_replace(lower(col("text")), " +", " "))
         .cast("binary")).as("fp_norm"))
 
+  /** Corpus mixture weights: per-source token shares and the resampling
+    * weight that moves the mixture to `target` (uniform when None) — the
+    * bookkeeping every multi-source training run does before sampling.
+    * One groupBy over the corpus; the share/weight window runs over the
+    * SOURCE table (bounded by the number of sources, not rows). */
+  def mixtureWeights(docs: DataFrame, tokensCol: Column,
+                     target: Option[Map[String, Double]] = None): DataFrame = {
+    val per = docs.select(col("source"), tokensCol.cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val targetShare = target match {
+      case Some(m) =>
+        m.foldLeft(lit(0.0)) { case (acc, (s, sh)) =>
+          when(col("source") === s, sh).otherwise(acc) }
+      case None => lit(1.0) / count(lit(1)).over(all)
+    }
+    per
+      .withColumn("token_share",
+        round(col("n_tokens") / sum("n_tokens").over(all), 6))
+      .withColumn("resample_weight",
+        round(targetShare * sum("n_tokens").over(all) / col("n_tokens"), 6))
+  }
+
   /** Unigram log-probability scorer — the perplexity-proxy quality filter
     * of CCNet-style corpus pipelines (score docs by how "language-like"
     * their token distribution is; low average logprob → gibberish /
