@@ -621,10 +621,41 @@ object QueriesText {
         |FROM per, tot
         |""".stripMargin))
 
+  // ---- corpus filter (keep/drop decision with reason) ----------------------
+
+  /** Gopher-style keep/drop per doc, first failing rule as the reason —
+    * the decision stage over the row-local quality signals. */
+  private val corpusFilter: Q = Q(
+    fn = (s, dir) => TextOps.corpusFilter(docs(s, dir)),
+    oracle = Some {
+      val stopList = TextOps.enStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    length(regexp_replace(text, ' ', '', 'g'))::DOUBLE
+         |      / len(string_split(text, ' ')) AS mean_tok_len,
+         |    round(len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopList)))::DOUBLE
+         |      / len(string_split(text, ' ')), 6) AS stopword_ratio
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_tokens < 30 THEN 'too_short'
+         |         WHEN mean_tok_len > 5.0 THEN 'long_tokens'
+         |         WHEN stopword_ratio < 0.03 THEN 'low_stopwords'
+         |         ELSE 'ok' END AS reason
+         |  FROM q)
+         |SELECT doc_id, reason,
+         |  CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS keep
+         |FROM r
+         |""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "q_doc_packing"    -> docPacking,
     "q_unigram_logprob" -> unigramLp,
     "q_mixture_weights" -> mixture,
+    "q_corpus_filter"  -> corpusFilter,
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,
     "q_dedup_apply"   -> dedupApply,

@@ -479,6 +479,23 @@ object TextOps {
       md5(trim(regexp_replace(lower(col("text")), " +", " "))
         .cast("binary")).as("fp_norm"))
 
+  /** The shipped corpus FILTER: Gopher-style keep/drop decision per doc
+    * with the FIRST failing rule as the reason (priority order mirrors
+    * the rule list) — the decision stage that composes the row-local
+    * quality signals into an actual corpus cut. Pure narrow map. */
+  def corpusFilter(docs: DataFrame,
+                   minTokens: Long = 30,
+                   maxMeanTokLen: Double = 5.0,
+                   minStopwordRatio: Double = 0.03): DataFrame = {
+    val q = quality(docs)
+    val reason = when(col("n_tokens") < minTokens, "too_short")
+      .when(col("mean_tok_len") > maxMeanTokLen, "long_tokens")
+      .when(col("stopword_ratio") < minStopwordRatio, "low_stopwords")
+      .otherwise("ok")
+    q.select(col("doc_id"), reason.as("reason"),
+      (reason === "ok").cast("int").as("keep"))
+  }
+
   /** Corpus mixture weights: per-source token shares and the resampling
     * weight that moves the mixture to `target` (uniform when None) — the
     * bookkeeping every multi-source training run does before sampling.
