@@ -542,12 +542,14 @@ object TextOps {
     val total = counts.agg(sum("c")).head().getDouble(0)
     val vocab = vocabCap match {
       case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("c").desc, col("t").asc)
-        // rank window is over the VOCAB (≤ distinct tokens), not the
-        // corpus — bounded, and only run when capping
-        counts.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= cap).drop("rnk")
+        // Bounded distributed top-k: ORDER BY + LIMIT plans as
+        // TakeOrderedAndProject (each partition keeps ≤ cap candidates,
+        // driver merges bounded queues) — the rows moved are
+        // corpus-independent. A row_number() window here would have no
+        // partitionBy and sort the ENTIRE distinct-token table (10⁸–10⁹
+        // rows web-scale) through one task. Ordering (c desc, t asc)
+        // makes the cap cut deterministic.
+        counts.orderBy(col("c").desc, col("t").asc).limit(cap)
       case None => counts
     }
     val lp = vocab.select(col("t"), log10(col("c") / total).as("logp"))

@@ -172,6 +172,11 @@ class Round6OpsSpec extends AnyFunSuite {
     val floor = math.log10(1.0 / nTok)
     assert(math.abs(capped(2L) - math.rint(floor * 1e6) / 1e6) < 1e-9,
       s"all-OOV doc must sit exactly at the 1/total floor, got ${capped(2L)}")
+    // cap ≥ vocab ⇒ the bounded top-k keeps the exact vocabulary: capped
+    // scoring must equal the uncapped path bit-for-bit on every doc
+    val wide = graft.text.TextOps.unigramLogprob(df, vocabCap = Some(10000))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wide === full, "cap ≥ |vocab| must reproduce exact scoring")
   }
 
   test("EvalSetIO round-trips generated eval-set files field-complete") {
