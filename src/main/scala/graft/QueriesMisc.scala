@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Joins, set ops, sorts/top-k, repartition, time/string utilities,
-  * multimodal stub (SURVEY §2.1, §2.5, §2.6, §2.8, §2.9). */
+  * multimodal image decode (SURVEY §2.1, §2.5, §2.6, §2.8, §2.9). */
 object QueriesMisc {
   import QueryUtil._
 
@@ -178,36 +178,33 @@ object QueriesMisc {
         |FROM t
         |""".stripMargin))
 
-  // ---- multimodal: opaque binary columns + decode-stub (mapPartitions) -----
+  // ---- multimodal: opaque binary columns + REAL image decode --------------
 
   private val multimodal: Q = Q(
     fn = (s, dir) => {
       val spark = s
       import spark.implicits._
-      // treat the utf-8 bytes of `text` as an opaque media payload with
-      // typed metadata — the real pipeline plumbing (binary column,
-      // partition-wise batch decode via mapPartitions, typed output
-      // schema); the actual media decoder is STUBBED with a deterministic
-      // byte-sum "feature" since no image/audio libs exist here.
+      // real multimodal column: each doc carries an opaque binary payload
+      // — a deterministic solid-gray PNG whose dims/level derive from
+      // doc_id — decoded back by the production javax.imageio path
+      // (ImageOps.decodeImages, JDK-only). PNG is lossless, so the oracle
+      // can recompute the decoded dims/mean-luma arithmetically.
       val payloads = docs(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"),
-          col("source"))
-        .as[(Long, Array[Byte], String)]
-      payloads.mapPartitions { it =>
-        it.map { case (id, bytes, source) =>
-          val nBytes = bytes.length.toLong
-          // ??? real decode (e.g. image resize / audio frames) goes here;
-          // deterministic stub: sum of the first 16 byte values
-          val fakeFeature = bytes.take(16).map(_.toLong & 0xff).sum
-          (id, source, nBytes, fakeFeature)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 4 + (id % 13).toInt
+            val h = 4 + (id % 7).toInt
+            (id, graft.media.ImageOps.syntheticPng(w, h, (id % 256).toInt))
+          }
         }
-      }.toDF("doc_id", "source", "n_bytes", "feat")
+        .toDF("doc_id", "payload")
+      graft.media.ImageOps.decodeImages(payloads)
     },
     oracle = Some(
-      """SELECT doc_id, source, length(text)::BIGINT AS n_bytes,
-        |  list_sum(list_transform(
-        |    generate_series(1, least(16, length(text))),
-        |    i -> ascii(substr(text, i, 1))))::BIGINT AS feat
+      """SELECT doc_id, 4 + doc_id % 13 AS width, 4 + doc_id % 7 AS height,
+        |  (doc_id % 256)::DOUBLE AS mean_luma, TRUE AS decode_ok
         |FROM documents
         |""".stripMargin))
 
