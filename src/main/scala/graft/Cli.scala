@@ -36,8 +36,8 @@ import graft.pipeline.Pipeline
   * graft.Cli encode --data ... --catalog ... [--depth 4] [--out dir]
   * graft.Cli combo  --data ... --catalog ... [--algos lr,dt] [--out dir]
   * graft.Cli test   --data ... --filter 'e1;e2' [--n 100]  # filter dry-run
-  * graft.Cli export ... [--type pmml|bagging|baggingpmml|columnstats|woemapping]
-  * graft.Cli eval   ... [--confmat dir] [--scoreout dir]
+  * graft.Cli export ... [--type pmml|bagging|baggingpmml|columnstats|woemapping|corr]
+  * graft.Cli eval   ... [--confmat dir] [--scoreout dir] [--norm dir]
   * }}}
   *
   * `run` = init(autotype) → stats → varsel → norm → train → eval, printing
@@ -57,6 +57,14 @@ object Cli {
         s"expected '--flag value' pairs, got '${bad.mkString(" ")}'")
     }.toMap
   }
+
+  /** Backtick-quote a flag-sourced plain column name for the JEXL path
+    * (idempotent: already-quoted input passes through). Names containing a
+    * raw backtick are out of scope engine-wide (Spark's attribute parser
+    * rejects them — see Queries.scala parity rules). */
+  private def quoteWeightFlag(w: String): String =
+    if (w.startsWith("`") && w.endsWith("`") && w.length >= 2) w
+    else s"`$w`"
 
   private def normTypeOf(s: String): NormType = s.toLowerCase match {
     case "zscale"    => NormType.ZScale
@@ -78,9 +86,14 @@ object Cli {
         targetColumn = opts.getOrElse("target", "target"),
         posTags = opts.getOrElse("pos", "1").split(",").toSet,
         negTags = opts.getOrElse("neg", "0").split(",").toSet,
-        weightColumn = opts.get("weight"),
-        filterExpressions =
-          opts.get("filter").map(_.split(";").toSeq).getOrElse(Nil))
+        weightColumn = opts.get("weight").map(quoteWeightFlag),
+        // same --filtersep-aware split as the main spec builder below — a
+        // hard-coded ';' here silently mis-split filters containing a
+        // literal ';' exactly when written via `new`
+        filterExpressions = opts.get("filter")
+          .map(_.split(java.util.regex.Pattern.quote(
+            opts.getOrElse("filtersep", ";"))).toSeq)
+          .getOrElse(Nil))
       graft.catalog.SpecIO.write(opts("out"), starter)
       return Seq(s"spec: ${opts("out")}")
     }
@@ -101,7 +114,14 @@ object Cli {
       targetColumn = fromEither("target", identity, _.targetColumn),
       posTags = fromEither("pos", _.split(",").toSet, _.posTags),
       negTags = fromEither("neg", _.split(",").toSet, _.negTags),
-      weightColumn = opts.get("weight").orElse(fileSpec.flatMap(_.weightColumn)),
+      // spec.weightColumn semantics are JEXL (reference weightColumnName /
+      // NormalizeUDF), but the --weight FLAG is a plain column name —
+      // backtick-escape it at the flag boundary so it stays a column
+      // lookup through every JEXL consumer (stats --rebin, norm, frozen
+      // eval sets), even for names like 'my-weight' that would otherwise
+      // lex as arithmetic
+      weightColumn = opts.get("weight").map(quoteWeightFlag)
+        .orElse(fileSpec.flatMap(_.weightColumn)),
       // --filter splits on --filtersep (default ';', the reference's
       // convention); a JEXL expression that needs a literal ';' passes
       // e.g. --filtersep '@@' --filter "a == 'x;y' @@ b > 3"
@@ -285,6 +305,29 @@ object Cli {
         Seq(s"evals: ${next.sets.map(_.name).mkString(",")} " +
           s"(current: ${next.current.getOrElse("-")})")
 
+      case "eval" if opts.contains("norm") =>
+        // `shifu eval -norm` (EvalModelProcessor.java:357-380): normalize
+        // the EVAL data set against the TRAIN-frozen catalog — identical
+        // Pipeline.norm plan to the norm verb, but data + dataSet spec
+        // come from the named (--run) or current eval set, falling back
+        // to flag-driven --data/--target. The catalog is read-only here:
+        // eval-side normalization must never refit stats, or train/serve
+        // skew sneaks in through the normalizer.
+        val sets = opts.get("sets").map(graft.catalog.EvalSetIO.readOrEmpty)
+        val normSet = opts.get("run")
+          .map(n => sets.flatMap(_.find(n)).getOrElse(
+            throw new IllegalArgumentException(s"no eval set '$n'")))
+          .orElse(sets.flatMap(s0 => s0.current.flatMap(s0.find)))
+        val evalDf = normSet.map(s0 => spark.read.parquet(s0.dataPath))
+          .getOrElse(df)
+        val evalSpec = normSet.map(_.spec).getOrElse(spec)
+        val catalog = CatalogIO.read(opts("catalog"))
+        val normed = Pipeline.norm(
+          Pipeline.init(evalDf, evalSpec), evalSpec, catalog, normType)
+        normed.write.mode("overwrite").parquet(opts("norm"))
+        Seq(s"evalnorm: ${opts("norm")} (${normed.columns.length} columns" +
+          normSet.map(s0 => s", set: ${s0.name}").getOrElse("") + ")")
+
       case "eval" =>
         // external-score eval (`shifu eval` with a metaColumn score):
         // distributed sweep -> ROC AUC + gain chart, optional HTML report.
@@ -307,9 +350,10 @@ object Cli {
           .getOrElse(opts.getOrElse("buckets", "10").toInt)
         val clean = Pipeline.init(evalDf, evalSpec)
         val scoreCol = col(scoreName)
-        // frozen-set weights are JEXL expressions (spec semantics); the
-        // --weight FLAG stays a plain column name as before — routing it
-        // through the JEXL lexer would break names like 'my-weight'
+        // frozen-set weights are JEXL expressions (spec semantics) —
+        // flag-sourced plain names were backtick-escaped at freeze time
+        // (quoteWeightFlag), so 'my-weight' survives translation; a
+        // --weight FLAG given directly here stays a plain column lookup
         val weightCol = runSet.flatMap(_.spec.weightColumn)
           .map(graft.expr.Jexl.translate)
           .orElse(opts.get("weight").map(col)).getOrElse(lit(1.0))
@@ -380,6 +424,45 @@ object Cli {
           .coalesce(1).write.mode("overwrite").parquet(opts("out"))
         Seq(s"woemapping: ${opts("out")} (${rows.length} rows)")
 
+      case "export" if opts.get("type").contains("corr") =>
+        // `shifu export -t corr` (ExportModelProcessor.java:82,481-530 +
+        // VarCorrInfo:642-668): one CSV line per variable pair —
+        // `left,right,corr,leftMetric,rightMetric`, names ordered
+        // left < right, deduped, sorted; the per-column metric defaults
+        // to IV (--metric ks selects KS) and comes from the catalog's
+        // persisted stats. The reference replays the `stats -c` CSV from
+        // disk; here the matrix is recomputed in the same one-scan
+        // gramian/stack plan `stats --corr` uses, so the verb has no
+        // intermediate-file dependency. The pair list is k²/2 for k
+        // catalog columns (hundreds) — bounded driver math, same class
+        // as the gramian result itself.
+        val catalog = CatalogIO.read(opts("catalog"))
+        val metricOf: graft.catalog.ColumnProfile => Double =
+          opts.getOrElse("metric", "iv") match {
+            case "iv" => _.stats.iv.getOrElse(Double.NaN)
+            case "ks" => _.stats.ks.getOrElse(Double.NaN)
+            case other => throw new IllegalArgumentException(
+              s"unknown corr metric '$other' (iv|ks)")
+          }
+        val metricByName = catalog.map(p => p.columnName -> metricOf(p)).toMap
+        val numCols = catalog
+          .filter(_.kind == graft.catalog.ColumnKind.Numeric)
+          .map(_.columnName)
+        val clean = Pipeline.init(df, spec)
+        val lines = graft.ops.Correlation.pearsonPairs(clean, numCols)
+          .collect()
+          .map { r =>
+            val (a, b) = (r.getString(0), r.getString(1))
+            if (a.compareTo(b) < 0) (a, b, r.getDouble(2))
+            else (b, a, r.getDouble(2))
+          }
+          .distinct.sortBy(t => (t._1, t._2))
+          .map { case (l, rt, c) =>
+            s"$l,$rt,$c,${metricByName(l)},${metricByName(rt)}" }
+        java.nio.file.Files.write(java.nio.file.Paths.get(opts("out")),
+          lines.toSeq.asJava)
+        Seq(s"corr: ${opts("out")} (${lines.length} pairs)")
+
       case "export" =>
         // --algo picks the PMML family: lr → RegressionModel (default),
         // nn → NeuralNetwork, dt → TreeModel (reference
@@ -431,7 +514,7 @@ object Cli {
           })
           case other => throw new IllegalArgumentException(
             s"unknown export type '$other' " +
-              "(pmml|bagging|baggingpmml|columnstats|woemapping)")
+              "(pmml|bagging|baggingpmml|columnstats|woemapping|corr)")
         }
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(opts("out")), out)
@@ -459,13 +542,25 @@ object Cli {
           // status equals the recorded NEW status, restore the OLD one
           require(java.nio.file.Files.exists(histPath),
             s"no varsel history at $histPath to recover from")
+          // replay ONLY the most recent varsel invocation — the reference
+          // recoverauto undoes the LATEST pass, not the accumulated
+          // multi-run history. Runs are delimited by '# run' marker
+          // lines; a legacy file with no marker is one run. The consumed
+          // block is truncated away after a successful recover, so
+          // consecutive recovers pop runs stack-wise instead of replaying
+          // stale flips from older runs twice.
+          val all = java.nio.file.Files.readAllLines(histPath)
+            .asScala.toVector
+          val lastSep = all.lastIndexWhere(_.startsWith("# run"))
+          val (remain, replay) = all.splitAt(math.max(lastSep, 0))
           // positional parse from both ends (id | name... | old | new |
           // reason) so a column NAME containing ',' still replays — the
           // name is everything between the first and last-3 fields
-          val descs = java.nio.file.Files.readAllLines(histPath)
-            .asScala.map(_.trim)
+          val descs = replay.map(_.trim)
             .filter(l => l.nonEmpty && !l.startsWith("#"))
             .map(_.split(",", -1)).filter(_.length >= 5)
+          require(descs.nonEmpty,
+            s"no flips to recover in the latest run at $histPath")
           val recovered = descs.foldLeft(catalog0) { (cat, f) =>
             val name = f.slice(1, f.length - 3).mkString(",")
             val oldSel = f(f.length - 3).toBoolean
@@ -476,6 +571,7 @@ object Cli {
               else p)
           }
           CatalogIO.write(opts("catalog"), recovered)
+          java.nio.file.Files.write(histPath, remain.asJava)
           return Seq("selected: " +
             recovered.filter(_.finalSelect).map(_.columnName).mkString(","))
         }
@@ -528,9 +624,11 @@ object Cli {
           .filter(p => oldSel(p.columnName) != p.finalSelect)
           .map(p => s"${p.columnNum},${p.columnName}," +
             s"${oldSel(p.columnName)},${p.finalSelect},$reason")
+        // '# run' delimits this invocation's block so --recover can undo
+        // exactly one run (and truncate it) instead of the whole file
         if (flips.nonEmpty)
           java.nio.file.Files.writeString(histPath,
-            flips.mkString("", "\n", "\n"),
+            flips.mkString("# run\n", "\n", "\n"),
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.APPEND)
         CatalogIO.write(opts("catalog"), catalog)

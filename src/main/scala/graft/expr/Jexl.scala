@@ -41,6 +41,14 @@ object Jexl {
   private case class Num(v: Double)    extends Tok
   private case class Str(v: String)    extends Tok
   private case class Ident(v: String)  extends Tok
+  /** Backtick-quoted identifier (Spark's own quoting convention): always a
+    * column reference, never a keyword/operator — lets names with JEXL
+    * metacharacters ('-', ' ', '|', …) pass through the expression path.
+    * The CLI backtick-escapes flag-sourced plain column names (--weight)
+    * before freezing them into specs/eval sets, so a name like
+    * 'my-weight' survives the JEXL round-trip instead of lexing as
+    * `my minus weight`. */
+  private case class QIdent(v: String) extends Tok
   private case class Op(v: String)     extends Tok
   private case object End              extends Tok
 
@@ -124,6 +132,7 @@ object Jexl {
       case Num(v)   => if (v == v.toLong.toDouble) lit(v.toLong) else lit(v)
       case Str(v)   => lit(v)
       case Op("(")  => val c = parseOr(); expect(")"); c
+      case QIdent(v) => col(v)
       case Ident(v) => v.toLowerCase match {
         case "true"  => lit(true)
         case "false" => lit(false)
@@ -151,6 +160,11 @@ object Jexl {
         while (i < n && s.charAt(i) != q) i += 1
         if (i >= n) throw ParseError(s"unterminated string in: $s")
         out += Str(s.substring(start, i)); i += 1
+      } else if (c == '`') {
+        i += 1; val start = i
+        while (i < n && s.charAt(i) != '`') i += 1
+        if (i >= n) throw ParseError(s"unterminated backtick name in: $s")
+        out += QIdent(s.substring(start, i)); i += 1
       } else if (c.isLetter || c == '_') {
         val start = i
         while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1

@@ -456,4 +456,96 @@ class CliSpec extends AnyFunSuite {
     assert(g.trees.length === 3 && g.method === "sum")
     assert(g.weights.head === 1.0)
   }
+
+  test("export -t corr: name-ordered, sorted pair CSV carrying the " +
+    "catalog's IV metric (reference ExportModelProcessor corr)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli23").toString
+    val cat = s"$tmp/ColumnConfig.json"
+    Cli.run(spark, "stats", base + ("catalog" -> cat))
+    val out = Cli.run(spark, "export", base + ("type" -> "corr") +
+      ("catalog" -> cat) + ("out" -> s"$tmp/corr.csv"))
+    assert(out.head === s"corr: $tmp/corr.csv (6 pairs)") // C(4,2)
+    val fields = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$tmp/corr.csv"))
+      .asScala.toVector.map(_.split(",", -1))
+    assert(fields.forall(_.length === 5))
+    assert(fields.forall(f => f(0) < f(1)), "pair names ordered left<right")
+    val keys = fields.map(f => (f(0), f(1)))
+    assert(keys === keys.sorted && keys.distinct === keys)
+    assert(fields.forall(f => math.abs(f(2).toDouble) <= 1.0))
+    // the metric columns are the catalog's persisted IV, per side
+    val iv = graft.catalog.CatalogIO.read(cat)
+      .map(p => p.columnName -> p.stats.iv.getOrElse(Double.NaN)).toMap
+    assert(fields.forall(f => f(3).toDouble === iv(f(0)) &&
+      f(4).toDouble === iv(f(1))))
+  }
+
+  test("eval --norm: train-frozen normalization of the named eval set " +
+    "matches the norm verb bit-for-bit (reference eval -norm)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli24").toString
+    val cat = s"$tmp/ColumnConfig.json"
+    Cli.run(spark, "stats", base + ("catalog" -> cat))
+    Cli.run(spark, "eval", base + ("sets" -> s"$tmp/EvalSets.json") +
+      ("new" -> "e1") + ("score" -> "l_discount"))
+    val out = Cli.run(spark, "eval", base +
+      ("sets" -> s"$tmp/EvalSets.json") + ("run" -> "e1") +
+      ("catalog" -> cat) + ("norm" -> s"$tmp/enorm"))
+    assert(out.head.startsWith("evalnorm: ") && out.head.contains("set: e1"))
+    val evalNormed = spark.read.parquet(s"$tmp/enorm")
+    Cli.run(spark, "norm", base + ("catalog" -> cat) +
+      ("out" -> s"$tmp/tnorm"))
+    val trainNormed = spark.read.parquet(s"$tmp/tnorm")
+    assert(evalNormed.columns.sorted === trainNormed.columns.sorted)
+    // same data + same frozen catalog ⇒ identical normalized rows: the
+    // eval path must not refit anything
+    assert(evalNormed.exceptAll(trainNormed).isEmpty &&
+      trainNormed.exceptAll(evalNormed).isEmpty)
+  }
+
+  test("flag-sourced --weight with a JEXL-hostile name ('my-weight') " +
+    "survives eval-set freezing and eval --run") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli25").toString
+    spark.read.parquet(data)
+      .withColumn("my-weight", org.apache.spark.sql.functions.col("l_quantity"))
+      .write.parquet(s"$tmp/wdata")
+    Cli.run(spark, "eval", base + ("data" -> s"$tmp/wdata") +
+      ("sets" -> s"$tmp/EvalSets.json") + ("new" -> "w1") +
+      ("score" -> "l_discount") + ("weight" -> "my-weight"))
+    // before the backtick escape this threw at translate/analysis time
+    // (the frozen spec's 'my-weight' lexed as `my - weight`)
+    val out = Cli.run(spark, "eval", base + ("data" -> s"$tmp/wdata") +
+      ("sets" -> s"$tmp/EvalSets.json") + ("run" -> "w1"))
+    val auc = out.find(_.startsWith("auc: ")).get.drop(5).toDouble
+    assert(auc > 0.0 && auc < 1.0)
+  }
+
+  test("varsel --recover pops only the LATEST run and truncates it; " +
+    "consecutive recovers unwind run-by-run") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli26").toString
+    val cat = s"$tmp/ColumnConfig.json"
+    Cli.run(spark, "stats", base + ("catalog" -> cat)) // all 4 selected
+    Cli.run(spark, "varsel", Map("catalog" -> cat, "topn" -> "2")) // run A
+    Cli.run(spark, "varsel", Map("catalog" -> cat, "topn" -> "1")) // run B
+    def nSel = graft.catalog.CatalogIO.read(cat).count(_.finalSelect)
+    assert(nSel === 1)
+    Cli.run(spark, "varsel", Map("catalog" -> cat, "recover" -> "true"))
+    assert(nSel === 2, "first recover undoes run B only")
+    Cli.run(spark, "varsel", Map("catalog" -> cat, "recover" -> "true"))
+    assert(nSel === 4, "second recover undoes run A")
+    // history fully consumed — a third recover has nothing to replay
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, "varsel", Map("catalog" -> cat, "recover" -> "true"))
+    }
+  }
+
+  test("new verb honors --filtersep when writing the starter spec") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli27").toString
+    Cli.run(spark, "new", Map("out" -> s"$tmp/ModelConfig.json",
+      "filtersep" -> "@@",
+      "filter" -> "l_shipmode == 'a;b' @@ l_quantity > 3"))
+    val spec = graft.catalog.SpecIO.read(s"$tmp/ModelConfig.json")
+    assert(spec.filterExpressions.length === 2)
+    assert(spec.filterExpressions.head.contains("'a;b'"),
+      "a literal ';' inside a filter must not split the expression")
+  }
 }

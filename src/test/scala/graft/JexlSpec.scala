@@ -38,6 +38,22 @@ class JexlSpec extends AnyFunSuite {
     assert(got === Set(1, 4))
   }
 
+  test("backtick-quoted identifier is a single column ref, never " +
+    "arithmetic or a keyword") {
+    val hostile = rows.withColumn("my-weight", col("qty") * 2)
+      .withColumn("true", col("qty") + 1)
+    // unquoted 'my-weight' would lex as `my - weight` (two unknown cols)
+    val got = hostile.select(Jexl.translate("`my-weight` + 1").as("v"))
+      .collect().map(_.getDouble(0)).toSet
+    assert(got === Set(21.0, 101.0, 61.0, 11.0))
+    // a backticked keyword is still a column lookup
+    val kw = hostile.select(Jexl.translate("`true`").as("v"))
+      .collect().map(_.getDouble(0)).toSet
+    assert(kw === Set(11.0, 51.0, 31.0, 6.0))
+    // unterminated quote fails loudly
+    intercept[Jexl.ParseError](Jexl.translate("`my-weight + 1"))
+  }
+
   test("null equality follows JEXL semantics (DataPurifierTest patterns)") {
     import spark.implicits._
     val d = Seq((1, Some("M")), (2, Some("B")), (3, None))
