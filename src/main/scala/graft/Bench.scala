@@ -1,9 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def loadavgNow(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Refuse to measure on a loaded box: rounds 4-6 each produced one
+    // contaminated final artifact that needed judge adjudication. Check
+    // BEFORE building the session (our own warm-up inflates 1-min load),
+    // wait up to ~5 min for a quiet window; if it never comes, run anyway
+    // but stamp "contaminated":true so the artifact self-discards.
+    val loadLimit =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "8.0").toDouble
+    var waits = 0
+    while (loadavgNow() > loadLimit && waits < 10) {
+      System.err.println(
+        f"WARN loadavg ${loadavgNow()}%.2f > $loadLimit%.1f — " +
+          "sleeping 30s for a quiet window")
+      Thread.sleep(30000); waits += 1
+    }
+    val startedLoaded = loadavgNow() > loadLimit
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -82,8 +102,15 @@ object Bench {
     val total = results.map(_._2).sum
     val sfName = sfDir.split("/").filter(_.nonEmpty).lastOption
       .getOrElse(sfDir) // basename only: every byte of this line counts
+    // contaminated = the box was loaded when we gave up waiting, OR the
+    // 1-min load at either stamp exceeds the limit + our own ~3 of
+    // steady-state self-load — either way the numbers are not trustworthy
+    val selfLoad = 3.0
+    val contaminated = startedLoaded ||
+      Seq(load0, load1).exists(l =>
+        try l.toDouble > loadLimit + selfLoad catch { case _: Throwable => false })
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"top5_sec":$top5,"runs_per_query":2,"loadavg":["$load0","$load1"],"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"top5_sec":$top5,"runs_per_query":2,"loadavg":["$load0","$load1"],"contaminated":$contaminated,"sf":"$sfName"}"""
     // full-precision per-query detail — committed artifact, not tail-parsed
     val detail = results.map { case (k, v, r1, r2) =>
       s"""{"query":"$k","sec":${f(v)},"r1":${f(r1)},"r2":${f(r2)}}"""

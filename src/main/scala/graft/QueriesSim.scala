@@ -136,10 +136,111 @@ object QueriesSim {
          |""".stripMargin
     })
 
+  /** ANN quality contract, part 1: recall@3 of the LSH index against the
+    * exact cosine top-3 ground truth, as ONE cross-engine number — the
+    * hyperplanes are mirrored into SQL, so DuckDB recomputes the same
+    * hit count. Emitted as integer numerator/denominator (bit-exact)
+    * plus the rounded ratio, so the ANN family's QUALITY (not just its
+    * output shape) is regression-guarded. */
+  private val annRecallLsh: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val exact = Similarity.cosineTopK(emb, k = 3)
+        .select(col("vec_id"), col("nb_id"))
+      val nHits = Similarity.annTopK(emb, k = 3)
+        .select(col("vec_id"), col("nb_id"))
+        .join(exact, Seq("vec_id", "nb_id"), "left_semi").count()
+      val denom = 3L * emb.count()
+      Seq(("lsh", nHits, denom)).toDF("method", "n_hits", "n_expected")
+        .withColumn("recall_r",
+          round(col("n_hits") / col("n_expected"), 6))
+    },
+    oracle = Some {
+      val nt = Similarity.NumTables
+      val bt = Similarity.BitsPerTable
+      val ps = Similarity.planes(nt * bt, 64)
+      val tableSelects = (0 until nt).map { t =>
+        val sigExpr = (0 until bt).map { b =>
+          val lits = ps(t * bt + b).mkString("[", ", ", "]::DOUBLE[]")
+          s"""CASE WHEN list_sum(list_transform(list_zip(e, $lits),
+             |  pr -> pr[1] * pr[2])) >= 0 THEN ${1 << b} ELSE 0 END""".stripMargin
+        }.mkString("\n + ")
+        s"SELECT vec_id, $t AS tbl, ($sigExpr) AS sig FROM v"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $vCte,
+         |sg AS (
+         |$tableSelects),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nb_id
+         |  FROM sg a JOIN sg b
+         |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |lp AS (SELECT c.vec_id, c.nb_id,
+         |  list_sum(list_transform(list_zip(va.e, vb.e), pr -> pr[1] * pr[2]))
+         |    / (va.norm * vb.norm) AS cos
+         |  FROM cand c
+         |  JOIN v va ON c.vec_id = va.vec_id
+         |  JOIN v vb ON c.nb_id = vb.vec_id),
+         |lr AS (SELECT vec_id, nb_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |                     ORDER BY cos DESC, nb_id) AS rank
+         |  FROM lp),
+         |ep AS (SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+         |  list_sum(list_transform(list_zip(a.e, b.e), pr -> pr[1] * pr[2]))
+         |    / (a.norm * b.norm) AS cos
+         |  FROM v a, v b WHERE a.vec_id <> b.vec_id),
+         |er AS (SELECT vec_id, nb_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |                     ORDER BY cos DESC, nb_id) AS rank
+         |  FROM ep),
+         |h AS (SELECT count(*)::BIGINT AS n_hits
+         |  FROM (SELECT vec_id, nb_id FROM lr WHERE rank <= 3) l
+         |  JOIN (SELECT vec_id, nb_id FROM er WHERE rank <= 3) x
+         |    USING (vec_id, nb_id)),
+         |d AS (SELECT 3 * count(*)::BIGINT AS n_expected FROM embeddings)
+         |SELECT 'lsh' AS method, n_hits, n_expected,
+         |  round(n_hits / n_expected, 6) AS recall_r
+         |FROM h, d
+         |""".stripMargin
+    })
+
+  /** ANN quality contract, part 2: IVF recall@3 at nProbe=1 vs nProbe=4
+    * against the exact ground truth. The k-means quantizer is
+    * FP-summation-order sensitive (no cross-engine value parity), so —
+    * like q_ann_ivf — the CONTRACT is flattened to booleans: each recall
+    * in [0,1], and multi-probe ≥ single-probe (more probes only grow the
+    * candidate set, and a grown candidate set can only move the scored
+    * top-k closer to the exact top-k). */
+  private val annRecallIvf: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val exact = Similarity.cosineTopK(emb, k = 3)
+        .select(col("vec_id"), col("nb_id"))
+      val denom = 3.0 * emb.count()
+      def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+        approx.select(col("vec_id"), col("nb_id"))
+          .join(exact, Seq("vec_id", "nb_id"), "left_semi").count() / denom
+      val r1 = recallOf(graft.sim.Ivf.ivfTopK(emb, k = 3, nProbe = 1))
+      val r4 = recallOf(graft.sim.Ivf.ivfTopK(emb, k = 3, nProbe = 4))
+      Seq(
+        ("ivf_probe1", if (r1 >= 0.0 && r1 <= 1.0) 1 else 0),
+        ("ivf_probe4", if (r4 >= r1 && r4 <= 1.0) 1 else 0)
+      ).toDF("method", "contract_ok")
+    },
+    oracle = Some(
+      """SELECT 'ivf_probe1' AS method, 1 AS contract_ok
+        |UNION ALL
+        |SELECT 'ivf_probe4' AS method, 1 AS contract_ok
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_cosine_topk" -> cosineTopK,
     "q_ann_lsh"     -> annLsh,
     "q_ann_ivf"     -> annIvf,
+    "q_ann_recall_lsh" -> annRecallLsh,
+    "q_ann_recall_ivf" -> annRecallIvf,
     "q_dedup_embed" -> dedupEmbed,
   )
 }

@@ -576,6 +576,45 @@ object QueriesText {
         |FROM c
         |""".stripMargin))
 
+  /** Packing with a sequence-length ceiling: over-budget docs split into
+    * ≤ maxSeqLen chunks before the shard fill (real LLM packing splits at
+    * the model's sequence length). Oracle mirrors the chunk arithmetic —
+    * explicit floor/least/greatest on both sides, shard = 6th md5 hex
+    * digit (mod-16 of the first six). */
+  private val docPackingSplit: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.text.TextOps.packSequencesSplit(
+        docs(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        col("n_tokens"), budget = 512, maxSeqLen = 32, numShards = 16)
+    },
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS doc_tokens
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, doc_tokens,
+        |    unnest(generate_series(0,
+        |      greatest(ceil(doc_tokens / 32.0)::BIGINT, 1) - 1)) AS chunk_idx
+        |  FROM t),
+        |c2 AS (
+        |  SELECT doc_id, chunk_idx,
+        |    least(32, doc_tokens - chunk_idx * 32)::BIGINT AS n_tokens,
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(cast(doc_id AS VARCHAR) || '_'
+        |         || cast(chunk_idx AS VARCHAR)), 6, 1)) - 1)::BIGINT AS shard
+        |  FROM ch),
+        |c3 AS (
+        |  SELECT doc_id, chunk_idx, n_tokens, shard,
+        |    sum(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY doc_id, chunk_idx) AS cum
+        |  FROM c2)
+        |SELECT doc_id, chunk_idx, n_tokens, shard,
+        |  floor((cum - n_tokens) / 512)::BIGINT AS pack_in_shard
+        |FROM c3
+        |""".stripMargin))
+
   // ---- unigram logprob quality scoring (perplexity proxy) ------------------
 
   /** CCNet-style quality proxy: per-doc mean log10 unigram probability
@@ -653,6 +692,7 @@ object QueriesText {
 
   val all: Map[String, Q] = Map(
     "q_doc_packing"    -> docPacking,
+    "q_doc_packing_split" -> docPackingSplit,
     "q_unigram_logprob" -> unigramLp,
     "q_mixture_weights" -> mixture,
     "q_corpus_filter"  -> corpusFilter,

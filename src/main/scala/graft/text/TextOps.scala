@@ -253,19 +253,25 @@ object TextOps {
     *
     * The candidate-pair input is materialized ONCE up front (it is
     * usually an expensive LSH/banding pipeline); every subsequent round
-    * joins ids against ids. On a real cluster swap `localCheckpoint` for
-    * a reliable `checkpoint` dir so executor loss can't drop materialized
-    * rounds. Returns (doc_id, cluster), cluster = component minimum, like
+    * joins ids against ids. `checkpointDir = Some(path)` switches every
+    * round's materialization from `localCheckpoint` (executor-local
+    * blocks — fast, but an executor loss drops rounds and fails the job)
+    * to a RELIABLE `checkpoint` into that directory (HDFS/object store on
+    * a real cluster) — the 100-TB path is a flag, not a code edit.
+    * Returns (doc_id, cluster), cluster = component minimum, like
     * [[dedupClusters]]. */
   def dedupClustersIterative(pairs: DataFrame,
-                             maxRounds: Int = 40): DataFrame = {
+                             maxRounds: Int = 40,
+                             checkpointDir: Option[String] = None)
+      : DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val edges = fwd.union(
-        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
+    val edges = ckpt(fwd.union(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = ckpt(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -279,13 +285,12 @@ object TextOps {
       // resolves one extra hop; least() keeps monotonicity. The hooked
       // side is checkpointed FIRST so the self-join's two sides are
       // distinct materialized plans (no ambiguous-attribute self-join)
-      val hc = hooked.localCheckpoint()
+      val hc = ckpt(hooked)
       val right = hc.select(col("doc_id").as("l2"), col("label").as("ll"))
-      val next = hc.join(right, hc("label") === right("l2"), "left")
+      val next = ckpt(hc.join(right, hc("label") === right("l2"), "left")
         .select(hc("doc_id").as("doc_id"),
           least(hc("label"), coalesce(right("ll"), hc("label")))
-            .as("label"))
-        .localCheckpoint() // truncates lineage: next round reads rows
+            .as("label"))) // truncates lineage: next round reads rows
       // labels only ever decrease, so convergence == zero strict changes;
       // both sides are checkpointed so this count scans materialized ids
       changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
@@ -586,6 +591,43 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("shard"),
         // explicit floor: '/' is double division and a bare long cast
         // would TRUNCATE in Spark but ROUND in DuckDB-style engines
+        floor((col("cum") - col("n_tokens")) / budget).cast("long")
+          .as("pack_in_shard"))
+  }
+
+  /** [[packSequences]] with a sequence-length ceiling: a document longer
+    * than `maxSeqLen` tokens is SPLIT into ceil(n/maxSeqLen) contiguous
+    * chunks of ≤ maxSeqLen tokens BEFORE the shard fill — real LLM
+    * packing truncates/splits at the model's sequence length rather than
+    * granting an over-budget doc its own oversized pack. The split is a
+    * narrow `explode` (no shuffle); chunk identity is (doc_id, chunk_idx)
+    * and sharding keys on both, so a pathological giant document spreads
+    * its chunks across shards instead of serializing one window. A
+    * zero-token doc still yields one empty chunk, preserving corpus
+    * accounting. Output: (doc_id, chunk_idx, n_tokens, shard,
+    * pack_in_shard). */
+  def packSequencesSplit(docs: DataFrame, tokensCol: Column, budget: Long,
+                         maxSeqLen: Long,
+                         numShards: Int = 32): DataFrame = {
+    require(maxSeqLen > 0 && maxSeqLen <= budget,
+      s"maxSeqLen must be in (0, budget=$budget], got $maxSeqLen")
+    val chunks = docs
+      .select(col("doc_id"), tokensCol.cast("long").as("doc_tokens"))
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        greatest(ceil(col("doc_tokens") / lit(maxSeqLen.toDouble))
+          .cast("int"), lit(1)) - 1)))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(maxSeqLen),
+          col("doc_tokens") - col("chunk_idx") * lit(maxSeqLen))
+          .cast("long").as("n_tokens"))
+    val shard = pmod(conv(substring(
+      md5(concat_ws("_", col("doc_id"), col("chunk_idx")).cast("binary")),
+      1, 6), 16, 10).cast("long"), lit(numShards))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id", "chunk_idx")
+    chunks.withColumn("shard", shard)
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"), col("shard"),
         floor((col("cum") - col("n_tokens")) / budget).cast("long")
           .as("pack_in_shard"))
   }

@@ -26,4 +26,46 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(m(3L) === ((0L, 0L, 0.0, false)), "garbage bytes flagged, not fatal")
     assert(m(4L) === ((0L, 0L, 0.0, false)), "empty payload flagged, not fatal")
   }
+
+  test("dedupClustersIterative with a reliable checkpoint dir: same " +
+    "clusters, rounds materialized as files (the 100-TB path is a flag)") {
+    import spark.implicits._
+    // 12-node chain + an isolated 2-cycle: exercises multiple rounds
+    val pairs = ((0L until 11L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val got = graft.text.TextOps
+      .dedupClustersIterative(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ((0L to 11L).map(_ -> 0L) ++
+      Seq(100L -> 100L, 101L -> 100L)).toMap
+    assert(got === expected)
+    // the reliable branch actually wrote round snapshots to the dir
+    def fileCount(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally s.close()
+    }
+    assert(fileCount(java.nio.file.Paths.get(dir)) > 0,
+      "checkpoint dir must contain materialized round files")
+  }
+
+  test("packSequencesSplit: over-budget docs split into maxSeqLen chunks, " +
+    "zero-token docs keep one empty chunk, chunks respect the budget") {
+    import spark.implicits._
+    val docs = Seq((1L, 70L), (2L, 0L), (3L, 32L), (4L, 65L))
+      .toDF("doc_id", "n_tokens")
+    val out = graft.text.TextOps
+      .packSequencesSplit(docs, org.apache.spark.sql.functions.col("n_tokens"),
+        budget = 64, maxSeqLen = 32, numShards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1: 70 tokens → chunks 32/32/6; doc 2: one 0-token chunk;
+    // doc 3: exactly one 32-token chunk; doc 4: 65 → 32/32/1
+    assert(out === Map(
+      (1L, 0L) -> 32L, (1L, 1L) -> 32L, (1L, 2L) -> 6L,
+      (2L, 0L) -> 0L,
+      (3L, 0L) -> 32L,
+      (4L, 0L) -> 32L, (4L, 1L) -> 32L, (4L, 2L) -> 1L))
+  }
 }
