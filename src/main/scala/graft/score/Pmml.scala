@@ -318,11 +318,20 @@ object Pmml {
         walkMlTree(t.rootNode, features, _.prediction)).toVector,
       m.treeWeights.toVector, "sum")
 
-  /** PMML-4.2 `MiningModel` with one `Segment`/`TreeModel` per member —
-    * `multipleModelMethod` carries the combination ("average" = RF,
-    * "sum" = GBT; the GBT logistic link is the importer's contract, noted
-    * in an `Extension`), `Segment/@weight` the boosting weights. Doubles
-    * via `Double.toString`, so parse-back is bit-exact. */
+  /** PMML-4.2 `MiningModel` with one `Segment`/`TreeModel` per member.
+    *
+    * RF ("average"): standard `multipleModelMethod="average"` over the
+    * per-leaf class-1 shares — any PMML consumer returns P(1) directly.
+    *
+    * GBT ("sum"): standard `multipleModelMethod="modelChain"` — each tree
+    * segment outputs its margin as an `OutputField`, and a final
+    * `RegressionModel` segment with `normalizationMethod="logit"` folds
+    * them with coefficient `2·wᵢ`, so standard-logit
+    * 1/(1+e^(−Σ2wᵢtᵢ)) equals MLlib's scaled link 1/(1+e^(−2·Σwᵢtᵢ)).
+    * A standard consumer (e.g. jpmml) therefore returns P(1), not the
+    * raw weighted margin — no private Extension contract involved.
+    * Doubles via `Double.toString` (and /2 on import is a power-of-two
+    * scale), so parse-back stays bit-exact. */
   def exportEnsemble(e: Ensemble): String = {
     def node(n: RNode, pred: String, indent: String): String = n match {
       case RLeaf(v) =>
@@ -347,24 +356,52 @@ object Pmml {
       .mkString("\n")
     val mining = e.features.map(f =>
       s"""      <MiningField name="${esc(f)}"/>""").mkString("\n")
-    val link = if (e.method == "sum") "scaledLogit" else "identity"
+    val isGbt = e.method == "sum"
+    val segMethod = if (isGbt) "modelChain" else e.method
     val segments = e.trees.zip(e.weights).zipWithIndex.map {
       case ((t, w), i) =>
-        s"""      <Segment id="${i + 1}" weight="$w">
+        // modelChain tree segments publish their margin for the final
+        // regression segment; RF segments carry the (unit) vote weight
+        val weightAttr = if (isGbt) "" else s""" weight="$w""""
+        val output = if (isGbt)
+          s"""
+             |          <Output>
+             |            <OutputField name="margin_${i + 1}" optype="continuous" dataType="double" feature="predictedValue"/>
+             |          </Output>""".stripMargin
+        else ""
+        s"""      <Segment id="${i + 1}"$weightAttr>
            |        <True/>
            |        <TreeModel functionName="regression" splitCharacteristic="binarySplit">
            |          <MiningSchema>
            |$mining
-           |          </MiningSchema>
+           |          </MiningSchema>$output
            |${node(t, "<True/>", "          ")}
            |        </TreeModel>
            |      </Segment>""".stripMargin
     }.mkString("\n")
+    val finalSegment = if (!isGbt) "" else {
+      val regMining = e.trees.indices.map(i =>
+        s"""            <MiningField name="margin_${i + 1}"/>""")
+        .mkString("\n")
+      val predictors = e.weights.zipWithIndex.map { case (w, i) =>
+        s"""            <NumericPredictor name="margin_${i + 1}" coefficient="${2 * w}"/>"""
+      }.mkString("\n")
+      s"""
+         |      <Segment id="${e.trees.length + 1}">
+         |        <True/>
+         |        <RegressionModel functionName="regression" normalizationMethod="logit">
+         |          <MiningSchema>
+         |$regMining
+         |          </MiningSchema>
+         |          <RegressionTable intercept="0.0">
+         |$predictors
+         |          </RegressionTable>
+         |        </RegressionModel>
+         |      </Segment>""".stripMargin
+    }
     s"""<?xml version="1.0" encoding="UTF-8"?>
        |<PMML version="4.2" xmlns="http://www.dmg.org/PMML-4_2">
-       |  <Header description="graft tree ensemble">
-       |    <Extension name="link" value="$link"/>
-       |  </Header>
+       |  <Header description="graft tree ensemble"/>
        |  <DataDictionary numberOfFields="${e.features.length}">
        |$dict
        |  </DataDictionary>
@@ -372,8 +409,8 @@ object Pmml {
        |    <MiningSchema>
        |$mining
        |    </MiningSchema>
-       |    <Segmentation multipleModelMethod="${e.method}">
-       |$segments
+       |    <Segmentation multipleModelMethod="$segMethod">
+       |$segments$finalSegment
        |    </Segmentation>
        |  </MiningModel>
        |</PMML>
@@ -406,16 +443,41 @@ object Pmml {
       .asInstanceOf[org.w3c.dom.Element]
     val method = seg.getAttribute("multipleModelMethod")
     val segs = childElems(seg, "Segment")
-    val trees = segs.map { s =>
-      val tm = s.getElementsByTagName("TreeModel").item(0)
+    if (method == "modelChain") {
+      // GBT standard form: tree segments publish margins, the final
+      // RegressionModel/logit segment holds 2·wᵢ as coefficients
+      val treeSegs = segs.filter(
+        _.getElementsByTagName("TreeModel").getLength > 0)
+      val trees = treeSegs.map { s =>
+        val tm = s.getElementsByTagName("TreeModel").item(0)
+          .asInstanceOf[org.w3c.dom.Element]
+        parseNode(childElems(tm, "Node").head)
+      }.toVector
+      val reg = doc.getElementsByTagName("RegressionModel").item(0)
         .asInstanceOf[org.w3c.dom.Element]
-      parseNode(childElems(tm, "Node").head)
-    }.toVector
-    val weights = segs.map { s =>
-      val w = s.getAttribute("weight")
-      if (w.isEmpty) 1.0 else w.toDouble
-    }.toVector
-    Ensemble(features, trees, weights, method)
+      require(reg.getAttribute("normalizationMethod") == "logit",
+        "modelChain ensemble must end in a logit regression segment")
+      val nps = reg.getElementsByTagName("NumericPredictor")
+      val coefByName = (0 until nps.getLength).map { i =>
+        val el = nps.item(i).asInstanceOf[org.w3c.dom.Element]
+        el.getAttribute("name") -> el.getAttribute("coefficient").toDouble
+      }.toMap
+      // ÷2 undoes the export's logit rescale exactly (power-of-two)
+      val weights = trees.indices
+        .map(i => coefByName(s"margin_${i + 1}") / 2.0).toVector
+      Ensemble(features, trees, weights, "sum")
+    } else {
+      val trees = segs.map { s =>
+        val tm = s.getElementsByTagName("TreeModel").item(0)
+          .asInstanceOf[org.w3c.dom.Element]
+        parseNode(childElems(tm, "Node").head)
+      }.toVector
+      val weights = segs.map { s =>
+        val w = s.getAttribute("weight")
+        if (w.isEmpty) 1.0 else w.toDouble
+      }.toVector
+      Ensemble(features, trees, weights, method)
+    }
   }
 
   /** Parse a document produced by [[exportTree]] back into the literal

@@ -296,8 +296,11 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(e.method === "sum")
     assert(e.weights.head === 1.0 && e.weights.forall(_ > 0))
     val xml = graft.score.Pmml.exportEnsemble(e)
-    assert(xml.contains("multipleModelMethod=\"sum\""))
-    assert(xml.contains("<Extension name=\"link\" value=\"scaledLogit\"/>"))
+    // standard representation: modelChain + final logit regression
+    // segment (coefficients 2·wᵢ) — no private Extension link contract
+    assert(xml.contains("multipleModelMethod=\"modelChain\""))
+    assert(xml.contains("normalizationMethod=\"logit\""))
+    assert(!xml.contains("<Extension"))
     val back = graft.score.Pmml.importEnsemble(xml)
     assert(back === e, "bit-exact ensemble round-trip")
     val scored = t.model.transform(

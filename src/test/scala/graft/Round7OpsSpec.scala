@@ -68,4 +68,33 @@ class Round7OpsSpec extends AnyFunSuite {
       (3L, 0L) -> 32L,
       (4L, 0L) -> 32L, (4L, 1L) -> 32L, (4L, 2L) -> 1L))
   }
+
+  test("GBT PMML is standard-consumable: modelChain + final logit " +
+    "regression segment yields P(1) with NO private link contract") {
+    import graft.score.Pmml
+    import spark.implicits._
+    val t1 = Pmml.RSplit("f", 0.5, Pmml.RLeaf(-0.3), Pmml.RLeaf(0.7))
+    val t2 = Pmml.RLeaf(0.2)
+    val e = Pmml.Ensemble(Seq("f"), Vector(t1, t2),
+      Vector(1.0, 0.25), "sum")
+    val xml = Pmml.exportEnsemble(e)
+    assert(xml.contains("multipleModelMethod=\"modelChain\""))
+    assert(xml.contains("normalizationMethod=\"logit\""))
+    assert(!xml.contains("<Extension"),
+      "the logistic link must be standard PMML, not a Header Extension")
+    // what a STANDARD consumer computes: margins from the tree segments,
+    // then plain logit over Σ coefficient·margin from the final segment
+    val coefs = "coefficient=\"([^\"]+)\"".r
+      .findAllMatchIn(xml).map(_.group(1).toDouble).toVector
+    assert(coefs === Vector(2.0, 0.5), "coefficients are 2·w_i")
+    val margins = Vector(0.7, 0.2) // trees evaluated at f = 1.0
+    val standardP =
+      1.0 / (1.0 + math.exp(-coefs.zip(margins).map(p => p._1 * p._2).sum))
+    val graftP = Seq(1.0).toDF("f").select(e.score.as("p"))
+      .head().getDouble(0)
+    assert(math.abs(standardP - graftP) < 1e-15,
+      s"standard logit $standardP != graft scoring $graftP")
+    // bit-exact round trip through the standard representation
+    assert(Pmml.importEnsemble(xml) === e)
+  }
 }
