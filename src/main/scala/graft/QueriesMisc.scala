@@ -208,6 +208,81 @@ object QueriesMisc {
         |FROM documents
         |""".stripMargin))
 
+  /** Perceptual image fingerprint: deterministic 8×8 pattern PNG per doc
+    * (pixels arithmetic in `doc_id % 50` — planted duplicate groups),
+    * hashed through the REAL decode+aHash path; the oracle recomputes the
+    * 64 threshold bits arithmetically (integer 64·v ≥ Σv compare, bit 63
+    * via the two's-complement weight, same trick as the SimHash CTE). */
+  private val imagePhash: Q = Q(
+    fn = (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val payloads = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.media.ImageOps.patternPng(id % 50))))
+        .toDF("doc_id", "payload")
+      graft.media.ImageOps.aHash64(payloads)
+    },
+    oracle = Some(
+      """WITH px AS (
+        |  SELECT doc_id, xs.x AS x, ys.y AS y,
+        |    ((doc_id % 50) * 31 + xs.x * 7 + ys.y * 13) % 256 AS v
+        |  FROM documents,
+        |    (SELECT unnest(generate_series(0, 7)) AS x) xs,
+        |    (SELECT unnest(generate_series(0, 7)) AS y) ys),
+        |t AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+        |b AS (
+        |  SELECT p.doc_id,
+        |    CAST(sum(CASE WHEN 64 * p.v >= t.sv THEN
+        |      CASE WHEN p.y * 8 + p.x = 63 THEN -9223372036854775807 - 1
+        |           ELSE (1::BIGINT << (p.y * 8 + p.x)) END
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM px p JOIN t USING (doc_id)
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id, phash, TRUE AS decode_ok FROM b
+        |""".stripMargin))
+
+  /** Image dedup end-to-end: aHash → banded hamming-0 pairs → transitive
+    * clusters — the text dedup machinery (hashBandPairs + dedupClusters)
+    * running unchanged on the image fingerprint. Oracle groups the
+    * arithmetically-recomputed phash (NOT the plant key), so accidental
+    * aHash collisions across pattern groups stay parity-exact. */
+  private val imageDedup: Q = Q(
+    fn = (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val payloads = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.media.ImageOps.patternPng(id % 50))))
+        .toDF("doc_id", "payload")
+      val pairs = graft.media.ImageOps.imageNearDupPairs(
+        payloads, maxHamming = 0)
+      graft.text.TextOps.dedupClusters(pairs, rounds = 3)
+    },
+    oracle = Some(
+      """WITH px AS (
+        |  SELECT doc_id, xs.x AS x, ys.y AS y,
+        |    ((doc_id % 50) * 31 + xs.x * 7 + ys.y * 13) % 256 AS v
+        |  FROM documents,
+        |    (SELECT unnest(generate_series(0, 7)) AS x) xs,
+        |    (SELECT unnest(generate_series(0, 7)) AS y) ys),
+        |t AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+        |b AS (
+        |  SELECT p.doc_id,
+        |    CAST(sum(CASE WHEN 64 * p.v >= t.sv THEN
+        |      CASE WHEN p.y * 8 + p.x = 63 THEN -9223372036854775807 - 1
+        |           ELSE (1::BIGINT << (p.y * 8 + p.x)) END
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM px p JOIN t USING (doc_id)
+        |  GROUP BY p.doc_id),
+        |g AS (SELECT phash, min(doc_id) AS cluster, count(*) AS n
+        |      FROM b GROUP BY phash)
+        |SELECT b.doc_id, g.cluster
+        |FROM b JOIN g USING (phash) WHERE g.n > 1
+        |""".stripMargin))
+
   // ---- multimodal: frame-sampling over opaque payloads ---------------------
 
   /** The frame-sample plumbing for video/audio payloads: chunk the opaque
@@ -249,5 +324,7 @@ object QueriesMisc {
     "q_unixtime"      -> unixTime,
     "q_concat_split"  -> concatSplit,
     "q_multimodal"    -> multimodal,
+    "q_image_phash"   -> imagePhash,
+    "q_image_dedup"   -> imageDedup,
   )
 }

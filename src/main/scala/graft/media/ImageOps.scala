@@ -78,6 +78,110 @@ object ImageOps {
     }
   }
 
+  /** One fingerprinted payload: 64-bit average-hash. `phash = 0` with
+    * `decode_ok = false` marks undecodable payloads. */
+  final case class Hashed(doc_id: Long, phash: Long, decode_ok: Boolean)
+
+  /** 8×8 average-hash (aHash) perceptual fingerprint over a binary image
+    * column — the image-side analogue of SimHash: near-identical images
+    * land within a few hamming bits, so image dedup reuses the SAME
+    * banded-pair + connected-components machinery as text
+    * ([[graft.text.TextOps.hashBandPairs]] / `dedupClusters`).
+    *
+    * Decode → average-pool the gray channel ((r+g+b)/3 per pixel) onto an
+    * 8×8 grid (block boundaries at `i·dim/8` integer division; an
+    * already-8×8 image pools to itself) → floor each pooled mean to an
+    * int → set bit (y·8 + x) iff `64·v(x,y) ≥ Σv`. The threshold is an
+    * integer cross-multiplied mean compare, NO floating point, so the
+    * bits are engine-exact and the oracle can recompute them
+    * arithmetically on deterministic pattern images.
+    *
+    * Narrow map like [[decodeImages]] — zero shuffles, linear scale-out. */
+  def aHash64(df: DataFrame, idCol: String = "doc_id",
+              payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          aHashOne(bytes) match {
+            case Some(h) => Hashed(id, h, decode_ok = true)
+            case None    => Hashed(id, 0L, decode_ok = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** aHash a single payload; None when not a decodable image. */
+  def aHashOne(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val pooled = new Array[Long](64)
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            val x0 = cx * w / 8; val x1 = math.max((cx + 1) * w / 8, x0 + 1)
+            val y0 = cy * h / 8; val y1 = math.max((cy + 1) * h / 8, y0 + 1)
+            var sum = 0.0
+            var y = y0
+            while (y < h.min(y1)) {
+              var x = x0
+              while (x < w.min(x1)) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)) / 3.0
+                x += 1
+              }
+              y += 1
+            }
+            val cnt = (h.min(y1) - y0).toLong * (w.min(x1) - x0)
+            pooled(cy * 8 + cx) = math.floor(sum / cnt).toLong
+            cx += 1
+          }
+          cy += 1
+        }
+        val total = pooled.sum
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          if (64L * pooled(b) >= total) hash |= (1L << b)
+          b += 1
+        }
+        Some(hash)
+      }
+    } catch {
+      case _: Exception => None
+    }
+  }
+
+  /** Near-duplicate image pairs: aHash + banded hamming join
+    * ([[graft.text.TextOps.hashBandPairs]]) — same candidate policy as
+    * text SimHash dedup; undecodable payloads never pair (their phash-0
+    * rows are filtered before banding). */
+  def imageNearDupPairs(df: DataFrame, maxHamming: Int = 2,
+                        maxBucket: Int = 1000): DataFrame =
+    graft.text.TextOps.hashBandPairs(
+      aHash64(df).filter(col("decode_ok")).select(col("doc_id"), col("phash")),
+      "phash", 64, maxHamming, 16, maxBucket)
+
+  /** Deterministic 8×8 pattern PNG: gray pixel value at (x, y) is
+    * `(key·31 + x·7 + y·13) mod 256` — the aHash of this image is pure
+    * arithmetic in `key`, so an oracle can recompute it without a
+    * decoder. Same `key` ⇒ identical image (planted duplicates). */
+  def patternPng(key: Long): Array[Byte] =
+    pngOf(8, 8, (x, y) => {
+      val v = ((key * 31 + x * 7 + y * 13) % 256).toInt
+      (v << 16) | (v << 8) | v
+    })
+
   /** Deterministic PNG payload: solid gray `gray & 0xff` at width×height.
     * PNG is lossless, so decode round-trips the exact pixel values — used
     * by the oracle query and specs to generate payloads whose decoded
@@ -95,8 +199,12 @@ object ImageOps {
       (v << 16) | (v << 8) | v
     })
 
-  private def pngOf(width: Int, height: Int,
-                    rgbAt: (Int, Int) => Int): Array[Byte] = {
+  /** General deterministic PNG builder: `rgbAt(x, y)` supplies each
+    * pixel's packed 0xRRGGBB value. Public so specs/fixtures can craft
+    * targeted images (perturbations, inversions) without a second
+    * encoder. */
+  def pngOf(width: Int, height: Int,
+            rgbAt: (Int, Int) => Int): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < height) {

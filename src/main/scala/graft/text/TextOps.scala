@@ -169,24 +169,36 @@ object TextOps {
     * fingerprint value shared by >maxBucket docs emits no pairs, the same
     * df-cap policy as [[jaccardPairs]]. */
   def simhashPairs(docs: DataFrame, bits: Int = 64, maxHamming: Int = 3,
-                   bandBits: Int = 16, maxBucket: Int = 1000): DataFrame = {
+                   bandBits: Int = 16, maxBucket: Int = 1000): DataFrame =
+    hashBandPairs(simhash(docs, bits), "simhash", bits, maxHamming,
+      bandBits, maxBucket)
+
+  /** Banded hamming-neighbor pairs over ANY precomputed ≤64-bit
+    * fingerprint column (SimHash, image aHash, …): split the hash into
+    * `bits/bandBits` bands, bucket-join per band (capped — one
+    * degenerate bucket must not emit ~n² candidates), confirm with the
+    * exact xor/bit_count distance. The pigeonhole guarantee holds when
+    * `maxHamming < nBands`: two hashes within the distance agree on at
+    * least one full band. Shuffles ids+bands only, never payloads. */
+  def hashBandPairs(sig: DataFrame, hashCol: String, bits: Int = 64,
+                    maxHamming: Int = 3, bandBits: Int = 16,
+                    maxBucket: Int = 1000): DataFrame = {
     require(bits % bandBits == 0, "bits must divide into equal bands")
     val nBands = bits / bandBits
     val mask = (1L << bandBits) - 1
-    val sig = simhash(docs, bits)
     // shiftright is arithmetic, but the & mask keeps only the low bandBits
     // bits, which shift semantics can't affect for band offsets < 64
     val bandStructs = (0 until nBands).map { k =>
       struct(lit(k).as("band"),
-        expr(s"shiftright(simhash, ${k * bandBits}) & $mask").as("bv"))
+        expr(s"shiftright(`$hashCol`, ${k * bandBits}) & $mask").as("bv"))
     }
     val bands = sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bv"))
     val cand = groupedPairs(bands, Seq("band", "bv"), "doc_id",
       maxGroup = Some(maxBucket)).distinct()
-    val sa = sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
-    val sb = sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    val sa = sig.select(col("doc_id").as("doc_a"), col(hashCol).as("ha"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col(hashCol).as("hb"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("hamming", bit_count(expr("ha ^ hb")))
       .filter(col("hamming") <= maxHamming)

@@ -69,6 +69,40 @@ class Round7OpsSpec extends AnyFunSuite {
       (4L, 0L) -> 32L, (4L, 1L) -> 32L, (4L, 2L) -> 1L))
   }
 
+  test("aHash64 + imageNearDupPairs: identical images hash identically, " +
+    "a lightly perturbed image pairs within the hamming budget, and an " +
+    "unrelated image does not") {
+    import spark.implicits._
+    import graft.media.ImageOps
+    // reference pattern, its exact copy, a near-copy (one pooled cell
+    // nudged past the mean), and an unrelated inverted-gradient image
+    val base = ImageOps.patternPng(7L)
+    val near = ImageOps.pngOf(8, 8, (x, y) => {
+      val v0 = ((7L * 31 + x * 7 + y * 13) % 256).toInt
+      val v = if (x == 0 && y == 0) 255 else v0
+      (v << 16) | (v << 8) | v
+    })
+    val far = ImageOps.pngOf(8, 8, (x, y) => {
+      val v = 255 - ((x * 37 + y * 11) % 256)
+      (v << 16) | (v << 8) | v
+    })
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far),
+      (5L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    val hashes = ImageOps.aHash64(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(hashes(1L) === hashes(2L), "identical payloads hash identically")
+    assert(hashes(5L) === ((0L, false)), "garbage payload flagged")
+    val pairs = ImageOps.imageNearDupPairs(df, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact duplicates pair at hamming 0")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "one perturbed cell stays within the hamming budget")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated image must not pair")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "undecodable payload must not pair")
+  }
+
   test("GBT PMML is standard-consumable: modelChain + final logit " +
     "regression segment yields P(1) with NO private link contract") {
     import graft.score.Pmml
