@@ -235,12 +235,41 @@ object QueriesSim {
         |SELECT 'ivf_probe4' AS method, 1 AS contract_ok
         |""".stripMargin))
 
+  /** Scalar int8 quantization (faiss SQ8-style): per-dim min/max trains
+    * the quantizer (one tiny agg), coding is a zero-shuffle narrow map.
+    * All arithmetic fixed-order IEEE double with a floor bucket cut, so
+    * every code is engine-exact — the 4×-memory ANN path is value-checked,
+    * not just shape-checked. */
+  private val embedQuantize: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.load(s, dir, "embeddings")
+      val (lo, hi) = graft.sim.Quantize.ranges(emb, 64)
+      graft.sim.Quantize.quantizeInt8(emb, lo, hi)
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("dim", "q")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("q"))
+    },
+    oracle = Some(
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |x AS (SELECT vec_id, d.dim AS dim, e[d.dim + 1] AS val
+        |      FROM v, (SELECT unnest(generate_series(0, 63)) AS dim) d),
+        |r AS (SELECT dim, min(val) AS lo, max(val) AS hi FROM x GROUP BY dim)
+        |SELECT vec_id, x.dim AS dim,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE greatest(0, least(
+        |         floor((val - lo) / (hi - lo) * 256)::BIGINT, 255)) END AS q
+        |FROM x JOIN r USING (dim)
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_cosine_topk" -> cosineTopK,
     "q_ann_lsh"     -> annLsh,
     "q_ann_ivf"     -> annIvf,
     "q_ann_recall_lsh" -> annRecallLsh,
     "q_ann_recall_ivf" -> annRecallIvf,
+    "q_embed_quantize" -> embedQuantize,
     "q_dedup_embed" -> dedupEmbed,
   )
 }

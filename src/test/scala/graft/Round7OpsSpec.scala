@@ -103,6 +103,37 @@ class Round7OpsSpec extends AnyFunSuite {
       "undecodable payload must not pair")
   }
 
+  test("Quantize int8: codes bounded, zero-shuffle coding plan, " +
+    "dequantized reconstruction within half a bucket per dimension") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dims = 8
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(dims)(d =>
+        (math.sin(i * 3.7 + d) * (d + 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (lo, hi) = graft.sim.Quantize.ranges(emb, dims)
+    assert(lo.zip(hi).forall { case (l, h) => l <= h })
+    val q = graft.sim.Quantize.quantizeInt8(emb, lo, hi)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"coding must be a zero-shuffle narrow map:\n$plan")
+    val codes = q.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    // reconstruction: |v - dequant(code)| <= (hi-lo)/512 + float-cast slop
+    val err = emb.join(q, "vec_id")
+      .select(zip_with(
+        graft.sim.Quantize.dequantExpr(col("codes"), lo, hi),
+        col("embedding"),
+        (d, v) => abs(d - v.cast("double"))).as("e"))
+      .select(array_max(col("e")).as("m"))
+      .agg(max("m")).head().getDouble(0)
+    val worstBucket = lo.zip(hi).map { case (l, h) => (h - l) / 512.0 }.max
+    assert(err <= worstBucket + 1e-9,
+      s"reconstruction error $err exceeds half-bucket bound $worstBucket")
+  }
+
   test("GBT PMML is standard-consumable: modelChain + final logit " +
     "regression segment yields P(1) with NO private link contract") {
     import graft.score.Pmml
