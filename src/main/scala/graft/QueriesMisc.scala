@@ -209,7 +209,9 @@ object QueriesMisc {
         |""".stripMargin))
 
   /** Perceptual image fingerprint: deterministic 8×8 pattern PNG per doc
-    * (pixels arithmetic in `doc_id % 50` — planted duplicate groups),
+    * (pixels arithmetic in `doc_id / 10` — duplicate groups of exactly
+    * 10 docs at EVERY scale factor, so band buckets never cross the
+    * hot-bucket cap and pair counts stay linear in the corpus),
     * hashed through the REAL decode+aHash path; the oracle recomputes the
     * 64 threshold bits arithmetically (integer 64·v ≥ Σv compare, bit 63
     * via the two's-complement weight, same trick as the SimHash CTE). */
@@ -220,14 +222,14 @@ object QueriesMisc {
       val payloads = docs(s, dir).select(col("doc_id").cast("long"))
         .as[Long]
         .mapPartitions(_.map(id =>
-          (id, graft.media.ImageOps.patternPng(id % 50))))
+          (id, graft.media.ImageOps.patternPng(id / 10))))
         .toDF("doc_id", "payload")
       graft.media.ImageOps.aHash64(payloads)
     },
     oracle = Some(
       """WITH px AS (
         |  SELECT doc_id, xs.x AS x, ys.y AS y,
-        |    ((doc_id % 50) * 31 + xs.x * 7 + ys.y * 13) % 256 AS v
+        |    ((doc_id // 10) * 31 + xs.x * 7 + ys.y * 13) % 256 AS v
         |  FROM documents,
         |    (SELECT unnest(generate_series(0, 7)) AS x) xs,
         |    (SELECT unnest(generate_series(0, 7)) AS y) ys),
@@ -243,9 +245,12 @@ object QueriesMisc {
         |SELECT doc_id, phash, TRUE AS decode_ok FROM b
         |""".stripMargin))
 
-  /** Image dedup end-to-end: aHash → banded hamming-0 pairs → transitive
-    * clusters — the text dedup machinery (hashBandPairs + dedupClusters)
-    * running unchanged on the image fingerprint. Oracle groups the
+  /** Image dedup end-to-end: aHash → EXACT-duplicate clusters by direct
+    * phash grouping. At hamming 0 equal hashes ARE the cluster, so the
+    * right plan is one groupBy — no pair expansion (quadratic in group
+    * size), no band buckets, no hot-bucket cap to mirror; the banded
+    * hamming path ([[graft.media.ImageOps.imageNearDupPairs]]) is for
+    * genuine near-dups and is spec-covered. Oracle groups the
     * arithmetically-recomputed phash (NOT the plant key), so accidental
     * aHash collisions across pattern groups stay parity-exact. */
   private val imageDedup: Q = Q(
@@ -255,16 +260,19 @@ object QueriesMisc {
       val payloads = docs(s, dir).select(col("doc_id").cast("long"))
         .as[Long]
         .mapPartitions(_.map(id =>
-          (id, graft.media.ImageOps.patternPng(id % 50))))
+          (id, graft.media.ImageOps.patternPng(id / 10))))
         .toDF("doc_id", "payload")
-      val pairs = graft.media.ImageOps.imageNearDupPairs(
-        payloads, maxHamming = 0)
-      graft.text.TextOps.dedupClusters(pairs, rounds = 3)
+      val hashed = graft.media.ImageOps.aHash64(payloads)
+        .filter(col("decode_ok"))
+      val groups = hashed.groupBy("phash")
+        .agg(min("doc_id").as("cluster"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+      hashed.join(groups, "phash").select(col("doc_id"), col("cluster"))
     },
     oracle = Some(
       """WITH px AS (
         |  SELECT doc_id, xs.x AS x, ys.y AS y,
-        |    ((doc_id % 50) * 31 + xs.x * 7 + ys.y * 13) % 256 AS v
+        |    ((doc_id // 10) * 31 + xs.x * 7 + ys.y * 13) % 256 AS v
         |  FROM documents,
         |    (SELECT unnest(generate_series(0, 7)) AS x) xs,
         |    (SELECT unnest(generate_series(0, 7)) AS y) ys),

@@ -216,18 +216,23 @@ object QueriesSim {
       import org.apache.spark.sql.functions._
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
+      // cache the O(n²) ground truth: it feeds TWO recall counts, and
+      // recomputing the brute-force pass per count doubles the dominant
+      // cost of the whole query
       val exact = Similarity.cosineTopK(emb, k = 3)
-        .select(col("vec_id"), col("nb_id"))
-      val denom = 3.0 * emb.count()
-      def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
-        approx.select(col("vec_id"), col("nb_id"))
-          .join(exact, Seq("vec_id", "nb_id"), "left_semi").count() / denom
-      val r1 = recallOf(graft.sim.Ivf.ivfTopK(emb, k = 3, nProbe = 1))
-      val r4 = recallOf(graft.sim.Ivf.ivfTopK(emb, k = 3, nProbe = 4))
-      Seq(
-        ("ivf_probe1", if (r1 >= 0.0 && r1 <= 1.0) 1 else 0),
-        ("ivf_probe4", if (r4 >= r1 && r4 <= 1.0) 1 else 0)
-      ).toDF("method", "contract_ok")
+        .select(col("vec_id"), col("nb_id")).cache()
+      try {
+        val denom = 3.0 * emb.count()
+        def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+          approx.select(col("vec_id"), col("nb_id"))
+            .join(exact, Seq("vec_id", "nb_id"), "left_semi").count() / denom
+        val r1 = recallOf(graft.sim.Ivf.ivfTopK(emb, k = 3, nProbe = 1))
+        val r4 = recallOf(graft.sim.Ivf.ivfTopK(emb, k = 3, nProbe = 4))
+        Seq(
+          ("ivf_probe1", if (r1 >= 0.0 && r1 <= 1.0) 1 else 0),
+          ("ivf_probe4", if (r4 >= r1 && r4 <= 1.0) 1 else 0)
+        ).toDF("method", "contract_ok")
+      } finally exact.unpersist(false)
     },
     oracle = Some(
       """SELECT 'ivf_probe1' AS method, 1 AS contract_ok
