@@ -660,6 +660,41 @@ object QueriesText {
         |FROM per, tot
         |""".stripMargin))
 
+  // ---- segment-level exact dedup (paragraph-dedup analog) ------------------
+
+  /** CCNet/Dolma-style paragraph dedup over single-line docs: fixed
+    * 20-token segments, global keep-first by (doc_id, seg_idx), docs
+    * reassembled from surviving segments (possibly empty — rows never
+    * vanish). Oracle mirrors the segmentation arithmetic and the
+    * keep-first rule with a window rank. */
+  private val segmentDedup: Q = Q(
+    fn = (s, dir) => TextOps.segmentDedup(docs(s, dir), segLen = 20),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |seg AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0,
+        |      greatest(ceil(len(toks) / 20.0)::BIGINT, 1) - 1)) AS seg_idx
+        |  FROM t),
+        |s2 AS (
+        |  SELECT doc_id, seg_idx,
+        |    array_to_string(list_slice(toks,
+        |      seg_idx * 20 + 1, seg_idx * 20 + 20), ' ') AS seg
+        |  FROM seg),
+        |r AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    row_number() OVER (PARTITION BY seg
+        |      ORDER BY doc_id, seg_idx) AS rn
+        |  FROM s2)
+        |SELECT doc_id, count(*)::BIGINT AS n_segments,
+        |  coalesce(sum(CASE WHEN rn = 1 THEN 1 END), 0)::BIGINT AS n_kept,
+        |  coalesce(array_to_string(
+        |    list(seg ORDER BY seg_idx) FILTER (WHERE rn = 1), ' '), '')
+        |    AS text_dedup
+        |FROM r GROUP BY doc_id
+        |""".stripMargin))
+
   // ---- corpus filter (keep/drop decision with reason) ----------------------
 
   /** Gopher-style keep/drop per doc, first failing rule as the reason —
@@ -696,6 +731,7 @@ object QueriesText {
     "q_unigram_logprob" -> unigramLp,
     "q_mixture_weights" -> mixture,
     "q_corpus_filter"  -> corpusFilter,
+    "q_segment_dedup"  -> segmentDedup,
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,
     "q_dedup_apply"   -> dedupApply,

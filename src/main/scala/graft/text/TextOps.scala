@@ -643,4 +643,54 @@ object TextOps {
         floor((col("cum") - col("n_tokens")) / budget).cast("long")
           .as("pack_in_shard"))
   }
+
+  /** Segment-level exact deduplication with document reassembly — the
+    * paragraph-dedup stage of CCNet/Dolma-style pipelines (boilerplate
+    * headers/footers repeat across pages; drop every occurrence but the
+    * first), expressed over single-line documents by cutting each doc
+    * into fixed `segLen`-token segments. Keep-first is the GLOBAL
+    * (doc_id, seg_idx) lexicographic minimum per distinct segment text,
+    * so the result is order-deterministic, not first-seen-by-a-task.
+    *
+    * Scale: segmentation is a narrow map (`transform` over a `sequence`,
+    * no shuffle); the canonical-occurrence pass is ONE groupBy keyed on
+    * the 128-bit md5 of the segment (the wide text travels once inside
+    * the min struct, ids otherwise); reassembly is one doc-keyed groupBy.
+    * Two shuffles total, both key-balanced — a hot boilerplate segment
+    * is ONE group row, not a pair explosion.
+    *
+    * Output per input doc: (doc_id, n_segments, n_kept, text_dedup) —
+    * docs whose every segment was seen earlier keep an empty text, so
+    * corpus accounting never loses rows. */
+  def segmentDedup(docs: DataFrame, segLen: Int = 20): DataFrame = {
+    require(segLen > 0, s"segLen must be positive, got $segLen")
+    val toks = split(col("text"), " ")
+    val nSeg = greatest(
+      ceil(size(toks) / lit(segLen.toDouble)).cast("int"), lit(1))
+    val segs = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nSeg - 1),
+          i => array_join(slice(toks, i * segLen + 1, lit(segLen)), " ")))
+          .as(Seq("seg_idx", "seg")))
+    // canonical (first) occurrence per distinct segment: min over the
+    // (doc_id, seg_idx, seg) struct — doc_id/seg_idx decide, seg rides
+    // along (constant within the group) so no re-join is needed
+    val canon = segs
+      .groupBy(md5(col("seg").cast("binary")).as("h"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg")))
+        .as("first"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.seg_idx").as("seg_idx"), col("first.seg").as("seg"))
+    segs
+      .join(canon.select(col("doc_id"), col("seg_idx"),
+          lit(1).as("is_first")),
+        Seq("doc_id", "seg_idx"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        coalesce(sum("is_first"), lit(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("is_first").isNotNull,
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("text_dedup"))
+  }
 }

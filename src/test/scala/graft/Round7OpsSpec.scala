@@ -162,4 +162,25 @@ class Round7OpsSpec extends AnyFunSuite {
     // bit-exact round trip through the standard representation
     assert(Pmml.importEnsemble(xml) === e)
   }
+
+  test("segmentDedup: keep-first is the global (doc_id, seg_idx) minimum; " +
+    "docs reassemble in order; fully-duplicated docs survive as empty rows") {
+    import spark.implicits._
+    // segLen=2 segments: doc0=[a b][c d], doc1=[a b][x y], doc2=[c d][a b]
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b x y"), (2L, "c d a b"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextOps.segmentDedup(docs, segLen = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) === ((2L, 2L, "a b c d")), "first doc keeps everything")
+    assert(got(1L) === ((2L, 1L, "x y")), "'a b' already seen in doc 0")
+    assert(got(2L) === ((2L, 0L, "")),
+      "both segments seen earlier; the row survives with empty text")
+    // single groupBy per pass: a hot segment is one group row, never a
+    // pair explosion — assert no cartesian/join-on-text in the plan
+    val plan = graft.text.TextOps.segmentDedup(docs, segLen = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"no pair expansion:\n$plan")
+  }
 }
