@@ -637,6 +637,40 @@ object QueriesText {
         |GROUP BY doc_id
         |""".stripMargin))
 
+  // ---- bigram-interpolated logprob quality ---------------------------------
+
+  /** Jelinek-Mercer bigram/unigram interpolated scorer (full vocab =
+    * exact parity; production caps + broadcasts). Oracle builds the same
+    * LM tables with the SAME division/interpolation operation order. */
+  private val bigramLp: Q = Q(
+    fn = (s, dir) => graft.text.TextOps.bigramLogprob(
+      docs(s, dir), lambda = 0.8, vocabCap = None),
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(toks) AS t FROM base),
+        |uni AS (SELECT t, count(*)::DOUBLE AS cu FROM tk GROUP BY t),
+        |tot AS (SELECT sum(cu) AS n FROM uni),
+        |trx AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM base WHERE len(toks) >= 2),
+        |tr AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM trx),
+        |big AS (SELECT w1, w2, count(*)::DOUBLE AS cb
+        |        FROM tr GROUP BY w1, w2),
+        |cond AS (SELECT w1, w2, cb / cu AS p_cond
+        |         FROM big JOIN uni ON big.w1 = uni.t),
+        |unip AS (SELECT t AS w2, cu / n AS p_uni FROM uni, tot)
+        |SELECT doc_id,
+        |  round(avg(log10(0.8 * p_cond + (1.0 - 0.8) * p_uni)), 6)
+        |    AS avg_logprob,
+        |  count(*) AS n_transitions
+        |FROM tr JOIN cond USING (w1, w2) JOIN unip USING (w2)
+        |GROUP BY doc_id
+        |""".stripMargin))
+
   // ---- corpus mixture weights ----------------------------------------------
 
   /** Per-source token shares + the resampling weight toward a uniform
@@ -732,6 +766,7 @@ object QueriesText {
     "q_mixture_weights" -> mixture,
     "q_corpus_filter"  -> corpusFilter,
     "q_segment_dedup"  -> segmentDedup,
+    "q_bigram_logprob" -> bigramLp,
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,
     "q_dedup_apply"   -> dedupApply,

@@ -644,6 +644,63 @@ object TextOps {
           .as("pack_in_shard"))
   }
 
+  /** Bigram-interpolated log-probability scorer — the step up from
+    * [[unigramLogprob]] on the CCNet quality ladder: score each token
+    * transition by log10(λ·P(w2|w1) + (1−λ)·P(w2)) against the corpus'
+    * own LM and average per doc. Interpolation (Jelinek-Mercer) keeps
+    * unseen-bigram transitions finite without discounting machinery.
+    *
+    * Scale mirrors the unigram path: transitions are built ROW-LOCALLY
+    * (adjacent pairs via `transform` over the token array — no index
+    * window, no self-join); the bigram LM is one groupBy; `vocabCap`
+    * bounds both tables through the same TakeOrdered top-k (never a
+    * global row_number window); scoring is two size-gated broadcast
+    * joins + one doc-keyed aggregation. OOV bigrams fall back to the
+    * unigram term alone; OOV unigrams to the 1/total floor.
+    * Docs with fewer than 2 tokens have no transitions and drop out. */
+  def bigramLogprob(docs: DataFrame, lambda: Double = 0.8,
+                    vocabCap: Option[Int] = Some(1 << 20)): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      filter(split(lower(col("text")), " "), t => t =!= "").as("toks"))
+    val tk = base.select(col("doc_id"), explode(col("toks")).as("t"))
+    val uni = tk.groupBy("t").agg(count(lit(1)).cast("double").as("cu"))
+    val total = uni.agg(sum("cu")).head().getDouble(0)
+    val tr = base
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = tr.groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("double").as("cb"))
+    def capped(df: DataFrame, ord: Seq[Column]): DataFrame = vocabCap match {
+      case Some(cap) => df.orderBy(ord: _*).limit(cap)
+      case None      => df
+    }
+    val uniV = capped(uni, Seq(col("cu").desc, col("t").asc))
+    val bigV = capped(big,
+      Seq(col("cb").desc, col("w1").asc, col("w2").asc))
+    // P(w2|w1): capped-bigram side broadcasts against the unigram counts
+    val cond = uni.join(
+        graft.ops.PlanHints.gatedBroadcast(bigV),
+        col("t") === col("w1"))
+      .select(col("w1"), col("w2"), (col("cb") / col("cu")).as("p_cond"))
+    val unip = uniV.select(col("t").as("w2"),
+      (col("cu") / total).as("p_uni"))
+    val floorP = 1.0 / total
+    tr
+      .join(graft.ops.PlanHints.gatedBroadcast(cond), Seq("w1", "w2"), "left")
+      .join(graft.ops.PlanHints.gatedBroadcast(unip), Seq("w2"), "left")
+      .select(col("doc_id"),
+        log10(lit(lambda) * coalesce(col("p_cond"), lit(0.0)) +
+          (lit(1.0) - lit(lambda)) * coalesce(col("p_uni"), lit(floorP)))
+          .as("logp"))
+      .groupBy("doc_id")
+      .agg(round(avg("logp"), 6).as("avg_logprob"),
+        count(lit(1)).as("n_transitions"))
+  }
+
   /** Segment-level exact deduplication with document reassembly — the
     * paragraph-dedup stage of CCNet/Dolma-style pipelines (boilerplate
     * headers/footers repeat across pages; drop every occurrence but the

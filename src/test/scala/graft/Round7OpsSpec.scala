@@ -163,6 +163,40 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(Pmml.importEnsemble(xml) === e)
   }
 
+  test("bigramLogprob: generous cap matches the exact path; tight cap " +
+    "scores OOV transitions at the interpolated floor; capped plan has " +
+    "no global-sort window") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat ran"),
+      (2L, "a dog sat on a log"),
+      (3L, "one")).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    val exact = asMap(graft.text.TextOps.bigramLogprob(docs, vocabCap = None))
+    val wide = asMap(
+      graft.text.TextOps.bigramLogprob(docs, vocabCap = Some(1 << 20)))
+    assert(exact === wide, "a cap larger than the vocab changes nothing")
+    assert(!exact.contains(3L), "a 1-token doc has no transitions")
+    assert(exact(0L)._2 === 5L, "6 tokens -> 5 transitions")
+    // tight cap: still total, every doc scored, scores can only drop
+    // (mass moves from seen-bigram to floor terms)
+    val tight = asMap(
+      graft.text.TextOps.bigramLogprob(docs, vocabCap = Some(2)))
+    assert(tight.keySet === exact.keySet)
+    tight.foreach { case (id, (lp, n)) =>
+      assert(n === exact(id)._2)
+      assert(lp <= exact(id)._1 + 1e-9, s"doc $id: capped $lp > exact") }
+    // the cap must plan as a bounded TakeOrdered, never a global window
+    val plan = graft.text.TextOps.bigramLogprob(docs, vocabCap = Some(2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"cap should be a bounded top-k:\n$plan")
+    assert(!plan.contains("Window"), s"no window in the capped plan:\n$plan")
+  }
+
   test("segmentDedup: keep-first is the global (doc_id, seg_idx) minimum; " +
     "docs reassemble in order; fully-duplicated docs survive as empty rows") {
     import spark.implicits._
