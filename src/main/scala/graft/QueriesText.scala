@@ -637,6 +637,51 @@ object QueriesText {
         |GROUP BY doc_id
         |""".stripMargin))
 
+  // ---- BM25 keyword relevance ----------------------------------------------
+
+  /** BM25 of every doc against a fixed 4-term query, k1=1.2 b=0.75.
+    * Oracle computes the same corpus stats and mirrors the scoring
+    * formula term-by-term in the same left-to-right order (0.5 literals
+    * forced to DOUBLE — DuckDB decimals must not enter the math). */
+  private val bm25: Q = {
+    val terms = Seq("spark", "join", "window", "hash")
+    Q(
+      fn = (s, dir) => TextOps.bm25(docs(s, dir), terms),
+      oracle = Some {
+        val dfCols = terms.zipWithIndex.map { case (t, i) =>
+          s"    sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)::BIGINT AS df_$i"
+        }.mkString(",\n")
+        val tfCols = terms.zipWithIndex.map { case (t, i) =>
+          s"    len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf_$i"
+        }.mkString(",\n")
+        val scoreTerms = terms.indices.map { i =>
+          s"""ln((n - df_$i + 0.5::DOUBLE) / (df_$i + 0.5::DOUBLE) + 1.0)
+             |      * (tf_$i * (1.2 + 1.0))
+             |      / (tf_$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"""
+            .stripMargin
+        }.mkString("\n    + ")
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+           |      AS toks
+           |  FROM documents),
+           |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM base),
+           |s AS (
+           |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+           |$dfCols
+           |  FROM d),
+           |c AS (SELECT *, sumdl::DOUBLE / n AS avgdl FROM s),
+           |t AS (
+           |  SELECT doc_id, dl,
+           |$tfCols
+           |  FROM d)
+           |SELECT doc_id, dl,
+           |  round($scoreTerms, 6) AS bm25
+           |FROM t, c
+           |""".stripMargin
+      })
+  }
+
   // ---- bigram-interpolated logprob quality ---------------------------------
 
   /** Jelinek-Mercer bigram/unigram interpolated scorer (full vocab =
@@ -767,6 +812,7 @@ object QueriesText {
     "q_corpus_filter"  -> corpusFilter,
     "q_segment_dedup"  -> segmentDedup,
     "q_bigram_logprob" -> bigramLp,
+    "q_bm25"           -> bm25,
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,
     "q_dedup_apply"   -> dedupApply,

@@ -644,6 +644,41 @@ object TextOps {
           .as("pack_in_shard"))
   }
 
+  /** BM25 keyword relevance (Robertson/Spärck Jones, the standard
+    * retrieval scorer) of every document against a fixed query-term
+    * set — the "pull training docs about X" primitive of corpus
+    * curation and the relevance half of retrieval-augmented filtering.
+    *
+    * Scale: corpus statistics (N, Σdl, per-term document frequency) come
+    * from ONE map-side-combined aggregate producing a single driver row
+    * — |terms|+2 numbers regardless of corpus size; scoring is then a
+    * pure narrow map (term frequencies are row-local array filters, the
+    * idf/avgdl constants fold into codegen literals). Zero joins, one
+    * scan for stats + one for scoring. */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val base = docs.select(col("doc_id"), toks.as("toks"),
+      size(toks).cast("long").as("dl"))
+    val statAggs = Seq(count(lit(1)).as("n"), sum("dl").as("sumdl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("toks"), t).cast("long")).as(s"df_$i") }
+    val stats = base.agg(statAggs.head, statAggs.tail: _*).head()
+    val n = stats.getLong(0)
+    val sumDl = stats.getLong(1)
+    val avgdl = sumDl.toDouble / n.toDouble
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val df = stats.getLong(2 + i)
+      val idf = log((lit(n) - lit(df) + lit(0.5)) /
+        (lit(df) + lit(0.5)) + lit(1.0))
+      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    }.reduceLeft(_ + _)
+    base.select(col("doc_id"), col("dl"), round(score, 6).as("bm25"))
+  }
+
   /** Bigram-interpolated log-probability scorer — the step up from
     * [[unigramLogprob]] on the CCNet quality ladder: score each token
     * transition by log10(λ·P(w2|w1) + (1−λ)·P(w2)) against the corpus'

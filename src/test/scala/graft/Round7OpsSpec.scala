@@ -163,6 +163,29 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(Pmml.importEnsemble(xml) === e)
   }
 
+  test("bm25: tf monotone, rare terms outweigh common ones at equal tf, " +
+    "absent terms contribute zero; scoring plan is a narrow map") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "rare w w w"), (1L, "rare rare w w"),
+      (2L, "common w w w"), (3L, "common w common w"),
+      (4L, "common x y z")).toDF("doc_id", "text")
+    // 'rare' in 2 docs, 'common' in 3 → idf(rare) > idf(common)
+    val got = graft.text.TextOps.bm25(docs, Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) > got(0L), "higher tf scores higher (same dl)")
+    assert(got(0L) > got(2L),
+      "equal tf/dl: the rarer term carries more idf weight")
+    val none = graft.text.TextOps.bm25(docs, Seq("absent"))
+      .collect().map(_.getDouble(2))
+    assert(none.forall(_ === 0.0), "absent term scores exactly zero")
+    // after the one stats row is collected, scoring must not shuffle
+    val plan = graft.text.TextOps.bm25(docs, Seq("rare"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bm25 scoring must be a narrow map:\n$plan")
+  }
+
   test("bigramLogprob: generous cap matches the exact path; tight cap " +
     "scores OOV transitions at the interpolated floor; capped plan has " +
     "no global-sort window") {
