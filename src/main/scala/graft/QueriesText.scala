@@ -637,6 +637,40 @@ object QueriesText {
         |GROUP BY doc_id
         |""".stripMargin))
 
+  // ---- Bloom-filter cross-batch dedup screen -------------------------------
+
+  /** Membership screen contract: seen = even-id docs' fingerprints;
+    * probing ALL docs must flag every even id (Bloom filters cannot
+    * false-negative) and the odd-id false-positive rate must stay
+    * within 5× the nominal 1% fpp. The filter bits are engine-internal,
+    * so the cross-engine check is the contract, not the bitset. */
+  private val bloomDedup: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp"))
+      val seen = d.filter(col("doc_id") % 2 === 0)
+      val m = graft.text.BloomDedup
+        .flagSeen(seen, d, "fp", expectedItems = 1L << 16, fpp = 0.01)
+        .agg(
+          sum(when(col("doc_id") % 2 === 0 && !col("maybe_seen"), 1)
+            .otherwise(0)).as("fn"),
+          sum(when(col("doc_id") % 2 =!= 0 && col("maybe_seen"), 1)
+            .otherwise(0)).as("fp_cnt"),
+          sum(when(col("doc_id") % 2 =!= 0, 1).otherwise(0)).as("neg"))
+        .head()
+      val fpRate = m.getLong(1).toDouble / math.max(m.getLong(2), 1L)
+      Seq(
+        ("no_false_negatives", if (m.getLong(0) == 0L) 1 else 0),
+        ("fp_rate_bounded", if (fpRate <= 0.05) 1 else 0))
+        .toDF("contract", "ok")
+    },
+    oracle = Some(
+      """SELECT 'no_false_negatives' AS contract, 1 AS ok
+        |UNION ALL SELECT 'fp_rate_bounded', 1
+        |""".stripMargin))
+
   // ---- BM25 keyword relevance ----------------------------------------------
 
   /** BM25 of every doc against a fixed 4-term query, k1=1.2 b=0.75.
@@ -813,6 +847,7 @@ object QueriesText {
     "q_segment_dedup"  -> segmentDedup,
     "q_bigram_logprob" -> bigramLp,
     "q_bm25"           -> bm25,
+    "q_bloom_dedup"    -> bloomDedup,
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,
     "q_dedup_apply"   -> dedupApply,

@@ -163,6 +163,25 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(Pmml.importEnsemble(xml) === e)
   }
 
+  test("BloomDedup: every inserted key flags (no false negatives), fresh " +
+    "keys stay near the nominal fpp, probe plan is a narrow map") {
+    import spark.implicits._
+    val seen = (0L until 5000L).map(i => s"key_$i").toDF("fp")
+    val bf = graft.text.BloomDedup.build(seen, "fp",
+      expectedItems = 5000, fpp = 0.01)
+    (0L until 5000L).foreach { i =>
+      assert(bf.mightContainString(s"key_$i"), s"member key_$i must flag") }
+    val fresh = (0 until 10000).count(i => bf.mightContainString(s"new_$i"))
+    assert(fresh < 500, s"fresh-key fp rate ${fresh / 10000.0} >= 5x nominal")
+    // probe side: broadcast bitset, zero shuffles
+    val incoming = (0L until 100L).map(i => s"key_$i").toDF("fp")
+    val probed = incoming.withColumn("maybe_seen",
+      graft.text.BloomDedup.probe(incoming, bf, $"fp"))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"probe must be narrow:\n$plan")
+    assert(probed.collect().forall(_.getBoolean(1)))
+  }
+
   test("bm25: tf monotone, rare terms outweigh common ones at equal tf, " +
     "absent terms contribute zero; scoring plan is a narrow map") {
     import spark.implicits._
