@@ -808,6 +808,34 @@ object QueriesText {
         |FROM r GROUP BY doc_id
         |""".stripMargin))
 
+  // ---- temperature-flattened mixture ---------------------------------------
+
+  /** α=0.5 temperature sampling weights (XLM-R rule). Oracle mirrors the
+    * share→pow→renormalize→ratio chain in the same operation order. */
+  private val mixtureTemp: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.text.TextOps.mixtureTemperature(docs(s, dir),
+        size(split(col("text"), " ")).cast("long"), alpha = 0.5)
+    },
+    oracle = Some(
+      """WITH per AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    n_tokens / sum(n_tokens) OVER () AS sh
+        |  FROM per),
+        |p AS (SELECT *, pow(sh, 0.5) AS pa FROM w),
+        |t AS (SELECT *, pa / sum(pa) OVER () AS tgt FROM p)
+        |SELECT source, n_docs, n_tokens,
+        |  round(sh, 6) AS token_share,
+        |  round(tgt, 6) AS target_share,
+        |  round(tgt / sh, 6) AS resample_weight
+        |FROM t
+        |""".stripMargin))
+
   // ---- corpus filter (keep/drop decision with reason) ----------------------
 
   /** Gopher-style keep/drop per doc, first failing rule as the reason —
@@ -848,6 +876,7 @@ object QueriesText {
     "q_bigram_logprob" -> bigramLp,
     "q_bm25"           -> bm25,
     "q_bloom_dedup"    -> bloomDedup,
+    "q_mixture_temperature" -> mixtureTemp,
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,
     "q_dedup_apply"   -> dedupApply,

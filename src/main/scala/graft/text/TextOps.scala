@@ -538,6 +538,30 @@ object TextOps {
         round(targetShare * sum("n_tokens").over(all) / col("n_tokens"), 6))
   }
 
+  /** Temperature-flattened mixture weights (the XLM-R/mT5 multilingual
+    * sampling rule): target share ∝ share^α with α ∈ (0,1] — α=1 keeps
+    * the natural mixture, α→0 approaches uniform, between the two it
+    * upweights low-resource sources without drowning the head. Same
+    * bounded-SOURCE-table windows as [[mixtureWeights]]; the corpus is
+    * touched by exactly one groupBy. */
+  def mixtureTemperature(docs: DataFrame, tokensCol: Column,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val per = docs.select(col("source"), tokensCol.cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    per
+      .withColumn("sh", col("n_tokens") / sum("n_tokens").over(all))
+      .withColumn("pa", pow(col("sh"), lit(alpha)))
+      .withColumn("tgt", col("pa") / sum("pa").over(all))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("sh"), 6).as("token_share"),
+        round(col("tgt"), 6).as("target_share"),
+        round(col("tgt") / col("sh"), 6).as("resample_weight"))
+  }
+
   /** Unigram log-probability scorer — the perplexity-proxy quality filter
     * of CCNet-style corpus pipelines (score docs by how "language-like"
     * their token distribution is; low average logprob → gibberish /

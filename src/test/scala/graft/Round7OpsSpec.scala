@@ -163,6 +163,25 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(Pmml.importEnsemble(xml) === e)
   }
 
+  test("mixtureTemperature: alpha=1 is the natural mixture (weights 1); " +
+    "alpha<1 upweights the tail and downweights the head") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (Seq.fill(90)("srcBig") ++ Seq.fill(10)("srcSmall"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, "a b c d", s) }
+      .toDF("doc_id", "text", "source")
+    def weights(alpha: Double) = graft.text.TextOps
+      .mixtureTemperature(docs, size(split(col("text"), " ")).cast("long"),
+        alpha)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val natural = weights(1.0)
+    assert(natural.values.forall(w => math.abs(w - 1.0) < 1e-9),
+      s"alpha=1 must keep the natural mixture: $natural")
+    val flat = weights(0.5)
+    assert(flat("srcSmall") > 1.0 && flat("srcBig") < 1.0,
+      s"alpha=0.5 must upweight the tail: $flat")
+  }
+
   test("BloomDedup: every inserted key flags (no false negatives), fresh " +
     "keys stay near the nominal fpp, probe plan is a narrow map") {
     import spark.implicits._
