@@ -240,6 +240,53 @@ object QueriesSim {
         |SELECT 'ivf_probe4' AS method, 1 AS contract_ok
         |""".stripMargin))
 
+  /** SemDeDup contract (the quantizer is FP-order sensitive → boolean
+    * contract, like the IVF queries): (1) every pruned id participates
+    * in at least one EXACT cosine-threshold duplicate pair (within-cell
+    * pairs are a subset of the global pair set, and transitive closure
+    * never invents members); (2) the keeper rule is the cluster minimum,
+    * so keep_id < vec_id on every row; (3) no keeper is itself pruned;
+    * (4) the cut is non-trivial on this corpus (threshold sits in the
+    * tail, so some cells contain genuine near-dups). */
+  private val semDedup: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val pruned = graft.sim.SemDedup.prune(emb, threshold = 0.35).cache()
+      try {
+        val v = Similarity.prep(emb)
+        val a = v.select(col("vec_id"), col("e").as("ea"),
+          col("norm").as("na"))
+        val b = v.select(col("vec_id").as("nb_id"), col("e").as("eb"),
+          col("norm").as("nb"))
+        val exactIds = a.join(b, col("vec_id") < col("nb_id"))
+          .withColumn("cos", graft.expr.DotProduct.dot(col("ea"), col("eb"))
+            / (col("na") * col("nb")))
+          .filter(col("cos") >= 0.35)
+          .select(explode(array(col("vec_id"), col("nb_id"))).as("vec_id"))
+          .distinct()
+        val outside = pruned.select("vec_id")
+          .join(exactIds, Seq("vec_id"), "left_anti").count()
+        val keeperOrder = pruned.filter(col("keep_id") >= col("vec_id")).count()
+        val keeperPruned = pruned.select(col("keep_id").as("vec_id"))
+          .join(pruned.select("vec_id"), Seq("vec_id"), "left_semi").count()
+        val nPruned = pruned.count()
+        Seq(
+          ("pruned_subset_of_exact", if (outside == 0L) 1 else 0),
+          ("keeper_is_cluster_min", if (keeperOrder == 0L) 1 else 0),
+          ("keepers_never_pruned", if (keeperPruned == 0L) 1 else 0),
+          ("cut_non_trivial", if (nPruned > 0L) 1 else 0))
+          .toDF("contract", "ok")
+      } finally pruned.unpersist(false)
+    },
+    oracle = Some(
+      """SELECT 'pruned_subset_of_exact' AS contract, 1 AS ok
+        |UNION ALL SELECT 'keeper_is_cluster_min', 1
+        |UNION ALL SELECT 'keepers_never_pruned', 1
+        |UNION ALL SELECT 'cut_non_trivial', 1
+        |""".stripMargin))
+
   /** Scalar int8 quantization (faiss SQ8-style): per-dim min/max trains
     * the quantizer (one tiny agg), coding is a zero-shuffle narrow map.
     * All arithmetic fixed-order IEEE double with a floor bucket cut, so
@@ -276,5 +323,6 @@ object QueriesSim {
     "q_ann_recall_ivf" -> annRecallIvf,
     "q_embed_quantize" -> embedQuantize,
     "q_dedup_embed" -> dedupEmbed,
+    "q_semdedup"    -> semDedup,
   )
 }

@@ -163,6 +163,25 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(Pmml.importEnsemble(xml) === e)
   }
 
+  test("SemDedup.prune: planted duplicate groups keep exactly their " +
+    "min id; singletons survive; cells bound the pair work") {
+    import spark.implicits._
+    // two exact-dup triples + 20 spread singletons in 4-dim space
+    def v(x: Double, y: Double) = Array(x, y, 1.0, 0.5).map(_.toFloat)
+    val rows =
+      Seq(0L, 1L, 2L).map(i => (i, v(10, 10))) ++
+      Seq(10L, 11L, 12L).map(i => (i, v(-10, 4))) ++
+      (20 until 40).map(i => (i.toLong, v(math.cos(i) * 5, math.sin(i) * 5)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val pruned = graft.sim.SemDedup.prune(emb, threshold = 0.999,
+        nCells0 = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pruned.keySet === Set(1L, 2L, 11L, 12L),
+      s"exactly the non-min dup members are pruned: $pruned")
+    assert(pruned(1L) === 0L && pruned(2L) === 0L)
+    assert(pruned(11L) === 10L && pruned(12L) === 10L)
+  }
+
   test("mixtureTemperature: alpha=1 is the natural mixture (weights 1); " +
     "alpha<1 upweights the tail and downweights the head") {
     import spark.implicits._
