@@ -240,6 +240,50 @@ object QueriesSim {
         |SELECT 'ivf_probe4' AS method, 1 AS contract_ok
         |""".stripMargin))
 
+  /** Binary (sign) quantization: 64 dims pack into ONE BIGINT. No
+    * trained codebook → codes are engine-exact; the oracle rebuilds the
+    * two's-complement packing bit by bit (bit 63 via the min-long
+    * weight, the SimHash/aHash trick). */
+  private val embedBinary: Q = Q(
+    fn = (s, dir) => graft.sim.Quantize.binarize(
+      Tables.load(s, dir, "embeddings"), dims = 64),
+    oracle = Some(
+      """SELECT vec_id,
+        |  [CAST(sum(CASE WHEN embedding[d] >= 0 THEN
+        |     CASE WHEN d = 64 THEN -9223372036854775807 - 1
+        |          ELSE (1::BIGINT << (d - 1)) END
+        |     ELSE 0 END) AS BIGINT)] AS code
+        |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
+        |GROUP BY vec_id
+        |""".stripMargin))
+
+  /** Hamming-metric ANN over the binary codes — the first ANN query
+    * whose WHOLE RESULT is value-checked (no trained quantizer, ties
+    * broken by nb_id): top-3 by (dist asc, nb_id asc) per vector. The
+    * oracle scores sign-bit disagreements directly — the same number
+    * the engine gets from bit_count(xor) on the packed words. */
+  private val annHamming: Q = Q(
+    fn = (s, dir) => graft.sim.Quantize.hammingTopK(
+      Tables.load(s, dir, "embeddings"), dims = 64, k = 3),
+    oracle = Some(
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id, b.vec_id AS nb_id,
+        |    len(list_filter(list_zip(a.bits, b.bits),
+        |      z -> z[1] != z[2]))::BIGINT AS dist
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, nb_id, dist,
+        |  row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, nb_id) AS rank
+        |  FROM p)
+        |SELECT vec_id, rank::INT AS rank, nb_id, dist
+        |FROM r WHERE rank <= 3
+        |""".stripMargin))
+
   /** SemDeDup contract (the quantizer is FP-order sensitive → boolean
     * contract, like the IVF queries): (1) every pruned id participates
     * in at least one EXACT cosine-threshold duplicate pair (within-cell
@@ -324,5 +368,7 @@ object QueriesSim {
     "q_embed_quantize" -> embedQuantize,
     "q_dedup_embed" -> dedupEmbed,
     "q_semdedup"    -> semDedup,
+    "q_embed_binary" -> embedBinary,
+    "q_ann_hamming"  -> annHamming,
   )
 }

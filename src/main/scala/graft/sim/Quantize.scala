@@ -85,4 +85,63 @@ object Quantize {
       l + (q.cast("double") + lit(0.5)) / lit(256.0) * (h - l)
     })
   }
+
+  /** Binary (sign) quantization — the 1-bit/dim end of the compression
+    * ladder (SQ8 is 8): bit d is set iff `v_d ≥ 0`, packed little-endian
+    * into ⌈dims/64⌉ longs, so a 64-dim embedding collapses to ONE
+    * BIGINT (64× smaller than float32). Hamming distance over the codes
+    * is the standard proxy metric (it equals the count of
+    * sign-disagreeing dimensions), cheap enough to make compressed
+    * brute-force viable and bucketable through the banded-hamming
+    * machinery ([[graft.text.TextOps.hashBandPairs]], same as SimHash /
+    * image aHash) when even that is too much. Entirely deterministic —
+    * no trained codebook — so codes AND neighbor ranks are engine-exact
+    * and oracle-checkable, unlike the k-means family. Zero-shuffle
+    * narrow map, stays in whole-stage codegen. */
+  def binarizeExpr(embCol: Column, dims: Int): Column = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    val words = (dims + 63) / 64
+    val wordCols = (0 until words).map { w =>
+      (0 until math.min(64, dims - w * 64)).map { b =>
+        when(element_at(embCol, w * 64 + b + 1).cast("double") >= 0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce[Column](_ bitwiseOR _)
+    }
+    array(wordCols: _*)
+  }
+
+  /** Binarize a corpus: (idCol, code array<long>). */
+  def binarize(emb: DataFrame, dims: Int, idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), binarizeExpr(col(embCol), dims).as("code"))
+
+  /** Hamming distance between two packed code arrays:
+    * Σ_w bit_count(a_w ⊕ b_w). */
+  def hammingExpr(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+
+  /** Exact top-k neighbors under the binary-code Hamming metric:
+    * (vec_id, rank, nb_id, dist), ties broken by nb_id ascending —
+    * fully deterministic, so the WHOLE ANN result is value-checkable
+    * cross-engine. Pair generation is the compressed brute-force
+    * (the codes are 64× smaller than the float vectors, which is what
+    * makes the n² scan viable far past the float budget); selection is
+    * the bounded [[graft.agg.TopKAgg]] (shuffle moves n×k rows, never
+    * the pair set). For sublinear candidate generation feed the codes
+    * to the banded-hamming bucket path instead. */
+  def hammingTopK(emb: DataFrame, dims: Int, k: Int = 3): DataFrame = {
+    val c = binarize(emb, dims)
+    val a = c.select(col("vec_id"), col("code").as("ca"))
+    val b = c.select(col("vec_id").as("nb_id"), col("code").as("cb"))
+    val pairs = a.join(b, col("vec_id") =!= col("nb_id"))
+      .withColumn("dist", hammingExpr(col("ca"), col("cb")))
+    pairs.groupBy("vec_id")
+      .agg(graft.agg.TopKAgg.topK(k)(-col("dist").cast("double"),
+        col("nb_id")).as("nn"))
+      .select(col("vec_id"), posexplode(col("nn")).as(Seq("p", "nb")))
+      .select(col("vec_id"), (col("p") + 1).cast("int").as("rank"),
+        col("nb._2").as("nb_id"), (-col("nb._1")).cast("long").as("dist"))
+  }
 }

@@ -163,6 +163,36 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(Pmml.importEnsemble(xml) === e)
   }
 
+  test("binarize/hammingTopK: multi-word packing (dims > 64) is exact — " +
+    "hamming equals the sign-disagreement count; codes plan is narrow") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dims = 100
+    val rows = (0L until 30L).map(i =>
+      (i, Array.fill(dims)((rnd.nextDouble() - 0.5).toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val codes = graft.sim.Quantize.binarize(emb, dims)
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"binarize must be narrow:\n$plan")
+    assert(codes.head().getSeq[Long](1).length === 2, "100 dims -> 2 words")
+    // reference hamming from the raw signs
+    val signs = rows.map { case (id, e) => id -> e.map(_ >= 0) }.toMap
+    def refDist(a: Long, b: Long): Long =
+      signs(a).zip(signs(b)).count { case (x, y) => x != y }.toLong
+    val got = graft.sim.Quantize.hammingTopK(emb, dims, k = 3).collect()
+    assert(got.length === 30 * 3)
+    got.foreach { r =>
+      assert(r.getLong(3) === refDist(r.getLong(0), r.getLong(2)),
+        s"packed-word hamming must equal sign disagreements: $r") }
+    // rank 1 is the true argmin with nb_id tie-break
+    val top1 = got.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    (0L until 30L).foreach { id =>
+      val best = (0L until 30L).filter(_ != id)
+        .map(nb => (refDist(id, nb), nb)).min
+      assert(top1(id) === ((best._2, best._1)), s"vec $id top-1") }
+  }
+
   test("SemDedup.prune: planted duplicate groups keep exactly their " +
     "min id; singletons survive; cells bound the pair work") {
     import spark.implicits._
