@@ -836,6 +836,37 @@ object QueriesText {
         |FROM t
         |""".stripMargin))
 
+  /** Intra-doc scope: only segments repeated WITHIN one document are
+    * dropped (keep-first by seg_idx); cross-doc repeats survive. */
+  private val segmentDedupDoc: Q = Q(
+    fn = (s, dir) => TextOps.segmentDedup(docs(s, dir), segLen = 20,
+      perDoc = true),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |seg AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0,
+        |      greatest(ceil(len(toks) / 20.0)::BIGINT, 1) - 1)) AS seg_idx
+        |  FROM t),
+        |s2 AS (
+        |  SELECT doc_id, seg_idx,
+        |    array_to_string(list_slice(toks,
+        |      seg_idx * 20 + 1, seg_idx * 20 + 20), ' ') AS seg
+        |  FROM seg),
+        |r AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    row_number() OVER (PARTITION BY doc_id, seg
+        |      ORDER BY seg_idx) AS rn
+        |  FROM s2)
+        |SELECT doc_id, count(*)::BIGINT AS n_segments,
+        |  coalesce(sum(CASE WHEN rn = 1 THEN 1 END), 0)::BIGINT AS n_kept,
+        |  coalesce(array_to_string(
+        |    list(seg ORDER BY seg_idx) FILTER (WHERE rn = 1), ' '), '')
+        |    AS text_dedup
+        |FROM r GROUP BY doc_id
+        |""".stripMargin))
+
   // ---- corpus filter (keep/drop decision with reason) ----------------------
 
   /** Gopher-style keep/drop per doc, first failing rule as the reason —
@@ -873,6 +904,7 @@ object QueriesText {
     "q_mixture_weights" -> mixture,
     "q_corpus_filter"  -> corpusFilter,
     "q_segment_dedup"  -> segmentDedup,
+    "q_segment_dedup_doc" -> segmentDedupDoc,
     "q_bigram_logprob" -> bigramLp,
     "q_bm25"           -> bm25,
     "q_bloom_dedup"    -> bloomDedup,

@@ -777,8 +777,15 @@ object TextOps {
     *
     * Output per input doc: (doc_id, n_segments, n_kept, text_dedup) —
     * docs whose every segment was seen earlier keep an empty text, so
-    * corpus accounting never loses rows. */
-  def segmentDedup(docs: DataFrame, segLen: Int = 20): DataFrame = {
+    * corpus accounting never loses rows.
+    *
+    * `perDoc = true` narrows the scope to WITHIN each document (strip
+    * internally-repeated boilerplate but keep cross-doc repeats — the
+    * intra-doc half of the Dolma paragraph pass); the canonical groupBy
+    * then keys on (doc_id, segment-hash), which also removes the only
+    * corpus-global key of the operator. */
+  def segmentDedup(docs: DataFrame, segLen: Int = 20,
+                   perDoc: Boolean = false): DataFrame = {
     require(segLen > 0, s"segLen must be positive, got $segLen")
     val toks = split(col("text"), " ")
     val nSeg = greatest(
@@ -790,12 +797,19 @@ object TextOps {
     // canonical (first) occurrence per distinct segment: min over the
     // (doc_id, seg_idx, seg) struct — doc_id/seg_idx decide, seg rides
     // along (constant within the group) so no re-join is needed
-    val canon = segs
-      .groupBy(md5(col("seg").cast("binary")).as("h"))
-      .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg")))
-        .as("first"))
-      .select(col("first.doc_id").as("doc_id"),
-        col("first.seg_idx").as("seg_idx"), col("first.seg").as("seg"))
+    val h = md5(col("seg").cast("binary")).as("h")
+    val canon =
+      if (perDoc)
+        segs.groupBy(col("doc_id"), h)
+          .agg(min(struct(col("seg_idx"), col("seg"))).as("first"))
+          .select(col("doc_id"), col("first.seg_idx").as("seg_idx"),
+            col("first.seg").as("seg"))
+      else
+        segs.groupBy(h)
+          .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg")))
+            .as("first"))
+          .select(col("first.doc_id").as("doc_id"),
+            col("first.seg_idx").as("seg_idx"), col("first.seg").as("seg"))
     segs
       .join(canon.select(col("doc_id"), col("seg_idx"),
           lit(1).as("is_first")),

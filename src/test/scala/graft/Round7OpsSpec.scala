@@ -326,5 +326,15 @@ class Round7OpsSpec extends AnyFunSuite {
     val plan = graft.text.TextOps.segmentDedup(docs, segLen = 2)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"), s"no pair expansion:\n$plan")
+    // perDoc scope: cross-doc repeats survive, intra-doc repeats drop
+    val perDoc = graft.text.TextOps
+      .segmentDedup(Seq((0L, "a b a b c d"), (1L, "a b x y"))
+        .toDF("doc_id", "text"), segLen = 2, perDoc = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(perDoc(0L) === ((2L, "a b c d")),
+      "doc 0 drops only its own repeat of 'a b'")
+    assert(perDoc(1L) === ((2L, "a b x y")),
+      "doc 1 keeps 'a b' — cross-doc repeats are out of scope")
   }
 }
