@@ -637,6 +637,75 @@ object QueriesText {
         |GROUP BY doc_id
         |""".stripMargin))
 
+  // ---- hashing-trick features + quality classifier -------------------------
+
+  /** Hashing-trick bag-of-ngrams (uni+bigram, 4096 buckets): fully
+    * value-checked — the oracle re-derives each md5 bucket with the
+    * 8-hexdigit positional arithmetic. */
+  private val hashedNgrams: Q = Q(
+    fn = (s, dir) => graft.text.QualityModel.hashedNgramFeatures(
+      docs(s, dir), numBuckets = 4096),
+    oracle = Some {
+      val hexVal = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1) * " +
+          s"(1::BIGINT << ${4 * (8 - i)})").mkString("(", "\n     + ", ")")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+         |      AS toks
+         |  FROM documents),
+         |uni AS (SELECT doc_id, unnest(toks) AS g FROM base),
+         |bx AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1, len(toks) - 1)) AS i
+         |  FROM base WHERE len(toks) >= 2),
+         |bi AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g FROM bx),
+         |grams AS (
+         |  SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+         |h AS (SELECT doc_id, md5(g) AS m FROM grams)
+         |SELECT doc_id,
+         |  $hexVal % 4096 AS bucket,
+         |  count(*)::BIGINT AS cnt
+         |FROM h GROUP BY doc_id, bucket
+         |""".stripMargin
+    })
+
+  /** Model-based quality filter contract: train the linear classifier on
+    * the Gopher-rule weak label and score the corpus. The L-BFGS fit is
+    * FP-order sensitive → boolean contract (like the k-means family):
+    * full coverage, probabilities in range, and better-than-chance
+    * separation of its own training labels (tolerant of a degenerate
+    * single-class corpus). */
+  private val qualityClassifier: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val d = docs(s, dir)
+      val keep = TextOps.corpusFilter(d).select(col("doc_id"), col("keep"))
+      val scored = graft.text.QualityModel.trainScore(
+        d.join(keep, "doc_id"), col("keep")).cache()
+      try {
+        val n = scored.count()
+        val nDocs = d.count()
+        val outOfRange = scored.filter(col("quality_score") < 0.0 ||
+          col("quality_score") > 1.0).count()
+        val classes = scored.select("label").distinct().count()
+        val aucOk =
+          if (classes < 2) true
+          else graft.text.QualityModel.aucOf(scored) >= 0.6
+        Seq(
+          ("full_coverage", if (n == nDocs) 1 else 0),
+          ("scores_in_range", if (outOfRange == 0L) 1 else 0),
+          ("separates_labels", if (aucOk) 1 else 0))
+          .toDF("contract", "ok")
+      } finally scored.unpersist(false)
+    },
+    oracle = Some(
+      """SELECT 'full_coverage' AS contract, 1 AS ok
+        |UNION ALL SELECT 'scores_in_range', 1
+        |UNION ALL SELECT 'separates_labels', 1
+        |""".stripMargin))
+
   // ---- Bloom-filter cross-batch dedup screen -------------------------------
 
   /** Membership screen contract: seen = even-id docs' fingerprints;
@@ -909,6 +978,8 @@ object QueriesText {
     "q_bm25"           -> bm25,
     "q_bloom_dedup"    -> bloomDedup,
     "q_mixture_temperature" -> mixtureTemp,
+    "q_hashed_ngrams"  -> hashedNgrams,
+    "q_quality_classifier" -> qualityClassifier,
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,
     "q_dedup_apply"   -> dedupApply,

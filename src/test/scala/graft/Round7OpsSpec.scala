@@ -163,6 +163,28 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(Pmml.importEnsemble(xml) === e)
   }
 
+  test("QualityModel: hashing-trick features are fixed-dim and the " +
+    "linear classifier separates a marker-token corpus (AUC > 0.9)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val fill = Seq("alpha", "beta", "gamma", "delta", "eps")
+    def doc(marker: Boolean) = {
+      val words = Seq.fill(12)(fill(rnd.nextInt(fill.size))) ++
+        (if (marker) Seq("goodtoken", "goodtoken") else Seq("badtoken"))
+      rnd.shuffle(words).mkString(" ")
+    }
+    val docs = (0 until 200).map(i => (i.toLong, doc(i % 2 == 0)))
+      .toDF("doc_id", "text")
+    val feats = graft.text.QualityModel.hashedNgramFeatures(docs, 512)
+    assert(feats.agg(max("bucket")).head().getLong(0) < 512L)
+    assert(feats.agg(min("bucket")).head().getLong(0) >= 0L)
+    val scored = graft.text.QualityModel.trainScore(docs,
+      (col("doc_id") % 2 === 0).cast("int"), numBuckets = 512)
+    val auc = graft.text.QualityModel.aucOf(scored)
+    assert(auc > 0.9, s"marker corpus must separate, got AUC $auc")
+  }
+
   test("binarize/hammingTopK: multi-word packing (dims > 64) is exact — " +
     "hamming equals the sign-disagreement count; codes plan is narrow") {
     import spark.implicits._
