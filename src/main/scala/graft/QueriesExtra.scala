@@ -455,6 +455,37 @@ object QueriesExtra {
         |FROM documents GROUP BY source
         |""".stripMargin))
 
+  // ---- §2.11 streaming corpus quality gate ---------------------------------
+
+  /** Stateless streaming filter decisions must equal the batch
+    * corpusFilter rollup. */
+  private val streamCorpusFilter: Q = Q(
+    fn = (s, dir) => StreamOps.corpusFilterStream(s, dir),
+    oracle = Some {
+      val stopList = graft.text.TextOps.enStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    length(regexp_replace(text, ' ', '', 'g'))::DOUBLE
+         |      / len(string_split(text, ' ')) AS mean_tok_len,
+         |    round(len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopList)))::DOUBLE
+         |      / len(string_split(text, ' ')), 6) AS stopword_ratio
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_tokens < 30 THEN 'too_short'
+         |         WHEN mean_tok_len > 5.0 THEN 'long_tokens'
+         |         WHEN stopword_ratio < 0.03 THEN 'low_stopwords'
+         |         ELSE 'ok' END AS reason
+         |  FROM q)
+         |SELECT reason, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END)::BIGINT AS n_keep
+         |FROM r GROUP BY reason
+         |""".stripMargin
+    })
+
   // ---- §2.11 streaming model scoring (frozen-model serving) ----------------
 
   private val streamScore: Q = Q(
@@ -474,6 +505,7 @@ object QueriesExtra {
   val all: Map[String, Q] = Map(
     "q_stream_score"      -> streamScore,
     "q_stream_dedup"      -> streamDedup,
+    "q_stream_corpus_filter" -> streamCorpusFilter,
     "q_stream_sessionize" -> streamSessionize,
     "q_stream_psi"        -> streamPsi,
     "q_munropat_bins"  -> munroPatBins,

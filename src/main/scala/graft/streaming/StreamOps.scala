@@ -67,6 +67,32 @@ object StreamOps {
       .agg(count(lit(1)).as("n_distinct_texts"))
     }
 
+  /** Streaming corpus quality gate: [[graft.text.TextOps.corpusFilter]]
+    * applied to a document stream — the Gopher keep/drop decision is a
+    * pure narrow map, so it runs inside each micro-batch with NO
+    * streaming state at all (the cheapest possible streaming operator:
+    * stateless row-local transform, then a batch rollup off the sink).
+    * This is how a live crawl feed gets filtered before it ever lands
+    * in the corpus store. */
+  def corpusFilterStream(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark, 8) {
+      val name = s"stream_cf_${counter.incrementAndGet()}"
+      val docs = spark.readStream
+        .schema(documentsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = graft.text.TextOps.corpusFilter(docs).writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).groupBy("reason")
+        .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_keep"))
+    }
+
   /** Per-user session accumulator for stateful streaming sessionization. */
   final case class SessState(lastMs: Long, sessions: Long, events: Long)
 
