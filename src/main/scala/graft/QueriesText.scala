@@ -637,6 +637,62 @@ object QueriesText {
         |GROUP BY doc_id
         |""".stripMargin))
 
+  // ---- URL canonicalization + canonical-URL dedup --------------------------
+
+  /** Three fetch-variants per logical page (scheme/host case + default
+    * port + trailing slash + utm tracking params) must collapse to ONE
+    * canonical spelling with the min-doc_id keeper. The oracle replays
+    * the same RE2 rewrite chain step for step. */
+  private val urlCanonical: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val k = (col("doc_id") % 20).cast("string")
+      val t = (col("doc_id") % 7).cast("string")
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("https://WWW.Site"), k, lit(".com/path")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("HTTPS://www.site"), k, lit(".COM:443/path/")))
+        .otherwise(concat(lit("https://www.site"), k,
+          lit(".com/path?utm_source=x&utm_id="), t))
+      graft.text.TextOps.urlDedup(docs(s, dir).select(col("doc_id")), url)
+    },
+    oracle = Some(
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 20 AS k, doc_id % 7 AS t FROM documents),
+        |u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |         THEN 'https://WWW.Site' || k || '.com/path'
+        |       WHEN doc_id % 3 = 1
+        |         THEN 'HTTPS://www.site' || k || '.COM:443/path/'
+        |       ELSE 'https://www.site' || k
+        |         || '.com/path?utm_source=x&utm_id=' || t END AS url
+        |  FROM d),
+        |c AS (SELECT doc_id,
+        |  lower(regexp_extract(url,
+        |    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+        |  regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest0
+        |  FROM u),
+        |c2 AS (SELECT doc_id, scheme,
+        |  CASE WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+        |       WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+        |       ELSE auth0 END AS auth,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(rest0, '#.*$', ''),
+        |    'utm_[^&]*&', '', 'g'),
+        |    '[?&]utm_[^&]*$', ''),
+        |    '\?$', ''),
+        |    '/$', '') AS rest
+        |  FROM c),
+        |canon AS (SELECT doc_id, scheme || '://' || auth ||
+        |  CASE WHEN rest = '' THEN '/' ELSE rest END AS canonical FROM c2)
+        |SELECT canonical, count(*)::BIGINT AS n_docs,
+        |  min(doc_id) AS keep_doc
+        |FROM canon GROUP BY canonical
+        |""".stripMargin))
+
   // ---- hashing-trick features + quality classifier -------------------------
 
   /** Hashing-trick bag-of-ngrams (uni+bigram, 4096 buckets): fully
@@ -979,6 +1035,7 @@ object QueriesText {
     "q_bloom_dedup"    -> bloomDedup,
     "q_mixture_temperature" -> mixtureTemp,
     "q_hashed_ngrams"  -> hashedNgrams,
+    "q_url_canonical"  -> urlCanonical,
     "q_quality_classifier" -> qualityClassifier,
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,

@@ -474,6 +474,45 @@ object TextOps {
       .select(regexp_replace(col("url"), "^https?://", "").as("domain"))
       .groupBy("domain").agg(count(lit(1)).as("n_urls"))
 
+  /** URL canonicalization — the crawl-dedup normalizer (a page is
+    * fetched under scheme/host case variants, default ports, tracking
+    * params, fragments; dedup must key on ONE spelling). Deterministic
+    * RE2-only rewrite chain, bit-identical in any RE2 engine:
+    *  1. scheme and authority lowercased (path case preserved),
+    *  2. default port stripped (:443 for https, :80 for http),
+    *  3. fragment dropped,
+    *  4. `utm_*` tracking params dropped (leading, middle, trailing),
+    *  5. a dangling '?' and a trailing '/' stripped; empty path → '/'.
+    * Pure narrow codegen map — compose it under any keep-first
+    * groupBy (e.g. [[BloomDedup]] or an exact min-doc_id group) for
+    * canonical-URL dedup. */
+  def canonicalUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth0 = lower(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val auth = when(scheme === "https",
+        regexp_replace(auth0, ":443$", ""))
+      .when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .otherwise(auth0)
+    val rest0 = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val noFrag = regexp_replace(rest0, "#.*$", "")
+    val noUtmMid = regexp_replace(noFrag, "utm_[^&]*&", "")
+    val noUtmEnd = regexp_replace(noUtmMid, "[?&]utm_[^&]*$", "")
+    val noQmark = regexp_replace(noUtmEnd, "\\?$", "")
+    val noSlash = regexp_replace(noQmark, "/$", "")
+    concat(scheme, lit("://"), auth,
+      when(noSlash === "", lit("/")).otherwise(noSlash))
+  }
+
+  /** Canonical-URL dedup groups: (canonical, n_docs, keep_doc) with the
+    * deterministic min-doc_id keeper — one groupBy on the canonical
+    * string, the standard crawl-frontier dedup shape. */
+  def urlDedup(docs: DataFrame, urlCol: Column): DataFrame =
+    docs.select(col("doc_id"), canonicalUrl(urlCol).as("canonical"))
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc"))
+
   /** Benchmark-contamination screen (standard LLM-corpus hygiene: drop
     * training documents that contain evaluation-set n-grams). The
     * benchmark shingle set is SMALL by construction (a benchmark's worth

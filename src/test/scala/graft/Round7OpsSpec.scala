@@ -163,6 +163,26 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(Pmml.importEnsemble(xml) === e)
   }
 
+  test("canonicalUrl edge cases: default vs custom ports, fragments, " +
+    "utm runs, bare host, path case preserved; plan is a narrow map") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      ("HTTP://Host.COM:80/A/b#frag", "http://host.com/A/b"),
+      ("https://h.com:8443/x", "https://h.com:8443/x"),
+      ("http://h.com:8080/", "http://h.com:8080/"),
+      ("https://H.com", "https://h.com/"),
+      ("https://h.com/p?utm_a=1&utm_b=2&id=3", "https://h.com/p?id=3"),
+      ("https://h.com/p?id=3&utm_a=1", "https://h.com/p?id=3"),
+      ("https://h.com/p?utm_a=1", "https://h.com/p"),
+      ("https://h.com/p/", "https://h.com/p"))
+    val df = cases.map(_._1).toDF("url")
+      .select(graft.text.TextOps.canonicalUrl(col("url")).as("c"))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(df.collect().map(_.getString(0)).toSeq === cases.map(_._2),
+      "every rewrite rule fires exactly as specified")
+  }
+
   test("QualityModel: hashing-trick features are fixed-dim and the " +
     "linear classifier separates a marker-token corpus (AUC > 0.9)") {
     import spark.implicits._
