@@ -637,6 +637,39 @@ object QueriesText {
         |GROUP BY doc_id
         |""".stripMargin))
 
+  // ---- winnowing fingerprints (MOSS) ---------------------------------------
+
+  /** Winnowing k=4 w=4: every fingerprint value-checked — the oracle
+    * recomputes the 8-hexdigit md5 gram hashes and the sliding-window
+    * minima with the same arithmetic. */
+  private val winnowQ: Q = {
+    def hex8(e: String): String = (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)" +
+        s" * (1::BIGINT << ${4 * (8 - i)})").mkString("(", " + ", ")")
+    Q(
+      fn = (s, dir) => TextOps.winnow(docs(s, dir), k = 4, w = 4),
+      oracle = Some(
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+           |      AS toks
+           |  FROM documents),
+           |g AS (SELECT doc_id,
+           |  CASE WHEN len(toks) >= 4 THEN
+           |    list_transform(generate_series(1, len(toks) - 3), i ->
+           |      ${hex8("array_to_string(list_slice(toks, i, i + 3), ' ')")})
+           |  ELSE [${hex8("array_to_string(toks, ' ')")}] END AS gr
+           |  FROM base),
+           |f AS (SELECT doc_id,
+           |  CASE WHEN len(gr) >= 4 THEN
+           |    list_distinct(list_transform(generate_series(1, len(gr) - 3),
+           |      j -> list_min(list_slice(gr, j, j + 3))))
+           |  ELSE [list_min(gr)] END AS fps
+           |  FROM g)
+           |SELECT doc_id, unnest(fps) AS fp FROM f
+           |""".stripMargin))
+  }
+
   // ---- URL canonicalization + canonical-URL dedup --------------------------
 
   /** Three fetch-variants per logical page (scheme/host case + default
@@ -1036,6 +1069,7 @@ object QueriesText {
     "q_mixture_temperature" -> mixtureTemp,
     "q_hashed_ngrams"  -> hashedNgrams,
     "q_url_canonical"  -> urlCanonical,
+    "q_winnow"         -> winnowQ,
     "q_quality_classifier" -> qualityClassifier,
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,

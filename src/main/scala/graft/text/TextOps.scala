@@ -527,6 +527,37 @@ object TextOps {
       .filter(col("n_hits") > 0)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every k-token gram, slide a window of
+    * `w` hashes, keep the DISTINCT window minima. Guarantees any shared
+    * run of ≥ w+k−1 tokens yields at least one shared fingerprint while
+    * storing only ~2/(w+1) of the gram hashes — the classic local
+    * fingerprinting scheme for partial-overlap/plagiarism-style dedup,
+    * complementing the global-similarity family (MinHash/SimHash).
+    *
+    * Everything is ROW-LOCAL (`transform` over the token array, one
+    * explode at the end — zero shuffles, stays in codegen) and
+    * md5-derived, so every fingerprint is engine-exact. Docs shorter
+    * than k tokens hash whole; gram lists shorter than w winnow as one
+    * window. */
+  def winnow(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    def h(s: Column): Column =
+      conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+    val toksC = filter(split(lower(col("text")), " "), t => t =!= "")
+    val base = docs.select(col("doc_id"), toksC.as("toks"))
+    val grams = when(size(col("toks")) >= k,
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => h(array_join(slice(col("toks"), i, lit(k)), " "))))
+      .otherwise(array(h(array_join(col("toks"), " "))))
+    val withG = base.select(col("doc_id"), grams.as("g"))
+    val fps = when(size(col("g")) >= w,
+        array_distinct(transform(sequence(lit(1), size(col("g")) - (w - 1)),
+          j => array_min(slice(col("g"), j, lit(w))))))
+      .otherwise(array(array_min(col("g"))))
+    withG.select(col("doc_id"), explode(fps).as("fp"))
+  }
+
   /** Document fingerprints: content md5 + whitespace-normalized md5. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(

@@ -163,6 +163,30 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(Pmml.importEnsemble(xml) === e)
   }
 
+  test("winnow: the winnowing guarantee — a shared run of >= w+k-1 " +
+    "tokens always yields a shared fingerprint; density ~2/(w+1); " +
+    "plan is a narrow map") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def junk(n: Int) = Seq.fill(n)("w" + rnd.nextInt(100000)).mkString(" ")
+    // docs 0/1 share a 7-token run (= w+k-1 at k=4,w=4) inside junk
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (0L, junk(30) + " " + shared + " " + junk(30)),
+      (1L, junk(30) + " " + shared + " " + junk(30)),
+      (2L, junk(60))).toDF("doc_id", "text")
+    val fp = graft.text.TextOps.winnow(docs, k = 4, w = 4)
+    assert(!fp.queryExecution.executedPlan.toString.contains("Exchange"),
+      "winnowing is row-local until the explode")
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert((byDoc(0L) & byDoc(1L)).nonEmpty,
+      "shared >= w+k-1 run must surface a common fingerprint")
+    assert((byDoc(0L) & byDoc(2L)).isEmpty, "junk docs share nothing")
+    // density: |fps| << |grams| (guarantee bound is ~2/(w+1) of 64-1+1)
+    assert(byDoc(2L).size < 40, s"60-token junk doc kept ${byDoc(2L).size}")
+  }
+
   test("canonicalUrl edge cases: default vs custom ports, fragments, " +
     "utm runs, bare host, path case preserved; plan is a narrow map") {
     import spark.implicits._
