@@ -670,6 +670,48 @@ object QueriesText {
            |""".stripMargin))
   }
 
+  /** Winnow-pair overlap detection at k=3 w=3 (denser fingerprints so
+    * the synthetic corpus yields real pairs), df-capped, value-checked
+    * end to end: shared-fingerprint counts per doc pair. */
+  private val winnowPairsQ: Q = {
+    def hex8(e: String): String = (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)" +
+        s" * (1::BIGINT << ${4 * (8 - i)})").mkString("(", " + ", ")")
+    Q(
+      fn = (s, dir) => TextOps.winnowPairs(docs(s, dir), k = 3, w = 3,
+        minShared = 1, dfCap = 1000),
+      oracle = Some(
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+           |      AS toks
+           |  FROM documents),
+           |g AS (SELECT doc_id,
+           |  CASE WHEN len(toks) >= 3 THEN
+           |    list_transform(generate_series(1, len(toks) - 2), i ->
+           |      ${hex8("array_to_string(list_slice(toks, i, i + 2), ' ')")})
+           |  ELSE [${hex8("array_to_string(toks, ' ')")}] END AS gr
+           |  FROM base),
+           |f AS (SELECT doc_id,
+           |  CASE WHEN len(gr) >= 3 THEN
+           |    list_distinct(list_transform(generate_series(1, len(gr) - 2),
+           |      j -> list_min(list_slice(gr, j, j + 2))))
+           |  ELSE [list_min(gr)] END AS fps
+           |  FROM g),
+           |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+           |byfp AS (SELECT fp, list_sort(list(doc_id)) AS ids
+           |         FROM fp GROUP BY fp
+           |         HAVING len(list(doc_id)) > 1
+           |            AND len(list(doc_id)) <= 1000),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, f1.fp
+           |      FROM fp a JOIN fp b
+           |        ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |      JOIN byfp f1 ON f1.fp = a.fp)
+           |SELECT doc_a, doc_b, count(*)::BIGINT AS n_shared
+           |FROM p GROUP BY doc_a, doc_b
+           |""".stripMargin))
+  }
+
   // ---- URL canonicalization + canonical-URL dedup --------------------------
 
   /** Three fetch-variants per logical page (scheme/host case + default
@@ -1070,6 +1112,7 @@ object QueriesText {
     "q_hashed_ngrams"  -> hashedNgrams,
     "q_url_canonical"  -> urlCanonical,
     "q_winnow"         -> winnowQ,
+    "q_winnow_pairs"   -> winnowPairsQ,
     "q_quality_classifier" -> qualityClassifier,
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,

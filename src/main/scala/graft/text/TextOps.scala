@@ -558,6 +558,29 @@ object TextOps {
     withG.select(col("doc_id"), explode(fps).as("fp"))
   }
 
+  /** Partial-overlap candidate pairs from [[winnow]] fingerprints: docs
+    * sharing ≥ `minShared` winnow fingerprints, with the shared count as
+    * the overlap evidence. Same skew discipline as the shingle path — a
+    * fingerprint present in more than `dfCap` docs is dropped BEFORE
+    * pair expansion (boilerplate fingerprints would otherwise emit
+    * ~df²/2 pairs), so the shuffle carries ids only and the groupBy is
+    * the one corpus-keyed stage. */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
+                  minShared: Int = 2, dfCap: Int = 1000): DataFrame = {
+    val fp = winnow(docs, k, w)
+    val pairs = fp.groupBy("fp")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
+      .select(explode(expr(
+        """flatten(transform(ids, x ->
+          |  filter(transform(ids, y -> struct(x AS a, y AS b)),
+          |         p -> p.a < p.b)))""".stripMargin)).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    pairs.groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Document fingerprints: content md5 + whitespace-normalized md5. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
