@@ -637,6 +637,40 @@ object QueriesText {
         |GROUP BY doc_id
         |""".stripMargin))
 
+  // ---- token-budget top-mass selection -------------------------------------
+
+  /** Histogram top-mass cut: keep the highest-stopword-ratio docs up to
+    * a 15k-token budget via the two-pass bin selection (never a global
+    * sort). Oracle replays binning, the descending cumulative, and the
+    * suffix rule. */
+  private val topMass: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val q = TextOps.quality(docs(s, dir))
+        .select(col("doc_id"), col("stopword_ratio"), col("n_tokens"))
+      TextOps.selectTopMass(q, col("stopword_ratio"), col("n_tokens"),
+        budget = 15000L)
+    },
+    oracle = Some {
+      val stopList = TextOps.enStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |    round(len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopList)))::DOUBLE
+         |      / len(string_split(text, ' ')), 6) AS score
+         |  FROM documents),
+         |d AS (SELECT doc_id,
+         |  greatest(least(floor(score * 1000)::INT, 999), 0) AS bin,
+         |  n_tokens FROM q),
+         |b AS (SELECT bin, sum(n_tokens) AS tk FROM d GROUP BY bin),
+         |c AS (SELECT bin, sum(tk) OVER (ORDER BY bin DESC) AS cum FROM b),
+         |t AS (SELECT coalesce(min(bin), 2147483647) AS mk
+         |      FROM c WHERE cum <= 15000)
+         |SELECT doc_id, bin, n_tokens FROM d, t WHERE bin >= mk
+         |""".stripMargin
+    })
+
   // ---- winnowing fingerprints (MOSS) ---------------------------------------
 
   /** Winnowing k=4 w=4: every fingerprint value-checked — the oracle
@@ -1113,6 +1147,7 @@ object QueriesText {
     "q_url_canonical"  -> urlCanonical,
     "q_winnow"         -> winnowQ,
     "q_winnow_pairs"   -> winnowPairsQ,
+    "q_top_mass"       -> topMass,
     "q_quality_classifier" -> qualityClassifier,
     "q_minhash"       -> minhash,
     "q_lsh_pairs"     -> lshPairs,

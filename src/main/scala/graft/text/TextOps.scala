@@ -631,6 +631,40 @@ object TextOps {
         round(targetShare * sum("n_tokens").over(all) / col("n_tokens"), 6))
   }
 
+  /** Token-budget top-mass corpus selection — the final assembly cut
+    * ("keep the highest-quality `budget` tokens"). The naive plan is a
+    * GLOBAL sort by score + running token sum: a single-partition window
+    * at 100 TB, exactly the scale-killer class. This one is two-pass
+    * histogram selection instead:
+    *  1. bin docs by `floor(score·nBins)` and sum tokens per bin — ONE
+    *     map-side-combined groupBy, ≤ `nBins` rows to the driver;
+    *  2. the driver walks bins top-down accumulating token mass while it
+    *     stays ≤ `budget` (bounded, corpus-independent), and the kept
+    *     set is a narrow `bin ≥ threshold` filter with a literal.
+    * Budget granularity is one bin's mass (refine: recurse into the
+    * boundary bin with the same two passes). Deterministic given a
+    * deterministic score, hence oracle-checkable. `score` must be in
+    * [0, 1] (clamped into the bin range otherwise). */
+  def selectTopMass(docs: DataFrame, score: Column, tokensCol: Column,
+                    budget: Long, nBins: Int = 1000): DataFrame = {
+    require(nBins > 0 && budget >= 0, s"bad nBins=$nBins budget=$budget")
+    val d = docs.select(col("doc_id"),
+      greatest(least(floor(score * nBins).cast("int"), lit(nBins - 1)),
+        lit(0)).as("bin"),
+      tokensCol.cast("long").as("n_tokens"))
+    val bins = d.groupBy("bin").agg(sum("n_tokens").as("tk"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    var cum = 0L
+    var minKept = Int.MaxValue
+    var i = 0
+    while (i < bins.length && cum + bins(i)._2 <= budget) {
+      cum += bins(i)._2
+      minKept = bins(i)._1
+      i += 1
+    }
+    d.filter(col("bin") >= minKept)
+  }
+
   /** Temperature-flattened mixture weights (the XLM-R/mT5 multilingual
     * sampling rule): target share ∝ share^α with α ∈ (0,1] — α=1 keeps
     * the natural mixture, α→0 approaches uniform, between the two it
