@@ -1131,7 +1131,139 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- C4-style per-domain quality cap -------------------------------------
+
+  /** Top-25 docs per source-domain by stopword-ratio quality, via the
+    * bounded TopKAgg (domains × k rows shuffled — a head domain never
+    * serializes through one window task). Oracle = the row_number window
+    * the aggregator is contractually equal to. */
+  private val domainTopK: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val q = TextOps.quality(docs(s, dir))
+      val withSrc = docs(s, dir).select(col("doc_id"), col("source"))
+        .join(q.select(col("doc_id"), col("stopword_ratio")), "doc_id")
+      TextOps.domainTopK(withSrc, col("source"), col("stopword_ratio"), 25)
+    },
+    oracle = Some {
+      val stopList = TextOps.enStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    round(len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopList)))::DOUBLE
+         |      / len(string_split(text, ' ')), 6) AS s
+         |  FROM documents),
+         |r AS (SELECT doc_id, source, s,
+         |  row_number() OVER (PARTITION BY source ORDER BY s DESC, doc_id)
+         |    AS rank
+         |  FROM q)
+         |SELECT source AS domain, rank, doc_id, s AS score
+         |FROM r WHERE rank <= 25
+         |""".stripMargin
+    })
+
+  // ---- encoding health (ftfy-style triage) ---------------------------------
+
+  /** Mojibake/control-char triage over a deterministically corrupted copy
+    * (docs with id % 7 = 0 get one U+FFFD and one BEL appended) — both
+    * engines corrupt identically, then count by char-class strip. */
+  private val encodingQuality: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val corrupted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit("\uFFFD\u0007")))
+          .otherwise(col("text")).as("text"))
+      TextOps.encodingQuality(corrupted)
+    },
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || chr(65533) || chr(7)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    (length(text) - length(replace(text, chr(65533), '')))::BIGINT
+        |      AS n_replacement,
+        |    (length(text) - length(regexp_replace(text,
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')))::BIGINT
+        |      AS n_control,
+        |    length(text)::BIGINT AS n_chars
+        |  FROM c)
+        |SELECT doc_id, n_replacement, n_control, n_chars,
+        |  round((n_replacement + n_control) / n_chars::DOUBLE, 6)
+        |    AS bad_ratio,
+        |  (n_replacement + n_control) / n_chars::DOUBLE <= 0.01 AS is_clean
+        |FROM m
+        |""".stripMargin))
+
+  // ---- CCNet head/middle/tail perplexity buckets ---------------------------
+
+  /** Tercile cut of the unigram-LM doc scores (exact quantile + full
+    * vocab at test scale for oracle parity; accuracy and vocabCap are the
+    * production knobs). */
+  private val pplBuckets: Q = Q(
+    fn = (s, dir) => TextOps.pplBuckets(docs(s, dir), vocabCap = None,
+      accuracy = Int.MaxValue),
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents),
+        |tk AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        |vc AS (SELECT t, count(*)::DOUBLE AS c FROM tk GROUP BY t),
+        |tot AS (SELECT sum(c) AS n FROM vc),
+        |lp AS (SELECT t, log10(c / n) AS logp FROM vc, tot),
+        |sc AS (
+        |  SELECT doc_id, round(avg(logp), 6) AS avg_logprob,
+        |    count(*) AS n_tokens
+        |  FROM tk JOIN lp USING (t) GROUP BY doc_id),
+        |cut AS (
+        |  SELECT quantile_disc(avg_logprob, 1.0/3) AS b1,
+        |         quantile_disc(avg_logprob, 2.0/3) AS b2
+        |  FROM sc)
+        |SELECT doc_id, avg_logprob, n_tokens,
+        |  CASE WHEN avg_logprob >= b2 THEN 'head'
+        |       WHEN avg_logprob >= b1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc, cut
+        |""".stripMargin))
+
+  // ---- corpus snapshot diff (recrawl bookkeeping) --------------------------
+
+  /** Snapshot diff: next = prev minus ids ≡9 (mod 10), ids ≡0 edited,
+    * plus fresh ids ≡5 offset by 10⁶. The Spark side full-outer-joins on
+    * content hash; the oracle derives the expected statuses INDEPENDENTLY
+    * from the id arithmetic — a stronger check than mirroring the join. */
+  private val snapshotDiff: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val next = d.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            lit("added doc").as("text")))
+      TextOps.snapshotDiff(d, next)
+    },
+    oracle = Some(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 9 THEN 'deleted'
+        |       WHEN doc_id % 10 = 0 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, 'added' AS status
+        |FROM documents WHERE doc_id % 10 = 5
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "q_domain_topk"    -> domainTopK,
+    "q_encoding_quality" -> encodingQuality,
+    "q_ppl_buckets"    -> pplBuckets,
+    "q_snapshot_diff"  -> snapshotDiff,
     "q_doc_packing"    -> docPacking,
     "q_doc_packing_split" -> docPackingSplit,
     "q_unigram_logprob" -> unigramLp,

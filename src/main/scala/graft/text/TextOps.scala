@@ -950,4 +950,87 @@ object TextOps {
             struct(col("seg_idx"), col("seg"))))),
           x => x.getField("seg")), " ").as("text_dedup"))
   }
+
+  /** C4-style per-domain quality cap: keep only the top-k documents per
+    * domain by a quality score (crawl corpora are dominated by a few head
+    * domains; capping them is the standard mix-rebalancing move). The
+    * naive plan — `row_number().over(Window.partitionBy(domain))` —
+    * serializes a head domain's ENTIRE slice through one task at 100 TB.
+    * This uses the bounded [[graft.agg.TopKAgg]] instead: map-side partial
+    * top-k per domain, so the exchange moves `domains × k` rows and a
+    * billion-page domain costs the same shuffle bytes as a ten-page one.
+    * Ordering matches the window exactly: (score desc, doc_id asc). */
+  def domainTopK(docs: DataFrame, domain: Column, score: Column,
+                 k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    docs.select(domain.as("domain"), score.as("s"), col("doc_id"))
+      .groupBy("domain")
+      .agg(graft.agg.TopKAgg.topK(k)(col("s"), col("doc_id")).as("top"))
+      .select(col("domain"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("domain"), (col("p") + 1).cast("int").as("rank"),
+        col("t._2").as("doc_id"), col("t._1").as("score"))
+  }
+
+  /** Encoding-health signals (ftfy-style triage, narrow codegen map):
+    * U+FFFD replacement-char count (the tell of a mis-decoded byte
+    * stream), C0 control chars outside \t\n\r (binary junk inside
+    * "text"), and the clean verdict at the given ratio threshold. Counts
+    * by length-difference against a char-class strip — both regexes are
+    * RE2-compatible so the oracle reproduces them verbatim. */
+  def encodingQuality(docs: DataFrame,
+                      maxBadRatio: Double = 0.01): DataFrame = {
+    val n = length(col("text")).cast("double")
+    val repl = (length(col("text")) -
+      length(regexp_replace(col("text"), "\uFFFD", ""))).cast("long")
+    val ctrl = (length(col("text")) -
+      length(regexp_replace(col("text"),
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""))).cast("long")
+    docs.select(col("doc_id"),
+        repl.as("n_replacement"), ctrl.as("n_control"),
+        length(col("text")).cast("long").as("n_chars"),
+        round((repl + ctrl) / n, 6).as("bad_ratio"),
+        ((repl + ctrl) / n <= maxBadRatio).as("is_clean"))
+  }
+
+  /** CCNet head/middle/tail perplexity bucketing: score every doc with the
+    * corpus unigram LM ([[unigramLogprob]] — higher mean logprob = more
+    * language-like), cut the score distribution at its 1/3 and 2/3
+    * quantiles, and label the thirds. CCNet keeps "head" (lowest
+    * perplexity) for LM training and drops/downsamples "tail".
+    *
+    * Scale: the quantile runs over ONE row per document (not tokens), via
+    * `percentile_approx` whose `accuracy` bounds executor memory — exact
+    * (`Int.MaxValue`) only at test scale for oracle parity, the default
+    * 1e6 is the production knob (same contract as
+    * [[graft.ops.Binning]]). Cuts are folded back as literals, so the
+    * labeling pass is a narrow map over the scored table. */
+  def pplBuckets(docs: DataFrame, vocabCap: Option[Int] = Some(1 << 20),
+                 accuracy: Int = 1000000): DataFrame = {
+    val scored = unigramLogprob(docs, vocabCap)
+    val Seq(b1, b2) = scored
+      .agg(percentile_approx(col("avg_logprob"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)))
+      .head().getSeq[Double](0).toSeq
+    scored.select(col("doc_id"), col("avg_logprob"), col("n_tokens"),
+      when(col("avg_logprob") >= b2, "head")
+        .when(col("avg_logprob") >= b1, "middle")
+        .otherwise("tail").as("bucket"))
+  }
+
+  /** Corpus snapshot diff — recrawl bookkeeping: given two snapshots of
+    * the same logical corpus, classify every doc_id as added / deleted /
+    * changed / unchanged by content hash. ONE full-outer join on doc_id
+    * (AQE-sized exchange, no skew — doc_id is unique per side), hashes
+    * computed as narrow maps; at 100 TB this is the cheapest possible
+    * shape since every byte must be hashed at least once. */
+  def snapshotDiff(prev: DataFrame, next: DataFrame): DataFrame = {
+    val a = prev.select(col("doc_id"), md5(col("text").cast("binary")).as("h_prev"))
+    val b = next.select(col("doc_id"), md5(col("text").cast("binary")).as("h_next"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_prev").isNull, "added")
+          .when(col("h_next").isNull, "deleted")
+          .when(col("h_prev") === col("h_next"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

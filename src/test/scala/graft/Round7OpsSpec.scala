@@ -403,4 +403,109 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(perDoc(1L) === ((2L, "a b x y")),
       "doc 1 keeps 'a b' — cross-doc repeats are out of scope")
   }
+
+  test("domainTopK: equals the row_number window on a skewed domain mix, " +
+    "but plans as a partial-aggregating groupBy (no Window operator)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one head domain with 50 docs, two tails with 2 — the partial top-k
+    // must cut the head on the map side
+    val docs = ((0L until 50L).map(i => (i, "head", (i % 7).toDouble)) ++
+      Seq((100L, "tail_a", 3.0), (101L, "tail_a", 9.0),
+        (200L, "tail_b", 1.0), (201L, "tail_b", 1.0)))
+      .toDF("doc_id", "domain", "s")
+    val got = graft.text.TextOps
+      .domainTopK(docs, col("domain"), col("s"), k = 3)
+    val w = Window.partitionBy("domain").orderBy(col("s").desc, col("doc_id"))
+    val want = docs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("domain"), col("rank"), col("doc_id"), col("s").as("score"))
+    assert(got.collect().toSet === want.collect().toSet)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"per-domain cap must never plan a window sort:\n$plan")
+  }
+
+  test("encodingQuality: corrupt chars counted, verdict thresholded, " +
+    "plan is a narrow map") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text here"),
+      (2L, "bad \uFFFD\uFFFD decode"),
+      (3L, "ctl text"),
+      (4L, "tabs\tand\nnewlines ok")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.encodingQuality(docs, maxBadRatio = 0.1)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "encoding triage must stay narrow")
+    val m = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(5)))).toMap
+    assert(m(1L) === ((0L, 0L, true)))
+    assert(m(2L) === ((2L, 0L, false)), "2 replacement chars in 16 > 10%")
+    assert(m(3L) === ((0L, 3L, false)), "C0 controls counted")
+    assert(m(4L) === ((0L, 0L, true)), "tab/newline are NOT junk controls")
+  }
+
+  test("pplBuckets: thirds are labeled monotonically — every head doc " +
+    "scores >= every middle >= every tail; capped path keeps the order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0L until 30L).map { i =>
+      // monotonically more of the common token → 30 DISTINCT doc scores,
+      // so both tercile cuts are interior and every bucket is non-empty
+      (i, ("the " * (i + 1).toInt) + s"rare$i")
+    }.toDF("doc_id", "text")
+    def ranges(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("bucket")
+      .agg(min("avg_logprob").as("lo"), max("avg_logprob").as("hi"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val r = ranges(graft.text.TextOps.pplBuckets(docs, vocabCap = None,
+      accuracy = Int.MaxValue))
+    assert(r("head")._1 >= r("middle")._2,
+      s"head floor must meet middle ceiling: $r")
+    assert(r("middle")._1 >= r("tail")._2,
+      s"middle floor must meet tail ceiling: $r")
+    // production knobs (capped vocab, approximate quantile) keep the
+    // monotone bucket structure; a bucket may be EMPTY when a quantile
+    // cut lands on the distribution's edge, so order only what exists
+    val rc = ranges(graft.text.TextOps.pplBuckets(docs,
+      vocabCap = Some(16), accuracy = 100))
+    val order = Seq("tail", "middle", "head").filter(rc.contains)
+    order.sliding(2).foreach {
+      case Seq(loB, hiB) =>
+        assert(rc(hiB)._1 >= rc(loB)._2,
+          s"$hiB floor must meet $loB ceiling: $rc")
+      case _ =>
+    }
+  }
+
+  test("snapshotDiff: four statuses from content-hash full outer join") {
+    import spark.implicits._
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val next = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text")
+    val got = graft.text.TextOps.snapshotDiff(prev, next)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "deleted", 4L -> "added"))
+  }
+
+  test("selectTopMass: kept set is the maximal suffix of bins within " +
+    "budget — total tokens <= budget, next bin would overflow") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0L until 100L)
+      .map(i => (i, (i % 10) / 10.0 + 0.05, 10L))
+      .toDF("doc_id", "sc", "tk")
+    val kept = graft.text.TextOps
+      .selectTopMass(docs, col("sc"), col("tk"), budget = 250, nBins = 10)
+    val total = kept.agg(sum("n_tokens")).head().getLong(0)
+    assert(total <= 250, s"budget respected, got $total")
+    // bins 8,9 = 200 tokens fit; bin 7 would push to 300 > 250
+    assert(total === 200)
+    val minBin = kept.agg(min("bin")).head().getInt(0)
+    assert(minBin === 8)
+  }
 }
