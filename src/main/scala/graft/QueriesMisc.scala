@@ -321,7 +321,50 @@ object QueriesMisc {
         |WHERE f.i % 4 = 0
         |""".stripMargin))
 
+  // ---- multimodal: REAL audio decode (javax.sound WAV) ---------------------
+
+  /** Audio twin of q_multimodal: each doc carries a deterministic PCM16
+    * mono WAV whose rate/length/samples derive from doc_id, decoded back
+    * by the production javax.sound path (AudioOps.decodeAudio, JDK-only).
+    * WAV is lossless, so every decoded number — rate, frames, duration,
+    * mean |amplitude| — is re-derived arithmetically by the oracle. */
+  private val audioMeta: Q = Q(
+    fn = (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val payloads = docs(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 8 + (id % 5).toInt
+            val rate = 8000 + 1000 * (id % 3).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i * 7) % 65536) - 32768).toShort)
+            (id, graft.media.AudioOps.syntheticWav(rate, samples))
+          }
+        }
+        .toDF("doc_id", "payload")
+      graft.media.AudioOps.decodeAudio(payloads)
+    },
+    oracle = Some(
+      """WITH p AS (
+        |  SELECT doc_id, 8 + doc_id % 5 AS n,
+        |    8000 + 1000 * (doc_id % 3) AS rate
+        |  FROM documents),
+        |v AS (
+        |  SELECT p.doc_id, p.n, p.rate,
+        |    abs((p.doc_id * 31 + f.i * 7) % 65536 - 32768) AS a
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, p.n - 1)) AS i) f)
+        |SELECT doc_id, rate::BIGINT AS sample_rate, 1::BIGINT AS channels,
+        |  n::BIGINT AS n_frames,
+        |  n::DOUBLE / rate AS duration_sec,
+        |  sum(a)::DOUBLE / count(*) AS mean_abs_amp,
+        |  TRUE AS decode_ok
+        |FROM v GROUP BY doc_id, rate, n
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "q_audio_meta"    -> audioMeta,
     "q_frame_sample"  -> frameSample,
     "q_join_enrich"   -> joinEnrich,
     "q_semi_anti"     -> semiAnti,

@@ -404,6 +404,26 @@ class Round7OpsSpec extends AnyFunSuite {
       "doc 1 keeps 'a b' — cross-doc repeats are out of scope")
   }
 
+  test("AudioOps decodes real WAVs: rate/frames/duration/mean-amplitude; " +
+    "corrupt payloads become decode_ok=false rows; plan is a narrow map") {
+    import spark.implicits._
+    val wav = graft.media.AudioOps.syntheticWav(8000,
+      Array[Short](0, 100, -100, 32767, -32768, 50))
+    val df = Seq((1L, wav), (2L, Array[Byte](1, 2, 3)),
+      (3L, Array.empty[Byte])).toDF("doc_id", "payload")
+    val out = graft.media.AudioOps.decodeAudio(df)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "audio decode must stay a narrow map")
+    val m = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getBoolean(6)))).toMap
+    val amp = (0L + 100 + 100 + 32767 + 32768 + 50) / 6.0
+    assert(m(1L) === ((8000L, 1L, 6L, 6.0 / 8000, amp, true)),
+      "PCM16 round-trips bit-exactly through javax.sound")
+    assert(m(2L)._6 === false, "garbage bytes flagged, not fatal")
+    assert(m(3L)._6 === false, "empty payload flagged, not fatal")
+  }
+
   test("domainTopK: equals the row_number window on a skewed domain mix, " +
     "but plans as a partial-aggregating groupBy (no Window operator)") {
     import org.apache.spark.sql.expressions.Window
