@@ -1131,6 +1131,59 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- DSIR importance weights (target-domain selection) -------------------
+
+  /** DSIR log importance weights with source='src0' as the target domain:
+    * every bucket count, the Laplace-smoothed log-ratio, and the per-doc
+    * weighted sum are value-checked cross-engine (same md5 positional
+    * arithmetic as q_hashed_ngrams). */
+  private val dsir: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.text.Dsir.importanceWeights(docs(s, dir),
+        col("source") === "src0")
+    },
+    oracle = Some {
+      val hexVal = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1) * " +
+          s"(1::BIGINT << ${4 * (8 - i)})").mkString("(", "\n     + ", ")")
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+         |      AS toks
+         |  FROM documents),
+         |uni AS (SELECT doc_id, source, unnest(toks) AS g FROM base),
+         |bx AS (
+         |  SELECT doc_id, source, toks,
+         |    unnest(generate_series(1, len(toks) - 1)) AS i
+         |  FROM base WHERE len(toks) >= 2),
+         |bi AS (SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS g
+         |       FROM bx),
+         |grams AS (
+         |  SELECT doc_id, source, g FROM uni
+         |  UNION ALL SELECT doc_id, source, g FROM bi),
+         |h AS (SELECT doc_id, source, $hexVal % 4096 AS bucket
+         |      FROM (SELECT doc_id, source, md5(g) AS m FROM grams)),
+         |f AS (SELECT doc_id, source, bucket, count(*)::BIGINT AS cnt
+         |      FROM h GROUP BY doc_id, source, bucket),
+         |rc AS (SELECT bucket, sum(cnt) AS cr FROM f GROUP BY bucket),
+         |tc AS (SELECT bucket, sum(cnt) AS ct FROM f
+         |       WHERE source = 'src0' GROUP BY bucket),
+         |tot AS (SELECT (SELECT sum(cr) FROM rc) AS tr,
+         |               (SELECT coalesce(sum(ct), 0) FROM tc) AS tt),
+         |lam AS (
+         |  SELECT rc.bucket,
+         |    log10((coalesce(tc.ct, 0) + 1)::DOUBLE / (tt + 4096))
+         |      - log10((rc.cr + 1)::DOUBLE / (tr + 4096)) AS lam
+         |  FROM rc LEFT JOIN tc USING (bucket), tot)
+         |SELECT f.doc_id,
+         |  round(sum(f.cnt * lam.lam), 6) AS dsir_logw,
+         |  sum(f.cnt) AS n_grams,
+         |  round(sum(f.cnt * lam.lam), 6) > 0 AS kept
+         |FROM f JOIN lam USING (bucket) GROUP BY f.doc_id
+         |""".stripMargin
+    })
+
   // ---- C4-style per-domain quality cap -------------------------------------
 
   /** Top-25 docs per source-domain by stopword-ratio quality, via the
@@ -1260,6 +1313,7 @@ object QueriesText {
         |""".stripMargin))
 
   val all: Map[String, Q] = Map(
+    "q_dsir"           -> dsir,
     "q_domain_topk"    -> domainTopK,
     "q_encoding_quality" -> encodingQuality,
     "q_ppl_buckets"    -> pplBuckets,

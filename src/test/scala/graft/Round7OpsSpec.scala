@@ -404,6 +404,30 @@ class Round7OpsSpec extends AnyFunSuite {
       "doc 1 keeps 'a b' — cross-doc repeats are out of scope")
   }
 
+  test("Dsir.importanceWeights: docs resembling the target domain score " +
+    "above docs that don't; the log-ratio table is broadcast") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // target slice speaks 'alpha beta'; off-domain speaks 'omega psi'
+    val docs = ((0L until 10L).map(i => (i, "alpha beta alpha beta", "tgt")) ++
+      (10L until 20L).map(i => (i, "omega psi omega psi", "other")) ++
+      Seq((20L, "alpha beta gamma", "other"),   // target-like, unlabeled
+        (21L, "omega psi chi", "other")))       // raw-like
+      .toDF("doc_id", "text", "source")
+    // 64 buckets so add-one smoothing doesn't swamp the tiny corpus counts
+    val w = graft.text.Dsir.importanceWeights(docs, col("source") === "tgt",
+      numBuckets = 64)
+    val m = w.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(20L) > m(21L),
+      s"target-like doc must outweigh raw-like: ${m(20L)} vs ${m(21L)}")
+    assert(m(0L) > 0 && m(10L) < m(0L),
+      "target exemplars score high, off-domain low")
+    val plan = w.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"),
+      s"lambda table must broadcast, never shuffle the gram stream:\n$plan")
+  }
+
   test("AudioOps decodes real WAVs: rate/frames/duration/mean-amplitude; " +
     "corrupt payloads become decode_ok=false rows; plan is a narrow map") {
     import spark.implicits._
