@@ -161,6 +161,58 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- dedup cluster representative by quality -----------------------------
+
+  /** Same LSH pair graph as q_dedup_cc, but per cluster KEEP the best doc
+    * (max char length, min doc_id on ties) instead of an arbitrary member —
+    * the CCNet/RefinedWeb "keep the highest-quality duplicate" rule. Every
+    * doc gets a (cluster, kept) verdict; singletons keep themselves. */
+  private val dedupKeepBestQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      val pairs = TextOps.lshPairs(TextOps.minhash(d, respread = true))
+      TextOps.dedupKeepBest(d, pairs, length(col("text")))
+    },
+    oracle = Some {
+      def round(prev: String, next: String) =
+        s"""$next AS (SELECT doc_id, min(label) AS label FROM (
+           |  SELECT doc_id, label FROM $prev
+           |  UNION ALL
+           |  SELECT e.dst AS doc_id, l.label
+           |  FROM edges e JOIN $prev l ON e.src = l.doc_id) GROUP BY doc_id)"""
+          .stripMargin
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id,
+         |${minhashSelect(8)}
+         |FROM s),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |         md5(m_0 || m_1 || m_2 || m_3) AS band_hash FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(m_4 || m_5 || m_6 || m_7) FROM sig),
+         |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |          UNION ALL SELECT doc_b, doc_a FROM prs),
+         |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")},
+         |j AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster,
+         |             length(d.text)::BIGINT AS score
+         |      FROM documents d LEFT JOIN l3 l ON d.doc_id = l.doc_id),
+         |b1 AS (SELECT cluster, max(score) AS bs FROM j GROUP BY cluster),
+         |b2 AS (SELECT j.cluster, min(j.doc_id) AS bid
+         |       FROM j JOIN b1 ON j.cluster = b1.cluster AND j.score = b1.bs
+         |       GROUP BY j.cluster)
+         |SELECT j.doc_id, j.cluster, (j.doc_id = b2.bid) AS kept
+         |FROM j JOIN b2 USING (cluster)
+         |""".stripMargin
+    })
+
   // ---- stratified (per-source) deterministic sampling ----------------------
 
   /** Per-source stratified sampling — the corpus-mixing step of an LLM
@@ -1339,6 +1391,7 @@ object QueriesText {
     "q_lsh_pairs"     -> lshPairs,
     "q_dedup_apply"   -> dedupApply,
     "q_dedup_cc"      -> dedupCc,
+    "q_dedup_keep_best" -> dedupKeepBestQ,
     "q_dedup_cc_iter" -> dedupCcIter,
     "q_stratified_sample" -> stratifiedSample,
     "q_minhash_est"   -> minhashJaccardEst,

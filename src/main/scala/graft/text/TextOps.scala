@@ -241,6 +241,37 @@ object TextOps {
     fin.select(col("doc_id"), col("label").as("cluster"))
   }
 
+  /** Duplicate-cluster representative selection: keep the BEST-quality doc
+    * per duplicate cluster instead of an arbitrary one (what production
+    * dedup actually ships — CCNet/RefinedWeb keep the highest-quality or
+    * longest member). Singletons (docs in no pair) form their own cluster
+    * and are trivially kept.
+    *
+    * Tie-break is deterministic and engine-exact: max score, then MIN
+    * doc_id, expressed as a lexicographic `max(struct(score, -doc_id))` so
+    * the reduction is a map-side-combined agg — never a `max_by` (whose
+    * tie choice is undefined) and never a per-cluster sort.
+    *
+    * Scale shape: cluster labels ride [[dedupClusters]] (ids only); the
+    * docs→labels join is doc_id-co-partitioned; the best-per-cluster agg
+    * shuffles (cluster, score, id) triples with partial aggregation, ≤ one
+    * row per cluster out; the keep-decision join is cluster-keyed. Corpus
+    * text never travels — callers re-attach by doc_id. */
+  def dedupKeepBest(docs: DataFrame, pairs: DataFrame,
+                    score: Column, rounds: Int = 3): DataFrame = {
+    val labels = dedupClusters(pairs, rounds)
+    val scored = docs.select(col("doc_id"), score.cast("long").as("score"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val best = scored.groupBy("cluster")
+      .agg(max(struct(col("score").as("s"),
+        (-col("doc_id")).as("nid"))).as("b"))
+    scored.join(best, "cluster")
+      .select(col("doc_id"), col("cluster"),
+        (col("score") === col("b.s") &&
+          col("doc_id") === -col("b.nid")).as("kept"))
+  }
+
   /** Exact connected components for ARBITRARY-diameter duplicate graphs:
     * iterated hook + pointer-jump (Shiloach–Vishkin style; the
     * MapReduce-CC family of Kiveris et al., "Connected Components in

@@ -428,6 +428,28 @@ class Round7OpsSpec extends AnyFunSuite {
       s"lambda table must broadcast, never shuffle the gram stream:\n$plan")
   }
 
+  test("TextOps.dedupKeepBest keeps the best-scoring member per cluster " +
+    "(min id on ties), singletons keep themselves, plan has no Window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, "short"), (2L, "the longest text"), (3L, "medium"),
+      (4L, "solo"), (5L, "equal"), (6L, "equal"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val r = graft.text.TextOps.dedupKeepBest(docs, pairs,
+      length(col("text")))
+    val m = r.collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(Seq(1L, 2L, 3L).forall(m(_)._1 == 1L), "chain collapses to min id")
+    assert(m(2L)._2 && !m(1L)._2 && !m(3L)._2, "longest member wins")
+    assert(m(5L) == ((5L, true)) && m(6L) == ((5L, false)),
+      "equal scores break to the lower doc_id")
+    assert(m(4L) == ((4L, true)), "singleton keeps itself")
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"best-per-cluster must be a partial agg, not a per-cluster sort:\n$plan")
+  }
+
   test("AudioOps decodes real WAVs: rate/frames/duration/mean-amplitude; " +
     "corrupt payloads become decode_ok=false rows; plan is a narrow map") {
     import spark.implicits._
