@@ -1183,6 +1183,42 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- exact-substring duplicated-span scrub (Lee et al. 2021) -------------
+
+  /** Cross-doc repeated 8-token spans removed from every doc but the
+    * first (min doc_id) occurrence; docs rebuilt from surviving tokens.
+    * Every rebuilt string and removal count is value-checked — the oracle
+    * mirrors the window-hash, keep-first and coverage arithmetic. */
+  private val spanScrub: Q = Q(
+    fn = (s, dir) => TextOps.scrubDupSpans(docs(s, dir), k = 8),
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i,
+        |    md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+        |  FROM base, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |d AS (SELECT h, min(doc_id) AS min_doc FROM w GROUP BY h
+        |      HAVING min(doc_id) <> max(doc_id)),
+        |cov AS (SELECT w.doc_id, list_sort(list(w.i)) AS starts
+        |        FROM w JOIN d USING (h) WHERE w.doc_id <> d.min_doc
+        |        GROUP BY w.doc_id),
+        |r AS (
+        |  SELECT b.doc_id, b.toks, coalesce(c.starts, []) AS st,
+        |    list_filter(generate_series(1, len(b.toks)),
+        |      j -> len(list_filter(coalesce(c.starts, []),
+        |             i -> i <= j AND j < i + 8)) = 0) AS kept
+        |  FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |  len(toks) - len(kept) AS n_removed,
+        |  coalesce(array_to_string(list_transform(kept, j -> toks[j]), ' '),
+        |    '') AS scrubbed_text
+        |FROM r
+        |""".stripMargin))
+
   // ---- DSIR importance weights (target-domain selection) -------------------
 
   /** DSIR log importance weights with source='src0' as the target domain:
@@ -1366,6 +1402,7 @@ object QueriesText {
 
   val all: Map[String, Q] = Map(
     "q_dsir"           -> dsir,
+    "q_span_scrub"     -> spanScrub,
     "q_domain_topk"    -> domainTopK,
     "q_encoding_quality" -> encodingQuality,
     "q_ppl_buckets"    -> pplBuckets,

@@ -589,6 +589,55 @@ object TextOps {
     withG.select(col("doc_id"), explode(fps).as("fp"))
   }
 
+  /** Exact-substring duplicated-span scrub (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499): any
+    * k-token span appearing in MORE THAN ONE document is removed from every
+    * doc except the one with the smallest doc_id (keep-first), and the doc
+    * is rebuilt from its surviving tokens. The reference algorithm builds a
+    * suffix array; the distributed re-expression hashes every k-token
+    * window instead — equivalent detection for spans ≥ k (maximal longer
+    * duplicates are covered by their constituent windows).
+    *
+    * Scale shape: the window stream is corpus-linear (same cost class as
+    * shingling); per-hash (min_doc, max_doc) is a map-side-combined agg —
+    * ≤ one row per distinct window, no doc lists; the dup-window join back
+    * is hash-co-partitioned; per-doc coverage state is bounded by the
+    * doc's own token count (sorted start list), and the rebuild is a
+    * row-local lambda. Nothing quadratic, no driver state.
+    *
+    * Emits (doc_id, n_tokens, n_removed, scrubbed_text). */
+  def scrubDupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toksC = filter(split(col("text"), " "), t => t =!= "")
+    val base = docs.select(col("doc_id"), toksC.as("toks"))
+    val w = base.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => struct(i.as("i"),
+            md5(array_join(slice(col("toks"), i, lit(k)), " ")
+              .cast("binary")).as("h")))).as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.h").as("h"))
+    val dup = w.groupBy("h")
+      .agg(min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .filter(col("min_doc") =!= col("max_doc"))
+      .select("h", "min_doc")
+    val starts = w.join(dup, "h")
+      .filter(col("doc_id") =!= col("min_doc"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("st", coalesce(col("starts"),
+        array().cast("array<int>")))
+      .withColumn("kept", filter(sequence(lit(1), size(col("toks"))),
+        j => !exists(col("st"), i => i <= j && j < i + k)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long")
+          .as("n_removed"),
+        array_join(transform(col("kept"),
+          j => element_at(col("toks"), j)), " ").as("scrubbed_text"))
+  }
+
   /** Partial-overlap candidate pairs from [[winnow]] fingerprints: docs
     * sharing ≥ `minShared` winnow fingerprints, with the shared count as
     * the overlap evidence. Same skew discipline as the shingle path — a

@@ -428,6 +428,29 @@ class Round7OpsSpec extends AnyFunSuite {
       s"lambda table must broadcast, never shuffle the gram stream:\n$plan")
   }
 
+  test("TextOps.scrubDupSpans removes cross-doc repeated k-spans from all " +
+    "but the first doc; full dupes scrub to empty; uniques untouched") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro $span outro"),          // first occurrence — keeps span
+      (2L, s"other lead $span tail bits"), // later copy — span removed
+      (3L, "totally unrelated text here"), // unique — untouched
+      (4L, s"intro $span outro"))          // exact dup of 1 — fully scrubbed
+      .toDF("doc_id", "text")
+    val r = graft.text.TextOps.scrubDupSpans(docs, k = 8)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((10L, 0L, s"intro $span outro")),
+      "first occurrence keeps the span")
+    assert(r(2L) == ((12L, 8L, "other lead tail bits")),
+      s"doc 2 loses exactly the shared 8-token span: ${r(2L)}")
+    assert(r(3L) == ((4L, 0L, "totally unrelated text here")),
+      "unique doc untouched")
+    assert(r(4L) == ((10L, 10L, "")),
+      s"exact duplicate of doc 1 is fully covered -> empty: ${r(4L)}")
+  }
+
   test("TextOps.dedupKeepBest keeps the best-scoring member per cluster " +
     "(min id on ties), singletons keep themselves, plan has no Window") {
     import org.apache.spark.sql.functions._
