@@ -1183,6 +1183,67 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- full Gopher repetition suite ----------------------------------------
+
+  /** Top-{2,3,4}-gram char fraction + duplicated-{5..10}-gram char
+    * coverage per doc (Rae et al. 2021 Table A1) — every fraction
+    * value-checked; the oracle mirrors the gram hashing, lexicographic
+    * most-frequent tie-break and positional coverage union. */
+  private val gopherRep: Q = Q(
+    fn = (s, dir) => TextOps.gopherRepetition(docs(s, dir)),
+    oracle = Some {
+      val topNs = 2 to 4
+      val dupNs = 5 to 10
+      def wCte(n: Int) =
+        s"""w$n AS (SELECT doc_id, i,
+           |  md5(array_to_string(list_slice(toks, i, i + ${n - 1}), ' '))
+           |    AS h,
+           |  list_sum(list_transform(list_slice(toks, i, i + ${n - 1}),
+           |    t -> length(t)))::BIGINT AS gc
+           |  FROM b2, unnest(generate_series(1, len(toks) - ${n - 1})) u(i)
+           |  WHERE len(toks) >= $n),
+           |g$n AS (SELECT doc_id, h, count(*)::BIGINT AS cnt, max(gc) AS gc
+           |        FROM w$n GROUP BY doc_id, h)""".stripMargin
+      val tCtes = topNs.map(n =>
+        s"""t$n AS (SELECT doc_id,
+           |  first(cnt * gc ORDER BY cnt DESC, gc DESC, h DESC) AS mass
+           |  FROM g$n GROUP BY doc_id)""".stripMargin)
+      val cCtes = dupNs.map(n =>
+        s"""c$n AS (SELECT w.doc_id, list_sort(list(w.i)) AS starts
+           |  FROM w$n w JOIN g$n g
+           |    ON w.doc_id = g.doc_id AND w.h = g.h AND g.cnt >= 2
+           |  GROUP BY w.doc_id)""".stripMargin)
+      val topSel = topNs.map(n =>
+        s"""  CASE WHEN tot_chars > 0 THEN
+           |    round(coalesce(t$n.mass, 0)::DOUBLE / tot_chars, 6)
+           |  ELSE 0.0 END AS top_${n}gram_frac""".stripMargin)
+      val dupSel = dupNs.map(n =>
+        s"""  CASE WHEN tot_chars > 0 THEN round(coalesce(list_sum(
+           |    list_transform(list_filter(generate_series(1, len(b.toks)),
+           |      j -> len(list_filter(coalesce(c$n.starts, []),
+           |             i -> i <= j AND j < i + $n)) > 0),
+           |      j -> length(b.toks[j]))), 0)::DOUBLE / tot_chars, 6)
+           |  ELSE 0.0 END AS dup_${n}gram_frac""".stripMargin)
+      val joins = (topNs.map(n => s"LEFT JOIN t$n USING (doc_id)") ++
+        dupNs.map(n => s"LEFT JOIN c$n USING (doc_id)")).mkString("\n")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+         |      AS toks
+         |  FROM documents),
+         |b2 AS (SELECT doc_id, toks,
+         |  coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+         |    ::BIGINT AS tot_chars FROM base),
+         |${(topNs ++ dupNs).map(wCte).mkString(",\n")},
+         |${tCtes.mkString(",\n")},
+         |${cCtes.mkString(",\n")}
+         |SELECT b.doc_id,
+         |${(topSel ++ dupSel).mkString(",\n")}
+         |FROM b2 b
+         |$joins
+         |""".stripMargin
+    })
+
   // ---- exact-substring duplicated-span scrub (Lee et al. 2021) -------------
 
   /** Cross-doc repeated 8-token spans removed from every doc but the
@@ -1403,6 +1464,7 @@ object QueriesText {
   val all: Map[String, Q] = Map(
     "q_dsir"           -> dsir,
     "q_span_scrub"     -> spanScrub,
+    "q_gopher_rep"     -> gopherRep,
     "q_domain_topk"    -> domainTopK,
     "q_encoding_quality" -> encodingQuality,
     "q_ppl_buckets"    -> pplBuckets,

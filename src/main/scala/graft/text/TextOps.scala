@@ -589,6 +589,88 @@ object TextOps {
     withG.select(col("doc_id"), explode(fps).as("fp"))
   }
 
+  /** Full Gopher repetition suite (Rae et al. 2021, arXiv:2112.11446,
+    * Table A1): per doc, the fraction of characters contained in the most
+    * frequent {2,3,4}-gram (all its occurrences), and the fraction of
+    * characters covered by duplicated {5..10}-grams (each character counted
+    * once — positional union, not occurrence sum). These are the strongest
+    * repetition filters in the Gopher/ MassiveText recipe; [[repetition]]
+    * keeps the original single top-bigram share for the cheap screen.
+    *
+    * Tie-break for "most frequent" is engine-exact: lexicographic
+    * max(count, gram_chars, gram_hash). All numerators/denominators are
+    * integer char counts; fractions are rounded at 6 digits.
+    *
+    * Scale shape: ONE corpus-linear gram stream (9 window widths inlined
+    * row-locally before a single explode), then (doc,n,h)-keyed partial
+    * aggs; positions are collected only for the dup-coverage widths and
+    * only for grams seen ≥2× in that doc, so per-doc state is bounded by
+    * the doc's own length. Final assembly is one doc-keyed join; the
+    * coverage union is a row-local lambda. */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val topNs = 2 to 4
+    val dupNs = 5 to 10
+    val toksC = filter(split(lower(col("text")), " "), t => t =!= "")
+    val base = docs.select(col("doc_id"), toksC.as("toks"))
+      .withColumn("tot_chars",
+        coalesce(aggregate(col("toks"), lit(0L),
+          (a, t) => a + length(t)), lit(0L)))
+    val gramCols = (topNs ++ dupNs).map { n =>
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)), i => {
+          val sl = slice(col("toks"), i, lit(n))
+          struct(lit(n).as("n"), i.as("i"),
+            md5(array_join(sl, " ").cast("binary")).as("h"),
+            // token chars only — same unit as tot_chars (no separators)
+            aggregate(sl, lit(0L), (a, t) => a + length(t)).as("gc"))
+        })).otherwise(array().cast(
+          "array<struct<n:int,i:int,h:string,gc:bigint>>"))
+    }
+    val w = base.select(col("doc_id"),
+        explode(flatten(array(gramCols: _*))).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.i").as("i"),
+        col("x.h").as("h"), col("x.gc").as("gc"))
+    // counts per (doc, n, gram); positions kept only where needed
+    val counted = w.groupBy("doc_id", "n", "h")
+      .agg(count(lit(1)).as("cnt"), max("gc").as("gc"),
+        sort_array(collect_list(when(col("n") >= dupNs.head, col("i"))))
+          .as("pos"))
+    val top = counted.filter(col("n") <= topNs.last)
+      .groupBy("doc_id", "n")
+      .agg(max(struct(col("cnt"), col("gc"), col("h"))).as("b"))
+      .select(col("doc_id"), col("n"),
+        (col("b.cnt") * col("b.gc")).as("mass"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("n"), col("mass"))))
+        .as("top_mass"))
+    val cov = counted.filter(col("n") >= dupNs.head && col("cnt") >= 2)
+      .groupBy("doc_id", "n")
+      .agg(sort_array(flatten(collect_list(col("pos")))).as("starts"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("n"), col("starts"))))
+        .as("cov"))
+    val joined = base.join(top, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+    val outCols =
+      topNs.map { n =>
+        when(col("tot_chars") > 0,
+          round(coalesce(element_at(col("top_mass"), lit(n)), lit(0L))
+            .cast("double") / col("tot_chars"), 6))
+          .otherwise(lit(0.0)).as(s"top_${n}gram_frac")
+      } ++ dupNs.map { n =>
+        val st = coalesce(element_at(col("cov"), lit(n)),
+          array().cast("array<int>"))
+        val covered = filter(sequence(lit(1), size(col("toks"))),
+          j => exists(st, i => i <= j && j < i + n))
+        val chars = coalesce(aggregate(covered, lit(0L),
+          (a, j) => a + length(element_at(col("toks"), j))), lit(0L))
+        when(col("tot_chars") > 0,
+          round(chars.cast("double") / col("tot_chars"), 6))
+          .otherwise(lit(0.0)).as(s"dup_${n}gram_frac")
+      }
+    joined.select(col("doc_id") +: outCols: _*)
+  }
+
   /** Exact-substring duplicated-span scrub (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", arXiv:2107.06499): any
     * k-token span appearing in MORE THAN ONE document is removed from every

@@ -428,6 +428,30 @@ class Round7OpsSpec extends AnyFunSuite {
       s"lambda table must broadcast, never shuffle the gram stream:\n$plan")
   }
 
+  test("TextOps.gopherRepetition: planted repetition drives the right " +
+    "signal; clean doc scores 0 on dup coverage") {
+    import spark.implicits._
+    // doc 1: "ab cd" appears 3×/5 bigrams; tokens 10, chars 20
+    // doc 2: a repeated 5-gram covers everything; doc 3: no repeats
+    val fiver = "q w e r t"
+    val docs = Seq(
+      (1L, "ab cd ab cd ab cd xx yy zz ww"),
+      (2L, s"$fiver $fiver"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+      .toDF("doc_id", "text")
+    val r = graft.text.TextOps.gopherRepetition(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val d1 = r(1L)
+    // top 2-gram "ab cd": cnt 3 × 4 chars = 12 of 20
+    assert(d1.getDouble(1) == 0.6, s"top2 ${d1.getDouble(1)}")
+    val d2 = r(2L)
+    // "q w e r t" twice: dup 5-gram coverage = all 10 chars
+    assert(d2.getDouble(4) == 1.0, s"dup5 ${d2.getDouble(4)}")
+    val d3 = r(3L)
+    assert((4 to 9).forall(d3.getDouble(_) == 0.0),
+      "clean doc has zero dup coverage at every width")
+  }
+
   test("TextOps.scrubDupSpans removes cross-doc repeated k-spans from all " +
     "but the first doc; full dupes scrub to empty; uniques untouched") {
     import spark.implicits._
