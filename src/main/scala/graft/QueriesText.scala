@@ -1183,6 +1183,32 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- leakage-safe grouped split ------------------------------------------
+
+  /** 80/10/10 split hashed on `source` — all docs of a source land in one
+    * split (near-dup leakage guard). Bucket arithmetic value-checked via
+    * the same md5 positional math as q_dsir. */
+  private val groupedSplitQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      TextOps.groupedSplit(docs(s, dir), col("source"))
+    },
+    oracle = Some {
+      val hexVal = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1) * " +
+          s"(1::BIGINT << ${4 * (8 - i)})").mkString("(", "\n     + ", ")")
+      s"""WITH h AS (SELECT doc_id, source, md5(source) AS m
+         |           FROM documents),
+         |b AS (SELECT doc_id, source AS grp, $hexVal % 10000 AS bucket
+         |      FROM h)
+         |SELECT doc_id, grp, bucket,
+         |  CASE WHEN bucket < 8000 THEN 'train'
+         |       WHEN bucket < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b
+         |""".stripMargin
+    })
+
   // ---- full Gopher repetition suite ----------------------------------------
 
   /** Top-{2,3,4}-gram char fraction + duplicated-{5..10}-gram char
@@ -1465,6 +1491,7 @@ object QueriesText {
     "q_dsir"           -> dsir,
     "q_span_scrub"     -> spanScrub,
     "q_gopher_rep"     -> gopherRep,
+    "q_grouped_split"  -> groupedSplitQ,
     "q_domain_topk"    -> domainTopK,
     "q_encoding_quality" -> encodingQuality,
     "q_ppl_buckets"    -> pplBuckets,

@@ -589,6 +589,35 @@ object TextOps {
     withG.select(col("doc_id"), explode(fps).as("fp"))
   }
 
+  /** Leakage-safe grouped train/val/test split: the split is a
+    * deterministic hash of the GROUP (domain / source / url-host), not the
+    * document, so near-duplicates and same-site pages can never straddle
+    * splits — the standard guard against train→test contamination that a
+    * row-wise random split cannot give. Pure narrow codegen map (md5 of
+    * the group value, positional bucket in [0,10000), CASE chain over
+    * cumulative weights); no shuffle, no state, reproducible at any
+    * parallelism. */
+  def groupedSplit(docs: DataFrame, group: Column,
+                   weights: Seq[Double] = Seq(0.8, 0.1, 0.1),
+                   names: Seq[String] =
+                     Seq("train", "val", "test")): DataFrame = {
+    require(weights.length == names.length && names.nonEmpty &&
+      weights.forall(_ > 0), "weights/names must align and be positive")
+    val denom = 10000L
+    val tot = weights.sum
+    val cuts = weights.scanLeft(0.0)(_ + _).tail
+      .map(w => math.round(w / tot * denom))
+    val bucket = pmod(
+      conv(substring(md5(group.cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long"), lit(denom))
+    val first = when(bucket < cuts.head, lit(names.head))
+    val splitCol = cuts.init.zip(names).tail
+      .foldLeft(first) { case (acc, (c, nm)) => acc.when(bucket < c, nm) }
+      .otherwise(names.last)
+    docs.select(col("doc_id"), group.as("grp"), bucket.as("bucket"),
+      splitCol.as("split"))
+  }
+
   /** Full Gopher repetition suite (Rae et al. 2021, arXiv:2112.11446,
     * Table A1): per doc, the fraction of characters contained in the most
     * frequent {2,3,4}-gram (all its occurrences), and the fraction of

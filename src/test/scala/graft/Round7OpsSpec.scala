@@ -428,6 +428,28 @@ class Round7OpsSpec extends AnyFunSuite {
       s"lambda table must broadcast, never shuffle the gram stream:\n$plan")
   }
 
+  test("TextOps.groupedSplit: every group lands wholly in ONE split; " +
+    "weights map to the right bucket cuts; custom 2-way split works") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"t$i", s"dom${i % 30}"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.text.TextOps.groupedSplit(docs, col("source"))
+    val perGroup = r.groupBy("grp")
+      .agg(countDistinct("split").as("k")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L),
+      "a group must never straddle splits")
+    val splits = r.select("split").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits("train"))
+    val two = graft.text.TextOps.groupedSplit(docs, col("source"),
+      Seq(0.5, 0.5), Seq("a", "b"))
+    val m = two.select("bucket", "split").distinct().collect()
+    assert(m.forall(x =>
+      x.getString(1) == (if (x.getLong(0) < 5000) "a" else "b")),
+      "2-way cut at bucket 5000")
+  }
+
   test("TextOps.gopherRepetition: planted repetition drives the right " +
     "signal; clean doc scores 0 on dup coverage") {
     import spark.implicits._
