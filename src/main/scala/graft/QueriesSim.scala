@@ -359,7 +359,27 @@ object QueriesSim {
         |FROM x JOIN r USING (dim)
         |""".stripMargin))
 
+  /** Upper-triangle sample covariance of the 64-dim embedding column —
+    * the distributed heavy lift under [[graft.sim.Pca]] (the eigensolve
+    * is bounded driver math, spec-verified). Every entry value-checked
+    * against DuckDB covar_samp. */
+  private val embedCov: Q = Q(
+    fn = (s, dir) =>
+      graft.sim.Pca.covariance(Tables.load(s, dir, "embeddings"), dims = 64),
+    oracle = Some(
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |x AS (SELECT vec_id, i - 1 AS i, v[i] AS val
+        |      FROM e, unnest(generate_series(1, 64)) u(i))
+        |SELECT a.i AS i, b.i AS j,
+        |  round(covar_samp(a.val, b.val), 6) AS cov
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "q_embed_cov"   -> embedCov,
     "q_cosine_topk" -> cosineTopK,
     "q_ann_lsh"     -> annLsh,
     "q_ann_ivf"     -> annIvf,

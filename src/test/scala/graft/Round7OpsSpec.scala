@@ -428,6 +428,44 @@ class Round7OpsSpec extends AnyFunSuite {
       s"lambda table must broadcast, never shuffle the gram stream:\n$plan")
   }
 
+  test("Pca: covariance matches direct math; whitened projection has " +
+    "identity sample covariance; explained variance is a decreasing " +
+    "ratio vector") {
+    import spark.implicits._
+    // rank-2 4-dim data: two latent factors, deterministic
+    val data = (0 until 120).map { t =>
+      val u = (t % 10) / 10.0 - 0.45
+      val v = (t % 7) / 7.0 - 0.43
+      (t.toLong, Array[Float]((u + v).toFloat, (u - v).toFloat,
+        (2 * u).toFloat, (0.1 * v).toFloat))
+    }.toDF("vec_id", "embedding")
+    // covariance vs direct driver math
+    val cov = graft.sim.Pca.covariance(data, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val raw = data.collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val n = raw.length.toDouble
+    val mean = (0 until 4).map(i => raw.map(_(i)).sum / n)
+    def direct(i: Int, j: Int) =
+      raw.map(x => (x(i) - mean(i)) * (x(j) - mean(j))).sum / (n - 1)
+    for (i <- 0 until 4; j <- i until 4)
+      assert(math.abs(cov((i.toLong, j.toLong)) - direct(i, j)) < 1e-5,
+        s"cov($i,$j)")
+    // whitened projection
+    val (proj, ev) = graft.sim.Pca.fitWhiten(data, k = 2)
+    assert(ev.length == 2 && ev(0) >= ev(1) && ev(1) > 0 && ev.sum <= 1.001,
+      s"explained variance ratios: ${ev.toSeq}")
+    assert(ev.sum > 0.999, "rank-2 data: 2 components explain everything")
+    val p = proj.collect().map(_.getSeq[Double](1).toArray)
+    val pm = (0 until 2).map(i => p.map(_(i)).sum / n)
+    def pcov(i: Int, j: Int) =
+      p.map(x => (x(i) - pm(i)) * (x(j) - pm(j))).sum / (n - 1)
+    assert(math.abs(pcov(0, 0) - 1.0) < 1e-6 &&
+      math.abs(pcov(1, 1) - 1.0) < 1e-6 && math.abs(pcov(0, 1)) < 1e-6,
+      s"whitened covariance must be I: ${pcov(0, 0)} ${pcov(1, 1)} ${pcov(0, 1)}")
+  }
+
   test("TextOps.groupedSplit: every group lands wholly in ONE split; " +
     "weights map to the right bucket cuts; custom 2-way split works") {
     import org.apache.spark.sql.functions._
