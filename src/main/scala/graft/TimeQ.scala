@@ -16,6 +16,10 @@ object TimeQ {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // JVM JIT refuses methods past ~8KB bytecode: a whole-stage method
+      // bigger than that runs INTERPRETED (measured 18x on wide-expression
+      // plans). Make Spark fall back to per-operator codegen there.
+      .config("spark.sql.codegen.hugeMethodLimit", 8000)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
