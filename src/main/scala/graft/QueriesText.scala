@@ -1183,6 +1183,41 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- corpus data card ----------------------------------------------------
+
+  /** Per-source datasheet rollup: doc/token counts, length distribution,
+    * dominant language + share. Every number value-checked. */
+  private val dataCardQ: Q = Q(
+    fn = (s, dir) => TextOps.dataCard(docs(s, dir)),
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT source, lang,
+        |    len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT
+        |      AS n_toks,
+        |    n_chars
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(n_toks) AS n_tokens,
+        |    min(n_toks) AS min_doc_tokens,
+        |    max(n_toks) AS max_doc_tokens,
+        |    round(avg(n_toks), 6) AS mean_doc_tokens,
+        |    round(avg(n_chars), 6) AS mean_doc_chars
+        |  FROM base GROUP BY source),
+        |sl AS (SELECT source, lang, count(*)::BIGINT AS cnt
+        |       FROM base GROUP BY source, lang),
+        |s2 AS (
+        |  SELECT source,
+        |    first(lang ORDER BY cnt DESC, lang DESC) AS top_lang,
+        |    first(cnt ORDER BY cnt DESC, lang DESC) AS top_lang_docs,
+        |    count(DISTINCT lang)::BIGINT AS n_langs
+        |  FROM sl GROUP BY source)
+        |SELECT s1.source, n_docs, n_tokens, min_doc_tokens, max_doc_tokens,
+        |  mean_doc_tokens, mean_doc_chars, top_lang, top_lang_docs, n_langs,
+        |  round(top_lang_docs::DOUBLE / n_docs, 6) AS top_lang_share
+        |FROM s1 JOIN s2 ON s1.source = s2.source
+        |""".stripMargin))
+
   // ---- leakage-safe grouped split ------------------------------------------
 
   /** 80/10/10 split hashed on `source` — all docs of a source land in one
@@ -1492,6 +1527,7 @@ object QueriesText {
     "q_span_scrub"     -> spanScrub,
     "q_gopher_rep"     -> gopherRep,
     "q_grouped_split"  -> groupedSplitQ,
+    "q_data_card"      -> dataCardQ,
     "q_domain_topk"    -> domainTopK,
     "q_encoding_quality" -> encodingQuality,
     "q_ppl_buckets"    -> pplBuckets,

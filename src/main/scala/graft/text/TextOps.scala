@@ -589,6 +589,37 @@ object TextOps {
     withG.select(col("doc_id"), explode(fps).as("fp"))
   }
 
+  /** Per-source corpus data card — the datasheet rollup every corpus
+    * release ships (Dolma/RefinedWeb-style): doc and token counts, doc
+    * length distribution, language mix (dominant language + its share,
+    * distinct languages), mean raw chars. One pass of row-local signals
+    * into TWO bounded aggregations (per-(source,lang) counts, then
+    * per-source rollup) joined on the tiny source key — nothing scales
+    * with corpus size except the single scan. Dominant-language ties
+    * break lexicographically via max(struct(cnt, lang)) — engine-exact. */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val toksC = filter(split(col("text"), " "), t => t =!= "")
+    val base = docs.select(col("source"), col("lang"),
+      size(toksC).cast("long").as("n_toks"), col("n_chars"))
+    val bySrc = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_toks").as("n_tokens"),
+      min("n_toks").as("min_doc_tokens"),
+      max("n_toks").as("max_doc_tokens"),
+      round(avg("n_toks"), 6).as("mean_doc_tokens"),
+      round(avg("n_chars"), 6).as("mean_doc_chars"))
+    val byLang = base.groupBy("source", "lang")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("source").agg(
+        max(struct(col("cnt"), col("lang"))).as("b"),
+        countDistinct("lang").as("n_langs"))
+      .select(col("source"), col("b.lang").as("top_lang"),
+        col("b.cnt").as("top_lang_docs"), col("n_langs"))
+    bySrc.join(byLang, "source")
+      .withColumn("top_lang_share",
+        round(col("top_lang_docs").cast("double") / col("n_docs"), 6))
+  }
+
   /** Leakage-safe grouped train/val/test split: the split is a
     * deterministic hash of the GROUP (domain / source / url-host), not the
     * document, so near-duplicates and same-site pages can never straddle
