@@ -1183,6 +1183,30 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- C4 blocklist filter -------------------------------------------------
+
+  /** Blocklist screen with an auditable verdict: kept flag, which listed
+    * words hit, how many tokens matched — all value-checked. */
+  private val blocklistQ: Q = Q(
+    fn = (s, dir) =>
+      TextOps.blocklistFilter(docs(s, dir), Seq("slow", "merge", "window")),
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+        |      AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(list_sort(list_intersect(list_distinct(toks),
+        |    ['slow', 'merge', 'window']))) = 0 AS kept,
+        |  list_sort(list_intersect(list_distinct(toks),
+        |    ['slow', 'merge', 'window'])) AS hits,
+        |  len(list_filter(toks,
+        |    t -> list_contains(['slow', 'merge', 'window'], t)))::BIGINT
+        |    AS n_hit_tokens
+        |FROM base
+        |""".stripMargin))
+
   // ---- corpus data card ----------------------------------------------------
 
   /** Per-source datasheet rollup: doc/token counts, length distribution,
@@ -1528,6 +1552,7 @@ object QueriesText {
     "q_gopher_rep"     -> gopherRep,
     "q_grouped_split"  -> groupedSplitQ,
     "q_data_card"      -> dataCardQ,
+    "q_blocklist"      -> blocklistQ,
     "q_domain_topk"    -> domainTopK,
     "q_encoding_quality" -> encodingQuality,
     "q_ppl_buckets"    -> pplBuckets,

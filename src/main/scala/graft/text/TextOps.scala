@@ -589,6 +589,28 @@ object TextOps {
     withG.select(col("doc_id"), explode(fps).as("fp"))
   }
 
+  /** C4-style blocklist filter (Raffel et al. 2020 §2.2's "bad words"
+    * screen): drop any doc containing a blocklisted token; emit the keep
+    * verdict plus WHICH listed words hit and how many tokens matched, so
+    * the drop is auditable. The list is broadcast as an array literal and
+    * the check is a row-local `array_intersect` over the doc's distinct
+    * lowercased tokens — pure narrow codegen map, no join, no shuffle;
+    * the list (10³-ish words) rides the closure exactly like the
+    * contamination screen's shingle set. */
+  def blocklistFilter(docs: DataFrame, words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "blocklist must be non-empty")
+    val listLit = array(words.map(w => lit(w.toLowerCase)): _*)
+    val toksC = filter(split(lower(col("text")), " "), t => t =!= "")
+    docs.select(col("doc_id"), toksC.as("toks"))
+      .withColumn("hits",
+        array_sort(array_intersect(array_distinct(col("toks")), listLit)))
+      .select(col("doc_id"),
+        (size(col("hits")) === 0).as("kept"),
+        col("hits"),
+        size(filter(col("toks"), t => array_contains(listLit, t)))
+          .cast("long").as("n_hit_tokens"))
+  }
+
   /** Per-source corpus data card — the datasheet rollup every corpus
     * release ships (Dolma/RefinedWeb-style): doc and token counts, doc
     * length distribution, language mix (dominant language + its share,
