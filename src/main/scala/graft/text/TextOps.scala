@@ -712,27 +712,25 @@ object TextOps {
         explode(flatten(array(gramCols: _*))).as("x"))
       .select(col("doc_id"), col("x.n").as("n"), col("x.i").as("i"),
         col("x.h").as("h"), col("x.gc").as("gc"))
-    // counts per (doc, n, gram); positions kept only where needed
+    // counts per (doc, n, gram); positions kept only where needed.
+    // The top-gram and dup-coverage reductions ride ONE linear agg chain
+    // (a forked lineage would recompute the gram explode per branch).
     val counted = w.groupBy("doc_id", "n", "h")
       .agg(count(lit(1)).as("cnt"), max("gc").as("gc"),
         sort_array(collect_list(when(col("n") >= dupNs.head, col("i"))))
           .as("pos"))
-    val top = counted.filter(col("n") <= topNs.last)
-      .groupBy("doc_id", "n")
-      .agg(max(struct(col("cnt"), col("gc"), col("h"))).as("b"))
-      .select(col("doc_id"), col("n"),
-        (col("b.cnt") * col("b.gc")).as("mass"))
-      .groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("n"), col("mass"))))
-        .as("top_mass"))
-    val cov = counted.filter(col("n") >= dupNs.head && col("cnt") >= 2)
-      .groupBy("doc_id", "n")
-      .agg(sort_array(flatten(collect_list(col("pos")))).as("starts"))
-      .groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("n"), col("starts"))))
-        .as("cov"))
-    val joined = base.join(top, Seq("doc_id"), "left")
-      .join(cov, Seq("doc_id"), "left")
+    val perN = counted.groupBy("doc_id", "n")
+      .agg(max(when(col("n") <= topNs.last,
+          struct(col("cnt"), col("gc"), col("h")))).as("b"),
+        sort_array(flatten(collect_list(
+          when(col("cnt") >= 2, col("pos"))))).as("starts"))
+    val perDoc = perN.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(when(col("n") <= topNs.last,
+          struct(col("n"), (col("b.cnt") * col("b.gc")).as("mass")))))
+          .as("top_mass"),
+        map_from_entries(collect_list(when(col("n") >= dupNs.head,
+          struct(col("n"), col("starts"))))).as("cov"))
+    val joined = base.join(perDoc, Seq("doc_id"), "left")
     val outCols =
       topNs.map { n =>
         when(col("tot_chars") > 0,

@@ -488,6 +488,31 @@ class Round7OpsSpec extends AnyFunSuite {
       "2-way cut at bucket 5000")
   }
 
+  test("round-7 op plans: span scrub joins hash-partitioned (no nested " +
+    "loop, no window); gopher repetition explodes the gram stream ONCE") {
+    import spark.implicits._
+    val docs = (0L until 50L)
+      .map(i => (i, s"tok${i % 7} a b c d e f g h tok${i % 5}"))
+      .toDF("doc_id", "text")
+    val scrub = graft.text.TextOps.scrubDupSpans(docs, k = 8)
+    scrub.collect()
+    val sp = scrub.queryExecution.executedPlan.toString
+    assert(!sp.contains("NestedLoopJoin") && !sp.contains("CartesianProduct"),
+      s"span scrub must never pair-explode via nested loops:\n$sp")
+    assert(!sp.contains("Window"),
+      "span scrub coverage is row-local, not a window")
+    val rep = graft.text.TextOps.gopherRepetition(docs)
+    rep.collect()
+    // AQE's toString echoes the pre-execution plan too — count only the
+    // final executed tree
+    val rp = rep.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val generates = "(?m)^.*Generate\\b".r.findAllIn(rp).size
+    assert(generates == 1,
+      s"all 9 gram widths must ride ONE explode, found $generates:\n$rp")
+    assert(!rp.contains("Window"), "per-doc tops are aggs, not windows")
+  }
+
   test("TextOps.gopherRepetition: planted repetition drives the right " +
     "signal; clean doc scores 0 on dup coverage") {
     import spark.implicits._
