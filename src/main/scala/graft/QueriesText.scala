@@ -628,6 +628,41 @@ object QueriesText {
         |FROM c
         |""".stripMargin))
 
+  /** Concat-and-chunk (HF group_texts layout): per-shard concatenated
+    * token stream cut into 512-token blocks; every doc's block span and
+    * boundary-crossing flag value-checked via the same shard/window/floor
+    * arithmetic as q_doc_packing. */
+  private val concatChunkQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.text.TextOps.concatChunk(
+        docs(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        col("n_tokens"), blockSize = 512, numShards = 16)
+    },
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(cast(doc_id AS VARCHAR)), 6, 1)) - 1)::BIGINT
+        |      AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, n_tokens, shard, cum - n_tokens AS start_tok,
+        |    floor((cum - n_tokens) / 512)::BIGINT AS first_block,
+        |    CASE WHEN n_tokens = 0
+        |         THEN floor((cum - n_tokens) / 512)::BIGINT
+        |         ELSE floor((cum - 1) / 512)::BIGINT END AS last_block
+        |  FROM c)
+        |SELECT doc_id, n_tokens, shard, start_tok, first_block, last_block,
+        |  last_block > first_block AS crosses_boundary
+        |FROM b
+        |""".stripMargin))
+
   /** Packing with a sequence-length ceiling: over-budget docs split into
     * ≤ maxSeqLen chunks before the shard fill (real LLM packing splits at
     * the model's sequence length). Oracle mirrors the chunk arithmetic —
@@ -1559,6 +1594,7 @@ object QueriesText {
     "q_snapshot_diff"  -> snapshotDiff,
     "q_doc_packing"    -> docPacking,
     "q_doc_packing_split" -> docPackingSplit,
+    "q_concat_chunk"   -> concatChunkQ,
     "q_unigram_logprob" -> unigramLp,
     "q_mixture_weights" -> mixture,
     "q_corpus_filter"  -> corpusFilter,

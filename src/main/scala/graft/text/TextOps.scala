@@ -1000,6 +1000,39 @@ object TextOps {
           .as("pack_in_shard"))
   }
 
+  /** Concat-and-chunk block preparation — the OTHER standard LM
+    * tokenization layout (the HuggingFace `group_texts` default, GPT-2
+    * training): concatenate the shard's token stream doc-after-doc, then
+    * cut fixed `blockSize`-token blocks; a block may span a doc boundary
+    * (vs [[packSequences]], which never splits a doc). Emits each doc's
+    * placement in the block stream: (doc_id, n_tokens, shard, start_tok,
+    * first_block, last_block, crosses_boundary).
+    *
+    * Same scale shape as packing: the running sum is per-md5-shard (N
+    * independent windows — a single global window would serialize the
+    * corpus through one task), all arithmetic integer-exact. */
+  def concatChunk(docs: DataFrame, tokensCol: Column, blockSize: Long,
+                  numShards: Int = 32): DataFrame = {
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+    val shard = pmod(conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("long"), lit(numShards))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    docs.select(col("doc_id"), tokensCol.cast("long").as("n_tokens"),
+        shard.as("shard"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("start_tok", col("cum") - col("n_tokens"))
+      .withColumn("first_block",
+        floor(col("start_tok") / blockSize).cast("long"))
+      .withColumn("last_block",
+        when(col("n_tokens") === 0, col("first_block"))
+          .otherwise(floor((col("cum") - 1) / blockSize).cast("long")))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        col("start_tok"), col("first_block"), col("last_block"),
+        (col("last_block") > col("first_block")).as("crosses_boundary"))
+  }
+
   /** [[packSequences]] with a sequence-length ceiling: a document longer
     * than `maxSeqLen` tokens is SPLIT into ceil(n/maxSeqLen) contiguous
     * chunks of ≤ maxSeqLen tokens BEFORE the shard fill — real LLM
