@@ -1218,6 +1218,39 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- shard manifest ------------------------------------------------------
+
+  /** The shard-export manifest as a query: per md5-shard doc/token
+    * counts, id range, and the order-independent content fingerprint
+    * (sum of 60-bit md5 prefixes, exact via decimal/hugeint, compared as
+    * a string). Value-checks the integrity math under ShardSink. */
+  private val shardManifestQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.sources.ShardSink.manifestOf(
+        docs(s, dir).withColumn("shard",
+          graft.sources.ShardSink.shardCol(16)))
+    },
+    oracle = Some {
+      val hv = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)::HUGEINT * " +
+          s"(1::HUGEINT << ${4 * (15 - i)})").mkString("(", "\n     + ", ")")
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+         |      AS n_toks,
+         |    (strpos('0123456789abcdef',
+         |       substr(md5(cast(doc_id AS VARCHAR)), 6, 1)) - 1)::BIGINT
+         |      AS shard,
+         |    md5(cast(doc_id AS VARCHAR) || '|' || text) AS m
+         |  FROM documents)
+         |SELECT shard, count(*)::BIGINT AS n_docs, sum(n_toks) AS n_tokens,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+         |  cast(sum($hv) AS VARCHAR) AS content_sum
+         |FROM t GROUP BY shard
+         |""".stripMargin
+    })
+
   // ---- C4 blocklist filter -------------------------------------------------
 
   /** Blocklist screen with an auditable verdict: kept flag, which listed
@@ -1588,6 +1621,7 @@ object QueriesText {
     "q_grouped_split"  -> groupedSplitQ,
     "q_data_card"      -> dataCardQ,
     "q_blocklist"      -> blocklistQ,
+    "q_shard_manifest" -> shardManifestQ,
     "q_domain_topk"    -> domainTopK,
     "q_encoding_quality" -> encodingQuality,
     "q_ppl_buckets"    -> pplBuckets,
