@@ -161,6 +161,73 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- LSH quality contract ------------------------------------------------
+
+  /** MinHash-LSH candidate quality as ONE regression-guarded row: exact
+    * Jaccard≥0.5 ground truth (computable at contract scale; production
+    * uses the estimator), LSH candidate count, hits, recall, precision —
+    * every number value-checked cross-engine. The ANN-recall analog for
+    * the text-dedup family. */
+  private val lshQualityQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      val truth = TextOps.jaccardPairs(d, 0.5, dfCap = 1 << 20)
+        .select("doc_a", "doc_b")
+      val cand = TextOps.lshPairs(TextOps.minhash(d, respread = true))
+      val hit = cand.join(truth, Seq("doc_a", "doc_b"))
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          when(col("n_true") > 0, round(
+            col("n_hit").cast("double") / col("n_true"), 6))
+            .otherwise(1.0).as("recall"),
+          when(col("n_cand") > 0, round(
+            col("n_hit").cast("double") / col("n_cand"), 6))
+            .otherwise(1.0).as("precision"))
+    },
+    oracle = Some(
+      s"""WITH $shingleCte,
+         |shx AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         count(*)::BIGINT AS inter
+         |       FROM shx a JOIN shx b
+         |         ON a.g = b.g AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM s),
+         |tp AS (SELECT doc_a, doc_b FROM ip
+         |       JOIN sz sa ON ip.doc_a = sa.doc_id
+         |       JOIN sz sb ON ip.doc_b = sb.doc_id
+         |       WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6)
+         |             >= 0.5),
+         |sig AS (SELECT doc_id,
+         |${minhashSelect(8)}
+         |FROM s),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |         md5(m_0 || m_1 || m_2 || m_3) AS band_hash FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(m_4 || m_5 || m_6 || m_7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |agg AS (SELECT
+         |  (SELECT count(*) FROM tp)::BIGINT AS n_true,
+         |  (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+         |  (SELECT count(*) FROM cand JOIN tp USING (doc_a, doc_b))::BIGINT
+         |    AS n_hit)
+         |SELECT n_true, n_cand, n_hit,
+         |  CASE WHEN n_true > 0
+         |       THEN round(n_hit::DOUBLE / n_true, 6) ELSE 1.0 END
+         |    AS recall,
+         |  CASE WHEN n_cand > 0
+         |       THEN round(n_hit::DOUBLE / n_cand, 6) ELSE 1.0 END
+         |    AS precision
+         |FROM agg
+         |""".stripMargin))
+
   // ---- dedup cluster representative by quality -----------------------------
 
   /** Same LSH pair graph as q_dedup_cc, but per cluster KEEP the best doc
@@ -1649,6 +1716,7 @@ object QueriesText {
     "q_dedup_apply"   -> dedupApply,
     "q_dedup_cc"      -> dedupCc,
     "q_dedup_keep_best" -> dedupKeepBestQ,
+    "q_lsh_quality"   -> lshQualityQ,
     "q_dedup_cc_iter" -> dedupCcIter,
     "q_stratified_sample" -> stratifiedSample,
     "q_minhash_est"   -> minhashJaccardEst,
