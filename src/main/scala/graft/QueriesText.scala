@@ -161,6 +161,47 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- incremental cross-snapshot dedup ------------------------------------
+
+  /** New-batch admission screen against a prior corpus: docs outside
+    * 'src0' (the "new batch") checked against the 'src0' slice (the
+    * "prior corpus") by exact content hash and MinHash band overlap.
+    * All three verdict flags value-checked per doc. */
+  private val incrementalDedupQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      TextOps.incrementalDedup(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"))
+    },
+    oracle = Some(
+      s"""WITH $shingleCte,
+         |d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+         |sig AS (SELECT doc_id,
+         |${minhashSelect(8)}
+         |FROM s),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |         md5(m_0 || m_1 || m_2 || m_3) AS band_hash FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(m_4 || m_5 || m_6 || m_7) FROM sig),
+         |pb AS (SELECT DISTINCT band_id, band_hash
+         |       FROM bands JOIN d USING (doc_id) WHERE d.source = 'src0'),
+         |ph AS (SELECT DISTINCT h FROM d WHERE source = 'src0'),
+         |nd AS (SELECT doc_id, h FROM d WHERE source <> 'src0'),
+         |near AS (SELECT DISTINCT b.doc_id
+         |         FROM bands b JOIN nd USING (doc_id)
+         |         JOIN pb ON b.band_id = pb.band_id
+         |                AND b.band_hash = pb.band_hash)
+         |SELECT nd.doc_id,
+         |  (ph.h IS NOT NULL) AS dup_exact,
+         |  (near.doc_id IS NOT NULL) AS dup_near,
+         |  (ph.h IS NULL AND near.doc_id IS NULL) AS kept
+         |FROM nd LEFT JOIN ph ON nd.h = ph.h
+         |LEFT JOIN near ON nd.doc_id = near.doc_id
+         |""".stripMargin))
+
   // ---- LSH quality contract ------------------------------------------------
 
   /** MinHash-LSH candidate quality as ONE regression-guarded row: exact
@@ -1717,6 +1758,7 @@ object QueriesText {
     "q_dedup_cc"      -> dedupCc,
     "q_dedup_keep_best" -> dedupKeepBestQ,
     "q_lsh_quality"   -> lshQualityQ,
+    "q_incremental_dedup" -> incrementalDedupQ,
     "q_dedup_cc_iter" -> dedupCcIter,
     "q_stratified_sample" -> stratifiedSample,
     "q_minhash_est"   -> minhashJaccardEst,

@@ -98,19 +98,25 @@ object TextOps {
     * each band, and emit candidate pairs sharing any band bucket. One
     * shuffle keyed on (band_id, band_hash) — the distributed near-dup
     * pattern that replaces the O(n²) scan at scale. */
-  def lshPairs(sig: DataFrame, numHashes: Int = 8,
-               rowsPerBand: Int = 4): DataFrame = {
+  /** (doc_id, band_id, band_hash) band table from a minhash signature —
+    * the LSH index rows. Shared by [[lshPairs]] (in-corpus candidate
+    * pairs) and [[incrementalDedup]] (new-batch vs prior-index probe). */
+  def minhashBands(sig: DataFrame, numHashes: Int = 8,
+                   rowsPerBand: Int = 4): DataFrame = {
     val bands = numHashes / rowsPerBand
     val bandCols = (0 until bands).map { b =>
       val ms = (0 until rowsPerBand).map(r => s"m_${b * rowsPerBand + r}")
       struct(lit(b).as("band_id"),
         md5(concat(ms.map(col): _*).cast("binary")).as("band_hash"))
     }
-    val exploded = sig.select(col("doc_id"),
-      explode(array(bandCols: _*)).as("band"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-    groupedPairs(exploded, Seq("band_id", "band_hash"), "doc_id").distinct()
   }
+
+  def lshPairs(sig: DataFrame, numHashes: Int = 8,
+               rowsPerBand: Int = 4): DataFrame =
+    groupedPairs(minhashBands(sig, numHashes, rowsPerBand),
+      Seq("band_id", "band_hash"), "doc_id").distinct()
 
   /** Exact n-gram Jaccard similarity for candidate pairs above `threshold`:
     * explode distinct shingles, group by shingle, emit in-group ordered
@@ -239,6 +245,35 @@ object TextOps {
         .groupBy("doc_id").agg(min("label").as("label"))
     }
     fin.select(col("doc_id"), col("label").as("cluster"))
+  }
+
+  /** Incremental cross-snapshot dedup — the production ingestion step: a
+    * NEW batch is screened against the PRIOR corpus before admission,
+    * via (1) exact content hash and (2) MinHash band overlap (near-dup).
+    * Emits every new doc with (dup_exact, dup_near, kept) so admission is
+    * auditable. In production the prior side is the persisted LSH index /
+    * hash set of the existing corpus (write [[minhashBands]] output once,
+    * reuse every batch), not a rescan; both joins are key-co-partitioned
+    * id/hash joins — batch-linear work, no pair explosion, no corpus
+    * text on the wire. */
+  def incrementalDedup(newDocs: DataFrame, prior: DataFrame): DataFrame = {
+    val priorHashes = prior
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+      .withColumn("pe", lit(true))
+    val priorBands = minhashBands(minhash(prior))
+      .select(col("band_id"), col("band_hash")).distinct()
+    val nearIds = minhashBands(minhash(newDocs))
+      .join(priorBands, Seq("band_id", "band_hash"))
+      .select("doc_id").distinct()
+      .withColumn("dup_near", lit(true))
+    newDocs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"))
+      .join(priorHashes, Seq("h"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pe"), lit(false)).as("dup_exact"),
+        coalesce(col("dup_near"), lit(false)).as("dup_near"))
+      .withColumn("kept", !col("dup_exact") && !col("dup_near"))
   }
 
   /** Duplicate-cluster representative selection: keep the BEST-quality doc
