@@ -428,6 +428,27 @@ class Round7OpsSpec extends AnyFunSuite {
       s"lambda table must broadcast, never shuffle the gram stream:\n$plan")
   }
 
+  test("TextOps.incrementalDedup: exact copies and near-dups of prior " +
+    "docs are rejected; genuinely new docs admitted") {
+    import spark.implicits._
+    val prior = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog entirely"),
+      (2L, "an established document about spark physical planning"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog entirely"), // exact
+      (11L, "the quick brown fox jumps over the lazy dog today"),    // near
+      (12L, "completely fresh content with no prior overlap at all"))
+      .toDF("doc_id", "text")
+    val r = graft.text.TextOps.incrementalDedup(batch, prior)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getBoolean(1), x.getBoolean(2), x.getBoolean(3)))).toMap
+    assert(r(10L) == ((true, true, false)), s"exact copy rejected: ${r(10L)}")
+    assert(!r(11L)._1 && r(11L)._2 && !r(11L)._3,
+      s"near-dup (shared minhash band) rejected: ${r(11L)}")
+    assert(r(12L) == ((false, false, true)), s"fresh doc admitted: ${r(12L)}")
+  }
+
   test("ShardSink: deterministic shards + manifest; re-export reproduces " +
     "the manifest byte-for-byte; round-trip verifies; one file per shard") {
     import spark.implicits._
