@@ -1179,6 +1179,41 @@ object QueriesText {
         |GROUP BY doc_id
         |""".stripMargin))
 
+  /** Interpolated Kneser-Ney bigram scoring (D=0.75): absolute discount +
+    * continuation-count backoff, every per-doc mean log-prob value-checked
+    * with the identical operation order in both engines. */
+  private val knLp: Q = Q(
+    fn = (s, dir) =>
+      graft.text.TextOps.kneserNeyLogprob(docs(s, dir), discount = 0.75),
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |trx AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM base WHERE len(toks) >= 2),
+        |tr AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM trx),
+        |big AS (SELECT w1, w2, count(*)::DOUBLE AS cb
+        |        FROM tr GROUP BY w1, w2),
+        |ctx AS (SELECT w1, sum(cb) AS c1, count(*)::DOUBLE AS n1w1
+        |        FROM big GROUP BY w1),
+        |cont AS (SELECT w2, count(*)::DOUBLE AS n1w2 FROM big GROUP BY w2),
+        |nt AS (SELECT count(*)::DOUBLE AS n_types FROM big)
+        |SELECT doc_id,
+        |  round(avg(log10(
+        |    (greatest(coalesce(cb, 0.0) - 0.75, 0.0)
+        |      + 0.75 * n1w1 * (n1w2 / n_types)) / c1)), 6) AS avg_logprob,
+        |  count(*) AS n_transitions
+        |FROM tr
+        |LEFT JOIN big USING (w1, w2)
+        |JOIN ctx USING (w1)
+        |JOIN cont USING (w2)
+        |CROSS JOIN nt
+        |GROUP BY doc_id
+        |""".stripMargin))
+
   // ---- corpus mixture weights ----------------------------------------------
 
   /** Per-source token shares + the resampling weight toward a uniform
@@ -1743,6 +1778,7 @@ object QueriesText {
     "q_segment_dedup"  -> segmentDedup,
     "q_segment_dedup_doc" -> segmentDedupDoc,
     "q_bigram_logprob" -> bigramLp,
+    "q_kn_logprob"     -> knLp,
     "q_bm25"           -> bm25,
     "q_bloom_dedup"    -> bloomDedup,
     "q_mixture_temperature" -> mixtureTemp,

@@ -1197,6 +1197,55 @@ object TextOps {
         count(lit(1)).as("n_transitions"))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing inside kenlm, i.e. what CCNet's perplexity filter actually
+    * runs) — the step up from [[bigramLogprob]]'s Jelinek-Mercer mix:
+    * absolute discounting plus a CONTINUATION-count backoff (how many
+    * distinct contexts a word follows, not how often it occurs), which is
+    * what stops high-frequency-but-context-bound tokens from inflating
+    * backoff mass. P(w2|w1) = (max(c12−D,0) + D·N1+(w1,·)·P_cont(w2)) /
+    * c(w1,·), with P_cont(w2) = N1+(·,w2)/|bigram types|.
+    *
+    * Scale shape identical to the JM scorer: transitions are row-local
+    * adjacent pairs (no index window), the three model tables (bigram,
+    * context stats, continuation counts) are type-bounded aggs re-attached
+    * through size-gated broadcasts; the one scalar driver value is the
+    * distinct-bigram-type count. Emits (doc_id, avg_logprob,
+    * n_transitions) over docs with ≥1 transition. */
+  def kneserNeyLogprob(docs: DataFrame,
+                       discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val base = docs.select(col("doc_id"),
+      filter(split(lower(col("text")), " "), t => t =!= "").as("toks"))
+    val tr = base
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = tr.groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("double").as("cb"))
+    val ctx = big.groupBy("w1")
+      .agg(sum("cb").as("c1"), count(lit(1)).cast("double").as("n1w1"))
+    val cont = big.groupBy("w2")
+      .agg(count(lit(1)).cast("double").as("n1w2"))
+    val nTypes = big.count().toDouble
+    val d = lit(discount)
+    tr.join(graft.ops.PlanHints.gatedBroadcast(big),
+        Seq("w1", "w2"), "left")
+      .join(graft.ops.PlanHints.gatedBroadcast(ctx), Seq("w1"))
+      .join(graft.ops.PlanHints.gatedBroadcast(cont), Seq("w2"))
+      .select(col("doc_id"),
+        log10((greatest(coalesce(col("cb"), lit(0.0)) - d, lit(0.0)) +
+          d * col("n1w1") * (col("n1w2") / lit(nTypes))) / col("c1"))
+          .as("logp"))
+      .groupBy("doc_id")
+      .agg(round(avg("logp"), 6).as("avg_logprob"),
+        count(lit(1)).as("n_transitions"))
+  }
+
   /** Segment-level exact deduplication with document reassembly — the
     * paragraph-dedup stage of CCNet/Dolma-style pipelines (boilerplate
     * headers/footers repeat across pages; drop every occurrence but the

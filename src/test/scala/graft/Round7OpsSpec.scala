@@ -428,6 +428,24 @@ class Round7OpsSpec extends AnyFunSuite {
       s"lambda table must broadcast, never shuffle the gram stream:\n$plan")
   }
 
+  test("TextOps.kneserNeyLogprob: continuation counts beat raw frequency " +
+    "— a many-context word outscores a frequent single-context word") {
+    import spark.implicits._
+    // 'francisco' is FREQUENT but follows only 'san'; 'the' follows many
+    // distinct contexts. With equal bigram evidence from context 'q', KN
+    // must prefer 'q the' (high continuation count) over 'q francisco'.
+    val docs = ((0L until 5L).map(i => (i, "san francisco")) ++
+      Seq((10L, "a the"), (11L, "b the"), (12L, "c the"), (13L, "d the"),
+        (20L, "q the"), (21L, "q francisco")))
+      .toDF("doc_id", "text")
+    val r = graft.text.TextOps.kneserNeyLogprob(docs)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(20L) > r(21L),
+      s"KN continuation backoff must favor the many-context word: " +
+        s"q-the=${r(20L)} vs q-francisco=${r(21L)}")
+    assert(r(0L) > r(20L), "a seen frequent bigram still scores highest")
+  }
+
   test("TextOps.incrementalDedup: exact copies and near-dups of prior " +
     "docs are rejected; genuinely new docs admitted") {
     import spark.implicits._
