@@ -1576,6 +1576,46 @@ object QueriesText {
         |FROM r
         |""".stripMargin))
 
+  // ---- benchmark decontamination scrub -------------------------------------
+
+  /** Docs 0-9 act as the "benchmark"; every 8-token span of the remaining
+    * corpus matching a bench window verbatim is cut out and the doc
+    * rebuilt. All rebuilt strings and counts value-checked. */
+  private val decontaminateQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      TextOps.decontaminate(d.filter(col("doc_id") >= 10),
+        d.filter(col("doc_id") < 10), k = 8)
+    },
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i,
+        |    md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+        |  FROM base, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |bh AS (SELECT DISTINCT h FROM w WHERE doc_id < 10),
+        |cov AS (SELECT w.doc_id, list_sort(list(w.i)) AS starts
+        |        FROM w JOIN bh USING (h) WHERE w.doc_id >= 10
+        |        GROUP BY w.doc_id),
+        |r AS (
+        |  SELECT b.doc_id, b.toks,
+        |    list_filter(generate_series(1, len(b.toks)),
+        |      j -> len(list_filter(coalesce(c.starts, []),
+        |             i -> i <= j AND j < i + 8)) = 0) AS kept
+        |  FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+        |  WHERE b.doc_id >= 10)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |  len(toks) - len(kept) AS n_removed,
+        |  coalesce(array_to_string(list_transform(kept, j -> toks[j]), ' '),
+        |    '') AS scrubbed_text
+        |FROM r
+        |""".stripMargin))
+
   // ---- DSIR importance weights (target-domain selection) -------------------
 
   /** DSIR log importance weights with source='src0' as the target domain:
@@ -1760,6 +1800,7 @@ object QueriesText {
   val all: Map[String, Q] = Map(
     "q_dsir"           -> dsir,
     "q_span_scrub"     -> spanScrub,
+    "q_decontaminate"  -> decontaminateQ,
     "q_gopher_rep"     -> gopherRep,
     "q_grouped_split"  -> groupedSplitQ,
     "q_data_card"      -> dataCardQ,

@@ -805,15 +805,8 @@ object TextOps {
     * Emits (doc_id, n_tokens, n_removed, scrubbed_text). */
   def scrubDupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val toksC = filter(split(col("text"), " "), t => t =!= "")
-    val base = docs.select(col("doc_id"), toksC.as("toks"))
-    val w = base.filter(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
-          i => struct(i.as("i"),
-            md5(array_join(slice(col("toks"), i, lit(k)), " ")
-              .cast("binary")).as("h")))).as("x"))
-      .select(col("doc_id"), col("x.i").as("i"), col("x.h").as("h"))
+    val base = tokBase(docs)
+    val w = spanWindows(base, k)
     val dup = w.groupBy("h")
       .agg(min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .filter(col("min_doc") =!= col("max_doc"))
@@ -822,6 +815,27 @@ object TextOps {
       .filter(col("doc_id") =!= col("min_doc"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("i"))).as("starts"))
+    rebuildScrubbed(base, starts, k)
+  }
+
+  private def tokBase(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      filter(split(col("text"), " "), t => t =!= "").as("toks"))
+
+  /** (doc_id, i, h): md5 of every k-token window, position-stamped. */
+  private def spanWindows(base: DataFrame, k: Int): DataFrame =
+    base.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => struct(i.as("i"),
+            md5(array_join(slice(col("toks"), i, lit(k)), " ")
+              .cast("binary")).as("h")))).as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.h").as("h"))
+
+  /** Rebuild each doc dropping tokens covered by any [i, i+k) interval in
+    * `starts` (doc_id → sorted start list); row-local coverage union. */
+  private def rebuildScrubbed(base: DataFrame, starts: DataFrame,
+                              k: Int): DataFrame =
     base.join(starts, Seq("doc_id"), "left")
       .withColumn("st", coalesce(col("starts"),
         array().cast("array<int>")))
@@ -833,6 +847,25 @@ object TextOps {
           .as("n_removed"),
         array_join(transform(col("kept"),
           j => element_at(col("toks"), j)), " ").as("scrubbed_text"))
+
+  /** Benchmark decontamination SCRUB — the removal counterpart of the
+    * [[contamination]] flagger: every k-token span of a training doc that
+    * appears verbatim in the benchmark/eval set is cut out and the doc
+    * rebuilt (drop-the-span, keep-the-doc — stricter than flag-and-drop
+    * when contamination is a quote inside an otherwise-good doc). The
+    * bench window-hash set is tiny (eval suites are MBs) and BROADCAST;
+    * the corpus side is one narrow window stream + a doc-keyed rebuild —
+    * no corpus-keyed join against anything corpus-sized. */
+  def decontaminate(docs: DataFrame, bench: DataFrame,
+                    k: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = tokBase(docs)
+    val benchH = spanWindows(tokBase(bench), k).select("h").distinct()
+    val starts = spanWindows(base, k)
+      .join(broadcast(benchH), "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    rebuildScrubbed(base, starts, k)
   }
 
   /** Partial-overlap candidate pairs from [[winnow]] fingerprints: docs
