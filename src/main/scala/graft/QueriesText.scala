@@ -1394,6 +1394,51 @@ object QueriesText {
          |""".stripMargin
     })
 
+  // ---- code-vs-prose detection ---------------------------------------------
+
+  /** Code-likeness signals (punct/operator/identifier densities as exact
+    * ppm integers) + the 2-of-3 vote — all value-checked. */
+  private val codeSignalsQ: Q = Q(
+    fn = (s, dir) => TextOps.codeSignals(docs(s, dir)),
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    length(regexp_replace(text, '[^{}\[\]();]', '', 'g'))::BIGINT
+        |      AS punct,
+        |    length(text)::BIGINT AS n_chars,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['=', '==', '!=', '->', '=>', '::', '&&', '||', '+=', '-='],
+        |      t)))::BIGINT AS op_tok,
+        |    len(list_filter(toks,
+        |      t -> regexp_matches(t, '^[a-z]+([A-Z][a-z0-9]*)+$')
+        |        OR regexp_matches(t, '^[a-z0-9]+(_[a-z0-9]+)+$')))::BIGINT
+        |      AS ident_tok,
+        |    len(toks)::BIGINT AS n_toks
+        |  FROM base),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars > 0
+        |         THEN floor(punct * 1000000 / n_chars)::BIGINT
+        |         ELSE 0 END AS punct_ppm,
+        |    CASE WHEN n_toks > 0
+        |         THEN floor(op_tok * 1000000 / n_toks)::BIGINT
+        |         ELSE 0 END AS op_ppm,
+        |    CASE WHEN n_toks > 0
+        |         THEN floor(ident_tok * 1000000 / n_toks)::BIGINT
+        |         ELSE 0 END AS ident_ppm
+        |  FROM m)
+        |SELECT doc_id, punct_ppm, op_ppm, ident_ppm,
+        |  ((CASE WHEN punct_ppm >= 20000 THEN 1 ELSE 0 END +
+        |    CASE WHEN op_ppm >= 50000 THEN 1 ELSE 0 END +
+        |    CASE WHEN ident_ppm >= 100000 THEN 1 ELSE 0 END) >= 2)
+        |    AS is_code_like
+        |FROM p
+        |""".stripMargin))
+
   // ---- C4 blocklist filter -------------------------------------------------
 
   /** Blocklist screen with an auditable verdict: kept flag, which listed
@@ -1805,6 +1850,7 @@ object QueriesText {
     "q_grouped_split"  -> groupedSplitQ,
     "q_data_card"      -> dataCardQ,
     "q_blocklist"      -> blocklistQ,
+    "q_code_signals"   -> codeSignalsQ,
     "q_shard_manifest" -> shardManifestQ,
     "q_domain_topk"    -> domainTopK,
     "q_encoding_quality" -> encodingQuality,

@@ -624,6 +624,41 @@ object TextOps {
     withG.select(col("doc_id"), explode(fps).as("fp"))
   }
 
+  /** Code-vs-prose detection signals — the router in mixed crawl+code
+    * pipelines (StarCoder-style corpora keep code on a separate quality
+    * track; a prose filter would junk it). Row-local integer counts over
+    * characters/tokens: brace+bracket+semicolon density, operator-token
+    * share ('=', '==', '->', '::'), camelCase/snake_case identifier
+    * share, and an indent proxy (docs here are single-line, so leading
+    * whitespace is out of scope). All shares ×1e6 as integers, so the
+    * engine cut is exact; `is_code_like` is the standard 2-of-3 vote.
+    * Pure narrow codegen map. */
+  def codeSignals(docs: DataFrame): DataFrame = {
+    val toksC = filter(split(col("text"), " "), t => t =!= "")
+    def share(n: Column, d: Column): Column =
+      when(d > 0, floor(n * lit(1000000L) / d).cast("long"))
+        .otherwise(lit(0L))
+    val punct = length(regexp_replace(col("text"), "[^{}\\[\\]();]", ""))
+      .cast("long")
+    val nChars = length(col("text")).cast("long")
+    val opTok = size(filter(col("toks"), t =>
+      t.isin("=", "==", "!=", "->", "=>", "::", "&&", "||", "+=", "-=")))
+      .cast("long")
+    val identTok = size(filter(col("toks"), t =>
+      t.rlike("^[a-z]+([A-Z][a-z0-9]*)+$") ||
+        t.rlike("^[a-z0-9]+(_[a-z0-9]+)+$"))).cast("long")
+    val nToks = size(col("toks")).cast("long")
+    docs.select(col("doc_id"), toksC.as("toks"), col("text"))
+      .select(col("doc_id"),
+        share(punct, nChars).as("punct_ppm"),
+        share(opTok, nToks).as("op_ppm"),
+        share(identTok, nToks).as("ident_ppm"))
+      .withColumn("is_code_like",
+        (when(col("punct_ppm") >= 20000, 1).otherwise(0) +
+          when(col("op_ppm") >= 50000, 1).otherwise(0) +
+          when(col("ident_ppm") >= 100000, 1).otherwise(0)) >= 2)
+  }
+
   /** C4-style blocklist filter (Raffel et al. 2020 §2.2's "bad words"
     * screen): drop any doc containing a blocklisted token; emit the keep
     * verdict plus WHICH listed words hit and how many tokens matched, so

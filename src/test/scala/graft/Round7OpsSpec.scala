@@ -428,6 +428,21 @@ class Round7OpsSpec extends AnyFunSuite {
       s"lambda table must broadcast, never shuffle the gram stream:\n$plan")
   }
 
+  test("TextOps.codeSignals: real code trips the 2-of-3 vote, prose does " +
+    "not; ppm arithmetic exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "val maxRetry = retryCount + 1 ; if (maxRetry > limitValue) { resetAll() ; }"),
+      (2L, "the committee met on tuesday to discuss the annual budget report in detail"))
+      .toDF("doc_id", "text")
+    val r = graft.text.TextOps.codeSignals(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(4), s"code doc must vote code-like: ${r(1L)}")
+    assert(!r(2L).getBoolean(4), s"prose doc must not: ${r(2L)}")
+    assert(r(2L).getLong(1) == 0 && r(2L).getLong(2) == 0,
+      "prose has zero code punctuation and operators")
+  }
+
   test("TextOps.kneserNeyLogprob: continuation counts beat raw frequency " +
     "— a many-context word outscores a frequent single-context word") {
     import spark.implicits._
