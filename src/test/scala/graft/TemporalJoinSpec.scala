@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TemporalJoin
+
+class TemporalJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("asOfJoin: before-first is null, <= is inclusive, tied snapshots " +
+    "resolve to max tie, latest-prior wins") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 10L, 5L),   // before any snapshot → null
+      (2L, 10L, 20L),  // exactly at snapshot ts=20 → sees it (<=)
+      (3L, 10L, 25L),  // between 20 and 30 → snapshot@20
+      (4L, 10L, 30L),  // at the TIED pair ts=30 → max tie id (src 93)
+      (5L, 10L, 99L),  // after everything → latest (ts=30, src 93)
+      (6L, 77L, 50L)   // other key, no snapshots at all → null
+    ).toDF("event_id", "user_id", "ts")
+    val snap = Seq(
+      (10L, 20L, 91L, 1.0),
+      (10L, 30L, 92L, 2.0),  // tied pair at ts=30:
+      (10L, 30L, 93L, 3.0)   //   id 93 must win deterministically
+    ).toDF("user_id", "ts", "src_id", "v")
+
+    val out: Map[Long, (Option[Double], Option[Long])] =
+      TemporalJoin.asOfJoin(left, snap, Seq("user_id"),
+          "ts", "ts", Seq("v", "src_id"), rightTie = "src_id")
+        .select("event_id", "asof_v", "asof_src_id")
+        .collect().map(r => r.getLong(0) -> ((
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(out(1L) === ((None, None)))
+    assert(out(2L) === ((Some(1.0), Some(91L))))
+    assert(out(3L) === ((Some(1.0), Some(91L))))
+    assert(out(4L) === ((Some(3.0), Some(93L))))
+    assert(out(5L) === ((Some(3.0), Some(93L))))
+    assert(out(6L) === ((None, None)))
+  }
+
+  test("asOfJoin plan: one hash exchange on the key, no broadcast of the " +
+    "right side, no single-partition exchange") {
+    val s = spark
+    import s.implicits._
+    val left = (1 to 500).map(i => (i.toLong, (i % 13).toLong, i.toLong * 10))
+      .toDF("event_id", "user_id", "ts")
+    val snap = (1 to 100).map(i => (i % 13L, i.toLong * 37, i.toLong, i * 0.5))
+      .toDF("user_id", "ts", "src_id", "v")
+    val df = TemporalJoin.asOfJoin(left, snap, Seq("user_id"),
+      "ts", "ts", Seq("v"), rightTie = "src_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"as-of join must not serialize through one partition:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"as-of join is union+window, not a join needing broadcast:\n$plan")
+    assert(df.count() === 500)
+  }
+
+  test("rangeJoin: boundaries inclusive, multi-bucket intervals match " +
+    "each point exactly once, outside points excluded") {
+    val s = spark
+    import s.implicits._
+    // bucket = 10; interval [15, 38] covers cells 1..3
+    val iv = Seq((100L, 15L, 38L), (200L, 70L, 70L))
+      .toDF("win", "lo", "hi")
+    val pts = Seq((1L, 15L), (2L, 38L), (3L, 25L), (4L, 14L), (5L, 39L),
+      (6L, 70L), (7L, 71L)).toDF("p_id", "ts")
+    val got = TemporalJoin.rangeJoin(pts, "ts", iv, "lo", "hi", bucket = 10L)
+      .select("p_id", "win").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    // 1,2 at the inclusive edges; 3 mid-interval (cell 2 of a 3-cell
+    // interval — exactly one match row, no dedup needed); 6 in the
+    // degenerate [70,70]; 4,5,7 outside
+    assert(got === Seq((1L, 100L), (2L, 100L), (3L, 100L), (6L, 200L)))
+  }
+
+  test("rangeJoin plan: equi-join on the cell id (SortMergeJoin or " +
+    "shuffled hash), never BroadcastNestedLoop/cartesian") {
+    val s = spark
+    import s.implicits._
+    val iv = (1 to 300).map(i => (i.toLong, i * 100L, i * 100L + 250))
+      .toDF("win", "lo", "hi")
+    val pts = (1 to 2000).map(i => (i.toLong, (i * 17L) % 31000))
+      .toDF("p_id", "ts")
+    val df = TemporalJoin.rangeJoin(pts, "ts", iv, "lo", "hi", bucket = 100L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"),
+      s"range join fell back to an all-pairs physical join:\n$plan")
+    // match count equals the oracle-style naive filter
+    val naive = pts.crossJoin(iv)
+      .filter(col("ts") >= col("lo") && col("ts") <= col("hi")).count()
+    assert(df.count() === naive)
+  }
+
+  test("weightedSample: at most k per group, deterministic, heavier rows " +
+    "sampled more often; no window operator in the plan") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 2000).map { i =>
+      // two groups; in group "g0" doc ids 1..20 get weight 1000, rest 1
+      val grp = s"g${i % 2}"
+      val w = if (i <= 40) 1000.0 else 1.0
+      (i.toLong, grp, w)
+    }.toDF("doc_id", "grp", "w")
+    val got = TemporalJoin.weightedSample(df, col("grp"), col("doc_id"),
+      col("w"), k = 5)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "weighted sample must use the bounded TopKAgg, not a window rank")
+    val rows = got.collect()
+    assert(rows.length === 10) // 5 per group
+    assert(rows.map(_.getInt(1)).count(_ == 1) === 2) // one rank-1 each
+    // determinism: second run identical
+    val again = TemporalJoin.weightedSample(df, col("grp"), col("doc_id"),
+      col("w"), k = 5).collect()
+    assert(rows.map(_.toString).sorted.toSeq ===
+      again.map(_.toString).sorted.toSeq)
+    // the 40 heavy rows (2% of rows, >98% of weight) should dominate the
+    // sample under the A-ES key
+    val heavy = rows.count(_.getLong(2) <= 40)
+    assert(heavy >= 8, s"expected heavy rows to dominate, got $heavy/10")
+  }
+}
