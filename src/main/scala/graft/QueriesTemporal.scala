@@ -30,6 +30,25 @@ object QueriesTemporal {
     * event timestamp — the leakage-safe feature-store lookup. Oracle is
     * the textbook formulation (correlated `ORDER BY ts DESC LIMIT 1`
     * subqueries), deliberately independent of the union+window plan. */
+  /** Shared by the batch and streaming as-of queries — the streaming
+    * result (one AvailableNow batch) must equal the batch join. */
+  private val asofOracle =
+    """WITH snap AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts, event_id, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |ev AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS ts
+      |  FROM events WHERE event_type <> 'purchase')
+      |SELECT e.event_id, e.user_id,
+      |  (SELECT round(s.value, 4) FROM snap s
+      |   WHERE s.user_id = e.user_id AND s.ts <= e.ts
+      |   ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS asof_value,
+      |  (SELECT s.event_id FROM snap s
+      |   WHERE s.user_id = e.user_id AND s.ts <= e.ts
+      |   ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS asof_src
+      |FROM ev e
+      |""".stripMargin
+
   private val asofJoin: Q = Q(
     fn = (s, dir) => {
       val ev = events(s, dir)
@@ -44,21 +63,44 @@ object QueriesTemporal {
         .select(col("event_id"), col("user_id"),
           col("asof_pval").as("asof_value"), col("asof_src_id").as("asof_src"))
     },
+    oracle = Some(asofOracle))
+
+  /** Streaming twin of q_asof_join: `flatMapGroupsWithState` keeps only
+    * the latest purchase per user (O(users) state) — same oracle. */
+  private val streamAsof: Q = Q(
+    fn = (s, dir) => graft.streaming.StreamOps.asOfStream(s, dir),
+    oracle = Some(asofOracle))
+
+  // ---- OLAP cube / grouping sets (§2.5 rollup family) ----------------------
+
+  /** CUBE over (returnflag, linestatus) with grouping indicators — the
+    * grouping-sets surface of the OLAP family (TPC-H Q1's dimensions, all
+    * 2² aggregation levels in ONE pass: Spark expands the cube in the
+    * aggregate, not via self-union re-scans). Sums stay on exact-in-double
+    * quantities so the compare is hash-exact at every level. */
+  private val olapCube: Q = Q(
+    fn = (s, dir) => Tables.load(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_quantity") / count(lit(1)), 6).as("avg_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("g_rf"), col("g_ls"), col("n"), col("sum_qty"), col("avg_qty")),
     oracle = Some(
-      """WITH snap AS (
-        |  SELECT user_id, epoch_ns(ts) AS ts, event_id, value
-        |  FROM events WHERE event_type = 'purchase'),
-        |ev AS (
-        |  SELECT event_id, user_id, epoch_ns(ts) AS ts
-        |  FROM events WHERE event_type <> 'purchase')
-        |SELECT e.event_id, e.user_id,
-        |  (SELECT round(s.value, 4) FROM snap s
-        |   WHERE s.user_id = e.user_id AND s.ts <= e.ts
-        |   ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS asof_value,
-        |  (SELECT s.event_id FROM snap s
-        |   WHERE s.user_id = e.user_id AND s.ts <= e.ts
-        |   ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS asof_src
-        |FROM ev e
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  GROUPING(l_returnflag)::BIGINT AS g_rf,
+        |  GROUPING(l_linestatus)::BIGINT AS g_ls,
+        |  count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_quantity) / count(*), 6) AS avg_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |""".stripMargin))
 
   // ---- range join: corpus activity inside padded error-burst windows -------
@@ -208,6 +250,8 @@ object QueriesTemporal {
 
   val all: Map[String, Q] = Map(
     "q_asof_join"       -> asofJoin,
+    "q_stream_asof"     -> streamAsof,
+    "q_olap_cube"       -> olapCube,
     "q_range_join"      -> rangeJoinQ,
     "q_source_overlap"  -> sourceOverlap,
     "q_weighted_sample" -> weightedSampleQ,

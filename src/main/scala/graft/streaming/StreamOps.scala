@@ -245,6 +245,86 @@ object StreamOps {
     spark.table(name)
     }
 
+  /** Latest-purchase state for the streaming as-of join: the newest
+    * (ts, src_id) purchase seen per user, plus its value. */
+  final case class AsOfState(ts: Long, srcId: Long, value: Double)
+
+  /** Streaming point-in-time (as-of) join via `flatMapGroupsWithState` —
+    * the custom-state path for an operator Structured Streaming has no
+    * built-in for. Per user, state is just the LATEST purchase (12 bytes
+    * of payload — not the history), updated and consulted in event-time
+    * order inside each micro-batch; every non-purchase event is emitted
+    * with the purchase state as of its timestamp. With the whole input in
+    * one AvailableNow batch this equals the batch
+    * [[graft.ops.TemporalJoin.asOfJoin]] and shares q_asof_join's oracle.
+    *
+    * Scale: state size is O(users), not O(events); the only exchange is
+    * the groupByKey hash shuffle — identical shape to the batch plan. In
+    * continuous operation events arriving across micro-batches are
+    * point-in-time correct as long as per-user arrival is monotone (late
+    * events would need a watermark + history buffer — documented contract,
+    * same as every streaming as-of in production feature stores). */
+  /** One micro-batch of the streaming as-of join for one user: events in
+    * event-time order, purchases first at a tied ts (`<=` contract),
+    * id-ascending among tied purchases so the max id wins — the exact
+    * ordering of the batch asOfJoin window. Pure function of
+    * (batch, prior state) so cross-batch state survival is unit-testable.
+    * Input tuples: (event_id, ts, user_id, event_type, value). */
+  def asOfGroup(user: Long, batch: Vector[(Long, Long, Long, String, Double)],
+                prior: Option[AsOfState])
+      : (Vector[(Long, Long, Option[Double], Option[Long])], Option[AsOfState]) = {
+    val evs = batch.sortBy(e => (e._2, if (e._4 == "purchase") 0 else 1, e._1))
+    var st = prior
+    val out = Vector.newBuilder[(Long, Long, Option[Double], Option[Long])]
+    evs.foreach { e =>
+      if (e._4 == "purchase") {
+        // keep the newest (ts, id) purchase — state survives batches
+        if (st.forall(s => e._2 > s.ts || (e._2 == s.ts && e._1 > s.srcId)))
+          st = Some(AsOfState(e._2, e._1, e._5))
+      } else {
+        // HALF_UP to match the batch query's round(value, 4)
+        out += ((e._1, user, st.map(s => BigDecimal(s.value)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
+          st.map(_.srcId)))
+      }
+    }
+    (out.result(), st)
+  }
+
+  def asOfStream(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark, 8) {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"stream_asof_${counter.incrementAndGet()}"
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+    val joined = events
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[AsOfState,
+        (Long, Long, Option[Double], Option[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, state) =>
+        val (out, st) = asOfGroup(user, it.toVector, state.getOption)
+        st.foreach(state.update)
+        out.iterator
+      }
+      .toDF("event_id", "user_id", "asof_value", "asof_src")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+    }
+
   /** Streaming tumbling 1-hour counts per event_type over the events dir;
     * runs the stream to completion against the static files and returns
     * the result table — output matches the batch q_events_window oracle. */

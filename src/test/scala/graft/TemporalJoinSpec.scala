@@ -96,6 +96,35 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(df.count() === naive)
   }
 
+  test("asOfGroup (streaming state fn): purchase state survives across " +
+    "micro-batches and ties follow the batch contract") {
+    import graft.streaming.StreamOps
+    // batch 1: purchase@10 (id 1, v 2.5), event@15 sees it; tied purchases
+    // @20 (ids 2,3) — id 3 must win for the event@20 in the SAME batch
+    val (out1, st1) = StreamOps.asOfGroup(7L, Vector(
+      (1L, 10L, 7L, "purchase", 2.5),
+      (50L, 15L, 7L, "click", 0.0),
+      (2L, 20L, 7L, "purchase", 4.0),
+      (3L, 20L, 7L, "purchase", 6.0),
+      (51L, 20L, 7L, "view", 0.0)), None)
+    assert(out1 === Vector(
+      (50L, 7L, Some(2.5), Some(1L)),
+      (51L, 7L, Some(6.0), Some(3L))))
+    assert(st1 === Some(StreamOps.AsOfState(20L, 3L, 6.0)))
+    // batch 2: an event BEFORE any new purchase must see batch 1's state;
+    // a stale-looking older purchase (ts 5) must NOT replace newer state
+    val (out2, st2) = StreamOps.asOfGroup(7L, Vector(
+      (4L, 5L, 7L, "purchase", 9.9),
+      (52L, 30L, 7L, "click", 0.0)), st1)
+    assert(out2 === Vector((52L, 7L, Some(6.0), Some(3L))))
+    assert(st2 === st1)
+    // no purchases ever: events emit null state
+    val (out3, st3) = StreamOps.asOfGroup(8L, Vector(
+      (53L, 1L, 8L, "view", 0.0)), None)
+    assert(out3 === Vector((53L, 8L, None, None)))
+    assert(st3 === None)
+  }
+
   test("weightedSample: at most k per group, deterministic, heavier rows " +
     "sampled more often; no window operator in the plan") {
     val s = spark
