@@ -96,6 +96,57 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(df.count() === naive)
   }
 
+  test("asOfJoin equals the brute-force reference on random data with " +
+    "heavy ts collisions (seeded)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    // ts drawn from a SMALL range so ties (incl. left-right and
+    // right-right at one instant) occur constantly
+    val left = (1 to 1500).map(i =>
+      (i.toLong, rnd.nextInt(15).toLong, rnd.nextInt(120).toLong))
+    val right = (1 to 400).map(i =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(120).toLong, i.toLong,
+        rnd.nextInt(1000) / 8.0))
+    val got = TemporalJoin.asOfJoin(
+        left.toDF("event_id", "user_id", "ts"),
+        right.toDF("user_id", "ts", "src_id", "v"),
+        Seq("user_id"), "ts", "ts", Seq("v", "src_id"), rightTie = "src_id")
+      .select("event_id", "asof_v", "asof_src_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1).toSeq
+    val expected = left.map { case (eid, u, ts) =>
+      val best = right.filter(r => r._1 == u && r._2 <= ts)
+        .sortBy(r => (r._2, r._3)).lastOption // max ts, then max src_id
+      (eid, best.map(_._4), best.map(_._3))
+    }.sortBy(_._1)
+    assert(got === expected)
+  }
+
+  test("rangeJoin equals the brute-force reference row-for-row on random " +
+    "intervals (seeded), including bucket-straddling and degenerate ones") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(43)
+    val iv = (1 to 200).map { i =>
+      val lo = rnd.nextInt(5000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(400).toLong) // 0..400 wide, bucket 128
+    }
+    val pts = (1 to 3000).map(i => (i.toLong, rnd.nextInt(6000).toLong))
+    val got = TemporalJoin.rangeJoin(pts.toDF("p_id", "ts"), "ts",
+        iv.toDF("win", "lo", "hi"), "lo", "hi", bucket = 128L)
+      .select("p_id", "win").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = (for {
+      (pid, ts) <- pts
+      (win, lo, hi) <- iv
+      if ts >= lo && ts <= hi
+    } yield (pid, win)).sorted
+    assert(got === expected)
+  }
+
   test("asOfGroup (streaming state fn): purchase state survives across " +
     "micro-batches and ties follow the batch contract") {
     import graft.streaming.StreamOps
