@@ -1895,5 +1895,36 @@ object QueriesText {
     "q_lang_id"       -> langId,
     "q_quality"       -> quality,
     "q_fingerprint"   -> fingerprint,
+    "q_zipf_stats"    -> zipfStats,
   )
+
+  /** Vocabulary diagnostics: vocab size, hapax share, top-100 head mass,
+    * Zipf slope (OLS of ln freq on ln rank over the head). Head cut is a
+    * bounded distributed top-k with a md5-id tie-break the oracle
+    * replays; OLS margin vs the 1e-6 rounding is ~7 orders, so the
+    * distributed-sum FP order cannot flip the compare. */
+  private lazy val zipfStats: Q = Q(
+    fn = (s, dir) => TextOps.zipfStats(docs(s, dir), topK = 100),
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |tok AS (SELECT t FROM toks WHERE len(t) > 0),
+        |counts AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |g AS (SELECT count(*) AS vocab_size, sum(c)::BIGINT AS total_tokens,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_count
+        |  FROM counts),
+        |ranked AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC,
+        |    ('0x' || substr(md5(t), 1, 15))::BIGINT ASC) AS rank
+        |  FROM counts QUALIFY rank <= 100),
+        |o AS (SELECT count(*)::DOUBLE AS k,
+        |  sum(ln(rank)) AS sx, sum(ln(c)) AS sy,
+        |  sum(ln(rank) * ln(c)) AS sxy, sum(ln(rank) * ln(rank)) AS sxx,
+        |  sum(c)::BIGINT AS top_c FROM ranked)
+        |SELECT vocab_size, total_tokens, hapax_count,
+        |  round(hapax_count::DOUBLE / vocab_size, 6) AS hapax_frac,
+        |  round(top_c::DOUBLE / total_tokens, 6) AS top_mass,
+        |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope
+        |FROM g, o
+        |""".stripMargin))
 }

@@ -1444,6 +1444,59 @@ object TextOps {
         .otherwise("tail").as("bucket"))
   }
 
+  /** Corpus vocabulary diagnostics for the data card: vocabulary size,
+    * hapax-legomenon share (the classic "how much of this corpus is
+    * one-off noise" signal), head-mass of the top-`topK` tokens, and the
+    * Zipf slope — the OLS fit of ln(freq) on ln(rank) over the head
+    * (natural text ≈ −1; far off means boilerplate or spam).
+    *
+    * Scale: the token table is ONE map-side-combined groupBy; the head is
+    * a bounded distributed top-k (`orderBy.limit` → TakeOrderedAndProject
+    * — per-partition partial top-k, never a global sort of the vocab,
+    * same contract as the unigram-LM cap). The OLS runs over `topK` rows.
+    * Ties at the head boundary break on a md5-derived token id so the cut
+    * is deterministic and engine-reproducible. Two passes over the
+    * (vocab-sized, corpus-reduced) token table — at cluster scale,
+    * persist the counts if both branches re-deriving them matters. */
+  def zipfStats(docs: DataFrame, topK: Int = 100): DataFrame = {
+    require(topK > 1, s"topK must be > 1, got $topK")
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val global = counts.agg(
+      count(lit(1)).as("vocab_size"),
+      sum("c").as("total_tokens"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax_count"))
+    // deterministic head: (count desc, md5-id asc); 15 hex digits < 2^60
+    // so the id stays exact in a signed long
+    val ranked = counts
+      .withColumn("id",
+        conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+      .orderBy(col("c").desc, col("id").asc)
+      .limit(topK)
+      // bounded-window rank: the input is the topK-row head, not the vocab
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("id").asc)).cast("long"))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("c").cast("double"))
+    val ols = ranked.agg(
+      count(lit(1)).cast("double").as("k"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+      sum("c").as("top_c"))
+    global.crossJoin(ols).select(
+      col("vocab_size"), col("total_tokens"), col("hapax_count"),
+      round(col("hapax_count").cast("double") / col("vocab_size"), 6)
+        .as("hapax_frac"),
+      round(col("top_c").cast("double") / col("total_tokens"), 6)
+        .as("top_mass"),
+      round((col("k") * col("sxy") - col("sx") * col("sy")) /
+        (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+  }
+
   /** Corpus snapshot diff — recrawl bookkeeping: given two snapshots of
     * the same logical corpus, classify every doc_id as added / deleted /
     * changed / unchanged by content hash. ONE full-outer join on doc_id

@@ -785,4 +785,36 @@ class Round7OpsSpec extends AnyFunSuite {
     val minBin = kept.agg(min("bin")).head().getInt(0)
     assert(minBin === 8)
   }
+
+  test("zipfStats: planted distribution gives exact counts and the " +
+    "expected slope; head cut is a bounded top-k, not a vocab sort") {
+    val s = spark
+    import s.implicits._
+    // exact power law c(r) = 64 / r for ranks 1..8 → slope −1, plus 10
+    // hapax tokens; weave the tokens into docs
+    val headCounts = (1 to 8).map(r => s"w$r" -> (64 / r))
+    val words = headCounts.flatMap { case (w, c) => Seq.fill(c)(w) } ++
+      (1 to 10).map(i => s"rare$i")
+    val docs = words.grouped(12).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val df = graft.text.TextOps.zipfStats(docs, topK = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"head cut must be a distributed bounded top-k:\n$plan")
+    val r = df.head()
+    assert(r.getAs[Long]("vocab_size") === 18)
+    assert(r.getAs[Long]("total_tokens") ===
+      headCounts.map(_._2).sum.toLong + 10)
+    assert(r.getAs[Long]("hapax_count") === 10) // rare* only; c(8)=8
+    // top-8 head excludes exactly the 10 hapaxes
+    assert(r.getAs[Double]("top_mass") ===
+      BigDecimal(headCounts.map(_._2).sum.toDouble /
+        (headCounts.map(_._2).sum + 10))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // 64/r isn't exactly representable for r∈{3,5,6,7} (integer div), so
+    // the fitted slope is near −1, not exact
+    val slope = r.getAs[Double]("zipf_slope")
+    assert(slope > -1.08 && slope < -0.92, s"slope was $slope")
+  }
 }
