@@ -73,6 +73,12 @@ object TemporalJoin {
     * `p BETWEEN lo AND hi` join into BroadcastNestedLoop (fine only when
     * one side is tiny) or a cartesian product.
     *
+    * The same rewrite is also available transparently for plain
+    * `df.join(iv, p >= lo && p <= hi)` via the Catalyst rule
+    * [[graft.plans.RangeJoinRewrite]] (register with
+    * `spark.sql.extensions=graft.plans.GraftExtensions`); this explicit
+    * form is for when the caller wants to pick the bucket width per join.
+    *
     * Plan: quantize time into `bucket`-width cells. Each interval is
     * exploded to the cells it covers (`sequence(lo div b, hi div b)`), a
     * point lives in exactly ONE cell, and the join becomes an equi-join on

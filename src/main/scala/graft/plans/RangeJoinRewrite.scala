@@ -1,0 +1,130 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Catalyst optimizer rule: rewrite a pure range-containment inner join
+  * (`point >= lo AND point <= hi`, no equi keys between the sides) into
+  * the bucketed equi-join shape of [[graft.ops.TemporalJoin.rangeJoin]].
+  *
+  * Spark's own join selection has no equi keys to hash on for such a
+  * condition, so it falls back to BroadcastNestedLoopJoin (O(|L|·|R|)
+  * comparisons even when the broadcast fits) or a cartesian product. This
+  * rule quantizes the domain into `bucket`-width cells at the LOGICAL
+  * level: the interval side is exploded to the cells it covers, the point
+  * side is projected to its single cell, and the join gains a
+  * `cell == cell` equi conjunct (original predicates kept as residual) —
+  * after which Spark's ordinary machinery takes over: ExtractEquiJoinKeys
+  * sees a hash key, AQE sizes and skew-splits the exchange, and the plan
+  * is a SortMergeJoin/ShuffledHashJoin that scales linearly.
+  *
+  * Fires only when the WHOLE condition is range conjuncts over one
+  * long-typed point attribute and interval bounds from the other side,
+  * with no cross-side equality present (if an equi key exists, Spark
+  * already hashes on it and the range is a fine residual). The rewritten
+  * join contains an equality, so the rule can never re-fire on its own
+  * output. Cell width: `spark.graft.rangeJoin.bucket` (default 1 h in ns,
+  * matching the events table's timestamp unit).
+  *
+  * Registered per-session via `spark.experimental.extraOptimizations` or
+  * cluster-wide with `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] {
+
+  private val BucketKey = "spark.graft.rangeJoin.bucket"
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConj(a) ++ splitConj(b)
+    case other     => Seq(other)
+  }
+
+  /** (point, bound, pointOnLeftOfComparison) for `p >= lo` / `lo <= p`. */
+  private def asLowerBound(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case GreaterThanOrEqual(p, lo) => Some((p, lo))
+      case LessThanOrEqual(lo, p)    => Some((p, lo))
+      case _                         => None
+    }
+
+  private def asUpperBound(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case LessThanOrEqual(p, hi)    => Some((p, hi))
+      case GreaterThanOrEqual(hi, p) => Some((p, hi))
+      case _                         => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      val conjuncts = splitConj(cond)
+      val hasCrossEquality = conjuncts.exists {
+        case EqualTo(a, b) =>
+          (a.references.subsetOf(left.outputSet) &&
+            b.references.subsetOf(right.outputSet)) ||
+          (a.references.subsetOf(right.outputSet) &&
+            b.references.subsetOf(left.outputSet))
+        case _ => false
+      }
+      // a single comparison is ambiguous in isolation (`ts >= lo` is both
+      // "ts lower-bounded" and "lo upper-bounded"), so pair the two
+      // conjuncts: one must read as p >= lo and the other as p <= hi for
+      // the SAME point attribute p
+      def pairUp(cLow: Expression, cHigh: Expression) =
+        (asLowerBound(cLow), asUpperBound(cHigh)) match {
+          case (Some((p1: AttributeReference, lo)),
+                Some((p2: AttributeReference, hi)))
+              if p1.semanticEquals(p2) && p1.dataType == LongType &&
+                lo.dataType == LongType && hi.dataType == LongType =>
+            // which child owns the point attribute?
+            if (left.outputSet.contains(p1) &&
+                lo.references.subsetOf(right.outputSet) &&
+                hi.references.subsetOf(right.outputSet))
+              Some((left, right, p1, lo, hi, true))
+            else if (right.outputSet.contains(p1) &&
+                lo.references.subsetOf(left.outputSet) &&
+                hi.references.subsetOf(left.outputSet))
+              Some((right, left, p1, lo, hi, false))
+            else None
+          case _ => None
+        }
+      val rewrite =
+        if (hasCrossEquality || conjuncts.length != 2) None
+        else pairUp(conjuncts(0), conjuncts(1))
+          .orElse(pairUp(conjuncts(1), conjuncts(0)))
+      rewrite match {
+        case None => j
+        case Some((ptSide, ivSide, p, lo, hi, ptIsLeft)) =>
+          val bucket = Literal(
+            conf.getConfString(BucketKey, "3600000000000").toLong, LongType)
+          // interval side: explode to covered cells
+          // timeZoneId must be pinned: Sequence is TimeZoneAwareExpression
+          // and stays unresolved without it (even for pure-long bounds)
+          val cellsExpr = Sequence(
+            new IntegralDivide(lo, bucket), new IntegralDivide(hi, bucket),
+            None, Some(conf.sessionLocalTimeZone))
+          val ivCell = AttributeReference("__graft_cell_iv", LongType,
+            nullable = false)()
+          val ivGen = Generate(Explode(cellsExpr), Nil, outer = false,
+            qualifier = None, generatorOutput = Seq(ivCell), child = ivSide)
+          // point side: its single cell
+          val ptAlias = Alias(new IntegralDivide(p, bucket), "__graft_cell_pt")()
+          val ptProj = Project(ptSide.output :+ ptAlias, ptSide)
+          val newCond = And(EqualTo(ptAlias.toAttribute, ivCell), cond)
+          val newJoin =
+            if (ptIsLeft) Join(ptProj, ivGen, Inner, Some(newCond), hint)
+            else Join(ivGen, ptProj, Inner, Some(newCond), hint)
+          // prune the helper cells back to the original join output
+          Project(j.output, newJoin)
+      }
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` — cluster-wide
+  * registration of graft's Catalyst rules. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => RangeJoinRewrite)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.RangeJoinRewrite
+
+class RangeJoinRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("a bare BETWEEN inner join rewrites to a hash-keyed join with " +
+    "identical results (rule on vs rule off)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(47)
+    val pts = (1 to 4000).map(i => (i.toLong, rnd.nextInt(100000).toLong))
+      .toDF("p_id", "ts")
+    val iv = (1 to 300).map { i =>
+      val lo = rnd.nextInt(95000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(5000).toLong)
+    }.toDF("win", "lo", "hi")
+    val cond = col("ts") >= col("lo") && col("ts") <= col("hi")
+
+    val naive = pts.join(iv, cond).select("p_id", "win").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bucket", "4096")
+      val rewritten = pts.join(iv, cond)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") &&
+        !plan.contains("CartesianProduct"),
+        s"range join was not rewritten to a hash-keyed join:\n$plan")
+      assert(plan.contains("Generate explode"),
+        s"expected the interval cell explode in the plan:\n$plan")
+      val got = rewritten.select("p_id", "win").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === naive)
+      assert(got.nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset("spark.graft.rangeJoin.bucket")
+    }
+  }
+
+  test("the rule leaves equi joins, outer joins, and half-open ranges " +
+    "alone") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 100).map(i => (i.toLong, i.toLong * 3)).toDF("k", "ts")
+    val b = (1 to 50).map(i => (i.toLong, i.toLong * 5, i.toLong * 5 + 9))
+      .toDF("k2", "lo", "hi")
+    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
+    try {
+      // equi + range: Spark hashes on the equi key already — no rewrite
+      val equi = a.join(b, col("k") === col("k2") &&
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      assert(!equi.queryExecution.optimizedPlan.toString
+        .contains("__graft_cell"))
+      // half-open (no upper bound): not a containment join — no rewrite
+      val half = a.join(b, col("ts") >= col("lo"))
+      assert(!half.queryExecution.optimizedPlan.toString
+        .contains("__graft_cell"))
+      // left outer: semantics differ (unmatched preservation) — no rewrite
+      val outer = a.join(b,
+        col("ts") >= col("lo") && col("ts") <= col("hi"), "left")
+      assert(!outer.queryExecution.optimizedPlan.toString
+        .contains("__graft_cell"))
+      // results of the untouched joins still correct
+      assert(equi.count() ===
+        a.collect().map(r => (r.getLong(0), r.getLong(1))).count { case (k, ts) =>
+          b.collect().exists(rb => rb.getLong(0) == k &&
+            ts >= rb.getLong(1) && ts <= rb.getLong(2)) })
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+}
