@@ -32,39 +32,76 @@ object TemporalJoin {
     * Ties: a right row at exactly `leftTs` IS visible (`<=`); among right
     * rows sharing one timestamp the one with the greatest `rightTie`
     * wins, deterministically.
+    *
+    * `tolerance`: maximum staleness — a match further than `tolerance`
+    * ticks from the event is nulled out (pandas `merge_asof` tolerance).
+    * Applied AFTER selection, row-locally: the nearest match either is
+    * within tolerance or there is no valid match at all.
+    * `direction`: "backward" (default — latest right row at-or-before)
+    * or "forward" (earliest right row at-or-after, e.g. next quote);
+    * forward is the same single-shuffle window read in reverse order.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: Seq[String],
                leftTs: String, rightTs: String,
-               rightVals: Seq[String], rightTie: String): DataFrame = {
+               rightVals: Seq[String], rightTie: String,
+               tolerance: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
     require(rightVals.nonEmpty, "asOfJoin needs at least one value column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    require(tolerance.forall(_ >= 0), s"tolerance must be >= 0: $tolerance")
     val leftPayload = StructType(left.schema.fields)
     val rSchema = right.schema
     def rType(c: String) = rSchema(rSchema.fieldIndex(c)).dataType
 
+    val backward = direction == "backward"
+    // the matched right row's own ts rides along as one more carried
+    // value so the tolerance cut can be applied row-locally after the fill
     val l = left.select(
       key.map(col) ++ Seq(
         col(leftTs).cast("long").as("__ts"), lit(1).as("__side"),
         lit(null).cast(rType(rightTie)).as("__tie"),
-        struct(left.columns.map(col): _*).as("__row")) ++
+        struct(left.columns.map(col): _*).as("__row"),
+        lit(null).cast("long").as("__v___mts")) ++
         rightVals.map(c => lit(null).cast(rType(c)).as(s"__v_$c")): _*)
     val r = right.select(
       key.map(col) ++ Seq(
         col(rightTs).cast("long").as("__ts"), lit(0).as("__side"),
         col(rightTie).as("__tie"),
-        lit(null).cast(leftPayload).as("__row")) ++
+        lit(null).cast(leftPayload).as("__row"),
+        col(rightTs).cast("long").as("__v___mts")) ++
         rightVals.map(c => col(c).as(s"__v_$c")): _*)
 
-    // side 0 (right) sorts before side 1 (left) at equal ts → `<=` holds;
-    // __tie ascending → last() picks the max-tie right row of a tied group
-    val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: right (side 0) sorts before left at equal ts → `<=` holds,
+    // and last() over the preceding frame picks the max-tie right row of a
+    // tied group. forward is the mirror: left first at equal ts (side
+    // desc), following frame, first() → earliest right at-or-after with
+    // the MIN tie at a tied boundary instant.
+    val carried = rightVals :+ "__mts"
+    val w0 = Window.partitionBy(key.map(col): _*)
+    val w =
+      if (backward)
+        w0.orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else
+        w0.orderBy(col("__ts").asc, col("__side").desc, col("__tie").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def pick(c: String): Column =
+      if (backward) last(col(s"__v_$c"), ignoreNulls = true).over(w)
+      else first(col(s"__v_$c"), ignoreNulls = true).over(w)
     val filled = l.unionByName(r).select(
-      (col("__side") +: col("__row") +:
-        rightVals.map(c => last(col(s"__v_$c"), ignoreNulls = true)
-          .over(w).as(s"asof_$c"))): _*)
+      (col("__side") +: col("__ts") +: col("__row") +:
+        carried.map(c => pick(c).as(s"asof_$c"))): _*)
+    val dist =
+      if (backward) col("__ts") - col("asof___mts")
+      else col("asof___mts") - col("__ts")
+    def cut(c: Column): Column = tolerance match {
+      case None      => c
+      case Some(tol) => when(dist <= tol, c) // null dist → null (no match)
+    }
     filled.filter(col("__side") === 1)
-      .select(col("__row.*") +: rightVals.map(c => col(s"asof_$c")): _*)
+      .select(col("__row.*") +:
+        rightVals.map(c => cut(col(s"asof_$c")).as(s"asof_$c")): _*)
   }
 
   /** Interval (range) join: every `points` row against every `intervals`

@@ -96,6 +96,41 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(df.count() === naive)
   }
 
+  test("asOfJoin tolerance nulls stale matches; forward direction picks " +
+    "the earliest at-or-after row (min tie at a tied instant)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 180L), (3L, 10L, 205L))
+      .toDF("event_id", "user_id", "ts")
+    val snap = Seq(
+      (10L, 90L, 1L, 1.0),   // 10 before event 1
+      (10L, 200L, 2L, 2.0),  // tied pair at 200 (forward boundary for e3
+      (10L, 200L, 3L, 3.0))  //  is below at 205 → no forward match ≥205)
+      .toDF("user_id", "ts", "src_id", "v")
+
+    // backward + tolerance 15: e1 hit (dist 10), e2 stale (dist 90 from
+    // ts=90... nearest prior for 180 is ts=90 → dist 90 > 15 → null),
+    // e3 nearest prior is 200 (dist 5) → hit
+    val tol = TemporalJoin.asOfJoin(left, snap, Seq("user_id"),
+        "ts", "ts", Seq("v"), "src_id", tolerance = Some(15L))
+      .select("event_id", "asof_v").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(tol === Map(1L -> Some(1.0), 2L -> None, 3L -> Some(3.0)))
+
+    // forward: e1@100 → earliest ≥100 is the tied pair @200 → MIN tie
+    // (src 2, v 2.0); e3@205 → nothing at-or-after → null
+    val fwd = TemporalJoin.asOfJoin(left, snap, Seq("user_id"),
+        "ts", "ts", Seq("v", "src_id"), "src_id", direction = "forward")
+      .select("event_id", "asof_v", "asof_src_id").collect()
+      .map(r => r.getLong(0) -> (
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+        (if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(fwd(1L) === ((Some(2.0), Some(2L))))
+    assert(fwd(2L) === ((Some(2.0), Some(2L))))
+    assert(fwd(3L) === ((None, None)))
+  }
+
   test("asOfJoin equals the brute-force reference on random data with " +
     "heavy ts collisions (seeded)") {
     val s = spark
