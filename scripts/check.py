@@ -60,7 +60,26 @@ def main(sf_dir, out_dir):
         close_only = False
         for c in g.columns:
             gv, ev = g[c].values, e[c].values
-            if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(e[c].dtype, np.floating):
+            # The driver's hash compare is REPRESENTATION-sensitive: an
+            # int64-vs-float64 dtype split ("500" vs "500.0") or a -0.0 on
+            # one side only hash-mismatches even when values compare equal.
+            # DuckDB's sum(BIGINT) → HUGEINT → float64 is the usual culprit
+            # (fix: cast the oracle aggregate ::BIGINT); round() of a tiny
+            # negative is the -0.0 one (fix: `round(...) + 0`).
+            gf = np.issubdtype(g[c].dtype, np.floating)
+            ef = np.issubdtype(e[c].dtype, np.floating)
+            if gf != ef:
+                print(f"✗ {name}.{c}: DTYPE split spark={g[c].dtype} "
+                      f"duck={e[c].dtype} (driver hash will mismatch)")
+                ok = False
+            if gf and ef:
+                gz = int(((gv == 0) & np.signbit(gv.astype(float))).sum())
+                ez = int(((ev == 0) & np.signbit(ev.astype(float))).sum())
+                if gz != ez:
+                    print(f"✗ {name}.{c}: -0.0 split spark={gz} duck={ez} "
+                          f"(driver hash will mismatch)")
+                    ok = False
+            if gf or ef:
                 gv = gv.astype(float); ev = ev.astype(float)
                 exact = np.array_equal(gv, ev, equal_nan=True)
                 close = np.allclose(gv, ev, rtol=1e-9, atol=1e-12, equal_nan=True)

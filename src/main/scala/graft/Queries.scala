@@ -296,7 +296,8 @@ object Queries {
     QueriesEvents.all ++ QueriesScore.all ++ QueriesNorm.all ++
     QueriesMisc.all ++ QueriesExtra.all ++ QueriesEval2.all ++
     QueriesWeighted.all ++ QueriesHybrid.all ++ QueriesBinning2.all ++
-    QueriesPipeline.all ++ QueriesCatalog.all ++ QueriesTemporal.all
+    QueriesPipeline.all ++ QueriesCatalog.all ++ QueriesTemporal.all ++
+    QueriesR8.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.view.mapValues(_.fn).toMap

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Retrieval
+
+/** Round-8 additions: sparse (BM25) retrieval, overlapping RAG chunking,
+  * and the stream-stream interval join. */
+object QueriesR8 {
+  import QueryUtil.docs
+
+  // ---- BM25 keyword retrieval (contamination screens, eval harnesses) ------
+
+  /** Whole-result value check: rank/doc/score of the top-20 BM25 hits for
+    * a 3-term query. The oracle writes the IDENTICAL expression tree (see
+    * Retrieval.bm25TopK's determinism contract). */
+  private val bm25: Q = {
+    val terms = Seq("slow", "merge", "window")
+    val k = 20
+    Q(
+      fn = (s, dir) => Retrieval.bm25TopK(docs(s, dir), terms, k),
+      oracle = Some {
+        val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+          s"    len(list_filter(toks, t -> t = '$t'))::DOUBLE AS tf_$i"
+        }.mkString(",\n")
+        val dfDefs = terms.indices.map(i =>
+          s"    sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i")
+          .mkString(",\n")
+        val scoreSum = terms.indices.map(i =>
+          s"  (ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0) * " +
+            s"(tf_$i * 2.2)\n     / (tf_$i + 1.2 * (0.25 + 0.75 * dl / " +
+            "(sum_dl / n_docs))))").mkString("\n  + ")
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+           |      AS toks
+           |  FROM documents),
+           |d AS (
+           |  SELECT doc_id, len(toks)::DOUBLE AS dl,
+           |$tfDefs
+           |  FROM base),
+           |s AS (
+           |  SELECT count(*)::DOUBLE AS n_docs, sum(dl) AS sum_dl,
+           |$dfDefs
+           |  FROM d),
+           |sc AS (
+           |  SELECT doc_id,
+           |$scoreSum AS sc
+           |  FROM d, s),
+           |r AS (SELECT doc_id, sc,
+           |        row_number() OVER (ORDER BY sc DESC, doc_id) AS rank
+           |      FROM sc)
+           |SELECT rank::INT AS rank, doc_id, round(sc, 6) AS score
+           |FROM r WHERE rank <= $k
+           |""".stripMargin
+      })
+  }
+
+  // ---- sliding-window chunking with overlap (RAG / embedding prep) ---------
+
+  /** Every chunk's span value-checked: window 256, stride 128 (a power of
+    * two so the ceil division is exact IEEE in both engines). */
+  private val slidingChunksQ: Q = Q(
+    fn = (s, dir) => Retrieval.slidingChunks(
+      docs(s, dir).select(col("doc_id"), col("text")),
+      size(filter(split(col("text"), " "), t => t =!= "")),
+      window = 256, stride = 128),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+        |      AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n <= 256 THEN 0::BIGINT
+        |           ELSE ceil((n - 256) / 128.0)::BIGINT END)) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, chunk_idx, chunk_idx * 128 AS start_tok,
+        |  least(chunk_idx * 128 + 256, n) AS end_tok,
+        |  least(chunk_idx * 128 + 256, n) - chunk_idx * 128 AS chunk_tokens
+        |FROM c
+        |""".stripMargin))
+
+  // ---- winnowing fingerprints (MOSS local dedup primitive) -----------------
+
+  /** Every selected (doc, pos, fingerprint) value-checked — the oracle
+    * replays the identical 40-bit-hash ⊕ 20-bit-position integer argmin
+    * through DuckDB window functions. k=5, w=4. */
+  private val winnowQ: Q = Q(
+    fn = (s, dir) => graft.text.Retrieval.winnow(docs(s, dir), k = 5, w = 4),
+    oracle = Some {
+      val hv = (1 to 10).map(i =>
+        s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)::BIGINT * " +
+          s"(1::BIGINT << ${4 * (10 - i)})").mkString("(", "\n     + ", ")")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+         |      AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, toks, (len(toks) - 4)::BIGINT AS n_grams,
+         |    unnest(generate_series(0, len(toks) - 5)) AS pos
+         |  FROM base WHERE len(toks) >= 5),
+         |h AS (
+         |  SELECT doc_id, n_grams, pos,
+         |    md5(array_to_string(list_slice(toks, pos + 1, pos + 5), ' '))
+         |      AS m
+         |  FROM g),
+         |k AS (
+         |  SELECT doc_id, n_grams, pos,
+         |    $hv * 1048576 + (1048575 - pos) AS key
+         |  FROM h),
+         |w AS (
+         |  SELECT doc_id, n_grams, pos,
+         |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+         |  FROM k),
+         |f AS (
+         |  SELECT DISTINCT doc_id, sel FROM w
+         |  WHERE pos >= least(3, n_grams - 1))
+         |SELECT doc_id, 1048575 - (sel & 1048575) AS pos, sel >> 20 AS fp
+         |FROM f
+         |""".stripMargin
+    })
+
+  // ---- stream-stream interval join -----------------------------------------
+
+  /** The streaming join result must equal the batch range-join rollup over
+    * the same ms-floored event times (inner join: purchases with zero
+    * context events are absent on both sides). */
+  private val streamSsJoin: Q = Q(
+    fn = (s, dir) => graft.streaming.StreamOps.purchaseContextJoin(s, dir),
+    oracle = Some(
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_ms(ts) AS c_ms
+        |  FROM events WHERE event_type <> 'purchase')
+        |SELECT p_id, count(*)::BIGINT AS n_context
+        |FROM p JOIN c USING (user_id)
+        |WHERE c_ms >= p_ms - 1800000 AND c_ms <= p_ms
+        |GROUP BY p_id
+        |""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "q_bm25_topk"     -> bm25,
+    "q_sliding_chunks" -> slidingChunksQ,
+    "q_winnow"        -> winnowQ,
+    "q_stream_ssjoin" -> streamSsJoin,
+  )
+}

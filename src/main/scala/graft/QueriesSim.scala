@@ -246,13 +246,18 @@ object QueriesSim {
     * weight, the SimHash/aHash trick). */
   private val embedBinary: Q = Q(
     fn = (s, dir) => graft.sim.Quantize.binarize(
-      Tables.load(s, dir, "embeddings"), dims = 64),
+        Tables.load(s, dir, "embeddings"), dims = 64)
+      // 64 dims pack into exactly one word — emit it as a scalar BIGINT
+      // (array cells are unhashable in the driver's pandas sort)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.col("code"), 1).as("code")),
     oracle = Some(
       """SELECT vec_id,
-        |  [CAST(sum(CASE WHEN embedding[d] >= 0 THEN
+        |  CAST(sum(CASE WHEN embedding[d] >= 0 THEN
         |     CASE WHEN d = 64 THEN -9223372036854775807 - 1
         |          ELSE (1::BIGINT << (d - 1)) END
-        |     ELSE 0 END) AS BIGINT)] AS code
+        |     ELSE 0 END) AS BIGINT) AS code
         |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
         |GROUP BY vec_id
         |""".stripMargin))
@@ -373,7 +378,7 @@ object QueriesSim {
         |x AS (SELECT vec_id, i - 1 AS i, v[i] AS val
         |      FROM e, unnest(generate_series(1, 64)) u(i))
         |SELECT a.i AS i, b.i AS j,
-        |  round(covar_samp(a.val, b.val), 6) AS cov
+        |  round(covar_samp(a.val, b.val), 6) + 0 AS cov
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY a.i, b.i
         |""".stripMargin))

@@ -760,7 +760,8 @@ object QueriesText {
         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
         |  FROM t),
         |b AS (
-        |  SELECT doc_id, n_tokens, shard, cum - n_tokens AS start_tok,
+        |  SELECT doc_id, n_tokens, shard,
+        |    (cum - n_tokens)::BIGINT AS start_tok,
         |    floor((cum - n_tokens) / 512)::BIGINT AS first_block,
         |    CASE WHEN n_tokens = 0
         |         THEN floor((cum - n_tokens) / 512)::BIGINT
@@ -1387,7 +1388,8 @@ object QueriesText {
          |      AS shard,
          |    md5(cast(doc_id AS VARCHAR) || '|' || text) AS m
          |  FROM documents)
-         |SELECT shard, count(*)::BIGINT AS n_docs, sum(n_toks) AS n_tokens,
+         |SELECT shard, count(*)::BIGINT AS n_docs,
+         |  sum(n_toks)::BIGINT AS n_tokens,
          |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
          |  cast(sum($hv) AS VARCHAR) AS content_sum
          |FROM t GROUP BY shard
@@ -1445,7 +1447,11 @@ object QueriesText {
     * words hit, how many tokens matched — all value-checked. */
   private val blocklistQ: Q = Q(
     fn = (s, dir) =>
-      TextOps.blocklistFilter(docs(s, dir), Seq("slow", "merge", "window")),
+      TextOps.blocklistFilter(docs(s, dir), Seq("slow", "merge", "window"))
+        // the operator's array API → a flat CSV string for the compare
+        // harness (array cells are unhashable in the driver's sort)
+        .withColumn("hits", org.apache.spark.sql.functions.concat_ws(",",
+          org.apache.spark.sql.functions.col("hits"))),
     oracle = Some(
       """WITH base AS (
         |  SELECT doc_id,
@@ -1455,8 +1461,9 @@ object QueriesText {
         |SELECT doc_id,
         |  len(list_sort(list_intersect(list_distinct(toks),
         |    ['slow', 'merge', 'window']))) = 0 AS kept,
-        |  list_sort(list_intersect(list_distinct(toks),
-        |    ['slow', 'merge', 'window'])) AS hits,
+        |  coalesce(array_to_string(list_sort(list_intersect(
+        |    list_distinct(toks), ['slow', 'merge', 'window'])), ','), '')
+        |    AS hits,
         |  len(list_filter(toks,
         |    t -> list_contains(['slow', 'merge', 'window'], t)))::BIGINT
         |    AS n_hit_tokens
@@ -1478,7 +1485,7 @@ object QueriesText {
         |  FROM documents),
         |s1 AS (
         |  SELECT source, count(*)::BIGINT AS n_docs,
-        |    sum(n_toks) AS n_tokens,
+        |    sum(n_toks)::BIGINT AS n_tokens,
         |    min(n_toks) AS min_doc_tokens,
         |    max(n_toks) AS max_doc_tokens,
         |    round(avg(n_toks), 6) AS mean_doc_tokens,
@@ -1708,7 +1715,7 @@ object QueriesText {
          |  FROM rc LEFT JOIN tc USING (bucket), tot)
          |SELECT f.doc_id,
          |  round(sum(f.cnt * lam.lam), 6) AS dsir_logw,
-         |  sum(f.cnt) AS n_grams,
+         |  sum(f.cnt)::BIGINT AS n_grams,
          |  round(sum(f.cnt * lam.lam), 6) > 0 AS kept
          |FROM f JOIN lam USING (bucket) GROUP BY f.doc_id
          |""".stripMargin

@@ -13,12 +13,27 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** events.parquet physical schema with ts as nanos LONG (see
-    * Tables.load nanosAsLong note). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Streaming events source with `ts` normalized to nanos-since-epoch
+    * LONG regardless of the parquet physical type — the driver has shipped
+    * events.ts as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) (see
+    * Tables.load). A file stream needs a user-supplied schema, so the
+    * batch footer is sniffed once driver-side (one footer read, no data
+    * scan) to pin it; the normalization itself is a narrow projection. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physical = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(physical)
+      // file-stream sources need a directory: stream the sf dir with a
+      // glob restricted to the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    physical("ts").dataType match {
+      case LongType => raw // already raw nanos
+      case _ => raw.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    }
+  }
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -107,12 +122,8 @@ object StreamOps {
     withStatePartitions(spark, 8) {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"stream_sess_${counter.incrementAndGet()}"
-    val events = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val events = eventsStream(spark, dir)
       .select(col("user_id"), col("event_id"),
         expr("ts div 1000000").as("ms"))
       .as[(Long, Long, Long)]
@@ -160,10 +171,7 @@ object StreamOps {
       .toSeq.map(_.asInstanceOf[Double]).toArray
     val bounds = Binning.equalInterval(mn, mx, bins)
     val name = s"stream_psi_${counter.incrementAndGet()}"
-    val events = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val events = eventsStream(spark, dir)
       .withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))
       .withWatermark("ts_ts", "1 hour")
     val agg = events
@@ -295,12 +303,8 @@ object StreamOps {
     withStatePartitions(spark, 8) {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"stream_asof_${counter.incrementAndGet()}"
-    val events = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val events = eventsStream(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
       .as[(Long, Long, Long, String, Double)]
@@ -325,19 +329,55 @@ object StreamOps {
     spark.table(name)
     }
 
+  /** Stream-stream interval join (the last Structured Streaming join
+    * surface the engine was missing): purchases joined with the same
+    * user's non-purchase "context" events from the preceding 30 minutes.
+    * Both sides carry event-time watermarks, and the join predicate has
+    * an explicit time-range constraint — together they BOUND the join
+    * state Spark keeps (each side is droppable once the other side's
+    * watermark passes its range), so in continuous operation state is
+    * O(arrival rate × window), never O(history). The only exchange is
+    * the user_id hash shuffle of both sides — identical to a batch
+    * equi-join on the key. Pairs land in the sink; the per-purchase
+    * context count is a batch rollup off it (same pattern as every
+    * stream query here), equal to the batch range-join oracle. */
+  def purchaseContextJoin(spark: SparkSession, dir: String,
+                          windowMin: Int = 30): DataFrame =
+    withStatePartitions(spark, 8) {
+    val name = s"stream_ssjoin_${counter.incrementAndGet()}"
+    def src() = eventsStream(spark, dir)
+      .withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val context = src().filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("c_user"), col("ts_ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(context,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMin MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_ts"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).groupBy("p_id")
+      .agg(count(lit(1)).as("n_context"))
+    }
+
   /** Streaming tumbling 1-hour counts per event_type over the events dir;
     * runs the stream to completion against the static files and returns
     * the result table — output matches the batch q_events_window oracle. */
   def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
     withStatePartitions(spark, 8) {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"stream_window_${counter.incrementAndGet()}"
-    val events = spark.readStream
-      .schema(eventsSchema)
-      // file-stream sources need a directory: stream the sf dir with a
-      // glob restricted to the events table
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val events = eventsStream(spark, dir)
       .withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))
       .withWatermark("ts_ts", "1 hour")
     val agg = events

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 operators: BM25 retrieval, overlapping chunking, the
+  * stream-stream interval join, and the events.ts physical-type
+  * normalization. */
+class Round8OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bm25TopK: hand-computed scores on a planted corpus; shuffle moves " +
+    "only bounded top-k candidates (no global sort exchange)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "fast merge sort"),          // tf(merge)=1, dl=3
+      (2L, "merge merge conflict now"), // tf(merge)=2, dl=4
+      (3L, "no relevant words here"),   // tf=0
+      (4L, "merge")                     // tf=1, dl=1
+    ).toDF("doc_id", "text")
+    val got = graft.text.Retrieval.bm25TopK(docs, Seq("merge"), k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // N=4, df=3, idf = ln((4-3+0.5)/(3+0.5)+1) = ln(1.42857142857...)
+    // avgdl = 12/4 = 3
+    val idf = math.log((4.0 - 3.0 + 0.5) / (3.0 + 0.5) + 1.0)
+    def s(tf: Double, dl: Double): Double = BigDecimal(
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc4 (tf=1, dl=1): denom shortest → highest; then doc2 (tf=2);
+    // then doc1
+    assert(got.toSeq === Seq(
+      (1, 4L, s(1, 1)), (2, 2L, s(2, 4)), (3, 1L, s(1, 3))))
+    // plan shape: the selection is TopKAgg partial+final (ObjectHashAgg or
+    // SortAgg pairs), never a global TakeOrderedAndProject over all docs
+    val plan = graft.text.Retrieval.bm25TopK(docs, Seq("merge"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k must be the bounded aggregator, not a global sort:\n$plan")
+  }
+
+  test("slidingChunks: spans, overlap, and edge docs (empty, exact-window, " +
+    "one-over) are integer-exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 0L),   // empty doc → one empty chunk
+      (2L, 256L), // exactly one window
+      (3L, 257L), // one token over → 2 chunks
+      (4L, 600L)  // ceil((600-256)/128)+1 = ceil(2.6875)+1 = 4 chunks
+    ).toDF("doc_id", "n")
+    val got = graft.text.Retrieval
+      .slidingChunks(docs, col("n"), window = 256, stride = 128)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    val expected = Seq(
+      (1L, 0L, 0L, 0L, 0L),
+      (2L, 0L, 0L, 256L, 256L),
+      (3L, 0L, 0L, 256L, 256L), (3L, 1L, 128L, 257L, 129L),
+      (4L, 0L, 0L, 256L, 256L), (4L, 1L, 128L, 384L, 256L),
+      (4L, 2L, 256L, 512L, 256L), (4L, 3L, 384L, 600L, 216L))
+    assert(got.toSeq === expected)
+    // every token of every non-empty doc is covered by ≥1 chunk
+    val covered = got.filter(_._1 == 4L)
+    assert(covered.head._3 == 0L && covered.last._4 == 600L)
+    assert(covered.toSeq.sliding(2).forall {
+      case Seq(a, b) => b._3 < a._4 // stride < window → overlap
+      case _ => true
+    })
+  }
+
+  test("winnow equals a brute-force Scala winnowing of the same tokens, " +
+    "and co-derived docs share a fingerprint (match guarantee)") {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(42)
+    def sent(n: Int) = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val shared = sent(12) // ≥ w + k − 1 = 8 tokens shared → must match
+    val docsV = Vector(
+      1L -> (sent(30) ++ shared ++ sent(25)),
+      2L -> (sent(17) ++ shared ++ sent(40)),
+      3L -> sent(60),
+      4L -> sent(6),  // fewer grams than w → single whole-doc window
+      5L -> sent(3))  // < k tokens → no fingerprints
+    val df = docsV.map { case (id, t) => (id, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val (k, w) = (5, 4)
+    val got = graft.text.Retrieval.winnow(df, k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: same 40-bit md5-prefix hash, rightmost-min windows
+    def h40(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      BigInt(md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(10), 16).toLong
+    }
+    val expected = docsV.flatMap { case (id, toks0) =>
+      val toks = toks0.map(_.toLowerCase)
+      if (toks.length < k) Vector.empty
+      else {
+        val hs = (0 to toks.length - k)
+          .map(i => (i.toLong, h40(toks.slice(i, i + k).mkString(" "))))
+        val sels = (0 until hs.length).flatMap { p =>
+          if (p < math.min(w - 1, hs.length - 1)) None
+          else {
+            val winh = hs.slice(math.max(0, p - (w - 1)), p + 1)
+            val mn = winh.map(_._2).min
+            Some(winh.filter(_._2 == mn).maxBy(_._1)) // rightmost min
+          }
+        }.toSet
+        sels.map { case (pos, fp) => (id, pos, fp) }
+      }
+    }.toSet
+    assert(got === expected)
+    assert(got.exists(_._1 == 4L), "short doc still fingerprinted")
+    assert(!got.exists(_._1 == 5L), "sub-k doc has no grams")
+    val f1 = got.collect { case (1L, _, fp) => fp }
+    val f2 = got.collect { case (2L, _, fp) => fp }
+    assert((f1 & f2).nonEmpty,
+      "docs sharing a ≥(w+k−1)-token span must share a fingerprint")
+  }
+
+  test("purchaseContextJoin: planted purchase/context timeline equals " +
+    "hand-computed window counts (and zero-context purchases are absent)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssjoin").toString
+    val min = 60L * 1000000L // one minute in micros
+    val t0 = 1704067200L * 1000000L // 2024-01-01, like the real data
+    // user 7: context at t=0,10,40min; purchases at 30min (sees 0,10),
+    //   45min (sees 40); user 8: purchase at 5min with no context
+    val rows = Seq(
+      (1L, t0 + 0L * min, 7L, "view", 1.0, "{}"),
+      (2L, t0 + 10L * min, 7L, "view", 1.0, "{}"),
+      (3L, t0 + 30L * min, 7L, "purchase", 1.0, "{}"),
+      (4L, t0 + 40L * min, 7L, "click", 1.0, "{}"),
+      (5L, t0 + 45L * min, 7L, "purchase", 1.0, "{}"),
+      (6L, t0 + 5L * min, 8L, "purchase", 1.0, "{}"))
+    // the stream's pathGlobFilter matches LEAF file names, so the fixture
+    // must be a flat `events.parquet` FILE like the driver's testdata —
+    // write to a scratch dir and move the single part file into place
+    val scratch = s"$dir/_scratch"
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .drop("us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val got = graft.streaming.StreamOps.purchaseContextJoin(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // purchase 3 at 30min: context 0 and 10min are within [0, 30] → 2
+    // purchase 5 at 45min: context 40min within [15, 45] → 1 (0,10 are out)
+    assert(got === Map(3L -> 2L, 5L -> 1L))
+  }
+
+  test("Tables.load normalizes events.ts to LONG nanos for both physical " +
+    "types (timestamp and raw-long parquet)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    Seq((1L, 1704067200123456L, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val fromTimestamp = Tables.load(spark, dir, "events")
+    assert(fromTimestamp.schema("ts").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(fromTimestamp.select("ts").head().getLong(0) ===
+      1704067200123456000L)
+    // raw-long (legacy nanos) parquet passes through untouched
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ts2").toString
+    Seq((1L, 1704067200123456789L, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val fromLong = Tables.load(spark, dir2, "events")
+    assert(fromLong.select("ts").head().getLong(0) === 1704067200123456789L)
+  }
+}
