@@ -145,7 +145,24 @@ object QueriesR8 {
         |GROUP BY p_id
         |""".stripMargin))
 
+  /** Sliding-window counts: every event lands in exactly two 1-hour
+    * windows 30 minutes apart; the batch oracle re-derives both window
+    * starts with integer ms arithmetic. */
+  private val streamSliding: Q = Q(
+    fn = (s, dir) => graft.streaming.StreamOps.slidingCounts(s, dir),
+    oracle = Some(
+      """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms FROM events),
+        |w AS (SELECT event_type,
+        |        (ms // 1800000 - k) * 1800000 AS start_ms
+        |      FROM e, (SELECT unnest(generate_series(0, 1)) AS k) ks)
+        |SELECT strftime(make_timestamp(start_ms * 1000), '%Y-%m-%d %H:%M')
+        |    AS win_start,
+        |  event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "q_stream_sliding" -> streamSliding,
     "q_bm25_topk"     -> bm25,
     "q_sliding_chunks" -> slidingChunksQ,
     "q_winnow"        -> winnowQ,

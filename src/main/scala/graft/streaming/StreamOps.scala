@@ -329,6 +329,35 @@ object StreamOps {
     spark.table(name)
     }
 
+  /** Sliding event-time windows (window ≠ slide — each event lands in
+    * window/slide overlapping windows): per-type counts over 1-hour
+    * windows advancing every 30 minutes. Same bounded state shape as the
+    * tumbling aggregate (windows × types rows), ×(window/slide) overlap
+    * factor — still O(active windows), never O(events). */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark, 8) {
+    val name = s"stream_slide_${counter.incrementAndGet()}"
+    val events = eventsStream(spark, dir)
+      .withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("ts_ts", "1 hour")
+    val agg = events
+      .groupBy(window(col("ts_ts"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+    }
+
   /** Stream-stream interval join (the last Structured Streaming join
     * surface the engine was missing): purchases joined with the same
     * user's non-purchase "context" events from the preceding 30 minutes.
