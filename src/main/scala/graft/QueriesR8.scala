@@ -83,6 +83,54 @@ object QueriesR8 {
         |FROM c
         |""".stripMargin))
 
+  // ---- BPE tokenizer training (subword vocabulary from the corpus) ---------
+
+  /** The merge loop is driver math over the bounded word-frequency table
+    * (deterministic but not SQL-expressible), so this is a contract query
+    * like the k-means/IVF family: merge-table size, well-formedness
+    * (every fusion built from chars or earlier fusions), full corpus
+    * coverage of the encoding pass, and genuine compression (chars >
+    * BPE tokens ≥ words). The exact merge sequence is value-checked by
+    * the hand-computed spec instead. */
+  private val bpeQ: Q = Q(
+    fn = (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.train(
+        graft.text.Bpe.wordFreq(d, maxVocab = 20000), numMerges = 200)
+      val known = scala.collection.mutable.HashSet.empty[String]
+      var wellFormed = true
+      merges.foreach { case (l, r) =>
+        def ok(s0: String) = s0.length == 1 || known.contains(s0)
+        if (!ok(l) || !ok(r)) wellFormed = false
+        known += (l + r)
+      }
+      val c = graft.text.Bpe.tokenCounts(d, merges).agg(
+        count(lit(1)).as("docs"), sum("n_chars").as("ch"),
+        sum("n_bpe_tokens").as("bpe"), sum("n_words").as("w")).head()
+      val nDocs = d.count()
+      // "full" = the requested budget, OR training ran out of pairs —
+      // legitimate on a small vocabulary, detectable as every trained
+      // word encoding to ONE symbol under the final merge table
+      val rank = merges.zipWithIndex.toMap
+      val exhausted = graft.text.Bpe.wordFreq(d, maxVocab = 20000)
+        .forall { case (w, _) => graft.text.Bpe.encode(w, rank).length == 1 }
+      Seq(
+        ("merge_table_full", if (merges.size == 200 || exhausted) 1 else 0),
+        ("well_formed", if (wellFormed) 1 else 0),
+        ("full_coverage", if (c.getLong(0) == nDocs) 1 else 0),
+        ("compresses",
+          if (c.getLong(2) < c.getLong(1) && c.getLong(2) >= c.getLong(3)) 1
+          else 0))
+        .toDF("contract", "ok")
+    },
+    oracle = Some(
+      """SELECT 'merge_table_full' AS contract, 1 AS ok
+        |UNION ALL SELECT 'well_formed', 1
+        |UNION ALL SELECT 'full_coverage', 1
+        |UNION ALL SELECT 'compresses', 1
+        |""".stripMargin))
+
   // ---- winnowing fingerprints (MOSS local dedup primitive) -----------------
 
   /** Every selected (doc, pos, fingerprint) value-checked — the oracle
@@ -166,6 +214,7 @@ object QueriesR8 {
     "q_bm25_topk"     -> bm25,
     "q_sliding_chunks" -> slidingChunksQ,
     "q_winnow"        -> winnowQ,
+    "q_bpe"           -> bpeQ,
     "q_stream_ssjoin" -> streamSsJoin,
   )
 }

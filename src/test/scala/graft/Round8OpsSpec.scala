@@ -155,6 +155,48 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got === Map(3L -> 2L, 5L -> 1L))
   }
 
+  test("Bpe: classic corpus gives the hand-computed merge sequence; " +
+    "encode handles trained, partially-OOV and fully-OOV words; the " +
+    "distributed passes stay bounded (heap top-k, broadcast re-attach)") {
+    import spark.implicits._
+    // Sennrich/HF walkthrough corpus: hug×10 pug×5 pun×12 bun×4 hugs×5
+    // pair counts: (u,g)=20 → "ug"; then (u,n)=16 → "un"; then (h,ug)=15
+    val freqs = Seq("hug" -> 10L, "pug" -> 5L, "pun" -> 12L, "bun" -> 4L,
+      "hugs" -> 5L)
+    val merges = graft.text.Bpe.train(freqs, numMerges = 3)
+    assert(merges === Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+    val rank = merges.zipWithIndex.toMap
+    assert(graft.text.Bpe.encode("hugs", rank) === Vector("hug", "s"))
+    assert(graft.text.Bpe.encode("bug", rank) === Vector("b", "ug"))
+    assert(graft.text.Bpe.encode("zzz", rank) === Vector("z", "z", "z"))
+    assert(graft.text.Bpe.encode("x", rank) === Vector("x"))
+    // early exhaustion: a single-char vocab has no pairs to merge
+    assert(graft.text.Bpe.train(Seq("a" -> 3L), numMerges = 5) === Seq())
+    // distributed passes: word-freq cap is a bounded heap (TakeOrdered),
+    // and tokenCounts re-attaches the vocab via broadcast, never a
+    // corpus-sized shuffle join
+    val docs = Seq((1L, "hug pug pun"), (2L, "bun hugs hug"), (3L, ""))
+      .toDF("doc_id", "text")
+    val wfPlan = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(10)
+      .queryExecution.executedPlan.toString
+    assert(wfPlan.contains("TakeOrderedAndProject"),
+      s"vocab cap must be the bounded heap:\n$wfPlan")
+    val tc = graft.text.Bpe.tokenCounts(docs, merges)
+    val tcPlan = tc.queryExecution.executedPlan.toString
+    assert(tcPlan.contains("BroadcastHashJoin"),
+      s"vocab re-attach must broadcast:\n$tcPlan")
+    val m = tc.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc1: hug→1, pug→2 (p+ug), pun→2 (p+un) = 5 bpe tokens, 9 chars
+    assert(m(1L) === ((3L, 9L, 5L)))
+    // doc2: bun→2 (b+un), hugs→2, hug→1 = 5 bpe tokens, 10 chars
+    assert(m(2L) === ((3L, 10L, 5L)))
+    assert(m(3L) === ((0L, 0L, 0L)), "empty doc keeps its zero row")
+  }
+
   test("Tables.load normalizes events.ts to LONG nanos for both physical " +
     "types (timestamp and raw-long parquet)") {
     import spark.implicits._
