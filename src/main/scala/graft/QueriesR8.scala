@@ -173,6 +173,34 @@ object QueriesR8 {
          |""".stripMargin
     })
 
+  // ---- bucketed co-located join (pay the shuffle once, at write time) ------
+
+  /** Values checked against the plain join oracle; the ZERO-exchange plan
+    * property of the co-bucketed path is asserted in Round8OpsSpec under
+    * no-broadcast (a value check can't see plan shape). */
+  private val bucketedJoinQ: Q = Q(
+    fn = (s, dir) => {
+      graft.sources.Bucketed.writeBucketed(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
+        "graft_bkt_li", buckets = 8, keys = Seq("l_orderkey"))
+      graft.sources.Bucketed.writeBucketed(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        "graft_bkt_ord", buckets = 8, keys = Seq("o_orderkey"))
+      graft.sources.Bucketed.join(s, "graft_bkt_li", "graft_bkt_ord",
+          Seq("l_orderkey"), Seq("o_orderkey"))
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+    },
+    oracle = Some(
+      """SELECT o_orderstatus, l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2
+        |""".stripMargin))
+
   // ---- stream-stream interval join -----------------------------------------
 
   /** The streaming join result must equal the batch range-join rollup over
@@ -215,6 +243,7 @@ object QueriesR8 {
     "q_sliding_chunks" -> slidingChunksQ,
     "q_winnow"        -> winnowQ,
     "q_bpe"           -> bpeQ,
+    "q_bucketed_join" -> bucketedJoinQ,
     "q_stream_ssjoin" -> streamSsJoin,
   )
 }

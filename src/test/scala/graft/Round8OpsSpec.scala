@@ -197,6 +197,43 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(m(3L) === ((0L, 0L, 0L)), "empty doc keeps its zero row")
   }
 
+  test("Bucketed co-located join: ZERO exchanges in the join subtree " +
+    "(the shuffle was paid at write time); the identical non-bucketed " +
+    "join shuffles both sides") {
+    import spark.implicits._
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1") // force SMJ so the exchange count is the tell
+    try {
+      val fact = (1L to 2000L).map(i => (i % 97, i.toDouble))
+        .toDF("k", "v")
+      val dim = (0L until 97L).map(i => (i, s"g${i % 5}")).toDF("j", "g")
+      graft.sources.Bucketed.writeBucketed(fact, "bkt_spec_fact", 4, Seq("k"))
+      graft.sources.Bucketed.writeBucketed(dim, "bkt_spec_dim", 4, Seq("j"))
+      val joined = graft.sources.Bucketed.join(spark,
+        "bkt_spec_fact", "bkt_spec_dim", Seq("k"), Seq("j"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed equi-join must not shuffle either side:\n$plan")
+      // differential: the same join over the raw frames shuffles
+      val rawPlan = fact.join(dim, col("k") === col("j"))
+        .queryExecution.executedPlan.toString
+      assert(rawPlan.contains("Exchange"),
+        "control: the non-bucketed join is expected to shuffle")
+      // and the values are the ordinary join
+      val got = joined.groupBy("g").agg(sum("v").as("s"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val exp = fact.join(dim, col("k") === col("j"))
+        .groupBy("g").agg(sum("v").as("s"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got === exp)
+    } finally {
+      spark.conf.set(key, prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_spec_fact")
+      spark.sql("DROP TABLE IF EXISTS bkt_spec_dim")
+    }
+  }
+
   test("Tables.load normalizes events.ts to LONG nanos for both physical " +
     "types (timestamp and raw-long parquet)") {
     import spark.implicits._
