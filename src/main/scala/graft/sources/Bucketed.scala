@@ -28,6 +28,21 @@ object Bucketed {
                     keys: Seq[String]): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(keys.nonEmpty, "bucket keys must be non-empty")
+    val spark = df.sparkSession
+    // a managed-table LOCATION can outlive the (in-memory) catalog entry
+    // across sessions; overwrite alone then fails LOCATION_ALREADY_EXISTS —
+    // drop both the entry and any orphaned directory first
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = new java.io.File(warehouse, table.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

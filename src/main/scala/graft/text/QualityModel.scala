@@ -69,6 +69,10 @@ object QualityModel {
         (id, l, Vectors.sparse(nb, sorted.map(_._1.toInt).toArray,
           sorted.map(_._2.toDouble).toArray))
       }.toDF("doc_id", "label", "features")
+      // materialize the (two-shuffle) feature assembly ONCE — fit and
+      // transform otherwise both replay it from the scan; lineage
+      // truncation also keeps the L-BFGS iteration DAG flat
+      .localCheckpoint(true)
     val lr = new LogisticRegression().setMaxIter(maxIter)
       .setLabelCol("label").setFeaturesCol("features")
     val scored = lr.fit(data).transform(data)

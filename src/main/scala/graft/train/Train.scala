@@ -381,7 +381,9 @@ object Train {
       (deepCols.map(col) ++ wideCols.map(c => col(c).cast("string").as(c))
         ++ crosses) :+ label.cast("double").as("label"): _*)
     val deep = nn(data, deepCols, col("label") === 1, hidden, maxIter)
-    val withLogit = WideDeep.withDeepLogit(deep, data)
+    // the deep model's forward pass is otherwise replayed by the wide
+    // fit, the transform AND the evaluator — materialize it once
+    val withLogit = WideDeep.withDeepLogit(deep, data).localCheckpoint(true)
     val hasher = new FeatureHasher()
       .setInputCols((wideCols ++ crossNames).toArray)
       .setOutputCol("wide_vec").setNumFeatures(hashDim)

@@ -112,6 +112,12 @@ class Round8OpsSpec extends AnyFunSuite {
       }
     }.toSet
     assert(got === expected)
+    // the per-doc window partitions by doc_id — a bare orderBy window
+    // would serialize the whole corpus through ONE task at 100 TB
+    val plan = graft.text.Retrieval.winnow(df, k, w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"winnow must never plan a single-partition exchange:\n$plan")
     assert(got.exists(_._1 == 4L), "short doc still fingerprinted")
     assert(!got.exists(_._1 == 5L), "sub-k doc has no grams")
     val f1 = got.collect { case (1L, _, fp) => fp }
