@@ -173,6 +173,66 @@ object QueriesR8 {
          |""".stripMargin
     })
 
+  // ---- incremental catalog merge (distributive stats, frozen bins) ---------
+
+  /** Split lineitem by orderkey parity, profile each half against the
+    * WHOLE table's frozen boundaries, merge — counts and bin metrics must
+    * equal the whole-table profile EXACTLY (integer counts → KS/IV/WoE
+    * are functions of them), pooled moments to FP tolerance. This is the
+    * incremental path a daily 100 TB ingest takes instead of
+    * re-profiling the corpus. */
+  private val statsMergeQ: Q = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = QueryUtil.li(s, dir)
+        val isPos = col("l_returnflag") === "R"
+        val whole = graft.ops.StatsPipeline.profileNumeric(
+          li, cols, isPos, full = true)
+        val bounds: Map[String, Seq[Double]] =
+          whole.map { case (c, p) => c -> (p.binning.binBoundary: Seq[Double]) }
+        def half(cond: org.apache.spark.sql.Column) =
+          graft.ops.StatsPipeline.profileNumeric(li.filter(cond), cols,
+            isPos, full = true, boundsOverride = Some(bounds))
+        val even = half(col("l_orderkey") % 2 === 0)
+        val odd = half(col("l_orderkey") % 2 =!= 0)
+        def close(x: Option[Double], y: Option[Double], tol: Double) =
+          (x, y) match {
+            case (Some(a), Some(b)) =>
+              math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
+            case (None, None) => true
+            case _ => false
+          }
+        cols.flatMap { c =>
+          val w = whole(c)
+          val m = graft.ops.StatsMerge.merge(even(c), odd(c))
+          Seq(
+            (s"counts_exact_$c",
+              m.stats.totalCount == w.stats.totalCount &&
+                m.stats.missingCount == w.stats.missingCount &&
+                m.binning.binCountPos == w.binning.binCountPos &&
+                m.binning.binCountNeg == w.binning.binCountNeg),
+            (s"metrics_exact_$c",
+              m.stats.ks == w.stats.ks && m.stats.iv == w.stats.iv &&
+                m.binning.binCountWoe == w.binning.binCountWoe),
+            (s"moments_close_$c",
+              close(m.stats.mean, w.stats.mean, 1e-9) &&
+                close(m.stats.stdDev, w.stats.stdDev, 1e-9) &&
+                close(m.stats.skewness, w.stats.skewness, 1e-6) &&
+                close(m.stats.kurtosis, w.stats.kurtosis, 1e-6)),
+            (s"minmax_exact_$c",
+              m.stats.min == w.stats.min && m.stats.max == w.stats.max))
+        }.map { case (name, ok) => (name, if (ok) 1 else 0) }
+          .toDF("contract", "ok")
+      },
+      oracle = Some(cols.flatMap(c => Seq(
+        s"counts_exact_$c", s"metrics_exact_$c", s"moments_close_$c",
+        s"minmax_exact_$c"))
+        .map(n => s"SELECT '$n' AS contract, 1 AS ok")
+        .mkString("", "\nUNION ALL ", "\n")))
+  }
+
   // ---- bucketed co-located join (pay the shuffle once, at write time) ------
 
   /** Values checked against the plain join oracle; the ZERO-exchange plan
@@ -244,6 +304,7 @@ object QueriesR8 {
     "q_winnow"        -> winnowQ,
     "q_bpe"           -> bpeQ,
     "q_bucketed_join" -> bucketedJoinQ,
+    "q_stats_merge"   -> statsMergeQ,
     "q_stream_ssjoin" -> streamSsJoin,
   )
 }

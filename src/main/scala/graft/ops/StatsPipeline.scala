@@ -132,17 +132,22 @@ object StatsPipeline {
   def profileNumeric(df: DataFrame, cols: Seq[String], isPos: Column,
                      k: Int = 10, weight: Column = lit(1.0),
                      pctAccuracy: Int = 10000,
-                     full: Boolean = false): Map[String, ColumnProfile] = {
+                     full: Boolean = false,
+                     boundsOverride: Option[Map[String, Seq[Double]]] = None)
+      : Map[String, ColumnProfile] = {
     if (cols.isEmpty) return Map.empty
     val stats: Map[String, FullNumStats] =
       if (full) fullNumericStats(df, cols, pctAccuracy)
       else numericStats(df, cols).map { case (c, b) =>
         c -> FullNumStats(b, 0.0, 0.0, None, None, None, -1L)
       }
-    val bounds = cols.map { c =>
+    // boundsOverride = the FROZEN-catalog path (incremental stats over a
+    // new partition with yesterday's boundaries, eval-norm's contract) —
+    // bin counts then ADD across partitions, see ops.StatsMerge
+    val bounds = boundsOverride.getOrElse(cols.map { c =>
       val s = stats(c).basic
       c -> Binning.equalInterval(s.min, s.max, k)
-    }.toMap
+    }.toMap)
     val counts = allBinCounts(df, cols, bounds, isPos, weight).collect()
       .groupBy(_.getString(0))
     cols.zipWithIndex.map { case (c, i) =>

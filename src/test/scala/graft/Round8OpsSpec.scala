@@ -240,6 +240,67 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("StatsMerge: disjoint halves under frozen bounds merge to the " +
+    "whole-table profile (counts/metrics exact, moments to FP tolerance); " +
+    "mismatched boundaries are refused") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map { i =>
+      val v: java.lang.Double =
+        if (i % 13 == 0) null else rnd.nextGaussian() * 3 + 1
+      (i, v, rnd.nextBoolean())
+    }
+    val df = rows.toDF("id", "v", "y")
+    val isPos = col("y")
+    val whole = graft.ops.StatsPipeline.profileNumeric(
+      df, Seq("v"), isPos, full = true)
+    val bounds: Map[String, Seq[Double]] =
+      whole.map { case (c, p) => c -> (p.binning.binBoundary: Seq[Double]) }
+    def half(cond: org.apache.spark.sql.Column) =
+      graft.ops.StatsPipeline.profileNumeric(df.filter(cond), Seq("v"),
+        isPos, full = true, boundsOverride = Some(bounds))
+    val m = graft.ops.StatsMerge.merge(
+      half(col("id") % 2 === 0)("v"), half(col("id") % 2 === 1)("v"))
+    val w = whole("v")
+    assert(m.stats.totalCount === w.stats.totalCount)
+    assert(m.stats.missingCount === w.stats.missingCount)
+    assert(m.binning.binCountPos === w.binning.binCountPos)
+    assert(m.binning.binCountNeg === w.binning.binCountNeg)
+    assert(m.stats.ks === w.stats.ks, "KS from merged counts is EXACT")
+    assert(m.stats.iv === w.stats.iv)
+    assert(m.binning.binCountWoe === w.binning.binCountWoe)
+    assert(m.stats.min === w.stats.min && m.stats.max === w.stats.max)
+    def close(a: Option[Double], b: Option[Double], tol: Double) =
+      math.abs(a.get - b.get) <= tol * math.max(1.0, math.abs(b.get))
+    assert(close(m.stats.mean, w.stats.mean, 1e-12))
+    assert(close(m.stats.stdDev, w.stats.stdDev, 1e-12))
+    assert(close(m.stats.skewness, w.stats.skewness, 1e-9))
+    assert(close(m.stats.kurtosis, w.stats.kurtosis, 1e-9))
+    // refusing to add counts binned against different edges
+    val other = whole("v").copy(binning =
+      w.binning.copy(binBoundary = w.binning.binBoundary.map(_ + 1.0)))
+    assertThrows[IllegalArgumentException] {
+      graft.ops.StatsMerge.merge(w, other)
+    }
+    // constant column: std 0 on both sides → moments degrade to None,
+    // counts still merge
+    val cdf = (1L to 50L).map(i => (i, 5.0, i % 2 == 0)).toDF("id", "v", "y")
+    val cw = graft.ops.StatsPipeline.profileNumeric(
+      cdf, Seq("v"), col("y"), full = true)
+    val cb: Map[String, Seq[Double]] =
+      cw.map { case (c, p) => c -> (p.binning.binBoundary: Seq[Double]) }
+    val ch1 = graft.ops.StatsPipeline.profileNumeric(
+      cdf.filter(col("id") <= 25), Seq("v"), col("y"), full = true,
+      boundsOverride = Some(cb))
+    val ch2 = graft.ops.StatsPipeline.profileNumeric(
+      cdf.filter(col("id") > 25), Seq("v"), col("y"), full = true,
+      boundsOverride = Some(cb))
+    val cm = graft.ops.StatsMerge.merge(ch1("v"), ch2("v"))
+    assert(cm.stats.totalCount === 50L)
+    assert(cm.stats.mean === Some(5.0))
+    assert(cm.stats.skewness === None)
+  }
+
   test("Tables.load normalizes events.ts to LONG nanos for both physical " +
     "types (timestamp and raw-long parquet)") {
     import spark.implicits._
