@@ -131,48 +131,6 @@ object QueriesR8 {
         |UNION ALL SELECT 'compresses', 1
         |""".stripMargin))
 
-  // ---- winnowing fingerprints (MOSS local dedup primitive) -----------------
-
-  /** Every selected (doc, pos, fingerprint) value-checked — the oracle
-    * replays the identical 40-bit-hash ⊕ 20-bit-position integer argmin
-    * through DuckDB window functions. k=5, w=4. */
-  private val winnowQ: Q = Q(
-    fn = (s, dir) => graft.text.Retrieval.winnow(docs(s, dir), k = 5, w = 4),
-    oracle = Some {
-      val hv = (1 to 10).map(i =>
-        s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)::BIGINT * " +
-          s"(1::BIGINT << ${4 * (10 - i)})").mkString("(", "\n     + ", ")")
-      s"""WITH base AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split(lower(text), ' '), t -> t <> '')
-         |      AS toks
-         |  FROM documents),
-         |g AS (
-         |  SELECT doc_id, toks, (len(toks) - 4)::BIGINT AS n_grams,
-         |    unnest(generate_series(0, len(toks) - 5)) AS pos
-         |  FROM base WHERE len(toks) >= 5),
-         |h AS (
-         |  SELECT doc_id, n_grams, pos,
-         |    md5(array_to_string(list_slice(toks, pos + 1, pos + 5), ' '))
-         |      AS m
-         |  FROM g),
-         |k AS (
-         |  SELECT doc_id, n_grams, pos,
-         |    $hv * 1048576 + (1048575 - pos) AS key
-         |  FROM h),
-         |w AS (
-         |  SELECT doc_id, n_grams, pos,
-         |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
-         |  FROM k),
-         |f AS (
-         |  SELECT DISTINCT doc_id, sel FROM w
-         |  WHERE pos >= least(3, n_grams - 1))
-         |SELECT doc_id, 1048575 - (sel & 1048575) AS pos, sel >> 20 AS fp
-         |FROM f
-         |""".stripMargin
-    })
-
   // ---- incremental catalog merge (distributive stats, frozen bins) ---------
 
   /** Split lineitem by orderkey parity, profile each half against the
@@ -301,7 +259,6 @@ object QueriesR8 {
     "q_stream_sliding" -> streamSliding,
     "q_bm25_topk"     -> bm25,
     "q_sliding_chunks" -> slidingChunksQ,
-    "q_winnow"        -> winnowQ,
     "q_bpe"           -> bpeQ,
     "q_bucketed_join" -> bucketedJoinQ,
     "q_stats_merge"   -> statsMergeQ,

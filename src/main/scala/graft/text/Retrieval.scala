@@ -66,64 +66,6 @@ object Retrieval {
         round(col("t._1"), 6).as("score"))
   }
 
-  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
-    * the MOSS local fingerprinting scheme): hash every k-token shingle,
-    * slide a window of `w` consecutive hashes, and keep each window's
-    * minimum (rightmost on ties — "robust winnowing", so one selected
-    * position covers many windows). Guarantees every match of length
-    * ≥ w + k − 1 tokens shares a fingerprint, with expected density 2/(w+1)
-    * — the local-span dedup primitive between exact-hash and MinHash.
-    *
-    * Plan shape: shingle hashing is a narrow `transform`+`posexplode`
-    * (corpus-linear, zero shuffle); the window minimum needs per-doc
-    * event order, so it hash-partitions by doc_id — docs parallelize
-    * across the cluster and a single doc is MB-bounded, so there is no
-    * head-of-line task (unlike a corpus-global window). Hash is the
-    * 10-hex-digit md5 prefix (40 bits) packed with the 20-bit position
-    * into ONE BIGINT so the rightmost-tie argmin is a plain integer `min`
-    * that DuckDB replays exactly; swap in xxhash64 when cross-engine
-    * parity isn't needed.
-    *
-    * Output: (doc_id, pos, fp) — distinct selected fingerprints; docs
-    * shorter than k + w − 1 tokens yield the minimum over their full
-    * (shorter) windows; docs with < k tokens yield no rows.
-    */
-  def winnow(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    require(w > 0, s"w must be positive, got $w")
-    require(w <= (1 << 20), s"w and doc positions must fit 20 bits")
-    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
-    val grams = docs.select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"),
-        (size(col("toks")) - k + 1).cast("long").as("n_grams"),
-        posexplode(transform(
-          sequence(lit(0), size(col("toks")) - k),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))
-          .as(Seq("pos", "gram")))
-    // 40-bit hash ⊕ 20-bit complemented position → integer argmin selects
-    // (min hash, rightmost pos); decode is shift/mask, never FP division
-    val h = conv(substring(md5(col("gram").cast("binary")), 1, 10), 16, 10)
-      .cast("long")
-    val keyed = grams.select(col("doc_id"), col("n_grams"),
-      col("pos").cast("long").as("pos"),
-      (h * lit(1L << 20) + (lit((1L << 20) - 1) - col("pos"))).as("key"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(-(w - 1), 0)
-    keyed
-      .select(col("doc_id"), col("pos"), col("n_grams"),
-        min(col("key")).over(win).as("sel"))
-      // standard winnowing emits FULL windows only; a doc with fewer than
-      // w grams contributes its single whole-doc window (the last row)
-      .filter(col("pos") >= least(lit(w - 1L), col("n_grams") - 1))
-      .select(col("doc_id"), col("sel")).distinct()
-      .select(col("doc_id"),
-        (lit((1L << 20) - 1) - col("sel").bitwiseAND(lit((1L << 20) - 1)))
-          .as("pos"),
-        shiftright(col("sel"), 20).as("fp"))
-  }
-
   /** Sliding-window chunker with overlap — the RAG/embedding-prep cut
     * (window tokens per chunk, advancing by stride < window so adjacent
     * chunks share context). Pure per-doc integer math: a `sequence` +

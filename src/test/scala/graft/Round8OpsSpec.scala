@@ -69,63 +69,6 @@ class Round8OpsSpec extends AnyFunSuite {
     })
   }
 
-  test("winnow equals a brute-force Scala winnowing of the same tokens, " +
-    "and co-derived docs share a fingerprint (match guarantee)") {
-    import spark.implicits._
-    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
-      "eta", "theta", "iota", "kappa")
-    val rnd = new scala.util.Random(42)
-    def sent(n: Int) = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
-    val shared = sent(12) // ≥ w + k − 1 = 8 tokens shared → must match
-    val docsV = Vector(
-      1L -> (sent(30) ++ shared ++ sent(25)),
-      2L -> (sent(17) ++ shared ++ sent(40)),
-      3L -> sent(60),
-      4L -> sent(6),  // fewer grams than w → single whole-doc window
-      5L -> sent(3))  // < k tokens → no fingerprints
-    val df = docsV.map { case (id, t) => (id, t.mkString(" ")) }
-      .toDF("doc_id", "text")
-    val (k, w) = (5, 4)
-    val got = graft.text.Retrieval.winnow(df, k, w)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // brute force: same 40-bit md5-prefix hash, rightmost-min windows
-    def h40(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      BigInt(md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        .take(10), 16).toLong
-    }
-    val expected = docsV.flatMap { case (id, toks0) =>
-      val toks = toks0.map(_.toLowerCase)
-      if (toks.length < k) Vector.empty
-      else {
-        val hs = (0 to toks.length - k)
-          .map(i => (i.toLong, h40(toks.slice(i, i + k).mkString(" "))))
-        val sels = (0 until hs.length).flatMap { p =>
-          if (p < math.min(w - 1, hs.length - 1)) None
-          else {
-            val winh = hs.slice(math.max(0, p - (w - 1)), p + 1)
-            val mn = winh.map(_._2).min
-            Some(winh.filter(_._2 == mn).maxBy(_._1)) // rightmost min
-          }
-        }.toSet
-        sels.map { case (pos, fp) => (id, pos, fp) }
-      }
-    }.toSet
-    assert(got === expected)
-    // the per-doc window partitions by doc_id — a bare orderBy window
-    // would serialize the whole corpus through ONE task at 100 TB
-    val plan = graft.text.Retrieval.winnow(df, k, w)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("SinglePartition"),
-      s"winnow must never plan a single-partition exchange:\n$plan")
-    assert(got.exists(_._1 == 4L), "short doc still fingerprinted")
-    assert(!got.exists(_._1 == 5L), "sub-k doc has no grams")
-    val f1 = got.collect { case (1L, _, fp) => fp }
-    val f2 = got.collect { case (2L, _, fp) => fp }
-    assert((f1 & f2).nonEmpty,
-      "docs sharing a ≥(w+k−1)-token span must share a fingerprint")
-  }
-
   test("purchaseContextJoin: planted purchase/context timeline equals " +
     "hand-computed window counts (and zero-context purchases are absent)") {
     import spark.implicits._
