@@ -12,45 +12,52 @@ object QueriesR8 {
   // ---- BM25 keyword retrieval (contamination screens, eval harnesses) ------
 
   /** Whole-result value check: rank/doc/score of the top-20 BM25 hits for
-    * a 3-term query. The oracle writes the IDENTICAL expression tree (see
-    * Retrieval.bm25TopK's determinism contract). */
+    * a 3-term query. Scoring is the SAME formulation as q_bm25
+    * (TextOps.bm25 — the oracle clones its expression tree); the ranking
+    * runs on the round-6 scores with doc_id tie-break, deterministic in
+    * both engines. */
   private val bm25: Q = {
     val terms = Seq("slow", "merge", "window")
     val k = 20
     Q(
       fn = (s, dir) => Retrieval.bm25TopK(docs(s, dir), terms, k),
       oracle = Some {
-        val tfDefs = terms.zipWithIndex.map { case (t, i) =>
-          s"    len(list_filter(toks, t -> t = '$t'))::DOUBLE AS tf_$i"
+        val dfCols = terms.zipWithIndex.map { case (t, i) =>
+          s"    sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 " +
+            s"END)::BIGINT AS df_$i"
         }.mkString(",\n")
-        val dfDefs = terms.indices.map(i =>
-          s"    sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i")
-          .mkString(",\n")
-        val scoreSum = terms.indices.map(i =>
-          s"  (ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0) * " +
-            s"(tf_$i * 2.2)\n     / (tf_$i + 1.2 * (0.25 + 0.75 * dl / " +
-            "(sum_dl / n_docs))))").mkString("\n  + ")
+        val tfCols = terms.zipWithIndex.map { case (t, i) =>
+          s"    len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf_$i"
+        }.mkString(",\n")
+        val scoreTerms = terms.indices.map { i =>
+          s"""ln((n - df_$i + 0.5::DOUBLE) / (df_$i + 0.5::DOUBLE) + 1.0)
+             |      * (tf_$i * (1.2 + 1.0))
+             |      / (tf_$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"""
+            .stripMargin
+        }.mkString("\n    + ")
         s"""WITH base AS (
            |  SELECT doc_id,
            |    list_filter(string_split(lower(text), ' '), t -> t <> '')
            |      AS toks
            |  FROM documents),
-           |d AS (
-           |  SELECT doc_id, len(toks)::DOUBLE AS dl,
-           |$tfDefs
-           |  FROM base),
+           |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM base),
            |s AS (
-           |  SELECT count(*)::DOUBLE AS n_docs, sum(dl) AS sum_dl,
-           |$dfDefs
+           |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+           |$dfCols
+           |  FROM d),
+           |c AS (SELECT *, sumdl::DOUBLE / n AS avgdl FROM s),
+           |t AS (
+           |  SELECT doc_id, dl,
+           |$tfCols
            |  FROM d),
            |sc AS (
            |  SELECT doc_id,
-           |$scoreSum AS sc
-           |  FROM d, s),
-           |r AS (SELECT doc_id, sc,
-           |        row_number() OVER (ORDER BY sc DESC, doc_id) AS rank
+           |    round($scoreTerms, 6) AS score
+           |  FROM t, c),
+           |r AS (SELECT doc_id, score,
+           |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank
            |      FROM sc)
-           |SELECT rank::INT AS rank, doc_id, round(sc, 6) AS score
+           |SELECT rank::INT AS rank, doc_id, score
            |FROM r WHERE rank <= $k
            |""".stripMargin
       })
