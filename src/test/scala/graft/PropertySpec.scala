@@ -285,4 +285,71 @@ class PropertySpec extends AnyFunSuite {
     }
     d.unpersist()
   }
+
+  // ---- round-8 kernels -----------------------------------------------------
+
+  test("Bpe: encode always reconstructs the word exactly, and every " +
+    "fused symbol is derivable (well-formed merge tables on random corpora)") {
+    val word: Gen[String] =
+      Gen.choose(1, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val corpus: Gen[List[(String, Long)]] =
+      Gen.nonEmptyListOf(word.flatMap(w =>
+        Gen.choose(1L, 50L).map(w -> _))).map(_.distinctBy(_._1))
+    samples(corpus, 40).foreach { freqs =>
+      val merges = graft.text.Bpe.train(freqs, numMerges = 12)
+      // well-formed: each side is a char or an earlier fusion
+      val known = scala.collection.mutable.HashSet.empty[String]
+      merges.foreach { case (l, r) =>
+        assert(l.length == 1 || known.contains(l), s"left $l underivable")
+        assert(r.length == 1 || known.contains(r), s"right $r underivable")
+        known += (l + r)
+      }
+      val rank = merges.zipWithIndex.toMap
+      freqs.map(_._1).foreach { w =>
+        val enc = graft.text.Bpe.encode(w, rank)
+        assert(enc.mkString === w, "lossless: tokens concatenate to the word")
+        assert(enc.nonEmpty && enc.length <= w.length)
+      }
+    }
+  }
+
+  test("slidingChunks: chunks tile every token with stride overlap " +
+    "(random doc lengths, windows, strides)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases: Gen[(Int, Int)] = for {
+      w <- Gen.choose(1, 64)
+      s <- Gen.choose(1, w)
+    } yield (w, s)
+    val lens = samples(Gen.choose(0L, 500L), 60).toVector
+    val df = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("doc_id", "n")
+    samples(cases, 8).foreach { case (w, s) =>
+      val chunks = graft.text.Retrieval.slidingChunks(df, col("n"), w, s)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      lens.zipWithIndex.foreach { case (n, i) =>
+        val cs = chunks(i.toLong).sortBy(_._2)
+        // chunk 0 starts at 0; consecutive starts advance by exactly s;
+        // last chunk ends at n; every chunk spans at most w tokens
+        assert(cs.head._3 == 0L)
+        assert(cs.last._4 == math.max(n, 0L) || (n == 0 && cs.last._4 == 0L))
+        assert(cs.forall(c => c._4 - c._3 <= w))
+        cs.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 - a._3 == s)
+          case _ => ()
+        }
+        // full coverage: union of [start, end) is [0, n)
+        if (n > 0) {
+          assert(cs.sliding(2).forall {
+            case Array(a, b) => b._3 <= a._4
+            case _ => true
+          }, "no gap between consecutive chunks")
+        }
+      }
+    }
+  }
 }
