@@ -157,6 +157,41 @@ object Cli {
         Seq(s"catalog: ${opts("catalog")} initialized " +
           s"(${num.length} numeric, ${cat.length} categorical)")
 
+      case "stats" if opts.contains("merge") =>
+        // incremental catalog maintenance (no data scan at all):
+        //   stats --merge dayA.json,dayB.json --catalog merged.json
+        // Per-partition catalogs profiled under the SAME frozen bounds
+        // (profileNumeric(boundsOverride)) merge distributively — see
+        // ops.StatsMerge. Numeric columns with matching boundaries merge;
+        // anything else passes through from the FIRST catalog unchanged
+        // and is reported, never silently mixed.
+        val paths = opts("merge").split(",").toSeq
+        require(paths.length >= 2, "--merge needs at least two catalogs")
+        val catalogs = paths.map(CatalogIO.read)
+        var skipped = List.empty[String]
+        val merged = catalogs.reduce { (as, bs) =>
+          val byName = bs.map(p => p.columnName -> p).toMap
+          as.map { p =>
+            byName.get(p.columnName) match {
+              case Some(q)
+                if p.kind == graft.catalog.ColumnKind.Numeric &&
+                  q.kind == p.kind &&
+                  p.binning.binBoundary.nonEmpty &&
+                  p.binning.binBoundary == q.binning.binBoundary =>
+                graft.ops.StatsMerge.merge(p, q)
+              case _ =>
+                skipped ::= p.columnName; p
+            }
+          }
+        }
+        CatalogIO.write(opts("catalog"), merged)
+        Seq(s"mergestats: ${paths.length} catalogs -> ${opts("catalog")} " +
+          s"(${merged.length} columns, ${skipped.distinct.length} passed " +
+          "through unmerged)") ++
+          (if (skipped.nonEmpty)
+            Seq(s"unmerged: ${skipped.distinct.sorted.mkString(",")}")
+          else Nil)
+
       case "stats" =>
         val clean = Pipeline.init(df, spec)
         val (num, cat) = Pipeline.autoColumns(clean, candidates)

@@ -548,4 +548,45 @@ class CliSpec extends AnyFunSuite {
     assert(spec.filterExpressions.head.contains("'a;b'"),
       "a literal ';' inside a filter must not split the expression")
   }
+
+  test("stats --merge: two frozen-bounds partition catalogs combine into " +
+    "the whole-data catalog (counts exact), mismatched bounds pass through") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_m").toString
+    val li = spark.read.parquet(data)
+    val cols = Seq("l_quantity", "l_discount")
+    val isPos = col("l_returnflag") === "R"
+    val whole = graft.ops.StatsPipeline.profileNumeric(
+      li, cols, isPos, full = true)
+    val bounds: Map[String, Seq[Double]] =
+      whole.map { case (c, p) => c -> (p.binning.binBoundary: Seq[Double]) }
+    def part(cond: org.apache.spark.sql.Column, path: String) = {
+      val prof = graft.ops.StatsPipeline.profileNumeric(li.filter(cond),
+        cols, isPos, full = true, boundsOverride = Some(bounds))
+      graft.catalog.CatalogIO.write(path, cols.map(prof))
+    }
+    part(col("l_orderkey") % 2 === 0, s"$tmp/even.json")
+    part(col("l_orderkey") % 2 =!= 0, s"$tmp/odd.json")
+    val out = Cli.run(spark, "stats", Map(
+      "merge" -> s"$tmp/even.json,$tmp/odd.json",
+      "catalog" -> s"$tmp/merged.json"))
+    assert(out.head.contains("2 catalogs"), out.head)
+    assert(out.head.contains("0 passed through"), out.head)
+    val merged = graft.catalog.CatalogIO.read(s"$tmp/merged.json")
+      .map(p => p.columnName -> p).toMap
+    cols.foreach { c =>
+      assert(merged(c).stats.totalCount === whole(c).stats.totalCount)
+      assert(merged(c).binning.binCountPos === whole(c).binning.binCountPos)
+      assert(merged(c).stats.ks === whole(c).stats.ks, s"$c ks exact")
+    }
+    // a catalog with different boundaries must NOT merge
+    val shifted = graft.catalog.CatalogIO.read(s"$tmp/odd.json").map(p =>
+      p.copy(binning = p.binning.copy(
+        binBoundary = p.binning.binBoundary.map(_ + 0.5))))
+    graft.catalog.CatalogIO.write(s"$tmp/shifted.json", shifted)
+    val out2 = Cli.run(spark, "stats", Map(
+      "merge" -> s"$tmp/even.json,$tmp/shifted.json",
+      "catalog" -> s"$tmp/m2.json"))
+    assert(out2.exists(_.startsWith("unmerged: ")), out2.mkString("|"))
+  }
 }
