@@ -329,6 +329,71 @@ object StreamOps {
     spark.table(name)
     }
 
+  /** Bounded-state streaming dedup (`dropDuplicatesWithinWatermark`):
+    * unlike [[dedupCounts]]' `dropDuplicates` — whose state grows with
+    * every key EVER seen, the classic unbounded-state trap of a forever
+    * stream — this keeps a key only until the watermark passes its event
+    * time + delay. State is O(keys per watermark window), the only shape
+    * that survives an unbounded crawl feed; the documented trade is that
+    * a duplicate arriving AFTER its key expired is re-admitted (exactly
+    * the cross-batch contract the spec pins down with three
+    * maxFilesPerTrigger=1 micro-batches: in-window duplicate dropped,
+    * key expired by a later watermark, re-arrival re-emitted). */
+  def dedupWithinWatermark(spark: SparkSession, dir: String,
+                           keys: Seq[String],
+                           delay: String = "10 minutes",
+                           checkpoint: Option[String] = None): DataFrame =
+    withStatePartitions(spark, 8) {
+    require(keys.nonEmpty, "dedup keys must be non-empty")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `dir` is a directory OF event-schema parquet files (a feed), not
+    // the mixed-table sf dir. With `checkpoint` set, repeated invocations
+    // resume the SAME stream: state (and the watermark) persist across
+    // runs, each run drains only newly-arrived files — the deployment
+    // shape of an incremental crawl-feed dedup, and what lets the spec
+    // drive watermark expiry batch by batch.
+    val physical = spark.read.parquet(dir).schema
+    val name = s"stream_dedup_wm_${counter.incrementAndGet()}"
+    val raw = spark.readStream
+      .schema(physical)
+      .parquet(dir)
+    val events = (physical("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    })
+      .withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("ts_ts", delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      .select(col("event_id"), col("ts"))
+    val q = checkpoint match {
+      case Some(c) =>
+        // resumable runs need a restart-capable sink — parquet, not the
+        // in-memory table (memory sinks refuse checkpoint recovery). The
+        // returned frame is the CUMULATIVE deduped feed.
+        events.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", s"$c/out")
+          .option("checkpointLocation", s"$c/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      case None =>
+        events.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+    }
+    q.processAllAvailable()
+    q.stop()
+    checkpoint match {
+      case Some(c) => spark.read.parquet(s"$c/out")
+      case None => spark.table(name)
+    }
+    }
+
   /** Sliding event-time windows (window ≠ slide — each event lands in
     * window/slide overlapping windows): per-type counts over 1-hour
     * windows advancing every 30 minutes. Same bounded state shape as the

@@ -104,6 +104,52 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got === Map(3L -> 2L, 5L -> 1L))
   }
 
+  test("dedupWithinWatermark: in-window duplicate dropped, state expires " +
+    "with the watermark, late re-arrival re-admitted (bounded state, " +
+    "pinned cross-batch contract)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wmdedup")
+      .toString
+    val t0 = 1704067200L * 1000000L // 2024-01-01 micros
+    val min = 60L * 1000000L
+    def writeBatch(idx: Int, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val scratch = s"$dir/_s$idx"
+      rows.map { case (id, us, u, ty) => (id, us, u, ty, 1.0, "{}") }
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(f"$dir/b$idx%02d.parquet"))
+      // distinct mtimes: the file source orders batches by them
+      new java.io.File(f"$dir/b$idx%02d.parquet")
+        .setLastModified(1700000000000L + idx * 60000L): Unit
+    }
+    // key = (user_id, event_type); delay = 10 minutes. Each run resumes
+    // the same checkpoint — state and watermark persist, each run drains
+    // only the newly-arrived file (real feed arrival order).
+    val ckpt = s"$dir/_ckpt"
+    def runOnce(): Set[Long] = graft.streaming.StreamOps
+      .dedupWithinWatermark(spark, dir, Seq("user_id", "event_type"),
+        checkpoint = Some(ckpt))
+      .collect().map(_.getLong(0)).toSet
+    // (parquet sink → each run returns the CUMULATIVE deduped feed)
+    // run 1: key (7, view) at t+0 → emitted
+    writeBatch(1, Seq((1L, t0, 7L, "view")))
+    assert(runOnce() === Set(1L))
+    // run 2: duplicate key at t+5min (IN window → dropped) and a
+    // watermark-advancing event at t+120min (key's state then expires)
+    writeBatch(2, Seq((2L, t0 + 5 * min, 7L, "view"),
+      (3L, t0 + 120 * min, 8L, "click")))
+    assert(runOnce() === Set(1L, 3L), "in-window duplicate dropped")
+    // run 3: same key again at t+121min — state expired → re-admitted
+    writeBatch(3, Seq((4L, t0 + 121 * min, 7L, "view")))
+    assert(runOnce() === Set(1L, 3L, 4L),
+      "state expired with the watermark; late re-arrival re-admitted")
+  }
+
   test("Bpe: classic corpus gives the hand-computed merge sequence; " +
     "encode handles trained, partially-OOV and fully-OOV words; the " +
     "distributed passes stay bounded (heap top-k, broadcast re-attach)") {
