@@ -226,6 +226,45 @@ object QueriesR8 {
         |GROUP BY 1, 2
         |""".stripMargin))
 
+  // ---- text canonicalization (crawl preprocessing) -------------------------
+
+  /** Canonical text value-checked byte-for-byte: the oracle replays the
+    * identical NFC → control-strip → collapse → trim → casefold chain
+    * (DuckDB nfc_normalize ↔ java.text.Normalizer NFC). */
+  private val textNormalizeQ: Q = Q(
+    fn = (s, dir) => graft.text.TextOps.normalizeText(docs(s, dir))
+      .select(col("doc_id"), col("text")),
+    oracle = Some(
+      """SELECT doc_id,
+        |  lower(trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(nfc_normalize(text), '[\t\n\r]', ' ', 'g'),
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS text
+        |FROM documents
+        |""".stripMargin))
+
+  /** HTML strip value-checked byte-for-byte — same RE2 chain (script/
+    * style subtrees, remaining tags, six entities with &amp; LAST,
+    * whitespace collapse) in both engines. */
+  private val htmlStripQ: Q = Q(
+    fn = (s, dir) => graft.text.TextOps.stripHtml(docs(s, dir))
+      .select(col("doc_id"), col("text")),
+    oracle = Some {
+      val steps: Seq[(String, String)] = Seq(
+        "(?s)<(script|style)[^>]*>.*?</(script|style)>" -> "' '",
+        "(?s)<[^>]*>" -> "' '",
+        "&lt;" -> "'<'", "&gt;" -> "'>'", "&quot;" -> "'\"'",
+        "&#39;" -> "CHR(39)", "&nbsp;" -> "' '", "&amp;" -> "'&'",
+        "\\s+" -> "' '")
+      val chain = steps.foldLeft("text") { case (inner, (pat, rep)) =>
+        s"regexp_replace($inner, '$pat', $rep, 'g')"
+      }
+      s"""SELECT doc_id, trim($chain) AS text
+         |FROM documents
+         |""".stripMargin
+    })
+
   // ---- stream-stream interval join -----------------------------------------
 
   /** The streaming join result must equal the batch range-join rollup over
@@ -269,6 +308,8 @@ object QueriesR8 {
     "q_bpe"           -> bpeQ,
     "q_bucketed_join" -> bucketedJoinQ,
     "q_stats_merge"   -> statsMergeQ,
+    "q_text_normalize" -> textNormalizeQ,
+    "q_html_strip"    -> htmlStripQ,
     "q_stream_ssjoin" -> streamSsJoin,
   )
 }

@@ -1404,6 +1404,52 @@ object TextOps {
     * "text"), and the clean verdict at the given ratio threshold. Counts
     * by length-difference against a char-class strip — both regexes are
     * RE2-compatible so the oracle reproduces them verbatim. */
+  /** Unicode/text canonicalization — the first transform of every crawl
+    * pipeline (two byte-different spellings of the same string otherwise
+    * defeat exact dedup and token counting). Deterministic order: NFC
+    * compose → strip C0 controls (tab/newline → space first) → collapse
+    * whitespace runs → trim → optional casefold. NFC is the ONE step
+    * with no Spark built-in, so it is a (documented) scalar UDF — a
+    * per-row `java.text.Normalizer` call with no state; everything else
+    * stays codegen'd `regexp_replace`/`lower`. The oracle mirrors each
+    * step (DuckDB `nfc_normalize`), so canonical text is value-checked
+    * cross-engine. */
+  def normalizeText(docs: DataFrame,
+                    casefold: Boolean = true): DataFrame = {
+    val nfc = udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+    val composed = nfc(col("text"))
+    val spaced = regexp_replace(composed, "[\\t\\n\\r]", " ")
+    val noCtrl = regexp_replace(spaced, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
+    val collapsed = trim(regexp_replace(noCtrl, " +", " "))
+    val out = if (casefold) lower(collapsed) else collapsed
+    docs.withColumn("text", out)
+  }
+
+  /** HTML boilerplate strip (crawl-to-text): drop script/style subtrees,
+    * then every remaining tag, decode the six entities that survive
+    * extraction, collapse whitespace. All RE2-compatible patterns with
+    * `(?s)` dot-all, replayed verbatim by the oracle — a narrow codegen
+    * map except for nothing: zero UDFs. Runs AFTER [[normalizeText]]'s
+    * NFC in a real pipeline; order here is tags-then-entities so literal
+    * `&lt;tag&gt;` text can never be re-parsed as markup. */
+  def stripHtml(docs: DataFrame): DataFrame = {
+    val noScript = regexp_replace(col("text"),
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noScript, "(?s)<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    // entity spellings contain no regex metacharacters, and `&amp;` is
+    // decoded LAST so "&amp;lt;" ends as the literal "&lt;", never "<"
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    docs.withColumn("text",
+      trim(regexp_replace(decoded, "\\s+", " ")))
+  }
+
   def encodingQuality(docs: DataFrame,
                       maxBadRatio: Double = 0.01): DataFrame = {
     val n = length(col("text")).cast("double")

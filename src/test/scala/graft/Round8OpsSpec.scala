@@ -290,6 +290,34 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(cm.stats.skewness === None)
   }
 
+  test("normalizeText + stripHtml: NFC composes decomposed accents, " +
+    "controls/whitespace canonicalize, script subtrees and tags drop, " +
+    "entities decode without double-decoding") {
+    import spark.implicits._
+    // "é" decomposed (e + U+0301) must compose to the single NFC char
+    val decomposed = "Cafe\u0301"
+    val df = Seq(
+      (1L, s"  $decomposed\tBAR  x  "),
+      (2L, "<html><script>var x = '<p>';</script><p>Hi &amp;lt; "
+        + "&quot;you&quot; &#39;there&#39;&nbsp;</p></html>"),
+      (3L, "plain text")
+    ).toDF("doc_id", "text")
+    val norm = graft.text.TextOps.normalizeText(df)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) === "caf\u00e9 bar x", "NFC + controls + collapse + fold")
+    assert(norm(3L) === "plain text")
+    val stripped = graft.text.TextOps.stripHtml(df)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // script SUBTREE (including its '<p>' literal) is gone; &amp;lt;
+    // decodes to the literal "&lt;", never twice to "<"
+    assert(stripped(2L) === "Hi &lt; \"you\" 'there'")
+    assert(stripped(3L) === "plain text")
+    // stripHtml stays UDF-free (pure codegen narrow map)
+    val plan = graft.text.TextOps.stripHtml(df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("Exchange"))
+  }
+
   test("Tables.load normalizes events.ts to LONG nanos for both physical " +
     "types (timestamp and raw-long parquet)") {
     import spark.implicits._
