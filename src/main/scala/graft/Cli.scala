@@ -179,6 +179,12 @@ object Cli {
                   p.binning.binBoundary.nonEmpty &&
                   p.binning.binBoundary == q.binning.binBoundary =>
                 graft.ops.StatsMerge.merge(p, q)
+              case Some(q)
+                if p.kind == graft.catalog.ColumnKind.Categorical &&
+                  q.kind == p.kind &&
+                  p.binning.binCategory.nonEmpty &&
+                  p.binning.binCategory == q.binning.binCategory =>
+                graft.ops.StatsMerge.merge(p, q)
               case _ =>
                 skipped ::= p.columnName; p
             }

@@ -169,7 +169,28 @@ object QueriesR8 {
             case (None, None) => true
             case _ => false
           }
-        cols.flatMap { c =>
+        // categorical dual: frozen category list, same halves
+        val cWholeAll = graft.ops.StatsPipeline.profileCategorical(
+          li, Seq("l_linestatus"), isPos)
+        val cFrozen: Map[String, Seq[String]] = cWholeAll.map {
+          case (c, p) => c -> (p.binning.binCategory: Seq[String]) }
+        def cHalf(cond: org.apache.spark.sql.Column) =
+          graft.ops.StatsPipeline.profileCategorical(li.filter(cond),
+            Seq("l_linestatus"), isPos,
+            categoriesOverride = Some(cFrozen))("l_linestatus")
+        val cw = cWholeAll("l_linestatus")
+        val cm = graft.ops.StatsMerge.merge(
+          cHalf(col("l_orderkey") % 2 === 0),
+          cHalf(col("l_orderkey") % 2 =!= 0))
+        val catContracts = Seq(
+          ("cat_counts_exact",
+            cm.stats.totalCount == cw.stats.totalCount &&
+              cm.binning.binCountPos == cw.binning.binCountPos &&
+              cm.binning.binCountNeg == cw.binning.binCountNeg),
+          ("cat_metrics_exact",
+            cm.stats.ks == cw.stats.ks && cm.stats.iv == cw.stats.iv &&
+              cm.binning.binCountWoe == cw.binning.binCountWoe))
+        (cols.flatMap { c =>
           val w = whole(c)
           val m = graft.ops.StatsMerge.merge(even(c), odd(c))
           Seq(
@@ -188,12 +209,12 @@ object QueriesR8 {
                 close(m.stats.kurtosis, w.stats.kurtosis, 1e-6)),
             (s"minmax_exact_$c",
               m.stats.min == w.stats.min && m.stats.max == w.stats.max))
-        }.map { case (name, ok) => (name, if (ok) 1 else 0) }
+        } ++ catContracts).map { case (name, ok) => (name, if (ok) 1 else 0) }
           .toDF("contract", "ok")
       },
-      oracle = Some(cols.flatMap(c => Seq(
+      oracle = Some((cols.flatMap(c => Seq(
         s"counts_exact_$c", s"metrics_exact_$c", s"moments_close_$c",
-        s"minmax_exact_$c"))
+        s"minmax_exact_$c")) ++ Seq("cat_counts_exact", "cat_metrics_exact"))
         .map(n => s"SELECT '$n' AS contract, 1 AS ok")
         .mkString("", "\nUNION ALL ", "\n")))
   }

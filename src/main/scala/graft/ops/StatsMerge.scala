@@ -61,10 +61,52 @@ object StatsMerge {
       implicit num: Numeric[T]): Vector[T] =
     a.zipAll(b, num.zero, num.zero).map { case (x, y) => num.plus(x, y) }
 
-  /** Merge two numeric profiles over disjoint rows and identical frozen
-    * boundaries. Throws if the boundaries differ — adding counts binned
-    * against different edges is silent corruption, never do it. */
+  /** Categorical merge under a frozen category list
+    * (`profileCategorical(categoriesOverride = ...)` gives every
+    * partition the same slots, zero-filled where absent): per-slot
+    * counts and weighted masses ADD exactly, KS/IV/WoE recompute from
+    * the merged counts — bit-equal to a full re-profile. */
+  private def mergeCategorical(a: ColumnProfile,
+                               b: ColumnProfile): ColumnProfile = {
+    require(a.binning.binCategory == b.binning.binCategory,
+      s"category lists differ for ${a.columnName}: profiles must share a " +
+        "frozen catalog (profileCategorical(categoriesOverride = ...))")
+    val pos = addVec(a.binning.binCountPos, b.binning.binCountPos)
+    val neg = addVec(a.binning.binCountNeg, b.binning.binCountNeg)
+    val wPos = addVec(a.binning.binWeightedPos, b.binning.binWeightedPos)
+    val wNeg = addVec(a.binning.binWeightedNeg, b.binning.binWeightedNeg)
+    val nBins = pos.length
+    val m = StatsMath.columnMetrics(neg.map(_.toDouble), pos.map(_.toDouble))
+    val wm = StatsMath.columnMetrics(wNeg, wPos)
+    val total = a.stats.totalCount + b.stats.totalCount
+    val miss = a.stats.missingCount + b.stats.missingCount
+    a.copy(stats = ColumnStats(
+      totalCount = total, missingCount = miss,
+      missingPercentage = if (total > 0) miss.toDouble / total else 0.0,
+      distinctCount = a.stats.distinctCount, // = the frozen list size
+      ks = m.map(_.ks), iv = m.map(_.iv), woe = m.map(_.woe),
+      weightedKs = wm.map(_.ks), weightedIv = wm.map(_.iv),
+      weightedWoe = wm.map(_.woe)),
+      binning = a.binning.copy(
+        binCountPos = pos, binCountNeg = neg,
+        binPosRate = pos.zip(neg).map { case (p, ng) =>
+          if (p + ng > 0) p.toDouble / (p + ng) else 0.0 },
+        binWeightedPos = wPos, binWeightedNeg = wNeg,
+        binCountWoe = m.map(_.binWoe).getOrElse(Vector.fill(nBins)(0.0)),
+        binWeightedWoe = wm.map(_.binWoe)
+          .getOrElse(Vector.fill(nBins)(0.0)),
+        binAvgScore = Vector.empty)) // needs a score pass — cleared
+  }
+
+  /** Merge two profiles over disjoint rows and an identical frozen
+    * binning (numeric boundaries or categorical category list). Throws
+    * if they differ — adding counts binned against different edges or
+    * category slots is silent corruption, never do it. */
   def merge(a: ColumnProfile, b: ColumnProfile): ColumnProfile = {
+    require(a.kind == b.kind,
+      s"column kind differs for ${a.columnName}: ${a.kind} vs ${b.kind}")
+    if (a.kind == graft.catalog.ColumnKind.Categorical)
+      return mergeCategorical(a, b)
     require(a.binning.binBoundary == b.binning.binBoundary,
       s"bin boundaries differ for ${a.columnName}: profiles must share a " +
         "frozen catalog (profileNumeric(boundsOverride = ...))")

@@ -205,11 +205,27 @@ object StatsPipeline {
     * partitioned by column. */
   def profileCategorical(df: DataFrame, cols: Seq[String], isPos: Column,
                          maxCategories: Int = 10000,
-                         weight: Column = lit(1.0))
+                         weight: Column = lit(1.0),
+                         categoriesOverride:
+                           Option[Map[String, Seq[String]]] = None)
       : Map[String, ColumnProfile] = {
     if (cols.isEmpty) return Map.empty
-    val pairs = cols.map(c => struct(lit(c).as("col_name"),
-      col(c).cast("string").as("v")))
+    // categoriesOverride = the FROZEN-catalog path (incremental stats
+    // over a new partition with yesterday's category list): values
+    // outside the frozen list fold into the missing/invalid slot
+    // DISTRIBUTED — the groupBy key space stays bounded by the frozen
+    // list, and the resulting profiles merge (ops.StatsMerge)
+    val pairs = cols.map { c =>
+      val v = categoriesOverride match {
+        case Some(frozen) =>
+          val allowed = frozen.getOrElse(c, Nil)
+          if (allowed.isEmpty) col(c).cast("string")
+          else when(col(c).cast("string").isin(allowed.map(lit): _*),
+            col(c).cast("string"))
+        case None => col(c).cast("string")
+      }
+      struct(lit(c).as("col_name"), v.as("v"))
+    }
     val grouped = df
       .select(explode(array(pairs: _*)).as("cv"),
         isPos.cast("long").as("pos"), weight.cast("double").as("w"))
@@ -221,18 +237,28 @@ object StatsPipeline {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("col_name")
       .orderBy((col("cnt_pos") + col("cnt_neg")).desc, col("v").asc)
-    val counts = grouped
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= maxCategories)
-      .drop("rnk")
+    val counts = (if (categoriesOverride.isDefined) grouped
+      else grouped
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= maxCategories)
+        .drop("rnk"))
       .collect()
       .groupBy(_.getString(0))
     cols.zipWithIndex.map { case (c, i) =>
       val rows = counts.getOrElse(c, Array.empty)
         .map(r => (Option(r.getString(1)), r.getLong(2), r.getLong(3),
           r.getDouble(4), r.getDouble(5)))
-      val cats = rows.collect { case (Some(v), p, n, wp, wn) =>
+      val seen = rows.collect { case (Some(v), p, n, wp, wn) =>
         (v, p, n, wp, wn) }.sortBy(_._1)
+      // frozen mode: EVERY frozen category gets a slot (zero-filled when
+      // absent in this partition) so two partition profiles line up
+      val cats = categoriesOverride.flatMap(_.get(c)) match {
+        case Some(frozen) if frozen.nonEmpty =>
+          val byV = seen.map(t => t._1 -> t).toMap
+          frozen.sorted.toArray.map(v =>
+            byV.getOrElse(v, (v, 0L, 0L, 0.0, 0.0)))
+        case _ => seen
+      }
       val missing = rows.collect { case (None, p, n, wp, wn) =>
         (p, n, wp, wn) }
       val pos = cats.map(_._2.toDouble) :+

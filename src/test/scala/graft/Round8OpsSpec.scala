@@ -290,6 +290,48 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(cm.stats.skewness === None)
   }
 
+  test("StatsMerge categorical: frozen-category halves merge to the " +
+    "whole-table profile exactly; unseen categories fold into the " +
+    "missing slot; mismatched category lists are refused") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val cats = Vector("a", "b", "c", "d")
+    val rows = (1L to 300L).map { i =>
+      val v: String = if (i % 11 == 0) null else cats(rnd.nextInt(cats.size))
+      (i, v, rnd.nextBoolean())
+    }
+    val df = rows.toDF("id", "v", "y")
+    val whole = graft.ops.StatsPipeline.profileCategorical(
+      df, Seq("v"), col("y"))
+    val frozen: Map[String, Seq[String]] =
+      whole.map { case (c, p) => c -> (p.binning.binCategory: Seq[String]) }
+    def half(cond: org.apache.spark.sql.Column) =
+      graft.ops.StatsPipeline.profileCategorical(df.filter(cond), Seq("v"),
+        col("y"), categoriesOverride = Some(frozen))
+    val m = graft.ops.StatsMerge.merge(
+      half(col("id") % 2 === 0)("v"), half(col("id") % 2 === 1)("v"))
+    val w = whole("v")
+    assert(m.binning.binCategory === w.binning.binCategory)
+    assert(m.binning.binCountPos === w.binning.binCountPos)
+    assert(m.binning.binCountNeg === w.binning.binCountNeg)
+    assert(m.stats.totalCount === w.stats.totalCount)
+    assert(m.stats.ks === w.stats.ks, "KS from merged counts is EXACT")
+    assert(m.stats.iv === w.stats.iv)
+    // a category OUTSIDE the frozen list folds into the missing slot
+    val extra = (Seq((1000L, "zzz", true), (1001L, "a", false)))
+      .toDF("id", "v", "y")
+    val p = graft.ops.StatsPipeline.profileCategorical(extra, Seq("v"),
+      col("y"), categoriesOverride = Some(frozen))("v")
+    assert(p.binning.binCategory === w.binning.binCategory)
+    assert(p.stats.missingCount === 1L, "unseen 'zzz' counted as invalid")
+    // mismatched frozen lists refuse to merge
+    val other = w.copy(binning = w.binning.copy(
+      binCategory = w.binning.binCategory :+ "extra"))
+    assertThrows[IllegalArgumentException] {
+      graft.ops.StatsMerge.merge(w, other)
+    }
+  }
+
   test("normalizeText + stripHtml: NFC composes decomposed accents, " +
     "controls/whitespace canonicalize, script subtrees and tags drop, " +
     "entities decode without double-decoding") {
