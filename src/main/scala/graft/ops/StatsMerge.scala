@@ -61,6 +61,31 @@ object StatsMerge {
       implicit num: Numeric[T]): Vector[T] =
     a.zipAll(b, num.zero, num.zero).map { case (x, y) => num.plus(x, y) }
 
+  /** PSI between two profiles sharing a frozen binning — the incremental
+    * drift monitor: yesterday's catalog vs today's partition catalog,
+    * PURE DRIVER MATH from the persisted bin counts (no data scan at
+    * all). Same ε-free guard convention as [[Psi]]: a bin contributes
+    * only when both distributions put mass there. Works for numeric
+    * (boundaries) and categorical (category list) profiles alike. */
+  def psiBetween(expected: ColumnProfile, actual: ColumnProfile): Double = {
+    require(
+      expected.binning.binBoundary == actual.binning.binBoundary &&
+        expected.binning.binCategory == actual.binning.binCategory,
+      s"binning differs for ${expected.columnName}: PSI needs one frozen " +
+        "catalog on both sides")
+    def dist(p: ColumnProfile): Vector[Double] = {
+      val tot = p.binning.binCountPos.zip(p.binning.binCountNeg)
+        .map { case (a, b) => (a + b).toDouble }
+      val s = tot.sum
+      if (s <= 0) tot else tot.map(_ / s)
+    }
+    val e = dist(expected)
+    val a = dist(actual)
+    e.zipAll(a, 0.0, 0.0).map { case (ev, av) =>
+      if (ev > 0 && av > 0) (av - ev) * math.log(av / ev) else 0.0
+    }.sum
+  }
+
   /** Categorical merge under a frozen category list
     * (`profileCategorical(categoriesOverride = ...)` gives every
     * partition the same slots, zero-filled where absent): per-slot

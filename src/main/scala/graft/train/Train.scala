@@ -98,6 +98,8 @@ object Train {
       .setLabelCol("label").setFeaturesCol("features").setParallelism(4)
     val data = df.select(features.map(col) :+
       label.cast("double").as("label"): _*)
+      // k per-class fits + the transform all replay this otherwise
+      .localCheckpoint(true)
     val pipeline = new Pipeline()
       .setStages(Array(assemble(features), ovr))
     pipeline.fit(data).transform(data)
@@ -108,6 +110,9 @@ object Train {
                   pipeline: Pipeline): Trained = {
     val data = df.select(features.map(col) :+
       label.cast("double").as("label"): _*)
+      // fit, transform and the AUC evaluator each replay this projection
+      // from the scan otherwise — materialize it once
+      .localCheckpoint(true)
     val model = pipeline.fit(data)
     val scored = model.transform(data)
     val auc = new BinaryClassificationEvaluator().setLabelCol("label")

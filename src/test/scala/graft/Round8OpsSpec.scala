@@ -332,6 +332,42 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("psiBetween: catalog-level drift equals the data-level Psi.compute " +
+    "on the same frozen bins (zero scan vs full scan, same number)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // day A centered at 0, day B drifted to +1 — real drift signal
+    val rows = (1L to 1000L).map { i =>
+      val day = if (i <= 500) "A" else "B"
+      val v = rnd.nextGaussian() + (if (day == "B") 1.0 else 0.0)
+      (i, day, v, i % 3 == 0)
+    }
+    val df = rows.toDF("id", "day", "v", "y")
+    val Array(mn, mx) = df.agg(min("v"), max("v")).head()
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    val bounds = graft.ops.Binning.equalInterval(mn, mx, 10)
+    val bMap: Map[String, Seq[Double]] = Map("v" -> bounds)
+    def prof(day: String) = graft.ops.StatsPipeline.profileNumeric(
+      df.filter(col("day") === day), Seq("v"), col("y"),
+      boundsOverride = Some(bMap))("v")
+    val pa = prof("A")
+    val pb = prof("B")
+    // Psi.compute's expected side is the GLOBAL distribution — mirror
+    // that exactly: expected = merged(A+B), actual = each day
+    val merged = graft.ops.StatsMerge.merge(pa, pb)
+    val catalogPsi = Map(
+      "A" -> graft.ops.StatsMerge.psiBetween(merged, pa),
+      "B" -> graft.ops.StatsMerge.psiBetween(merged, pb))
+    val dataPsi = graft.ops.Psi.compute(df, col("v"), col("day"), bounds)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    catalogPsi.foreach { case (day, p) =>
+      assert(math.abs(p - dataPsi(day)) < 1e-6,
+        s"day $day catalog=$p data=${dataPsi(day)}")
+    }
+    assert(catalogPsi("B") > 0.05, "the planted +1 shift is a real drift")
+    assert(graft.ops.StatsMerge.psiBetween(pa, pa) === 0.0)
+  }
+
   test("normalizeText + stripHtml: NFC composes decomposed accents, " +
     "controls/whitespace canonicalize, script subtrees and tags drop, " +
     "entities decode without double-decoding") {
