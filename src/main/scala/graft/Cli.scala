@@ -157,6 +157,35 @@ object Cli {
         Seq(s"catalog: ${opts("catalog")} initialized " +
           s"(${num.length} numeric, ${cat.length} categorical)")
 
+      case "stats" if opts.contains("drift") =>
+        // catalog-level drift (no data scan): per-column PSI between two
+        // frozen-binning catalogs — stats --drift today.json --catalog
+        // baseline.json [--threshold 0.2]
+        val baseline = CatalogIO.read(opts("catalog"))
+        val current = CatalogIO.read(opts("drift"))
+          .map(p => p.columnName -> p).toMap
+        val threshold = opts.getOrElse("threshold", "0.2").toDouble
+        val lines = baseline.flatMap { p =>
+          current.get(p.columnName).flatMap { q =>
+            val comparable =
+              (p.binning.binBoundary.nonEmpty &&
+                p.binning.binBoundary == q.binning.binBoundary) ||
+              (p.binning.binCategory.nonEmpty &&
+                p.binning.binCategory == q.binning.binCategory)
+            if (!comparable) None
+            else {
+              // monitor convention: ε-floored so disjoint distributions
+              // read as the huge drift they are, never as 0
+              val psi = graft.ops.StatsMerge.psiBetween(p, q, eps = 1e-10)
+              Some(f"drift: ${p.columnName} psi=$psi%.6f" +
+                (if (psi > threshold) " ALERT" else ""))
+            }
+          }
+        }
+        require(lines.nonEmpty,
+          "no comparable columns (catalogs must share frozen binning)")
+        lines
+
       case "stats" if opts.contains("merge") =>
         // incremental catalog maintenance (no data scan at all):
         //   stats --merge dayA.json,dayB.json --catalog merged.json

@@ -64,10 +64,17 @@ object StatsMerge {
   /** PSI between two profiles sharing a frozen binning — the incremental
     * drift monitor: yesterday's catalog vs today's partition catalog,
     * PURE DRIVER MATH from the persisted bin counts (no data scan at
-    * all). Same ε-free guard convention as [[Psi]]: a bin contributes
-    * only when both distributions put mass there. Works for numeric
-    * (boundaries) and categorical (category list) profiles alike. */
-  def psiBetween(expected: ColumnProfile, actual: ColumnProfile): Double = {
+    * all). Works for numeric (boundaries) and categorical (category
+    * list) profiles alike.
+    *
+    * `eps = 0` (default) keeps exact parity with [[Psi.compute]]'s guard —
+    * a bin contributes only when BOTH sides put mass there. That
+    * convention silently reports 0 for fully-disjoint distributions, so
+    * a MONITOR should pass `eps = 1e-10` (the reference's ε convention,
+    * `ColumnStatsCalculator.EPS`): empty bins floor at ε and total drift
+    * reads as the huge number it is. */
+  def psiBetween(expected: ColumnProfile, actual: ColumnProfile,
+                 eps: Double = 0.0): Double = {
     require(
       expected.binning.binBoundary == actual.binning.binBoundary &&
         expected.binning.binCategory == actual.binning.binCategory,
@@ -81,7 +88,9 @@ object StatsMerge {
     }
     val e = dist(expected)
     val a = dist(actual)
-    e.zipAll(a, 0.0, 0.0).map { case (ev, av) =>
+    e.zipAll(a, 0.0, 0.0).map { case (ev0, av0) =>
+      val ev = math.max(ev0, eps)
+      val av = math.max(av0, eps)
       if (ev > 0 && av > 0) (av - ev) * math.log(av / ev) else 0.0
     }.sum
   }

@@ -589,4 +589,41 @@ class CliSpec extends AnyFunSuite {
       "catalog" -> s"$tmp/m2.json"))
     assert(out2.exists(_.startsWith("unmerged: ")), out2.mkString("|"))
   }
+
+  test("stats --drift: catalog-level PSI between frozen-bounds catalogs, " +
+    "ALERT above threshold, incomparable catalogs refused") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_d").toString
+    val li = spark.read.parquet(data)
+    val isPos = col("l_returnflag") === "R"
+    val whole = graft.ops.StatsPipeline.profileNumeric(
+      li, Seq("l_quantity"), isPos)
+    val bounds: Map[String, Seq[Double]] =
+      whole.map { case (c, p) => c -> (p.binning.binBoundary: Seq[Double]) }
+    def part(cond: org.apache.spark.sql.Column, path: String) =
+      graft.catalog.CatalogIO.write(path, Seq(
+        graft.ops.StatsPipeline.profileNumeric(li.filter(cond),
+          Seq("l_quantity"), isPos,
+          boundsOverride = Some(bounds))("l_quantity")))
+    part(col("l_quantity") <= 25, s"$tmp/low.json")   // drifted halves
+    part(col("l_quantity") > 25, s"$tmp/high.json")
+    val out = Cli.run(spark, "stats", Map(
+      "drift" -> s"$tmp/high.json", "catalog" -> s"$tmp/low.json"))
+    assert(out.head.startsWith("drift: l_quantity psi="), out.head)
+    assert(out.head.endsWith(" ALERT"),
+      "disjoint quantity ranges are maximal drift")
+    // same catalog against itself: psi 0, no alert
+    val out0 = Cli.run(spark, "stats", Map(
+      "drift" -> s"$tmp/low.json", "catalog" -> s"$tmp/low.json"))
+    assert(out0.head.contains("psi=0.000000") && !out0.head.contains("ALERT"))
+    // incomparable binning refused
+    val shifted = graft.catalog.CatalogIO.read(s"$tmp/low.json").map(p =>
+      p.copy(binning = p.binning.copy(
+        binBoundary = p.binning.binBoundary.map(_ + 0.5))))
+    graft.catalog.CatalogIO.write(s"$tmp/shift.json", shifted)
+    assertThrows[IllegalArgumentException] {
+      Cli.run(spark, "stats", Map(
+        "drift" -> s"$tmp/shift.json", "catalog" -> s"$tmp/low.json"))
+    }
+  }
 }
