@@ -316,6 +316,13 @@ object QueriesExtra {
   private val trainNn = trainContract("mlp", sampled = true,
     Train.nn(_, trainFeats, isPos, hidden = Seq(5), maxIter = 15))
 
+  // tree-ensemble trainers (ALGORITHM.RF / ALGORITHM.GBT) — the last two
+  // distributed enum members without their own oracle-ledger queries
+  private val trainRf = trainContract("rf", sampled = true,
+    Train.randomForest(_, trainFeats, isPos, numTrees = 10, maxDepth = 4))
+  private val trainGbt = trainContract("gbt", sampled = true,
+    Train.gbt(_, trainFeats, isPos, maxIter = 5, maxDepth = 3))
+
   private val trainSvm = trainContract("svm", sampled = true,
     Train.svm(_, trainFeats, isPos, maxIter = 3))
 
@@ -520,6 +527,8 @@ object QueriesExtra {
     "q_train_nn"       -> trainNn,
     "q_train_svm"      -> trainSvm,
     "q_train_dt"       -> trainDt,
+    "q_train_rf"       -> trainRf,
+    "q_train_gbt"      -> trainGbt,
     "q_train_wdl"      -> trainWdl,
     "q_multiclass_ovr" -> multiclassOvr,
     "q_stream_window"  -> streamWindow,
