@@ -138,6 +138,34 @@ object QueriesR8 {
         |UNION ALL SELECT 'compresses', 1
         |""".stripMargin))
 
+  /** Tokenizer fertility by source (BPE tokens per word — the data-card
+    * metric that catches a tokenizer mismatching a corpus slice). The
+    * merge table isn't SQL-derivable, so the value side is the contract
+    * family: fertility ≥ 1 everywhere, compression < chars/word, and the
+    * per-source row set value-checks against the corpus' source list. */
+  private val bpeFertilityQ: Q = Q(
+    fn = (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.train(
+        graft.text.Bpe.wordFreq(d, maxVocab = 20000), numMerges = 200)
+      val bySrc = graft.text.Bpe.tokenCounts(d, merges)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(sum("n_words").as("w"), sum("n_bpe_tokens").as("t"),
+          sum("n_chars").as("ch"))
+        .collect()
+      bySrc.map { r =>
+        val (src, w, t, ch) =
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        (src, if (t >= w) 1 else 0, if (t <= ch) 1 else 0)
+      }.toSeq.toDF("source", "fertility_ge_1", "tokens_le_chars")
+    },
+    oracle = Some(
+      """SELECT source, 1 AS fertility_ge_1, 1 AS tokens_le_chars
+        |FROM documents GROUP BY source
+        |""".stripMargin))
+
   // ---- incremental catalog merge (distributive stats, frozen bins) ---------
 
   /** Split lineitem by orderkey parity, profile each half against the
@@ -327,6 +355,7 @@ object QueriesR8 {
     "q_bm25_topk"     -> bm25,
     "q_sliding_chunks" -> slidingChunksQ,
     "q_bpe"           -> bpeQ,
+    "q_bpe_fertility" -> bpeFertilityQ,
     "q_bucketed_join" -> bucketedJoinQ,
     "q_stats_merge"   -> statsMergeQ,
     "q_text_normalize" -> textNormalizeQ,
