@@ -219,10 +219,47 @@ object Cli {
             }
           }
         }
-        CatalogIO.write(opts("catalog"), merged)
+        // quantile sidecars (<catalog>.quantiles, written by
+        // `stats --sketch`): when EVERY input has one, the merged catalog
+        // regains median/p25/p75 from the merged sketches — the one stat
+        // family a finalized catalog can't merge on its own
+        val sidecars = paths.map(p => new java.io.File(s"$p.quantiles"))
+        val (withQ, sketchLine) =
+          if (sidecars.forall(_.exists())) {
+            val maps = sidecars.map { f =>
+              java.nio.file.Files.readAllLines(f.toPath).asScala
+                .filter(_.nonEmpty).map { line =>
+                  val Array(c, s) = line.split("\t", 2)
+                  c -> graft.ops.QuantileSketch.deserialize(s)
+                }.toMap
+            }
+            val mergedSketches = maps.reduce { (ma, mb) =>
+              ma.flatMap { case (c, s) =>
+                mb.get(c).map(o => c -> s.compress().merge(o.compress()))
+              }
+            }
+            val filled = merged.map { p =>
+              mergedSketches.get(p.columnName) match {
+                case Some(s) if p.kind == graft.catalog.ColumnKind.Numeric =>
+                  p.copy(stats = p.stats.copy(
+                    p25 = s.query(0.25), median = s.query(0.5),
+                    p75 = s.query(0.75)))
+                case _ => p
+              }
+            }
+            val out = s"${opts("catalog")}.quantiles"
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+              mergedSketches.toSeq.sortBy(_._1).map { case (c, s) =>
+                s"$c\t${graft.ops.QuantileSketch.serialize(s)}"
+              }.mkString("\n"))
+            (filled,
+              Seq(s"quantiles: ${mergedSketches.size} sketches merged -> " +
+                out))
+          } else (merged, Nil)
+        CatalogIO.write(opts("catalog"), withQ)
         Seq(s"mergestats: ${paths.length} catalogs -> ${opts("catalog")} " +
-          s"(${merged.length} columns, ${skipped.distinct.length} passed " +
-          "through unmerged)") ++
+          s"(${withQ.length} columns, ${skipped.distinct.length} passed " +
+          "through unmerged)") ++ sketchLine ++
           (if (skipped.nonEmpty)
             Seq(s"unmerged: ${skipped.distinct.sorted.mkString(",")}")
           else Nil)
@@ -324,8 +361,23 @@ object Cli {
           CatalogIO.write(opts("catalog"), updated)
           s"rebin: $c -> ${nb.length} bins (woe/ks/iv recomputed)"
         }
+        val sketchLine = opts.get("sketch").map { _ =>
+          // persist mergeable quantile sketches alongside the catalog so
+          // `stats --merge` can rebuild median/p25/p75 (one extra scan,
+          // kilobytes per column on disk)
+          val numCols = catalog
+            .filter(_.kind == graft.catalog.ColumnKind.Numeric)
+            .map(_.columnName)
+          val sketches = graft.ops.QuantileSketch.buildFor(clean, numCols)
+          val out = s"${opts("catalog")}.quantiles"
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+            sketches.toSeq.sortBy(_._1).map { case (c, s) =>
+              s"$c\t${graft.ops.QuantileSketch.serialize(s)}"
+            }.mkString("\n"))
+          s"quantiles: ${sketches.size} sketches -> $out"
+        }
         Seq(s"catalog: ${opts("catalog")} (${catalog.length} columns)") ++
-          corrLine ++ psiLine ++ rebinLine
+          corrLine ++ psiLine ++ rebinLine ++ sketchLine
 
       case "norm" =>
         val catalog = CatalogIO.read(opts("catalog"))

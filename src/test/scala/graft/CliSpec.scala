@@ -626,4 +626,46 @@ class CliSpec extends AnyFunSuite {
         "drift" -> s"$tmp/shift.json", "catalog" -> s"$tmp/low.json"))
     }
   }
+
+  test("stats --sketch + --merge: quantile sidecars merge and the merged " +
+    "catalog regains median/p25/p75") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_q").toString
+    val li = spark.read.parquet(data)
+    val isPos = col("l_returnflag") === "R"
+    val whole = graft.ops.StatsPipeline.profileNumeric(
+      li, Seq("l_quantity"), isPos)
+    val bounds: Map[String, Seq[Double]] =
+      whole.map { case (c, p) => c -> (p.binning.binBoundary: Seq[Double]) }
+    def part(cond: org.apache.spark.sql.Column, path: String) = {
+      val d = li.filter(cond)
+      graft.catalog.CatalogIO.write(path, Seq(
+        graft.ops.StatsPipeline.profileNumeric(d, Seq("l_quantity"), isPos,
+          boundsOverride = Some(bounds))("l_quantity")))
+      val sk = graft.ops.QuantileSketch.buildFor(d, Seq("l_quantity"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path.quantiles"),
+        s"l_quantity\t${graft.ops.QuantileSketch.serialize(sk("l_quantity"))}")
+    }
+    part(col("l_orderkey") % 2 === 0, s"$tmp/even.json")
+    part(col("l_orderkey") % 2 =!= 0, s"$tmp/odd.json")
+    val out = Cli.run(spark, "stats", Map(
+      "merge" -> s"$tmp/even.json,$tmp/odd.json",
+      "catalog" -> s"$tmp/merged.json"))
+    assert(out.exists(_.startsWith("quantiles: 1 sketches merged")), out)
+    val merged = graft.catalog.CatalogIO.read(s"$tmp/merged.json").head
+    assert(merged.stats.median.isDefined && merged.stats.p25.isDefined)
+    // l_quantity is uniform 1..50: the merged-sketch median sits mid-range
+    assert(merged.stats.median.get > 20.0 && merged.stats.median.get < 31.0,
+      s"median=${merged.stats.median}")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/merged.json.quantiles")),
+      "merged sidecar written for the next day in the chain")
+    // the --sketch flag writes the sidecar from the stats verb itself
+    val out2 = Cli.run(spark, "stats", base +
+      ("catalog" -> s"$tmp/c2.json") + ("sketch" -> "1"))
+    assert(out2.exists(_.startsWith("quantiles: ")), out2.mkString("|"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/c2.json.quantiles")))
+  }
 }

@@ -332,6 +332,48 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("QuantileSketch: half-sketches merge to whole-data quantiles " +
+    "within the rank-error bound; serialization round-trips; merged " +
+    "profile regains median/p25/p75") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 4000L).map(i => (i, rnd.nextGaussian() * 10, i % 2 == 0))
+    val df = rows.toDF("id", "v", "y")
+    val sorted = rows.map(_._2).sorted
+    def exactRank(x: Double): Double =
+      sorted.count(_ <= x).toDouble / sorted.length
+    val sa = graft.ops.QuantileSketch.buildFor(
+      df.filter(col("id") % 2 === 0), Seq("v"))("v")
+    val sb = graft.ops.QuantileSketch.buildFor(
+      df.filter(col("id") % 2 === 1), Seq("v"))("v")
+    val m = sa.compress().merge(sb.compress())
+    // each queried quantile's EXACT rank must sit within eps of its target
+    Seq(0.25, 0.5, 0.75, 0.9).foreach { p =>
+      val q = m.query(p).get
+      assert(math.abs(exactRank(q) - p) <= 2 * 0.001 + 1e-3,
+        s"quantile $p -> $q rank=${exactRank(q)}")
+    }
+    // serialize → deserialize preserves queries and stays mergeable
+    val rt = graft.ops.QuantileSketch.deserialize(
+      graft.ops.QuantileSketch.serialize(m))
+    assert(rt.query(0.5) === m.query(0.5))
+    assert(rt.merge(rt.compress()).count === 2 * m.count)
+    // profile merge regains the quantiles StatsMerge alone surrenders
+    val whole = graft.ops.StatsPipeline.profileNumeric(
+      df, Seq("v"), col("y"), full = true)
+    val bounds: Map[String, Seq[Double]] =
+      whole.map { case (c, pr) => c -> (pr.binning.binBoundary: Seq[Double]) }
+    def half(cond: org.apache.spark.sql.Column) =
+      graft.ops.StatsPipeline.profileNumeric(df.filter(cond), Seq("v"),
+        col("y"), full = true, boundsOverride = Some(bounds))("v")
+    val (prof, sketch) = graft.ops.QuantileSketch.mergeWithSketches(
+      half(col("id") % 2 === 0), half(col("id") % 2 === 1), sa, sb)
+    assert(prof.stats.median.isDefined && prof.stats.p25.isDefined &&
+      prof.stats.p75.isDefined)
+    assert(math.abs(exactRank(prof.stats.median.get) - 0.5) <= 0.003)
+    assert(sketch.count === 4000L)
+  }
+
   test("psiBetween: catalog-level drift equals the data-level Psi.compute " +
     "on the same frozen bins (zero scan vs full scan, same number)") {
     import spark.implicits._
