@@ -126,10 +126,17 @@ object Bpe {
     }
     val toks = docs.select(col("doc_id"),
       explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("w"))
-    val sub = toks.select("w").distinct()
-      .select(col("w"), encLen(col("w")).as("n_sub"),
-        length(col("w")).cast("long").as("n_ch"))
-    val perDoc = toks.join(broadcast(sub), "w")
+    // size-gated: the distinct-word table is VOCABULARY-bounded in
+    // practice but not by construction — an unconditional broadcast()
+    // here would be a driver OOM on a 10⁹-distinct-token crawl. The gate
+    // broadcasts when the plan's own estimate fits; above that the join
+    // falls back to a hash shuffle keyed by word (still vocab-sized, not
+    // corpus-sized, on the encode side).
+    val sub = graft.ops.PlanHints.gatedBroadcast(
+      toks.select("w").distinct()
+        .select(col("w"), encLen(col("w")).as("n_sub"),
+          length(col("w")).cast("long").as("n_ch")))
+    val perDoc = toks.join(sub, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_ch").as("n_chars"),
         sum("n_sub").as("n_bpe_tokens"))
