@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 second batch: ORC format round-trip, exact-k per-stratum
+  * sampling, chunk→doc embedding pooling, MMR diversified re-ranking,
+  * and isotonic score calibration. */
+object QueriesR8b {
+  import QueryUtil.{docs, li, isPos, scoreCol}
+
+  // ---- ORC source/sink (§2.1 depth: the second columnar format) ------------
+
+  /** Write a lineitem extract as zstd ORC, read it back through the ORC
+    * scanner with a pushed filter, aggregate — values must equal the
+    * parquet-side oracle. Plan-shape (PushedFilters reaching the ORC
+    * scan) is asserted in Round8bOpsSpec. */
+  private val orcRoundtrip: Q = Q(
+    fn = (s, dir) => {
+      val tmp = s"/tmp/graft_orc_${java.util.UUID.randomUUID()}"
+      graft.sources.Columnar.writeOrc(
+        li(s, dir).select("l_orderkey", "l_quantity", "l_returnflag"), tmp)
+      val back = graft.sources.Columnar.readOrc(s, tmp)
+        .filter(col("l_quantity") > 25)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+      back.cache().count() // materialize before the tmp dir could vanish
+      back
+    },
+    oracle = Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY 1
+        |""".stripMargin))
+
+  // ---- exact-k per-stratum deterministic sample ----------------------------
+
+  /** Reservoir-equivalent exact-k sampling per source: the k docs with the
+    * smallest md5(doc_id) in each stratum. Unlike the fraction-based
+    * `q_stratified_sample`, the output size per stratum is EXACT (k or
+    * the stratum size), which is what an eval-set builder needs. Scale:
+    * bounded TopK partial aggregation — every map task keeps ≤ k
+    * candidates per stratum, the exchange moves `strata × k` rows, no
+    * sort of the corpus anywhere. */
+  private val sampleGroupK: Q = {
+    val k = 50
+    Q(
+      fn = (s, dir) => {
+        val d = docs(s, dir).select(col("source"),
+          concat(md5(col("doc_id").cast("string").cast("binary")),
+            lit("|"), col("doc_id").cast("string")).as("key"))
+        d.groupBy("source")
+          .agg(graft.agg.TopKStrAgg.topK(k)(lit(0.0), col("key")).as("ks"))
+          .select(col("source"), posexplode(col("ks")).as(Seq("p", "kv")))
+          .select(col("source"), (col("p") + 1).cast("int").as("rank"),
+            split(col("kv._2"), "\\|").getItem(1).cast("long").as("doc_id"))
+      },
+      oracle = Some(
+        s"""WITH h AS (SELECT source, doc_id, md5(doc_id::VARCHAR) AS hx
+           |  FROM documents),
+           |r AS (SELECT source, doc_id,
+           |        row_number() OVER (PARTITION BY source
+           |                           ORDER BY hx, doc_id) AS rank
+           |      FROM h)
+           |SELECT source, rank::INT AS rank, doc_id FROM r WHERE rank <= $k
+           |""".stripMargin))
+  }
+
+  // ---- chunk→doc embedding pooling (RAG / doc-embedding prep) --------------
+
+  /** Mean-pool chunk embeddings into group embeddings (vec_id div 10 as
+    * the synthetic doc key): the standard doc-embedding construction when
+    * a long document was embedded in chunks. One explode + one groupBy —
+    * shuffled bytes are O(vectors × dim) scalars with map-side partial
+    * aggregation. Sums fold in ascending vec_id order in BOTH engines
+    * (sorted-struct aggregate here, ordered array_agg in the oracle), so
+    * the means are bit-identical before rounding. */
+  private val embedPool: Q = Q(
+    fn = (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(expr("vec_id div 10").as("gid"), col("vec_id"),
+          posexplode(expr("transform(embedding, x -> cast(x AS double))"))
+            .as(Seq("pos", "x")))
+      e.groupBy("gid", "pos")
+        .agg(count(lit(1)).as("n_chunks"),
+          expr("""aggregate(array_sort(collect_list(struct(vec_id, x))),
+                |  cast(0.0 AS double), (acc, p) -> acc + p.x)"""
+            .stripMargin).as("sm"))
+        .select(col("gid"), col("pos").cast("int").as("pos"),
+          col("n_chunks"),
+          round(col("sm") / col("n_chunks"), 6).as("mean_r"))
+    },
+    oracle = Some(
+      """WITH e AS (SELECT vec_id // 10 AS gid, vec_id,
+        |    unnest(list_transform(embedding, x -> x::DOUBLE)) AS x,
+        |    generate_subscripts(embedding, 1) - 1 AS pos
+        |  FROM embeddings)
+        |SELECT gid, pos::INT AS pos, count(*) AS n_chunks,
+        |  round(list_sum(array_agg(x ORDER BY vec_id)) / count(*), 6)
+        |    AS mean_r
+        |FROM e GROUP BY gid, pos
+        |""".stripMargin))
+
+  // ---- MMR diversified re-ranking ------------------------------------------
+
+  /** Full value check of the greedy MMR selection: the oracle unrolls the
+    * k greedy steps as chained CTEs over the same bounded candidate pool
+    * and pairwise cosines (identical IEEE expression in both engines;
+    * ties break on vec_id everywhere). */
+  private val mmrRerank: Q = {
+    val nCand = 20
+    val k = 5
+    Q(
+      fn = (s, dir) => graft.sim.Mmr.mmrTopK(
+        Tables.load(s, dir, "embeddings"), queryId = 0L,
+        nCand = nCand, k = k, lambda = 0.7),
+      oracle = Some {
+        val vCte =
+          """v AS (SELECT vec_id,
+            |  list_transform(embedding, x -> x::DOUBLE) AS e,
+            |  sqrt(list_sum(list_transform(embedding,
+            |       x -> x::DOUBLE * x::DOUBLE))) AS norm
+            |FROM embeddings)""".stripMargin
+        val steps = (2 to k).map { i =>
+          s"""m$i AS (SELECT c.vec_id, c.rel, max(s.s) AS d
+             |  FROM cv c
+             |  JOIN sim s ON s.ai = c.vec_id
+             |  JOIN a${i - 1} p ON s.bi = p.vec_id
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM a${i - 1})
+             |  GROUP BY c.vec_id, c.rel),
+             |p$i AS (SELECT vec_id, rel, $i AS rank,
+             |          0.7 * rel - (1.0 - 0.7) * d AS score
+             |        FROM m$i ORDER BY score DESC, vec_id LIMIT 1),
+             |a$i AS (SELECT * FROM a${i - 1} UNION ALL SELECT * FROM p$i)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $vCte,
+           |q AS (SELECT e, norm FROM v WHERE vec_id = 0),
+           |relt AS (SELECT v.vec_id,
+           |    list_sum(list_transform(list_zip(v.e, q.e),
+           |      pr -> pr[1] * pr[2])) / (v.norm * q.norm) AS rel
+           |  FROM v, q WHERE v.vec_id <> 0),
+           |cand AS (SELECT vec_id, rel FROM (
+           |    SELECT vec_id, rel,
+           |      row_number() OVER (ORDER BY rel DESC, vec_id) AS rk
+           |    FROM relt) WHERE rk <= $nCand),
+           |cv AS (SELECT c.vec_id, c.rel, v.e, v.norm
+           |       FROM cand c JOIN v ON v.vec_id = c.vec_id),
+           |sim AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+           |    list_sum(list_transform(list_zip(a.e, b.e),
+           |      pr -> pr[1] * pr[2])) / (a.norm * b.norm) AS s
+           |  FROM cv a JOIN cv b ON a.vec_id <> b.vec_id),
+           |p1 AS (SELECT vec_id, rel, 1 AS rank, 0.7 * rel AS score
+           |       FROM cv ORDER BY rel DESC, vec_id LIMIT 1),
+           |a1 AS (SELECT * FROM p1),
+           |$steps
+           |SELECT rank::INT AS rank, vec_id, round(rel, 6) AS rel_r,
+           |  round(score, 6) AS mmr_r
+           |FROM a$k
+           |""".stripMargin
+      })
+  }
+
+  // ---- isotonic score calibration ------------------------------------------
+
+  /** PAV output isn't SQL-expressible, so this is a contract query (like
+    * the k-means/BPE family): fitted calibrator must be monotone
+    * nondecreasing with probabilities in [0,1], mean-preserving over the
+    * fit frame (a PAV identity), and at least as good as the constant
+    * predictor in Brier score. The exact step values are spec-checked on
+    * a hand-computed PAV fixture in Round8bOpsSpec. */
+  private val calibration: Q = Q(
+    fn = (s, dir) => {
+      import s.implicits._
+      val d = li(s, dir)
+      val model = graft.train.Calibrate.isotonicFit(d, scoreCol, isPos)
+      val preds = model.predictions.toArray
+      val monotone = preds.zip(preds.drop(1)).forall { case (a, b) => a <= b }
+      val in01 = preds.forall(p => p >= -1e-12 && p <= 1.0 + 1e-12)
+      val applied = graft.train.Calibrate(d, scoreCol, model)
+        .select(col("calibrated"), isPos.cast("double").as("y"))
+      val r = applied.agg(
+        avg("calibrated").as("mc"), avg("y").as("my"),
+        avg(pow(col("calibrated") - col("y"), 2)).as("bCal"),
+        count(lit(1)).as("n")).head()
+      val (mc, my, bCal, n) =
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
+      val bConst = applied.agg(
+        avg(pow(lit(my) - col("y"), 2))).head().getDouble(0)
+      Seq(
+        ("monotone", if (monotone) 1 else 0, n),
+        ("probs_in_01", if (in01) 1 else 0, n),
+        ("mean_preserving", if (math.abs(mc - my) <= 1e-9) 1 else 0, n),
+        ("brier_improves", if (bCal <= bConst + 1e-12) 1 else 0, n))
+        .toDF("contract", "ok", "n")
+    },
+    oracle = Some(
+      """SELECT 'monotone' AS contract, 1 AS ok, count(*) AS n FROM lineitem
+        |UNION ALL SELECT 'probs_in_01', 1, count(*) FROM lineitem
+        |UNION ALL SELECT 'mean_preserving', 1, count(*) FROM lineitem
+        |UNION ALL SELECT 'brier_improves', 1, count(*) FROM lineitem
+        |""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "q_orc_roundtrip"  -> orcRoundtrip,
+    "q_sample_group_k" -> sampleGroupK,
+    "q_embed_pool"     -> embedPool,
+    "q_mmr_rerank"     -> mmrRerank,
+    "q_calibration"    -> calibration,
+  )
+}

@@ -1,0 +1,50 @@
+package graft.train
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{IsotonicRegression, IsotonicRegressionModel}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Score calibration — mapping a model's raw score to a probability.
+  * The reference's eval pipeline consumes raw scores and leaves
+  * calibration to the modeler; any production scoring system (and every
+  * quality-classifier-driven corpus filter) needs the calibrated
+  * probability, so this is a first-class post-train step here.
+  *
+  * Isotonic regression (pool-adjacent-violators) is the standard
+  * non-parametric calibrator: fits the least-squares MONOTONE
+  * step-function from score to P(label=1). MLlib's implementation
+  * aggregates duplicate scores distributed, then PAV runs over the
+  * bounded distinct-score sequence — the corpus is touched by one
+  * aggregation pass, and the fitted model is a pair of bounded
+  * boundary/prediction arrays that broadcast into a codegen'd transform.
+  */
+object Calibrate {
+
+  /** Fit an isotonic calibrator from `score` to binary `isPos`. */
+  def isotonicFit(df: DataFrame, score: Column,
+                  isPos: Column): IsotonicRegressionModel = {
+    val d = df.select(score.cast("double").as("s"),
+      isPos.cast("double").as("label"))
+    new IsotonicRegression()
+      .setFeaturesCol("sv").setLabelCol("label").setPredictionCol("p")
+      .fit(new VectorAssembler().setInputCols(Array("s"))
+        .setOutputCol("sv").transform(d))
+  }
+
+  /** Apply: returns `df` plus a `calibrated` probability column. Uses the
+    * model's own transform — a per-row binary search over the PAV
+    * boundary array shipped once in the task closure. (A literal
+    * when-chain would be O(blocks) PER ROW and the block count is only
+    * bounded by the number of distinct scores — fine for bins, wrong for
+    * a continuous score.) */
+  def apply(df: DataFrame, score: Column,
+            model: IsotonicRegressionModel): DataFrame = {
+    val withVec = new VectorAssembler().setInputCols(Array("__cal_s"))
+      .setOutputCol("sv")
+      .transform(df.withColumn("__cal_s", score.cast("double")))
+    model.setFeaturesCol("sv").setPredictionCol("calibrated")
+      .transform(withVec)
+      .drop("__cal_s", "sv")
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 second batch: ORC round-trip + pushdown, exact-k stratum
+  * sampling, embedding pooling, MMR re-ranking, isotonic calibration. */
+class Round8bOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("ORC round-trip preserves values and pushes filters into the scan") {
+    import spark.implicits._
+    val d = Seq((1L, 10.0, "A"), (2L, 30.0, "B"), (3L, 50.0, "A"))
+      .toDF("id", "qty", "flag")
+    val tmp = s"/tmp/graft_orc_spec_${java.util.UUID.randomUUID()}"
+    graft.sources.Columnar.writeOrc(d, tmp)
+    val back = graft.sources.Columnar.readOrc(spark, tmp)
+      .filter(col("qty") > 25)
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    // the filter must reach the ORC scan as a pushed predicate, and the
+    // projection must prune to the read schema — both are what make a
+    // 100 TB ORC corpus scan stripe-skippable
+    val plan = back.select("id").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"expected pushed qty>25 in ORC scan:\n$plan")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  test("sample_group_k: exactly min(k, |stratum|) rows per stratum, " +
+    "deterministic across runs, via bounded TopK partial aggregation") {
+    import spark.implicits._
+    val docs = (1L to 97L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("doc_id", "source")
+    def pick(k: Int) = docs
+      .select(col("source"),
+        concat(md5(col("doc_id").cast("string").cast("binary")),
+          lit("|"), col("doc_id").cast("string")).as("key"))
+      .groupBy("source")
+      .agg(graft.agg.TopKStrAgg.topK(k)(lit(0.0), col("key")).as("ks"))
+      .select(col("source"), explode(col("ks")).as("kv"))
+      .select(col("source"),
+        split(col("kv._2"), "\\|").getItem(1).cast("long").as("doc_id"))
+    val got = pick(10).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.groupBy(_._1).view.mapValues(_.length).toMap ===
+      Map("a" -> 10, "b" -> 10, "c" -> 10))
+    // k above the stratum size returns the whole stratum, no padding
+    val all = pick(1000).collect()
+    assert(all.length === 97)
+    // determinism: same picks on a differently-partitioned input
+    val got2 = pick(10).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sorted.toSeq === got2.sorted.toSeq)
+  }
+
+  test("embed pooling: bit-exact mean of chunk embeddings per group") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)),
+      (10L, Array(5.0f, 6.0f))).toDF("vec_id", "embedding")
+    val got = emb
+      .select(expr("vec_id div 10").as("gid"), col("vec_id"),
+        posexplode(expr("transform(embedding, x -> cast(x AS double))"))
+          .as(Seq("pos", "x")))
+      .groupBy("gid", "pos")
+      .agg(count(lit(1)).as("n"),
+        expr("""aggregate(array_sort(collect_list(struct(vec_id, x))),
+              |  cast(0.0 AS double), (acc, p) -> acc + p.x)"""
+          .stripMargin).as("sm"))
+      .select(col("gid"), col("pos"), (col("sm") / col("n")).as("m"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    assert(got === Map((0L, 0) -> 2.0, (0L, 1) -> 3.0,
+      (1L, 0) -> 5.0, (1L, 1) -> 6.0))
+  }
+
+  test("MMR re-rank prefers a diverse pick over a redundant higher-rel one") {
+    import spark.implicits._
+    // query q = (1, 0, 0, ...). a and a2 are near-identical high-rel
+    // vectors (sim ~0.9998); b is half-relevant but diverse (sim ~0.5).
+    // Pure relevance ranks (a, a2); at lambda=0.5 the redundancy
+    // penalty (0.5*0.9998 vs 0.5*0.5) flips rank 2 to b:
+    //   a2: 0.5*0.9926 - 0.5*0.9998 = -0.0036
+    //   b : 0.5*0.5026 - 0.5*0.5001 = +0.0013
+    def v(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(64 - xs.length)(0.0)).map(_.toFloat).toArray
+    val emb = Seq(
+      (0L, v(1.0)),              // the query vector
+      (1L, v(0.99, 0.1)),        // a
+      (2L, v(0.98, 0.12)),       // a2 ~ a
+      (3L, v(0.5, 0.0, 0.86))    // b, diverse
+    ).toDF("vec_id", "embedding")
+    val got = graft.sim.Mmr.mmrTopK(emb, queryId = 0L, nCand = 3, k = 2,
+        lambda = 0.5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(got === Seq(1L, 3L),
+      s"expected diverse pick (1, 3), got $got")
+    // and the rank-1 pick is always the pure-relevance argmax
+    assert(got.head === 1L)
+  }
+
+  test("isotonic calibration reproduces the hand-computed PAV solution") {
+    import spark.implicits._
+    // scores 1..4 with labels 0,1,0,1: PAV pools the violating middle
+    // pair -> predictions (0, 0.5, 0.5, 1)
+    val d = Seq((1.0, 0), (2.0, 1), (3.0, 0), (4.0, 1)).toDF("s", "y")
+    val m = graft.train.Calibrate.isotonicFit(d, col("s"), col("y") === 1)
+    assert(m.predictions.toArray.toSeq === Seq(0.0, 0.5, 0.5, 1.0))
+    val applied = graft.train.Calibrate(d, col("s"), m)
+      .select("s", "calibrated").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    assert(applied(1.0) === 0.0 && applied(4.0) === 1.0)
+    assert(applied(2.0) === 0.5 && applied(3.0) === 0.5)
+  }
+}
