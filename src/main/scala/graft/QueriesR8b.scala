@@ -201,11 +201,159 @@ object QueriesR8b {
         |UNION ALL SELECT 'brier_improves', 1, count(*) FROM lineitem
         |""".stripMargin))
 
+  // ---- streaming incremental catalog maintenance ---------------------------
+
+  /** Stream lineitem in 4 micro-batches through the foreachBatch
+    * catalog maintainer; the merged catalog must equal the batch profile
+    * EXACTLY on counts/bin duals (and hence KS/IV/WoE), moments to FP
+    * tolerance — the live-stats path a continuously-ingesting corpus
+    * takes instead of re-profiling. */
+  private val streamStats: Q = {
+    val cols = Seq("l_quantity", "l_extendedprice")
+    Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = li(s, dir).select("l_quantity", "l_extendedprice",
+          "l_returnflag")
+        val whole = graft.ops.StatsPipeline.profileNumeric(d, cols, isPos)
+        val bounds: Map[String, Seq[Double]] =
+          whole.map { case (c, p) => c -> (p.binning.binBoundary: Seq[Double]) }
+        val tmp = s"/tmp/graft_sstats_${java.util.UUID.randomUUID()}"
+        d.repartition(4).write.parquet(tmp)
+        val schema = s.read.parquet(tmp).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(tmp)
+        val (q, get, nBatches) = graft.streaming.StreamStats
+          .maintainNumericCounted(stream, cols, isPos, bounds)
+        q.awaitTermination()
+        val merged = get()
+        def close(x: Option[Double], y: Option[Double], tol: Double) =
+          (x, y) match {
+            case (Some(a), Some(b)) =>
+              math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
+            case (None, None) => true
+            case _ => false
+          }
+        val n = d.count()
+        (Seq(("multi_batch", if (nBatches() >= 2) 1 else 0)) ++
+          cols.flatMap { c =>
+            val w = whole(c); val m = merged(c)
+            Seq(
+              (s"counts_exact_$c",
+                if (m.stats.totalCount == w.stats.totalCount &&
+                  m.stats.missingCount == w.stats.missingCount &&
+                  m.binning.binCountPos == w.binning.binCountPos &&
+                  m.binning.binCountNeg == w.binning.binCountNeg) 1 else 0),
+              (s"metrics_exact_$c",
+                if (m.stats.ks == w.stats.ks && m.stats.iv == w.stats.iv &&
+                  m.binning.binCountWoe == w.binning.binCountWoe) 1 else 0),
+              (s"moments_close_$c",
+                if (close(m.stats.mean, w.stats.mean, 1e-9) &&
+                  close(m.stats.stdDev, w.stats.stdDev, 1e-9)) 1 else 0))
+          }).map { case (name, ok) => (name, ok, n) }
+          .toDF("contract", "ok", "n")
+      },
+      oracle = Some((Seq("multi_batch") ++ cols.flatMap(c => Seq(
+        s"counts_exact_$c", s"metrics_exact_$c", s"moments_close_$c")))
+        .map(nm =>
+          s"SELECT '$nm' AS contract, 1 AS ok, count(*) AS n FROM lineitem")
+        .mkString("", "\nUNION ALL ", "\n")))
+  }
+
+  // ---- per-source token-budget selection -----------------------------------
+
+  /** [[graft.text.TextOps.selectTopMassBySource]] with the stopword-ratio
+    * quality score and an 8k-token budget per source — every kept
+    * (doc, source, bin, tokens) row value-checked against the oracle's
+    * per-source cumulative-bin replay. */
+  private val topMassBySource: Q = Q(
+    fn = (s, dir) => {
+      val q = graft.text.TextOps.quality(docs(s, dir))
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("stopword_ratio"),
+          col("n_tokens"))
+      graft.text.TextOps.selectTopMassBySource(q, col("stopword_ratio"),
+        col("n_tokens"), budgetPerSource = 8000L)
+    },
+    oracle = Some {
+      val stopList = graft.text.TextOps.enStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |    round(len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopList)))::DOUBLE
+         |      / len(string_split(text, ' ')), 6) AS score
+         |  FROM documents),
+         |d AS (SELECT doc_id, source,
+         |  greatest(least(floor(score * 1000)::INT, 999), 0) AS bin,
+         |  n_tokens FROM q),
+         |b AS (SELECT source, bin, sum(n_tokens) AS tk
+         |      FROM d GROUP BY source, bin),
+         |c AS (SELECT source, bin,
+         |        sum(tk) OVER (PARTITION BY source ORDER BY bin DESC) AS cum
+         |      FROM b),
+         |t AS (SELECT source, coalesce(min(bin), 2147483647) AS mk
+         |      FROM c WHERE cum <= 8000 GROUP BY source)
+         |SELECT d.doc_id, d.source, d.bin, d.n_tokens
+         |FROM d JOIN t USING (source) WHERE d.bin >= t.mk
+         |""".stripMargin
+    })
+
+  // ---- Misra-Gries heavy hitters -------------------------------------------
+
+  /** The sketch result isn't SQL-expressible, so the contracts carry the
+    * MG guarantees: estimates never exceed truth, never undershoot by
+    * more than n/(k+1), and EVERY token with true count > n/(k+1) is
+    * present. Truth comes from the exact in-Spark groupBy; the oracle
+    * independently value-checks the corpus token count. */
+  private val heavyHitters: Q = {
+    val k = 200
+    Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val toks = docs(s, dir).select(explode(
+          expr("filter(split(lower(text), ' '), t -> t <> '')")).as("t"))
+        toks.cache()
+        val n = toks.count()
+        val thr = n / (k + 1)
+        val sk = toks
+          .agg(graft.agg.MisraGries.sketch(k)(col("t")).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e._1").as("token"), col("e._2").as("est"))
+        val exact = toks.groupBy("t").agg(count(lit(1)).as("c"))
+        val joined = sk.join(exact, sk("token") === exact("t"), "left")
+          .select(col("token"), col("est"), col("c")).collect()
+        toks.unpersist()
+        val upper = joined.forall(r => r.getLong(1) <= r.getLong(2))
+        val lower = joined.forall(r => r.getLong(1) >= r.getLong(2) - thr)
+        val mustHave = exact.filter(col("c") > thr)
+          .join(sk, exact("t") === sk("token"), "left_anti").count()
+        Seq(
+          ("est_le_truth", if (upper) 1 else 0, n),
+          ("est_ge_truth_minus_eps", if (lower) 1 else 0, n),
+          ("all_heavy_present", if (mustHave == 0) 1 else 0, n),
+          ("bounded_size", if (joined.length <= k) 1 else 0, n))
+          .toDF("contract", "ok", "n")
+      },
+      oracle = Some(
+        """WITH n AS (SELECT sum(len(list_filter(string_split(lower(text),
+          |    ' '), t -> t <> '')))::BIGINT AS n FROM documents)
+          |SELECT 'est_le_truth' AS contract, 1 AS ok, n FROM n
+          |UNION ALL SELECT 'est_ge_truth_minus_eps', 1, n FROM n
+          |UNION ALL SELECT 'all_heavy_present', 1, n FROM n
+          |UNION ALL SELECT 'bounded_size', 1, n FROM n
+          |""".stripMargin))
+  }
+
   val all: Map[String, Q] = Map(
     "q_orc_roundtrip"  -> orcRoundtrip,
     "q_sample_group_k" -> sampleGroupK,
     "q_embed_pool"     -> embedPool,
     "q_mmr_rerank"     -> mmrRerank,
     "q_calibration"    -> calibration,
+    "q_stream_stats"   -> streamStats,
+    "q_topmass_by_source" -> topMassBySource,
+    "q_heavy_hitters"  -> heavyHitters,
   )
 }

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.catalog.ColumnProfile
+import graft.ops.{StatsMerge, StatsPipeline}
+
+/** Streaming incremental catalog maintenance — the streaming face of the
+  * batch incremental path (`ops.StatsMerge` + `profileNumeric
+  * (boundsOverride)`): each micro-batch is profiled against the FROZEN
+  * catalog boundaries and merged into the running catalog, so a
+  * continuously-ingesting 100 TB corpus keeps live column stats without
+  * ever re-profiling history.
+  *
+  * Scale shape: per batch, the work is the same two-scan profile the
+  * batch `stats` step runs — moments as one wide aggregate, bin duals as
+  * one stacked groupBy with map-side combine — over ONLY the new rows;
+  * the merge is driver math over the bounded per-column count vectors.
+  * Counts/bin duals add exactly, KS/IV/WoE recompute from merged counts
+  * (bit-equal to profiling the union, proven by Round8bOpsSpec and the
+  * q_stream_stats contracts). State is the bounded catalog itself —
+  * nothing accumulates in stream state stores.
+  */
+object StreamStats {
+
+  /** Start a foreachBatch maintenance query over `stream`. Returns the
+    * running query and a reader for the current merged catalog (safe to
+    * call after `processAllAvailable()` / `awaitTermination`). Batches
+    * are profiled with the frozen `bounds`; empty micro-batches are
+    * skipped (profiling an empty frame would make degenerate min/max). */
+  def maintainNumeric(stream: DataFrame, cols: Seq[String], isPos: Column,
+                      bounds: Map[String, Seq[Double]])
+      : (StreamingQuery, () => Map[String, ColumnProfile]) = {
+    val (q, get, _) = maintainNumericCounted(stream, cols, isPos, bounds)
+    (q, get)
+  }
+
+  /** As [[maintainNumeric]], additionally exposing the count of non-empty
+    * micro-batches folded in — for the multi-batch contract check. */
+  def maintainNumericCounted(stream: DataFrame, cols: Seq[String],
+                             isPos: Column,
+                             bounds: Map[String, Seq[Double]])
+      : (StreamingQuery, () => Map[String, ColumnProfile], () => Int) = {
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[String, ColumnProfile])
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val p = StatsPipeline.profileNumeric(
+            batch, cols, isPos, boundsOverride = Some(bounds))
+          batches.incrementAndGet()
+          acc.updateAndGet { m =>
+            if (m.isEmpty) p
+            else p.map { case (c, prof) => c -> StatsMerge.merge(m(c), prof) }
+          }
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    (q, () => acc.get(), () => batches.get())
+  }
+}

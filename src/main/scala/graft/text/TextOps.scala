@@ -1010,6 +1010,42 @@ object TextOps {
     d.filter(col("bin") >= minKept)
   }
 
+  /** Per-source token-budget selection — [[selectTopMass]] with an
+    * independent budget per corpus slice (the "take the best N tokens
+    * from EACH source" assembly rule that keeps a dominant source from
+    * eating the whole budget). Same two-pass histogram shape: one
+    * map-side-combined groupBy on (source, bin) — ≤ sources × nBins rows
+    * to the driver — a bounded per-source walk, then ONE narrow filter
+    * against the broadcast per-source threshold table. No sort, no
+    * window, no per-source scan. */
+  def selectTopMassBySource(docs: DataFrame, score: Column,
+                            tokensCol: Column, budgetPerSource: Long,
+                            nBins: Int = 1000): DataFrame = {
+    require(nBins > 0 && budgetPerSource >= 0,
+      s"bad nBins=$nBins budget=$budgetPerSource")
+    val d = docs.select(col("doc_id"), col("source"),
+      greatest(least(floor(score * nBins).cast("int"), lit(nBins - 1)),
+        lit(0)).as("bin"),
+      tokensCol.cast("long").as("n_tokens"))
+    val perSource = d.groupBy("source", "bin").agg(sum("n_tokens").as("tk"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    val minKept = perSource.map { case (src, rows) =>
+      val sorted = rows.map(t => (t._2, t._3)).sortBy(-_._1)
+      var cum = 0L; var mk = Int.MaxValue; var i = 0
+      while (i < sorted.length && cum + sorted(i)._2 <= budgetPerSource) {
+        cum += sorted(i)._2; mk = sorted(i)._1; i += 1
+      }
+      src -> mk
+    }.toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // bounded by construction (distinct sources already fit the driver)
+    val th = broadcast(minKept.toDF("source", "mk"))
+    d.join(th, "source").filter(col("bin") >= col("mk"))
+      .select("doc_id", "source", "bin", "n_tokens")
+  }
+
   /** Temperature-flattened mixture weights (the XLM-R/mT5 multilingual
     * sampling rule): target share ∝ share^α with α ∈ (0,1] — α=1 keeps
     * the natural mixture, α→0 approaches uniform, between the two it

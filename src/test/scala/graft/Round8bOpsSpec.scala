@@ -98,6 +98,75 @@ class Round8bOpsSpec extends AnyFunSuite {
     assert(got.head === 1L)
   }
 
+  test("Misra-Gries: guarantee holds under adversarial order and merges") {
+    import spark.implicits._
+    // 3 heavy items among 60 distinct light ones, k=8 counters, shuffled
+    // across 4 partitions so the PODS'12 merge path runs
+    val items = (Seq.fill(500)("heavy_a") ++ Seq.fill(300)("heavy_b") ++
+      Seq.fill(200)("heavy_c") ++
+      (1 to 60).flatMap(i => Seq.fill(5)(s"light_$i")))
+    val n = items.length.toLong
+    val k = 8
+    val shuffled = new scala.util.Random(7).shuffle(items)
+    val df = shuffled.toDF("t").repartition(4)
+    val got = df.agg(graft.agg.MisraGries.sketch(k)(col("t")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e._1"), col("e._2"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val truth = items.groupBy(identity).view.mapValues(_.length.toLong)
+    val eps = n / (k + 1) // 1300/9 = 144
+    assert(got.size <= k)
+    // every item with true count > n/(k+1) is present
+    for ((t, c) <- truth if c > eps) assert(got.contains(t), s"missing $t")
+    // estimates bounded: truth - eps <= est <= truth
+    for ((t, e) <- got) {
+      assert(e <= truth(t), s"$t overestimated: $e > ${truth(t)}")
+      assert(e >= truth(t) - eps, s"$t undershot: $e < ${truth(t)} - $eps")
+    }
+  }
+
+  test("selectTopMassBySource: budgets are independent per source") {
+    import spark.implicits._
+    // source A has huge high-score mass; source B's docs must still be
+    // selected under B's own budget
+    val docs = Seq(
+      (1L, "A", 0.9, 5000L), (2L, "A", 0.8, 4000L), (3L, "A", 0.7, 3000L),
+      (4L, "B", 0.6, 100L), (5L, "B", 0.5, 200L), (6L, "B", 0.1, 9999L)
+    ).toDF("doc_id", "source", "score", "n_tokens")
+    val got = graft.text.TextOps.selectTopMassBySource(
+      docs, col("score"), col("n_tokens"), budgetPerSource = 9000L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // A: 5000+4000=9000 fits, +3000 would not -> docs 1,2
+    // B: 100+200 fits, 9999 busts -> docs 4,5 (A's mass doesn't matter)
+    assert(got === Seq(1L, 2L, 4L, 5L))
+  }
+
+  test("StreamStats: merged streaming catalog equals the batch profile") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = (1 to 300).map(i =>
+      (i.toDouble % 37, if (i % 5 == 0) "R" else "N"))
+    val batchDf = rows.toDF("x", "flag")
+    val whole = graft.ops.StatsPipeline.profileNumeric(
+      batchDf, Seq("x"), col("flag") === "R")
+    val bounds = Map("x" -> (whole("x").binning.binBoundary: Seq[Double]))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Double, String)]
+    rows.grouped(100).foreach(g => ms.addData(g))
+    val (q, get, nb) = graft.streaming.StreamStats.maintainNumericCounted(
+      ms.toDF().toDF("x", "flag"), Seq("x"), col("flag") === "R", bounds)
+    q.processAllAvailable()
+    q.stop()
+    val m = get()("x")
+    val w = whole("x")
+    assert(nb() >= 1)
+    assert(m.stats.totalCount === w.stats.totalCount)
+    assert(m.binning.binCountPos === w.binning.binCountPos)
+    assert(m.binning.binCountNeg === w.binning.binCountNeg)
+    assert(m.stats.ks === w.stats.ks && m.stats.iv === w.stats.iv)
+    assert(math.abs(m.stats.mean.get - w.stats.mean.get) < 1e-9)
+  }
+
   test("isotonic calibration reproduces the hand-computed PAV solution") {
     import spark.implicits._
     // scores 1..4 with labels 0,1,0,1: PAV pools the violating middle
