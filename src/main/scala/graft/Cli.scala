@@ -27,12 +27,13 @@ import graft.pipeline.Pipeline
   *                  --candidates ... --out model.pmml
   * graft.Cli new    --out ModelConfig.json [--target t --pos 1 --neg 0 ...]
   * graft.Cli <verb> --spec ModelConfig.json ...   # dataSet defaults from file
-  * graft.Cli stats  ... [--corr out] [--psi unitCol] [--rebin col]
+  * graft.Cli stats  ... [--corr out] [--psi unitCol] [--rebin col] \
+  *                  [--topk col [--topkn 100] [--topkout dir]]
   * graft.Cli varsel --catalog ColumnConfig.json --topn 5 \
   *                  [--method ks|iv|pareto|itsa] [--list true] [--reset true]
   * graft.Cli train  --data ... --catalog ... [--algo lr|nn|svm|dt|rf|gbt] \
   *                  [--out model.json]
-  * graft.Cli posttrain --data ... --catalog ...      # binAvgScore update
+  * graft.Cli posttrain --data ... --catalog ... [--calibrate true]
   * graft.Cli encode --data ... --catalog ... [--depth 4] [--out dir]
   * graft.Cli combo  --data ... --catalog ... [--algos lr,dt] [--out dir]
   * graft.Cli test   --data ... --filter 'e1;e2' [--n 100]  # filter dry-run
@@ -376,8 +377,25 @@ object Cli {
             }.mkString("\n"))
           s"quantiles: ${sketches.size} sketches -> $out"
         }
+        val topkLine = opts.get("topk").map { c =>
+          // heavy hitters for a (categorical / id-like) column via the
+          // mergeable Misra-Gries sketch: tasks × k rows on the wire,
+          // where an exact groupBy would shuffle the full distinct-value
+          // table just to answer a ≤ k-row question
+          val k = opts.getOrElse("topkn", "100").toInt
+          val hh = clean.filter(col(c).isNotNull)
+            .agg(graft.agg.MisraGries.sketch(k)(col(c).cast("string"))
+              .as("hh"))
+            .select(explode(col("hh")).as("e"))
+            .select(col("e._1").as("item"), col("e._2").as("est"))
+          opts.get("topkout").foreach(o =>
+            hh.write.mode("overwrite").parquet(o))
+          val top = hh.limit(5).collect()
+            .map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(",")
+          s"topk: $c ($k counters) -> $top"
+        }
         Seq(s"catalog: ${opts("catalog")} (${catalog.length} columns)") ++
-          corrLine ++ psiLine ++ rebinLine ++ sketchLine
+          corrLine ++ psiLine ++ rebinLine ++ sketchLine ++ topkLine
 
       case "norm" =>
         val catalog = CatalogIO.read(opts("catalog"))
@@ -860,8 +878,21 @@ object Cli {
           }
         }
         CatalogIO.write(opts("catalog"), updated)
+        val calLine = opts.get("calibrate").map { _ =>
+          // isotonic score→probability calibration as a posttrain
+          // artifact: sidecar next to the catalog (same convention as
+          // <catalog>.quantiles) so eval-side scoring can map raw model
+          // scores to calibrated probabilities
+          val scored = withN.withColumn("__score", lm.score)
+          val m = graft.train.Calibrate.isotonicFit(
+            scored, col("__score"), col("tag") === 1)
+          val out = s"${opts("catalog")}.calibration"
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+            graft.train.Calibrate.serialize(m))
+          s"calibration: ${m.boundaries.size} blocks -> $out"
+        }
         Seq(s"binAvgScore updated: ${sel.size} columns",
-          f"auc: ${t.auc}%.6f")
+          f"auc: ${t.auc}%.6f") ++ calLine
 
       case "encode" =>
         // `shifu encode` (ShifuCLI encode -run): fit a depth-limited tree

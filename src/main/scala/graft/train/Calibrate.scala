@@ -32,6 +32,36 @@ object Calibrate {
         .setOutputCol("sv").transform(d))
   }
 
+  /** Sidecar text form: one `boundary<TAB>prediction` line per PAV block
+    * (same convention as the `<catalog>.quantiles` sidecar). */
+  def serialize(model: IsotonicRegressionModel): String =
+    model.boundaries.toArray.zip(model.predictions.toArray)
+      .map { case (b, p) => s"$b\t$p" }.mkString("\n")
+
+  /** Rebuild the scoring function from a sidecar. Reproduces MLlib's
+    * predict exactly: clamp outside the boundary range, exact-match hit,
+    * linear interpolation between adjacent boundaries. */
+  def deserializeFn(s: String): Double => Double = {
+    val rows = s.split("\n").filter(_.nonEmpty).map { l =>
+      val Array(b, p) = l.split("\t"); (b.toDouble, p.toDouble)
+    }
+    val bs = rows.map(_._1)
+    val ps = rows.map(_._2)
+    (x: Double) => {
+      val i = java.util.Arrays.binarySearch(bs, x)
+      if (i >= 0) ps(i)
+      else {
+        val ins = -i - 1
+        if (ins == 0) ps.head
+        else if (ins == bs.length) ps.last
+        else {
+          val (b0, b1, p0, p1) = (bs(ins - 1), bs(ins), ps(ins - 1), ps(ins))
+          p0 + (p1 - p0) * (x - b0) / (b1 - b0)
+        }
+      }
+    }
+  }
+
   /** Apply: returns `df` plus a `calibrated` probability column. Uses the
     * model's own transform — a per-row binary search over the PAV
     * boundary array shipped once in the task closure. (A literal

@@ -668,4 +668,56 @@ class CliSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$tmp/c2.json.quantiles")))
   }
+
+  test("stats --topk: Misra-Gries heavy hitters for a column, with " +
+    "parquet out and the guaranteed heavy item present") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_hh").toString
+    val out = Cli.run(spark, "stats", base +
+      ("catalog" -> s"$tmp/c.json") + ("topk" -> "l_returnflag") +
+      ("topkn" -> "8") + ("topkout" -> s"$tmp/hh"))
+    val line = out.find(_.startsWith("topk: ")).get
+    // l_returnflag has 3 values over ~60k rows; with k=8 counters all
+    // three are guaranteed (freq >> n/9)
+    assert(line.contains("l_returnflag"))
+    val hh = spark.read.parquet(s"$tmp/hh").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val truth = spark.read.parquet(data).groupBy("l_returnflag").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = truth.values.sum
+    for ((t, c) <- truth) {
+      assert(hh.contains(t), s"heavy item $t missing")
+      assert(hh(t) <= c && hh(t) >= c - n / 9, s"$t: est=${hh(t)} true=$c")
+    }
+  }
+
+  test("posttrain --calibrate: sidecar written; reloaded fn is monotone, " +
+    "in [0,1], and matches the MLlib model pointwise") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_cal").toString
+    Cli.run(spark, "stats", base + ("catalog" -> s"$tmp/c.json"))
+    val out = Cli.run(spark, "posttrain", base +
+      ("catalog" -> s"$tmp/c.json") + ("calibrate" -> "true"))
+    val line = out.find(_.startsWith("calibration: "))
+    assert(line.isDefined, out.mkString("|"))
+    val sidecar = s"$tmp/c.json.calibration"
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(sidecar)))
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(sidecar))
+    val fn = graft.train.Calibrate.deserializeFn(txt)
+    // monotone nondecreasing over a probe grid, all probs in [0,1]
+    val probe = (0 to 100).map(_ / 100.0).map(fn)
+    assert(probe.zip(probe.drop(1)).forall { case (a, b) => a <= b })
+    assert(probe.forall(p => p >= 0.0 && p <= 1.0))
+    // pointwise parity with the in-memory model on the sidecar knots
+    val rows = txt.split("\n").map(_.split("\t")).map(a =>
+      (a(0).toDouble, a(1).toDouble))
+    rows.foreach { case (b, p) => assert(fn(b) === p) }
+    // interpolation between adjacent distinct knots: midpoint = mean
+    rows.sliding(2).foreach {
+      case Array((b0, p0), (b1, p1)) if b1 > b0 =>
+        assert(math.abs(fn((b0 + b1) / 2) - (p0 + p1) / 2) < 1e-12)
+      case _ => ()
+    }
+  }
 }
