@@ -346,7 +346,58 @@ object QueriesR8b {
           |""".stripMargin))
   }
 
+  // ---- product quantization (Jegou 2011) -----------------------------------
+
+  /** PQ codebooks/codes are k-means outputs (FP-order-sensitive → no
+    * cross-engine value parity), so like the IVF/k-means family this is
+    * a contract query: code shape and range, full-corpus coverage,
+    * Lloyd's guarantee (16-centroid reconstruction MSE strictly beats
+    * the 1-centroid subspace-mean baseline), training determinism, and
+    * the ADC top-k shape (dense ranks, nondecreasing distances, no
+    * self-match). The planted-prototype ranking behavior is spec-checked
+    * in Round8bOpsSpec. */
+  private val pqQ: Q = Q(
+    fn = (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val v = graft.sim.Similarity.prep(emb)
+      val n = emb.count()
+      val cb = graft.sim.Pq.train(v, m = 8, ksub = 16, nHint = n)
+      val enc = graft.sim.Pq.encode(v, cb).cache()
+      val shapeBad = enc.filter(size(col("codes")) =!= 8 ||
+        exists(col("codes"), c => c < 0 || c >= 16)).count()
+      val coverage = enc.count()
+      val mse16 = enc.agg(avg("err")).head().getDouble(0)
+      enc.unpersist()
+      val cb1 = graft.sim.Pq.train(v, m = 8, ksub = 1, nHint = n)
+      val mse1 = graft.sim.Pq.encode(v, cb1)
+        .agg(avg("err")).head().getDouble(0)
+      val cb2 = graft.sim.Pq.train(v, m = 8, ksub = 16, nHint = n)
+      val det = cb.cents.flatten.flatten.toSeq == cb2.cents.flatten.flatten.toSeq
+      val k = 5
+      val adc = graft.sim.Pq.adcTopK(emb, queryId = 0L, k = k)
+        .orderBy("rank").collect()
+      val adcOk = adc.length == k &&
+        adc.map(_.getInt(0)).toSeq == (1 to k) &&
+        adc.map(_.getDouble(2)).sliding(2).forall(w => w(0) <= w(1)) &&
+        adc.forall(_.getLong(1) != 0L) &&
+        adc.map(_.getLong(1)).distinct.length == k
+      Seq(
+        ("codes_in_range", if (shapeBad == 0) 1 else 0, n),
+        ("full_coverage", if (coverage == n) 1 else 0, n),
+        ("kmeans_beats_mean", if (mse16 < mse1) 1 else 0, n),
+        ("deterministic", if (det) 1 else 0, n),
+        ("adc_topk_ok", if (adcOk) 1 else 0, n))
+        .toDF("contract", "ok", "n")
+    },
+    oracle = Some(Seq("codes_in_range", "full_coverage",
+      "kmeans_beats_mean", "deterministic", "adc_topk_ok")
+      .map(c =>
+        s"SELECT '$c' AS contract, 1 AS ok, count(*) AS n FROM embeddings")
+      .mkString("", "\nUNION ALL ", "\n")))
+
   val all: Map[String, Q] = Map(
+    "q_pq"             -> pqQ,
     "q_orc_roundtrip"  -> orcRoundtrip,
     "q_sample_group_k" -> sampleGroupK,
     "q_embed_pool"     -> embedPool,

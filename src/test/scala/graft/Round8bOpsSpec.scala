@@ -167,6 +167,38 @@ class Round8bOpsSpec extends AnyFunSuite {
     assert(math.abs(m.stats.mean.get - w.stats.mean.get) < 1e-9)
   }
 
+  test("PQ: planted prototypes share codes; ADC ranks the query's own " +
+    "prototype group first") {
+    import spark.implicits._
+    // 4 prototypes far apart in 64-dim; 5 vectors per prototype with tiny
+    // deterministic jitter. ksub=4 per subspace is enough to separate.
+    def proto(p: Int): Array[Double] =
+      Array.tabulate(64)(i => if (i % 4 == p) 10.0 else 0.0)
+    // interleaved ids (id % 4 = prototype) so the deterministic seeds —
+    // the first ksub subvectors in vec_id order — span all 4 prototypes
+    val vecs = for (p <- 0 until 4; r <- 0 until 5) yield {
+      val e = proto(p).clone()
+      e(p) += 0.01 * r // jitter that k-means noise-floors away
+      ((r * 4 + p).toLong, e.map(_.toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val v = graft.sim.Similarity.prep(emb)
+    val cb = graft.sim.Pq.train(v, m = 8, ksub = 4, nHint = vecs.length)
+    val codes = graft.sim.Pq.encode(v, cb)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toMap
+    // same prototype -> same code word in every subspace
+    for (p <- 0 until 4; r <- 1 until 5)
+      assert(codes(p.toLong) === codes((r * 4 + p).toLong),
+        s"prototype $p member $r diverged")
+    // different prototypes -> different codes
+    assert(codes(0L) !== codes(1L))
+    // ADC from vec 0 (prototype 0): its 4 groupmates fill the top-4
+    val top = graft.sim.Pq.adcTopK(emb, queryId = 0L, k = 4, m = 8,
+      ksub = 4).collect().map(_.getLong(1)).toSet
+    assert(top === Set(4L, 8L, 12L, 16L),
+      s"expected prototype-0 group, $top")
+  }
+
   test("isotonic calibration reproduces the hand-computed PAV solution") {
     import spark.implicits._
     // scores 1..4 with labels 0,1,0,1: PAV pools the violating middle
