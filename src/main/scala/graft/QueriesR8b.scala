@@ -396,8 +396,57 @@ object QueriesR8b {
         s"SELECT '$c' AS contract, 1 AS ok, count(*) AS n FROM embeddings")
       .mkString("", "\nUNION ALL ", "\n")))
 
+  /** Streaming twin of q_heavy_hitters: the corpus streamed in 4
+    * micro-batches through the MG maintainer must still satisfy every MG
+    * bound against exact whole-corpus truth — the mergeability proof at
+    * the query level. */
+  private val streamTopK: Q = {
+    val k = 200
+    Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val toksExpr = "filter(split(lower(text), ' '), t -> t <> '')"
+        val tmp = s"/tmp/graft_stk_${java.util.UUID.randomUUID()}"
+        docs(s, dir).repartition(4).write.parquet(tmp)
+        val schema = s.read.parquet(tmp).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(tmp)
+          .select(explode(expr(toksExpr)).as("t"))
+        val (q, get) = graft.streaming.StreamStats
+          .maintainTopK(stream, col("t"), k)
+        q.awaitTermination()
+        val got = get().toMap
+        val toks = docs(s, dir).select(explode(expr(toksExpr)).as("t"))
+        toks.cache()
+        val n = toks.count()
+        val thr = n / (k + 1)
+        val exact = toks.groupBy("t").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        toks.unpersist()
+        val upper = got.forall { case (t, e) => e <= exact(t) }
+        val lower = got.forall { case (t, e) => e >= exact(t) - thr }
+        val mustHave = exact.count { case (t, c) =>
+          c > thr && !got.contains(t) }
+        Seq(
+          ("est_le_truth", if (upper) 1 else 0, n),
+          ("est_ge_truth_minus_eps", if (lower) 1 else 0, n),
+          ("all_heavy_present", if (mustHave == 0) 1 else 0, n),
+          ("bounded_size", if (got.size <= k) 1 else 0, n))
+          .toDF("contract", "ok", "n")
+      },
+      oracle = Some(
+        """WITH n AS (SELECT sum(len(list_filter(string_split(lower(text),
+          |    ' '), t -> t <> '')))::BIGINT AS n FROM documents)
+          |SELECT 'est_le_truth' AS contract, 1 AS ok, n FROM n
+          |UNION ALL SELECT 'est_ge_truth_minus_eps', 1, n FROM n
+          |UNION ALL SELECT 'all_heavy_present', 1, n FROM n
+          |UNION ALL SELECT 'bounded_size', 1, n FROM n
+          |""".stripMargin))
+  }
+
   val all: Map[String, Q] = Map(
     "q_pq"             -> pqQ,
+    "q_stream_topk"    -> streamTopK,
     "q_orc_roundtrip"  -> orcRoundtrip,
     "q_sample_group_k" -> sampleGroupK,
     "q_embed_pool"     -> embedPool,

@@ -36,6 +36,34 @@ object StreamStats {
     (q, get)
   }
 
+  /** Streaming heavy-hitters maintenance: per micro-batch, one bounded
+    * Misra-Gries aggregation (≤ k counters per task) collects a ≤ k-entry
+    * sketch to the driver, which folds it into the running sketch with
+    * the PODS'12 merge — so "top domains / tokens of the ingest, live"
+    * costs O(k) driver state and never a distinct-value shuffle. The MG
+    * bound survives arbitrary batching because the sketch is mergeable:
+    * est ∈ [true − n/(k+1), true] over everything streamed so far. */
+  def maintainTopK(stream: DataFrame, item: Column, k: Int)
+      : (StreamingQuery, () => Seq[(String, Long)]) = {
+    val mg = new graft.agg.MisraGries(k)
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[String, Long])
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val sk = batch.filter(item.isNotNull)
+          .agg(graft.agg.MisraGries.sketch(k)(item).as("hh"))
+          .select(org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.col("hh")).as("e"))
+          .select("e._1", "e._2")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        acc.updateAndGet(m => mg.merge(m, sk))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    (q, () => mg.finish(acc.get()))
+  }
+
   /** As [[maintainNumeric]], additionally exposing the count of non-empty
     * micro-batches folded in — for the multi-batch contract check. */
   def maintainNumericCounted(stream: DataFrame, cols: Seq[String],

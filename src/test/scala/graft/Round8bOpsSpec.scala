@@ -167,6 +167,27 @@ class Round8bOpsSpec extends AnyFunSuite {
     assert(math.abs(m.stats.mean.get - w.stats.mean.get) < 1e-9)
   }
 
+  test("maintainTopK: streamed MG sketch keeps the planted heavy item " +
+    "with valid bounds across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val items = Seq.fill(400)("heavy") ++
+      (1 to 50).flatMap(i => Seq.fill(4)(s"light_$i"))
+    val shuffled = new scala.util.Random(3).shuffle(items)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    shuffled.grouped(200).foreach(g => ms.addData(g))
+    val (q, get) = graft.streaming.StreamStats.maintainTopK(
+      ms.toDF().toDF("t"), col("t"), k = 6)
+    q.processAllAvailable()
+    q.stop()
+    val got = get().toMap
+    val n = items.length
+    assert(got.size <= 6)
+    assert(got.contains("heavy"), s"heavy item lost across batches: $got")
+    assert(got("heavy") <= 400 && got("heavy") >= 400 - n / 7)
+  }
+
   test("PQ: planted prototypes share codes; ADC ranks the query's own " +
     "prototype group first") {
     import spark.implicits._
