@@ -444,8 +444,30 @@ object QueriesR8b {
           |""".stripMargin))
   }
 
+  /** IVFADC shape contract (k-means family → no cross-engine value
+    * parity): dense cosine-ordered ranks, no self-match, distinct ids,
+    * plus the planted-prototype ranking spec in Round8bOpsSpec. */
+  private val ivfadcQ: Q = Q(
+    fn = (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val k = 5
+      val r = graft.sim.Pq.ivfadcTopK(emb, queryId = 0L, k = k, nProbe = 2)
+        .orderBy("rank").collect()
+      val ok = r.length == k &&
+        r.map(_.getInt(0)).toSeq == (1 to k) &&
+        r.map(_.getDouble(2)).sliding(2).forall(w => w(0) <= w(1)) &&
+        r.forall(_.getLong(1) != 0L) &&
+        r.map(_.getLong(1)).distinct.length == k
+      Seq((if (ok) 1 else 0, emb.count())).toDF("topk_ok", "n_emb")
+    },
+    oracle = Some(
+      """SELECT 1 AS topk_ok, count(*) AS n_emb FROM embeddings
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_pq"             -> pqQ,
+    "q_ivfadc"         -> ivfadcQ,
     "q_stream_topk"    -> streamTopK,
     "q_orc_roundtrip"  -> orcRoundtrip,
     "q_sample_group_k" -> sampleGroupK,

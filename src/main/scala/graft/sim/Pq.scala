@@ -148,4 +148,82 @@ object Pq {
       .select((col("p") + 1).cast("int").as("rank"),
         col("nb._2").as("vec_id"), round(-col("nb._1"), 6).as("adc_r"))
   }
+
+  /** IVFADC (the FAISS-default billion-scale index): IVF coarse cells +
+    * PQ over the RESIDUAL (vector − its cell centroid), searched with
+    * per-cell ADC tables. The coarse quantizer prunes the corpus to the
+    * probed cells; the residual PQ makes what remains m bytes/vector.
+    * Scale: both quantizers train on the bounded driver sample and
+    * broadcast; the index at rest is (cell, m codes) per vector; a query
+    * scans only `nProbe` cells' code lists with m adds per row + the
+    * bounded [[TopKAgg]]. Residual quantization is what makes the shared
+    * codebook work across cells (residuals are centered near 0
+    * regardless of which cell a vector lives in — Jégou §IV.B). */
+  def ivfadcTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 5,
+                 nCells0: Int = 0, nProbe: Int = 2,
+                 m: Int = 8, ksub: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = Similarity.prep(emb)
+    val n = emb.count()
+    val nCells = if (nCells0 > 0) nCells0
+      else math.min(256, math.max(4, (n / 96L).toInt))
+    val coarse = Ivf.centroids(v, nCells, nHint = n)
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    // residual table keeps the (vec_id, e, cell) shape train/encode need
+    val resid = Ivf.assignCells(v, coarse)
+      .select(col("vec_id"), col("e"), col("cell"))
+      .as[(Long, Array[Double], Int)]
+      .map { case (id, e, cell) =>
+        val c = bcCoarse.value(cell)
+        val r = new Array[Double](e.length)
+        var i = 0
+        while (i < e.length) { r(i) = e(i) - c(i); i += 1 }
+        (id, r, cell)
+      }
+      .toDF("vec_id", "e", "cell")
+    resid.cache() // reused by codebook training, encoding and the re-join
+    val cb = train(resid, m, ksub, nHint = n)
+    val index = encode(resid, cb)
+      .join(resid.select("vec_id", "cell"), "vec_id")
+      .select("vec_id", "codes", "cell")
+    // query side: nProbe nearest cells, one residual LUT per probed cell
+    val q = toArr(v.filter(col("vec_id") === queryId).select("e").head(), 0)
+    val probed = coarse.zipWithIndex.map { case (c, cell) =>
+      var dd = 0.0; var i = 0
+      while (i < q.length) { val t = q(i) - c(i); dd += t * t; i += 1 }
+      (dd, cell)
+    }.sortBy { case (d, cell) => (d, cell) }.take(nProbe).map(_._2)
+    val luts: Map[Int, Array[Array[Double]]] = probed.map { cell =>
+      val c = coarse(cell)
+      val qr = Array.tabulate(q.length)(i => q(i) - c(i))
+      cell -> Array.tabulate(cb.m, cb.ksub) { (j, cc) =>
+        var dd = 0.0; var i = 0
+        val cv = cb.cents(j)(cc)
+        val off = j * cb.dsub
+        while (i < cb.dsub) {
+          val t = qr(off + i) - cv(i); dd += t * t; i += 1
+        }
+        dd
+      }
+    }.toMap
+    val bl = spark.sparkContext.broadcast(luts)
+    val scored = index
+      .filter(col("cell").isin(probed.toSeq: _*) &&
+        col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .as[(Long, Array[Int], Int)]
+      .map { case (id, codes, cell) =>
+        val l = bl.value(cell)
+        var s = 0.0; var j = 0
+        while (j < codes.length) { s += l(j)(codes(j)); j += 1 }
+        (id, s)
+      }
+      .toDF("vec_id", "adc_dist")
+    scored.groupBy()
+      .agg(TopKAgg.topK(k)(-col("adc_dist"), col("vec_id")).as("nn"))
+      .select(posexplode(col("nn")).as(Seq("p", "nb")))
+      .select((col("p") + 1).cast("int").as("rank"),
+        col("nb._2").as("vec_id"), round(-col("nb._1"), 6).as("adc_r"))
+  }
 }

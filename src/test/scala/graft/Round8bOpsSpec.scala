@@ -220,6 +220,25 @@ class Round8bOpsSpec extends AnyFunSuite {
       s"expected prototype-0 group, $top")
   }
 
+  test("IVFADC: residual-PQ search finds the query's prototype group") {
+    import spark.implicits._
+    def proto(p: Int): Array[Double] =
+      Array.tabulate(64)(i => if (i % 4 == p) 10.0 else 0.0)
+    val vecs = for (p <- 0 until 4; r <- 0 until 5) yield {
+      val e = proto(p).clone()
+      e(p) += 0.01 * r
+      ((r * 4 + p).toLong, e.map(_.toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    // 4 coarse cells (one per prototype given interleaved seed order),
+    // nProbe=1: the probed cell IS the query's prototype cluster
+    val top = graft.sim.Pq.ivfadcTopK(emb, queryId = 0L, k = 4,
+      nCells0 = 4, nProbe = 1, m = 8, ksub = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(top === Set(4L, 8L, 12L, 16L),
+      s"expected prototype-0 groupmates, got $top")
+  }
+
   test("isotonic calibration reproduces the hand-computed PAV solution") {
     import spark.implicits._
     // scores 1..4 with labels 0,1,0,1: PAV pools the violating middle
