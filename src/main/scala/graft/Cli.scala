@@ -409,8 +409,17 @@ object Cli {
           case Some(n) => normed.repartition(n.toInt)
           case None    => normed
         }
-        out.write.mode("overwrite").parquet(opts("out"))
-        Seq(s"normalized: ${opts("out")} (${normed.columns.length} columns)")
+        // --format orc: same normalized output through the ORC sink
+        // (zstd, splittable) for downstream stacks that read ORC
+        val fmt = opts.getOrElse("format", "parquet")
+        fmt match {
+          case "parquet" => out.write.mode("overwrite").parquet(opts("out"))
+          case "orc"     => graft.sources.Columnar.writeOrc(out, opts("out"))
+          case other => throw new IllegalArgumentException(
+            s"unknown --format '$other' (parquet|orc)")
+        }
+        Seq(s"normalized: ${opts("out")} " +
+          s"(${normed.columns.length} columns, $fmt)")
 
       // `shifu eval -new/-list/-delete/-switch` (EvalModelProcessor
       // set-management modes): pure bookkeeping over the named eval-set

@@ -465,9 +465,78 @@ object QueriesR8b {
       """SELECT 1 AS topk_ok, count(*) AS n_emb FROM embeddings
         |""".stripMargin))
 
+  /** Hard-negative mining, full value check: two queries share one
+    * corpus scan; positives (doc_id % 7 = 0) scrubbed from each bounded
+    * top-20 pool, re-ranked to 10 — the oracle replays the identical
+    * two-stage contract per query. */
+  private val hardNegativesQ: Q = {
+    val queries = Seq((1L, Seq("slow", "merge")), (2L, Seq("window", "merge")))
+    val k = 10
+    val headroom = 10
+    Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val pos = Seq(1L, 2L).toDF("query_id")
+          .crossJoin(d.select(col("doc_id")).filter(col("doc_id") % 7 === 0))
+        graft.text.Retrieval.hardNegatives(d, queries, pos, k, headroom)
+      },
+      oracle = Some {
+        val allTerms = queries.flatMap(_._2).distinct
+        val dfCols = allTerms.zipWithIndex.map { case (t, i) =>
+          s"    sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 " +
+            s"END)::BIGINT AS df_$i"
+        }.mkString(",\n")
+        val dfIdx = allTerms.zipWithIndex.toMap
+        val perQuery = queries.map { case (qid, terms) =>
+          val tfCols = terms.map { t =>
+            s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf_${dfIdx(t)}"
+          }.mkString(", ")
+          val scoreTerms = terms.map { t =>
+            val i = dfIdx(t)
+            s"""ln((n - df_$i + 0.5::DOUBLE) / (df_$i + 0.5::DOUBLE) + 1.0)
+               |      * (tf_$i * (1.2 + 1.0))
+               |      / (tf_$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"""
+              .stripMargin
+          }.mkString("\n    + ")
+          s"""t$qid AS (SELECT doc_id, dl, $tfCols FROM d),
+             |sc$qid AS (SELECT doc_id, round($scoreTerms, 6) AS score
+             |           FROM t$qid, c),
+             |r$qid AS (SELECT doc_id, score,
+             |            row_number() OVER (ORDER BY score DESC, doc_id)
+             |              AS rn
+             |          FROM sc$qid),
+             |f$qid AS (SELECT $qid::BIGINT AS query_id,
+             |            row_number() OVER (ORDER BY score DESC, doc_id)
+             |              ::INT AS rank,
+             |            doc_id, score
+             |          FROM r$qid
+             |          WHERE rn <= ${k + headroom} AND doc_id % 7 <> 0)"""
+            .stripMargin
+        }.mkString(",\n")
+        val finals = queries.map { case (qid, _) =>
+          s"SELECT * FROM f$qid WHERE rank <= $k"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+           |      AS toks
+           |  FROM documents),
+           |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM base),
+           |s AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+           |$dfCols
+           |  FROM d),
+           |c AS (SELECT *, sumdl::DOUBLE / n AS avgdl FROM s),
+           |$perQuery
+           |$finals
+           |""".stripMargin
+      })
+  }
+
   val all: Map[String, Q] = Map(
     "q_pq"             -> pqQ,
     "q_ivfadc"         -> ivfadcQ,
+    "q_hard_negatives" -> hardNegativesQ,
     "q_stream_topk"    -> streamTopK,
     "q_orc_roundtrip"  -> orcRoundtrip,
     "q_sample_group_k" -> sampleGroupK,

@@ -27,6 +27,70 @@ object Retrieval {
         col("t._1").as("score"))
   }
 
+  /** Hard-negative mining for retrieval training data (the DPR recipe:
+    * the top BM25-scoring docs that are NOT a query's labeled positives
+    * become its hard negatives). All queries score in ONE corpus scan:
+    * the distinct-term document frequencies fold into one map-side
+    * aggregate (|terms|+2 numbers to the driver), every query's score is
+    * a codegen'd expression over the SAME row-local token array, and the
+    * per-query candidate pool is a bounded [[graft.agg.TopKAgg]]
+    * (queries × (k+headroom) rows shuffled — never a corpus sort, never
+    * one scan per query). The positive scrub is a left-anti join on the
+    * bounded candidate set; the final re-rank window runs over
+    * ≤ k+headroom rows per query, not the corpus.
+    *
+    * Two-stage contract (mirrored exactly by the oracle): top
+    * (k+headroom) by (score desc, doc_id asc) → remove positives →
+    * re-rank → top k. If a query's positives crowd out more than
+    * `headroom` of its pool, it simply yields fewer than k negatives —
+    * the deterministic, oracle-checkable behavior. */
+  def hardNegatives(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+                    positives: DataFrame, k: Int, headroom: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "hardNegatives needs at least one query")
+    require(k > 0 && headroom >= 0, s"bad k=$k headroom=$headroom")
+    val allTerms = queries.flatMap(_._2).distinct
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val base = docs.select(col("doc_id"), toks.as("toks"),
+      size(toks).cast("long").as("dl"))
+    val statAggs = Seq(count(lit(1)).as("n"), sum("dl").as("sumdl")) ++
+      allTerms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("toks"), t).cast("long")).as(s"df_$i") }
+    val stats = base.agg(statAggs.head, statAggs.tail: _*).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n.toDouble
+    val dfOf = allTerms.zipWithIndex
+      .map { case (t, i) => t -> stats.getLong(2 + i) }.toMap
+    def scoreOf(terms: Seq[String]): Column = terms.map { t =>
+      val df = dfOf(t)
+      val idf = log((lit(n) - lit(df) + lit(0.5)) /
+        (lit(df) + lit(0.5)) + lit(1.0))
+      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    }.reduceLeft(_ + _)
+    val qCols = queries.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"), round(scoreOf(terms), 6).as("score"))
+    }
+    val cand = base
+      .select(col("doc_id"), explode(array(qCols: _*)).as("qs"))
+      .select(col("qs.query_id").as("query_id"), col("doc_id"),
+        col("qs.score").as("score"))
+      .groupBy("query_id")
+      .agg(graft.agg.TopKAgg.topK(k + headroom)(col("score"), col("doc_id"))
+        .as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t._2").as("doc_id"),
+        col("t._1").as("score"))
+    val negs = cand.join(positives, Seq("query_id", "doc_id"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    negs.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
   /** Sliding-window chunker with overlap — the RAG/embedding-prep cut
     * (window tokens per chunk, advancing by stride < window so adjacent
     * chunks share context). Pure per-doc integer math: a `sequence` +

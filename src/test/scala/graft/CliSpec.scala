@@ -669,6 +669,17 @@ class CliSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$tmp/c2.json.quantiles")))
   }
 
+  test("norm --format orc: normalized output lands as readable ORC") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_orc").toString
+    Cli.run(spark, "stats", base + ("catalog" -> s"$tmp/c.json"))
+    val out = Cli.run(spark, "norm", base +
+      ("catalog" -> s"$tmp/c.json") + ("out" -> s"$tmp/norm_orc") +
+      ("format" -> "orc"))
+    assert(out.head.contains("orc"), out.head)
+    val back = spark.read.format("orc").load(s"$tmp/norm_orc")
+    assert(back.columns.contains("tag") && back.count() > 0)
+  }
+
   test("stats --topk: Misra-Gries heavy hitters for a column, with " +
     "parquet out and the guaranteed heavy item present") {
     import org.apache.spark.sql.functions._

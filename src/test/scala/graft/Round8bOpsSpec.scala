@@ -220,6 +220,26 @@ class Round8bOpsSpec extends AnyFunSuite {
       s"expected prototype-0 group, $top")
   }
 
+  test("hardNegatives: positives scrubbed, ranks dense, one corpus scan " +
+    "worth of candidates per query") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "merge merge merge"),   // top for 'merge', a positive
+      (2L, "merge merge fast"),
+      (3L, "merge slow"),
+      (4L, "slow other words"),
+      (5L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val pos = Seq((7L, 1L)).toDF("query_id", "doc_id")
+    val got = graft.text.Retrieval.hardNegatives(
+      docs, Seq((7L, Seq("merge"))), pos, k = 2, headroom = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    // doc 1 (the positive) is excluded even though it scores highest;
+    // the two next-best 'merge' docs fill ranks 1..2
+    assert(got.toSeq === Seq((1, 2L), (2, 3L)))
+  }
+
   test("IVFADC: residual-PQ search finds the query's prototype group") {
     import spark.implicits._
     def proto(p: Int): Array[Double] =
