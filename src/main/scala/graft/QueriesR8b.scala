@@ -533,10 +533,44 @@ object QueriesR8b {
       })
   }
 
+  /** Within-doc self-repetition scrub, value-checked byte-for-byte: the
+    * oracle mirrors the keep-first window-hash arithmetic per doc. */
+  private val selfRepeatScrub: Q = Q(
+    fn = (s, dir) => graft.text.TextOps.scrubSelfRepeats(docs(s, dir), k = 8),
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i,
+        |    md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+        |  FROM base, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT doc_id, h, min(i) AS mi FROM w
+        |        GROUP BY doc_id, h HAVING count(*) > 1),
+        |cov AS (SELECT w.doc_id, list_sort(list(w.i)) AS starts
+        |        FROM w JOIN dup
+        |          ON w.doc_id = dup.doc_id AND w.h = dup.h AND w.i > dup.mi
+        |        GROUP BY w.doc_id),
+        |r AS (
+        |  SELECT b.doc_id, b.toks,
+        |    list_filter(generate_series(1, len(b.toks)),
+        |      j -> len(list_filter(coalesce(c.starts, []),
+        |             i -> i <= j AND j < i + 8)) = 0) AS kept
+        |  FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |  len(toks) - len(kept) AS n_removed,
+        |  coalesce(array_to_string(list_transform(kept, j -> toks[j]), ' '),
+        |    '') AS scrubbed_text
+        |FROM r
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_pq"             -> pqQ,
     "q_ivfadc"         -> ivfadcQ,
     "q_hard_negatives" -> hardNegativesQ,
+    "q_self_repeat_scrub" -> selfRepeatScrub,
     "q_stream_topk"    -> streamTopK,
     "q_orc_roundtrip"  -> orcRoundtrip,
     "q_sample_group_k" -> sampleGroupK,

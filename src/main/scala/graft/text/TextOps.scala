@@ -883,6 +883,27 @@ object TextOps {
         array_join(transform(col("kept"),
           j => element_at(col("toks"), j)), " ").as("scrubbed_text"))
 
+  /** Within-doc self-repetition scrub — the intra-document counterpart
+    * of [[scrubDupSpans]]: every k-token window that repeats INSIDE a
+    * doc keeps its FIRST occurrence and later ones are cut (the
+    * generation-loop / boilerplate-chorus cleanup that doc-level and
+    * cross-doc dedup both miss). Entirely doc-keyed: the one exchange
+    * groups span hashes by (doc, hash), so partitioning by doc_id makes
+    * it co-located at any corpus size; the rebuild is row-local. */
+  def scrubSelfRepeats(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = tokBase(docs)
+    val starts = spanWindows(base, k)
+      .groupBy("doc_id", "h")
+      .agg(sort_array(collect_list(col("i"))).as("occ"))
+      .filter(size(col("occ")) > 1)
+      .select(col("doc_id"),
+        explode(expr("slice(occ, 2, size(occ) - 1)")).as("i"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    rebuildScrubbed(base, starts, k)
+  }
+
   /** Benchmark decontamination SCRUB — the removal counterpart of the
     * [[contamination]] flagger: every k-token span of a training doc that
     * appears verbatim in the benchmark/eval set is cut out and the doc

@@ -220,6 +220,23 @@ class Round8bOpsSpec extends AnyFunSuite {
       s"expected prototype-0 group, $top")
   }
 
+  test("scrubSelfRepeats: second occurrence of an in-doc chorus is cut, " +
+    "first kept; singleton docs untouched") {
+    import spark.implicits._
+    val chorus = "a b c d e f g h" // exactly k=8 tokens
+    val docs = Seq(
+      (1L, s"$chorus x y z $chorus"),      // repeated chorus
+      (2L, s"$chorus only once here")      // no repeat
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextOps.scrubSelfRepeats(docs, k = 8)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: 19 tokens, second chorus (8 tokens) removed
+    assert(got(1L) === ((19L, 8L, s"$chorus x y z")))
+    // doc 2: untouched
+    assert(got(2L) === ((11L, 0L, s"$chorus only once here")))
+  }
+
   test("hardNegatives: positives scrubbed, ranks dense, one corpus scan " +
     "worth of candidates per query") {
     import spark.implicits._
