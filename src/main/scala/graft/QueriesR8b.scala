@@ -566,11 +566,49 @@ object QueriesR8b {
         |FROM r
         |""".stripMargin))
 
+  /** Sorted-layout contract: compact + range-sorted write preserves the
+    * corpus (count value-checked), lands the expected part count, and
+    * produces PAIRWISE-DISJOINT per-file key ranges — the property that
+    * makes parquet row-group stats selective (the measured skipping
+    * proof lives in LayoutSpec's recordsRead test). */
+  private val sortedLayoutQ: Q = Q(
+    fn = (s, dir) => {
+      import s.implicits._
+      val tmp = s"/tmp/graft_layout_${java.util.UUID.randomUUID()}"
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      graft.sources.Layout.sortedWrite(d, tmp, "n_chars", nParts = 4)
+      val files = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .map(_.getPath).sorted
+      val ranges = files.map { f =>
+        val r = s.read.parquet(f)
+          .agg(min("n_chars"), max("n_chars"), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val n = ranges.map(_._3).sum
+      // ranges sorted by min must not overlap (empty files impossible
+      // with 4 range partitions over 500 docs)
+      val sortedR = ranges.sortBy(_._1)
+      val disjoint = sortedR.zip(sortedR.drop(1))
+        .forall { case ((_, hi, _), (lo, _, _)) => hi <= lo }
+      Seq(
+        ("files_expected", if (files.length == 4) 1 else 0, n),
+        ("ranges_disjoint", if (disjoint) 1 else 0, n))
+        .toDF("contract", "ok", "n")
+    },
+    oracle = Some(
+      """SELECT 'files_expected' AS contract, 1 AS ok, count(*) AS n
+        |FROM documents
+        |UNION ALL SELECT 'ranges_disjoint', 1, count(*) FROM documents
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_pq"             -> pqQ,
     "q_ivfadc"         -> ivfadcQ,
     "q_hard_negatives" -> hardNegativesQ,
     "q_self_repeat_scrub" -> selfRepeatScrub,
+    "q_sorted_layout"  -> sortedLayoutQ,
     "q_stream_topk"    -> streamTopK,
     "q_orc_roundtrip"  -> orcRoundtrip,
     "q_sample_group_k" -> sampleGroupK,
