@@ -603,12 +603,31 @@ object QueriesR8b {
         |UNION ALL SELECT 'ranges_disjoint', 1, count(*) FROM documents
         |""".stripMargin))
 
+  /** Fuzzy join value check over customer names (an id-like namespace
+    * dense in single-substitution neighbors — the entity-resolution
+    * setting): EVERY edit-distance-1 pair must match the oracle's exact
+    * levenshtein cross join over the same term set, verifying the
+    * SymSpell banding's completeness pair-for-pair (tens of thousands
+    * of pairs at sf0.01). */
+  private val fuzzyJoinQ: Q = Q(
+    fn = (s, dir) => {
+      val terms = Tables.load(s, dir, "customer")
+        .select(col("c_name").as("t")).distinct()
+      graft.text.Fuzzy.editDistance1Pairs(terms)
+    },
+    oracle = Some(
+      """WITH tok AS (SELECT DISTINCT c_name AS t FROM customer)
+        |SELECT a.t AS a, b.t AS b
+        |FROM tok a JOIN tok b ON a.t < b.t AND levenshtein(a.t, b.t) <= 1
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_pq"             -> pqQ,
     "q_ivfadc"         -> ivfadcQ,
     "q_hard_negatives" -> hardNegativesQ,
     "q_self_repeat_scrub" -> selfRepeatScrub,
     "q_sorted_layout"  -> sortedLayoutQ,
+    "q_fuzzy_join"     -> fuzzyJoinQ,
     "q_stream_topk"    -> streamTopK,
     "q_orc_roundtrip"  -> orcRoundtrip,
     "q_sample_group_k" -> sampleGroupK,

@@ -220,6 +220,22 @@ class Round8bOpsSpec extends AnyFunSuite {
       s"expected prototype-0 group, $top")
   }
 
+  test("Fuzzy.editDistance1Pairs: substitution + insertion found, " +
+    "distance-2 excluded, bucket cap honored") {
+    import spark.implicits._
+    val terms = Seq("kitten", "mitten", "kittens", "mutton", "dog")
+      .toDF("t")
+    val got = graft.text.Fuzzy.editDistance1Pairs(terms)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // kitten~mitten: substitution; kitten~kittens: insertion;
+    // mitten~kittens would be distance 2; mutton is distance 2 from
+    // mitten (u/i + o/e), dog unrelated
+    assert(got === Set(("kitten", "kittens"), ("kitten", "mitten")))
+    // a bucket cap of 1 suppresses every pair (skew guard semantics)
+    assert(graft.text.Fuzzy.editDistance1Pairs(terms, bucketCap = 1)
+      .count() === 0)
+  }
+
   test("scrubSelfRepeats: second occurrence of an in-doc chorus is cut, " +
     "first kept; singleton docs untouched") {
     import spark.implicits._
