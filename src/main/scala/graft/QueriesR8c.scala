@@ -62,7 +62,55 @@ object QueriesR8c {
         |FROM toks
         |""".stripMargin))
 
+  // ---- z-order layout ------------------------------------------------------
+
+  /** Z-order layout contract: the corpus survives the rewrite (count
+    * value-checked) and every output file covers a bounded RECTANGLE of
+    * the two-key code space — per-file code coverage averages ≤ 0.8 in
+    * BOTH dimensions (a linear sort pins one dim near 0 and leaves the
+    * other at 1.0; z-order quadrants sit near 0.5 each). The measured
+    * row-group-skipping proof on both dims lives in LayoutSpec. */
+  private val zorderLayout: Q = Q(
+    fn = (s, dir) => {
+      import s.implicits._
+      val tmp = s"/tmp/graft_zorder_${java.util.UUID.randomUUID()}"
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      graft.sources.Layout.zorderWrite(d, tmp, "doc_id", "n_chars",
+        nParts = 4)
+      val mm = d.agg(min("doc_id"), max("doc_id"),
+        min("n_chars"), max("n_chars")).head()
+      val (aLo, aHi) = (mm.getLong(0).toDouble, mm.getLong(1).toDouble)
+      val (bLo, bHi) = (mm.getLong(2).toDouble, mm.getLong(3).toDouble)
+      def codeCov(fLo: Double, fHi: Double, lo: Double, hi: Double) =
+        if (hi <= lo) 0.0 else (fHi - fLo) / (hi - lo)
+      val files = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .map(_.getPath).sorted
+      val perFile = files.map { f =>
+        val r = s.read.parquet(f).agg(
+          min("doc_id"), max("doc_id"), min("n_chars"), max("n_chars"),
+          count(lit(1))).head()
+        (codeCov(r.getLong(0).toDouble, r.getLong(1).toDouble, aLo, aHi),
+          codeCov(r.getLong(2).toDouble, r.getLong(3).toDouble, bLo, bHi),
+          r.getLong(4))
+      }
+      val n = perFile.map(_._3).sum
+      val covA = perFile.map(_._1).sum / perFile.length
+      val covB = perFile.map(_._2).sum / perFile.length
+      Seq(
+        ("dim_a_bounded", if (covA <= 0.8) 1 else 0, n),
+        ("dim_b_bounded", if (covB <= 0.8) 1 else 0, n))
+        .toDF("contract", "ok", "n")
+    },
+    oracle = Some(
+      """SELECT 'dim_a_bounded' AS contract, 1 AS ok, count(*) AS n
+        |FROM documents
+        |UNION ALL SELECT 'dim_b_bounded', 1, count(*) FROM documents
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
-    "q_hll_distinct" -> hllDistinct,
+    "q_hll_distinct"  -> hllDistinct,
+    "q_zorder_layout" -> zorderLayout,
   )
 }

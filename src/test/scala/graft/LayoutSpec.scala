@@ -71,4 +71,50 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(sorted).filter(col("k") < 1000).count() ===
       spark.read.parquet(unsorted).filter(col("k") < 1000).count())
   }
+
+  test("z-order layout: pushed filters on EITHER dimension skip row " +
+    "groups (measured by recordsRead); linear sort only prunes its " +
+    "leading key") {
+    import spark.implicits._
+    // two independent scattered keys
+    val base = (1 to 200000).map { i =>
+      ((i * 2654435761L) % 1000000, (i * 40503L) % 999983, i.toLong)
+    }
+    val df = base.toDF("a", "b", "payload")
+    val zdir = java.nio.file.Files.createTempDirectory("graft_lay_z").toString
+    val ldir = java.nio.file.Files.createTempDirectory("graft_lay_l").toString
+    graft.sources.Layout.zorderWrite(df, zdir, "a", "b", nParts = 16)
+    graft.sources.Layout.sortedWrite(df, ldir, "a", nParts = 16)
+    def recordsReadOf(dir: String,
+                      pred: org.apache.spark.sql.Column): Long = {
+      val rows = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (t.taskMetrics != null)
+            rows.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        spark.read.parquet(dir).filter(pred).count()
+        Thread.sleep(1000) // listener bus is async
+        rows.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val total = 200000L
+    val zReadA = recordsReadOf(zdir, col("a") < 1000)
+    val zReadB = recordsReadOf(zdir, col("b") < 1000)
+    val lReadB = recordsReadOf(ldir, col("b") < 1000)
+    assert(zReadA < total / 2,
+      s"z-order must prune on a: read $zReadA of $total")
+    assert(zReadB < total / 2,
+      s"z-order must prune on b: read $zReadB of $total")
+    assert(lReadB >= total,
+      s"linear sort on a cannot prune b (read $lReadB) — the gap z-order closes")
+    // same answers as the unclustered truth
+    assert(spark.read.parquet(zdir).filter(col("b") < 1000).count() ===
+      df.filter(col("b") < 1000).count())
+  }
 }
