@@ -109,8 +109,61 @@ object QueriesR8c {
         |UNION ALL SELECT 'dim_b_bounded', 1, count(*) FROM documents
         |""".stripMargin))
 
+  // ---- out-of-fold target encoding -----------------------------------------
+
+  /** Leakage-protected smoothed mean target encoding of a 50-way
+    * part-family category: every row's encoding draws target mass ONLY
+    * from the other folds. All 60k rows value-checked — fold hashing,
+    * exclusion arithmetic and prior smoothing mirrored exactly in the
+    * oracle. */
+  private val targetEncode: Q = Q(
+    fn = (s, dir) => {
+      val d = QueryUtil.li(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          concat(lit("p"), (col("l_partkey") % 50).cast("string"))
+            .as("part_family"))
+      graft.ops.TargetEncode.oofMean(
+          d,
+          cat = col("part_family"),
+          target = (col("l_returnflag") === "R").cast("int"),
+          key = concat(col("l_orderkey").cast("string"), lit("|"),
+            col("l_linenumber").cast("string")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("part_family"),
+          col("fold"), round(col("enc"), 6).as("enc"))
+    },
+    oracle = Some {
+      val hexVal = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1) * " +
+          s"(1::BIGINT << ${4 * (8 - i)})").mkString("(", "\n     + ", ")")
+      s"""WITH r AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    'p' || (l_partkey % 50)::VARCHAR AS part_family,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS t,
+         |    md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR) AS m
+         |  FROM lineitem),
+         |f AS (SELECT l_orderkey, l_linenumber, part_family, t,
+         |        $hexVal % 5 AS fold
+         |      FROM r),
+         |g AS (SELECT sum(t)::DOUBLE / count(*) AS prior FROM f),
+         |pf AS (SELECT part_family, fold, sum(t)::BIGINT AS fold_pos,
+         |         count(*)::BIGINT AS fold_n
+         |       FROM f GROUP BY 1, 2),
+         |pc AS (SELECT part_family, sum(fold_pos)::BIGINT AS all_pos,
+         |         sum(fold_n)::BIGINT AS all_n
+         |       FROM pf GROUP BY 1),
+         |e AS (SELECT pf.part_family, pf.fold,
+         |        (all_pos - fold_pos + prior * 20.0) /
+         |          (all_n - fold_n + 20.0) AS enc
+         |      FROM pf JOIN pc USING (part_family) CROSS JOIN g)
+         |SELECT f.l_orderkey, f.l_linenumber, f.part_family, f.fold,
+         |  round(e.enc, 6) AS enc
+         |FROM f JOIN e ON f.part_family = e.part_family AND f.fold = e.fold
+         |""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "q_hll_distinct"  -> hllDistinct,
     "q_zorder_layout" -> zorderLayout,
+    "q_target_encode" -> targetEncode,
   )
 }

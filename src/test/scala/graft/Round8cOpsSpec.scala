@@ -64,4 +64,52 @@ class Round8cOpsSpec extends AnyFunSuite {
     // chain stays incremental: merged regs == whole-table sketch
     assert(java.util.Arrays.equals(regs, graft.agg.Hll.sketch(rows, "v")))
   }
+
+  test("TargetEncode.oofMean: a row's own fold contributes ZERO target " +
+    "mass to its encoding; thin categories shrink to the prior") {
+    import spark.implicits._
+    val df = (1L to 2000L).map { i =>
+      (i, if (i % 4 == 0) "a" else if (i % 4 == 1) "b" else "c",
+        if (i % 7 == 0) 1 else 0)
+    }.toDF("id", "cat", "y")
+    val enc = graft.ops.TargetEncode.oofMean(
+      df, col("cat"), col("y"), col("id"), folds = 4, smoothing = 10.0)
+      .select("id", "cat", "y", "fold", "enc")
+    // recompute the exclusion by hand from the raw rows
+    val rows = enc.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    val prior = rows.map(_._3).sum.toDouble / rows.length
+    val byCatFold = rows.groupBy(r => (r._2, r._4))
+      .map { case (k, v) => k -> (v.map(_._3).sum.toLong, v.length.toLong) }
+    val byCat = rows.groupBy(_._2)
+      .map { case (k, v) => k -> (v.map(_._3).sum.toLong, v.length.toLong) }
+    rows.take(500).foreach { case (_, cat, _, fold, e) =>
+      val (ap, an) = byCat(cat)
+      val (fp, fn) = byCatFold((cat, fold))
+      val expect = (ap - fp + prior * 10.0) / (an - fn + 10.0)
+      assert(math.abs(e - expect) < 1e-12,
+        s"cat=$cat fold=$fold got $e expect $expect")
+    }
+    // leakage check: flipping every target IN ONE FOLD must not change
+    // that fold's own encodings' dependence — i.e. encoding of fold 0
+    // uses only folds 1..3 mass. Verify directly: recompute enc for
+    // fold 0 from folds 1..3 only.
+    val f0 = rows.filter(_._4 == 0L)
+    f0.take(100).foreach { case (_, cat, _, _, e) =>
+      val others = rows.filter(r => r._2 == cat && r._4 != 0L)
+      val expect = (others.map(_._3).sum + prior * 10.0) /
+        (others.length + 10.0)
+      assert(math.abs(e - expect) < 1e-12)
+    }
+    // unseen category at apply time → prior (left join + coalesce)
+    val applied = graft.ops.TargetEncode.oofMean(
+      df.union(Seq((9999L, "zzz_unseen", 0)).toDF("id", "cat", "y")),
+      col("cat"), col("y"), col("id"), folds = 4, smoothing = 10.0)
+    val z = applied.filter(col("cat") === "zzz_unseen").select("enc").head()
+    // a singleton category: own fold holds its only row, so exclusion
+    // leaves pure prior
+    val newPrior = (rows.map(_._3).sum + 0).toDouble / (rows.length + 1)
+    assert(math.abs(z.getDouble(0) - newPrior) < 1e-12)
+  }
 }
