@@ -257,10 +257,45 @@ object Cli {
               Seq(s"quantiles: ${mergedSketches.size} sketches merged -> " +
                 out))
           } else (merged, Nil)
-        CatalogIO.write(opts("catalog"), withQ)
+        // HLL sidecars (<catalog>.hll, written by `stats --hll`): when
+        // EVERY input has one, the merged catalog regains distinctCount
+        // from the register-wise max — the OTHER stat family a finalized
+        // catalog can't merge on its own (see agg.Hll)
+        val hllSidecars = paths.map(p => new java.io.File(s"$p.hll"))
+        val (withH, hllLine) =
+          if (hllSidecars.forall(_.exists())) {
+            val maps = hllSidecars.map { f =>
+              java.nio.file.Files.readAllLines(f.toPath).asScala
+                .filter(_.nonEmpty).map { line =>
+                  val Array(c, s) = line.split("\t", 2)
+                  c -> graft.agg.Hll.deserialize(s)
+                }.toMap
+            }
+            val mergedRegs = maps.reduce { (ma, mb) =>
+              ma.flatMap { case (c, r) =>
+                mb.get(c).map(o => c -> graft.agg.Hll.merge(r, o))
+              }
+            }
+            val filled = withQ.map { p =>
+              mergedRegs.get(p.columnName) match {
+                case Some(r) if p.kind == graft.catalog.ColumnKind.Numeric =>
+                  p.copy(stats = p.stats.copy(distinctCount =
+                    Some(math.round(graft.agg.Hll.estimate(r)))))
+                case _ => p
+              }
+            }
+            val out = s"${opts("catalog")}.hll"
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+              mergedRegs.toSeq.sortBy(_._1).map { case (c, r) =>
+                s"$c\t${graft.agg.Hll.serialize(r)}"
+              }.mkString("\n"))
+            (filled,
+              Seq(s"hll: ${mergedRegs.size} sketches merged -> $out"))
+          } else (withQ, Nil)
+        CatalogIO.write(opts("catalog"), withH)
         Seq(s"mergestats: ${paths.length} catalogs -> ${opts("catalog")} " +
-          s"(${withQ.length} columns, ${skipped.distinct.length} passed " +
-          "through unmerged)") ++ sketchLine ++
+          s"(${withH.length} columns, ${skipped.distinct.length} passed " +
+          "through unmerged)") ++ sketchLine ++ hllLine ++
           (if (skipped.nonEmpty)
             Seq(s"unmerged: ${skipped.distinct.sorted.mkString(",")}")
           else Nil)
@@ -377,6 +412,19 @@ object Cli {
             }.mkString("\n"))
           s"quantiles: ${sketches.size} sketches -> $out"
         }
+        val hllLine = opts.get("hll").map { _ =>
+          // persist mergeable HLL registers alongside the catalog so
+          // `stats --merge` can rebuild distinctCount: ONE extra scan
+          // sketches every cataloged column at once, 16 KiB each on disk
+          val allCols = catalog.map(_.columnName)
+          val regs = graft.agg.Hll.buildFor(clean, allCols)
+          val out = s"${opts("catalog")}.hll"
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+            regs.toSeq.sortBy(_._1).map { case (c, r) =>
+              s"$c\t${graft.agg.Hll.serialize(r)}"
+            }.mkString("\n"))
+          s"hll: ${regs.size} sketches -> $out"
+        }
         val topkLine = opts.get("topk").map { c =>
           // heavy hitters for a (categorical / id-like) column via the
           // mergeable Misra-Gries sketch: tasks × k rows on the wire,
@@ -395,7 +443,8 @@ object Cli {
           s"topk: $c ($k counters) -> $top"
         }
         Seq(s"catalog: ${opts("catalog")} (${catalog.length} columns)") ++
-          corrLine ++ psiLine ++ rebinLine ++ sketchLine ++ topkLine
+          corrLine ++ psiLine ++ rebinLine ++ sketchLine ++ hllLine ++
+          topkLine
 
       case "norm" =>
         val catalog = CatalogIO.read(opts("catalog"))

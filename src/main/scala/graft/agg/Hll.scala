@@ -23,13 +23,16 @@ import org.apache.spark.sql.functions.{col, udaf, xxhash64}
   * twin of `QuantileSketch.mergeWithSketches`.
   */
 final class HllAgg(p: Int)
-    extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    extends Aggregator[java.lang.Long, Array[Byte], Array[Byte]] {
   require(p >= 4 && p <= 18, s"precision p=$p out of [4,18]")
   private val m = 1 << p
 
   override def zero: Array[Byte] = new Array[Byte](m)
 
-  override def reduce(regs: Array[Byte], hash: Long): Array[Byte] = {
+  override def reduce(regs: Array[Byte],
+                      hashed: java.lang.Long): Array[Byte] = {
+    if (hashed == null) return regs // null value → no distinct contribution
+    val hash = hashed.longValue()
     val idx = (hash >>> (64 - p)).toInt
     val w = hash << p
     // rank of the first 1-bit in the remaining 64-p bits, 1-based;
@@ -56,23 +59,36 @@ object Hll {
   /** p=14 → 16 KiB registers, standard error 1.04/√16384 ≈ 0.81%. */
   val DefaultP = 14
 
-  /** Column form for grouped use: `sketchAgg(p)(valueCol)` →
-    * binary registers per group. Nulls hash to a constant under
-    * `xxhash64`, which would register one phantom value — callers
-    * filter nulls (as [[sketch]] does) or accept ±1 on the estimate. */
+  /** Column form for grouped use: `sketchAgg(p)(valueCol)` → binary
+    * registers per group. Nulls are skipped (the
+    * `approx_count_distinct` convention): the hash is gated on
+    * `isNotNull` and a null input adds nothing to the registers. */
   def sketchAgg(p: Int = DefaultP): Column => Column = {
-    val fn = udaf(new HllAgg(p), Encoders.scalaLong)
-    v => fn(xxhash64(v))
+    val fn = udaf(new HllAgg(p), Encoders.LONG)
+    v => fn(org.apache.spark.sql.functions.when(v.isNotNull, xxhash64(v)))
   }
 
-  /** One agg pass → registers for a whole column (nulls skipped — the
-    * `approx_count_distinct` convention). */
+  /** One agg pass → registers for a whole column (nulls skipped). */
   def sketch(df: DataFrame, colName: String,
              p: Int = DefaultP): Array[Byte] = {
-    val c = col(colName)
-    val r = df.filter(c.isNotNull).agg(sketchAgg(p)(c)).head()
+    val r = df.agg(sketchAgg(p)(col(colName))).head()
     if (r.isNullAt(0)) new Array[Byte](1 << p)
     else r.getAs[Array[Byte]](0)
+  }
+
+  /** ONE scan → registers for every requested column (the
+    * `QuantileSketch.buildFor` shape: per-column aggregates ride the
+    * same pass, so sketching 50 columns costs one corpus read). */
+  def buildFor(df: DataFrame, cols: Seq[String],
+               p: Int = DefaultP): Map[String, Array[Byte]] = {
+    require(cols.nonEmpty, "need at least one column")
+    val agg = sketchAgg(p)
+    val exprs = cols.map(c => agg(col(c)).as(c))
+    val r = df.agg(exprs.head, exprs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> (if (r.isNullAt(i)) new Array[Byte](1 << p)
+            else r.getAs[Array[Byte]](i))
+    }.toMap
   }
 
   /** Register-wise max into a fresh array (inputs untouched). */

@@ -590,6 +590,66 @@ class CliSpec extends AnyFunSuite {
     assert(out2.exists(_.startsWith("unmerged: ")), out2.mkString("|"))
   }
 
+  test("stats --merge + --hll sidecars: merged catalog regains " +
+    "distinctCount from register-wise max; missing sidecar degrades " +
+    "gracefully") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_h").toString
+    val li = spark.read.parquet(data)
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val isPos = col("l_returnflag") === "R"
+    val whole = graft.ops.StatsPipeline.profileNumeric(
+      li, cols, isPos, full = true)
+    val bounds: Map[String, Seq[Double]] =
+      whole.map { case (c, p) => c -> (p.binning.binBoundary: Seq[Double]) }
+    def part(cond: org.apache.spark.sql.Column, path: String) = {
+      val d = li.filter(cond)
+      val prof = graft.ops.StatsPipeline.profileNumeric(d,
+        cols, isPos, full = true, boundsOverride = Some(bounds))
+      graft.catalog.CatalogIO.write(path, cols.map(prof))
+      val regs = graft.agg.Hll.buildFor(d, cols)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path.hll"),
+        regs.toSeq.sortBy(_._1).map { case (c, r) =>
+          s"$c\t${graft.agg.Hll.serialize(r)}"
+        }.mkString("\n"))
+    }
+    part(col("l_orderkey") % 2 === 0, s"$tmp/even.json")
+    part(col("l_orderkey") % 2 =!= 0, s"$tmp/odd.json")
+    val out = Cli.run(spark, "stats", Map(
+      "merge" -> s"$tmp/even.json,$tmp/odd.json",
+      "catalog" -> s"$tmp/merged.json"))
+    assert(out.exists(_.startsWith("hll: ")), out.mkString("|"))
+    assert(new java.io.File(s"$tmp/merged.json.hll").exists())
+    val merged = graft.catalog.CatalogIO.read(s"$tmp/merged.json")
+      .map(p => p.columnName -> p).toMap
+    cols.foreach { c =>
+      val exact = li.select(countDistinct(col(c))).head().getLong(0)
+      val est = merged(c).stats.distinctCount
+      assert(est.isDefined, s"$c should carry a recovered distinctCount")
+      assert(math.abs(est.get.toDouble / exact - 1.0) <= 0.05,
+        s"$c distinct est ${est.get} vs exact $exact")
+    }
+    // merged registers == whole-data registers (order independence)
+    val wholeRegs = graft.agg.Hll.buildFor(li, cols)
+    val sidecar = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$tmp/merged.json.hll"))
+    sidecar.forEach { line =>
+      val Array(c, s0) = line.split("\t", 2)
+      assert(java.util.Arrays.equals(
+        graft.agg.Hll.deserialize(s0), wholeRegs(c)), s"$c registers")
+    }
+    // one partition without a sidecar → merge still works, no hll line
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$tmp/odd.json.hll"))
+    val out2 = Cli.run(spark, "stats", Map(
+      "merge" -> s"$tmp/even.json,$tmp/odd.json",
+      "catalog" -> s"$tmp/m2.json"))
+    assert(!out2.exists(_.startsWith("hll: ")), out2.mkString("|"))
+    val m2 = graft.catalog.CatalogIO.read(s"$tmp/m2.json")
+      .map(p => p.columnName -> p).toMap
+    assert(m2(cols.head).stats.distinctCount.isEmpty)
+  }
+
   test("stats --drift: catalog-level PSI between frozen-bounds catalogs, " +
     "ALERT above threshold, incomparable catalogs refused") {
     import org.apache.spark.sql.functions._
