@@ -161,9 +161,52 @@ object QueriesR8c {
          |""".stripMargin
     })
 
+  // ---- streaming distinct maintenance --------------------------------------
+
+  /** Streaming twin of q_hll_distinct: the corpus streamed in 4
+    * micro-batches through the HLL maintainer must produce registers
+    * BIT-IDENTICAL to a one-shot batch sketch (mergeability at the query
+    * level), with the live estimate inside 3% of the exact distinct
+    * count (value-checked). */
+  private val streamDistinct: Q = Q(
+    fn = (s, dir) => {
+      import s.implicits._
+      val toksExpr = "filter(split(text, ' '), t -> t <> '')"
+      val tmp = s"/tmp/graft_sdc_${java.util.UUID.randomUUID()}"
+      docs(s, dir).repartition(4).write.parquet(tmp)
+      val schema = s.read.parquet(tmp).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+        .select(explode(expr(toksExpr)).as("t"))
+      val (q, getRegs, getEst) = graft.streaming.StreamStats
+        .maintainDistinct(stream, col("t"))
+      q.awaitTermination()
+      val toks = docs(s, dir).select(explode(expr(toksExpr)).as("t"))
+      val oneShot = graft.agg.Hll.sketch(toks, "t")
+      val exact = toks.select(countDistinct(col("t"))).head().getLong(0)
+      val bitEq =
+        if (java.util.Arrays.equals(getRegs(), oneShot)) 1 else 0
+      val estOk =
+        if (math.abs(getEst() / exact - 1.0) <= 0.03) 1 else 0
+      Seq(
+        ("batching_invariant", bitEq, exact),
+        ("estimate_within_3pct", estOk, exact))
+        .toDF("contract", "ok", "exact_n")
+    },
+    oracle = Some(
+      """WITH d AS (
+        |  SELECT count(DISTINCT t)::BIGINT AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> '')
+        |SELECT 'batching_invariant' AS contract, 1 AS ok, n AS exact_n
+        |FROM d
+        |UNION ALL SELECT 'estimate_within_3pct', 1, n FROM d
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
-    "q_hll_distinct"  -> hllDistinct,
-    "q_zorder_layout" -> zorderLayout,
-    "q_target_encode" -> targetEncode,
+    "q_hll_distinct"   -> hllDistinct,
+    "q_zorder_layout"  -> zorderLayout,
+    "q_target_encode"  -> targetEncode,
+    "q_stream_distinct" -> streamDistinct,
   )
 }

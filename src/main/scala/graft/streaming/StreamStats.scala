@@ -64,6 +64,34 @@ object StreamStats {
     (q, () => mg.finish(acc.get()))
   }
 
+  /** Streaming distinct-count maintenance: per micro-batch, one bounded
+    * HLL aggregation collects the 2^p register bytes to the driver,
+    * which folds them into the running registers with register-wise max
+    * — "how many distinct users/tokens/urls has the ingest seen, live"
+    * costs O(2^p) driver state (16 KiB at p=14) and never a
+    * distinct-value shuffle. Register max is order- and batching-
+    * independent, so the running estimate equals a one-shot sketch over
+    * everything streamed so far BIT-EXACTLY. */
+  def maintainDistinct(stream: DataFrame, value: Column,
+                       p: Int = graft.agg.Hll.DefaultP)
+      : (StreamingQuery, () => Array[Byte], () => Double) = {
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      new Array[Byte](1 << p))
+    val agg = graft.agg.Hll.sketchAgg(p)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val r = batch.agg(agg(value)).head()
+        if (!r.isNullAt(0)) {
+          val sk = r.getAs[Array[Byte]](0)
+          acc.updateAndGet(m => graft.agg.Hll.merge(m, sk))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    (q, () => acc.get(), () => graft.agg.Hll.estimate(acc.get()))
+  }
+
   /** As [[maintainNumeric]], additionally exposing the count of non-empty
     * micro-batches folded in — for the multi-batch contract check. */
   def maintainNumericCounted(stream: DataFrame, cols: Seq[String],
