@@ -203,10 +203,51 @@ object QueriesR8c {
         |UNION ALL SELECT 'estimate_within_3pct', 1, n FROM d
         |""".stripMargin))
 
+  // ---- robust scaling / winsorization --------------------------------------
+
+  /** Outlier-immune normalization beyond the reference's 16 types:
+    * robust score = (v − median)/IQR clamped ±6, winsorized price
+    * clipped into [p05, p95]. Quantiles via the exact-percentile recipe
+    * (percentile_approx accuracy=MaxInt ↔ quantile_disc), arithmetic
+    * mirrored operation-for-operation — all 60k rows value-checked. */
+  private val normRobust: Q = Q(
+    fn = (s, dir) => {
+      val d = QueryUtil.li(s, dir)
+      val qs = d.select(
+        expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), " +
+          "2147483647)").as("q"),
+        expr("percentile_approx(l_extendedprice, array(0.05, 0.95), " +
+          "2147483647)").as("p")).head()
+      val Seq(q25, q50, q75) = qs.getSeq[Double](0)
+      val Seq(p05, p95) = qs.getSeq[Double](1)
+      d.select(col("l_orderkey"), col("l_linenumber"),
+        round(graft.ops.Normalize.robustScale(
+          col("l_quantity"), q50, q25, q75), 6).as("robust_qty"),
+        round(graft.ops.Normalize.winsorize(
+          col("l_extendedprice"), p05, p95), 6).as("wins_price"))
+    },
+    oracle = Some(
+      """WITH q AS (
+        |  SELECT quantile_disc(l_quantity, 0.25) AS q25,
+        |    quantile_disc(l_quantity, 0.5) AS q50,
+        |    quantile_disc(l_quantity, 0.75) AS q75,
+        |    quantile_disc(l_extendedprice, 0.05) AS p05,
+        |    quantile_disc(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(least(greatest(
+        |    (l_quantity - q50) / (q75 - q25), -6.0), 6.0), 6)
+        |    AS robust_qty,
+        |  round(least(greatest(l_extendedprice, p05), p95), 6)
+        |    AS wins_price
+        |FROM lineitem CROSS JOIN q
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_hll_distinct"   -> hllDistinct,
     "q_zorder_layout"  -> zorderLayout,
     "q_target_encode"  -> targetEncode,
     "q_stream_distinct" -> streamDistinct,
+    "q_norm_robust"    -> normRobust,
   )
 }

@@ -29,6 +29,30 @@ object Normalize {
     }
   }
 
+  /** Robust scaling (beyond the reference's 16 types): (v − median)/IQR
+    * with the same ±cutoff clamp and missing→center (score 0) discipline
+    * as [[zscore]]. Median/IQR come from the catalog's exact
+    * p25/median/p75, so like every transform here it folds to literals —
+    * one narrow codegen map, and outlier-immune where a tail would drag
+    * μ/σ. Degenerate IQR (constant middle half) scores 0. */
+  def robustScale(v: Column, median: Double, p25: Double, p75: Double,
+                  cutoff: Double = 6.0): Column = {
+    val iqr = p75 - p25
+    if (iqr <= 0.0) lit(0.0)
+    else {
+      val z = (coalesce(v, lit(median)) - lit(median)) / lit(iqr)
+      least(greatest(z, lit(-cutoff)), lit(cutoff))
+    }
+  }
+
+  /** Winsorization: clamp values into [lo, hi] (caller supplies tail
+    * quantile values from the catalog). Nulls stay null — clipping is a
+    * value transform, not an imputation. */
+  def winsorize(v: Column, lo: Double, hi: Double): Column = {
+    require(lo <= hi, s"winsorize bounds inverted: $lo > $hi")
+    least(greatest(v, lit(lo)), lit(hi))
+  }
+
   /** WoE lookup: bin the value, map to per-bin woe; missing → last-bin woe.
     * Reference `Normalizer.java:241-243` woeNormalize + `BinUtils.getBinNum`. */
   def woeNumeric(v: Column, boundaries: Seq[Double],
