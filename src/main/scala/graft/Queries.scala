@@ -297,7 +297,8 @@ object Queries {
     QueriesMisc.all ++ QueriesExtra.all ++ QueriesEval2.all ++
     QueriesWeighted.all ++ QueriesHybrid.all ++ QueriesBinning2.all ++
     QueriesPipeline.all ++ QueriesCatalog.all ++ QueriesTemporal.all ++
-    QueriesR8.all ++ QueriesR8b.all ++ QueriesR8c.all
+    QueriesR8.all ++ QueriesR8b.all ++ QueriesR8c.all ++ QueriesOlap.all ++
+    QueriesRank.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.view.mapValues(_.fn).toMap

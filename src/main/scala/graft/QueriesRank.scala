@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Rank and association statistics: Spearman correlation (distributed
+  * exact average ranks), chi-square / Cramér's V, mutual-information
+  * feature ranking, and the built-in session_window streaming query.
+  * These extend the reference's Pearson/KS/IV stats family
+  * (`core/ColumnStatsCalculator.java`, `core/correlation/`) with the
+  * standard rank/information-theoretic measures. */
+object QueriesRank {
+  import QueryUtil.li
+
+  // ---- Spearman rank correlation -------------------------------------------
+
+  /** Spearman rho of l_quantity vs l_extendedprice. The rank step never
+    * sorts the corpus in one partition: [[graft.ops.Rank.avgRanks]] ranks
+    * the DISTINCT-value table via range-repartitioned prefix sums (driver
+    * offsets, the confusion-sweep pattern), then re-attaches through
+    * size-gated broadcasts. Ranks are exact multiples of 0.5 in both
+    * engines, so the only float divergence is the final moment sums —
+    * absorbed by the 6-decimal round like q_correlation. */
+  private val spearman: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Rank.spearman(li(s, dir), "l_quantity", "l_extendedprice"),
+    oracle = Some(
+      """WITH d AS (SELECT l_quantity::DOUBLE AS xv,
+        |    l_extendedprice::DOUBLE AS yv FROM lineitem),
+        |rn AS (SELECT xv, yv,
+        |    row_number() OVER (ORDER BY xv) AS rnx,
+        |    row_number() OVER (ORDER BY yv) AS rny FROM d),
+        |r AS (SELECT avg(rnx) OVER (PARTITION BY xv) AS rx,
+        |    avg(rny) OVER (PARTITION BY yv) AS ry FROM rn)
+        |SELECT round((count(*) * sum(rx * ry) - sum(rx) * sum(ry))
+        |    / sqrt((count(*) * sum(rx * rx) - sum(rx) * sum(rx))
+        |         * (count(*) * sum(ry * ry) - sum(ry) * sum(ry))), 6) AS rho
+        |FROM r
+        |""".stripMargin))
+
+  // ---- chi-square / Cramér's V ---------------------------------------------
+
+  /** Chi-square independence + Cramér's V for c_mktsegment × c_nationkey.
+    * One corpus-scan groupBy → bounded cell table; the expected grid
+    * (margin cross join) materializes zero-observed cells so their
+    * expected mass counts. Identical per-cell expression text in both
+    * engines; 6-decimal round absorbs cell-order float drift. */
+  private val chi2: Q = Q(
+    fn = (s, dir) => graft.ops.Assoc.chiSquare(
+      Tables.load(s, dir, "customer"), "c_mktsegment", "c_nationkey"),
+    oracle = Some(
+      """WITH o AS (SELECT c_mktsegment AS a, c_nationkey AS b,
+        |    count(*)::DOUBLE AS n FROM customer GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(n) AS na FROM o GROUP BY a),
+        |mb AS (SELECT b, sum(n) AS nb FROM o GROUP BY b),
+        |t AS (SELECT sum(n) AS nt, count(DISTINCT a)::DOUBLE AS r,
+        |      count(DISTINCT b)::DOUBLE AS c FROM o),
+        |grid AS (SELECT ma.na, mb.nb, coalesce(o.n, 0.0) AS n,
+        |      t.nt, t.r, t.c
+        |    FROM ma CROSS JOIN mb CROSS JOIN t
+        |    LEFT JOIN o ON o.a = ma.a AND o.b = mb.b)
+        |SELECT
+        |  round(sum((n - na * nb / nt) * (n - na * nb / nt)
+        |    / (na * nb / nt)), 6) AS chi2,
+        |  round(sqrt(sum((n - na * nb / nt) * (n - na * nb / nt)
+        |      / (na * nb / nt))
+        |    / (any_value(nt) * (least(any_value(r), any_value(c)) - 1.0))),
+        |    6) AS cramers_v,
+        |  CAST((any_value(r) - 1) * (any_value(c) - 1) AS BIGINT) AS dof
+        |FROM grid
+        |""".stripMargin))
+
+  // ---- mutual-information feature ranking ----------------------------------
+
+  private val miFeatures = Seq("l_quantity", "l_discount", "l_tax")
+  private val miK = 10
+
+  /** Equal-interval bin CASE with EXPLICIT (mn, mx) literals — identical
+    * IEEE op order `mn + (mx - mn) * i / k` on both engines. */
+  private def binArmSqls(v: String, mn: String, mx: String): String =
+    (1 until miK).reverse
+      .map(i => s"WHEN $v >= $mn + ($mx - $mn) * $i / $miK THEN $i")
+      .mkString(" ")
+
+  /** MI(binned feature; target) in nats for three numeric features — the
+    * information-gain analog of the reference's IV ranking. ONE stacked
+    * corpus scan feeds a (feature, bin, pos) cell groupBy; the MI windows
+    * run over the bounded cell table only. Bin bounds come from one tiny
+    * min/max agg, folded into the stacked CASE as literals. */
+  private val mutualInfo: Q = Q(
+    fn = (s, dir) => {
+      val d = li(s, dir)
+      val boundCols = miFeatures.flatMap(f =>
+        Seq(min(col(f)).as(s"mn_$f"), max(col(f)).as(s"mx_$f")))
+      val bounds = d.agg(boundCols.head, boundCols.tail: _*).head()
+      def bnd(pfx: String, f: String): Double =
+        bounds.getAs[Double](s"${pfx}_$f")
+      val stackArgs = miFeatures
+        .map(f => s"'$f', $f").mkString(", ")
+      val stacked = d
+        .withColumn("pos", when(QueryUtil.isPos, 1L).otherwise(0L))
+        .selectExpr("pos",
+          s"stack(${miFeatures.size}, $stackArgs) AS (feature, v)")
+      val binCase = miFeatures.map { f =>
+        // D-suffixed literals: a bare `0.1` parses as DECIMAL in Spark SQL
+        // and the decimal boundary arithmetic diverges from the oracle's
+        // IEEE-double math
+        val (mn, mx) = (s"${bnd("mn", f)}D", s"${bnd("mx", f)}D")
+        s"WHEN feature = '$f' THEN (CASE ${binArmSqls("v", mn, mx)} ELSE 0 END)"
+      }.mkString(" ")
+      val cells = stacked
+        .withColumn("bin", expr(s"CASE $binCase END"))
+        .groupBy("feature", "bin", "pos")
+        .agg(count(lit(1)).cast("double").as("n"))
+      graft.ops.Assoc.mutualInfo(cells, "feature", "bin", "pos", "n")
+    },
+    oracle = Some {
+      val boundsSel = miFeatures.flatMap(f => Seq(
+        s"min($f)::DOUBLE AS mn_$f", s"max($f)::DOUBLE AS mx_$f"))
+        .mkString(", ")
+      val branches = miFeatures.map { f =>
+        s"""SELECT '$f' AS feature,
+           |  (CASE ${binArmSqls(f, s"mn_$f", s"mx_$f")} ELSE 0 END) AS bin,
+           |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+           |FROM lineitem CROSS JOIN s""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (SELECT $boundsSel FROM lineitem),
+         |binned AS (
+         |$branches),
+         |cells AS (SELECT feature, bin, pos, count(*)::DOUBLE AS n
+         |          FROM binned GROUP BY 1, 2, 3),
+         |wins AS (SELECT feature, n,
+         |    sum(n) OVER (PARTITION BY feature) AS nt,
+         |    sum(n) OVER (PARTITION BY feature, bin) AS nx,
+         |    sum(n) OVER (PARTITION BY feature, pos) AS ny
+         |  FROM cells)
+         |SELECT feature,
+         |  round(sum((n / nt) * ln(n * nt / (nx * ny))), 6) AS mi_nats
+         |FROM wins GROUP BY feature
+         |""".stripMargin
+    })
+
+  // ---- built-in session_window streaming -----------------------------------
+
+  /** `session_window` sessionization (events merge while gaps < 30 min);
+    * oracle = the batch gap-island derivation with the SAME strict-<
+    * merge rule (new session iff gap >= 30 min). */
+  private val streamSessionWindow: Q = Q(
+    fn = (s, dir) =>
+      graft.streaming.StreamOps.sessionWindowCounts(s, dir),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |s AS (SELECT user_id, ms,
+        |    sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t)
+        |SELECT user_id, min(ms) AS session_start_ms,
+        |  count(*)::BIGINT AS n_events
+        |FROM s GROUP BY user_id, sid
+        |""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "q_spearman"       -> spearman,
+    "q_chi2"           -> chi2,
+    "q_mutual_info"    -> mutualInfo,
+    "q_stream_session_window" -> streamSessionWindow,
+  )
+}

@@ -465,6 +465,40 @@ object StreamOps {
       .agg(count(lit(1)).as("n_context"))
     }
 
+  /** Streaming sessionization via the BUILT-IN `session_window` (the
+    * declarative complement to [[sessionizeStream]]'s custom
+    * `mapGroupsWithState` path): events of a user closer than the gap
+    * merge into one session window `[min_ts, last_ts + gap)`. In
+    * continuous operation state is O(open sessions) — closed sessions
+    * evict as the watermark passes their end — vs the custom path's
+    * O(users). Emits (user_id, session_start_ms, n_events); equal to the
+    * batch gap-island oracle (new session iff gap >= 30 min, matching
+    * session_window's strict-< merge rule). */
+  def sessionWindowCounts(spark: SparkSession, dir: String,
+                          gapMin: Int = 30): DataFrame =
+    withStatePartitions(spark, 8) {
+    val name = s"stream_swin_${counter.incrementAndGet()}"
+    val events = eventsStream(spark, dir)
+      .withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("ts_ts", "1 hour")
+    val agg = events
+      .groupBy(col("user_id"),
+        session_window(col("ts_ts"), s"$gapMin minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        expr("unix_millis(session_window.start)").as("session_start_ms"),
+        col("n_events"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+    }
+
   /** Streaming tumbling 1-hour counts per event_type over the events dir;
     * runs the stream to completion against the static files and returns
     * the result table — output matches the batch q_events_window oracle. */
