@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / experimentation analytics over the event stream:
+  * next-event transition matrix, time-RANGE rolling windows, per-key
+  * trend slopes, A/B proportion tests, and sliding-window distinct
+  * counts via mergeable HLL sketches. */
+object QueriesSeries {
+
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), expr("ts div 1000000").as("ms"))
+
+  // ---- Markov next-event transition matrix ---------------------------------
+
+  /** (prev_type → type) transition counts + row-normalized floor-ppm
+    * probabilities: ONE user-keyed lag window (the sessionize shape)
+    * then a bounded types² groupBy; the probability normalization
+    * windows run over the bounded cell table. */
+  private val transitions: Q = Q(
+    fn = (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms").asc, col("event_id").asc)
+      val cells = events(s, dir)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("row_n",
+          sum("n").over(Window.partitionBy("prev_type")))
+        .select(col("prev_type"), col("event_type"), col("n"),
+          floor(lit(1e6) * col("n") / col("row_n")).as("p_ppm"))
+    },
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS prev_type
+        |  FROM events),
+        |cells AS (SELECT prev_type, event_type, count(*)::BIGINT AS n
+        |          FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  CAST(floor(1e6 * n / sum(n) OVER (PARTITION BY prev_type))
+        |    AS BIGINT) AS p_ppm
+        |FROM cells
+        |""".stripMargin))
+
+  // ---- time-RANGE rolling window -------------------------------------------
+
+  /** 7-day time-RANGE rolling spend per user over the DAILY aggregate
+    * (RANGE 6 PRECEDING on the integer day key — frames follow event
+    * TIME, not row position, so sparse days widen correctly). Daily
+    * rollup first: the window then runs over users × active-days rows,
+    * not raw events. */
+  private val rollingTime: Q = Q(
+    fn = (s, dir) => {
+      val daily = events(s, dir)
+        .withColumn("day", expr("ms div 86400000"))
+        .withColumn("mils", expr("CAST(floor(value * 1000) AS BIGINT)"))
+        .groupBy("user_id", "day")
+        .agg(sum("mils").as("day_mils"), count(lit(1)).as("day_n"))
+      val w = Window.partitionBy("user_id").orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      daily.select(col("user_id"), col("day"),
+        sum("day_mils").over(w).as("mils_7d"),
+        sum("day_n").over(w).as("n_7d"))
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    sum(CAST(floor(value * 1000) AS BIGINT)) AS day_mils,
+        |    count(*)::BIGINT AS day_n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day,
+        |  CAST(sum(day_mils) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS mils_7d,
+        |  CAST(sum(day_n) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM daily
+        |""".stripMargin))
+
+  // ---- per-key trend slope -------------------------------------------------
+
+  /** OLS spend-trend slope per user (mils per day): closed-form moment
+    * formula in ONE groupBy — the classic "behavioral trend feature"
+    * without any per-key regression loop. Users active on a single day
+    * are excluded on both sides (zero variance → undefined slope). */
+  private val trendSlope: Q = Q(
+    fn = (s, dir) => {
+      val d = events(s, dir)
+        .withColumn("x", expr("CAST(ms div 86400000 - 19700 AS DOUBLE)"))
+        .withColumn("y", expr("floor(value * 1000)"))
+      d.groupBy("user_id")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          countDistinct("x").as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("user_id"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("slope_mils_per_day"))
+    },
+    oracle = Some(
+      """WITH d AS (SELECT user_id,
+        |    CAST(epoch_ms(ts) // 86400000 - 19700 AS DOUBLE) AS x,
+        |    floor(value * 1000) AS y FROM events),
+        |g AS (SELECT user_id, count(*)::DOUBLE AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |    count(DISTINCT x) AS nd
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |    AS slope_mils_per_day
+        |FROM g WHERE nd >= 2
+        |""".stripMargin))
+
+  // ---- A/B proportion test -------------------------------------------------
+
+  /** Two-sample proportion z-test: treatment = user_id parity (a
+    * deterministic stand-in assignment), metric = user-level purchase
+    * conversion. Per-user flags in one groupBy, per-arm rollup on the
+    * bounded 2-row table, pooled-variance z in identical op order both
+    * engines. Counts are value-checked; z to 6 decimals. */
+  private val abTest: Q = Q(
+    fn = (s, dir) => {
+      val perUser = events(s, dir)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("arm", pmod(col("user_id"), lit(2)))
+      val arms = perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val Array((_, n0, c0), (_, n1, c1)) = arms.toArray
+      val (p0, p1) = (c0.toDouble / n0, c1.toDouble / n1)
+      val pPool = (c0 + c1).toDouble / (n0 + n1)
+      val z = (p1 - p0) /
+        math.sqrt(pPool * (1 - pPool) * (1.0 / n0 + 1.0 / n1))
+      val spark = s
+      import spark.implicits._
+      Seq((n0, c0, n1, c1, math.rint(z * 1e6) / 1e6))
+        .toDF("n_control", "conv_control", "n_treat", "conv_treat", "z")
+    },
+    oracle = Some(
+      """WITH pu AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)::BIGINT AS c0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)::BIGINT AS c1
+        |  FROM pu)
+        |SELECT n0 AS n_control, c0 AS conv_control,
+        |  n1 AS n_treat, c1 AS conv_treat,
+        |  round((c1 / n1::DOUBLE - c0 / n0::DOUBLE)
+        |    / sqrt(((c0 + c1) / (n0 + n1)::DOUBLE)
+        |         * (1 - (c0 + c1) / (n0 + n1)::DOUBLE)
+        |         * (1.0 / n0 + 1.0 / n1)), 6) AS z
+        |FROM a
+        |""".stripMargin))
+
+  // ---- sliding-window distinct via mergeable HLL ---------------------------
+
+  /** 7-day sliding distinct users per day, the sketch way: ONE scan
+    * builds per-day HLL registers (bounded: days × 16 KiB), the driver
+    * merges each day's trailing week — no 7× data re-scan per window at
+    * 100 TB, and the same registers serve any window width. The exact
+    * sliding count rides a 7-way day explode (co-keyed, corpus-linear)
+    * for the cross-engine value check; the sketch must land within 3%. */
+  private val rollingDistinct: Q = Q(
+    fn = (s, dir) => {
+      import s.implicits._
+      val p = 14
+      val e = events(s, dir)
+        .select(col("user_id"), expr("(ms div 86400000)").as("day"))
+      // exact: each (user, day) feeds the 7 windows it participates in
+      val exact = e.distinct()
+        .select(col("user_id"),
+          explode(expr("sequence(day, day + 6)")).as("win_day"))
+        .groupBy("win_day")
+        .agg(countDistinct("user_id").as("n_exact"))
+      val activeDays = e.select("day").distinct()
+      val exactActive = exact.join(activeDays,
+        exact("win_day") === activeDays("day")).drop("day")
+      // sketch: per-day registers, driver-merged per trailing week
+      val agg = graft.agg.Hll.sketchAgg(p)
+      val regs = e.groupBy("day").agg(agg(col("user_id")).as("regs"))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toMap
+      val estOk = exactActive.collect().map { r =>
+        val (d, nExact) = (r.getLong(0), r.getLong(1))
+        val merged = (d - 6 to d).flatMap(regs.get)
+          .reduce(graft.agg.Hll.merge)
+        val est = graft.agg.Hll.estimate(merged)
+        (d, nExact, if (math.abs(est / nExact - 1.0) <= 0.03) 1L else 0L)
+      }
+      estOk.toSeq.toDF("win_day", "n_exact", "est_ok")
+    },
+    oracle = Some(
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS day FROM events),
+        |d AS (SELECT DISTINCT day FROM e),
+        |win AS (SELECT d.day AS win_day, e.user_id
+        |        FROM d JOIN e ON e.day BETWEEN d.day - 6 AND d.day)
+        |SELECT win_day, count(DISTINCT user_id)::BIGINT AS n_exact,
+        |  1::BIGINT AS est_ok
+        |FROM win GROUP BY win_day
+        |""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "q_transition_matrix" -> transitions,
+    "q_rolling_time"      -> rollingTime,
+    "q_trend_slope"       -> trendSlope,
+    "q_ab_test"           -> abTest,
+    "q_rolling_distinct"  -> rollingDistinct,
+  )
+}
