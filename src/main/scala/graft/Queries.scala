@@ -298,7 +298,8 @@ object Queries {
     QueriesWeighted.all ++ QueriesHybrid.all ++ QueriesBinning2.all ++
     QueriesPipeline.all ++ QueriesCatalog.all ++ QueriesTemporal.all ++
     QueriesR8.all ++ QueriesR8b.all ++ QueriesR8c.all ++ QueriesOlap.all ++
-    QueriesRank.all ++ QueriesValidate.all ++ QueriesSeries.all
+    QueriesRank.all ++ QueriesValidate.all ++ QueriesSeries.all ++
+    QueriesCluster.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.view.mapValues(_.fn).toMap

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch 4: quality-balanced rejection sampling, per-group exact
+  * quartiles, stream-static enrichment, and the first-class k-means
+  * clustering contract. */
+object QueriesCluster {
+  import QueryUtil.docs
+
+  // shared md5-digit arithmetic (the q_hash_sample idiom): first 4 hex
+  // digits of the row hash as an integer in [0, 65536)
+  private val hx = "'0123456789abcdef'"
+  private def hex4(h: String): String =
+    s"(((instr($hx, substr($h, 1, 1)) - 1) * 16 + " +
+      s"(instr($hx, substr($h, 2, 1)) - 1)) * 16 + " +
+      s"(instr($hx, substr($h, 3, 1)) - 1)) * 16 + " +
+      s"(instr($hx, substr($h, 4, 1)) - 1)"
+
+  // ---- quality-balanced rejection sampling ---------------------------------
+
+  /** Rejection sampling that FLATTENS the corpus length distribution:
+    * per-bin acceptance = floor(65536·min_bin/bin) against a
+    * deterministic md5 draw — the "don't let boilerplate-length docs
+    * dominate" balancing step of a training-data pipeline, auditable
+    * and replayable (same corpus → same sample). One scan bins, a
+    * bounded bin table sets thresholds, one narrow filter samples —
+    * nothing re-sorts or re-scans per bin. */
+  private val rejectionSample: Q = Q(
+    fn = (s, dir) => {
+      val k = 10
+      val d0 = docs(s, dir)
+      val Array(mnL, mxL) = d0.agg(min("n_chars").cast("double"),
+        max("n_chars").cast("double")).head()
+        .toSeq.map(_.asInstanceOf[Double]).toArray
+      val (mn, mx) = (s"${mnL}D", s"${mxL}D")
+      val arms = (1 until k).reverse
+        .map(i => s"WHEN n_chars >= $mn + ($mx - $mn) * $i / $k THEN $i")
+        .mkString(" ")
+      val binned = d0.withColumn("bin", expr(s"CASE $arms ELSE 0 END"))
+      binned.cache()
+      try {
+        val counts = binned.groupBy("bin").agg(count(lit(1)).as("n_before"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+        val minCnt = counts.values.min
+        val thrArms = counts.map { case (b, n) =>
+          s"WHEN bin = $b THEN ${math.floor(65536.0 * minCnt / n).toLong}"
+        }.mkString(" ")
+        val rowH = "md5(cast(cast(doc_id AS string) AS binary))"
+        val kept = binned
+          .filter(expr(s"${hex4(rowH)} < (CASE $thrArms END)"))
+          .groupBy("bin").agg(count(lit(1)).as("n_after"))
+        import s.implicits._
+        val before = counts.toSeq.toDF("bin", "n_before")
+        before.join(kept, Seq("bin"), "left")
+          .select(col("bin").cast("long").as("bin"), col("n_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"))
+      } finally binned.unpersist(false)
+    },
+    oracle = Some {
+      val k = 10
+      val arms = (1 until k).reverse
+        .map(i => s"WHEN n_chars >= mn + (mx - mn) * $i / $k THEN $i")
+        .mkString(" ")
+      val rowH = "md5(cast(doc_id AS VARCHAR))"
+      s"""WITH s AS (SELECT min(n_chars)::DOUBLE AS mn,
+         |           max(n_chars)::DOUBLE AS mx FROM documents),
+         |binned AS (SELECT doc_id, (CASE $arms ELSE 0 END)::BIGINT AS bin
+         |           FROM documents CROSS JOIN s),
+         |counts AS (SELECT bin, count(*)::BIGINT AS n_before
+         |           FROM binned GROUP BY bin),
+         |thr AS (SELECT bin, n_before,
+         |    CAST(floor(65536.0 * (min(n_before) OVER ()) / n_before)
+         |      AS BIGINT) AS t
+         |  FROM counts),
+         |kept AS (SELECT b.bin, count(*)::BIGINT AS n_after
+         |  FROM binned b JOIN thr USING (bin)
+         |  WHERE ${hex4(rowH)} < thr.t GROUP BY b.bin)
+         |SELECT thr.bin, thr.n_before,
+         |  coalesce(kept.n_after, 0)::BIGINT AS n_after
+         |FROM thr LEFT JOIN kept USING (bin)
+         |""".stripMargin
+    })
+
+  // ---- per-group exact quartiles -------------------------------------------
+
+  /** Per-source exact quartiles of document length — grouped
+    * `percentile_approx` at exact accuracy (== DuckDB quantile_disc,
+    * the q_quartiles contract, here per group). */
+  private val groupQuartiles: Q = Q(
+    fn = (s, dir) =>
+      docs(s, dir).groupBy("source")
+        .agg(
+          percentile_approx(col("n_chars"), lit(0.25),
+            lit(2147483647)).as("p25"),
+          percentile_approx(col("n_chars"), lit(0.5),
+            lit(2147483647)).as("p50"),
+          percentile_approx(col("n_chars"), lit(0.75),
+            lit(2147483647)).as("p75")),
+    oracle = Some(
+      """SELECT source,
+        |  quantile_disc(n_chars, 0.25) AS p25,
+        |  quantile_disc(n_chars, 0.5) AS p50,
+        |  quantile_disc(n_chars, 0.75) AS p75
+        |FROM documents GROUP BY source
+        |""".stripMargin))
+
+  // ---- stream-static enrichment join ---------------------------------------
+
+  private val streamEnrich: Q = Q(
+    fn = (s, dir) => graft.streaming.StreamOps.staticEnrichJoin(s, dir),
+    oracle = Some(
+      """SELECT c_mktsegment, event_type, count(*)::BIGINT AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS sum_mils
+        |FROM events JOIN customer ON c_custkey = user_id
+        |GROUP BY 1, 2
+        |""".stripMargin))
+
+  // ---- k-means clustering contract -----------------------------------------
+
+  /** Distributed k-means (MLlib Lloyd) search contract — like the IVF
+    * queries, cluster VALUES are FP-order sensitive, so the oracle
+    * checks invariants: corpus count preserved (value-checked), k
+    * non-empty clusters, every point assigned to its NEAREST centroid
+    * (re-verified with an independent distance pass), and inertia no
+    * worse than the single-cluster variance baseline. */
+  private val kmeans: Q = Q(
+    fn = (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val fitted = graft.sim.KMeans.fit(emb, k = 8)
+      val assign = fitted.assign.cache()
+      try {
+        val n = emb.count()
+        val nAssigned = assign.count()
+        val nClusters = assign.select("cluster").distinct().count()
+        // independent nearest-centroid audit
+        val cents = fitted.centroids
+        val bc = s.sparkContext.broadcast(cents)
+        val mismatches = emb
+          .select(col("vec_id"), col("embedding").cast("array<double>")
+            .as("e"))
+          .join(assign, Seq("vec_id"))
+          .as[(Long, Seq[Double], Long)]
+          .filter { case (_, e, c) =>
+            val cs = bc.value
+            var best = 0; var bestD = Double.MaxValue
+            var i = 0
+            while (i < cs.length) {
+              var d2 = 0.0; var j = 0
+              while (j < e.length) {
+                val d = e(j) - cs(i)(j); d2 += d * d; j += 1
+              }
+              if (d2 < bestD - 1e-9) { bestD = d2; best = i }
+              i += 1
+            }
+            // allow FP ties: assigned cluster must be within 1e-6 of best
+            var dc2 = 0.0; var j = 0
+            while (j < e.length) {
+              val d = e(j) - cs(c.toInt)(j); dc2 += d * d; j += 1
+            }
+            dc2 > bestD + 1e-6
+          }.count()
+        // single-cluster baseline: total variance around the global mean
+        val dims = 64
+        val meanRow = emb.select(
+          (0 until dims).map(i => avg(element_at(col("embedding"), i + 1)
+            .cast("double")).as(s"m$i")): _*).head()
+        val gm = (0 until dims).map(meanRow.getDouble).toArray
+        val bcM = s.sparkContext.broadcast(gm)
+        val baseline = emb.select(col("embedding").cast("array<double>")
+            .as("e")).as[Seq[Double]]
+          .map { e =>
+            var d2 = 0.0; var j = 0
+            while (j < e.length) {
+              val d = e(j) - bcM.value(j); d2 += d * d; j += 1
+            }
+            d2
+          }.reduce(_ + _)
+        Seq(
+          ("n_points", n, 1L),
+          ("all_assigned", nAssigned, if (nAssigned == n) 1L else 0L),
+          ("k_nonempty", nClusters, if (nClusters == 8L) 1L else 0L),
+          ("assign_is_nearest", mismatches,
+            if (mismatches == 0L) 1L else 0L),
+          ("inertia_beats_baseline", 0L,
+            if (fitted.inertia <= baseline + 1e-6) 1L else 0L))
+          .toDF("contract", "n", "ok")
+      } finally assign.unpersist(false)
+    },
+    oracle = Some(
+      """SELECT 'n_points' AS contract, count(*)::BIGINT AS n, 1::BIGINT AS ok
+        |FROM embeddings
+        |UNION ALL SELECT 'all_assigned', count(*)::BIGINT, 1 FROM embeddings
+        |UNION ALL SELECT 'k_nonempty', 8, 1
+        |UNION ALL SELECT 'assign_is_nearest', 0, 1
+        |UNION ALL SELECT 'inertia_beats_baseline', 0, 1
+        |""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "q_rejection_sample" -> rejectionSample,
+    "q_group_quartiles"  -> groupQuartiles,
+    "q_stream_enrich"    -> streamEnrich,
+    "q_kmeans"           -> kmeans,
+  )
+}

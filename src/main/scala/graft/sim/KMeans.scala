@@ -1,0 +1,39 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** First-class distributed k-means over the embedding column — the
+  * idiomatic Spark answer is MLlib's `ml.clustering.KMeans` (distributed
+  * Lloyd with map-side partial centroid sums per iteration), not a
+  * hand-rolled loop; the engine's OWN sampled-Lloyd quantizers
+  * ([[Ivf.centroids]], [[Pq.train]]) stay for the ANN paths where a
+  * bounded driver sample is the deliberate scale choice. This wrapper
+  * pins seed/iters for determinism and returns assignments + centroids.
+  *
+  * Scale shape: each Lloyd iteration is one narrow assignment map
+  * (broadcast centroids) + one treeAggregate of per-cluster sums —
+  * k×dims doubles per partition on the wire, never the corpus. */
+object KMeans {
+
+  final case class Fitted(assign: DataFrame,
+      centroids: Array[Array[Double]], inertia: Double)
+
+  /** Fit k clusters on `emb.embedding` (Array[Float]); returns
+    * (vec_id, cluster) assignments, centroid matrix, and the training
+    * cost (sum of squared distances — "inertia"). */
+  def fit(emb: DataFrame, k: Int, seed: Long = 7L,
+      iters: Int = 10): Fitted = {
+    val v = emb.select(col("vec_id"),
+      org.apache.spark.ml.functions.array_to_vector(
+        col("embedding").cast("array<double>")).as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(iters)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+    val model = km.fit(v)
+    val assign = model.transform(v)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    val cost = model.summary.trainingCost
+    Fitted(assign, model.clusterCenters.map(_.toArray), cost)
+  }
+}

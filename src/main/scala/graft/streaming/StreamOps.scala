@@ -465,6 +465,34 @@ object StreamOps {
       .agg(count(lit(1)).as("n_context"))
     }
 
+  /** Stream-static enrichment join: the event stream joins a STATIC
+    * dimension table (user → market segment) inside each micro-batch —
+    * completely STATELESS (no watermark, no join state: the static side
+    * is just re-planned per batch, broadcast when small). This is the
+    * canonical "enrich a live feed with reference data" shape; the
+    * stateful stream-stream dual is [[purchaseContextJoin]]. Emits the
+    * per-segment rollup off the sink, equal to the batch join oracle. */
+  def staticEnrichJoin(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark, 8) {
+    val name = s"stream_enrich_${counter.incrementAndGet()}"
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val joined = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("mils"))
+      .join(dim, Seq("user_id")) // inner: unmatched users drop, per batch
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), sum("mils").as("sum_mils"))
+    }
+
   /** Streaming sessionization via the BUILT-IN `session_window` (the
     * declarative complement to [[sessionizeStream]]'s custom
     * `mapGroupsWithState` path): events of a user closer than the gap
