@@ -198,10 +198,44 @@ object QueriesCluster {
         |UNION ALL SELECT 'inertia_beats_baseline', 0, 1
         |""".stripMargin))
 
+  // ---- codegen binary-search discretization --------------------------------
+
+  /** 256-bin equal-interval discretization of l_extendedprice through
+    * the codegen'd [[graft.expr.BinIndex]] binary search (O(log k) per
+    * row, boundary array hoisted into the generated class) — the
+    * large-k path where a 256-arm when-chain is O(k) per row and hard
+    * on janino. The oracle IS the 255-arm CASE chain, so the search is
+    * proven equal to the chain semantics boundary for boundary. */
+  private val binSearch: Q = Q(
+    fn = (s, dir) => {
+      val k = 256
+      val d = Tables.load(s, dir, "lineitem")
+      val Array(mn, mx) = d.agg(min("l_extendedprice"),
+        max("l_extendedprice")).head()
+        .toSeq.map(_.asInstanceOf[Double]).toArray
+      val bounds = (1 until k).map(i => mn + (mx - mn) * i / k)
+      d.select(graft.expr.BinIndex.of(col("l_extendedprice"), bounds)
+          .cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+    },
+    oracle = Some {
+      val k = 256
+      val arms = (1 until k).reverse
+        .map(i => s"WHEN l_extendedprice >= mn + (mx - mn) * $i / $k THEN $i")
+        .mkString(" ")
+      s"""WITH s AS (SELECT min(l_extendedprice) AS mn,
+         |           max(l_extendedprice) AS mx FROM lineitem)
+         |SELECT (CASE $arms ELSE 0 END)::BIGINT AS bin,
+         |  count(*)::BIGINT AS n
+         |FROM lineitem CROSS JOIN s GROUP BY 1
+         |""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "q_rejection_sample" -> rejectionSample,
     "q_group_quartiles"  -> groupQuartiles,
     "q_stream_enrich"    -> streamEnrich,
     "q_kmeans"           -> kmeans,
+    "q_bin_search"       -> binSearch,
   )
 }
