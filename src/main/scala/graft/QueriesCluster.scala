@@ -231,11 +231,42 @@ object QueriesCluster {
          |""".stripMargin
     })
 
+  // ---- per-group quantile normalization ------------------------------------
+
+  /** Quantile-normalize document lengths per source onto the global
+    * length distribution — every (doc, bin, mapped value) value-checked;
+    * all integer (n_chars is integral, boundaries are exact
+    * percentile_approx == quantile_disc picks). */
+  private val quantileNorm: Q = {
+    val k = 20
+    val qs = (1 until k).map(_.toDouble / k)
+    Q(
+      fn = (s, dir) => graft.ops.QuantileNorm
+        .normalize(docs(s, dir), "source", "n_chars", k)
+        .select("doc_id", "src_bin", "qnorm"),
+      oracle = Some {
+        val qList = qs.mkString("[", ", ", "]")
+        s"""WITH gb AS (SELECT source,
+           |    quantile_disc(n_chars, $qList) AS gbounds
+           |  FROM documents GROUP BY source),
+           |ge AS (SELECT list_prepend(min(n_chars),
+           |    quantile_disc(n_chars, $qList)) AS gedges FROM documents)
+           |SELECT d.doc_id,
+           |  len(list_filter(gb.gbounds, b -> d.n_chars >= b))::BIGINT
+           |    AS src_bin,
+           |  ge.gedges[len(list_filter(gb.gbounds, b -> d.n_chars >= b)) + 1]
+           |    AS qnorm
+           |FROM documents d JOIN gb USING (source) CROSS JOIN ge
+           |""".stripMargin
+      })
+  }
+
   val all: Map[String, Q] = Map(
     "q_rejection_sample" -> rejectionSample,
     "q_group_quartiles"  -> groupQuartiles,
     "q_stream_enrich"    -> streamEnrich,
     "q_kmeans"           -> kmeans,
     "q_bin_search"       -> binSearch,
+    "q_quantile_norm"    -> quantileNorm,
   )
 }
