@@ -164,10 +164,105 @@ object QueriesRank {
         |FROM s GROUP BY user_id, sid
         |""".stripMargin))
 
+  // ---- distributed percent rank --------------------------------------------
+
+  /** PERCENT_RANK over the whole table WITHOUT the single-partition
+    * `Window.orderBy` a naive spelling plans: [[graft.ops.Rank.rankCounts]]
+    * ranks the distinct-value table (range-repartitioned prefix sums),
+    * then re-attaches by value. Integer ppm output, identical op order
+    * to the oracle's explicit (rank−1) arithmetic. */
+  private val percentRank: Q = Q(
+    fn = (s, dir) => {
+      val d = li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("double").as("v"))
+      val rc = graft.ops.Rank.rankCounts(d, "v")
+      val n = d.count()
+      d.join(graft.ops.PlanHints.gatedBroadcast(rc.select("v", "n_below")),
+          Seq("v"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(lit(1e6) * col("n_below") / lit((n - 1).toDouble))
+            .as("pr_ppm"))
+    },
+    oracle = Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(1e6 * (rank() OVER (ORDER BY l_extendedprice) - 1)
+        |    / (count(*) OVER () - 1)) AS BIGINT) AS pr_ppm
+        |FROM lineitem
+        |""".stripMargin))
+
+  // ---- pairwise MI redundancy matrix (mRMR's second ingredient) ------------
+
+  /** Pairwise mutual information between the binned features — the
+    * REDUNDANCY matrix mRMR subtracts from q_mutual_info's relevance
+    * vector ([[graft.ops.Assoc.mrmrOrder]] does the bounded greedy).
+    * One stacked scan emits all pairs; MI windows over bounded cells. */
+  private val miMatrix: Q = Q(
+    fn = (s, dir) => {
+      val k = 5
+      val d = li(s, dir)
+      val boundCols = miFeatures.flatMap(f =>
+        Seq(min(col(f)).as(s"mn_$f"), max(col(f)).as(s"mx_$f")))
+      val bounds = d.agg(boundCols.head, boundCols.tail: _*).head()
+      def binExpr(f: String): String = {
+        val mn = s"${bounds.getAs[Double](s"mn_$f")}D"
+        val mx = s"${bounds.getAs[Double](s"mx_$f")}D"
+        val arms = (1 until k).reverse
+          .map(i => s"WHEN $f >= $mn + ($mx - $mn) * $i / $k THEN $i")
+          .mkString(" ")
+        s"(CASE $arms ELSE 0 END)"
+      }
+      val pairs = for {
+        i <- miFeatures.indices; j <- (i + 1) until miFeatures.size
+      } yield (miFeatures(i), miFeatures(j))
+      val stackArgs = pairs.map { case (a, b) =>
+        s"'$a|$b', ${binExpr(a)}, ${binExpr(b)}"
+      }.mkString(", ")
+      val cells = d
+        .selectExpr(s"stack(${pairs.size}, $stackArgs) AS (pair, x, y)")
+        .groupBy("pair", "x", "y")
+        .agg(count(lit(1)).cast("double").as("n"))
+      graft.ops.Assoc.mutualInfo(cells, "pair", "x", "y", "n")
+    },
+    oracle = Some {
+      val k = 5
+      val boundsSel = miFeatures.flatMap(f => Seq(
+        s"min($f)::DOUBLE AS mn_$f", s"max($f)::DOUBLE AS mx_$f"))
+        .mkString(", ")
+      def binSql(f: String): String = {
+        val arms = (1 until k).reverse
+          .map(i => s"WHEN $f >= mn_$f + (mx_$f - mn_$f) * $i / $k THEN $i")
+          .mkString(" ")
+        s"(CASE $arms ELSE 0 END)"
+      }
+      val pairs = for {
+        i <- miFeatures.indices; j <- (i + 1) until miFeatures.size
+      } yield (miFeatures(i), miFeatures(j))
+      val branches = pairs.map { case (a, b) =>
+        s"""SELECT '$a|$b' AS pair, ${binSql(a)} AS x, ${binSql(b)} AS y
+           |FROM lineitem CROSS JOIN s""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (SELECT $boundsSel FROM lineitem),
+         |binned AS (
+         |$branches),
+         |cells AS (SELECT pair, x, y, count(*)::DOUBLE AS n
+         |          FROM binned GROUP BY 1, 2, 3),
+         |wins AS (SELECT pair, n,
+         |    sum(n) OVER (PARTITION BY pair) AS nt,
+         |    sum(n) OVER (PARTITION BY pair, x) AS nx,
+         |    sum(n) OVER (PARTITION BY pair, y) AS ny
+         |  FROM cells)
+         |SELECT pair,
+         |  round(sum((n / nt) * ln(n * nt / (nx * ny))), 6) AS mi_nats
+         |FROM wins GROUP BY pair
+         |""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "q_spearman"       -> spearman,
     "q_chi2"           -> chi2,
     "q_mutual_info"    -> mutualInfo,
     "q_stream_session_window" -> streamSessionWindow,
+    "q_percent_rank"   -> percentRank,
+    "q_mi_matrix"      -> miMatrix,
   )
 }

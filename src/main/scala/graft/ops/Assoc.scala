@@ -50,6 +50,32 @@ object Assoc {
     } finally o.unpersist(false)
   }
 
+  /** mRMR greedy feature ordering (Peng et al. 2005): pick the feature
+    * maximizing relevance − mean redundancy to the already-selected
+    * set. Pure driver math over the bounded relevance vector and
+    * redundancy matrix (both computed distributed — q_mutual_info /
+    * q_mi_matrix shapes); ties break lexicographically for
+    * determinism. */
+  def mrmrOrder(relevance: Map[String, Double],
+      redundancy: Map[(String, String), Double]): Seq[String] = {
+    def red(a: String, b: String): Double =
+      redundancy.getOrElse((a, b), redundancy.getOrElse((b, a), 0.0))
+    val order = collection.mutable.ArrayBuffer[String]()
+    val remaining = collection.mutable.TreeSet(relevance.keys.toSeq: _*)
+    while (remaining.nonEmpty) {
+      val pick = remaining.maxBy(f => {
+        val penalty =
+          if (order.isEmpty) 0.0
+          else order.map(s => red(f, s)).sum / order.size
+        (relevance(f) - penalty, f) // tuple: score, then lex tiebreak
+      })(Ordering.Tuple2(Ordering.Double.TotalOrdering,
+        Ordering.String.reverse))
+      order += pick
+      remaining -= pick
+    }
+    order.toSeq
+  }
+
   /** Mutual information (nats) between a discrete column and a binary
     * condition, from a precomputed (cell, isPos, count) contingency
     * DataFrame keyed by `feature`. Input must already be bounded (bins ×

@@ -56,6 +56,39 @@ object Rank {
     out
   }
 
+  /** (value, n_below, cnt) per distinct value — the raw form behind
+    * [[avgRanks]]; min-rank = n_below + 1, percent-rank =
+    * n_below / (n − 1) (SQL PERCENT_RANK uses min-rank, so this is the
+    * distributed drop-in for a would-be single-partition
+    * `percent_rank() OVER (ORDER BY v)`). */
+  def rankCounts(df: DataFrame, c: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df.select(col(c).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val parts = math.max(counts.rdd.getNumPartitions, 1)
+    val sorted = counts.repartitionByRange(parts, col("v").asc)
+      .sortWithinPartitions(col("v").asc)
+      .select("v", "cnt").rdd
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    sorted.cache()
+    val partSums = sorted
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.map(_._2).sum)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val ranked = sorted.mapPartitionsWithIndex { (i, it) =>
+      var below = offsets(i)
+      it.map { case (v, cnt) =>
+        val r = (v, below, cnt)
+        below += cnt
+        r
+      }
+    }
+    val out = spark.createDataFrame(ranked).toDF("v", "n_below", "cnt")
+    sorted.unpersist(false)
+    out
+  }
+
   /** Spearman rank correlation of `x` vs `y` over `df`, rounded to
     * `scale` decimals. Two bounded rank tables re-attach via size-gated
     * broadcast joins (hash join on the value otherwise); the final pass
