@@ -299,7 +299,7 @@ object Queries {
     QueriesPipeline.all ++ QueriesCatalog.all ++ QueriesTemporal.all ++
     QueriesR8.all ++ QueriesR8b.all ++ QueriesR8c.all ++ QueriesOlap.all ++
     QueriesRank.all ++ QueriesValidate.all ++ QueriesSeries.all ++
-    QueriesCluster.all ++ QueriesTpch.all
+    QueriesCluster.all ++ QueriesTpch.all ++ QueriesGovern.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.view.mapValues(_.fn).toMap

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Data-governance checks (the privacy dual of the validation suite)
+  * and the explicit GROUPING SETS completion of the OLAP family. */
+object QueriesGovern {
+
+  // ---- k-anonymity ---------------------------------------------------------
+
+  /** k-anonymity audit over quasi-identifiers (nation, market segment):
+    * every row's QI combination must be shared by ≥ k rows, or the
+    * dataset re-identifies. ONE groupBy on the QI columns → bounded
+    * equivalence-class table; the rollup emits class-size distribution
+    * + the risk headcount. The classic pre-release gate before sharing
+    * "anonymized" data. */
+  private val kAnonymity: Q = Q(
+    fn = (s, dir) => {
+      val k = 5
+      val classes = Tables.load(s, dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("class_size"))
+      classes.agg(
+        count(lit(1)).as("n_classes"),
+        min("class_size").as("min_class"),
+        sum(when(col("class_size") < k, col("class_size"))
+          .otherwise(0L)).as("n_rows_at_risk"),
+        sum(when(col("class_size") < k, 1L).otherwise(0L))
+          .as("n_classes_at_risk"),
+        max(when(col("class_size") >= k, lit(1)).otherwise(lit(0)))
+          .cast("long").as("has_safe_class"))
+    },
+    oracle = Some(
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+        |    count(*)::BIGINT AS class_size
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT count(*)::BIGINT AS n_classes,
+        |  min(class_size) AS min_class,
+        |  sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)::BIGINT
+        |    AS n_rows_at_risk,
+        |  sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_classes_at_risk,
+        |  max(CASE WHEN class_size >= 5 THEN 1 ELSE 0 END)::BIGINT
+        |    AS has_safe_class
+        |FROM c
+        |""".stripMargin))
+
+  // ---- l-diversity ---------------------------------------------------------
+
+  /** l-diversity: within each QI class, the SENSITIVE attribute (order
+    * priority, standing in for a sensitive label) must take ≥ l
+    * distinct values — k-anonymity alone fails when a whole class
+    * shares one sensitive value. Two-phase distinct per class, bounded
+    * class table, rollup of the failing classes. */
+  private val lDiversity: Q = Q(
+    fn = (s, dir) => {
+      val l = 3
+      val classes = Tables.load(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("class_size"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_sensitive_values"),
+          sum("class_size").as("n_rows"))
+      classes.select(col("o_orderstatus"), col("n_sensitive_values"),
+        col("n_rows"),
+        when(col("n_sensitive_values") >= l, 1L).otherwise(0L)
+          .as("l_diverse"))
+    },
+    oracle = Some(
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority,
+        |    count(*)::BIGINT AS class_size
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (SELECT o_orderstatus,
+        |    count(*)::BIGINT AS n_sensitive_values,
+        |    sum(class_size)::BIGINT AS n_rows
+        |  FROM c GROUP BY 1)
+        |SELECT o_orderstatus, n_sensitive_values, n_rows,
+        |  CASE WHEN n_sensitive_values >= 3 THEN 1 ELSE 0 END::BIGINT
+        |    AS l_diverse
+        |FROM g
+        |""".stripMargin))
+
+  // ---- explicit GROUPING SETS ----------------------------------------------
+
+  /** GROUPING SETS with an explicit (non-cube) set list — (flag,
+    * status), (flag), () — one aggregate pass over exactly the
+    * requested levels, with GROUPING() bits distinguishing NULL-as-ALL
+    * from NULL-as-value (the q_olap_cube contract, completed for
+    * arbitrary set lists). */
+  private val groupingSets: Q = Q(
+    fn = (s, dir) => {
+      QueryUtil.li(s, dir)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+          |  count(*) AS n,
+          |  CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |  (l_returnflag), ())
+          |""".stripMargin)
+    },
+    oracle = Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  count(*) AS n,
+        |  CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
+        |""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "q_k_anonymity"   -> kAnonymity,
+    "q_l_diversity"   -> lDiversity,
+    "q_grouping_sets" -> groupingSets,
+  )
+}
