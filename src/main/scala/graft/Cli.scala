@@ -39,6 +39,9 @@ import graft.pipeline.Pipeline
   * graft.Cli test   --data ... --filter 'e1;e2' [--n 100]  # filter dry-run
   * graft.Cli export ... [--type pmml|bagging|baggingpmml|columnstats|woemapping|corr]
   * graft.Cli eval   ... [--confmat dir] [--scoreout dir] [--norm dir]
+  * graft.Cli validate --data t.parquet [--notnull c1,c2] [--range c:lo:hi]
+  *                  [--inset c:v1|v2] [--unique c] [--fk c:dim.parquet:key]
+  *                  [--minrate 0.95] [--out report.json]
   * }}}
   *
   * `run` = init(autotype) → stats → varsel → norm → train → eval, printing
@@ -1023,10 +1026,53 @@ object Cli {
           s"filter[$i] '$e': ${row.getLong(i + 1)} of $total records matched"
         }
 
+      case "validate" =>
+        // engine extension (no reference verb): the declarative
+        // data-quality gate over any parquet table — ops.Validate, the
+        // same report q_data_validation oracle-checks. Checks:
+        //   --notnull c1,c2   --range col:lo:hi[,col:lo:hi...]
+        //   --inset col:v1|v2 --unique c1[,c2]  --fk col:dimPath:dimKey
+        //   [--minrate 0.95]  [--out report.json]
+        import graft.ops.Validate._
+        val minRate = opts.getOrElse("minrate", "1.0").toDouble
+        val checks = Seq.newBuilder[Check]
+        opts.get("notnull").foreach(_.split(",").foreach(c =>
+          checks += NotNull(c, minRate)))
+        opts.get("range").foreach(_.split(",").foreach { r =>
+          val Array(c, lo, hi) = r.split(":")
+          checks += InRange(c, lo.toDouble, hi.toDouble, minRate)
+        })
+        opts.get("inset").foreach { s0 =>
+          val Array(c, vs) = s0.split(":", 2)
+          checks += InSet(c, vs.split("\\|").toSeq, minRate)
+        }
+        opts.get("unique").foreach(u => checks += Unique(u.split(",").toSeq))
+        opts.get("fk").foreach { f =>
+          val Array(c, dimPath, dimKey) = f.split(":")
+          checks += ForeignKey(c, spark.read.parquet(dimPath), dimKey)
+        }
+        val built = checks.result()
+        require(built.nonEmpty,
+          "validate needs at least one of --notnull/--range/--inset/" +
+            "--unique/--fk")
+        val rows = graft.ops.Validate.run(df, built).collect()
+        opts.get("out").foreach { o =>
+          val json = rows.map(r =>
+            s"""{"check":"${r.getString(0)}","target":"${r.getString(1)}",""" +
+              s""""metric_ppm":${r.getLong(2)},"ok":${r.getLong(3)}}""")
+            .mkString("[\n", ",\n", "\n]\n")
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(o), json)
+        }
+        val nFail = rows.count(_.getLong(3) == 0L)
+        rows.map(r => f"${r.getString(0)}%-12s ${r.getString(1)}: " +
+          s"${r.getLong(2)} ppm ok=${r.getLong(3)}").toSeq :+
+          (if (nFail == 0) s"validate: PASS (${rows.length} checks)"
+           else s"validate: FAIL ($nFail of ${rows.length} checks)")
+
       case other =>
         throw new IllegalArgumentException(
           s"unknown verb '$other' (run|stats|varsel|norm|train|posttrain|" +
-            "encode|combo|eval|export|test)")
+            "encode|combo|eval|export|test|validate)")
     }
   }
 

@@ -791,4 +791,29 @@ class CliSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+  test("validate: data-quality gate reports ppm metrics, writes JSON, " +
+    "and flags failures") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cliV").toString
+    val orders = "/root/testdata/sf0.001/orders.parquet"
+    val customer = "/root/testdata/sf0.001/customer.parquet"
+    val out = Cli.run(spark, "validate", Map(
+      "data" -> orders,
+      "notnull" -> "o_orderpriority",
+      "unique" -> "o_orderkey",
+      "inset" -> "o_orderstatus:O|F|P",
+      "fk" -> s"o_custkey:$customer:c_custkey",
+      "out" -> s"$tmp/report.json"))
+    assert(out.last === "validate: PASS (4 checks)")
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/report.json"))
+    assert(json.contains("\"check\":\"foreign_key\""))
+    assert(json.contains("\"metric_ppm\":0,\"ok\":1")) // zero orphans
+    // a failing range check flips the summary and the ok flag
+    val out2 = Cli.run(spark, "validate", Map(
+      "data" -> orders,
+      "range" -> "o_totalprice:0:10")) // nothing is under $10
+    assert(out2.last.startsWith("validate: FAIL (1 of 1"))
+    assert(out2.head.contains("ok=0"))
+  }
+
 }
