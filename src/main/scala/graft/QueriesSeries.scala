@@ -217,11 +217,64 @@ object QueriesSeries {
         |FROM win GROUP BY win_day
         |""".stripMargin))
 
+  // ---- last-touch attribution (forward/tolerance as-of) --------------------
+
+  /** Marketing-style last-touch attribution: each purchase attributes to
+    * the user's LATEST prior click within 30 minutes, else stays
+    * unattributed — [[graft.ops.TemporalJoin.asOfJoin]] with the
+    * tolerance cut (backward direction), exercising the bounded-window
+    * semantics q_asof_join leaves open. One key-partitioned window, no
+    * per-row probe. */
+  private val attribution: Q = Q(
+    fn = (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.ops.TemporalJoin.asOfJoin(purchases, clicks, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", rightVals = Seq("click_id"),
+          rightTie = "click_id", tolerance = Some(1800000000000L))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_click_id"), lit(-1L)).as("attributed_click"))
+    },
+    oracle = Some(
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ns(ts) AS ts, event_id AS click_id
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |  coalesce((SELECT c.click_id FROM c
+        |    WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        |      AND c.ts >= p.ts - 1800000000000
+        |    ORDER BY c.ts DESC, c.click_id DESC LIMIT 1), -1)
+        |    AS attributed_click
+        |FROM p
+        |""".stripMargin))
+
+  // ---- left-outer stream-stream interval join ------------------------------
+
+  private val streamSsjoinOuter: Q = Q(
+    fn = (s, dir) =>
+      graft.streaming.StreamOps.purchaseContextJoinOuter(s, dir),
+    oracle = Some(
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ns(ts) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ns(ts) AS cts FROM events
+        |      WHERE event_type <> 'purchase')
+        |SELECT p.p_id, count(c.cts)::BIGINT AS n_context
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.cts >= p.pts - 1800000000000 AND c.cts <= p.pts
+        |GROUP BY p.p_id
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_transition_matrix" -> transitions,
     "q_rolling_time"      -> rollingTime,
     "q_trend_slope"       -> trendSlope,
     "q_ab_test"           -> abTest,
     "q_rolling_distinct"  -> rollingDistinct,
+    "q_attribution"       -> attribution,
+    "q_stream_ssjoin_outer" -> streamSsjoinOuter,
   )
 }

@@ -465,6 +465,110 @@ object StreamOps {
       .agg(count(lit(1)).as("n_context"))
     }
 
+  /** LEFT-OUTER stream-stream interval join: like [[purchaseContextJoin]]
+    * but purchases with NO context events in the window still emit
+    * (n_context = 0). Outer rows flush only when BOTH watermarks pass
+    * the join window, and AvailableNow runs no extra batch after the
+    * last data — so the source is staged into a temp dir plus ONE
+    * sentinel event far in the future whose only job is to advance the
+    * watermark past every real row (watermarks attach BEFORE the
+    * type filters, so the sentinel moves them without joining). This is
+    * the operational answer to "my outer join never emits the nulls" —
+    * in production a live feed advances the watermark on its own. */
+  def purchaseContextJoinOuter(spark: SparkSession, dir: String,
+                               windowMin: Int = 30): DataFrame =
+    withStatePartitions(spark, 8) {
+    import org.apache.spark.sql.types._
+    // stage source + sentinel (cannot write into the read-only sf dir)
+    val tmp = java.nio.file.Files.createTempDirectory("ssjoin_outer")
+    val srcDir = tmp.resolve("src")
+    java.nio.file.Files.createDirectories(srcDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    // sentinel rows derive from a REAL source row so the staged files all
+    // share one physical schema (a hand-built LONG ts against a
+    // TIMESTAMP source would misread and the watermark would never move)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsIsLong = raw.schema("ts").dataType == LongType
+    val maxRow = raw.orderBy(col("ts").desc).limit(1)
+    def writeSentinel(n: Int): Unit = {
+      maxRow
+        .withColumn("event_id", lit(-1L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type",
+          explode(array(lit("purchase"), lit("click"))))
+        .withColumn("ts",
+          if (tsIsLong) col("ts") + lit(n * 10L * 86400L * 1000000000L)
+          else expr(s"ts + INTERVAL ${n * 10} DAYS"))
+        .coalesce(1)
+        .write.parquet(tmp.resolve(s"sentinel_stage$n").toString)
+      // the file-stream listing is FLAT: move the part-file out of the
+      // write directory so it is discovered as a plain file
+      val part = java.nio.file.Files.list(tmp.resolve(s"sentinel_stage$n"))
+        .filter(f => f.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      java.nio.file.Files.move(part,
+        srcDir.resolve(s"sentinel$n.parquet"))
+    }
+    def src() = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val physical = spark.read
+        .option("recursiveFileLookup", "true").parquet(srcDir.toString).schema
+      val raw = spark.readStream.schema(physical)
+        .option("recursiveFileLookup", "true").parquet(srcDir.toString)
+      val norm = physical("ts").dataType match {
+        case LongType => raw
+        case _ => raw.withColumn("ts",
+          expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      }
+      // watermark BEFORE the type filter: the sentinel advances it even
+      // though no join side keeps sentinel rows
+      norm.withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))
+        .withWatermark("ts_ts", "1 hour")
+    }
+    def joined() = {
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts_ts").as("p_ts"))
+      val context = src().filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("c_user"), col("ts_ts").as("c_ts"))
+      purchases.join(context,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMin MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+        .select(col("p_id"), col("c_ts"))
+    }
+    // outer-null rows emit one batch AFTER the watermark passes them, and
+    // AvailableNow never runs an empty flush batch — so: run to
+    // completion once (sentinel 1 advances the watermark), then drop a
+    // later sentinel and RESUME from the checkpoint; run 2's batch
+    // flushes the held outer rows. Parquet sink + checkpoint so rows
+    // accumulate across the two runs (the dedupWithinWatermark pattern).
+    val outDir = tmp.resolve("out").toString
+    val ckDir = tmp.resolve("ck").toString
+    def runOnce(): Unit = {
+      val q = joined().writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeSentinel(1)
+    runOnce()
+    writeSentinel(2)
+    runOnce()
+    spark.read.parquet(outDir)
+      .filter(col("p_id") =!= -1L) // drop the watermark sentinel
+      .groupBy("p_id")
+      .agg(count(col("c_ts")).as("n_context"))
+    }
+
   /** Stream-static enrichment join: the event stream joins a STATIC
     * dimension table (user → market segment) inside each micro-batch —
     * completely STATELESS (no watermark, no join state: the static side
