@@ -268,8 +268,97 @@ object QueriesSeries {
         |GROUP BY p.p_id
         |""".stripMargin))
 
+  // ---- time-to-conversion (FORWARD as-of) ----------------------------------
+
+  /** Time-to-next-purchase per event — the forward direction of the
+    * as-of join (earliest right at-or-after, min-tie at a tied
+    * instant): the conversion-latency feature behind "median time to
+    * purchase after first click". Same one-window plan as backward. */
+  private val timeToPurchase: Q = Q(
+    fn = (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_id"), col("ts").as("pts"))
+      graft.ops.TemporalJoin.asOfJoin(left, right, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", rightVals = Seq("p_id", "pts"),
+          rightTie = "p_id", direction = "forward")
+        .select(col("event_id"),
+          coalesce(col("asof_p_id"), lit(-1L)).as("next_purchase"),
+          coalesce(expr("(asof_pts - ts) div 1000000"), lit(-1L))
+            .as("latency_ms"))
+    },
+    oracle = Some(
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts
+        |           FROM events WHERE event_type <> 'purchase'),
+        |p AS (SELECT user_id, epoch_ns(ts) AS pts, event_id AS p_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id,
+        |  coalesce((SELECT p.p_id FROM p
+        |    WHERE p.user_id = e.user_id AND p.pts >= e.ts
+        |    ORDER BY p.pts ASC, p.p_id ASC LIMIT 1), -1) AS next_purchase,
+        |  coalesce((SELECT (p.pts - e.ts) // 1000000 FROM p
+        |    WHERE p.user_id = e.user_id AND p.pts >= e.ts
+        |    ORDER BY p.pts ASC, p.p_id ASC LIMIT 1), -1) AS latency_ms
+        |FROM e
+        |""".stripMargin))
+
+  // ---- timeout-bounded funnel ----------------------------------------------
+
+  /** The q_funnel shape with per-stage CONVERSION WINDOWS: the click
+    * must land within 7 days of the first view, the purchase within 7
+    * days of that click — the form real funnel metrics use (unbounded
+    * funnels overcount forever-later conversions). Same one-exchange
+    * plan. */
+  private val funnelWindowed: Q = Q(
+    fn = (s, dir) => {
+      val lim = 604800000L // 7 days in ms
+      val w = Window.partitionBy("user_id")
+      val perUser = events(s, dir)
+        .withColumn("v",
+          min(when(col("event_type") === "view", col("ms"))).over(w))
+        .withColumn("c",
+          min(when(col("event_type") === "click" &&
+            col("ms") >= col("v") && col("ms") <= col("v") + lim,
+            col("ms"))).over(w))
+        .withColumn("p",
+          min(when(col("event_type") === "purchase" &&
+            col("ms") >= col("c") && col("ms") <= col("c") + lim,
+            col("ms"))).over(w))
+        .groupBy("user_id")
+        .agg(first("v").as("v"), first("c").as("c"), first("p").as("p"))
+      perUser.agg(
+          count(lit(1)).as("step0_users"), count("v").as("step1_view"),
+          count("c").as("step2_click"), count("p").as("step3_purchase"))
+        .selectExpr(
+          "stack(4, 'step0_users', step0_users, 'step1_view', step1_view, " +
+            "'step2_click', step2_click, 'step3_purchase', step3_purchase) " +
+            "AS (stage, n_users)")
+    },
+    oracle = Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |u1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ms END)
+        |         OVER (PARTITION BY user_id) AS v FROM e),
+        |u2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ms >= v
+        |         AND ms <= v + 604800000 THEN ms END)
+        |         OVER (PARTITION BY user_id) AS c FROM u1),
+        |u3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ms >= c
+        |         AND ms <= c + 604800000 THEN ms END)
+        |         OVER (PARTITION BY user_id) AS p FROM u2),
+        |pu AS (SELECT user_id, any_value(v) AS v, any_value(c) AS c,
+        |         any_value(p) AS p FROM u3 GROUP BY user_id)
+        |SELECT 'step0_users' AS stage, count(*)::BIGINT AS n_users FROM pu
+        |UNION ALL SELECT 'step1_view', count(v)::BIGINT FROM pu
+        |UNION ALL SELECT 'step2_click', count(c)::BIGINT FROM pu
+        |UNION ALL SELECT 'step3_purchase', count(p)::BIGINT FROM pu
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_transition_matrix" -> transitions,
+    "q_time_to_purchase"  -> timeToPurchase,
+    "q_funnel_windowed"   -> funnelWindowed,
     "q_rolling_time"      -> rollingTime,
     "q_trend_slope"       -> trendSlope,
     "q_ab_test"           -> abTest,
