@@ -56,6 +56,33 @@ object Eval {
       .toDF("bucket", "tp", "fp", "fn", "tn", "wtp", "wfp", "wfn", "wtn")
   }
 
+  /** Operating points at fixed FPR targets (reference
+    * `PerformanceEvaluator.java:201-330` buckets performance by FPR /
+    * recall as well as action rate): run the distributed sweep at fine
+    * resolution, then pick for each target the FIRST bucket whose FPR
+    * reaches it — bounded driver selection over ≤ `buckets` rows, no
+    * extra scan. */
+  def operatingPoints(df: DataFrame, score: Column, isPos: Column,
+                      tieBreak: Seq[Column], buckets: Int = 100,
+                      fprTargetsPct: Seq[Int] = (10 to 90 by 10))
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = confusionSweep(df, score, isPos, tieBreak, buckets)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    val picked = fprTargetsPct.flatMap { t =>
+      rows.find { case (_, _, fp, _, tn) =>
+        fp.toDouble / (fp + tn) >= t / 100.0
+      }.map { case (b, tp, fp, fn, tn) =>
+        (t.toLong, b.toLong, tp, fp, fn, tn)
+      }
+    }
+    picked.toDF("target_pct", "bucket", "tp", "fp", "fn", "tn")
+  }
+
   /** Shared distributed sweep core: range-sort + zipWithIndex ranking,
     * closed-form ntile buckets, per-bucket (count, weight) partials, and
     * the tiny cumulative pass on the driver. */
