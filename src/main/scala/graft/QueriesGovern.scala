@@ -114,9 +114,97 @@ object QueriesGovern {
         |  (l_returnflag), ())
         |""".stripMargin))
 
+  // ---- distribution distances (drift beyond PSI) ---------------------------
+
+  /** Hellinger distance and Jensen–Shannon divergence of each source's
+    * document-length distribution vs the corpus — the bounded-metric
+    * drift pair (PSI explodes on near-empty bins; H ∈ [0,1] and
+    * JSD ∈ [0, ln 2] stay comparable across features). One corpus scan
+    * to (source, bin) cells; the zero-filled grid, both distance sums,
+    * and the rollup all run on the bounded cell table. */
+  private val distDistance: Q = Q(
+    fn = (s, dir) => {
+      val k = 10
+      val d0 = Tables.load(s, dir, "documents")
+      val Array(mn0, mx0) = d0.agg(min("n_chars").cast("double"),
+        max("n_chars").cast("double")).head()
+        .toSeq.map(_.asInstanceOf[Double]).toArray
+      val (mn, mx) = (s"${mn0}D", s"${mx0}D")
+      val arms = (1 until k).reverse
+        .map(i => s"WHEN n_chars >= $mn + ($mx - $mn) * $i / $k THEN $i")
+        .mkString(" ")
+      val cells = d0
+        .withColumn("bin", expr(s"CASE $arms ELSE 0 END"))
+        .groupBy("source", "bin").agg(count(lit(1)).as("n"))
+      cells.cache()
+      try {
+        val grid = cells.select("source").distinct()
+          .crossJoin(s.range(0, k).select(col("id").cast("int").as("bin")))
+          .join(cells, Seq("source", "bin"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+        val withTotals = grid
+          .withColumn("src_total", sum("n").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")))
+          .withColumn("bin_total", sum("n").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("bin")))
+          .withColumn("all_total", sum("n").over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .withColumn("p", col("n") / col("src_total"))
+          .withColumn("q", col("bin_total") / col("all_total"))
+          .withColumn("m", (col("p") + col("q")) / 2)
+        withTotals.groupBy("source")
+          .agg(
+            round(sqrt(sum(
+              (sqrt(col("p")) - sqrt(col("q"))) *
+                (sqrt(col("p")) - sqrt(col("q")))) / 2), 6)
+              .as("hellinger"),
+            round(sum(
+              when(col("p") > 0, col("p") * log(col("p") / col("m")) / 2)
+                .otherwise(0.0) +
+              when(col("q") > 0, col("q") * log(col("q") / col("m")) / 2)
+                .otherwise(0.0)), 6).as("jsd"))
+      } finally cells.unpersist(false)
+    },
+    oracle = Some {
+      val k = 10
+      val arms = (1 until k).reverse
+        .map(i => s"WHEN n_chars >= mn + (mx - mn) * $i / $k THEN $i")
+        .mkString(" ")
+      s"""WITH s AS (SELECT min(n_chars)::DOUBLE AS mn,
+         |           max(n_chars)::DOUBLE AS mx FROM documents),
+         |cells AS (SELECT source, (CASE $arms ELSE 0 END) AS bin,
+         |            count(*)::BIGINT AS n
+         |          FROM documents CROSS JOIN s GROUP BY 1, 2),
+         |grid AS (SELECT src.source, b.bin, coalesce(cells.n, 0) AS n
+         |  FROM (SELECT DISTINCT source FROM cells) src
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${k - 1})) AS bin) b
+         |  LEFT JOIN cells ON cells.source = src.source
+         |    AND cells.bin = b.bin),
+         |t AS (SELECT source, bin, n,
+         |    sum(n) OVER (PARTITION BY source) AS src_total,
+         |    sum(n) OVER (PARTITION BY bin) AS bin_total,
+         |    sum(n) OVER () AS all_total
+         |  FROM grid),
+         |pq AS (SELECT source,
+         |    n / src_total::DOUBLE AS p,
+         |    bin_total / all_total::DOUBLE AS q,
+         |    (n / src_total::DOUBLE + bin_total / all_total::DOUBLE) / 2
+         |      AS m
+         |  FROM t)
+         |SELECT source,
+         |  round(sqrt(sum((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q))) / 2),
+         |    6) AS hellinger,
+         |  round(sum(
+         |    CASE WHEN p > 0 THEN p * ln(p / m) / 2 ELSE 0 END +
+         |    CASE WHEN q > 0 THEN q * ln(q / m) / 2 ELSE 0 END), 6) AS jsd
+         |FROM pq GROUP BY source
+         |""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "q_k_anonymity"   -> kAnonymity,
     "q_l_diversity"   -> lDiversity,
     "q_grouping_sets" -> groupingSets,
+    "q_dist_distance" -> distDistance,
   )
 }
