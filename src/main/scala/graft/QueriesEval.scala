@@ -80,6 +80,40 @@ object QueriesEval {
          |FROM sel JOIN f USING (bucket)
          |""".stripMargin))
 
+  /** Recall-bucketed dual (the reference's other bucketing mode). */
+  private val recallPointsQ: Q = Q(
+    fn = (s, dir) => Eval.recallPoints(li(s, dir), scoreCol, isPos,
+      Seq(col("l_orderkey"), col("l_linenumber"))),
+    oracle = Some(
+      s"""WITH s AS (
+         |  SELECT CASE WHEN $posCond THEN 1 ELSE 0 END AS pos,
+         |    ntile(100) OVER (ORDER BY $scoreSql DESC, l_orderkey,
+         |      l_linenumber) AS bucket
+         |  FROM lineitem),
+         |pb AS (SELECT bucket, sum(pos) AS b_pos, count(*) AS b_n
+         |       FROM s GROUP BY bucket),
+         |c AS (SELECT bucket,
+         |  sum(b_pos) OVER (ORDER BY bucket) AS tp,
+         |  sum(b_n) OVER (ORDER BY bucket)
+         |    - sum(b_pos) OVER (ORDER BY bucket) AS fp,
+         |  sum(b_pos) OVER () - sum(b_pos) OVER (ORDER BY bucket) AS fn,
+         |  (sum(b_n) OVER () - sum(b_pos) OVER ())
+         |    - (sum(b_n) OVER (ORDER BY bucket)
+         |       - sum(b_pos) OVER (ORDER BY bucket)) AS tn
+         |FROM pb),
+         |f AS (SELECT bucket, tp, fp, fn, tn,
+         |        tp::DOUBLE / (tp + fn) AS recall FROM c),
+         |t AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90])
+         |        AS target_pct),
+         |sel AS (SELECT t.target_pct,
+         |  (SELECT min(bucket) FROM f
+         |   WHERE f.recall >= t.target_pct / 100.0) AS bucket FROM t)
+         |SELECT sel.target_pct::BIGINT AS target_pct,
+         |  f.bucket::BIGINT AS bucket, f.tp::BIGINT AS tp,
+         |  f.fp::BIGINT AS fp, f.fn::BIGINT AS fn, f.tn::BIGINT AS tn
+         |FROM sel JOIN f USING (bucket)
+         |""".stripMargin))
+
   // ---- §2.7 ROC AUC (trapezoid over bucket boundaries) ---------------------
 
   private val rocAuc: Q = Q(
@@ -456,6 +490,7 @@ object QueriesEval {
   val all: Map[String, Q] = Map(
     "q_confusion_sweep" -> confusionSweep,
     "q_operating_points" -> operatingPointsQ,
+    "q_recall_points"   -> recallPointsQ,
     "q_roc_auc"         -> rocAuc,
     "q_pr_auc"          -> prAuc,
     "q_weighted_sweep"  -> weightedSweep,

@@ -83,6 +83,30 @@ object Eval {
     picked.toDF("target_pct", "bucket", "tp", "fp", "fn", "tn")
   }
 
+  /** Recall-bucketed dual of [[operatingPoints]] (the reference's other
+    * PerformanceObject bucketing mode): first bucket reaching each
+    * recall target. */
+  def recallPoints(df: DataFrame, score: Column, isPos: Column,
+                   tieBreak: Seq[Column], buckets: Int = 100,
+                   recallTargetsPct: Seq[Int] = (10 to 90 by 10))
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = confusionSweep(df, score, isPos, tieBreak, buckets)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    val picked = recallTargetsPct.flatMap { t =>
+      rows.find { case (_, tp, _, fn, _) =>
+        tp.toDouble / (tp + fn) >= t / 100.0
+      }.map { case (b, tp, fp, fn, tn) =>
+        (t.toLong, b.toLong, tp, fp, fn, tn)
+      }
+    }
+    picked.toDF("target_pct", "bucket", "tp", "fp", "fn", "tn")
+  }
+
   /** Shared distributed sweep core: range-sort + zipWithIndex ranking,
     * closed-form ntile buckets, per-bucket (count, weight) partials, and
     * the tiny cumulative pass on the driver. */
