@@ -377,5 +377,44 @@ object QueriesMisc {
     "q_multimodal"    -> multimodal,
     "q_image_phash"   -> imagePhash,
     "q_image_dedup"   -> imageDedup,
+    "q_image_resize"  -> imageResize,
   )
+
+  /** Multimodal RESIZE step: 16×8 deterministic pattern PNGs through the
+    * real decode + box-filter downsample to 4×4
+    * ([[graft.media.ImageOps.resizeBox]] — our own raster loop, not
+    * Graphics2D, so every pooled cell is arithmetic in doc_id and the
+    * positional checksum pins all 16 cells cross-engine). */
+  private lazy val imageResize: Q = Q(
+    fn = (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val payloads = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.media.ImageOps.pngOf(16, 8, (x, y) => {
+            val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            (v << 16) | (v << 8) | v
+          }))))
+        .toDF("doc_id", "payload")
+      graft.media.ImageOps.resizeBox(payloads, tw = 4, th = 4)
+        .withColumnRenamed("id", "doc_id")
+    },
+    oracle = Some(
+      """WITH px AS (
+        |  SELECT doc_id, xs.x AS x, ys.y AS y,
+        |    (doc_id * 31 + xs.x * 7 + ys.y * 13) % 256 AS v
+        |  FROM documents,
+        |    (SELECT unnest(generate_series(0, 15)) AS x) xs,
+        |    (SELECT unnest(generate_series(0, 7)) AS y) ys),
+        |cells AS (
+        |  SELECT doc_id, x // 4 AS cx, y // 2 AS cy,
+        |    CAST(floor(sum(v) / count(*)) AS BIGINT) AS p
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, 16 AS src_w, 8 AS src_h, 4 AS thumb_w, 4 AS thumb_h,
+        |  sum(p)::BIGINT AS luma_sum, min(p) AS luma_min, max(p) AS luma_max,
+        |  sum(p * (cy * 4 + cx + 1))::BIGINT AS checksum,
+        |  TRUE AS decode_ok
+        |FROM cells GROUP BY doc_id
+        |""".stripMargin))
 }

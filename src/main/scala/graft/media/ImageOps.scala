@@ -199,6 +199,92 @@ object ImageOps {
       (v << 16) | (v << 8) | v
     })
 
+  /** Thumbnail row: box-filtered resize output (see [[resizeBox]]). */
+  final case class Thumb(id: Long, src_w: Long, src_h: Long,
+    thumb_w: Long, thumb_h: Long, luma_sum: Long, luma_min: Long,
+    luma_max: Long, checksum: Long, decode_ok: Boolean)
+
+  /** Deterministic box-filter RESIZE (the multimodal `resize` step): the
+    * decoded image pools into a tw×th gray thumbnail with integer-floor
+    * cell means — OUR OWN raster loop, not Graphics2D interpolation, so
+    * the result is bit-reproducible on any JVM and arithmetically
+    * checkable by an oracle on lossless payloads. Emits per image the
+    * thumbnail's luma sum/min/max plus a positional checksum
+    * Σ pooled(i)·(i+1) that pins every cell value; zero-shuffle narrow
+    * map like the decode path. */
+  def resizeBox(df: DataFrame, tw: Int, th: Int,
+                idCol: String = "doc_id",
+                payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          resizeOne(bytes, tw, th) match {
+            case Some((w, h, pooled)) =>
+              var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+              var ck = 0L
+              var i = 0
+              while (i < pooled.length) {
+                val v = pooled(i)
+                sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                ck += v * (i + 1)
+                i += 1
+              }
+              Thumb(id, w, h, tw.toLong, th.toLong, sum, mn, mx, ck,
+                decode_ok = true)
+            case None =>
+              Thumb(id, 0L, 0L, tw.toLong, th.toLong, 0L, 0L, 0L, 0L,
+                decode_ok = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Box-filter one payload to tw×th pooled gray cells (row-major). */
+  def resizeOne(bytes: Array[Byte], tw: Int,
+                th: Int): Option[(Long, Long, Array[Long])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val pooled = new Array[Long](tw * th)
+        var cy = 0
+        while (cy < th) {
+          var cx = 0
+          while (cx < tw) {
+            val x0 = cx * w / tw; val x1 = math.max((cx + 1) * w / tw, x0 + 1)
+            val y0 = cy * h / th; val y1 = math.max((cy + 1) * h / th, y0 + 1)
+            var sum = 0.0
+            var y = y0
+            while (y < h.min(y1)) {
+              var x = x0
+              while (x < w.min(x1)) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)) / 3.0
+                x += 1
+              }
+              y += 1
+            }
+            val cnt = (h.min(y1) - y0).toLong * (w.min(x1) - x0)
+            pooled(cy * tw + cx) = math.floor(sum / cnt).toLong
+            cx += 1
+          }
+          cy += 1
+        }
+        Some((w.toLong, h.toLong, pooled))
+      }
+    } catch {
+      case _: Exception => None
+    }
+  }
+
   /** General deterministic PNG builder: `rgbAt(x, y)` supplies each
     * pixel's packed 0xRRGGBB value. Public so specs/fixtures can craft
     * targeted images (perturbations, inversions) without a second
