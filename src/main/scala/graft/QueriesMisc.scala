@@ -378,7 +378,51 @@ object QueriesMisc {
     "q_image_phash"   -> imagePhash,
     "q_image_dedup"   -> imageDedup,
     "q_image_resize"  -> imageResize,
+    "q_audio_vad"     -> audioVad,
   )
+
+  /** Audio activity (VAD/silence-trim) windows over real WAV decode:
+    * deterministic PCM payloads, pure-integer window activity compare —
+    * every count/energy/boundary value-checked arithmetically. */
+  private lazy val audioVad: Q = Q(
+    fn = (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val payloads = docs(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 8 + (id % 5).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i * 7) % 65536) - 32768).toShort)
+            (id, graft.media.AudioOps.syntheticWav(8000, samples))
+          }
+        }
+        .toDF("doc_id", "payload")
+      graft.media.AudioOps.activityWindows(payloads)
+    },
+    oracle = Some(
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 5 AS n FROM documents),
+        |v AS (
+        |  SELECT p.doc_id, p.n, f.i // 4 AS w,
+        |    abs((p.doc_id * 31 + f.i * 7) % 65536 - 32768) AS a
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, p.n - 1)) AS i) f),
+        |wins AS (SELECT doc_id, any_value(n) AS n, w, sum(a) AS sa,
+        |           count(*) AS c FROM v GROUP BY doc_id, w),
+        |act AS (SELECT doc_id, n, w, sa, c,
+        |    CASE WHEN sa >= 8192 * c THEN 1 ELSE 0 END AS active
+        |  FROM wins)
+        |SELECT doc_id, any_value(n)::BIGINT AS n_samples,
+        |  count(*)::BIGINT AS n_windows,
+        |  sum(active)::BIGINT AS n_active,
+        |  sum(sa)::BIGINT AS energy_sum,
+        |  coalesce(min(CASE WHEN active = 1 THEN w END), -1)::BIGINT
+        |    AS first_active,
+        |  coalesce(max(CASE WHEN active = 1 THEN w END), -1)::BIGINT
+        |    AS last_active,
+        |  TRUE AS decode_ok
+        |FROM act GROUP BY doc_id
+        |""".stripMargin))
 
   /** Multimodal RESIZE step: 16×8 deterministic pattern PNGs through the
     * real decode + box-filter downsample to 4×4

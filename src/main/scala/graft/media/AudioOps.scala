@@ -82,6 +82,86 @@ object AudioOps {
     } catch { case _: Exception => None }
   }
 
+  /** Voice-activity row (see [[activityWindows]]). */
+  final case class Activity(doc_id: Long, n_samples: Long, n_windows: Long,
+    n_active: Long, energy_sum: Long, first_active: Long,
+    last_active: Long, decode_ok: Boolean)
+
+  /** Fixed-window activity detection over decoded PCM16 (the
+    * silence-trim / VAD front of an audio pipeline): samples split into
+    * `frameLen`-sample windows; a window is ACTIVE when its |amplitude|
+    * sum reaches `thresholdMeanAbs · windowSize` (pure integer compare —
+    * no division, engine-exact). Emits per payload the window count,
+    * active count, total energy, and the first/last active window
+    * (-1 when silent) — zero-shuffle narrow map like the decode. */
+  def activityWindows(df: DataFrame, frameLen: Int = 4,
+                      thresholdMeanAbs: Long = 8192L,
+                      idCol: String = "doc_id",
+                      payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          samplesOf(bytes) match {
+            case Some(samples) =>
+              val nw = (samples.length + frameLen - 1) / frameLen
+              var energy = 0L
+              var nAct = 0L
+              var first = -1L
+              var last = -1L
+              var w = 0
+              while (w < nw) {
+                var sa = 0L
+                var c = 0
+                var i = w * frameLen
+                while (i < samples.length && c < frameLen) {
+                  sa += math.abs(samples(i).toLong); i += 1; c += 1
+                }
+                energy += sa
+                if (sa >= thresholdMeanAbs * c) {
+                  nAct += 1
+                  if (first < 0) first = w
+                  last = w
+                }
+                w += 1
+              }
+              Activity(id, samples.length.toLong, nw.toLong, nAct, energy,
+                first, last, decode_ok = true)
+            case None =>
+              Activity(id, 0L, 0L, 0L, 0L, -1L, -1L, decode_ok = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Decode a payload to its PCM16 samples (None when undecodable). */
+  def samplesOf(bytes: Array[Byte]): Option[Array[Short]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) return None
+        val data = in.readAllBytes()
+        val n = data.length / 2
+        if (n == 0) return None
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val lo = data(2 * i) & 0xff
+          val hi = data(2 * i + 1).toInt
+          out(i) = (if (fmt.isBigEndian) (lo << 8) | (hi & 0xff)
+                    else (hi << 8) | lo).toShort
+          i += 1
+        }
+        Some(out)
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Minimal PCM16LE mono WAV container around the given samples —
     * deterministic byte-for-byte, so tests and oracles can re-derive
     * every decoded number arithmetically. */
