@@ -379,7 +379,42 @@ object QueriesMisc {
     "q_image_dedup"   -> imageDedup,
     "q_image_resize"  -> imageResize,
     "q_audio_vad"     -> audioVad,
+    "q_audio_resample" -> audioResample,
   )
+
+  /** Stride-decimation resample through real WAV decode: kept-sample
+    * energy and positional checksum pin every 3rd sample cross-engine. */
+  private lazy val audioResample: Q = Q(
+    fn = (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val payloads = docs(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 8 + (id % 5).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i * 7) % 65536) - 32768).toShort)
+            (id, graft.media.AudioOps.syntheticWav(8000, samples))
+          }
+        }
+        .toDF("doc_id", "payload")
+      graft.media.AudioOps.decimate(payloads, factor = 3)
+    },
+    oracle = Some(
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 5 AS n FROM documents),
+        |v AS (
+        |  SELECT p.doc_id, p.n, f.i,
+        |    abs((p.doc_id * 31 + f.i * 7) % 65536 - 32768) AS a
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, p.n - 1)) AS i) f
+        |  WHERE f.i % 3 = 0)
+        |SELECT doc_id, 8000 AS src_rate, 2666 AS out_rate,
+        |  any_value(n)::BIGINT AS n_in, count(*)::BIGINT AS n_out,
+        |  sum(a)::BIGINT AS out_energy,
+        |  sum(a * (i // 3 + 1))::BIGINT AS out_checksum,
+        |  TRUE AS decode_ok
+        |FROM v GROUP BY doc_id
+        |""".stripMargin))
 
   /** Audio activity (VAD/silence-trim) windows over real WAV decode:
     * deterministic PCM payloads, pure-integer window activity compare —

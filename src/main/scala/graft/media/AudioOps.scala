@@ -137,6 +137,52 @@ object AudioOps {
       .toDF()
   }
 
+  /** Resampled row (see [[decimate]]). */
+  final case class Resampled(doc_id: Long, src_rate: Long, out_rate: Long,
+    n_in: Long, n_out: Long, out_energy: Long, out_checksum: Long,
+    decode_ok: Boolean)
+
+  /** Integer decimation resample (the pipeline's cheap rate reducer —
+    * a proper polyphase filter is a DSP-library job, but stride
+    * decimation is what metadata/VAD passes actually run at corpus
+    * scale): keep every k-th sample; emit the output sample count,
+    * |amplitude| energy, and a positional checksum Σ|s_i|·(i+1) pinning
+    * every kept sample. Zero-shuffle narrow map. */
+  def decimate(df: DataFrame, factor: Int, srcRate: Long = 8000L,
+               idCol: String = "doc_id",
+               payloadCol: String = "payload"): DataFrame = {
+    require(factor >= 1, s"factor=$factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          samplesOf(bytes) match {
+            case Some(samples) =>
+              var i = 0
+              var j = 0
+              var energy = 0L
+              var ck = 0L
+              while (i < samples.length) {
+                val a = math.abs(samples(i).toLong)
+                energy += a
+                ck += a * (j + 1)
+                j += 1
+                i += factor
+              }
+              Resampled(id, srcRate, srcRate / factor,
+                samples.length.toLong, j.toLong, energy, ck,
+                decode_ok = true)
+            case None =>
+              Resampled(id, srcRate, srcRate / factor, 0L, 0L, 0L, 0L,
+                decode_ok = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Decode a payload to its PCM16 samples (None when undecodable). */
   def samplesOf(bytes: Array[Byte]): Option[Array[Short]] = {
     if (bytes == null || bytes.isEmpty) return None
