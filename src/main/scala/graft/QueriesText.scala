@@ -1849,6 +1849,49 @@ object QueriesText {
         |FROM documents WHERE doc_id % 10 = 5
         |""".stripMargin))
 
+  /** Deflate-compressibility signal — values are deflate-implementation
+    * bound (not SQL-reproducible), so the oracle checks invariants:
+    * corpus coverage (value-checked count + byte total), every ratio
+    * positive and bounded, and the planted contract that a highly
+    * repetitive payload compresses strictly better than the corpus
+    * median doc. */
+  private lazy val compressRatioQ: Q = Q(
+    fn = (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, sum}
+      val d = TextOps.compressibility(docs(s, dir)).cache()
+      try {
+        val n = d.count()
+        val byteTotal = d.agg(sum("n_bytes")).head().getLong(0)
+        val bad = d.filter(col("n_compressed") <= 0 ||
+          col("ratio_ppm") <= 0 || col("ratio_ppm") > 2000000L).count()
+        // planted contract: "ab" * 2000 must compress below every real
+        // doc's ratio percentile — repetition detection actually fires
+        val repeated = ("ab" * 2000)
+        val plantedRatio = TextOps.compressibility(
+          Seq((999999999L, repeated)).toDF("doc_id", "text"))
+          .head().getAs[Long]("ratio_ppm")
+        val medianRatio = d.stat.approxQuantile("ratio_ppm",
+          Array(0.5), 0.0).head
+        Seq(
+          ("n_docs", n, 1L),
+          ("bytes_total", byteTotal, 1L),
+          ("ratios_bounded", bad, if (bad == 0L) 1L else 0L),
+          ("planted_repetition_detected", 0L,
+            if (plantedRatio < medianRatio / 2) 1L else 0L))
+          .toDF("metric", "value", "ok")
+      } finally d.unpersist(false)
+    },
+    oracle = Some(
+      """SELECT 'n_docs' AS metric, count(*)::BIGINT AS value,
+        |  1::BIGINT AS ok FROM documents
+        |UNION ALL
+        |SELECT 'bytes_total',
+        |  sum(octet_length(encode(text)))::BIGINT, 1 FROM documents
+        |UNION ALL SELECT 'ratios_bounded', 0, 1
+        |UNION ALL SELECT 'planted_repetition_detected', 0, 1
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_dsir"           -> dsir,
     "q_span_scrub"     -> spanScrub,
@@ -1857,6 +1900,7 @@ object QueriesText {
     "q_grouped_split"  -> groupedSplitQ,
     "q_data_card"      -> dataCardQ,
     "q_blocklist"      -> blocklistQ,
+    "q_compress_ratio" -> compressRatioQ,
     "q_code_signals"   -> codeSignalsQ,
     "q_shard_manifest" -> shardManifestQ,
     "q_domain_topk"    -> domainTopK,

@@ -1616,4 +1616,40 @@ object TextOps {
           .when(col("h_prev") === col("h_next"), "unchanged")
           .otherwise("changed").as("status"))
   }
+  /** Compressibility row (see [[compressibility]]). */
+  final case class Compressed(doc_id: Long, n_bytes: Long,
+    n_compressed: Long, ratio_ppm: Long)
+
+  /** Deflate-compressibility quality signal (the RefinedWeb-style
+    * repetition proxy: machine-generated/boilerplate text compresses far
+    * better than natural prose, so an extreme ratio is a drop signal
+    * that catches repetition *patterns* n-gram rules miss). Fixed
+    * deflate level ⇒ deterministic within a JVM; cross-engine the
+    * VALUES are not SQL-reproducible, so the query carries an
+    * invariants oracle while the spec pins the orderings. Pure narrow
+    * map — the deflater is per-row CPU, no state, no shuffle. */
+  def compressibility(docs: DataFrame, level: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = Option(text).getOrElse("").getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished())
+            out += deflater.deflate(buf)
+          val ratio =
+            if (in.length == 0) 0L
+            else math.floor(1e6 * out / in.length).toLong
+          Compressed(id, in.length.toLong, out, ratio)
+        }
+      }
+      .toDF()
+  }
 }
