@@ -26,7 +26,12 @@ object Assoc {
     * is the only O(n) step). */
   def chiSquare(df: DataFrame, a: String, b: String,
       scale: Int = 6): DataFrame = {
-    val o = df.groupBy(col(a).as("a"), col(b).as("b"))
+    // NULL levels are excluded up front: they count toward margins and
+    // level ranks but can never match the equi-join re-attach below, so
+    // keeping them silently zeroes their observed cells while retaining
+    // their expected mass — the textbook statistic drops incomplete pairs
+    val o = df.filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a).as("a"), col(b).as("b"))
       .agg(count(lit(1)).cast("double").as("n"))
     o.cache()
     try {
@@ -41,11 +46,16 @@ object Assoc {
         .join(o, Seq("a", "b"), "left")
         .withColumn("n", coalesce(col("n"), lit(0.0)))
       val dof = ((r - 1) * (c - 1)).toLong
+      // min(r,c)=1 means V is undefined (zero denominator) — emit NULL,
+      // not NaN, so downstream aggregates don't silently poison
+      val vDenom = math.min(r, c) - 1.0
+      val vExpr =
+        if (vDenom <= 0.0) lit(null).cast("double")
+        else round(sqrt(col("chi2_raw") / (lit(nt) * lit(vDenom))), scale)
       grid.agg(
           sum((col("n") - e) * (col("n") - e) / e).as("chi2_raw"))
         .select(round(col("chi2_raw"), scale).as("chi2"),
-          round(sqrt(col("chi2_raw") /
-            (lit(nt) * lit(math.min(r, c) - 1.0))), scale).as("cramers_v"),
+          vExpr.as("cramers_v"),
           lit(dof).as("dof"))
     } finally o.unpersist(false)
   }

@@ -24,12 +24,24 @@ object QuantileNorm {
     * bin. Integer-typed end to end when `value` is integral. */
   def normalize(df: DataFrame, group: String, value: String,
       k: Int = 20): DataFrame = {
+    // the rank/bin math below is long-typed end to end; accept any
+    // integral value column by widening to long, and fail FAST with a
+    // clear message otherwise (a double column used to surface as a
+    // ClassCastException deep inside head())
+    import org.apache.spark.sql.types._
+    df.schema(value).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"QuantileNorm.normalize: value column '$value' must be integral " +
+          s"(byte/short/int/long), got $other")
+    }
+    val v = col(value).cast("long")
     val qs = (1 until k).map(_.toDouble / k)
     val gb = df.groupBy(group)
-      .agg(percentile_approx(col(value), array(qs.map(lit): _*),
+      .agg(percentile_approx(v, array(qs.map(lit): _*),
         lit(2147483647)).as("__gbounds"))
-    val g = df.agg(min(col(value)),
-        percentile_approx(col(value), array(qs.map(lit): _*),
+    val g = df.agg(min(v),
+        percentile_approx(v, array(qs.map(lit): _*),
           lit(2147483647))).head()
     val gedges = g.getLong(0) +: g.getSeq[Long](1)
     val joined = df.join(PlanHints.gatedBroadcast(gb), Seq(group))

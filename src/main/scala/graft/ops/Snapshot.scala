@@ -32,12 +32,18 @@ object Snapshot {
   def upsert(base: DataFrame, delta: DataFrame, key: String,
       cols: Seq[String]): DataFrame = {
     val b = base.select(col(key) +: cols.map(c => col(c).as(s"__b_$c")): _*)
-    val d = delta.select(col(key) +: cols.map(c => col(c).as(s"__d_$c")): _*)
-    val dWon = d.columns.filter(_ != key)
-      .map(c => col(c).isNotNull).reduce(_ || _)
+    // explicit presence marker, NOT per-column coalesce: a delta row with a
+    // NULL attribute must still win whole-row (MERGE semantics), and a
+    // delta row whose attrs are all NULL is still a delta row — per-column
+    // coalesce would leak base values through NULLs on nullable changelogs
+    val d = delta.select(col(key) +:
+      (cols.map(c => col(c).as(s"__d_$c")) :+
+        lit(true).as("__d_present")): _*)
     // full-outer on the key: one hash exchange per side, same partitioning
     val j = b.join(d, Seq(key), "full_outer")
-    val picked = cols.map(c => coalesce(col(s"__d_$c"), col(s"__b_$c")).as(c))
+    val dWon = col("__d_present").isNotNull
+    val picked = cols.map(c =>
+      when(dWon, col(s"__d_$c")).otherwise(col(s"__b_$c")).as(c))
     j.select(col(key) +: picked :+
       when(dWon, lit("delta")).otherwise(lit("base")).as("__src"): _*)
   }

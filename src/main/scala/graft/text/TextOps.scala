@@ -1635,6 +1635,11 @@ object TextOps {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level)
+        // native zlib memory is NOT freed by GC promptly — release it at
+        // task end (covers both exhaustion and failure paths) instead of
+        // leaking one native context per task on long-lived executors
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, text) =>
           val in = Option(text).getOrElse("").getBytes("UTF-8")

@@ -33,6 +33,19 @@ class QuantileNormSpec extends AnyFunSuite {
     assert(edges.length === 10)
   }
 
+  test("int-typed value column widens to long; double fails fast with a " +
+    "clear message (used to be a deep ClassCastException)") {
+    val ints = (1 to 40).map(v => ("g", v)).toDF("g", "v")
+    // int column: must work, same math as long
+    val ok = graft.ops.QuantileNorm.normalize(ints, "g", "v", k = 4)
+    assert(ok.count() === 40L)
+    val dbl = Seq(("g", 1.5), ("g", 2.5)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.QuantileNorm.normalize(dbl, "g", "v")
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
   test("identity: normalizing a single group returns its own quantile " +
     "edges") {
     val df = (1L to 100L).map(v => ("only", v)).toDF("g", "v")

@@ -94,6 +94,43 @@ class RankAssocSnapshotSpec extends AnyFunSuite {
       (3L, "old3", "base"), (9L, "new9", "delta")))
   }
 
+  test("upsert: delta rows with NULL attrs win whole-row (no base leak)") {
+    // a nullable changelog: delta nulls OUT v for key 2 and inserts a
+    // key 9 whose attrs are ALL null — both must be labeled delta, and
+    // key 2's base value must NOT leak through the null
+    val base = Seq((1L, Some("old1")), (2L, Some("old2")))
+      .toDF("k", "v")
+    val delta = Seq((2L, None: Option[String]), (9L, None: Option[String]))
+      .toDF("k", "v")
+    val got = graft.ops.Snapshot.upsert(base, delta, "k", Seq("v"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), r.getString(2))).toSet
+    assert(got === Set(
+      (1L, Some("old1"), "base"),
+      (2L, None, "delta"), // NOT (2, old2, *): delta's null wins
+      (9L, None, "delta")))
+  }
+
+  test("chiSquare: NULL levels are dropped (complete-pairs statistic), " +
+    "and a 1-level column yields NULL cramers_v, not NaN") {
+    // same planted 2x2 as above plus null-level noise rows that must not
+    // perturb the statistic (they'd otherwise zero observed cells while
+    // keeping expected mass)
+    val dep = (Seq.fill(30)((Some("a"), Some("x"))) ++
+      Seq.fill(10)((Some("a"), Some("y"))) ++
+      Seq.fill(10)((Some("b"), Some("x"))) ++
+      Seq.fill(30)((Some("b"), Some("y"))) ++
+      Seq.fill(7)((None: Option[String], Some("x"))) ++
+      Seq.fill(5)((Some("a"), None: Option[String])))
+      .toDF("u", "v")
+    val r = graft.ops.Assoc.chiSquare(dep, "u", "v").head()
+    assert(r.getDouble(0) === 20.0 && r.getDouble(1) === 0.5)
+    // degenerate: one level on one side → min(r,c)-1 == 0 → V undefined
+    val deg = Seq(("only", "x"), ("only", "y"), ("only", "x")).toDF("u", "v")
+    val rd = graft.ops.Assoc.chiSquare(deg, "u", "v").head()
+    assert(rd.isNullAt(1))
+  }
+
   test("scd2: contiguous validity intervals, exactly one current row per " +
     "key, valid_to = next valid_from") {
     val log = Seq(
