@@ -79,8 +79,27 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).split(" ").head
       catch { case _: Throwable => "-1" }
     val load0 = loadavg()
+    // Block-manager hygiene between queries: operator-internal cache()/
+    // localCheckpoint(true) blocks and join broadcasts are only reclaimed
+    // when the driver GCs the owning object and ContextCleaner catches up
+    // — across 245 queries x 2 reps in ONE session that lag compounds
+    // into storage-memory pressure that taxes later queries (round-8
+    // artifact: q_contamination 8.2 s in-session vs 1.5 s isolated).
+    // Dropping leftovers eagerly keeps every query's measurement
+    // independent of how many ran before it.
+    // SPARK_GRAFT_BENCH_CLEAN=0 disables the hygiene pass (A/B probe for
+    // quantifying its cost in one wall-clock window)
+    val cleanBetween =
+      !sys.env.get("SPARK_GRAFT_BENCH_CLEAN").contains("0")
+    def dropLeftovers(s: SparkSession): Unit = if (cleanBetween) {
+      try s.catalog.clearCache() catch { case _: Throwable => () }
+      try s.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+    }
     // each query runs TWICE and scores its MIN: one noisy scheduler window
     // can't poison the artifact; both raw times go to BENCH_DETAILS
+    var sinceGc = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -88,6 +107,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val r1 = once(); val r2 = once()
+      dropLeftovers(spark)
+      // a periodic driver GC lets ContextCleaner actually release
+      // broadcast/shuffle state (it triggers off reference queues);
+      // 25-query cadence keeps the pause cost off any single query
+      sinceGc += 1
+      if (cleanBetween && sinceGc >= 25) { System.gc(); sinceGc = 0 }
       (name, math.min(r1, r2), r1, r2)
     }
     // keep the JSON line SHORT: the driver greps it out of a ~2.4 kB output
@@ -100,8 +125,35 @@ object Bench {
     def f(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val load1 = loadavg()
-    val top5 = results.sortBy(-_._2).take(5).map { case (k, v, _, _) =>
+    val top5Rows = results.sortBy(-_._2).take(5)
+    val top5 = top5Rows.map { case (k, v, _, _) =>
       "\"" + k.stripPrefix("q_") + "\":" + f(v)
+    }.mkString("{", ",", "}")
+    // Re-measure the headline (top-5 slowest) queries in a FRESH session:
+    // if an in-session number was inflated by shared-session state (GC /
+    // codegen-cache / block-manager growth), the pair exposes it in the
+    // artifact instead of reading as a plan defect (round-8 lesson:
+    // q_contamination 8.2 s in-session vs 1.5 s isolated).
+    spark.stop()
+    val fresh = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.hugeMethodLimit", 8000)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    fresh.sparkContext.setLogLevel("WARN")
+    fresh.range(1000000).selectExpr("sum(id)").collect()
+    val top5Fresh = top5Rows.map { case (k, _, _, _) =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(k)(fresh, sfDir).count() }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // plan-compilation + class-load rep, discarded
+      val steady = math.min(once(), once())
+      dropLeftovers(fresh)
+      "\"" + k.stripPrefix("q_") + "\":" + f(steady)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = sfDir.split("/").filter(_.nonEmpty).lastOption
@@ -114,7 +166,7 @@ object Bench {
       Seq(load0, load1).exists(l =>
         try l.toDouble > loadLimit + selfLoad catch { case _: Throwable => false })
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"top5_sec":$top5,"runs_per_query":2,"loadavg":["$load0","$load1"],"contaminated":$contaminated,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"top5_sec":$top5,"top5_fresh_sec":$top5Fresh,"runs_per_query":2,"loadavg":["$load0","$load1"],"contaminated":$contaminated,"sf":"$sfName"}"""
     // full-precision per-query detail — committed artifact, not tail-parsed
     val detail = results.map { case (k, v, r1, r2) =>
       s"""{"query":"$k","sec":${f(v)},"r1":${f(r1)},"r2":${f(r2)}}"""
@@ -124,7 +176,7 @@ object Bench {
         java.nio.file.Paths.get(p), detail)
       catch { case _: Throwable => () }
     }
-    spark.stop()
+    fresh.stop()
     if (line.length > 1500)
       System.err.println(s"WARN bench line ${line.length}B > 1500B budget")
     println(line)

@@ -39,9 +39,12 @@ import graft.pipeline.Pipeline
   * graft.Cli test   --data ... --filter 'e1;e2' [--n 100]  # filter dry-run
   * graft.Cli export ... [--type pmml|bagging|baggingpmml|columnstats|woemapping|corr]
   * graft.Cli eval   ... [--confmat dir] [--scoreout dir] [--norm dir]
+  *                  [--perf confmatDir]   # metrics from a saved confmat
   * graft.Cli validate --data t.parquet [--notnull c1,c2] [--range c:lo:hi]
   *                  [--inset c:v1|v2] [--unique c] [--fk c:dim.parquet:key]
   *                  [--minrate 0.95] [--out report.json]
+  * graft.Cli inspect --spec ModelConfig.json [--data path] [--sets f.json]
+  *                  [--binmethod m] [--binalgo a] [--meta a,b]  # spec gate
   * }}}
   *
   * `run` = init(autotype) → stats → varsel → norm → train → eval, printing
@@ -505,6 +508,24 @@ object Cli {
         EvalSetIO.write(path, next)
         Seq(s"evals: ${next.sets.map(_.name).mkString(",")} " +
           s"(current: ${next.current.getOrElse("-")})")
+
+      case "eval" if opts.contains("perf") =>
+        // `shifu eval -perf` (ShifuCLI.java:852-853, EvalModelProcessor
+        // -perf path): recompute the PerformanceResult from a PERSISTED
+        // confusion sweep (the `eval --confmat` parquet) WITHOUT
+        // re-scoring — scores can be deleted, the bounded bucket table
+        // alone re-derives every ranking metric. Pure re-aggregation
+        // over ≤ buckets+1 rows; no corpus scan.
+        val sweep = spark.read.parquet(opts("perf"))
+        val auc = graft.eval.Eval.rocAuc(sweep).head().getDouble(0)
+        val pr = graft.eval.Eval.prAuc(sweep).head().getDouble(0)
+        val gain = graft.eval.Eval.gainChart(
+          sweep.select("bucket", "tp", "fp", "fn", "tn"))
+        opts.get("out").foreach(o =>
+          graft.eval.Eval.gainChartHtml(gain, o, "eval --perf"))
+        Seq(f"auc: $auc%.6f", f"pr_auc: $pr%.6f",
+          s"buckets: ${gain.count()}") ++
+          opts.get("out").map(o => s"report: $o")
 
       case "eval" if opts.contains("norm") =>
         // `shifu eval -norm` (EvalModelProcessor.java:357-380): normalize
@@ -1026,6 +1047,31 @@ object Cli {
           s"filter[$i] '$e': ${row.getLong(i + 1)} of $total records matched"
         }
 
+      case "inspect" =>
+        // spec-level pre-flight (reference `core/validator/ModelInspector`
+        // probe): gate the SPEC before any distributed step runs —
+        // `validate` gates data, this gates config. Driver-only, no scan.
+        //   graft.Cli inspect --spec ModelConfig.json [--data path]
+        //     [--sets EvalSets.json] [--binmethod m] [--binalgo a]
+        //     [--meta a,b] [--forceselect ...] [--forceremove ...]
+        val specFile = opts.get("spec").map(graft.catalog.SpecIO.read)
+          .getOrElse(spec) // flags can stand in for a file
+        def list(flag: String): Seq[String] =
+          opts.get(flag).map(_.split(",").toSeq).getOrElse(Nil)
+        val r = graft.catalog.SpecInspector.probe(
+          specFile,
+          dataPath = opts.get("data"),
+          binningMethod = opts.get("binmethod"),
+          binningAlgorithm = opts.get("binalgo"),
+          meta = list("meta"),
+          forceSelect = list("forceselect"),
+          forceRemove = list("forceremove"),
+          evalSets = opts.get("sets")
+            .map(graft.catalog.EvalSetIO.readOrEmpty))
+        r.causes.map(c => s"cause: $c") :+
+          (if (r.ok) "inspect: PASS"
+           else s"inspect: FAIL (${r.causes.length} causes)")
+
       case "validate" =>
         // engine extension (no reference verb): the declarative
         // data-quality gate over any parquet table — ops.Validate, the
@@ -1072,12 +1118,15 @@ object Cli {
       case other =>
         throw new IllegalArgumentException(
           s"unknown verb '$other' (run|stats|varsel|norm|train|posttrain|" +
-            "encode|combo|eval|export|test|validate)")
+            "encode|combo|eval|export|test|validate|inspect)")
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.Cli <run|stats|norm|export> --data ...")
+  /** The CLI's session recipe, factored out so specs can assert on a
+    * CLI-built session: graft's Catalyst rules ([[graft.plans.GraftExtensions]]
+    * — RangeJoinRewrite) and the engine defaults (hugeMethodLimit, UTC)
+    * apply to EVERY `graft.Cli` invocation, not just spec-built sessions. */
+  def buildSession(): SparkSession = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions",
@@ -1088,8 +1137,15 @@ object Cli {
       .config("spark.sql.codegen.hugeMethodLimit", 8000)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Cli <run|stats|norm|export> --data ...")
+    val spark = buildSession()
     try run(spark, args.head, parseArgs(args.tail)).foreach(println)
     finally spark.stop()
   }

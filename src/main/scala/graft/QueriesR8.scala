@@ -218,6 +218,25 @@ object QueriesR8 {
           ("cat_metrics_exact",
             cm.stats.ks == cw.stats.ks && cm.stats.iv == cw.stats.iv &&
               cm.binning.binCountWoe == cw.binning.binCountWoe))
+        // distinct-count via the HLL sidecar twin (agg.Hll): a finalized
+        // catalog's distinctCount does NOT merge, but persisted registers
+        // do — contract: merged regs bit-equal the whole-table sketch,
+        // and the recovered estimate is inside the HLL error bound
+        val dcCol = "l_quantity"
+        val sWhole = graft.agg.Hll.sketch(li, dcCol)
+        val sEven = graft.agg.Hll.sketch(
+          li.filter(col("l_orderkey") % 2 === 0), dcCol)
+        val sOdd = graft.agg.Hll.sketch(
+          li.filter(col("l_orderkey") % 2 =!= 0), dcCol)
+        val (withD, mergedRegs) = graft.agg.Hll.mergeWithSketches(
+          even(dcCol), odd(dcCol), sEven, sOdd)
+        // harness-only: exact-truth dual for the estimate contract
+        val exactD = li.select(dcCol).distinct().count()
+        val distinctContracts = Seq(
+          ("distinct_regs_bitexact",
+            java.util.Arrays.equals(mergedRegs, sWhole)),
+          ("distinct_est_close", withD.stats.distinctCount.exists(e =>
+            math.abs(e.toDouble / exactD - 1.0) <= 0.03)))
         (cols.flatMap { c =>
           val w = whole(c)
           val m = graft.ops.StatsMerge.merge(even(c), odd(c))
@@ -237,12 +256,14 @@ object QueriesR8 {
                 close(m.stats.kurtosis, w.stats.kurtosis, 1e-6)),
             (s"minmax_exact_$c",
               m.stats.min == w.stats.min && m.stats.max == w.stats.max))
-        } ++ catContracts).map { case (name, ok) => (name, if (ok) 1 else 0) }
+        } ++ catContracts ++ distinctContracts)
+          .map { case (name, ok) => (name, if (ok) 1 else 0) }
           .toDF("contract", "ok")
       },
       oracle = Some((cols.flatMap(c => Seq(
         s"counts_exact_$c", s"metrics_exact_$c", s"moments_close_$c",
-        s"minmax_exact_$c")) ++ Seq("cat_counts_exact", "cat_metrics_exact"))
+        s"minmax_exact_$c")) ++ Seq("cat_counts_exact", "cat_metrics_exact",
+        "distinct_regs_bitexact", "distinct_est_close"))
         .map(n => s"SELECT '$n' AS contract, 1 AS ok")
         .mkString("", "\nUNION ALL ", "\n")))
   }

@@ -321,6 +321,8 @@ object QueriesR8b {
           .agg(graft.agg.MisraGries.sketch(k)(col("t")).as("hh"))
           .select(explode(col("hh")).as("e"))
           .select(col("e._1").as("token"), col("e._2").as("est"))
+        // harness-only: exact-truth dual for the sketch's contracts; the
+        // collect is bounded by the sketch side (≤ k rows)
         val exact = toks.groupBy("t").agg(count(lit(1)).as("c"))
         val joined = sk.join(exact, sk("token") === exact("t"), "left")
           .select(col("token"), col("est"), col("c")).collect()
@@ -420,6 +422,8 @@ object QueriesR8b {
         toks.cache()
         val n = toks.count()
         val thr = n / (k + 1)
+        // harness-only: exact-truth dual (the operator under test is the
+        // bounded MG sketch; this exact map exists only to check it)
         val exact = toks.groupBy("t").agg(count(lit(1)).as("c"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         toks.unpersist()

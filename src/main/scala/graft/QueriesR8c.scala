@@ -27,6 +27,8 @@ object QueriesR8c {
       def ok(regs: Array[Byte], exact: Long): Int =
         if (math.abs(graft.agg.Hll.estimate(regs) / exact - 1.0) <= 0.03) 1
         else 0
+      // harness-only: the countDistinct is the exact-truth dual for the
+      // HLL estimate contract; the collect is bounded (one row per source)
       val perSource = toks.groupBy("source")
         .agg(agg(col("t")).as("regs"),
           countDistinct(col("t")).as("exact_n"))

@@ -197,6 +197,8 @@ object QueriesSeries {
       val agg = graft.agg.Hll.sketchAgg(p)
       val regs = e.groupBy("day").agg(agg(col("user_id")).as("regs"))
         .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toMap
+      // harness-only: exact-truth dual (bounded: one row per active day);
+      // the operator under test is the mergeable per-day HLL sketch
       val estOk = exactActive.collect().map { r =>
         val (d, nExact) = (r.getLong(0), r.getLong(1))
         val merged = (d - 6 to d).flatMap(regs.get)

@@ -127,6 +127,8 @@ object QueriesValidate {
         val agg = graft.agg.CountMin.sketchAgg(d, w)
         val whole = toks.agg(agg(col("t"))).head().getAs[Seq[Long]](0).toArray
         val n = toks.count()
+        // harness-only: exact-truth dual (bounded TakeOrdered top-10) for
+        // the Count-Min overshoot contract
         val top = toks.groupBy("t").agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("t").asc).limit(10)
           .collect().map(r => (r.getString(0), r.getLong(1)))

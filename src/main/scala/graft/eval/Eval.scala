@@ -257,7 +257,11 @@ object Eval {
     * segment extends flat from recall 0 at the first bucket's precision
     * (lag-coalesce — identical formulation in the SQL oracle). */
   def prAuc(sweep: DataFrame): DataFrame = {
-    val w = Window.orderBy("bucket")
+    // constant partition key: the sweep is ≤ buckets+1 rows BY DESIGN, so
+    // a single-partition window is bounded — but a bare orderBy window
+    // emits a "No Partition Defined" WARN on every run, burying real
+    // warnings in test/bench logs
+    val w = Window.partitionBy(lit(1)).orderBy("bucket")
     sweep.select(
       col("bucket"),
       (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
@@ -311,7 +315,9 @@ object Eval {
   /** ROC AUC by trapezoid over the bucket boundaries, with the (0,0) origin
     * prepended (`AreaUnderCurve.ofRoc`). Driver gets only bucket rows. */
   def rocAuc(sweep: DataFrame): DataFrame = {
-    val w = Window.orderBy("bucket")
+    // bounded single-partition window; constant key suppresses the
+    // misleading WindowExec WARN (see prAuc)
+    val w = Window.partitionBy(lit(1)).orderBy("bucket")
     sweep.select(
       col("bucket"),
       (col("fp").cast("double") / (col("fp") + col("tn"))).as("fpr"),

@@ -21,8 +21,12 @@ import graft.catalog.{ColumnBinning, ColumnProfile, ColumnStats}
   *  - min/max combine;
   *  - quantiles and the HLL distinct estimate are NOT recoverable from a
   *    finalized catalog (their sketches were discarded) → None in the
-  *    merged profile; keep the sketch bytes if an incremental pipeline
-  *    needs them.
+  *    merged profile. Both have sidecar twins that close the gap when
+  *    the sketch bytes are kept: `QuantileSketch.mergeWithSketches`
+  *    (median/p25/p75) and `agg.Hll.mergeWithSketches` (distinctCount),
+  *    wired to `<catalog>.quantiles` / `<catalog>.hll` by the CLI's
+  *    `stats --sketch/--hll` and `stats --merge` verbs, and
+  *    contract-checked by q_stats_merge's distinct_* rows.
   */
 object StatsMerge {
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, TimestampType}
 
 /** Catalyst optimizer rule: rewrite a pure range-containment inner join
   * (`point >= lo AND point <= hi`, no equi keys between the sides) into
@@ -22,13 +22,18 @@ import org.apache.spark.sql.types.LongType
   * sees a hash key, AQE sizes and skew-splits the exchange, and the plan
   * is a SortMergeJoin/ShuffledHashJoin that scales linearly.
   *
-  * Fires only when the WHOLE condition is range conjuncts over one
-  * long-typed point attribute and interval bounds from the other side,
-  * with no cross-side equality present (if an equi key exists, Spark
+  * Fires only when the WHOLE condition is two range conjuncts (closed OR
+  * strict bounds — `>=`/`>` below, `<=`/`<` above) over one point
+  * attribute of an integral type (byte/short/int/long, widened to long;
+  * mixed-width comparisons arrive as `Cast(p, long)` after coercion and
+  * are unwrapped) or a native timestamp (quantized via `unix_micros`),
+  * with interval bounds of the same type category from the other side
+  * and no cross-side equality present (if an equi key exists, Spark
   * already hashes on it and the range is a fine residual). The rewritten
   * join contains an equality, so the rule can never re-fire on its own
-  * output. Cell width: `spark.graft.rangeJoin.bucket` (default 1 h in ns,
-  * matching the events table's timestamp unit).
+  * output. Cell width: `spark.graft.rangeJoin.bucket` in the quantized
+  * unit (default 1 h in ns for integral points — the events table's
+  * timestamp unit — and 1 h in µs for timestamp points).
   *
   * Registered per-session via `spark.experimental.extraOptimizations` or
   * cluster-wide with `spark.sql.extensions=graft.plans.GraftExtensions`.
@@ -42,11 +47,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     case other     => Seq(other)
   }
 
-  /** (point, bound, pointOnLeftOfComparison) for `p >= lo` / `lo <= p`. */
+  /** (point, bound) for `p >= lo` / `lo <= p` — and the STRICT forms
+    * `p > lo` / `lo < p`. Strict bounds share the same cell coverage:
+    * `sequence(lo div b, hi div b)` is a superset of the cells a strictly
+    * bounded point can land in (truncating div is monotone), and the
+    * original comparison is kept as a residual, so over-covering by at
+    * most one cell costs a few extra candidate rows, never correctness. */
   private def asLowerBound(e: Expression): Option[(Expression, Expression)] =
     e match {
       case GreaterThanOrEqual(p, lo) => Some((p, lo))
       case LessThanOrEqual(lo, p)    => Some((p, lo))
+      case GreaterThan(p, lo)        => Some((p, lo))
+      case LessThan(lo, p)           => Some((p, lo))
       case _                         => None
     }
 
@@ -54,8 +66,39 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     e match {
       case LessThanOrEqual(p, hi)    => Some((p, hi))
       case GreaterThanOrEqual(hi, p) => Some((p, hi))
+      case LessThan(p, hi)           => Some((p, hi))
+      case GreaterThan(hi, p)        => Some((p, hi))
       case _                         => None
     }
+
+  /** Type category gate: every participating expression must quantize
+    * through the SAME long domain, or cell equality could silently drop
+    * matches. Integral types widen to long; timestamps go through
+    * microseconds (`unix_micros`). */
+  private sealed trait Cat
+  private case object Integral extends Cat
+  private case object Stamp extends Cat
+  private def catOf(t: DataType): Option[Cat] = t match {
+    case LongType | IntegerType | ShortType | ByteType => Some(Integral)
+    case TimestampType                                 => Some(Stamp)
+    case _                                             => None
+  }
+  private def toLong(e: Expression): Expression = e.dataType match {
+    case LongType      => e
+    case TimestampType => UnixMicros(e)
+    case _             => Cast(e, LongType)
+  }
+
+  /** The point side of a comparison, unwrapped to its attribute: after
+    * type coercion an int point compared to long bounds arrives as
+    * `Cast(p, LongType)`, so the bare-attribute match alone would miss
+    * exactly the mixed-width case this rule should catch. */
+  private def pointAttr(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference                 => Some(a)
+    case Cast(a: AttributeReference, LongType, _, _)
+        if catOf(a.dataType).contains(Integral) => Some(a)
+    case _                                     => None
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
@@ -74,20 +117,25 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       // the SAME point attribute p
       def pairUp(cLow: Expression, cHigh: Expression) =
         (asLowerBound(cLow), asUpperBound(cHigh)) match {
-          case (Some((p1: AttributeReference, lo)),
-                Some((p2: AttributeReference, hi)))
-              if p1.semanticEquals(p2) && p1.dataType == LongType &&
-                lo.dataType == LongType && hi.dataType == LongType =>
-            // which child owns the point attribute?
-            if (left.outputSet.contains(p1) &&
-                lo.references.subsetOf(right.outputSet) &&
-                hi.references.subsetOf(right.outputSet))
-              Some((left, right, p1, lo, hi, true))
-            else if (right.outputSet.contains(p1) &&
-                lo.references.subsetOf(left.outputSet) &&
-                hi.references.subsetOf(left.outputSet))
-              Some((right, left, p1, lo, hi, false))
-            else None
+          case (Some((pe1, lo)), Some((pe2, hi))) =>
+            (pointAttr(pe1), pointAttr(pe2)) match {
+              case (Some(p1), Some(p2))
+                  if p1.semanticEquals(p2) &&
+                    catOf(p1.dataType).isDefined &&
+                    catOf(p1.dataType) == catOf(lo.dataType) &&
+                    catOf(p1.dataType) == catOf(hi.dataType) =>
+                // which child owns the point attribute?
+                if (left.outputSet.contains(p1) &&
+                    lo.references.subsetOf(right.outputSet) &&
+                    hi.references.subsetOf(right.outputSet))
+                  Some((left, right, p1, lo, hi, true))
+                else if (right.outputSet.contains(p1) &&
+                    lo.references.subsetOf(left.outputSet) &&
+                    hi.references.subsetOf(left.outputSet))
+                  Some((right, left, p1, lo, hi, false))
+                else None
+              case _ => None
+            }
           case _ => None
         }
       val rewrite =
@@ -97,20 +145,29 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       rewrite match {
         case None => j
         case Some((ptSide, ivSide, p, lo, hi, ptIsLeft)) =>
+          // bucket width is in the quantized long domain's unit:
+          // caller's own unit for integral points (default = 1 h in ns,
+          // the events table's timestamp unit), MICROSECONDS for native
+          // timestamp points (default = 1 h in µs)
+          val defaultBucket =
+            if (catOf(p.dataType).contains(Stamp)) "3600000000"
+            else "3600000000000"
           val bucket = Literal(
-            conf.getConfString(BucketKey, "3600000000000").toLong, LongType)
+            conf.getConfString(BucketKey, defaultBucket).toLong, LongType)
           // interval side: explode to covered cells
           // timeZoneId must be pinned: Sequence is TimeZoneAwareExpression
           // and stays unresolved without it (even for pure-long bounds)
           val cellsExpr = Sequence(
-            new IntegralDivide(lo, bucket), new IntegralDivide(hi, bucket),
+            new IntegralDivide(toLong(lo), bucket),
+            new IntegralDivide(toLong(hi), bucket),
             None, Some(conf.sessionLocalTimeZone))
           val ivCell = AttributeReference("__graft_cell_iv", LongType,
             nullable = false)()
           val ivGen = Generate(Explode(cellsExpr), Nil, outer = false,
             qualifier = None, generatorOutput = Seq(ivCell), child = ivSide)
           // point side: its single cell
-          val ptAlias = Alias(new IntegralDivide(p, bucket), "__graft_cell_pt")()
+          val ptAlias = Alias(
+            new IntegralDivide(toLong(p), bucket), "__graft_cell_pt")()
           val ptProj = Project(ptSide.output :+ ptAlias, ptSide)
           val newCond = And(EqualTo(ptAlias.toAttribute, ivCell), cond)
           val newJoin =

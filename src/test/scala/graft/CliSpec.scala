@@ -310,6 +310,33 @@ class CliSpec extends AnyFunSuite {
     assert(sc.count() > 0)
   }
 
+  test("eval --perf re-derives the same AUC from a saved confmat after " +
+    "the scores are deleted (reference eval -perf: no re-scoring)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli22").toString
+    val out = Cli.run(spark, "eval", base +
+      ("score" -> "l_tax") + ("confmat" -> s"$tmp/confmat") +
+      ("scoreout" -> s"$tmp/scores"))
+    val auc = out.find(_.startsWith("auc: ")).get.drop(5).toDouble
+    // delete the per-row scores — only the bounded bucket table remains
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.foreach(rm)
+      java.nio.file.Files.delete(p)
+    }
+    rm(java.nio.file.Paths.get(s"$tmp/scores"))
+    val perf = Cli.run(spark, "eval",
+      Map("perf" -> s"$tmp/confmat", "out" -> s"$tmp/perf.html"))
+    val auc2 = perf.find(_.startsWith("auc: ")).get.drop(5).toDouble
+    assert(auc2 === auc) // bit-equal: same sweep, same trapezoid
+    val pr = perf.find(_.startsWith("pr_auc: ")).get.drop(8).toDouble
+    assert(pr > 0.0 && pr <= 1.0)
+    assert(perf.exists(_ === "buckets: 10"))
+    val html = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/perf.html"))
+    assert(html.contains("<svg"))
+  }
+
   test("export -t columnstats/woemapping flatten the catalog") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli15").toString
     Cli.run(spark, "stats", base + ("catalog" -> s"$tmp/ColumnConfig.json"))
@@ -814,6 +841,84 @@ class CliSpec extends AnyFunSuite {
       "range" -> "o_totalprice:0:10")) // nothing is under $10
     assert(out2.last.startsWith("validate: FAIL (1 of 1"))
     assert(out2.head.contains("ok=0"))
+  }
+
+  test("inspect: malformed specs fail fast with the reference's error " +
+    "classes (ModelInspector parity); a sound spec passes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli23").toString
+    // sound spec against real data
+    graft.catalog.SpecIO.write(s"$tmp/good.json", graft.catalog.DataSpec(
+      targetColumn = "l_returnflag", posTags = Set("R"),
+      negTags = Set("N", "A")))
+    val ok = Cli.run(spark, "inspect",
+      Map("spec" -> s"$tmp/good.json", "data" -> data))
+    assert(ok.last === "inspect: PASS")
+    // tag overlap + bad maxNumBin + bad stdDevCutOff + broken JEXL,
+    // all reported in ONE probe (cause list, not first-error-wins)
+    graft.catalog.SpecIO.write(s"$tmp/bad.json", graft.catalog.DataSpec(
+      targetColumn = "", posTags = Set("R", "X"), negTags = Set("N", "X"),
+      filterExpressions = Seq("l_quantity >=== 3"),
+      maxNumBin = 40000, stdDevCutOff = -1.0))
+    val bad = Cli.run(spark, "inspect", Map("spec" -> s"$tmp/bad.json"))
+    assert(bad.last.startsWith("inspect: FAIL"))
+    assert(bad.exists(_.contains("The target column name is null or empty.")))
+    assert(bad.exists(_.contains("Identical tag(s) in posTags and negTags: X")))
+    assert(bad.exists(_.contains("stats#maxNumBin should be in [0, 32767].")))
+    assert(bad.exists(_.contains(
+      "stdDevCutOff should be positive value in normalize configuration")))
+    assert(bad.exists(_.contains("does not parse as JEXL")))
+    // numerical target (both tag sets empty): binning-method restrictions
+    graft.catalog.SpecIO.write(s"$tmp/numt.json", graft.catalog.DataSpec(
+      targetColumn = "y", posTags = Set(), negTags = Set()))
+    val numt = Cli.run(spark, "inspect", Map("spec" -> s"$tmp/numt.json",
+      "binmethod" -> "EqualPositive", "binalgo" -> "DynamicBinning"))
+    assert(numt.exists(_.contains(
+      "For numerical target, only EqualInterval and EqualTotal are allowed")))
+    assert(numt.exists(_.contains(
+      "For numerical target, DynamicBinning is not allowed")))
+    // column-role collisions (target in meta; select/remove overlap)
+    val roles = Cli.run(spark, "inspect", Map("spec" -> s"$tmp/good.json",
+      "meta" -> "l_returnflag,l_comment",
+      "forceselect" -> "l_quantity,l_tax",
+      "forceremove" -> "l_tax"))
+    assert(roles.exists(_.contains(
+      "The target column name shouldn't be in the meta column conf.")))
+    assert(roles.exists(_.contains("Column - l_tax exists both in force " +
+      "select conf and force remove conf.")))
+    // missing data path + eval-set name collision
+    val es = graft.catalog.EvalSets(Some("e1"), Vector(
+      graft.catalog.EvalSet("e1", data,
+        graft.catalog.SpecIO.read(s"$tmp/good.json")),
+      graft.catalog.EvalSet("e1", s"$tmp/nope.parquet",
+        graft.catalog.SpecIO.read(s"$tmp/good.json"))))
+    graft.catalog.EvalSetIO.write(s"$tmp/sets.json", es)
+    val evr = Cli.run(spark, "inspect", Map("spec" -> s"$tmp/good.json",
+      "sets" -> s"$tmp/sets.json", "data" -> s"$tmp/missing.parquet"))
+    assert(evr.exists(_.contains(
+      "Eval set name 'e1' is defined more than once.")))
+    assert(evr.exists(_.contains("Train Set: data path doesn't exist")))
+    assert(evr.exists(_.contains("Eval Set - e1: data path doesn't exist")))
+  }
+
+  test("a CLI-built session carries GraftExtensions: RangeJoinRewrite is " +
+    "in the optimizer and the hugeMethodLimit default is set") {
+    import org.apache.spark.sql.SparkSession
+    val prior = spark // ensure the shared test session exists first
+    // getOrCreate only applies extensions to a NEW session — drop the
+    // active/default pointers so buildSession actually constructs one
+    // (over the same SparkContext), then restore the shared session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val cliSpark = Cli.buildSession()
+      assert(cliSpark.sessionState.optimizer
+        .extendedOperatorOptimizationRules
+        .contains(graft.plans.RangeJoinRewrite))
+      assert(cliSpark.conf.get("spark.sql.codegen.hugeMethodLimit") === "8000")
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
   }
 
 }

@@ -44,6 +44,100 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("strict bounds (lo < ts < hi) rewrite too, with identical results") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 2000).map(i => (i.toLong, rnd.nextInt(50000).toLong))
+      .toDF("p_id", "ts")
+    val iv = (1 to 200).map { i =>
+      val lo = rnd.nextInt(46000).toLong
+      (i.toLong, lo, lo + 1 + rnd.nextInt(4000).toLong)
+    }.toDF("win", "lo", "hi")
+    val cond = col("ts") > col("lo") && col("ts") < col("hi")
+    val naive = pts.join(iv, cond).select("p_id", "win").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bucket", "2048")
+      val rewritten = pts.join(iv, cond)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") &&
+        !plan.contains("CartesianProduct"),
+        s"strict-bound range join was not rewritten:\n$plan")
+      val got = rewritten.select("p_id", "win").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === naive && got.nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset("spark.graft.rangeJoin.bucket")
+    }
+  }
+
+  test("int-typed points (coerced to Cast(p, long) against long bounds) " +
+    "rewrite with identical results") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val pts = (1 to 2000).map(i => (i.toLong, rnd.nextInt(50000)))
+      .toDF("p_id", "ts") // ts is INT
+    val iv = (1 to 200).map { i =>
+      val lo = rnd.nextInt(46000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(4000).toLong)
+    }.toDF("win", "lo", "hi") // long bounds → comparison casts the point
+    val cond = col("ts") >= col("lo") && col("ts") <= col("hi")
+    val naive = pts.join(iv, cond).select("p_id", "win").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bucket", "2048")
+      val rewritten = pts.join(iv, cond)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") &&
+        !plan.contains("CartesianProduct"),
+        s"int-point range join was not rewritten:\n$plan")
+      val got = rewritten.select("p_id", "win").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === naive && got.nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset("spark.graft.rangeJoin.bucket")
+    }
+  }
+
+  test("native timestamp points quantize via unix_micros and rewrite " +
+    "with identical results") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val base = 1700000000L // seconds
+    val pts = (1 to 1500).map(i =>
+        (i.toLong, new java.sql.Timestamp((base + rnd.nextInt(500000)) * 1000L)))
+      .toDF("p_id", "ts")
+    val iv = (1 to 150).map { i =>
+      val lo = base + rnd.nextInt(460000)
+      (i.toLong, new java.sql.Timestamp(lo * 1000L),
+        new java.sql.Timestamp((lo + rnd.nextInt(40000)) * 1000L))
+    }.toDF("win", "lo", "hi")
+    val cond = col("ts") >= col("lo") && col("ts") <= col("hi")
+    val naive = pts.join(iv, cond).select("p_id", "win").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
+    try {
+      // default timestamp bucket (1 h in µs) — no conf override needed
+      val rewritten = pts.join(iv, cond)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") &&
+        !plan.contains("CartesianProduct"),
+        s"timestamp range join was not rewritten:\n$plan")
+      assert(plan.contains("unix_micros"),
+        s"expected unix_micros quantization in the plan:\n$plan")
+      val got = rewritten.select("p_id", "win").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === naive && got.nonEmpty)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("the rule leaves equi joins, outer joins, and half-open ranges " +
     "alone") {
     val s = spark
