@@ -142,6 +142,48 @@ object QueriesSim {
     * hit count. Emitted as integer numerator/denominator (bit-exact)
     * plus the rounded ratio, so the ANN family's QUALITY (not just its
     * output shape) is regression-guarded. */
+  /** Shared oracle CTE block: LSH candidate ranking (`lr`: vec_id,
+    * nb_id, rank) and exact cosine ranking (`er`) with the engine's own
+    * hyperplanes mirrored into SQL — the replay both ANN-quality
+    * oracles (recall, MRR/NDCG) rank against. */
+  private def lshVsExactCtes: String = {
+    val nt = Similarity.NumTables
+    val bt = Similarity.BitsPerTable
+    val ps = Similarity.planes(nt * bt, 64)
+    val tableSelects = (0 until nt).map { t =>
+      val sigExpr = (0 until bt).map { b =>
+        val lits = ps(t * bt + b).mkString("[", ", ", "]::DOUBLE[]")
+        s"""CASE WHEN list_sum(list_transform(list_zip(e, $lits),
+           |  pr -> pr[1] * pr[2])) >= 0 THEN ${1 << b} ELSE 0 END""".stripMargin
+      }.mkString("\n + ")
+      s"SELECT vec_id, $t AS tbl, ($sigExpr) AS sig FROM v"
+    }.mkString("\nUNION ALL\n")
+    s"""$vCte,
+       |sg AS (
+       |$tableSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nb_id
+       |  FROM sg a JOIN sg b
+       |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |lp AS (SELECT c.vec_id, c.nb_id,
+       |  list_sum(list_transform(list_zip(va.e, vb.e), pr -> pr[1] * pr[2]))
+       |    / (va.norm * vb.norm) AS cos
+       |  FROM cand c
+       |  JOIN v va ON c.vec_id = va.vec_id
+       |  JOIN v vb ON c.nb_id = vb.vec_id),
+       |lr AS (SELECT vec_id, nb_id,
+       |  row_number() OVER (PARTITION BY vec_id
+       |                     ORDER BY cos DESC, nb_id) AS rank
+       |  FROM lp),
+       |ep AS (SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+       |  list_sum(list_transform(list_zip(a.e, b.e), pr -> pr[1] * pr[2]))
+       |    / (a.norm * b.norm) AS cos
+       |  FROM v a, v b WHERE a.vec_id <> b.vec_id),
+       |er AS (SELECT vec_id, nb_id,
+       |  row_number() OVER (PARTITION BY vec_id
+       |                     ORDER BY cos DESC, nb_id) AS rank
+       |  FROM ep)""".stripMargin
+  }
+
   private val annRecallLsh: Q = Q(
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
@@ -158,41 +200,7 @@ object QueriesSim {
           round(col("n_hits") / col("n_expected"), 6))
     },
     oracle = Some {
-      val nt = Similarity.NumTables
-      val bt = Similarity.BitsPerTable
-      val ps = Similarity.planes(nt * bt, 64)
-      val tableSelects = (0 until nt).map { t =>
-        val sigExpr = (0 until bt).map { b =>
-          val lits = ps(t * bt + b).mkString("[", ", ", "]::DOUBLE[]")
-          s"""CASE WHEN list_sum(list_transform(list_zip(e, $lits),
-             |  pr -> pr[1] * pr[2])) >= 0 THEN ${1 << b} ELSE 0 END""".stripMargin
-        }.mkString("\n + ")
-        s"SELECT vec_id, $t AS tbl, ($sigExpr) AS sig FROM v"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH $vCte,
-         |sg AS (
-         |$tableSelects),
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nb_id
-         |  FROM sg a JOIN sg b
-         |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id <> b.vec_id),
-         |lp AS (SELECT c.vec_id, c.nb_id,
-         |  list_sum(list_transform(list_zip(va.e, vb.e), pr -> pr[1] * pr[2]))
-         |    / (va.norm * vb.norm) AS cos
-         |  FROM cand c
-         |  JOIN v va ON c.vec_id = va.vec_id
-         |  JOIN v vb ON c.nb_id = vb.vec_id),
-         |lr AS (SELECT vec_id, nb_id,
-         |  row_number() OVER (PARTITION BY vec_id
-         |                     ORDER BY cos DESC, nb_id) AS rank
-         |  FROM lp),
-         |ep AS (SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
-         |  list_sum(list_transform(list_zip(a.e, b.e), pr -> pr[1] * pr[2]))
-         |    / (a.norm * b.norm) AS cos
-         |  FROM v a, v b WHERE a.vec_id <> b.vec_id),
-         |er AS (SELECT vec_id, nb_id,
-         |  row_number() OVER (PARTITION BY vec_id
-         |                     ORDER BY cos DESC, nb_id) AS rank
-         |  FROM ep),
+      s"""WITH $lshVsExactCtes,
          |h AS (SELECT count(*)::BIGINT AS n_hits
          |  FROM (SELECT vec_id, nb_id FROM lr WHERE rank <= 3) l
          |  JOIN (SELECT vec_id, nb_id FROM er WHERE rank <= 3) x
@@ -201,6 +209,43 @@ object QueriesSim {
          |SELECT 'lsh' AS method, n_hits, n_expected,
          |  round(n_hits / n_expected, 6) AS recall_r
          |FROM h, d
+         |""".stripMargin
+    })
+
+  /** Ranking-quality dual of the recall contract: MRR@3 and NDCG@3 of
+    * the LSH ranking against the exact-cosine top-3 relevance set
+    * ([[graft.eval.RetrievalEval.mrrNdcg]]). Recall counts WHETHER truth
+    * was found; these score WHERE it landed. The oracle replays both
+    * rankings (shared CTE block) and the textbook metric arithmetic in
+    * the identical operation order. */
+  private val mrrNdcgQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.load(s, dir, "embeddings")
+      val truth = Similarity.cosineTopK(emb, k = 3)
+        .select(col("vec_id"), col("nb_id"))
+      val ranked = Similarity.annTopK(emb, k = 3)
+        .select(col("vec_id"), col("rank"), col("nb_id"))
+      graft.eval.RetrievalEval.mrrNdcg(ranked, truth, k = 3, "lsh")
+    },
+    oracle = Some {
+      // IDCG@3 written as the same three-term sum the Scala fold builds
+      val idcgSql = "(1.0::DOUBLE / log2(2.0) + 1.0::DOUBLE / log2(3.0)" +
+        " + 1.0::DOUBLE / log2(4.0))"
+      s"""WITH $lshVsExactCtes,
+         |hits AS (SELECT l.vec_id,
+         |    1.0::DOUBLE / min(l.rank) AS rr,
+         |    list_sum(list_transform(array_agg(l.rank),
+         |      r -> 1.0::DOUBLE / log2(r + 1.0))) / $idcgSql AS ndcg
+         |  FROM (SELECT vec_id, nb_id, rank FROM lr WHERE rank <= 3) l
+         |  JOIN (SELECT vec_id, nb_id FROM er WHERE rank <= 3) x
+         |    USING (vec_id, nb_id)
+         |  GROUP BY l.vec_id),
+         |q AS (SELECT DISTINCT vec_id FROM er WHERE rank <= 3)
+         |SELECT 'lsh' AS method, count(*)::BIGINT AS n_queries,
+         |  round(avg(coalesce(rr, 0.0)), 6) AS mrr_r,
+         |  round(avg(coalesce(ndcg, 0.0)), 6) AS ndcg_r
+         |FROM q LEFT JOIN hits USING (vec_id)
          |""".stripMargin
     })
 
@@ -390,6 +435,7 @@ object QueriesSim {
     "q_ann_ivf"     -> annIvf,
     "q_ann_recall_lsh" -> annRecallLsh,
     "q_ann_recall_ivf" -> annRecallIvf,
+    "q_mrr_ndcg"    -> mrrNdcgQ,
     "q_embed_quantize" -> embedQuantize,
     "q_dedup_embed" -> dedupEmbed,
     "q_semdedup"    -> semDedup,

@@ -202,6 +202,67 @@ object QueriesText {
          |LEFT JOIN near ON nd.doc_id = near.doc_id
          |""".stripMargin))
 
+  // ---- streaming ingestion dedup gate --------------------------------------
+
+  /** The streaming face of the admission screen
+    * ([[graft.streaming.StreamOps.dedupIngestStream]]): docs arrive in 4
+    * deterministic micro-batches (batch = doc_id % 4, forced one batch
+    * per MemoryStream add), each screened against the persisted index of
+    * ALL previously-seen docs. Every verdict row is value-checked: the
+    * oracle replays "earlier batch contains my hash / shares one of my
+    * bands" directly. */
+  private val streamDedupIngestQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val d = docs(s, dir)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+      val batches = (0 to 3).map(b =>
+        d.filter(col("doc_id") % 4 === b)
+          .collect().toSeq) // harness-only: batch staging for MemoryStream
+      val tmp = s"/tmp/graft_sdi_${java.util.UUID.randomUUID()}"
+      val ms = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.dedupIngestStream(
+        ms.toDF().toDF("doc_id", "text"), s"$tmp/index", s"$tmp/out")
+      try {
+        batches.foreach { rows =>
+          ms.addData(rows); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("dup_exact"), col("dup_near"),
+          col("kept"))
+    },
+    oracle = Some(
+      s"""WITH $shingleCte,
+         |d AS (SELECT doc_id, doc_id % 4 AS b, md5(text) AS h
+         |      FROM documents),
+         |sig AS (SELECT doc_id,
+         |${minhashSelect(8)}
+         |FROM s),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |         md5(m_0 || m_1 || m_2 || m_3) AS band_hash FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(m_4 || m_5 || m_6 || m_7) FROM sig),
+         |bb AS (SELECT bands.*, d.b FROM bands JOIN d USING (doc_id)),
+         |ex AS (SELECT DISTINCT n.doc_id
+         |       FROM d n JOIN d p ON n.h = p.h AND p.b < n.b),
+         |nr AS (SELECT DISTINCT n.doc_id
+         |       FROM bb n JOIN bb p
+         |         ON n.band_id = p.band_id AND n.band_hash = p.band_hash
+         |        AND p.b < n.b)
+         |SELECT d.doc_id,
+         |  (ex.doc_id IS NOT NULL) AS dup_exact,
+         |  (nr.doc_id IS NOT NULL) AS dup_near,
+         |  (ex.doc_id IS NULL AND nr.doc_id IS NULL) AS kept
+         |FROM d LEFT JOIN ex ON d.doc_id = ex.doc_id
+         |LEFT JOIN nr ON d.doc_id = nr.doc_id
+         |""".stripMargin))
+
   // ---- LSH quality contract ------------------------------------------------
 
   /** MinHash-LSH candidate quality as ONE regression-guarded row: exact
@@ -1933,6 +1994,7 @@ object QueriesText {
     "q_dedup_keep_best" -> dedupKeepBestQ,
     "q_lsh_quality"   -> lshQualityQ,
     "q_incremental_dedup" -> incrementalDedupQ,
+    "q_stream_dedup_ingest" -> streamDedupIngestQ,
     "q_dedup_cc_iter" -> dedupCcIter,
     "q_stratified_sample" -> stratifiedSample,
     "q_minhash_est"   -> minhashJaccardEst,

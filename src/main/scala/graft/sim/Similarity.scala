@@ -51,10 +51,20 @@ object Similarity {
   /** Exact top-k cosine neighbors per vector. The pair generator is a
     * broadcast nested-loop (B side is only ids+vectors); all pairs for one
     * vec_id stay in one partition, so the partial top-k is already final
-    * on the map side — the shuffle moves n×k rows. */
+    * on the map side — the shuffle moves n×k rows.
+    *
+    * The probe side is RESPREAD to the session's parallelism first: NLJ
+    * parallelism equals the stream side's partition count, and a
+    * compactly-written embeddings table arrives as ONE input split —
+    * without the respread the whole n² scoring pass runs on one core
+    * (measured: the 10x scale soak pinned a 20k-vector corpus to a
+    * single task for minutes; with it, the same pass fans out to every
+    * core and the round-robin exchange moves only n id+vector rows). */
   def cosineTopK(emb: DataFrame, k: Int = 5): DataFrame = {
     val v = prep(emb)
-    val a = v.select(col("vec_id"), col("e").as("ea"), col("norm").as("na"))
+    val para = emb.sparkSession.sparkContext.defaultParallelism
+    val a = v.repartition(para)
+      .select(col("vec_id"), col("e").as("ea"), col("norm").as("na"))
     val b = v.select(col("vec_id").as("nb_id"), col("e").as("eb"),
       col("norm").as("nb"))
     val pairs = a.join(b, col("vec_id") =!= col("nb_id"))
@@ -110,10 +120,18 @@ object Similarity {
     * degenerates quadratically in either formulation. */
   private[sim] def bucketPairs(keyed: DataFrame, keyCols: Seq[String],
                                idCol: String = "vec_id",
-                               dedup: Boolean = true): DataFrame = {
+                               dedup: Boolean = true,
+                               maxBucket: Option[Int] = None): DataFrame = {
+    // maxBucket caps the per-bucket GROUP SIZE before any pair is
+    // emitted (a bucket of g ids emits ~g² pairs — one pathological
+    // bucket of near-identical vectors would quadratically dominate);
+    // over-cap buckets emit NOTHING, and the multi-table union keeps
+    // recall for everything genuinely close. Same guard as the text
+    // family's groupedPairs(maxGroup).
     val pairs = keyed.groupBy(keyCols.map(col): _*)
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 &&
+        maxBucket.map(c => size(col("ids")) <= c).getOrElse(lit(true)))
       .select(explode(expr(
         """flatten(transform(ids, x ->
           |  filter(transform(ids, y -> struct(x AS a, y AS b)),
@@ -162,13 +180,44 @@ object Similarity {
 
   /** LSH-bucketed ANN: candidate id-pairs per (table, signature) bucket,
     * deduped BEFORE vectors are re-attached — the shuffles move only ids,
-    * and the quadratic work happens only within buckets. */
-  def annTopK(emb: DataFrame, k: Int = 3): DataFrame = {
-    val cand = bucketPairs(hyperplaneSig(emb), Seq("tbl", "sig"))
+    * and the quadratic work happens only within buckets.
+    *
+    * `bitsPerTable` is the SCALE knob: expected bucket size is n/2^bits,
+    * so in-bucket pair work is ~numTables · n²/2^bits — bits must grow
+    * with log2(n) to keep the per-bucket density (and hence total work)
+    * linear in n. The default (6 bits) is sized for the contract corpus;
+    * for a production corpus use [[annTopKAuto]] or pass
+    * `bitsPerTable = bitsFor(n)` explicitly. `maxBucket` additionally
+    * hard-caps any single pathological bucket (near-identical vectors
+    * collapse into one signature — a density no bit count fixes). */
+  def annTopK(emb: DataFrame, k: Int = 3,
+              numTables: Int = NumTables,
+              bitsPerTable: Int = BitsPerTable,
+              maxBucket: Option[Int] = None): DataFrame = {
+    val cand = bucketPairs(
+      hyperplaneSig(emb, numTables, bitsPerTable), Seq("tbl", "sig"),
+      maxBucket = maxBucket)
     val v = prep(emb)
     val (va, vb) = reattachSides(v)
     val pairs = cand.join(va, "vec_id").join(vb, "nb_id")
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
     topKSelect(pairs, k)
   }
+
+  /** Bits needed to hold the expected bucket near `targetBucket` ids at
+    * corpus size `n` — the log2(n) growth the scale story requires. */
+  def bitsFor(n: Long, targetBucket: Int = 32): Int =
+    math.max(BitsPerTable,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt)
+
+  /** [[annTopK]] with the signature width sized from a one-pass count —
+    * what a caller should reach for when the corpus size isn't known at
+    * plan-authoring time. The count is a cheap metadata-ish scan next to
+    * the candidate generation it right-sizes. */
+  def annTopKAuto(emb: DataFrame, k: Int = 3,
+                  targetBucket: Int = 32,
+                  maxBucket: Option[Int] = Some(4096)): DataFrame =
+    annTopK(emb, k, NumTables, bitsFor(emb.count(), targetBucket),
+      maxBucket)
 }

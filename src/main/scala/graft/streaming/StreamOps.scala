@@ -394,6 +394,64 @@ object StreamOps {
     }
     }
 
+  /** Streaming ingestion dedup gate — the continuous-crawl admission
+    * step: each micro-batch of documents is screened against a PERSISTED
+    * index of everything previously seen (exact md5 hash set + MinHash
+    * band index, the [[graft.text.TextOps.incrementalDedupAgainstIndex]]
+    * probe), per-doc decisions (dup_exact, dup_near, kept) are appended
+    * to `outDir`, and the batch's OWN hashes/bands are appended to the
+    * index before the next batch runs (foreachBatch is synchronous, so
+    * batch N+1 always sees batch N's rows).
+    *
+    * Index-all-seen semantics: every screened doc's hashes/bands enter
+    * the index whether it was kept or not — the most aggressive (and
+    * batch-order-deterministic) screen: a doc is a dup iff ANY earlier
+    * doc matched, regardless of that doc's own verdict.
+    *
+    * Scale: stream state stores hold NOTHING — the state is the
+    * parquet index itself (32-hex hash strings + bounded band rows, a
+    * few dozen bytes per doc ever seen, compacted offline like any
+    * table). Per batch the work is batch-linear: two key-equi probes
+    * against the index plus the batch's own hashing. At 100 TB/day this
+    * is the architecture that works: the index is partitionable by hash
+    * prefix and the probes are co-partitioned joins, while any
+    * stream-store formulation would hold the whole corpus's keys in
+    * executor state. */
+  def dedupIngestStream(stream: DataFrame, indexDir: String,
+                        outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+        if (!batch.isEmpty) {
+          val sp = batch.sparkSession
+          val hDir = s"$indexDir/hashes"
+          val bDir = s"$indexDir/bands"
+          val have = new java.io.File(hDir).exists()
+          val b = batch.persist()
+          try {
+            val decisions =
+              if (have)
+                graft.text.TextOps.incrementalDedupAgainstIndex(b,
+                  sp.read.parquet(hDir), sp.read.parquet(bDir))
+              else // first batch: empty index, everything admitted
+                b.select(col("doc_id"),
+                  lit(false).as("dup_exact"), lit(false).as("dup_near"),
+                  lit(true).as("kept"))
+            decisions.write.mode("append").parquet(outDir)
+            b.select(md5(col("text").cast("binary")).as("h")).distinct()
+              .write.mode("append").parquet(hDir)
+            graft.text.TextOps
+              .minhashBands(graft.text.TextOps.minhash(b))
+              .select(col("band_id"), col("band_hash")).distinct()
+              .write.mode("append").parquet(bDir)
+          } finally { b.unpersist(false); () }
+        }
+        ()
+      }
+      .start()
+
   /** Sliding event-time windows (window ≠ slide — each event lands in
     * window/slide overlapping windows): per-type counts over 1-hour
     * windows advancing every 30 minutes. Same bounded state shape as the

@@ -256,19 +256,30 @@ object TextOps {
     * reuse every batch), not a rescan; both joins are key-co-partitioned
     * id/hash joins — batch-linear work, no pair explosion, no corpus
     * text on the wire. */
-  def incrementalDedup(newDocs: DataFrame, prior: DataFrame): DataFrame = {
-    val priorHashes = prior
-      .select(md5(col("text").cast("binary")).as("h")).distinct()
+  def incrementalDedup(newDocs: DataFrame, prior: DataFrame): DataFrame =
+    incrementalDedupAgainstIndex(newDocs,
+      prior.select(md5(col("text").cast("binary")).as("h")),
+      minhashBands(minhash(prior)))
+
+  /** The index-probing core of [[incrementalDedup]]: screen `newDocs`
+    * against an ALREADY-BUILT index — `priorHashes` with an `h` md5
+    * column, `priorBands` with (band_id, band_hash) — instead of a prior
+    * corpus that would be re-hashed per batch. This is the shape the
+    * persisted-index deployment and the streaming ingestion gate
+    * ([[graft.streaming.StreamOps.dedupIngestStream]]) call: index rows
+    * are tiny (32-hex strings), both probes are key-equi joins. */
+  def incrementalDedupAgainstIndex(newDocs: DataFrame,
+      priorHashes: DataFrame, priorBands: DataFrame): DataFrame = {
+    val ph = priorHashes.select(col("h")).distinct()
       .withColumn("pe", lit(true))
-    val priorBands = minhashBands(minhash(prior))
-      .select(col("band_id"), col("band_hash")).distinct()
+    val pb = priorBands.select(col("band_id"), col("band_hash")).distinct()
     val nearIds = minhashBands(minhash(newDocs))
-      .join(priorBands, Seq("band_id", "band_hash"))
+      .join(pb, Seq("band_id", "band_hash"))
       .select("doc_id").distinct()
       .withColumn("dup_near", lit(true))
     newDocs.select(col("doc_id"),
         md5(col("text").cast("binary")).as("h"))
-      .join(priorHashes, Seq("h"), "left")
+      .join(ph, Seq("h"), "left")
       .join(nearIds, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("pe"), lit(false)).as("dup_exact"),
