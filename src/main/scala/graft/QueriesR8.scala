@@ -179,7 +179,15 @@ object QueriesR8 {
     Q(
       fn = (s, dir) => {
         import s.implicits._
-        val li = QueryUtil.li(s, dir)
+        // this contract query re-scans lineitem ~13x (whole + two half
+        // profiles x numeric+categorical, three HLL sketches, the exact
+        // distinct dual) — cache the narrow projection once; every
+        // profile/sketch below is EAGER (driver maps), so the unpersist
+        // at the end cannot invalidate the returned local frame
+        val li = QueryUtil.li(s, dir).select("l_orderkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus")
+          .cache()
+        try {
         val isPos = col("l_returnflag") === "R"
         val whole = graft.ops.StatsPipeline.profileNumeric(
           li, cols, isPos, full = true)
@@ -259,6 +267,7 @@ object QueriesR8 {
         } ++ catContracts ++ distinctContracts)
           .map { case (name, ok) => (name, if (ok) 1 else 0) }
           .toDF("contract", "ok")
+        } finally { li.unpersist(false); () }
       },
       oracle = Some((cols.flatMap(c => Seq(
         s"counts_exact_$c", s"metrics_exact_$c", s"moments_close_$c",

@@ -430,10 +430,14 @@ object StreamOps {
           val bDir = s"$indexDir/bands"
           val have = new java.io.File(hDir).exists()
           val b = batch.persist()
+          // one MinHash pass per batch: the same band rows feed the
+          // near-dup probe AND the index append
+          val bands = graft.text.TextOps
+            .minhashBands(graft.text.TextOps.minhash(b)).persist()
           try {
             val decisions =
               if (have)
-                graft.text.TextOps.incrementalDedupAgainstIndex(b,
+                graft.text.TextOps.incrementalDedupWithBands(b, bands,
                   sp.read.parquet(hDir), sp.read.parquet(bDir))
               else // first batch: empty index, everything admitted
                 b.select(col("doc_id"),
@@ -442,11 +446,9 @@ object StreamOps {
             decisions.write.mode("append").parquet(outDir)
             b.select(md5(col("text").cast("binary")).as("h")).distinct()
               .write.mode("append").parquet(hDir)
-            graft.text.TextOps
-              .minhashBands(graft.text.TextOps.minhash(b))
-              .select(col("band_id"), col("band_hash")).distinct()
+            bands.select(col("band_id"), col("band_hash")).distinct()
               .write.mode("append").parquet(bDir)
-          } finally { b.unpersist(false); () }
+          } finally { bands.unpersist(false); b.unpersist(false); () }
         }
         ()
       }

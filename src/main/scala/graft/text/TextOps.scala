@@ -269,11 +269,20 @@ object TextOps {
     * ([[graft.streaming.StreamOps.dedupIngestStream]]) call: index rows
     * are tiny (32-hex strings), both probes are key-equi joins. */
   def incrementalDedupAgainstIndex(newDocs: DataFrame,
+      priorHashes: DataFrame, priorBands: DataFrame): DataFrame =
+    incrementalDedupWithBands(newDocs, minhashBands(minhash(newDocs)),
+      priorHashes, priorBands)
+
+  /** [[incrementalDedupAgainstIndex]] with the new batch's band rows
+    * supplied by the caller — lets a caller that ALSO appends the
+    * batch's bands to the index (the streaming gate) compute the
+    * MinHash pass once instead of twice. */
+  def incrementalDedupWithBands(newDocs: DataFrame, newBands: DataFrame,
       priorHashes: DataFrame, priorBands: DataFrame): DataFrame = {
     val ph = priorHashes.select(col("h")).distinct()
       .withColumn("pe", lit(true))
     val pb = priorBands.select(col("band_id"), col("band_hash")).distinct()
-    val nearIds = minhashBands(minhash(newDocs))
+    val nearIds = newBands
       .join(pb, Seq("band_id", "band_hash"))
       .select("doc_id").distinct()
       .withColumn("dup_near", lit(true))
