@@ -350,7 +350,10 @@ object QueriesSim {
       val pruned = graft.sim.SemDedup.prune(emb, threshold = 0.35).cache()
       try {
         val v = Similarity.prep(emb)
-        val a = v.select(col("vec_id"), col("e").as("ea"),
+        // harness-only exact-truth dual — respread before the n² NLJ
+        // (stream-side splits bound its parallelism; see cosineTopK)
+        val a = v.repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id"), col("e").as("ea"),
           col("norm").as("na"))
         val b = v.select(col("vec_id").as("nb_id"), col("e").as("eb"),
           col("norm").as("nb"))

@@ -139,8 +139,13 @@ object Quantize {
     val words = (dims + 63) / 64
     val c = binarize(emb, dims)
     // flatten code words to scalar columns so the hot pair loop carries
-    // longs, not arrays, and stays in whole-stage codegen
-    val a = c.select(col("vec_id") +: (0 until words).map(w =>
+    // longs, not arrays, and stays in whole-stage codegen.
+    // The probe side RESPREADS first: NLJ parallelism = stream-side
+    // partition count, and a compactly-written table is ONE split — the
+    // same single-core n² landmine the 10x soak caught in cosineTopK
+    val para = emb.sparkSession.sparkContext.defaultParallelism
+    val a = c.repartition(para)
+      .select(col("vec_id") +: (0 until words).map(w =>
       element_at(col("code"), w + 1).as(s"ca$w")): _*)
     val b = c.select(col("vec_id").as("nb_id") +: (0 until words).map(w =>
       element_at(col("code"), w + 1).as(s"cb$w")): _*)
