@@ -24,16 +24,7 @@ object Bench {
       Thread.sleep(30000); waits += 1
     }
     val startedLoaded = loadavgNow() > loadLimit
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // JVM JIT refuses methods past ~8KB bytecode: a whole-stage method
-      // bigger than that runs INTERPRETED (measured 18x on wide-expression
-      // plans). Make Spark fall back to per-operator codegen there.
-      .config("spark.sql.codegen.hugeMethodLimit", 8000)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.tools.Harness.session(cpus)
     // absorb session/codegen warm-up so the first measured query isn't
     // charged ~8s of JVM start; also touch every table once so the
     // alphabetically-first queries don't absorb parquet-reader init.
@@ -91,12 +82,8 @@ object Bench {
     // quantifying its cost in one wall-clock window)
     val cleanBetween =
       !sys.env.get("SPARK_GRAFT_BENCH_CLEAN").contains("0")
-    def dropLeftovers(s: SparkSession): Unit = if (cleanBetween) {
-      try s.catalog.clearCache() catch { case _: Throwable => () }
-      try s.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      catch { case _: Throwable => () }
-    }
+    def dropLeftovers(s: SparkSession): Unit =
+      if (cleanBetween) graft.tools.Harness.dropLeftovers(s)
     // each query runs TWICE and scores its MIN: one noisy scheduler window
     // can't poison the artifact; both raw times go to BENCH_DETAILS
     var sinceGc = 0
@@ -135,23 +122,21 @@ object Bench {
     // artifact instead of reading as a plan defect (round-8 lesson:
     // q_contamination 8.2 s in-session vs 1.5 s isolated).
     spark.stop()
-    val fresh = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.codegen.hugeMethodLimit", 8000)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    fresh.sparkContext.setLogLevel("WARN")
+    val fresh = graft.tools.Harness.session(cpus)
     fresh.range(1000000).selectExpr("sum(id)").collect()
     val top5Fresh = top5Rows.map { case (k, _, _, _) =>
+      // a FAILED fresh run must read as a failure (-1), not as a
+      // near-zero time that fabricates "in-session inflation" evidence
       def once(): Double = {
         val t0 = System.nanoTime()
         try { SparkEntry.queries(k)(fresh, sfDir).count() }
-        catch { case _: Throwable => () }
+        catch { case _: Throwable => return Double.NaN }
         (System.nanoTime() - t0) / 1e9
       }
       once() // plan-compilation + class-load rep, discarded
-      val steady = math.min(once(), once())
+      val (r1, r2) = (once(), once())
+      val steady =
+        if (r1.isNaN || r2.isNaN) -1.0 else math.min(r1, r2)
       dropLeftovers(fresh)
       "\"" + k.stripPrefix("q_") + "\":" + f(steady)
     }.mkString("{", ",", "}")

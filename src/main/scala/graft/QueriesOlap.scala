@@ -151,10 +151,13 @@ object QueriesOlap {
         |dd AS (SELECT k, value FROM d WHERE rn = 1),
         |b AS (SELECT c_custkey AS k, c_acctbal AS value FROM customer)
         |SELECT coalesce(b.k, dd.k) AS k,
-        |  coalesce(dd.value, b.value) AS value,
-        |  CASE WHEN dd.value IS NOT NULL THEN 'delta' ELSE 'base' END AS src
+        |  CASE WHEN dd.k IS NOT NULL THEN dd.value ELSE b.value END AS value,
+        |  CASE WHEN dd.k IS NOT NULL THEN 'delta' ELSE 'base' END AS src
         |FROM b FULL OUTER JOIN dd ON b.k = dd.k
         |""".stripMargin))
+  // ^ presence-based (dd.k join hit), NOT per-value coalesce: the engine's
+  //   MERGE semantics let a delta row with NULL attrs win whole-row, and
+  //   the oracle must guard exactly that (Snapshot.upsert round-9 fix)
 
   // ---- pivot (wide conditional aggregation) --------------------------------
 

@@ -232,9 +232,20 @@ object QueriesText {
           ms.addData(rows); q.processAllAvailable()
         }
       } finally q.stop()
-      s.read.parquet(s"$tmp/out")
+      // materialize, then delete the tmp index/out tree — repeated bench
+      // runs must not accumulate parquet trees in /tmp
+      val out = s.read.parquet(s"$tmp/out")
         .select(col("doc_id"), col("dup_exact"), col("dup_near"),
           col("kept"))
+        .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      rm(java.nio.file.Paths.get(tmp))
+      out.toDF("doc_id", "dup_exact", "dup_near", "kept")
     },
     oracle = Some(
       s"""WITH $shingleCte,

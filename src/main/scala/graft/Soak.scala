@@ -21,20 +21,9 @@ object Soak {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "3").toInt
     require(args.nonEmpty, "usage: graft.Soak q_name...")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.codegen.hugeMethodLimit", 8000)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.tools.Harness.session(cpus)
     spark.range(1000000).selectExpr("sum(id)").collect()
-    def dropLeftovers(): Unit = {
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      try spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      catch { case _: Throwable => () }
-    }
+    def dropLeftovers(): Unit = graft.tools.Harness.dropLeftovers(spark)
     args.foreach { q =>
       val fn = SparkEntry.queries.getOrElse(q,
         sys.error(s"unknown query $q"))
@@ -46,7 +35,9 @@ object Soak {
         }
         dropLeftovers()
         System.gc()
-        val steady = times.drop(1).map(_._1).min
+        // reps=1 is a legal knob: steady falls back to the only rep
+        val steady =
+          (if (times.length > 1) times.drop(1) else times).map(_._1).min
         println(("[soak]" +: Seq(q, dir, times.head._2.toString) ++:
           times.map(t => f"${t._1}%.3f") :+ f"$steady%.3f")
           .mkString("\t"))

@@ -12,17 +12,7 @@ object TimeQ {
     val name = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // JVM JIT refuses methods past ~8KB bytecode: a whole-stage method
-      // bigger than that runs INTERPRETED (measured 18x on wide-expression
-      // plans). Make Spark fall back to per-operator codegen there.
-      .config("spark.sql.codegen.hugeMethodLimit", 8000)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.tools.Harness.session()
     spark.range(1000000).selectExpr("sum(id)").collect()
     val fn = SparkEntry.queries(name)
     // SPARK_GRAFT_EXPLAIN=1 dumps the formatted physical plan once before

@@ -144,11 +144,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
           .orElse(pairUp(conjuncts(1), conjuncts(0)))
       rewrite match {
         case None => j
-        case Some((ptSide, ivSide, p, lo, hi, ptIsLeft)) =>
-          // bucket width is in the quantized long domain's unit:
-          // caller's own unit for integral points (default = 1 h in ns,
-          // the events table's timestamp unit), MICROSECONDS for native
-          // timestamp points (default = 1 h in µs)
+        case Some((ptSide, ivSide, p, lo, hi, ptIsLeft))
+            // sub-long integral points fire ONLY with an explicit bucket
+            // conf: the ns-scale default (3.6e12) exceeds the whole int
+            // domain, every point/bound would land in cell 0, and the
+            // "equi join" would funnel both sides through ONE key — a
+            // strictly worse plan than the BNLJ it replaces. Longs keep
+            // the ns default (the events table's unit), timestamps get a
+            // µs default; anything narrower needs the caller to say what
+            // a cell means in its domain.
+            if p.dataType == LongType ||
+              catOf(p.dataType).contains(Stamp) ||
+              conf.getConfString(BucketKey, null) != null =>
           val defaultBucket =
             if (catOf(p.dataType).contains(Stamp)) "3600000000"
             else "3600000000000"
@@ -175,6 +182,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
             else Join(ivGen, ptProj, Inner, Some(newCond), hint)
           // prune the helper cells back to the original join output
           Project(j.output, newJoin)
+        case Some(_) => j // sub-long point without an explicit bucket
       }
   }
 }

@@ -9,12 +9,7 @@ object AnnProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val k = if (args.length > 1) args(1).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.codegen.hugeMethodLimit", 8000)
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Harness.session()
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = emb.count()
     def time(tag: String)(f: => Long): Unit = {

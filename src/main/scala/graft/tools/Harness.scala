@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** ONE copy of the measurement-harness session recipe (Bench, Soak,
+  * TimeQ, AnnProbe) — the same engine defaults `graft.Cli.buildSession`
+  * gives a production session (GraftExtensions, hugeMethodLimit, UTC),
+  * so harness numbers measure the plans a CLI user actually runs.
+  * Config drift between four hand-rolled builders was a review finding;
+  * fix it here, everywhere. */
+object Harness {
+
+  def session(cpus: String =
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      // JVM JIT refuses methods past ~8KB bytecode: a whole-stage method
+      // bigger than that runs INTERPRETED (measured 18x on
+      // wide-expression plans) — fall back to per-operator codegen there
+      .config("spark.sql.codegen.hugeMethodLimit", 8000)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Drop leftover cached plans and persistent RDDs (operator-internal
+    * cache()/localCheckpoint blocks) so one query's leftovers never tax
+    * the next measurement — block-manager growth across hundreds of
+    * queries in one session was the round-8 bench-inflation cause. */
+  def dropLeftovers(s: SparkSession): Unit = {
+    try s.catalog.clearCache() catch { case _: Throwable => () }
+    try s.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => () }
+  }
+}

@@ -138,6 +138,30 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("sub-long integral points do NOT rewrite without an explicit " +
+    "bucket conf (the ns default would put the whole int domain in " +
+    "cell 0 — a single-key join worse than the BNLJ it replaces)") {
+    val s = spark
+    import s.implicits._
+    val pts = (1 to 200).map(i => (i.toLong, i * 7)).toDF("p_id", "ts")
+    val iv = (1 to 50).map(i => (i.toLong, i.toLong * 5, i.toLong * 5 + 9))
+      .toDF("win", "lo", "hi")
+    val cond = col("ts") >= col("lo") && col("ts") <= col("hi")
+    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
+    try {
+      // int point, NO bucket conf → untouched plan
+      assert(!pts.join(iv, cond).queryExecution.optimizedPlan.toString
+        .contains("__graft_cell"))
+      // same join WITH a conf → rewrites
+      spark.conf.set("spark.graft.rangeJoin.bucket", "64")
+      assert(pts.join(iv, cond).queryExecution.optimizedPlan.toString
+        .contains("__graft_cell"))
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset("spark.graft.rangeJoin.bucket")
+    }
+  }
+
   test("the rule leaves equi joins, outer joins, and half-open ranges " +
     "alone") {
     val s = spark
