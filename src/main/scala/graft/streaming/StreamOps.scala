@@ -417,6 +417,63 @@ object StreamOps {
     * prefix and the probes are co-partitioned joins, while any
     * stream-store formulation would hold the whole corpus's keys in
     * executor state. */
+  /** One micro-batch of the ingestion gate — factored out of the
+    * foreachBatch closure so retry idempotency is directly testable:
+    * calling this twice with the SAME batchId must leave decisions and
+    * index bit-identical to calling it once. */
+  def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String,
+                  outDir: String): Unit = {
+    val sp = batch.sparkSession
+    val hDir = s"$indexDir/hashes"
+    val bDir = s"$indexDir/bands"
+    // Hadoop FS, not java.io.File: the index lives wherever the
+    // table store lives (HDFS/S3/...) — a driver-local exists()
+    // would be false forever there and the gate would silently
+    // admit every duplicate
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    // everything is written under batch=<id> subdirs in OVERWRITE
+    // mode, and a batch probes only STRICTLY EARLIER subdirs: a
+    // retried batch overwrites its own half-written output instead
+    // of appending twice, and never sees its own first attempt in
+    // the probe — the standard foreachBatch idempotency shape
+    def priorDirs(dir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+        .map(_.toString)
+    }
+    val priorH = priorDirs(hDir)
+    val priorB = priorDirs(bDir)
+    val b = batch.persist()
+    // one MinHash pass per batch: the same band rows feed the
+    // near-dup probe AND the index append
+    val bands = graft.text.TextOps
+      .minhashBands(graft.text.TextOps.minhash(b)).persist()
+    try {
+      val decisions =
+        if (priorH.nonEmpty)
+          graft.text.TextOps.incrementalDedupWithBands(b, bands,
+            sp.read.parquet(priorH: _*),
+            if (priorB.nonEmpty) sp.read.parquet(priorB: _*)
+            else sp.emptyDataFrame
+              .select(lit(0).as("band_id"),
+                lit("").as("band_hash")).limit(0))
+        else // no prior batches: empty index, everything admitted
+          b.select(col("doc_id"),
+            lit(false).as("dup_exact"), lit(false).as("dup_near"),
+            lit(true).as("kept"))
+      decisions.write.mode("overwrite")
+        .parquet(s"$outDir/batch=$batchId")
+      b.select(md5(col("text").cast("binary")).as("h")).distinct()
+        .write.mode("overwrite").parquet(s"$hDir/batch=$batchId")
+      bands.select(col("band_id"), col("band_hash")).distinct()
+        .write.mode("overwrite").parquet(s"$bDir/batch=$batchId")
+    } finally { bands.unpersist(false); b.unpersist(false); () }
+  }
+
   def dedupIngestStream(stream: DataFrame, indexDir: String,
                         outDir: String,
                         checkpoint: Option[String] = None)
@@ -425,57 +482,8 @@ object StreamOps {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
-        if (!batch.isEmpty) {
-          val sp = batch.sparkSession
-          val hDir = s"$indexDir/hashes"
-          val bDir = s"$indexDir/bands"
-          // Hadoop FS, not java.io.File: the index lives wherever the
-          // table store lives (HDFS/S3/...) — a driver-local exists()
-          // would be false forever there and the gate would silently
-          // admit every duplicate
-          val fs = new org.apache.hadoop.fs.Path(indexDir)
-            .getFileSystem(sp.sparkContext.hadoopConfiguration)
-          // everything is written under batch=<id> subdirs in OVERWRITE
-          // mode, and a batch probes only STRICTLY EARLIER subdirs: a
-          // retried batch overwrites its own half-written output instead
-          // of appending twice, and never sees its own first attempt in
-          // the probe — the standard foreachBatch idempotency shape
-          def priorDirs(dir: String): Seq[String] = {
-            val p = new org.apache.hadoop.fs.Path(dir)
-            if (!fs.exists(p)) Nil
-            else fs.listStatus(p).toSeq.map(_.getPath)
-              .filter(_.getName.startsWith("batch="))
-              .filter(_.getName.stripPrefix("batch=").toLong < batchId)
-              .map(_.toString)
-          }
-          val priorH = priorDirs(hDir)
-          val priorB = priorDirs(bDir)
-          val b = batch.persist()
-          // one MinHash pass per batch: the same band rows feed the
-          // near-dup probe AND the index append
-          val bands = graft.text.TextOps
-            .minhashBands(graft.text.TextOps.minhash(b)).persist()
-          try {
-            val decisions =
-              if (priorH.nonEmpty)
-                graft.text.TextOps.incrementalDedupWithBands(b, bands,
-                  sp.read.parquet(priorH: _*),
-                  if (priorB.nonEmpty) sp.read.parquet(priorB: _*)
-                  else sp.emptyDataFrame
-                    .select(lit(0).as("band_id"),
-                      lit("").as("band_hash")).limit(0))
-              else // no prior batches: empty index, everything admitted
-                b.select(col("doc_id"),
-                  lit(false).as("dup_exact"), lit(false).as("dup_near"),
-                  lit(true).as("kept"))
-            decisions.write.mode("overwrite")
-              .parquet(s"$outDir/batch=$batchId")
-            b.select(md5(col("text").cast("binary")).as("h")).distinct()
-              .write.mode("overwrite").parquet(s"$hDir/batch=$batchId")
-            bands.select(col("band_id"), col("band_hash")).distinct()
-              .write.mode("overwrite").parquet(s"$bDir/batch=$batchId")
-          } finally { bands.unpersist(false); b.unpersist(false); () }
-        }
+        if (!batch.isEmpty) ingestBatch(batch.toDF(), batchId, indexDir,
+          outDir)
         ()
       }
     // a real deployment passes `checkpoint` so a restart resumes from
