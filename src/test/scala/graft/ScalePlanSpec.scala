@@ -51,6 +51,20 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineTopK / hammingTopK respread the n² stream side: the plan " +
+    "carries a RoundRobin exchange (NLJ parallelism = stream partitions " +
+    "— the single-split landmine the 10x soak caught)") {
+    val emb = embFixture(300)
+    val cosPlan = Similarity.cosineTopK(emb, 3)
+      .queryExecution.executedPlan.toString
+    assert(cosPlan.contains("RoundRobinPartitioning"),
+      s"cosineTopK lost its stream-side respread:\n$cosPlan")
+    val hamPlan = graft.sim.Quantize.hammingTopK(emb, dims = 64, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(hamPlan.contains("RoundRobinPartitioning"),
+      s"hammingTopK lost its stream-side respread:\n$hamPlan")
+  }
+
   test("annTopK: no BroadcastExchange when threshold disabled") {
     val (plan, n) = finalPlanNoBroadcast(Similarity.annTopK(embFixture(300), 3))
     assert(!plan.contains("BroadcastExchange"),
