@@ -15,15 +15,15 @@ object QueriesEval2 {
 
   private val quartiles: Q = Q(
     fn = (s, dir) => {
+      // exact quartiles via the distributed prefix-sum path — same
+      // values as percentile_approx(MaxInt), linear at any cardinality
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-      val stackExpr = "stack(" + cols.length + ", " +
-        cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, v)"
-      li(s, dir).select(expr(stackExpr))
-        .groupBy("col_name")
-        .agg(
-          round(expr("percentile_approx(v, 0.25, 2147483647)"), 6).as("p25"),
-          round(expr("percentile_approx(v, 0.5, 2147483647)"), 6).as("median"),
-          round(expr("percentile_approx(v, 0.75, 2147483647)"), 6).as("p75"))
+      val q = graft.ops.ExactQuantiles.quantiles(li(s, dir), cols,
+        Seq(0.25, 0.5, 0.75))
+      import s.implicits._
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      cols.map(c => (c, r6(q(c)(0)), r6(q(c)(1)), r6(q(c)(2))))
+        .toDF("col_name", "p25", "median", "p75")
     },
     oracle = Some {
       val union = Seq("l_quantity", "l_extendedprice", "l_discount")

@@ -154,16 +154,17 @@ object QueriesExtra {
 
   private val equalPopBins: Q = Q(
     fn = (s, dir) => {
-      // Int.MaxValue accuracy = EXACT ranks, required for quantile_disc
-      // oracle parity — a parity-at-test-scale choice, not the 100 TB
-      // path (see Binning.equalTotalExact scale contract; the bounded
-      // sketches in graft.agg are the at-scale equal-population route)
+      // EXACT ranks, required for quantile_disc oracle parity — via the
+      // DISTRIBUTED exact-quantile path (ops.ExactQuantiles: distinct-
+      // value prefix sums; same values as percentile_approx(MaxInt)
+      // bit-for-bit, without its O(distinct) single aggregation buffer)
       val qs = (1 until 10).map(_ / 10.0)
-      li(s, dir)
-        .select(percentile_approx(col("l_extendedprice"),
-          array(qs.map(lit): _*), lit(Int.MaxValue)).as("bounds"))
-        .select(posexplode(col("bounds")).as(Seq("q_idx", "b")))
-        .select((col("q_idx") + 1).as("q_idx"), round(col("b"), 6).as("bound"))
+      val bounds = graft.ops.ExactQuantiles
+        .quantiles(li(s, dir), Seq("l_extendedprice"), qs)("l_extendedprice")
+      import s.implicits._
+      bounds.zipWithIndex
+        .map { case (b, i) => (i + 1, math.rint(b * 1e6) / 1e6) }
+        .toDF("q_idx", "bound")
     },
     oracle = Some {
       (1 until 10).map(i =>

@@ -215,13 +215,14 @@ object QueriesR8c {
   private val normRobust: Q = Q(
     fn = (s, dir) => {
       val d = QueryUtil.li(s, dir)
-      val qs = d.select(
-        expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), " +
-          "2147483647)").as("q"),
-        expr("percentile_approx(l_extendedprice, array(0.05, 0.95), " +
-          "2147483647)").as("p")).head()
-      val Seq(q25, q50, q75) = qs.getSeq[Double](0)
-      val Seq(p05, p95) = qs.getSeq[Double](1)
+      // exact quantiles via the distributed prefix-sum path (same values
+      // as percentile_approx(MaxInt); linear at any cardinality); the
+      // unused prob slots per column cost nothing extra — one shared pass
+      val qs = graft.ops.ExactQuantiles.quantiles(d,
+        Seq("l_quantity", "l_extendedprice"),
+        Seq(0.05, 0.25, 0.5, 0.75, 0.95))
+      val Seq(_, q25, q50, q75, _) = qs("l_quantity")
+      val Seq(p05, _, _, _, p95) = qs("l_extendedprice")
       d.select(col("l_orderkey"), col("l_linenumber"),
         round(graft.ops.Normalize.robustScale(
           col("l_quantity"), q50, q25, q75), 6).as("robust_qty"),

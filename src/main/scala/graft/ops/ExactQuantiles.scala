@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT multi-column quantiles with DISTRIBUTED state — the scale path
+  * for the engine's exact-percentile convention.
+  *
+  * `percentile_approx(v, p, Int.MaxValue)` is exact but funnels every
+  * distinct value of a column through ONE aggregation buffer
+  * (QuantileSummaries grows toward the distinct count) — the 10× soak
+  * measured it superlinear on high-cardinality columns
+  * (BENCH_SCALE.md). This operator computes the SAME values from
+  * distinct-value prefix sums, the [[Rank.rankCounts]] machinery:
+  *
+  *  1. ONE scan: stacked (feature, value) distinct counts — a plain
+  *     groupBy, map-side combined, O(distinct) ROWS not driver bytes;
+  *  2. range-repartition by (feature, value) + in-partition sort — the
+  *     per-feature value runs are contiguous across ordered partitions;
+  *  3. per-(partition, feature) masses to the driver (partitions ×
+  *     features longs), prefix offsets computed driver-side;
+  *  4. one more pass over the cached distinct table emits ONLY the
+  *     values whose cumulative range covers a target rank — ≤
+  *     features × probs rows cross to the driver.
+  *
+  * Rank convention: `rank = ceil(p·n)`, 1-based into the sorted
+  * multiset — empirically the ONLY convention matching exact
+  * `percentile_approx` across random multisets
+  * (`tools.QuantileConvention`), and what DuckDB `quantile_disc`
+  * returns, so results are drop-in for the oracle-parity queries.
+  * Nulls and NaNs are skipped (finite values only; the built-in ranks
+  * NaN greatest but with boundary fuzz from its internal targetError —
+  * see the inline note) — spec'd value-for-value against the built-in
+  * on NaN-free data.
+  */
+object ExactQuantiles {
+
+  /** Exact quantiles for every (column, prob): Map(col -> values aligned
+    * with `probs`); a column with zero non-null rows maps to NaNs. */
+  def quantiles(df: DataFrame, cols: Seq[String],
+                probs: Seq[Double]): Map[String, Seq[Double]] = {
+    require(cols.nonEmpty, "need at least one column")
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0,1], got $probs")
+    val spark = df.sparkSession
+    // Column API explode, never string SQL: hostile column names ('|',
+    // quotes, spaces) must not reach a parser
+    val pairs = explode(array(cols.map(c =>
+      struct(lit(c).as("f"), col(c).cast("double").as("v"))): _*))
+    val counts = df.select(pairs.as("p"))
+      .select(col("p.f").as("f"), col("p.v").as("v"))
+      // nulls AND NaNs are skipped. The built-in includes NaN (sorting
+      // greatest), but its ~1e-6 targetError makes block-boundary picks
+      // near a NaN run fuzzy — a clean "finite values only" contract is
+      // strictly more useful, and the engine's columns are NaN-free, so
+      // the value-for-value parity spec holds on all real data
+      .filter(col("v").isNotNull && !isnan(col("v")))
+      .groupBy("f", "v").agg(count(lit(1)).as("cnt"))
+    val parts = math.max(counts.rdd.getNumPartitions, 1)
+    val sorted = counts
+      .repartitionByRange(parts, col("f").asc, col("v").asc)
+      .sortWithinPartitions(col("f").asc, col("v").asc)
+      .select("f", "v", "cnt").rdd
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    sorted.cache()
+    try {
+      val partMasses: Array[Map[String, Long]] = sorted
+        .mapPartitionsWithIndex { (i, it) =>
+          val m = collection.mutable.HashMap.empty[String, Long]
+          it.foreach { case (f, _, cnt) =>
+            m.update(f, m.getOrElse(f, 0L) + cnt)
+          }
+          Iterator((i, m.toMap))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val totals: Map[String, Long] =
+        partMasses.flatten.groupMapReduce(_._1)(_._2)(_ + _)
+      // offsets(i)(f) = f's mass in partitions strictly before i
+      val offsets: Array[Map[String, Long]] = partMasses
+        .scanLeft(Map.empty[String, Long]) { (acc, m) =>
+          m.foldLeft(acc) { case (a, (f, s)) =>
+            a.updated(f, a.getOrElse(f, 0L) + s)
+          }
+        }
+        .dropRight(1)
+      val targets: Map[String, Seq[Long]] = totals.map { case (f, n) =>
+        f -> probs.map(p => math.max(1L, math.ceil(p * n).toLong))
+      }
+      val bT = spark.sparkContext.broadcast(targets)
+      val bO = spark.sparkContext.broadcast(offsets)
+      val picks = sorted.mapPartitionsWithIndex { (i, it) =>
+        val off = collection.mutable.HashMap.empty[String, Long] ++=
+          bO.value(i)
+        it.flatMap { case (f, v, cnt) =>
+          val below = off.getOrElse(f, 0L)
+          off.update(f, below + cnt)
+          bT.value.getOrElse(f, Nil).zipWithIndex.collect {
+            case (r, pi) if r > below && r <= below + cnt => ((f, pi), v)
+          }
+        }
+      }.collect().toMap
+      cols.map(c =>
+        c -> probs.indices.map(pi =>
+          picks.getOrElse((c, pi), Double.NaN)).toSeq).toMap
+    } finally { sorted.unpersist(false); () }
+  }
+}

@@ -66,29 +66,41 @@ object StatsPipeline {
   }
 
   /** Pass 1 extended: the FULL ColumnStats field family for all columns,
-    * still ONE aggregation / one scan. `pctAccuracy` trades percentile
-    * sketch memory for exactness (`Int.MaxValue` = exact — fine for tests,
-    * keep the 10000 default at scale; the sketch is O(accuracy) per
-    * column per partition, merged map-side). */
+    * ONE aggregation / one scan at the (default) sketched accuracy.
+    * `pctAccuracy = Int.MaxValue` requests EXACT quantiles — those now
+    * route through [[ExactQuantiles]] (distributed distinct-value prefix
+    * sums, same values bit-for-bit) instead of an exact in-aggregate
+    * sketch whose buffer grows toward the column's distinct count: the
+    * 10× soak measured the in-agg exact path superlinear on
+    * high-cardinality columns (BENCH_SCALE.md), while the routed path
+    * adds one bounded-output pass and stays linear. */
   def fullNumericStats(df: DataFrame, cols: Seq[String],
                        pctAccuracy: Int = 10000): Map[String, FullNumStats] = {
+    val exact = pctAccuracy == Int.MaxValue
     val aggs = cols.flatMap { c =>
       momentAggs(c) ++ Seq(
         sum(col(c) * col(c) * col(c)).as(s"${c}__sum3"),
-        sum(col(c) * col(c) * col(c) * col(c)).as(s"${c}__sum4"),
-        // Column API, not string SQL: hostile column names (backticks,
-        // '|', spaces) never reach a parser here
-        percentile_approx(col(c),
-          array(lit(0.25), lit(0.5), lit(0.75)),
-          lit(pctAccuracy)).as(s"${c}__pct"),
-        approx_count_distinct(col(c)).as(s"${c}__dist"))
+        sum(col(c) * col(c) * col(c) * col(c)).as(s"${c}__sum4")) ++
+        (if (exact) Nil
+         else Seq(
+           // Column API, not string SQL: hostile column names (backticks,
+           // '|', spaces) never reach a parser here
+           percentile_approx(col(c),
+             array(lit(0.25), lit(0.5), lit(0.75)),
+             lit(pctAccuracy)).as(s"${c}__pct"))) :+
+        approx_count_distinct(col(c)).as(s"${c}__dist")
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val exactPct: Map[String, Seq[Double]] =
+      if (exact) ExactQuantiles.quantiles(df, cols, Seq(0.25, 0.5, 0.75))
+      else Map.empty
     cols.map { c =>
       val basic = decodeMoments(r, c)
       // arrays come back as mutable.ArraySeq — use the collection root type
-      val pct = Option(r.getAs[scala.collection.Seq[Double]](s"${c}__pct"))
-        .filter(_.length == 3)
+      val pct =
+        if (exact) Some(exactPct(c)).filter(_.forall(!_.isNaN))
+        else Option(r.getAs[scala.collection.Seq[Double]](s"${c}__pct"))
+          .filter(_.length == 3).map(_.toSeq)
       c -> FullNumStats(basic,
         r.getAs[Double](s"${c}__sum3"), r.getAs[Double](s"${c}__sum4"),
         p25 = pct.map(_(0)), median = pct.map(_(1)), p75 = pct.map(_(2)),

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ExactQuantiles must equal exact percentile_approx VALUE-FOR-VALUE
+  * (rank = ceil(p·n), the convention tools.QuantileConvention proved),
+  * under duplicates, skew, nulls/NaNs, and any partitioning. */
+class ExactQuantilesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("matches percentile_approx(MaxInt) on random multisets with " +
+    "nulls, across repartitionings") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val probs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.999)
+    (1 to 5).foreach { trial =>
+      val n = 500 + rnd.nextInt(2000)
+      val rows = (1 to n).map { _ =>
+        val a = rnd.nextInt(40).toDouble // heavy duplicates
+        val b = rnd.nextGaussian() * 1000
+        val c: Option[Double] =
+          if (rnd.nextInt(5) == 0) None else Some(rnd.nextDouble())
+        (a, b, c)
+      }
+      val df = rows.toDF("a", "b", "c").repartition(1 + rnd.nextInt(13))
+      val got = graft.ops.ExactQuantiles.quantiles(df, Seq("a", "b", "c"),
+        probs)
+      Seq("a", "b", "c").foreach { cName =>
+        val want = df.agg(percentile_approx(col(cName),
+            array(probs.map(lit): _*), lit(2147483647)))
+          .head().getSeq[Double](0)
+        // bit compare: NaN == NaN must hold (percentile of NaN-bearing
+        // data is legitimately NaN at high probs)
+        assert(got(cName).map(java.lang.Double.doubleToLongBits) ===
+          want.toSeq.map(java.lang.Double.doubleToLongBits),
+          s"trial $trial column $cName: ${got(cName)} vs $want")
+      }
+    }
+  }
+
+  test("degenerate shapes: constant column, single row, all-null column") {
+    val s = spark
+    import s.implicits._
+    val df = Seq.fill(100)((5.0, 1.0)).toDF("k", "one")
+      .withColumn("nul", lit(null).cast("double"))
+    val q = graft.ops.ExactQuantiles.quantiles(df, Seq("k", "nul"),
+      Seq(0.0, 0.5, 1.0))
+    assert(q("k") === Seq(5.0, 5.0, 5.0))
+    assert(q("nul").forall(_.isNaN))
+    val one = Seq(42.0).toDF("v")
+    assert(graft.ops.ExactQuantiles.quantiles(one, Seq("v"), Seq(0.5))
+      .apply("v") === Seq(42.0))
+  }
+}
