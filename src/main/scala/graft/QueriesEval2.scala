@@ -18,7 +18,7 @@ object QueriesEval2 {
       // exact quartiles via the distributed prefix-sum path — same
       // values as percentile_approx(MaxInt), linear at any cardinality
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-      val q = graft.ops.ExactQuantiles.quantiles(li(s, dir), cols,
+      val q = graft.ops.ExactQuantiles.quantilesAuto(li(s, dir), cols,
         Seq(0.25, 0.5, 0.75))
       import s.implicits._
       def r6(x: Double) = math.rint(x * 1e6) / 1e6

@@ -160,7 +160,7 @@ object QueriesExtra {
       // bit-for-bit, without its O(distinct) single aggregation buffer)
       val qs = (1 until 10).map(_ / 10.0)
       val bounds = graft.ops.ExactQuantiles
-        .quantiles(li(s, dir), Seq("l_extendedprice"), qs)("l_extendedprice")
+        .quantilesAuto(li(s, dir), Seq("l_extendedprice"), qs)("l_extendedprice")
       import s.implicits._
       bounds.zipWithIndex
         .map { case (b, i) => (i + 1, math.rint(b * 1e6) / 1e6) }

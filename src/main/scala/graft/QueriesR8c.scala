@@ -218,7 +218,7 @@ object QueriesR8c {
       // exact quantiles via the distributed prefix-sum path (same values
       // as percentile_approx(MaxInt); linear at any cardinality); the
       // unused prob slots per column cost nothing extra — one shared pass
-      val qs = graft.ops.ExactQuantiles.quantiles(d,
+      val qs = graft.ops.ExactQuantiles.quantilesAuto(d,
         Seq("l_quantity", "l_extendedprice"),
         Seq(0.05, 0.25, 0.5, 0.75, 0.95))
       val Seq(_, q25, q50, q75, _) = qs("l_quantity")

