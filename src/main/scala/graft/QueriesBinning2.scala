@@ -14,12 +14,17 @@ object QueriesBinning2 {
 
   private val equalPosBins: Q = Q(
     fn = (s, dir) => {
+      // exact ranks via the dispatched quantile path (ExactQuantiles:
+      // prefix sums past the crossover, in-agg sketch below it) — same
+      // values as percentile_approx(MaxInt), linear at any scale
       val qs = (1 until 10).map(_ / 10.0)
-      li(s, dir).filter(isPos)
-        .select(percentile_approx(col("l_extendedprice"),
-          array(qs.map(lit): _*), lit(Int.MaxValue)).as("bounds"))
-        .select(posexplode(col("bounds")).as(Seq("q_idx", "b")))
-        .select((col("q_idx") + 1).as("q_idx"), round(col("b"), 6).as("bound"))
+      val bounds = graft.ops.ExactQuantiles.quantilesAuto(
+        li(s, dir).filter(isPos), Seq("l_extendedprice"), qs)(
+        "l_extendedprice")
+      import s.implicits._
+      bounds.zipWithIndex
+        .map { case (b, i) => (i + 1, math.rint(b * 1e6) / 1e6) }
+        .toDF("q_idx", "bound")
     },
     oracle = Some {
       (1 until 10).map(i =>

@@ -84,19 +84,21 @@ object QueriesCluster {
 
   // ---- per-group exact quartiles -------------------------------------------
 
-  /** Per-source exact quartiles of document length — grouped
-    * `percentile_approx` at exact accuracy (== DuckDB quantile_disc,
-    * the q_quartiles contract, here per group). */
+  /** Per-source exact quartiles of document length — the per-group
+    * exact-quantile path ([[graft.ops.ExactQuantiles.groupedQuantiles]]:
+    * window over the per-group DISTINCT-VALUE table, zero driver state)
+    * pivoted back to one row per source. Same values as grouped
+    * `percentile_approx` at exact accuracy == DuckDB quantile_disc
+    * (spec'd); n_chars is integral so the double→long fold is exact. */
   private val groupQuartiles: Q = Q(
     fn = (s, dir) =>
-      docs(s, dir).groupBy("source")
+      graft.ops.ExactQuantiles.groupedQuantiles(
+          docs(s, dir), "source", "n_chars", Seq(0.25, 0.5, 0.75))
+        .groupBy("source")
         .agg(
-          percentile_approx(col("n_chars"), lit(0.25),
-            lit(2147483647)).as("p25"),
-          percentile_approx(col("n_chars"), lit(0.5),
-            lit(2147483647)).as("p50"),
-          percentile_approx(col("n_chars"), lit(0.75),
-            lit(2147483647)).as("p75")),
+          max(when(col("p_idx") === 0, col("q"))).cast("long").as("p25"),
+          max(when(col("p_idx") === 1, col("q"))).cast("long").as("p50"),
+          max(when(col("p_idx") === 2, col("q"))).cast("long").as("p75")),
     oracle = Some(
       """SELECT source,
         |  quantile_disc(n_chars, 0.25) AS p25,

@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantiles {
 
+  /** Rows-or-distinct bound above which the distributed prefix-sum path
+    * beats the in-aggregate exact sketch (measured crossover, see
+    * [[quantilesAuto]]); shared so dispatch sites stay in sync and
+    * tests can force either branch. */
+  val DefaultDispatchThreshold = 2000000L
+
   /** Exact quantiles for every (column, prob): Map(col -> values aligned
     * with `probs`); a column with zero non-null rows maps to NaNs. */
   def quantiles(df: DataFrame, cols: Seq[String],
@@ -88,6 +94,7 @@ object ExactQuantiles {
       }
       val bT = spark.sparkContext.broadcast(targets)
       val bO = spark.sparkContext.broadcast(offsets)
+      try {
       val picks = sorted.mapPartitionsWithIndex { (i, it) =>
         val off = collection.mutable.HashMap.empty[String, Long] ++=
           bO.value(i)
@@ -102,6 +109,12 @@ object ExactQuantiles {
       cols.map(c =>
         c -> probs.indices.map(pi =>
           picks.getOrElse((c, pi), Double.NaN)).toSeq).toMap
+      } finally {
+        // deterministic release: a leaked broadcast per call would
+        // accumulate across a shared bench session until a GC lets
+        // ContextCleaner reap it (the documented bench-hygiene hazard)
+        bT.destroy(); bO.destroy()
+      }
     } finally { sorted.unpersist(false); () }
   }
 
@@ -116,8 +129,8 @@ object ExactQuantiles {
     * count+distinct pass decides; both paths return identical values
     * (spec'd), so the dispatch is purely a cost choice. */
   def quantilesAuto(df: DataFrame, cols: Seq[String], probs: Seq[Double],
-                    rowThreshold: Long = 2000000L,
-                    distinctThreshold: Long = 2000000L)
+                    rowThreshold: Long = DefaultDispatchThreshold,
+                    distinctThreshold: Long = DefaultDispatchThreshold)
       : Map[String, Seq[Double]] = {
     require(cols.nonEmpty, "need at least one column")
     val dAggs = count(lit(1)).as("__rows") +:

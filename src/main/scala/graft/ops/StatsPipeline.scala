@@ -75,7 +75,10 @@ object StatsPipeline {
     * high-cardinality columns (BENCH_SCALE.md), while the routed path
     * adds one bounded-output pass and stays linear. */
   def fullNumericStats(df: DataFrame, cols: Seq[String],
-                       pctAccuracy: Int = 10000): Map[String, FullNumStats] = {
+                       pctAccuracy: Int = 10000,
+                       exactDispatchThreshold: Long =
+                         ExactQuantiles.DefaultDispatchThreshold)
+      : Map[String, FullNumStats] = {
     val exact = pctAccuracy == Int.MaxValue
     val aggs = cols.flatMap { c =>
       momentAggs(c) ++ Seq(
@@ -98,12 +101,19 @@ object StatsPipeline {
     // stays linear
     val exactPct: Map[String, Seq[Double]] =
       if (!exact) Map.empty
-      else if (cols.map(c => r.getAs[Long](s"${c}__dist")).max > 2000000L ||
-          cols.map(c => r.getAs[Long](s"${c}__cnt")).max > 2000000L)
+      else if (cols.map(c => r.getAs[Long](s"${c}__dist")).max >
+            exactDispatchThreshold ||
+          cols.map(c => r.getAs[Long](s"${c}__cnt")).max >
+            exactDispatchThreshold)
         ExactQuantiles.quantiles(df, cols, Seq(0.25, 0.5, 0.75))
       else {
         val pAggs = cols.map(c =>
-          percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
+          // the same NaN guard both ExactQuantiles paths apply — without
+          // it, NaN-bearing data would give different results on the two
+          // sides of the dispatch threshold
+          percentile_approx(when(!isnan(col(c).cast("double")),
+              col(c).cast("double")),
+            array(lit(0.25), lit(0.5), lit(0.75)),
             lit(Int.MaxValue)).as(c))
         val pr = df.agg(pAggs.head, pAggs.tail: _*).head()
         cols.zipWithIndex.map { case (c, i) =>

@@ -68,6 +68,33 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(got(("loner", 1)) === 7.5)
   }
 
+  test("fullNumericStats exact quantiles are identical on BOTH sides of " +
+    "the dispatch threshold (in-agg sketch vs distributed prefix sums)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val df = (1 to 3000).map { _ =>
+      (rnd.nextInt(500).toDouble,
+        if (rnd.nextInt(6) == 0) None else Some(rnd.nextGaussian() * 50))
+    }.toDF("x", "y").repartition(5)
+    val cols = Seq("x", "y")
+    val small = graft.ops.StatsPipeline.fullNumericStats(
+      df, cols, pctAccuracy = Int.MaxValue) // under threshold: in-agg
+    val dist = graft.ops.StatsPipeline.fullNumericStats(
+      df, cols, pctAccuracy = Int.MaxValue,
+      exactDispatchThreshold = 1L) // forced distributed branch
+    cols.foreach { c =>
+      assert(small(c).p25 === dist(c).p25, c)
+      assert(small(c).median === dist(c).median, c)
+      assert(small(c).p75 === dist(c).p75, c)
+    }
+    // quantilesAuto's two branches agree too
+    val a = graft.ops.ExactQuantiles.quantilesAuto(df, cols, Seq(0.5))
+    val b = graft.ops.ExactQuantiles.quantilesAuto(df, cols, Seq(0.5),
+      rowThreshold = 1L)
+    assert(a === b)
+  }
+
   test("degenerate shapes: constant column, single row, all-null column") {
     val s = spark
     import s.implicits._
