@@ -200,7 +200,10 @@ object StreamOps {
       .groupBy(Binning.binIndex(col("value"), bounds).as("bin_id"))
       .agg(count(lit(1)).as("gc"))
       .withColumn("e", col("gc").cast("double") /
+        // bounded bin table; explicit constant partition key (see
+        // ops/Psi.scala) keeps the WindowExec warning count at zero
         sum("gc").over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.unboundedFollowing)))
     withActual.join(broadcast(expected), "bin_id")
@@ -410,80 +413,101 @@ object StreamOps {
     *
     * Scale: stream state stores hold NOTHING — the state is the
     * parquet index itself (32-hex hash strings + bounded band rows, a
-    * few dozen bytes per doc ever seen, compacted offline like any
-    * table). Per batch the work is batch-linear: two key-equi probes
-    * against the index plus the batch's own hashing. At 100 TB/day this
-    * is the architecture that works: the index is partitionable by hash
-    * prefix and the probes are co-partitioned joins, while any
-    * stream-store formulation would hold the whole corpus's keys in
-    * executor state. */
+    * few dozen bytes per doc ever seen), laid out by [[IngestIndex]]
+    * so per-batch cost is INDEPENDENT of stream history: small
+    * overwrite-idempotent deltas, a hash-prefix-partitioned compacted
+    * base ([[IngestIndex.compact]] folds deltas every `compactEvery`
+    * batches), Bloom sidecars routing only maybe-seen suspects to the
+    * exact probe joins, and suspect-prefix partition pruning on the
+    * base scan. A stream-store formulation would instead hold the
+    * whole corpus's keys in executor state.
+    *
+    * Known, documented limitation: duplicates arriving WITHIN one
+    * micro-batch are all admitted (`kept = true`) — a batch is
+    * screened only against strictly earlier state, deliberately, so a
+    * foreachBatch retry cannot see its own first attempt. Callers who
+    * need intra-batch dedup group the batch on its md5 before the gate
+    * (a bounded per-batch `groupBy` — the cross-batch index is the
+    * part that needs this machinery). */
   /** One micro-batch of the ingestion gate — factored out of the
     * foreachBatch closure so retry idempotency is directly testable:
     * calling this twice with the SAME batchId must leave decisions and
-    * index bit-identical to calling it once. */
+    * index bit-identical to calling it once (everything is written
+    * under `batch=<id>` dirs in OVERWRITE mode, and a batch probes
+    * only STRICTLY EARLIER state). */
   def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String,
                   outDir: String): Unit = {
     val sp = batch.sparkSession
-    val hDir = s"$indexDir/hashes"
-    val bDir = s"$indexDir/bands"
-    // Hadoop FS, not java.io.File: the index lives wherever the
-    // table store lives (HDFS/S3/...) — a driver-local exists()
-    // would be false forever there and the gate would silently
-    // admit every duplicate
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(sp.sparkContext.hadoopConfiguration)
-    // everything is written under batch=<id> subdirs in OVERWRITE
-    // mode, and a batch probes only STRICTLY EARLIER subdirs: a
-    // retried batch overwrites its own half-written output instead
-    // of appending twice, and never sees its own first attempt in
-    // the probe — the standard foreachBatch idempotency shape
-    def priorDirs(dir: String): Seq[String] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("batch="))
-        .filter(_.getName.stripPrefix("batch=").toLong < batchId)
-        .map(_.toString)
-    }
-    val priorH = priorDirs(hDir)
-    val priorB = priorDirs(bDir)
     val b = batch.persist()
     // one MinHash pass per batch: the same band rows feed the
     // near-dup probe AND the index append
     val bands = graft.text.TextOps
       .minhashBands(graft.text.TextOps.minhash(b)).persist()
     try {
-      val decisions =
-        if (priorH.nonEmpty)
-          graft.text.TextOps.incrementalDedupWithBands(b, bands,
-            sp.read.parquet(priorH: _*),
-            if (priorB.nonEmpty) sp.read.parquet(priorB: _*)
-            else sp.emptyDataFrame
-              .select(lit(0).as("band_id"),
-                lit("").as("band_hash")).limit(0))
-        else // no prior batches: empty index, everything admitted
-          b.select(col("doc_id"),
-            lit(false).as("dup_exact"), lit(false).as("dup_near"),
-            lit(true).as("kept"))
+      val batchHashes = b.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"))
+      // band key = band_hash FIRST so the hp partition prefix is
+      // uniform hex, not the (few-valued) band id
+      val batchBandKeys = bands.select(col("doc_id"),
+        concat(col("band_hash"), lit(":"), col("band_id")).as("bk"))
+      // Bloom-routed, prefix-pruned prior rows (IngestIndex): a batch
+      // of entirely-new docs reads ZERO index bytes here
+      val priorH = IngestIndex.probeRows(sp,
+        IngestIndex.prior(sp, indexDir, "hashes", batchId),
+        batchHashes.select("h").distinct(), "h")
+      val priorB = IngestIndex.probeRows(sp,
+        IngestIndex.prior(sp, indexDir, "bands", batchId),
+        batchBandKeys.select("bk").distinct(), "bk")
+      val nearIds = batchBandKeys
+        .join(priorB.distinct(), Seq("bk"))
+        .select("doc_id").distinct()
+        .withColumn("dup_near", lit(true))
+      val decisions = batchHashes
+        .join(priorH.distinct().withColumn("pe", lit(true)),
+          Seq("h"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("pe"), lit(false)).as("dup_exact"),
+          coalesce(col("dup_near"), lit(false)).as("dup_near"))
+        .withColumn("kept", !col("dup_exact") && !col("dup_near"))
       decisions.write.mode("overwrite")
         .parquet(s"$outDir/batch=$batchId")
-      b.select(md5(col("text").cast("binary")).as("h")).distinct()
-        .write.mode("overwrite").parquet(s"$hDir/batch=$batchId")
-      bands.select(col("band_id"), col("band_hash")).distinct()
-        .write.mode("overwrite").parquet(s"$bDir/batch=$batchId")
+      IngestIndex.writeDelta(batchHashes.select("h").distinct(),
+        indexDir, "hashes", batchId)
+      IngestIndex.writeDelta(batchBandKeys.select("bk").distinct(),
+        indexDir, "bands", batchId)
     } finally { bands.unpersist(false); b.unpersist(false); () }
   }
 
+  /** Start the gate. `compactEvery` > 0 folds the index every that
+    * many batches ([[IngestIndex.compact]]) so delta-dir count — and
+    * with it probe file-listing cost — stays bounded on a forever
+    * stream. Restart guard: resuming over a NON-empty index without a
+    * checkpoint is refused, because batch ids would restart at 0 and
+    * probe stale state from the previous run (decisions for the same
+    * doc would accumulate and conflict); pass the previous checkpoint
+    * to resume, or point at a fresh index/out pair. */
   def dedupIngestStream(stream: DataFrame, indexDir: String,
                         outDir: String,
-                        checkpoint: Option[String] = None)
+                        checkpoint: Option[String] = None,
+                        compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (checkpoint.isEmpty &&
+        IngestIndex.nonEmpty(stream.sparkSession, indexDir))
+      throw new IllegalStateException(
+        s"ingest index at $indexDir holds state from a previous run; " +
+          "pass that run's checkpoint to resume it, or use a fresh " +
+          "indexDir/outDir (batch ids restart at 0 without a " +
+          "checkpoint and would probe the stale index)")
     val writer = stream.writeStream
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
-        if (!batch.isEmpty) ingestBatch(batch.toDF(), batchId, indexDir,
-          outDir)
+        if (!batch.isEmpty) {
+          ingestBatch(batch.toDF(), batchId, indexDir, outDir)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            IngestIndex.compact(batch.sparkSession, indexDir, batchId)
+        }
         ()
       }
     // a real deployment passes `checkpoint` so a restart resumes from
