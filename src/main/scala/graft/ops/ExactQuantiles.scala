@@ -41,6 +41,14 @@ object ExactQuantiles {
     * tests can force either branch. */
   val DefaultDispatchThreshold = 2000000L
 
+  /** Plan-stats bytes bound for the SCAN-FREE dispatch tier of
+    * [[quantilesAuto]]: parquet inputs over this size go straight to
+    * the distributed path without any deciding job. 48 MB of parquet
+    * is ~3–5 M lineitem-shaped rows — the same order as the measured
+    * row/distinct crossover (600 k rows fine at ~0.2 s; 6 M rows
+    * 20.7 s in-agg vs 2.3 s distributed, BENCH_SCALE.md). */
+  val DefaultBytesThreshold = 48L << 20
+
   /** Exact quantiles for every (column, prob): Map(col -> values aligned
     * with `probs`); a column with zero non-null rows maps to NaNs. */
   def quantiles(df: DataFrame, cols: Seq[String],
@@ -125,30 +133,49 @@ object ExactQuantiles {
     * work grows with rows × buffer (the buffer holds every distinct
     * value), so past a few million rows OR distinct values the
     * distributed prefix-sum path wins and keeps winning (measured
-    * 20.7 s → 2.3 s at 6M rows / 583k distinct). One cheap
-    * count+distinct pass decides; both paths return identical values
-    * (spec'd), so the dispatch is purely a cost choice. */
+    * 20.7 s → 2.3 s at 6M rows / 583k distinct).
+    *
+    * The dispatch itself is FREE, in two tiers:
+    *  1. optimizer plan stats (`optimizedPlan.stats.sizeInBytes` —
+    *     file bytes for parquet scans, row-size estimates for local
+    *     relations, `defaultSizeInBytes` = huge when unknown): over
+    *     [[DefaultBytesThreshold]] go straight to the distributed
+    *     path with NO deciding job — at 100 TB a scan just to decide
+    *     is itself the bug;
+    *  2. under the bytes bound, ONE fused scan carries count +
+    *     approx-distinct AND the in-agg exact sketch together (the
+    *     `StatsPipeline.fullNumericStats` pattern) — the former
+    *     standalone count+distinct pre-pass is gone. The row/distinct
+    *     guard survives as a safety net for misleading size stats: if
+    *     the fused pass reveals the input is over threshold after all,
+    *     the sketch is discarded and the distributed path runs (a
+    *     rare double-pay, bounded by the small-bytes tier; never a
+    *     wrong answer). Both paths return identical values (spec'd),
+    *     so the dispatch is purely a cost choice. */
   def quantilesAuto(df: DataFrame, cols: Seq[String], probs: Seq[Double],
                     rowThreshold: Long = DefaultDispatchThreshold,
-                    distinctThreshold: Long = DefaultDispatchThreshold)
+                    distinctThreshold: Long = DefaultDispatchThreshold,
+                    bytesThreshold: Long = DefaultBytesThreshold)
       : Map[String, Seq[Double]] = {
     require(cols.nonEmpty, "need at least one column")
-    val dAggs = count(lit(1)).as("__rows") +:
-      cols.map(c => approx_count_distinct(col(c)).as(c))
-    val dRow = df.agg(dAggs.head, dAggs.tail: _*).head()
-    val rows = dRow.getLong(0)
-    val maxDistinct = cols.indices.map(i => dRow.getLong(i + 1)).max
-    if (rows > rowThreshold || maxDistinct > distinctThreshold)
-      quantiles(df, cols, probs)
+    val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (planBytes > BigInt(bytesThreshold)) quantiles(df, cols, probs)
     else {
-      val pAggs = cols.map(c =>
-        percentile_approx(when(!isnan(col(c).cast("double")),
-            col(c).cast("double")),
-          array(probs.map(lit): _*), lit(Int.MaxValue)).as(c))
-      val r = df.agg(pAggs.head, pAggs.tail: _*).head()
-      cols.zipWithIndex.map { case (c, i) =>
-        c -> (if (r.isNullAt(i)) probs.map(_ => Double.NaN)
-              else r.getSeq[Double](i).toSeq)
+      val aggs = (count(lit(1)).as("__rows") +:
+        cols.map(c => approx_count_distinct(col(c)).as(s"__d_$c"))) ++
+        cols.map(c =>
+          percentile_approx(when(!isnan(col(c).cast("double")),
+              col(c).cast("double")),
+            array(probs.map(lit): _*), lit(Int.MaxValue)).as(s"__q_$c"))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val rows = r.getLong(0)
+      val maxDistinct = cols.indices.map(i => r.getLong(i + 1)).max
+      if (rows > rowThreshold || maxDistinct > distinctThreshold)
+        quantiles(df, cols, probs)
+      else cols.zipWithIndex.map { case (c, i) =>
+        val qi = 1 + cols.length + i
+        c -> (if (r.isNullAt(qi)) probs.map(_ => Double.NaN)
+              else r.getSeq[Double](qi).toSeq)
       }.toMap
     }
   }

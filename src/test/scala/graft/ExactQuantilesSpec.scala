@@ -88,11 +88,39 @@ class ExactQuantilesSpec extends AnyFunSuite {
       assert(small(c).median === dist(c).median, c)
       assert(small(c).p75 === dist(c).p75, c)
     }
-    // quantilesAuto's two branches agree too
+    // quantilesAuto's branches agree across ALL THREE dispatch tiers:
+    // fused small path, fused-then-fallback (row guard), and the
+    // scan-free bytes tier that skips the deciding job entirely
     val a = graft.ops.ExactQuantiles.quantilesAuto(df, cols, Seq(0.5))
     val b = graft.ops.ExactQuantiles.quantilesAuto(df, cols, Seq(0.5),
       rowThreshold = 1L)
+    val c2 = graft.ops.ExactQuantiles.quantilesAuto(df, cols, Seq(0.5),
+      bytesThreshold = 0L)
     assert(a === b)
+    assert(a === c2)
+  }
+
+  test("quantilesAuto fused small path runs a single Spark job (the " +
+    "standalone count+distinct dispatch pre-pass is gone)") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 2000).map(i => (i % 97).toDouble).toDF("v")
+    val probs = Seq(0.25, 0.5, 0.75)
+    val want = df.agg(percentile_approx(col("v"),
+        array(probs.map(lit): _*), lit(2147483647)))
+      .head().getSeq[Double](0).toSeq
+    val sc = s.sparkContext
+    sc.setJobGroup("qa_fused_probe", "quantilesAuto job-count probe",
+      interruptOnCancel = false)
+    val got = try graft.ops.ExactQuantiles.quantilesAuto(df, Seq("v"),
+      probs) finally sc.clearJobGroup()
+    assert(got("v") === want)
+    // one aggregation = ≤2 jobs under AQE (the partial-agg shuffle
+    // materializes as its own job); the removed count+distinct
+    // pre-pass would have doubled this
+    val jobs = sc.statusTracker.getJobIdsForGroup("qa_fused_probe").length
+    assert(jobs <= 2,
+      s"fused dispatch must cost one aggregation (≤2 AQE jobs), saw $jobs")
   }
 
   test("degenerate shapes: constant column, single row, all-null column") {
