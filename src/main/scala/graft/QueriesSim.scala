@@ -212,6 +212,51 @@ object QueriesSim {
          |""".stripMargin
     })
 
+  /** Recall of the PRODUCTION auto-geometry path
+    * ([[graft.sim.Similarity.annTopKAuto]]) — signature width sized by
+    * `bitsFor(n)` from a corpus count, where [[annRecallLsh]] pins the
+    * 6-bit contract geometry. VALUE-checked, not floor-checked: the
+    * oracle recomputes the geometry formula max(6, ceil(log2(n/32)))
+    * from its own count(*) and replays the recall with the shared CTE
+    * block — valid because at the gate's corpus size bitsFor(n) lands
+    * on the 6-bit floor the CTEs mirror (the fn REQUIREs that premise,
+    * so a testdata resize fails loudly instead of value-drifting).
+    * Geometry growth past the floor is SimScaleSpec's and the 10×/100×
+    * soaks' territory — SQL can't replay variable-width hyperplanes. */
+  private val annRecallAuto: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val n = emb.count()
+      val bits = Similarity.bitsFor(n)
+      require(bits == Similarity.BitsPerTable,
+        s"q_ann_recall_auto oracle premise broken: bitsFor($n) = $bits " +
+          s"no longer equals the ${Similarity.BitsPerTable}-bit CTE replay")
+      val exact = Similarity.cosineTopK(emb, k = 3)
+        .select(col("vec_id"), col("nb_id"))
+      val nHits = Similarity.annTopKAuto(emb, k = 3)
+        .select(col("vec_id"), col("nb_id"))
+        .join(exact, Seq("vec_id", "nb_id"), "left_semi").count()
+      Seq(("auto", bits, nHits, 3L * n))
+        .toDF("method", "bits", "n_hits", "n_expected")
+        .withColumn("recall_r",
+          round(col("n_hits") / col("n_expected"), 6))
+    },
+    oracle = Some {
+      s"""WITH $lshVsExactCtes,
+         |h AS (SELECT count(*)::BIGINT AS n_hits
+         |  FROM (SELECT vec_id, nb_id FROM lr WHERE rank <= 3) l
+         |  JOIN (SELECT vec_id, nb_id FROM er WHERE rank <= 3) x
+         |    USING (vec_id, nb_id)),
+         |d AS (SELECT greatest(6, ceil(log2(count(*) / 32.0))::INT) AS bits,
+         |             3 * count(*)::BIGINT AS n_expected FROM embeddings)
+         |SELECT 'auto' AS method, bits, n_hits, n_expected,
+         |  round(n_hits / n_expected, 6) AS recall_r
+         |FROM h, d
+         |""".stripMargin
+    })
+
   /** Ranking-quality dual of the recall contract: MRR@3 and NDCG@3 of
     * the LSH ranking against the exact-cosine top-3 relevance set
     * ([[graft.eval.RetrievalEval.mrrNdcg]]). Recall counts WHETHER truth
@@ -351,9 +396,17 @@ object QueriesSim {
       try {
         val v = Similarity.prep(emb)
         // harness-only exact-truth dual — respread before the n² NLJ
-        // (stream-side splits bound its parallelism; see cosineTopK)
-        val a = v.repartition(s.sparkContext.defaultParallelism)
-          .select(col("vec_id"), col("e").as("ea"),
+        // (stream-side splits bound its parallelism; see cosineTopK),
+        // but GATED on input size: under ~2 MB of vectors the n² pass
+        // fits one task cheaper than the respread shuffle + 32-task
+        // overhead it buys (measured: sf0.1 3.4 s single-split vs
+        // 5.5 s respread; the 10× soak needs the respread)
+        val vr =
+          if (emb.queryExecution.optimizedPlan.stats.sizeInBytes >
+              BigInt(2L << 20))
+            v.repartition(s.sparkContext.defaultParallelism)
+          else v
+        val a = vr.select(col("vec_id"), col("e").as("ea"),
           col("norm").as("na"))
         val b = v.select(col("vec_id").as("nb_id"), col("e").as("eb"),
           col("norm").as("nb"))
@@ -438,6 +491,7 @@ object QueriesSim {
     "q_ann_ivf"     -> annIvf,
     "q_ann_recall_lsh" -> annRecallLsh,
     "q_ann_recall_ivf" -> annRecallIvf,
+    "q_ann_recall_auto" -> annRecallAuto,
     "q_mrr_ndcg"    -> mrrNdcgQ,
     "q_embed_quantize" -> embedQuantize,
     "q_dedup_embed" -> dedupEmbed,

@@ -102,9 +102,13 @@ object Similarity {
     val ps = planes(numTables * bitsPerTable, dim)
     val v = prep(emb)
     val tableCols = (0 until numTables).map { t =>
+      // Long bit positions: bitsFor() grows with log2(n), and an Int
+      // `1 << b` silently wraps at b ≥ 32 — distinct planes would
+      // collide onto one signature bit at exactly the corpus sizes the
+      // knob targets. Long holds every clamped width (bitsFor ≤ 62).
       val sig = (0 until bitsPerTable).map { b =>
         val plane = array(ps(t * bitsPerTable + b).map(w => lit(w)).toIndexedSeq: _*)
-        when(dot(col("e"), plane) >= 0, lit(1 << b)).otherwise(lit(0))
+        when(dot(col("e"), plane) >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), sig.as("sig"))
     }
@@ -205,11 +209,14 @@ object Similarity {
   }
 
   /** Bits needed to hold the expected bucket near `targetBucket` ids at
-    * corpus size `n` — the log2(n) growth the scale story requires. */
+    * corpus size `n` — the log2(n) growth the scale story requires.
+    * Clamped to 62 so the Long signature in [[hyperplaneSig]] never
+    * overflows (62 bits ≈ 1.5e17 × targetBucket vectors — past any
+    * real corpus; the clamp is a formal bound, not a practical one). */
   def bitsFor(n: Long, targetBucket: Int = 32): Int =
-    math.max(BitsPerTable,
+    math.min(62, math.max(BitsPerTable,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
-        math.log(2.0)).toInt)
+        math.log(2.0)).toInt))
 
   /** [[annTopK]] with the signature width sized from a one-pass count —
     * what a caller should reach for when the corpus size isn't known at

@@ -29,6 +29,11 @@ class SimScaleSpec extends AnyFunSuite {
     val bs = Seq(1L, 100L, 1000L, 10000L, 100000L, 1000000L)
       .map(Similarity.bitsFor(_))
     assert(bs === bs.sorted)
+    // bounded so the Long signature can never overflow (an Int 1<<b
+    // wrapped at b ≥ 32 and collided planes — the ADVICE-found hazard;
+    // the widest reachable width is 58 bits at n = Long.MaxValue, and
+    // the formula additionally clamps at 62)
+    assert(Similarity.bitsFor(Long.MaxValue) <= 62)
   }
 
   test("annTopKAuto matches annTopK when the auto bits equal the " +
