@@ -329,7 +329,10 @@ object QueriesEval {
           sum("c").over(unitTot))
       val global = binned.groupBy("bin_id").agg(count(lit(1)).as("gc"))
       val expected = global.withColumn("e", col("gc").cast("double") /
+        // bounded bin table; explicit constant partition key (see
+        // ops/Psi.scala) keeps the WindowExec warning count at zero
         sum("gc").over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       withActual.join(broadcast(expected), "bin_id")

@@ -147,8 +147,10 @@ object QueriesGovern {
             org.apache.spark.sql.expressions.Window.partitionBy("source")))
           .withColumn("bin_total", sum("n").over(
             org.apache.spark.sql.expressions.Window.partitionBy("bin")))
+          // bounded sources×k grid; constant partition key (see
+          // ops/Psi.scala) keeps the WindowExec warning count at zero
           .withColumn("all_total", sum("n").over(
-            org.apache.spark.sql.expressions.Window.partitionBy()))
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
           .withColumn("p", col("n") / col("src_total"))
           .withColumn("q", col("bin_total") / col("all_total"))
           .withColumn("m", (col("p") + col("q")) / 2)

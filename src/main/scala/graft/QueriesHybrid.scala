@@ -110,7 +110,10 @@ object QueriesHybrid {
       val d = li(s, dir)
         .withColumn("sc", scoreCol)
         .select(col("sc"), expr(stackExpr))
+      // bounded feature-count table; explicit constant partition key
+      // (see ops/Psi.scala) keeps the WindowExec warning count at zero
       val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
         .orderBy(col("imp").desc, col("feature").asc)
       d.groupBy("feature")
         .agg(round(abs(

@@ -18,6 +18,14 @@ object Verify {
       // bigger than that runs INTERPRETED (measured 18x on wide-expression
       // plans). Make Spark fall back to per-operator codegen there.
       .config("spark.sql.codegen.hugeMethodLimit", 8000)
+      // keep intentional constant-key windows single-partitioned AS
+      // DECLARED: EliminateWindowPartitions folds `partitionBy(lit(1))`
+      // away, turning every bounded-table global window back into a
+      // warning-emitting unpartitioned WindowExec. The "optimization"
+      // saves nothing (one partition either way) and erases the
+      // engine's declared intent, so it is excluded session-wide.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -26,11 +34,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same hygiene as Bench: operator-internal persists must not
+      // accumulate across the 247-query session
+      graft.tools.Harness.dropLeftovers(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -29,8 +29,11 @@ object Psi {
     val withActual = counts.withColumn("a",
       col("c").cast("double") / sum("c").over(unitTot))
     val global = binned.groupBy("bin_id").agg(count(lit(1)).as("gc"))
-    val globalTot = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
+    // constant partition key: the table is the bounded bin list (≤
+    // dozens of rows), but an EXPLICIT single partition silences the
+    // WindowExec all-to-one warning and states the intent
+    val globalTot = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val expected = global.withColumn("e",
       col("gc").cast("double") / sum("gc").over(globalTot))
     withActual.join(broadcast(expected), "bin_id")

@@ -1002,7 +1002,10 @@ object TextOps {
     val per = docs.select(col("source"), tokensCol.cast("long").as("n_tokens"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    // bounded per-source table; explicit constant partition key (see
+    // ops/Psi.scala) keeps the WindowExec warning count at zero
     val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
       .rowsBetween(Long.MinValue, Long.MaxValue)
     val targetShare = target match {
       case Some(m) =>
@@ -1099,7 +1102,10 @@ object TextOps {
     val per = docs.select(col("source"), tokensCol.cast("long").as("n_tokens"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    // bounded per-source table; explicit constant partition key (see
+    // ops/Psi.scala) keeps the WindowExec warning count at zero
     val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
       .rowsBetween(Long.MinValue, Long.MaxValue)
     per
       .withColumn("sh", col("n_tokens") / sum("n_tokens").over(all))
@@ -1599,9 +1605,11 @@ object TextOps {
           .cast("long"))
       .orderBy(col("c").desc, col("id").asc)
       .limit(topK)
-      // bounded-window rank: the input is the topK-row head, not the vocab
+      // bounded-window rank: the input is the topK-row head, not the
+      // vocab; constant partition key silences the WindowExec warning
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
           .orderBy(col("c").desc, col("id").asc)).cast("long"))
     val x = log(col("rank").cast("double"))
     val y = log(col("c").cast("double"))

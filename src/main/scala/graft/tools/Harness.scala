@@ -19,6 +19,14 @@ object Harness {
       // bigger than that runs INTERPRETED (measured 18x on
       // wide-expression plans) — fall back to per-operator codegen there
       .config("spark.sql.codegen.hugeMethodLimit", 8000)
+      // keep intentional constant-key windows single-partitioned AS
+      // DECLARED: EliminateWindowPartitions folds `partitionBy(lit(1))`
+      // away, turning every bounded-table global window back into a
+      // warning-emitting unpartitioned WindowExec. The "optimization"
+      // saves nothing (one partition either way) and erases the
+      // engine's declared intent, so it is excluded session-wide.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
