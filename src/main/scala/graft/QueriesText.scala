@@ -351,7 +351,14 @@ object QueriesText {
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
       val d = docs(s, dir)
+      // the pair graph feeds dedupKeepBest's 3-round unrolled CC, whose
+      // plan references `pairs` once per round — persist + materialize
+      // so the MinHash/banding pass runs ONCE, not 3× (the r9 bench's
+      // leftover-dropping made the recompute visible: +2.3 s);
+      // Harness.dropLeftovers reclaims the block after measurement
       val pairs = TextOps.lshPairs(TextOps.minhash(d, respread = true))
+        .persist()
+      pairs.count()
       TextOps.dedupKeepBest(d, pairs, length(col("text")))
     },
     oracle = Some {
