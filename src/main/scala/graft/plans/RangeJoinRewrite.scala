@@ -31,9 +31,14 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * and no cross-side equality present (if an equi key exists, Spark
   * already hashes on it and the range is a fine residual). The rewritten
   * join contains an equality, so the rule can never re-fire on its own
-  * output. Cell width: `spark.graft.rangeJoin.bucket` in the quantized
-  * unit (default 1 h in ns for integral points — the events table's
-  * timestamp unit — and 1 h in µs for timestamp points).
+  * output. Cell width is PER TYPE CATEGORY because the quantized units
+  * differ by 1000×: `spark.graft.rangeJoin.bucket` for integral points
+  * (default 1 h in ns — the events table's timestamp unit) and
+  * `spark.graft.rangeJoin.bucketTs` for native-timestamp points
+  * (default 1 h in µs, `unix_micros` domain). One session can therefore
+  * mix both join shapes with a correct width for each; a single shared
+  * key would make a ns-sized value on a timestamp join produce
+  * ~1000×-too-wide cells (huge sequence explosions).
   *
   * Registered per-session via `spark.experimental.extraOptimizations` or
   * cluster-wide with `spark.sql.extensions=graft.plans.GraftExtensions`.
@@ -41,6 +46,7 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   private val BucketKey = "spark.graft.rangeJoin.bucket"
+  private val BucketTsKey = "spark.graft.rangeJoin.bucketTs"
 
   private def splitConj(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConj(a) ++ splitConj(b)
@@ -151,16 +157,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
             // "equi join" would funnel both sides through ONE key — a
             // strictly worse plan than the BNLJ it replaces. Longs keep
             // the ns default (the events table's unit), timestamps get a
-            // µs default; anything narrower needs the caller to say what
-            // a cell means in its domain.
+            // µs default under their OWN key; anything narrower needs
+            // the caller to say what a cell means in its domain.
             if p.dataType == LongType ||
               catOf(p.dataType).contains(Stamp) ||
               conf.getConfString(BucketKey, null) != null =>
-          val defaultBucket =
-            if (catOf(p.dataType).contains(Stamp)) "3600000000"
-            else "3600000000000"
+          val isStamp = catOf(p.dataType).contains(Stamp)
           val bucket = Literal(
-            conf.getConfString(BucketKey, defaultBucket).toLong, LongType)
+            (if (isStamp) conf.getConfString(BucketTsKey, "3600000000")
+             else conf.getConfString(BucketKey, "3600000000000")).toLong,
+            LongType)
           // interval side: explode to covered cells
           // timeZoneId must be pinned: Sequence is TimeZoneAwareExpression
           // and stays unresolved without it (even for pure-long bounds)

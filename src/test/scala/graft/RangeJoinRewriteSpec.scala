@@ -138,6 +138,46 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("bucket widths are per type category: a ns-sized integral " +
+    "bucket does not leak onto timestamp joins, which read their own " +
+    "bucketTs key") {
+    val s = spark
+    import s.implicits._
+    val pts = (1 to 300).map(i =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L)))
+      .toDF("p_id", "ts")
+    val iv = Seq((1L,
+        new java.sql.Timestamp(1700000050000L),
+        new java.sql.Timestamp(1700000100000L)))
+      .toDF("win", "lo", "hi")
+    val cond = col("ts") >= col("lo") && col("ts") <= col("hi")
+    val naive = pts.join(iv, cond).select("p_id", "win").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
+    try {
+      // an events-table ns bucket set in the SAME session must not
+      // become the timestamp join's cell width (it is 1000x too wide
+      // in the µs domain — the shared-key hazard this split removes)
+      spark.conf.set("spark.graft.rangeJoin.bucket", "3600000000000")
+      spark.conf.set("spark.graft.rangeJoin.bucketTs", "10000000") // 10 s
+      val rewritten = pts.join(iv, cond)
+      val optimized = rewritten.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__graft_cell"))
+      // 10 s cells over a 50 s window explode to ~6 cells; the ns width
+      // misread as µs would cover ~1 cell per HOUR of window — assert
+      // the µs key was the one honored by checking results stay exact
+      val got = rewritten.select("p_id", "win").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === naive && got.nonEmpty)
+      assert(optimized.contains("10000000"),
+        s"expected the bucketTs width in the plan:\n$optimized")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset("spark.graft.rangeJoin.bucket")
+      spark.conf.unset("spark.graft.rangeJoin.bucketTs")
+    }
+  }
+
   test("sub-long integral points do NOT rewrite without an explicit " +
     "bucket conf (the ns default would put the whole int domain in " +
     "cell 0 — a single-key join worse than the BNLJ it replaces)") {
