@@ -1115,10 +1115,64 @@ object Cli {
           (if (nFail == 0) s"validate: PASS (${rows.length} checks)"
            else s"validate: FAIL ($nFail of ${rows.length} checks)")
 
+      case "warehouse" =>
+        // engine extension (no reference verb): managed-table lifecycle
+        // for the bucketed-join path. sources/Bucketed MUST write
+        // saveAsTable managed tables (bucket metadata only survives via
+        // the catalog), so repeated CLI runs accumulate warehouse state:
+        // a fresh session starts with an empty in-memory catalog while
+        // the previous run's table dirs persist on disk as ORPHANS that
+        // both waste space and break the next writeBucketed with
+        // LOCATION_ALREADY_EXISTS. Usage:
+        //   graft.Cli warehouse                → report tables + orphans
+        //   graft.Cli warehouse --drop t1,t2   → drop tables (entry+dir)
+        //   graft.Cli warehouse --prune        → delete orphan dirs
+        val warehouse = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmTree)
+          f.delete(): Unit
+        }
+        def bucketSpecOf(t: String): String =
+          spark.sql(s"DESCRIBE FORMATTED `$t`").collect()
+            .collectFirst {
+              case r if r.getString(0) == "Num Buckets" =>
+                s"buckets=${r.getString(1).trim}"
+            }.getOrElse("unbucketed")
+        val tables = spark.catalog.listTables()
+          .collect().filter(_.tableType == "MANAGED").map(_.name).sorted
+        val orphans = Option(warehouse.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory).map(_.getName)
+          .filterNot(d => tables.contains(d) ||
+            tables.exists(_.toLowerCase == d)) // dirs are lowercased names
+          .sorted
+        opts.get("drop") match {
+          case Some(ts) =>
+            ts.split(",").toSeq.map { t =>
+              spark.sql(s"DROP TABLE IF EXISTS `$t`")
+              // DROP removes the catalog entry and normally the files;
+              // sweep the location too so a half-dropped dir can't
+              // resurface as an orphan
+              val loc = new java.io.File(warehouse, t.toLowerCase)
+              if (loc.exists()) rmTree(loc)
+              s"dropped: $t"
+            }
+          case None if opts.contains("prune") =>
+            val pruned = orphans.map { d =>
+              rmTree(new java.io.File(warehouse, d)); s"pruned: $d"
+            }.toSeq
+            pruned :+ s"warehouse: ${pruned.length} orphan dirs pruned"
+          case None =>
+            tables.toSeq.map(t => s"table: $t (${bucketSpecOf(t)})") ++
+              orphans.toSeq.map(d => s"orphan: $d") :+
+              s"warehouse: ${tables.length} managed tables, " +
+              s"${orphans.length} orphan dirs"
+        }
+
       case other =>
         throw new IllegalArgumentException(
           s"unknown verb '$other' (run|stats|varsel|norm|train|posttrain|" +
-            "encode|combo|eval|export|test|validate|inspect)")
+            "encode|combo|eval|export|test|validate|inspect|warehouse)")
     }
   }
 

@@ -900,6 +900,44 @@ class CliSpec extends AnyFunSuite {
     assert(evr.exists(_.contains("Eval Set - e1: data path doesn't exist")))
   }
 
+  test("warehouse: reports bucketed managed tables and orphan dirs, " +
+    "prune deletes only orphans, drop removes the table entry AND dir") {
+    val s = spark
+    import s.implicits._
+    val warehouse = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val df = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    graft.sources.Bucketed.writeBucketed(df, "wh_spec_t1", 4, Seq("k"))
+    try {
+      // simulate a previous run's leftover: a dir with no catalog entry
+      val orphan = new java.io.File(warehouse, "wh_spec_stale")
+      orphan.mkdirs()
+      java.nio.file.Files.writeString(
+        orphan.toPath.resolve("part-0.parquet"), "stale")
+      val report = Cli.run(spark, "warehouse", Map.empty)
+      assert(report.exists(l =>
+        l.startsWith("table: wh_spec_t1") && l.contains("buckets=4")),
+        report.mkString("\n"))
+      assert(report.contains("orphan: wh_spec_stale"))
+      val pruned = Cli.run(spark, "warehouse", Map("prune" -> ""))
+      assert(pruned.contains("pruned: wh_spec_stale"))
+      assert(!orphan.exists())
+      // the live table survived the prune
+      assert(spark.catalog.tableExists("wh_spec_t1"))
+      val dropped = Cli.run(spark, "warehouse", Map("drop" -> "wh_spec_t1"))
+      assert(dropped === Seq("dropped: wh_spec_t1"))
+      assert(!spark.catalog.tableExists("wh_spec_t1"))
+      assert(!new java.io.File(warehouse, "wh_spec_t1").exists())
+      // idempotent: dropping again (or a never-created name) is a no-op
+      assert(Cli.run(spark, "warehouse", Map("drop" -> "wh_spec_t1"))
+        === Seq("dropped: wh_spec_t1"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS wh_spec_t1")
+      val d = new java.io.File(warehouse, "wh_spec_stale")
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+    }
+  }
+
   test("a CLI-built session carries GraftExtensions: RangeJoinRewrite is " +
     "in the optimizer and the hugeMethodLimit default is set") {
     import org.apache.spark.sql.SparkSession
