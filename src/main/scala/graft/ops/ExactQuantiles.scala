@@ -49,6 +49,20 @@ object ExactQuantiles {
     * 20.7 s in-agg vs 2.3 s distributed, BENCH_SCALE.md). */
   val DefaultBytesThreshold = 48L << 20
 
+  /** Driver-sort tier budget of [[quantilesAuto]], in VALUES
+    * (rows × columns): inputs whose full column set fits under this
+    * collect in ONE limited job and sort driver-side — ~32 MB of
+    * primitives (transient Row overhead ~10×, still far under any
+    * driver heap). Exists because the in-aggregate exact sketch's
+    * fixed cost is percentile_approx(MaxInt) ITSELF (~1.5 s at 600 k
+    * rows regardless of plan shape — measured round 10), while a
+    * limited collect + Arrays.sort of the same data is ~0.3 s. The
+    * [[DefaultBytesThreshold]] tier guarantees no 100 TB-shaped input
+    * can ever reach this branch, and the limit bound makes the
+    * worst-case extra cost (an over-budget probe that discards) a
+    * partial scan capped at the budget. */
+  val DefaultCollectBudget = 4000000L
+
   /** Exact quantiles for every (column, prob): Map(col -> values aligned
     * with `probs`); a column with zero non-null rows maps to NaNs. */
   def quantiles(df: DataFrame, cols: Seq[String],
@@ -135,48 +149,84 @@ object ExactQuantiles {
     * distributed prefix-sum path wins and keeps winning (measured
     * 20.7 s → 2.3 s at 6M rows / 583k distinct).
     *
-    * The dispatch itself is FREE, in two tiers:
+    * The dispatch itself is FREE, in three tiers:
     *  1. optimizer plan stats (`optimizedPlan.stats.sizeInBytes` —
     *     file bytes for parquet scans, row-size estimates for local
     *     relations, `defaultSizeInBytes` = huge when unknown): over
     *     [[DefaultBytesThreshold]] go straight to the distributed
     *     path with NO deciding job — at 100 TB a scan just to decide
     *     is itself the bug;
-    *  2. under the bytes bound, ONE fused scan carries count +
-    *     approx-distinct AND the in-agg exact sketch together (the
-    *     `StatsPipeline.fullNumericStats` pattern) — the former
-    *     standalone count+distinct pre-pass is gone. The row/distinct
-    *     guard survives as a safety net for misleading size stats: if
-    *     the fused pass reveals the input is over threshold after all,
-    *     the sketch is discarded and the distributed path runs (a
-    *     rare double-pay, bounded by the small-bytes tier; never a
-    *     wrong answer). Both paths return identical values (spec'd),
-    *     so the dispatch is purely a cost choice. */
+    *  2. under the bytes bound, ONE limited collect
+    *     (`limit(budget/k + 1)`) tries to pull the full cast column
+    *     set driver-side; if it fits [[DefaultCollectBudget]], exact
+    *     quantiles come from `Arrays.sort` at the same ceil(p·n) rank
+    *     — ~5× cheaper than percentile_approx(MaxInt), whose sketch
+    *     maintenance is the dominant fixed cost at this size (measured
+    *     1.5 s vs 0.3 s at 600 k × 3 cols, round 10);
+    *  3. if the probe overflows the budget, ONE fused scan carries
+    *     count + approx-distinct AND the in-agg exact sketch together
+    *     (the `StatsPipeline.fullNumericStats` pattern). The
+    *     row/distinct guard survives as a safety net for misleading
+    *     size stats: if the fused pass reveals the input is over
+    *     threshold after all, the sketch is discarded and the
+    *     distributed path runs (a rare double-pay, bounded by the
+    *     small-bytes tier; never a wrong answer).
+    * All paths return identical values (spec'd), so the dispatch is
+    * purely a cost choice. */
   def quantilesAuto(df: DataFrame, cols: Seq[String], probs: Seq[Double],
                     rowThreshold: Long = DefaultDispatchThreshold,
                     distinctThreshold: Long = DefaultDispatchThreshold,
-                    bytesThreshold: Long = DefaultBytesThreshold)
+                    bytesThreshold: Long = DefaultBytesThreshold,
+                    collectBudget: Long = DefaultCollectBudget)
       : Map[String, Seq[Double]] = {
     require(cols.nonEmpty, "need at least one column")
     val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (planBytes > BigInt(bytesThreshold)) quantiles(df, cols, probs)
-    else {
-      val aggs = (count(lit(1)).as("__rows") +:
-        cols.map(c => approx_count_distinct(col(c)).as(s"__d_$c"))) ++
-        cols.map(c =>
-          percentile_approx(when(!isnan(col(c).cast("double")),
-              col(c).cast("double")),
-            array(probs.map(lit): _*), lit(Int.MaxValue)).as(s"__q_$c"))
-      val r = df.agg(aggs.head, aggs.tail: _*).head()
-      val rows = r.getLong(0)
-      val maxDistinct = cols.indices.map(i => r.getLong(i + 1)).max
-      if (rows > rowThreshold || maxDistinct > distinctThreshold)
-        quantiles(df, cols, probs)
-      else cols.zipWithIndex.map { case (c, i) =>
-        val qi = 1 + cols.length + i
-        c -> (if (r.isNullAt(qi)) probs.map(_ => Double.NaN)
-              else r.getSeq[Double](qi).toSeq)
-      }.toMap
+    if (planBytes > BigInt(bytesThreshold)) return quantiles(df, cols, probs)
+    val maxRows = (collectBudget / cols.length).min(Int.MaxValue - 1L).toInt
+    val probe: Option[Array[org.apache.spark.sql.Row]] =
+      if (maxRows <= 0) None
+      else {
+        val rows = df
+          .select(cols.map(c => col(c).cast("double")): _*)
+          .limit(maxRows + 1).collect()
+        if (rows.length > maxRows) None else Some(rows)
+      }
+    probe match {
+      case Some(rows) =>
+        cols.zipWithIndex.map { case (c, i) =>
+          val vals = Array.newBuilder[Double]
+          vals.sizeHint(rows.length)
+          rows.foreach { r =>
+            if (!r.isNullAt(i)) {
+              val d = r.getDouble(i)
+              if (!d.isNaN) vals += d
+            }
+          }
+          val sorted = vals.result()
+          java.util.Arrays.sort(sorted)
+          c -> probs.map { p =>
+            if (sorted.isEmpty) Double.NaN
+            else sorted(
+              math.max(1L, math.ceil(p * sorted.length).toLong).toInt - 1)
+          }
+        }.toMap
+      case None =>
+        val aggs = (count(lit(1)).as("__rows") +:
+          cols.map(c => approx_count_distinct(col(c)).as(s"__d_$c"))) ++
+          cols.map(c =>
+            percentile_approx(when(!isnan(col(c).cast("double")),
+                col(c).cast("double")),
+              array(probs.map(lit): _*), lit(Int.MaxValue)).as(s"__q_$c"))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        val rows = r.getLong(0)
+        val maxDistinct = cols.indices.map(i => r.getLong(i + 1)).max
+        if (rows > rowThreshold || maxDistinct > distinctThreshold)
+          quantiles(df, cols, probs)
+        else cols.zipWithIndex.map { case (c, i) =>
+          val qi = 1 + cols.length + i
+          c -> (if (r.isNullAt(qi)) probs.map(_ => Double.NaN)
+                else r.getSeq[Double](qi).toSeq)
+        }.toMap
     }
   }
 

@@ -123,6 +123,29 @@ class ExactQuantilesSpec extends AnyFunSuite {
       s"fused dispatch must cost one aggregation (≤2 AQE jobs), saw $jobs")
   }
 
+  test("all three quantilesAuto tiers return identical values: " +
+    "driver-sort collect, fused in-agg (collectBudget=0), distributed " +
+    "(thresholds=0)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 3000).map { _ =>
+      (rnd.nextInt(50).toDouble,
+        if (rnd.nextInt(7) == 0) None else Some(rnd.nextGaussian() * 10))
+    }
+    val df = rows.toDF("a", "b").repartition(5)
+    val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.99)
+    val viaCollect = graft.ops.ExactQuantiles.quantilesAuto(
+      df, Seq("a", "b"), probs)
+    val viaAgg = graft.ops.ExactQuantiles.quantilesAuto(
+      df, Seq("a", "b"), probs, collectBudget = 0L)
+    val viaDistributed = graft.ops.ExactQuantiles.quantilesAuto(
+      df, Seq("a", "b"), probs, rowThreshold = 0L,
+      distinctThreshold = 0L, collectBudget = 0L)
+    assert(viaCollect === viaAgg)
+    assert(viaCollect === viaDistributed)
+  }
+
   test("degenerate shapes: constant column, single row, all-null column") {
     val s = spark
     import s.implicits._
