@@ -285,9 +285,15 @@ object QueriesText {
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
       val d = docs(s, dir)
+      // both sides feed TWO consumers each (their own count agg + the
+      // hit join) — persist and materialize so the shingle self-join and
+      // the MinHash/banding pass run once, not twice (the bench drops
+      // leftover blocks after measurement; outputs are bounded pair sets)
       val truth = TextOps.jaccardPairs(d, 0.5, dfCap = 1 << 20)
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b").persist()
       val cand = TextOps.lshPairs(TextOps.minhash(d, respread = true))
+        .persist()
+      truth.count(); cand.count()
       val hit = cand.join(truth, Seq("doc_a", "doc_b"))
       truth.agg(count(lit(1)).as("n_true"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
