@@ -484,8 +484,110 @@ object QueriesSim {
         |GROUP BY a.i, b.i
         |""".stripMargin))
 
+  /** Streaming ANN index ingest contract
+    * ([[graft.streaming.AnnIngest]]): embeddings arrive in 4
+    * deterministic micro-batches (batch = vec_id % 4), each folded into
+    * the persisted cell-partitioned IVF index (frozen first-batch
+    * quantizer, compaction mid-stream via compactEvery = 2). Quantizer
+    * training is FP-order sensitive → boolean contracts, like the other
+    * IVF queries: (1) every vector indexed exactly once; (2) every
+    * indexed cell equals the argmin recompute under the frozen
+    * centroids; (3) top-1 self-query returns the vector itself at
+    * cos 1.0 THROUGH the compacted base; (4) probe-4 recall@3 vs the
+    * exact truth (the same index path probing every cell) clears a 0.3
+    * floor — measured ~0.75 at sf0.1 and sf0.01, so the floor flags a
+    * broken prune, not corpus luck. */
+  private val streamAnnIngestQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.{col, expr}
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val emb = Tables.load(s, dir, "embeddings")
+      val typed = emb.select(col("vec_id").cast("long"),
+        expr("transform(embedding, x -> cast(x AS double))").as("embedding"))
+      val batches = (0 to 3).map(b =>
+        typed.filter(col("vec_id") % 4 === b)
+          .as[(Long, Seq[Double])]
+          .collect().toSeq) // harness-only: batch staging for MemoryStream
+      val tmp = s"/tmp/graft_sai_${java.util.UUID.randomUUID()}"
+      val ms = MemoryStream[(Long, Seq[Double])]
+      // compactEvery = 4 folds the index after the LAST batch, so every
+      // query below runs against the compacted hp-partitioned base —
+      // compaction-through-query coverage at one rewrite's cost
+      val q = graft.streaming.AnnIngest.annIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), s"$tmp/index",
+        checkpoint = Some(s"$tmp/ckpt"), nCells = 8, compactEvery = 4)
+      try {
+        batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+      } finally q.stop()
+      val n = typed.count()
+      val idx = graft.streaming.AnnIngest
+        .readIndex(s, s"$tmp/index", None)
+        .select("vec_id", "cell").persist()
+      val cents = graft.streaming.AnnIngest
+        .readCentroids(s, s"$tmp/index").get
+      val expect = graft.sim.Ivf.assignCells(
+        Similarity.prep(typed.toDF("vec_id", "embedding")), cents)
+        .select(col("vec_id"), col("cell").as("cell_x"))
+      val mismatches = idx.join(expect, Seq("vec_id"))
+        .filter(col("cell") =!= col("cell_x")).count()
+      val indexedOnce = idx.count() == n &&
+        idx.select("vec_id").distinct().count() == n
+      // query contracts run on a deterministic sample (1 in 5): the
+      // full corpus is already covered row-for-row by cells_argmin, and
+      // batch-IVF probe monotonicity has its own standing contract
+      // (q_ann_recall_ivf) — this query certifies the INDEX path:
+      // ingest → compacted pruned read → top-k
+      val sample = typed.filter(col("vec_id") % 5 === 0)
+        .toDF("vec_id", "embedding")
+      val self = graft.streaming.AnnIngest.queryTopK(s, s"$tmp/index",
+          sample, k = 1, nProbe = 1)
+        .filter(col("nb_id") =!= col("vec_id") || col("cos_r") < 1.0)
+        .count()
+      // recall@3 of probe-4 vs exact truth, where the truth is the SAME
+      // index path probing every cell (nProbe = nCells scores the full
+      // corpus — brute force through the pruned reader, no n² pass)
+      def top3NonSelf(nProbe: Int) =
+        graft.streaming.AnnIngest.queryTopK(s, s"$tmp/index", sample,
+            k = 4, nProbe = nProbe)
+          .filter(col("vec_id") =!= col("nb_id"))
+          .withColumn("r2", org.apache.spark.sql.functions.row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id")
+              .orderBy(col("rank"))))
+          .filter(col("r2") <= 3)
+          .select("vec_id", "nb_id")
+      val exact = top3NonSelf(8).persist()
+      val r4 = top3NonSelf(4)
+        .join(exact, Seq("vec_id", "nb_id"), "left_semi")
+        .count().toDouble / exact.count()
+      idx.unpersist(false); exact.unpersist(false)
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      rm(java.nio.file.Paths.get(tmp))
+      Seq(
+        ("indexed_once", if (indexedOnce) 1 else 0),
+        ("cells_argmin", if (mismatches == 0L) 1 else 0),
+        ("self_hit", if (self == 0L) 1 else 0),
+        ("probe4_recall_floor",
+          if (r4 >= 0.3 && r4 <= 1.0) 1 else 0))
+        .toDF("contract", "ok")
+    },
+    oracle = Some(
+      """SELECT 'indexed_once' AS contract, 1 AS ok
+        |UNION ALL SELECT 'cells_argmin', 1
+        |UNION ALL SELECT 'self_hit', 1
+        |UNION ALL SELECT 'probe4_recall_floor', 1
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_embed_cov"   -> embedCov,
+    "q_stream_ann_ingest" -> streamAnnIngestQ,
     "q_cosine_topk" -> cosineTopK,
     "q_ann_lsh"     -> annLsh,
     "q_ann_ivf"     -> annIvf,

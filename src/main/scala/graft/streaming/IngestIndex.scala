@@ -94,8 +94,8 @@ object IngestIndex {
     }
   }
 
-  private def writeManifest(sp: SparkSession, indexDir: String,
-                            maxCompacted: Long, base: String): Unit = {
+  private[streaming] def writeManifest(sp: SparkSession, indexDir: String,
+                                       maxCompacted: Long, base: String): Unit = {
     val fs = fsFor(sp, indexDir)
     val out = fs.create(new Path(s"$indexDir/manifest.json"), true)
     try out.write(

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ANN index ingest (AnnIngest): frozen-quantizer assignment,
+  * retry idempotency, partition-pruned queries, compaction invariance,
+  * and the restart guard. */
+class AnnIngestSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  /** Deterministic little corpus: 60 vectors in 8 dims, values spread
+    * enough that cells are non-degenerate. */
+  private def vecs(ids: Range) = {
+    val s = spark
+    import s.implicits._
+    ids.map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("ingest assigns every vector to its argmin cell exactly once; " +
+    "a retried batchId leaves the index bit-identical") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ann1").toString
+    AnnIngest.ingestBatch(vecs(0 until 30), 0L, s"$t/idx", nCells = 4)
+    AnnIngest.ingestBatch(vecs(30 until 60), 1L, s"$t/idx", nCells = 4)
+    val idx = AnnIngest.readIndex(spark, s"$t/idx", None)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(idx.map(_._1) === (0L until 60L))
+    // argmin recompute with the SAME frozen centroids must agree
+    val cents = AnnIngest.readCentroids(spark, s"$t/idx").get
+    val expect = graft.sim.Ivf.assignCells(
+      graft.sim.Similarity.prep(vecs(0 until 60)), cents)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(idx === expect)
+    // retry batch 1: bit-identical index, centroids untouched
+    AnnIngest.ingestBatch(vecs(30 until 60), 1L, s"$t/idx", nCells = 4)
+    val again = AnnIngest.readIndex(spark, s"$t/idx", None)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(again === idx)
+    assert(AnnIngest.readCentroids(spark, s"$t/idx").get.flatten.toSeq ===
+      cents.flatten.toSeq)
+  }
+
+  test("centroids freeze at first batch: a later batch with different " +
+    "vectors does not retrain the quantizer") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ann2").toString
+    AnnIngest.ingestBatch(vecs(0 until 20), 0L, s"$t/idx", nCells = 4)
+    val c0 = AnnIngest.readCentroids(spark, s"$t/idx").get.flatten.toSeq
+    AnnIngest.ingestBatch(vecs(100 until 140), 1L, s"$t/idx", nCells = 4)
+    assert(AnnIngest.readCentroids(spark, s"$t/idx").get.flatten.toSeq
+      === c0)
+  }
+
+  test("query self-hit and compaction invariance: top-1 of an indexed " +
+    "vector is itself at cos 1.0, identically before and after compact; " +
+    "the compacted base scan carries a cell partition filter") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ann3").toString
+    (0 until 3).foreach(b => AnnIngest.ingestBatch(
+      vecs(b * 20 until (b + 1) * 20), b.toLong, s"$t/idx", nCells = 4))
+    val q = vecs(5 until 15)
+    def top1() = AnnIngest.queryTopK(spark, s"$t/idx", q, k = 1,
+        nProbe = 1)
+      .select("vec_id", "nb_id", "cos_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val before = top1()
+    assert(before.map(_._1) === (5L until 15L))
+    before.foreach { case (id, nb, cos) =>
+      assert(nb === id && cos === 1.0, s"self-hit failed for $id")
+    }
+    AnnIngest.compact(spark, s"$t/idx", 2L)
+    assert(top1() === before)
+    // folded: only the base remains, and a pruned read shows the filter
+    val (base, deltas) = AnnIngest.live(spark, s"$t/idx", Long.MaxValue)
+    assert(base === Some(s"$t/idx/vectors/base_v2") && deltas.isEmpty)
+    val pruned = AnnIngest.readIndex(spark, s"$t/idx", Some(Seq(1)))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition filter:\n$plan")
+  }
+
+  test("nProbe recall knob: probe-4 recall@3 >= probe-1 recall@3 vs " +
+    "exact cosine truth (self-matches excluded)") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ann4").toString
+    val all = vecs(0 until 60)
+    AnnIngest.ingestBatch(all, 0L, s"$t/idx", nCells = 4)
+    val exact = graft.sim.Similarity.cosineTopK(all, k = 3)
+      .select("vec_id", "nb_id")
+    def recall(nProbe: Int): Double = {
+      val approx = AnnIngest.queryTopK(spark, s"$t/idx", all, k = 4,
+          nProbe = nProbe)
+        .filter(col("vec_id") =!= col("nb_id"))
+        .select("vec_id", "nb_id")
+      approx.join(exact, Seq("vec_id", "nb_id"), "left_semi")
+        .count().toDouble / exact.count()
+    }
+    val r1 = recall(1); val r4 = recall(4)
+    assert(r1 >= 0.0 && r1 <= 1.0)
+    assert(r4 >= r1, s"probe-4 recall $r4 < probe-1 $r1")
+    assert(r4 === 1.0, // nProbe = nCells probes every cell → brute force
+      s"probing all 4 cells must recover exact truth, got $r4")
+  }
+
+  test("restart without a checkpoint over a non-empty index is refused; " +
+    "with a checkpoint the stream resumes and indexes only new batches") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t = java.nio.file.Files.createTempDirectory("graft_ann5").toString
+    def stream(ms: MemoryStream[(Long, Seq[Double])]) =
+      ms.toDF().toDF("vec_id", "embedding")
+    val ms1 = MemoryStream[(Long, Seq[Double])]
+    val q1 = AnnIngest.annIngestStream(stream(ms1), s"$t/idx",
+      checkpoint = Some(s"$t/ckpt"), nCells = 2)
+    ms1.addData((1 to 20).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7)))))
+    q1.processAllAvailable(); q1.stop()
+    // no checkpoint + existing state → refused
+    val ms2 = MemoryStream[(Long, Seq[Double])]
+    val ex = intercept[IllegalStateException] {
+      AnnIngest.annIngestStream(stream(ms2), s"$t/idx", nCells = 2)
+    }
+    assert(ex.getMessage.contains("previous run"))
+    // checkpointed resume: only the new batch lands, nothing re-ingested
+    val q2 = AnnIngest.annIngestStream(stream(ms1), s"$t/idx",
+      checkpoint = Some(s"$t/ckpt"), nCells = 2)
+    ms1.addData((21 to 30).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7)))))
+    q2.processAllAvailable(); q2.stop()
+    val ids = AnnIngest.readIndex(spark, s"$t/idx", None)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === (1L to 30L))
+  }
+}
