@@ -80,11 +80,21 @@ object AnnIngest {
 
   /** The frozen quantizer for this index: read it, or train it from
     * `firstBatch` (deterministic) and persist. Later batches always
-    * take the read path — the quantizer never drifts under ingest. */
+    * take the read path — the quantizer never drifts under ingest.
+    * Training is REFUSED when vector deltas already exist without a
+    * centroids file (manual deletion, partial restore): a retrained
+    * quantizer would assign new batches under different cells than the
+    * existing index rows, silently corrupting every pruned query. */
   private[streaming] def ensureCentroids(batch: DataFrame, indexDir: String,
       nCells: Int): Array[Array[Double]] = {
     val sp = batch.sparkSession
     readCentroids(sp, indexDir).getOrElse {
+      if (fs(sp, indexDir).exists(new Path(vectorsDir(indexDir))))
+        throw new IllegalStateException(
+          s"ANN index at $indexDir has vector deltas but no " +
+            "centroids.json — retraining would assign cells " +
+            "inconsistently with the existing index; restore the " +
+            "centroids file or rebuild the index from scratch")
       val v = graft.sim.Similarity.prep(batch)
       val cents = graft.sim.Ivf.centroids(v, nCells)
       writeCentroids(sp, indexDir, cents)

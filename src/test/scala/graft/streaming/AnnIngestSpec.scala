@@ -105,6 +105,18 @@ class AnnIngestSpec extends AnyFunSuite {
       s"probing all 4 cells must recover exact truth, got $r4")
   }
 
+  test("lost centroids file with existing deltas fails fast instead of " +
+    "retraining an inconsistent quantizer") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ann6").toString
+    AnnIngest.ingestBatch(vecs(0 until 20), 0L, s"$t/idx", nCells = 4)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$t/idx/centroids.json"))
+    val ex = intercept[IllegalStateException] {
+      AnnIngest.ingestBatch(vecs(20 until 40), 1L, s"$t/idx", nCells = 4)
+    }
+    assert(ex.getMessage.contains("centroids"))
+  }
+
   test("restart without a checkpoint over a non-empty index is refused; " +
     "with a checkpoint the stream resumes and indexes only new batches") {
     val s = spark
