@@ -1,0 +1,167 @@
+package graft.tools
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Catalog-wide physical-plan lint: the scale anti-patterns the
+  * per-round plan audit hunts by hand, run mechanically over EVERY
+  * `SparkEntry.queries` entry and committed as `PLAN_LINT.md`.
+  *
+  * Flags, per query plan (pre-AQE `sparkPlan` — structural join/scan
+  * choices, not runtime re-plans):
+  *  - `cartesian`  — CartesianProductExec: an unkeyed n×m shuffle join;
+  *    at 100 TB this is always a bug unless one side is provably tiny.
+  *  - `bnlj`       — BroadcastNestedLoopJoinExec: the n² per-partition
+  *    pass. Legitimate ONLY for the exact-truth duals and bounded
+  *    probes (whitelisted with the reason inline).
+  *  - `scan_unpushed` — a parquet scan with data filters that pushed
+  *    NOTHING down: the filter runs post-materialization, so the scan
+  *    reads every row group it could have skipped.
+  *
+  * Queries whose `fn` is eager (contract queries that collect
+  * driver-side and return a local frame) lint as `LocalTableScan` —
+  * their internals are covered by the explicit plan-shape asserts in
+  * the suites (SimScaleSpec, IngestIndexSpec, AnnIngestSpec,
+  * Round8OpsSpec bucketed join, …); this tool guards the LAZY plans the
+  * driver's bench actually executes.
+  *
+  * Usage: `scripts/run.sh graft.tools.PlanLint [sfDir]` (default
+  * sf0.001 — plan SHAPE is scale-independent for the structural flags).
+  */
+object PlanLint {
+
+  final case class Finding(query: String, kind: String, detail: String)
+
+  /** Whitelisted (query, kind) pairs — each a deliberate plan with the
+    * justification inline. A whitelisted finding reports as `allowed`. */
+  val Allowed: Map[(String, String), String] = Map(
+    ("q_cosine_topk", "bnlj") ->
+      ("exact all-pairs top-k IS the brute-force baseline; respread to" +
+        " session parallelism (SimScaleSpec plan guard)"),
+    ("q_ann_hamming", "bnlj") ->
+      "exact hamming top-k over packed words; respread (SimScaleSpec)",
+    ("q_semdedup", "bnlj") ->
+      "harness-only exact-truth dual; size-gated respread",
+    ("q_mmr_rerank", "bnlj") ->
+      "bounded rerank pool (top-50) x candidate set — driver-bounded",
+    ("q_fuzzy_join", "bnlj") ->
+      "ed<=1 candidate screen joins a BROADCAST deletion-variant dict",
+    ("q_minhash_est", "bnlj") ->
+      "signature re-attach over bounded candidate pairs",
+    ("q_chi2", "bnlj") ->
+      ("category-marginal grid: |levels(a)| x |levels(b)| crossJoin " +
+        "of per-level aggregates - contingency-table sized"),
+    ("q_dist_distance", "bnlj") ->
+      "distinct-source x k-bin grid - dimension-sized frame",
+    ("q_source_overlap", "bnlj") ->
+      ("per-source MinHash signature self-join: rows = |sources| " +
+        "(grouped to one row per source before the non-equi join)"),
+    ("q_mrr_ndcg", "bnlj") ->
+      ("the exact-truth side (cosineTopK) of the retrieval-quality " +
+        "contract - same brute-force baseline as q_cosine_topk"))
+
+  /** Is this filter shape one parquet could have pushed down? Only
+    * direct column-vs-literal comparisons qualify — a filter over a
+    * COMPUTED expression (lambda, md5, size, cast chains) is
+    * structurally un-pushable and must not be flagged. */
+  private def pushable(e: org.apache.spark.sql.catalyst.expressions
+      .Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def colVsLit(l: Expression, r: Expression) =
+      (l.isInstanceOf[AttributeReference] && r.isInstanceOf[Literal]) ||
+        (r.isInstanceOf[AttributeReference] && l.isInstanceOf[Literal])
+    e match {
+      case b: BinaryComparison => colVsLit(b.left, b.right)
+      case In(a: AttributeReference, vs) => vs.forall(_.isInstanceOf[Literal])
+      case IsNull(_: AttributeReference) => true
+      case IsNotNull(_: AttributeReference) => true
+      case StartsWith(a: AttributeReference, _: Literal) => true
+      case And(l, r) => pushable(l) && pushable(r)
+      case Or(l, r) => pushable(l) && pushable(r)
+      case Not(c) => pushable(c)
+      case _ => false
+    }
+  }
+
+  /** A build side whose root-ward subtree contains a no-grouping
+    * aggregate produces at most ONE row — the bounded crossJoin
+    * pattern (scalar counts joined for a ratio). */
+  private def scalarSide(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.aggregate._
+    p.collectFirst {
+      case h: HashAggregateExec if h.groupingExpressions.isEmpty => ()
+      case s: SortAggregateExec if s.groupingExpressions.isEmpty => ()
+      case o: ObjectHashAggregateExec
+          if o.groupingExpressions.isEmpty => ()
+    }.isDefined || (p.collectLeaves() match {
+      // an all-literal side (driver-built frame) is bounded by
+      // definition; cap guards against a large collected frame being
+      // re-parallelized through the same node
+      case Seq(l: org.apache.spark.sql.execution.LocalTableScanExec) =>
+        l.rows.lengthCompare(1000) <= 0
+      case _ => false
+    })
+  }
+
+  def lintPlan(name: String, plan: SparkPlan): Seq[Finding] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    plan.collect {
+      case _: CartesianProductExec =>
+        Finding(name, "cartesian", "CartesianProductExec in plan")
+      case j: BroadcastNestedLoopJoinExec
+          if !scalarSide(j.left) && !scalarSide(j.right) =>
+        Finding(name, "bnlj",
+          s"BNLJ joinType=${j.joinType} cond=${j.condition.isDefined}")
+      case s: FileSourceScanExec
+          if s.dataFilters.exists(pushable) &&
+            s.metadata.get("PushedFilters").contains("[]") =>
+        Finding(name, "scan_unpushed",
+          s"pushable dataFilters=${s.dataFilters.filter(pushable)
+            .map(_.sql).mkString(",")}")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = Harness.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val findings =
+          try lintPlan(name, fn(spark, dir).queryExecution.sparkPlan)
+          catch {
+            case e: Throwable =>
+              Seq(Finding(name, "error", e.getClass.getSimpleName))
+          }
+        graft.tools.Harness.dropLeftovers(spark)
+        (name, findings)
+    }
+    val flat = results.flatMap(_._2)
+    val (allowed, flagged) = flat.partition(f =>
+      Allowed.contains((f.query, f.kind)))
+    val md = new StringBuilder
+    md ++= "# PLAN_LINT — catalog-wide physical-plan audit\n\n"
+    md ++= s"Queries linted: ${results.size}. Flagged: ${flagged.size}. "
+    md ++= s"Whitelisted: ${allowed.size}.\n\n"
+    if (flagged.nonEmpty) {
+      md ++= "## Flagged (fix or whitelist with justification)\n\n"
+      flagged.foreach(f =>
+        md ++= s"- **${f.query}** `${f.kind}`: ${f.detail}\n")
+      md ++= "\n"
+    }
+    if (allowed.nonEmpty) {
+      md ++= "## Whitelisted (deliberate plans)\n\n"
+      allowed.foreach { f =>
+        md ++= s"- ${f.query} `${f.kind}`: ${Allowed((f.query, f.kind))}\n"
+      }
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("PLAN_LINT.md"), md.toString)
+    println(s"[planlint] ${results.size} queries, " +
+      s"${flagged.size} flagged, ${allowed.size} allowed -> PLAN_LINT.md")
+    flagged.foreach(f => println(s"[planlint] FLAG ${f.query} " +
+      s"${f.kind}: ${f.detail}"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The catalog plan-lint's classifiers (tools.PlanLint): pushable-shape
+  * detection, bounded-side exemption, and the three finding kinds on
+  * hand-built plans. The catalog-wide run itself is a per-round tool
+  * (PLAN_LINT.md); this spec pins the rules it applies. */
+class PlanLintSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def lint(df: org.apache.spark.sql.DataFrame) =
+    graft.tools.PlanLint.lintPlan("t", df.queryExecution.sparkPlan)
+
+  test("a pushable filter that DID push down is clean; a computed " +
+    "filter that cannot push down is not flagged either") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    assert(lint(li.filter(col("l_quantity") > 10)) === Nil)
+    // structurally un-pushable (computed expression) → no false flag
+    assert(lint(li.filter(
+      size(split(col("l_returnflag"), "x")) > 0)) === Nil)
+  }
+
+  test("an unkeyed join of two scans flags cartesian/bnlj; a scalar-" +
+    "aggregate or small-literal side is exempt (bounded crossJoin)") {
+    val s = spark
+    import s.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val unkeyed = li.crossJoin(ord)
+    assert(lint(unkeyed).map(_.kind).exists(k =>
+      k == "cartesian" || k == "bnlj"), "scan x scan must flag")
+    val scalar = li.crossJoin(ord.agg(count(lit(1)).as("n")))
+    assert(!lint(scalar).map(_.kind).contains("bnlj"),
+      "scalar-aggregate side is the bounded pattern")
+    val literal = li.join(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      col("l_orderkey") =!= col("k"))
+    assert(!lint(literal).map(_.kind).contains("bnlj"),
+      "a small literal frame side is driver-bounded")
+  }
+
+  test("the shipped whitelist matches the committed PLAN_LINT.md " +
+    "verdict: every allowed key names a registered query") {
+    graft.tools.PlanLint.Allowed.keys.foreach { case (q, _) =>
+      assert(SparkEntry.queries.contains(q), s"stale whitelist entry $q")
+    }
+  }
+}
