@@ -157,6 +157,53 @@ object QueriesTemporal {
          |GROUP BY 1, 2
          |""".stripMargin))
 
+  /** Timestamp-typed range join through the CATALYST RULE
+    * ([[graft.plans.RangeJoinRewrite]]): native-timestamp points BETWEEN
+    * native-timestamp bounds, no equi key — exactly the shape the rule
+    * rewrites (quantized via `unix_micros`, its own `bucketTs` width).
+    * Unlike q_range_join (explicit [[TemporalJoin.rangeJoin]] cells over
+    * long-ns), this query hands Spark the naive BETWEEN join and relies
+    * on the session rule to pick the hash-keyed plan — the oracle checks
+    * the rewrite's VALUES, and `tools.PlanLint` pins its SHAPE (a rule
+    * regression would resurface as a flagged scan×scan BNLJ). Windows:
+    * per user, ±30 min around their first purchase; points: every
+    * event. */
+  private val rangeJoinTsQ: Q = Q(
+    fn = (s, dir) => {
+      val ev = events(s, dir)
+      val evTs = ev.select(col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("tts"),
+        col("event_type"))
+      val windows = evTs.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("owner"))
+        .agg(
+          timestamp_micros(min(expr("unix_micros(tts)")) - 1800000000L)
+            .as("lo"),
+          timestamp_micros(min(expr("unix_micros(tts)")) + 1800000000L)
+            .as("hi"))
+      val points = evTs.select(col("event_id").as("p_id"),
+        col("user_id").as("p_user"), col("tts"))
+      points.join(windows,
+          col("tts") >= col("lo") && col("tts") <= col("hi"))
+        .groupBy("owner")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("p_user")).as("n_users"))
+    },
+    oracle = Some(
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |         event_type
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id AS owner,
+        |    min(us) - 1800000000 AS lo, min(us) + 1800000000 AS hi
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT w.owner, count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM w JOIN e ON e.us BETWEEN w.lo AND w.hi
+        |GROUP BY 1
+        |""".stripMargin))
+
   // ---- cross-source overlap matrix (minhash union-signature) ---------------
 
   /** Estimated Jaccard overlap between every pair of corpus sources from
@@ -253,6 +300,7 @@ object QueriesTemporal {
     "q_stream_asof"     -> streamAsof,
     "q_olap_cube"       -> olapCube,
     "q_range_join"      -> rangeJoinQ,
+    "q_range_join_ts"   -> rangeJoinTsQ,
     "q_source_overlap"  -> sourceOverlap,
     "q_weighted_sample" -> weightedSampleQ,
   )
