@@ -506,10 +506,10 @@ object QueriesSim {
       val emb = Tables.load(s, dir, "embeddings")
       val typed = emb.select(col("vec_id").cast("long"),
         expr("transform(embedding, x -> cast(x AS double))").as("embedding"))
-      val batches = (0 to 3).map(b =>
-        typed.filter(col("vec_id") % 4 === b)
-          .as[(Long, Seq[Double])]
-          .collect().toSeq) // harness-only: batch staging for MemoryStream
+      // harness-only: batch staging for MemoryStream — ONE collect,
+      // partitioned driver-side (4 filtered collects = 4 scans)
+      val staged = typed.as[(Long, Seq[Double])].collect()
+      val batches = (0 to 3).map(b => staged.filter(_._1 % 4 == b).toSeq)
       val tmp = s"/tmp/graft_sai_${java.util.UUID.randomUUID()}"
       val ms = MemoryStream[(Long, Seq[Double])]
       // compactEvery = 4 folds the index after the LAST batch, so every

@@ -220,9 +220,10 @@ object QueriesText {
       val d = docs(s, dir)
         .select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)]
-      val batches = (0 to 3).map(b =>
-        d.filter(col("doc_id") % 4 === b)
-          .collect().toSeq) // harness-only: batch staging for MemoryStream
+      // harness-only: batch staging for MemoryStream — ONE collect,
+      // partitioned driver-side (4 filtered collects = 4 scans)
+      val staged = d.collect()
+      val batches = (0 to 3).map(b => staged.filter(_._1 % 4 == b).toSeq)
       val tmp = s"/tmp/graft_sdi_${java.util.UUID.randomUUID()}"
       val ms = MemoryStream[(Long, String)]
       val q = graft.streaming.StreamOps.dedupIngestStream(
