@@ -42,8 +42,24 @@ import graft.expr.DotProduct.dot
 object AnnIngest {
 
   /** Default coarse-quantizer width. 16 cells suits the sf-scale specs;
-    * production sizing is ~sqrt(n) capped by executor fan-out. */
+    * production callers size via [[cellsFor]]. */
   val DefaultCells = 16
+
+  /** Standard IVF cell count for an EXPECTED corpus size: ~sqrt(n)
+    * (cell size ≈ cell count balances probe cost against assignment
+    * selectivity), clamped to [1, 65536] so the probed-cell partition
+    * filter and the driver-side centroid broadcast stay bounded. The
+    * quantizer freezes at the first batch, so the caller passes the
+    * corpus it EXPECTS to ingest, not the first batch's size — same
+    * contract as sizing any offline-trained IVF. Mirrors
+    * `Similarity.bitsFor` for the LSH family: fixed geometry was that
+    * family's measured 10× cliff (BENCH_SCALE.md), and a fixed
+    * DefaultCells has the same failure mode at corpus scale. */
+  def cellsFor(expectedN: Long): Int = {
+    require(expectedN > 0, s"expectedN must be positive, got $expectedN")
+    math.min(1 << 16, math.max(1, math.round(math.sqrt(
+      expectedN.toDouble)).toInt))
+  }
 
   private def fs(sp: SparkSession, dir: String) =
     new Path(dir).getFileSystem(sp.sparkContext.hadoopConfiguration)

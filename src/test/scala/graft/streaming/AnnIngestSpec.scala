@@ -105,6 +105,17 @@ class AnnIngestSpec extends AnyFunSuite {
       s"probing all 4 cells must recover exact truth, got $r4")
   }
 
+  test("cellsFor grows with expected corpus (~sqrt n) and clamps at " +
+    "both ends — the anti-fixed-geometry knob") {
+    assert(AnnIngest.cellsFor(1L) === 1)
+    assert(AnnIngest.cellsFor(10000L) === 100)
+    assert(AnnIngest.cellsFor(1000000L) === 1000)
+    assert(AnnIngest.cellsFor(1000000000L) === 31623)
+    assert(AnnIngest.cellsFor(Long.MaxValue / 4) === (1 << 16)) // clamp
+    assert(AnnIngest.cellsFor(100L) > AnnIngest.cellsFor(10L))
+    intercept[IllegalArgumentException](AnnIngest.cellsFor(0L))
+  }
+
   test("lost centroids file with existing deltas fails fast instead of " +
     "retraining an inconsistent quantizer") {
     val t = java.nio.file.Files.createTempDirectory("graft_ann6").toString
