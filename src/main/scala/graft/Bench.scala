@@ -10,14 +10,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Refuse to measure on a loaded box: rounds 4-6 each produced one
-    // contaminated final artifact that needed judge adjudication. Check
-    // BEFORE building the session (our own warm-up inflates 1-min load),
-    // wait up to ~5 min for a quiet window; if it never comes, run anyway
-    // but stamp "contaminated":true so the artifact self-discards.
+    // contaminated final artifact that needed judge adjudication, and
+    // the r10 headline ran at loadavg 6.08 under the old 8.0 gate —
+    // 19% above its own clean-window number. Gate start at ≤2.5
+    // (pre-session: our own warm-up hasn't inflated 1-min load yet),
+    // wait up to ~10 min for a quiet window; if it never comes, run
+    // anyway but stamp "contaminated":true so the artifact
+    // self-discards and the clean re-run is the headline.
     val loadLimit =
-      sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "8.0").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "2.5").toDouble
     var waits = 0
-    while (loadavgNow() > loadLimit && waits < 10) {
+    while (loadavgNow() > loadLimit && waits < 20) {
       System.err.println(
         f"WARN loadavg ${loadavgNow()}%.2f > $loadLimit%.1f — " +
           "sleeping 30s for a quiet window")

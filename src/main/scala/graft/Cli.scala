@@ -1141,11 +1141,29 @@ object Cli {
             }.getOrElse("unbucketed")
         val tables = spark.catalog.listTables()
           .collect().filter(_.tableType == "MANAGED").map(_.name).sorted
+        // orphan = a warehouse dir that is no table's LOCATION in ANY
+        // database. The r10 definition ("not a managed table of the
+        // current db") classified other databases' dirs (<db>.db) and
+        // external-table locations under the warehouse as orphans —
+        // `--prune` would destroy live data. Location paths come from
+        // the catalog itself, so case mangling / custom locations
+        // can't fool the match; `*.db` dirs are skipped outright.
+        val ownedPaths: Set[String] = spark.catalog.listDatabases()
+          .collect().flatMap { db =>
+            spark.catalog.listTables(db.name).collect().flatMap { t =>
+              scala.util.Try {
+                val meta = spark.sessionState.catalog.getTableMetadata(
+                  org.apache.spark.sql.catalyst.TableIdentifier(
+                    t.name, Option(t.database)))
+                new java.io.File(meta.location).getCanonicalPath
+              }.toOption
+            }
+          }.toSet
         val orphans = Option(warehouse.listFiles()).getOrElse(Array.empty)
-          .filter(_.isDirectory).map(_.getName)
-          .filterNot(d => tables.contains(d) ||
-            tables.exists(_.toLowerCase == d)) // dirs are lowercased names
-          .sorted
+          .filter(_.isDirectory)
+          .filterNot(_.getName.endsWith(".db")) // other databases' roots
+          .filterNot(d => ownedPaths.contains(d.getCanonicalPath))
+          .map(_.getName).sorted
         opts.get("drop") match {
           case Some(ts) =>
             ts.split(",").toSeq.map { t =>

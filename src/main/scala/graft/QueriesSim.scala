@@ -488,12 +488,14 @@ object QueriesSim {
     * ([[graft.streaming.AnnIngest]]): embeddings arrive in 4
     * deterministic micro-batches (batch = vec_id % 4), each folded into
     * the persisted cell-partitioned IVF index (frozen first-batch
-    * quantizer, compaction mid-stream via compactEvery = 2). Quantizer
+    * quantizer, compaction mid-stream after batches 1 and 3 via
+    * compactEvery = 2, the second folding two size-tiered runs into
+    * one). Quantizer
     * training is FP-order sensitive → boolean contracts, like the other
     * IVF queries: (1) every vector indexed exactly once; (2) every
     * indexed cell equals the argmin recompute under the frozen
     * centroids; (3) top-1 self-query returns the vector itself at
-    * cos 1.0 THROUGH the compacted base; (4) probe-4 recall@3 vs the
+    * cos 1.0 THROUGH the compacted runs; (4) probe-4 recall@3 vs the
     * exact truth (the same index path probing every cell) clears a 0.3
     * floor — measured ~0.75 at sf0.1 and sf0.01, so the floor flags a
     * broken prune, not corpus luck. */
@@ -512,12 +514,13 @@ object QueriesSim {
       val batches = (0 to 3).map(b => staged.filter(_._1 % 4 == b).toSeq)
       val tmp = s"/tmp/graft_sai_${java.util.UUID.randomUUID()}"
       val ms = MemoryStream[(Long, Seq[Double])]
-      // compactEvery = 4 folds the index after the LAST batch, so every
-      // query below runs against the compacted hp-partitioned base —
-      // compaction-through-query coverage at one rewrite's cost
+      // compactEvery = 2 compacts MID-stream (after batches 1 and 3):
+      // batches 2–3 ingest against a compacted-run + delta mix, and the
+      // second compaction exercises the size-tiered run merge, so the
+      // queries below certify the whole leveled-LSM read path
       val q = graft.streaming.AnnIngest.annIngestStream(
         ms.toDF().toDF("vec_id", "embedding"), s"$tmp/index",
-        checkpoint = Some(s"$tmp/ckpt"), nCells = 8, compactEvery = 4)
+        checkpoint = Some(s"$tmp/ckpt"), nCells = 8, compactEvery = 2)
       try {
         batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
       } finally q.stop()

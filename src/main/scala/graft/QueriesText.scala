@@ -275,6 +275,93 @@ object QueriesText {
          |LEFT JOIN nr ON d.doc_id = nr.doc_id
          |""".stripMargin))
 
+  // ---- streaming ingestion gate, intra-batch mode ---------------------------
+
+  /** The gate's `intraBatch = true` mode: within one micro-batch, the
+    * smallest doc_id holding an exact hash / band key survives and every
+    * other holder is flagged — the keep-first rule a production crawl
+    * needs because its micro-batches are millions of docs. Duplicates
+    * are PLANTED deterministically (the oracle replays the same
+    * construction): each doc gets an even-offset twin (+100000 — same
+    * parity, so SAME batch → intra dup) and an odd-offset copy
+    * (+200001 — other parity, so the cross-batch screen fires too).
+    * 2 batches by doc_id parity; every verdict row is value-checked
+    * against "some earlier batch, or same batch with smaller doc_id,
+    * holds my hash / one of my bands". */
+  private val streamDedupIntraQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = docs(s, dir)
+        .select(col("doc_id").cast("long"), col("text"))
+      val d = base
+        .union(base.select(col("doc_id") + 100000L, col("text")))
+        .union(base.select(col("doc_id") + 200001L, col("text")))
+        .as[(Long, String)]
+      // harness-only: batch staging for MemoryStream — ONE collect,
+      // partitioned driver-side
+      val staged = d.collect()
+      val batches = (0 to 1).map(b => staged.filter(_._1 % 2 == b).toSeq)
+      val tmp = s"/tmp/graft_sdx_${java.util.UUID.randomUUID()}"
+      val ms = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.dedupIngestStream(
+        ms.toDF().toDF("doc_id", "text"), s"$tmp/index", s"$tmp/out",
+        intraBatch = true)
+      try {
+        batches.foreach { rows =>
+          ms.addData(rows); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val out = s.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("dup_exact"), col("dup_near"),
+          col("kept"))
+        .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      rm(java.nio.file.Paths.get(tmp))
+      out.toDF("doc_id", "dup_exact", "dup_near", "kept")
+    },
+    oracle = Some(
+      s"""WITH dd AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents
+         |  UNION ALL SELECT doc_id + 200001, text FROM documents),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
+         |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+         |  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |       i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+         |  ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+         |d AS (SELECT doc_id, doc_id % 2 AS b, md5(text) AS h FROM dd),
+         |sig AS (SELECT doc_id,
+         |${minhashSelect(8)}
+         |FROM s),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |         md5(m_0 || m_1 || m_2 || m_3) AS band_hash FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(m_4 || m_5 || m_6 || m_7) FROM sig),
+         |bb AS (SELECT bands.*, d.b FROM bands JOIN d USING (doc_id)),
+         |ex AS (SELECT DISTINCT n.doc_id
+         |       FROM d n JOIN d p ON n.h = p.h
+         |        AND (p.b < n.b OR (p.b = n.b AND p.doc_id < n.doc_id))),
+         |nr AS (SELECT DISTINCT n.doc_id
+         |       FROM bb n JOIN bb p
+         |         ON n.band_id = p.band_id AND n.band_hash = p.band_hash
+         |        AND (p.b < n.b OR (p.b = n.b AND p.doc_id < n.doc_id)))
+         |SELECT d.doc_id,
+         |  (ex.doc_id IS NOT NULL) AS dup_exact,
+         |  (nr.doc_id IS NOT NULL) AS dup_near,
+         |  (ex.doc_id IS NULL AND nr.doc_id IS NULL) AS kept
+         |FROM d LEFT JOIN ex ON d.doc_id = ex.doc_id
+         |LEFT JOIN nr ON d.doc_id = nr.doc_id
+         |""".stripMargin))
+
   // ---- LSH quality contract ------------------------------------------------
 
   /** MinHash-LSH candidate quality as ONE regression-guarded row: exact
@@ -359,13 +446,15 @@ object QueriesText {
       import org.apache.spark.sql.functions._
       val d = docs(s, dir)
       // the pair graph feeds dedupKeepBest's 3-round unrolled CC, whose
-      // plan references `pairs` once per round — persist + materialize
-      // so the MinHash/banding pass runs ONCE, not 3× (the r9 bench's
-      // leftover-dropping made the recompute visible: +2.3 s);
-      // Harness.dropLeftovers reclaims the block after measurement
+      // plan references `pairs` once per round — persist so the
+      // MinHash/banding pass runs ONCE, not 3× (the r9 bench's
+      // leftover-dropping made the recompute visible: +2.3 s). NO eager
+      // count(): the CC's own first action fills the cache lazily — the
+      // r10 bench showed a dedicated materialization pass costs more
+      // (+2.0 s at sf0.1) than it saves. Harness.dropLeftovers reclaims
+      // the block after measurement
       val pairs = TextOps.lshPairs(TextOps.minhash(d, respread = true))
         .persist()
-      pairs.count()
       TextOps.dedupKeepBest(d, pairs, length(col("text")))
     },
     oracle = Some {
@@ -2020,6 +2109,7 @@ object QueriesText {
     "q_lsh_quality"   -> lshQualityQ,
     "q_incremental_dedup" -> incrementalDedupQ,
     "q_stream_dedup_ingest" -> streamDedupIngestQ,
+    "q_stream_dedup_intra" -> streamDedupIntraQ,
     "q_dedup_cc_iter" -> dedupCcIter,
     "q_stratified_sample" -> stratifiedSample,
     "q_minhash_est"   -> minhashJaccardEst,

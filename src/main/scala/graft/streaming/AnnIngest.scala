@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.DotProduct.dot
+import graft.streaming.IngestIndex.{Manifest, Run}
 
 /** Streaming ANN index ingest — the similarity-family counterpart of
   * the dedup ingest gate ([[StreamOps.dedupIngestStream]]): a continuous
@@ -16,25 +17,35 @@ import graft.expr.DotProduct.dot
   * path), built from the in-repo IVF pieces ([[graft.sim.Ivf]]).
   *
   * Layout (`indexDir/`):
-  *  - `centroids.json` — the FROZEN coarse quantizer, written exactly
-  *    once by the first non-empty batch (`Ivf.centroids` is
-  *    deterministic: hash-stride sample, driver-local Lloyd), never
-  *    retrained. Frozen centroids are what make streaming ingest sound:
+  *  - `centroids.json` — the coarse quantizer, written exactly once by
+  *    the first non-empty batch (`Ivf.centroids` is deterministic:
+  *    hash-stride sample, driver-local Lloyd) and FROZEN under ingest:
   *    cell assignment is a pure function of the vector, so batches
   *    never need to revisit earlier state and two ingests of the same
-  *    vector land in the same cell forever.
+  *    vector land in the same cell forever. The ONLY path that may
+  *    replace it is retrain-at-compaction (below), which rebuilds the
+  *    whole index under the new quantizer in the same atomic commit.
   *  - `vectors/batch=<id>/cell=<c>/` — per-batch delta, OVERWRITE mode
   *    (foreachBatch retry idempotency, same shape as [[IngestIndex]]).
-  *  - `vectors/base_v<K>/cell=<c>/` + `manifest.json` — compacted base,
-  *    committed by the manifest pointer swap ([[IngestIndex]] manifest
-  *    helpers reused verbatim); [[compact]] folds delta dirs so live
-  *    dir count stays O(batches since compaction).
+  *  - `vectors/run_<K>_<k>/cell=<c>/` + `manifest.json` — size-tiered
+  *    compacted runs, committed by the manifest pointer swap
+  *    ([[IngestIndex]] manifest helpers reused verbatim): [[compact]]
+  *    folds the new deltas into one run (O(deltas)) and merges runs of
+  *    the same power-of-two size class binary-counter style, so the
+  *    biggest run is rewritten only when the corpus doubles — never
+  *    "the whole base every cycle".
+  *  - `skew_v<K>.json` — cell-occupancy report written at each
+  *    compaction (bounded: ≤ nCells rows, counted from parquet footers
+  *    via the partition column): a frozen quantizer under distribution
+  *    shift silently piles rows into a few hot cells, and this is the
+  *    operator's own telemetry for noticing (`skew` = max/mean cell
+  *    share; ≥ ~4 with many cells means pruning has stopped helping).
   *
   * Scale shape: ingest is APPEND-ONLY — unlike the dedup gate it never
   * probes prior state, so per-batch cost is O(batch) by construction
   * (broadcast centroids, narrow assignment map, one cell-partitioned
   * write). Queries probe nProbe cells per vector: the probed cell set
-  * (≤ nCells values) becomes a partition filter on the base scan, so a
+  * (≤ nCells values) becomes a partition filter on every run scan, so a
   * query touches `nProbe / nCells` of the corpus regardless of index
   * size. Cells are the IVF sharding — on a cluster each cell's files
   * co-locate and brute-force scoring stays within the pruned slice.
@@ -64,24 +75,34 @@ object AnnIngest {
   private def fs(sp: SparkSession, dir: String) =
     new Path(dir).getFileSystem(sp.sparkContext.hadoopConfiguration)
 
-  private def centroidsPath(indexDir: String) =
-    new Path(s"$indexDir/centroids.json")
+  private def centroidsPath(indexDir: String, name: String) =
+    new Path(s"$indexDir/$name")
 
   /** Serialize centroids exactly: `java.lang.Double.toString` round
     * trips every finite double, so a re-read quantizer is bit-identical
     * to the trained one (assignment determinism across restarts). */
   private[streaming] def writeCentroids(sp: SparkSession, indexDir: String,
-      cents: Array[Array[Double]]): Unit = {
+      cents: Array[Array[Double]], name: String = "centroids.json"): Unit = {
     val txt = cents.map(_.mkString("[", ",", "]"))
       .mkString("[", ",\n", "]")
-    val out = fs(sp, indexDir).create(centroidsPath(indexDir), true)
+    val out = fs(sp, indexDir).create(centroidsPath(indexDir, name), true)
     try out.write(txt.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The quantizer queries and ingest must use: the manifest's `cents`
+    * pointer when retrain-at-compaction has committed one, else the
+    * frozen first-batch `centroids.json`. */
   def readCentroids(sp: SparkSession, indexDir: String)
       : Option[Array[Array[Double]]] = {
+    val name = IngestIndex.readManifest(sp, indexDir).cents
+      .getOrElse("centroids.json")
+    readCentroidsFile(sp, indexDir, name)
+  }
+
+  private def readCentroidsFile(sp: SparkSession, indexDir: String,
+      name: String): Option[Array[Array[Double]]] = {
     val f = fs(sp, indexDir)
-    val p = centroidsPath(indexDir)
+    val p = centroidsPath(indexDir, name)
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
@@ -136,24 +157,25 @@ object AnnIngest {
 
   private def vectorsDir(indexDir: String) = s"$indexDir/vectors"
 
-  /** Live (base dir, delta dirs) under the manifest, batch deltas
+  /** Live (run dirs, delta dirs) under the manifest, batch deltas
     * strictly below `beforeBatch` (Long.MaxValue = everything). */
   private[streaming] def live(sp: SparkSession, indexDir: String,
-      beforeBatch: Long): (Option[String], Seq[String]) = {
-    val (mc, baseName) = IngestIndex.readManifest(sp, indexDir)
-    val base = baseName.map(b => s"${vectorsDir(indexDir)}/$b")
-      .filter(d => fs(sp, indexDir).exists(new Path(d)))
+      beforeBatch: Long): (Seq[String], Seq[String]) = {
+    val m = IngestIndex.readManifest(sp, indexDir)
+    val f = fs(sp, indexDir)
+    val runs = m.runs.getOrElse("vectors", Nil)
+      .map(r => s"${vectorsDir(indexDir)}/${r.name}")
+      .filter(d => f.exists(new Path(d)))
     val deltas = {
       val p = new Path(vectorsDir(indexDir))
-      val f = fs(sp, indexDir)
       if (!f.exists(p)) Nil
       else f.listStatus(p).toSeq.map(_.getPath)
         .filter(_.getName.startsWith("batch="))
         .map(d => (d.getName.stripPrefix("batch=").toLong, d.toString))
-        .filter { case (id, _) => id > mc && id < beforeBatch }
+        .filter { case (id, _) => id > m.maxCompacted && id < beforeBatch }
         .sortBy(_._1).map(_._2)
     }
-    (base, deltas)
+    (runs, deltas)
   }
 
   /** All live index rows (vec_id, e, norm, cell), cell-pruned when
@@ -161,8 +183,8 @@ object AnnIngest {
     * (PartitionFilters on the scan, spec-asserted). */
   def readIndex(sp: SparkSession, indexDir: String,
       cells: Option[Seq[Int]]): DataFrame = {
-    val (base, deltas) = live(sp, indexDir, Long.MaxValue)
-    val frames = (base.toSeq ++ deltas).map { d =>
+    val (runs, deltas) = live(sp, indexDir, Long.MaxValue)
+    val frames = (runs ++ deltas).map { d =>
       val full = sp.read.option("basePath", d).parquet(d)
       cells.fold(full)(cs => full.filter(col("cell").isin(cs: _*)))
     }
@@ -180,29 +202,129 @@ object AnnIngest {
             org.apache.spark.sql.types.IntegerType)))))
   }
 
-  /** Fold base + all deltas ≤ `upTo` into `base_v<upTo>`, commit via
-    * the manifest pointer, delete folded dirs — decision-invariant by
-    * construction (same rows, same cells; spec-asserted on query
-    * results). */
-  def compact(sp: SparkSession, indexDir: String, upTo: Long): Unit = {
-    val (mc, oldBase) = IngestIndex.readManifest(sp, indexDir)
-    if (upTo <= mc) return
-    val (base, deltas) = live(sp, indexDir, upTo + 1)
-    val all = (base.toSeq ++ deltas).map(d =>
-      sp.read.option("basePath", d).parquet(d))
-      .reduceOption(_ unionByName _)
-    if (all.isEmpty) return
-    val newBase = s"base_v$upTo"
-    all.get
+  /** Write `df` (vec_id, e, norm, cell) as the cell-partitioned run
+    * `name` and return its manifest entry. */
+  private def writeRun(sp: SparkSession, indexDir: String, name: String,
+      df: DataFrame): Run = {
+    val dir = s"${vectorsDir(indexDir)}/$name"
+    df.select(col("vec_id"), col("e"), col("norm"), col("cell"))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"${vectorsDir(indexDir)}/$newBase")
-    IngestIndex.writeManifest(sp, indexDir, upTo, newBase)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    Run(name, sp.read.option("basePath", dir).parquet(dir).count())
+  }
+
+  private def readRunDir(sp: SparkSession, d: String): DataFrame =
+    sp.read.option("basePath", d).parquet(d)
+      .select(col("vec_id"), col("e"), col("norm"), col("cell"))
+
+  private def sizeClass(rows: Long): Int =
+    63 - java.lang.Long.numberOfLeadingZeros(math.max(rows, 1L))
+
+  /** Cell-occupancy skew report, written as `skew_v<upTo>.json` at each
+    * compaction. Row counts come from a partition-column-only aggregate
+    * (parquet footers — no vector bytes read), so the report is cheap
+    * even on a big index. Returns (skew ratio, per-cell counts). */
+  private[streaming] def skewReport(sp: SparkSession, indexDir: String,
+      upTo: Long): (Double, Map[Int, Long]) = {
+    val counts = readIndex(sp, indexDir, None)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val skew =
+      if (counts.isEmpty) 0.0
+      else counts.values.max.toDouble *
+        counts.size / counts.values.sum
+    val body = counts.toSeq.sorted.map { case (c, n) => s""""$c": $n""" }
+      .mkString("{", ", ", "}")
+    val out = fs(sp, indexDir)
+      .create(new Path(s"$indexDir/skew_v$upTo.json"), true)
+    try out.write(
+      (f"""{"skew": $skew%.4f, "cells": $body}""").getBytes("UTF-8"))
+    finally out.close()
+    (skew, counts)
+  }
+
+  /** Fold the new deltas (id ≤ `upTo`) into a run and binary-counter
+    * merge same-size-class runs — O(deltas) for a normal cycle, biggest
+    * run rewritten only when the corpus doubles — then commit via the
+    * manifest pointer and sweep folded deltas (ALL ids ≤ upTo, so a
+    * retry-rewritten delta whose compaction already committed cannot be
+    * orphaned), superseded runs, and crashed-compaction orphans.
+    * Decision-invariant by construction (same rows, same cells;
+    * spec-asserted on query results).
+    *
+    * `retrain = true` is the quantizer-drift escape hatch: re-train the
+    * coarse quantizer on the CURRENT corpus (deterministic hash-stride
+    * sample), re-assign every row, and write the result as one run plus
+    * a `centroids_v<upTo>.json` — all committed by the SAME single
+    * manifest swap (`runs` + `cents` flip together), so queries never
+    * see new cells under old centroids or vice versa. This is a
+    * deliberate full rewrite (the cost of changing the hash of a
+    * hash-partitioned index) — reach for it when [[skewReport]] says
+    * the frozen quantizer no longer fits the feed. */
+  def compact(sp: SparkSession, indexDir: String, upTo: Long,
+              retrain: Boolean = false): Unit = {
+    val m = IngestIndex.readManifest(sp, indexDir)
+    if (upTo <= m.maxCompacted) return
+    val (runDirs, deltaDirs) = live(sp, indexDir, upTo + 1)
     val f = fs(sp, indexDir)
-    deltas.foreach(d => { f.delete(new Path(d), true); () })
-    oldBase.filter(_ != newBase).foreach { b =>
-      f.delete(new Path(s"${vectorsDir(indexDir)}/$b"), true); ()
+    var runs = m.runs.getOrElse("vectors", Nil)
+    var cents = m.cents
+    var seq = 0
+    def nextName(): String = { val n = s"run_${upTo}_$seq"; seq += 1; n }
+    if (retrain) {
+      val all = (runDirs ++ deltaDirs).map(readRunDir(sp, _))
+        .reduceOption(_ union _)
+      if (all.isEmpty) return
+      val corpus = all.get.select("vec_id", "e", "norm").persist()
+      val nCells = readCentroids(sp, indexDir)
+        .map(_.length).getOrElse(DefaultCells)
+      val newCents = graft.sim.Ivf.centroids(corpus, nCells)
+      val centsName = s"centroids_v$upTo.json"
+      writeCentroids(sp, indexDir, newCents, centsName)
+      val rebuilt = writeRun(sp, indexDir, nextName(),
+        graft.sim.Ivf.assignCells(corpus, newCents))
+      corpus.unpersist(false)
+      runs = Seq(rebuilt)
+      cents = Some(centsName)
+    } else {
+      if (deltaDirs.nonEmpty) {
+        val folded = writeRun(sp, indexDir, nextName(),
+          deltaDirs.map(readRunDir(sp, _)).reduce(_ union _))
+        if (folded.rows > 0) runs :+= folded
+      }
+      var sorted = runs.sortBy(r => (r.rows, r.name))
+      while (sorted.lengthCompare(2) >= 0 &&
+             sizeClass(sorted(1).rows) == sizeClass(sorted(0).rows)) {
+        val (a, b) = (sorted(0), sorted(1))
+        val merged = writeRun(sp, indexDir, nextName(),
+          readRunDir(sp, s"${vectorsDir(indexDir)}/${a.name}")
+            .union(readRunDir(sp, s"${vectorsDir(indexDir)}/${b.name}")))
+        sorted = (merged +: sorted.drop(2)).sortBy(r => (r.rows, r.name))
+      }
+      runs = sorted.sortBy(-_.rows)
     }
+    IngestIndex.writeManifest(sp, indexDir,
+      Manifest(upTo, Map("vectors" -> runs), cents))
+    // cleanup AFTER commit: every delta id ≤ upTo (swept from the disk
+    // listing, not the manifest-filtered live set — a batch delta
+    // rewritten by a foreachBatch retry after its compaction committed
+    // must not be orphaned forever), plus run dirs the manifest no
+    // longer references
+    val p = new Path(vectorsDir(indexDir))
+    if (f.exists(p)) {
+      val liveNames = runs.map(_.name).toSet
+      f.listStatus(p).toSeq.map(_.getPath).foreach { d =>
+        val n = d.getName
+        val stale =
+          (n.startsWith("batch=") &&
+            n.stripPrefix("batch=").toLong <= upTo) ||
+          ((n.startsWith("run_") || n.startsWith("base_v")) &&
+            !liveNames(n))
+        if (stale) { f.delete(d, true); () }
+      }
+    }
+    skewReport(sp, indexDir, upTo)
+    ()
   }
 
   /** Top-k cosine neighbors of `queries` (vec_id, embedding) against
@@ -239,7 +361,7 @@ object AnnIngest {
   /** Does `indexDir` hold vector state from a previous run? */
   private def nonEmpty(sp: SparkSession, indexDir: String): Boolean = {
     val f = fs(sp, indexDir)
-    f.exists(centroidsPath(indexDir)) ||
+    f.exists(centroidsPath(indexDir, "centroids.json")) ||
       f.exists(new Path(vectorsDir(indexDir)))
   }
 
@@ -248,11 +370,14 @@ object AnnIngest {
     * without a checkpoint is refused (batch ids would restart at 0 and
     * overwrite committed deltas); `compactEvery` > 0 folds the index
     * periodically so delta-dir count stays bounded on a forever
-    * stream. */
+    * stream. `retrainOnCompact` opts every compaction into the
+    * quantizer rebuild ([[compact]]'s `retrain`) — for feeds whose
+    * distribution drifts past the frozen first-batch quantizer. */
   def annIngestStream(stream: DataFrame, indexDir: String,
                       checkpoint: Option[String] = None,
                       nCells: Int = DefaultCells,
-                      compactEvery: Int = 16)
+                      compactEvery: Int = 16,
+                      retrainOnCompact: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     if (checkpoint.isEmpty && nonEmpty(stream.sparkSession, indexDir))
       throw new IllegalStateException(
@@ -267,7 +392,8 @@ object AnnIngest {
         if (!batch.isEmpty) {
           ingestBatch(batch.toDF(), batchId, indexDir, nCells)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            compact(batch.sparkSession, indexDir, batchId)
+            compact(batch.sparkSession, indexDir, batchId,
+              retrain = retrainOnCompact)
         }
         ()
       }

@@ -11,46 +11,53 @@ import org.apache.spark.util.sketch.BloomFilter
   * design claim the naive "re-read every batch=N dir" layout could not
   * meet. LSM-shaped, three mechanisms:
   *
-  *  1. '''Delta + compacted base.''' Each micro-batch appends a small
-  *     UNpartitioned `batch=<id>` delta (overwrite mode — the retry
-  *     idempotency shape is unchanged). [[compact]] periodically folds
-  *     base + deltas into a fresh '''hash-prefix-partitioned''' base
-  *     (`base_v<K>/hp=XX/`, `hp` = first [[HashPrefixLen]] hex chars
-  *     of the key), so the live dir count is O(batches since last
-  *     compaction), never O(stream lifetime). The new base is written
-  *     to a VERSIONED dir and committed by a single `manifest.json`
-  *     pointer swap — no rename window in which index rows exist
-  *     nowhere; a crash mid-compaction leaves at worst an orphan
-  *     `base_v*` dir that the next compaction deletes. (On an object
-  *     store the same manifest-pointer commit applies verbatim; only
-  *     the orphan cleanup would consult the manifest rather than
-  *     relying on rename semantics.)
-  *  2. '''Bloom pre-screen.''' Every delta (and the base) carries a
+  *  1. '''Deltas + size-tiered runs.''' Each micro-batch appends a
+  *     small UNpartitioned `batch=<id>` delta (overwrite mode — the
+  *     retry idempotency shape is unchanged). [[compact]] periodically
+  *     folds the new deltas into a '''hash-prefix-partitioned run'''
+  *     (`run_<id>_<k>/hp=XX/`, `hp` = first [[HashPrefixLen]] hex chars
+  *     of the key) and then merges runs of the SAME power-of-two size
+  *     class, binary-counter style (Bentley–Saxe): the live index is a
+  *     set of ≤ log₂(n) runs with geometrically separated sizes. A
+  *     normal compaction therefore costs O(deltas folded); a merge
+  *     touching the biggest run happens only every time the corpus
+  *     DOUBLES, so each key is rewritten O(log n) times over the index
+  *     lifetime — never "the whole base every cycle" (the round-10
+  *     layout's one scale defect: md5 keys are uniform, so every delta
+  *     touches every `hp=` partition and partition-scoped folding alone
+  *     bounds nothing). The new run set is committed by a single
+  *     `manifest.json` pointer swap — no window in which index rows
+  *     exist nowhere; a crash mid-compaction leaves at worst orphan
+  *     `run_*` dirs that the next compaction deletes. (On an object
+  *     store the same manifest-pointer commit applies verbatim.)
+  *  2. '''Bloom pre-screen.''' Every delta and every run carries a
   *     Bloom sidecar over its keys. A batch row whose key misses ALL
   *     blooms is '''guaranteed new''' (no false negatives) and never
   *     touches the index; only the maybe-seen suspects proceed to the
   *     exact probe joins, so a mostly-clean crawl batch costs ~zero
   *     index IO. False positives only cost a probe — decisions stay
-  *     exact and bit-identical with or without the screen.
+  *     exact and bit-identical with or without the screen. Sidecars are
+  *     cached driver-side by path ([[readBloom]]), so steady-state
+  *     batches re-read NO sidecar bytes from the FS.
   *  3. '''Prefix-pruned probes.''' The suspects' distinct `hp`
   *     prefixes (≤ 16^[[HashPrefixLen]] values, collected driver-side)
-  *     become a partition filter on the base scan — the exact join
-  *     reads only the base partitions that could possibly match
+  *     become a partition filter on every run scan — the exact join
+  *     reads only the run partitions that could possibly match
   *     (`PartitionFilters` in the scan, spec-asserted), instead of the
   *     whole corpus index.
   *
   * Bloom sizing: delta sidecars share a fixed [[BloomItems]] geometry
-  * so they OR-merge into one probe filter; the base sidecar is re-sized
-  * to its true row count at each compaction (it cannot merge with the
-  * deltas' geometry, so the probe tests base and merged-deltas
-  * separately). A delta larger than [[BloomItems]] only degrades the
-  * sidecar's FP rate — more rows probe the index, none are misjudged.
+  * so they OR-merge into one probe filter; each run's sidecar is sized
+  * to its true row count at write (runs of different sizes probe
+  * separately — [[mightContainAny]] groups by geometry). A delta larger
+  * than [[BloomItems]] only degrades the sidecar's FP rate — more rows
+  * probe the index, none are misjudged.
   */
 object IngestIndex {
 
-  /** Hex chars of the key used as the base partition column `hp`:
+  /** Hex chars of the key used as the run partition column `hp`:
     * 2 → 256 partitions, enough that a pruned probe reads ≲1/256 of
-    * the base per suspect prefix while keeping file counts sane. */
+    * a run per suspect prefix while keeping file counts sane. */
   val HashPrefixLen = 2
 
   /** `hp` partition value for a key: a letter prefix keeps an
@@ -73,33 +80,57 @@ object IngestIndex {
 
   // ---- manifest -----------------------------------------------------------
 
-  /** (maxCompacted batch id, base dir name) — (-1, None) before any
-    * compaction. The manifest is the single commit point of a
-    * compaction; it is a 1-line JSON file, rewritten atomically-enough
-    * (create + rename by the FS client) and tiny to re-read per batch. */
+  /** One compacted run: dir name under `<indexDir>/<kind>/` plus its
+    * row count (what the size-tiered merge policy keys on). */
+  final case class Run(name: String, rows: Long)
+
+  /** The index's committed state: highest delta id folded into runs,
+    * per-kind run lists (biggest first), and — for the ANN index — the
+    * name of the centroids file queries must use ([[AnnIngest]]
+    * retrain-at-compaction; None = the original `centroids.json`). */
+  final case class Manifest(maxCompacted: Long,
+                            runs: Map[String, Seq[Run]],
+                            cents: Option[String] = None)
+
+  /** The manifest is the single commit point of a compaction; it is a
+    * 1-line JSON file, rewritten atomically-enough (create + rename by
+    * the FS client) and tiny to re-read per batch. */
   private[streaming] def readManifest(sp: SparkSession, indexDir: String)
-      : (Long, Option[String]) = {
+      : Manifest = {
     val fs = fsFor(sp, indexDir)
     val p = new Path(s"$indexDir/manifest.json")
-    if (!fs.exists(p)) (-1L, None)
+    if (!fs.exists(p)) Manifest(-1L, Map.empty)
     else {
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       val mc = "\"maxCompacted\"\\s*:\\s*(-?\\d+)".r
         .findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(-1L)
-      val base = "\"base\"\\s*:\\s*\"([^\"]+)\"".r
+      val cents = "\"cents\"\\s*:\\s*\"([^\"]+)\"".r
         .findFirstMatchIn(txt).map(_.group(1))
-      (mc, base)
+      // kind sections: "kind": [{"name": "...", "rows": N}, ...]
+      val kindRe = "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      val runRe =
+        "\\{\\s*\"name\"\\s*:\\s*\"([^\"]+)\"\\s*,\\s*\"rows\"\\s*:\\s*(\\d+)\\s*\\}".r
+      val runs = kindRe.findAllMatchIn(txt).map { m =>
+        m.group(1) -> runRe.findAllMatchIn(m.group(2))
+          .map(r => Run(r.group(1), r.group(2).toLong)).toSeq
+      }.toMap.filter(_._2.nonEmpty)
+      Manifest(mc, runs, cents)
     }
   }
 
   private[streaming] def writeManifest(sp: SparkSession, indexDir: String,
-                                       maxCompacted: Long, base: String): Unit = {
+                                       m: Manifest): Unit = {
     val fs = fsFor(sp, indexDir)
+    val runsJson = m.runs.toSeq.sortBy(_._1).map { case (kind, rs) =>
+      "\"" + kind + "\": [" + rs.map(r =>
+        s"""{"name": "${r.name}", "rows": ${r.rows}}""").mkString(", ") + "]"
+    }.mkString("{", ", ", "}")
+    val centsJson = m.cents.map(c => s""", "cents": "$c"""").getOrElse("")
     val out = fs.create(new Path(s"$indexDir/manifest.json"), true)
     try out.write(
-      s"""{"maxCompacted": $maxCompacted, "base": "$base"}"""
+      s"""{"maxCompacted": ${m.maxCompacted}$centsJson, "runs": $runsJson}"""
         .getBytes("UTF-8"))
     finally out.close()
   }
@@ -121,86 +152,139 @@ object IngestIndex {
       .sortBy(_._1)
   }
 
+  /** Run dirs of `kind` present on disk (live or orphaned — the caller
+    * diffs against the manifest). */
+  private[streaming] def runDirsOnDisk(sp: SparkSession, indexDir: String,
+      kind: String): Seq[String] = {
+    val fs = fsFor(sp, indexDir)
+    val p = new Path(s"$indexDir/$kind")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("run_") || n.startsWith("base_v"))
+  }
+
   private def bloomPath(indexDir: String, kind: String, name: String) =
     new Path(s"$indexDir/blooms/${kind}_$name.bloom")
+
+  /** Driver-side sidecar cache, keyed by sidecar path. Sidecar files
+    * are immutable once written (a foreachBatch retry overwrites a
+    * delta with bit-identical content — the write path is
+    * deterministic), so entries never go stale; deletes evict. Bounded
+    * by eviction at compaction plus a hard cap. */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
+
+  private def cachePut(p: Path, bf: BloomFilter): Unit = {
+    if (bloomCache.size > 256) bloomCache.clear()
+    bloomCache.put(p.toString, bf); ()
+  }
 
   private def writeBloom(fs: FileSystem, p: Path, bf: BloomFilter): Unit = {
     val out = fs.create(p, true)
     try bf.writeTo(out) finally out.close()
+    cachePut(p, bf)
   }
 
   private def readBloom(fs: FileSystem, p: Path): Option[BloomFilter] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(BloomFilter.readFrom(in)) finally in.close()
+    Option(bloomCache.get(p.toString)).map(Some(_)).getOrElse {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bf = try BloomFilter.readFrom(in) finally in.close()
+        cachePut(p, bf)
+        Some(bf)
+      }
     }
+
+  private def deleteBloom(fs: FileSystem, p: Path): Unit = {
+    fs.delete(p, false)
+    bloomCache.remove(p.toString); ()
+  }
 
   /** Write one batch's delta of `kind` (distinct single-column `key`
     * rows) plus its Bloom sidecar, both in overwrite mode so a
-    * foreachBatch retry leaves them bit-identical. */
+    * foreachBatch retry leaves them bit-identical. The sidecar is built
+    * from `keys` DIRECTLY (not by re-reading the written parquet): the
+    * gate derives `keys` from a persisted parent, so the two frames are
+    * the same rows and the re-read was a pure extra FS pass. Written
+    * rows-first (a retry that crashed between the two re-does both). */
   private[streaming] def writeDelta(keys: DataFrame, indexDir: String,
       kind: String, batchId: Long): Unit = {
     val sp = keys.sparkSession
     val dir = s"$indexDir/$kind/batch=$batchId"
-    keys.write.mode("overwrite").parquet(dir)
-    // sidecar AFTER the rows (a retry that crashed between the two
-    // re-does both); built from the written delta so sidecar and rows
-    // can never disagree
-    val keyCol = keys.columns.head
-    val bf = sp.read.parquet(dir).stat
-      .bloomFilter(keyCol, BloomItems, BloomFpp)
-    writeBloom(fsFor(sp, indexDir),
-      bloomPath(indexDir, kind, s"batch=$batchId"), bf)
+    val staged = keys.persist()
+    try {
+      staged.write.mode("overwrite").parquet(dir)
+      val keyCol = staged.columns.head
+      val bf = staged.stat.bloomFilter(keyCol, BloomItems, BloomFpp)
+      writeBloom(fsFor(sp, indexDir),
+        bloomPath(indexDir, kind, s"batch=$batchId"), bf)
+    } finally { staged.unpersist(false); () }
   }
 
   // ---- probe --------------------------------------------------------------
 
   /** All prior index state of `kind` visible to `batchId`:
-    * (base dir if compacted, delta dirs, Bloom filters if COMPLETE).
+    * (live run dirs, delta dirs, Bloom filters if COMPLETE).
     * An incomplete sidecar set (legacy dirs, mid-write crash) returns
     * None for the blooms — the probe then skips the pre-screen and
     * reads the index exactly, never wrongly. */
-  private[streaming] case class Prior(baseDir: Option[String],
+  private[streaming] case class Prior(runs: Seq[String],
                                       deltas: Seq[String],
                                       blooms: Option[Seq[BloomFilter]])
 
   private[streaming] def prior(sp: SparkSession, indexDir: String,
       kind: String, batchId: Long): Prior = {
     val fs = fsFor(sp, indexDir)
-    val (mc, baseName) = readManifest(sp, indexDir)
-    val base = baseName.map(b => s"$indexDir/$kind/$b")
-      .filter(d => fs.exists(new Path(d)))
-    val deltas = deltaDirs(sp, indexDir, kind, mc, batchId)
-    val baseBloom = baseName.map(b =>
-      readBloom(fs, bloomPath(indexDir, kind, b)))
+    val m = readManifest(sp, indexDir)
+    val runs = m.runs.getOrElse(kind, Nil)
+      .filter(r => fs.exists(new Path(s"$indexDir/$kind/${r.name}")))
+    val deltas = deltaDirs(sp, indexDir, kind, m.maxCompacted, batchId)
+    val runBlooms = runs.map(r =>
+      readBloom(fs, bloomPath(indexDir, kind, r.name)))
     val deltaBlooms = deltas.map { case (id, _) =>
       readBloom(fs, bloomPath(indexDir, kind, s"batch=$id")) }
-    val all = (baseBloom.toSeq ++ deltaBlooms)
+    val all = runBlooms ++ deltaBlooms
     val blooms = if (all.forall(_.isDefined)) Some(all.flatten) else None
-    Prior(base, deltas.map(_._2), blooms)
+    Prior(runs.map(r => s"$indexDir/$kind/${r.name}"),
+      deltas.map(_._2), blooms)
+  }
+
+  /** Exact copy of a Bloom filter (serialize round-trip — the public
+    * sketch API has no clone). [[mightContainAny]] must NOT
+    * `mergeInPlace` into a cached filter: the mutation would fold other
+    * files' keys into the cached bits, inflating the FP rate a little
+    * more every batch until the screen routes everything. */
+  private def copyOf(bf: BloomFilter): BloomFilter = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bos.toByteArray))
   }
 
   /** Might `key` appear in ANY of `bfs`? Geometry-compatible filters
-    * are OR-merged into one bitset first; the probe is then ≤2 UDF
-    * broadcasts (merged deltas + differently-sized base). */
+    * are OR-merged (into a fresh copy — never mutating a cached
+    * filter); the probe is then one UDF broadcast per distinct
+    * geometry (merged deltas + per-size run sidecars). */
   private[streaming] def mightContainAny(df: DataFrame,
       bfs: Seq[BloomFilter], key: Column): Column = {
     val groups = bfs.groupBy(_.bitSize()).values.toSeq.map { g =>
-      g.reduce { (a, b) => a.mergeInPlace(b); a }
+      if (g.lengthCompare(1) == 0) g.head
+      else g.tail.foldLeft(copyOf(g.head)) { (acc, b) =>
+        acc.mergeInPlace(b); acc
+      }
     }
     groups.map(bf => graft.text.BloomDedup.probe(df, bf, key))
       .reduceOption(_ || _).getOrElse(lit(false))
   }
 
   /** Read prior `kind` rows as a single-column `keyName` frame, pruned:
-    * only base partitions whose `hp` appears in `hps` are scanned
+    * only run partitions whose `hp` appears in `hps` are scanned
     * (deltas are small and unpartitioned — read whole). `hps = None`
     * means "no suspect information" — read everything (exact fallback
     * when sidecars are incomplete). */
   private[streaming] def readPruned(sp: SparkSession, pr: Prior,
       keyName: String, hps: Option[Seq[String]]): DataFrame = {
-    val base = pr.baseDir.map { d =>
+    val runs = pr.runs.map { d =>
       val full = sp.read.option("basePath", d).parquet(d)
       hps.fold(full)(ps => full.filter(col("hp").isin(ps: _*)))
         .select(col(keyName))
@@ -208,7 +292,7 @@ object IngestIndex {
     val delta =
       if (pr.deltas.isEmpty) None
       else Some(sp.read.parquet(pr.deltas: _*).select(col(keyName)))
-    (base.toSeq ++ delta.toSeq)
+    (runs ++ delta.toSeq)
       .reduceOption(_ union _)
       .getOrElse(sp.emptyDataFrame
         .select(lit("").as(keyName)).limit(0))
@@ -220,7 +304,7 @@ object IngestIndex {
     * sidecars and zero suspects this reads NO index bytes at all. */
   private[streaming] def probeRows(sp: SparkSession, pr: Prior,
       keys: DataFrame, keyName: String): DataFrame = {
-    if (pr.baseDir.isEmpty && pr.deltas.isEmpty)
+    if (pr.runs.isEmpty && pr.deltas.isEmpty)
       return sp.emptyDataFrame.select(lit("").as(keyName)).limit(0)
     val hps: Option[Seq[String]] = pr.blooms match {
       case Some(bfs) =>
@@ -238,47 +322,104 @@ object IngestIndex {
 
   // ---- compaction ---------------------------------------------------------
 
-  /** Fold base + every delta with id ≤ `upTo` into a fresh
-    * hp-partitioned `base_v<upTo>` for both kinds, commit via the
-    * manifest pointer, then delete the folded deltas and any stale
-    * base. Safe to re-run (idempotent: rebuilding the same version
-    * overwrites it; probes meanwhile see base + still-present deltas,
-    * and duplicate membership rows cannot change a decision). */
-  def compact(sp: SparkSession, indexDir: String, upTo: Long): Unit = {
+  /** Power-of-two size class for the binary-counter merge policy. */
+  private def sizeClass(rows: Long): Int =
+    63 - java.lang.Long.numberOfLeadingZeros(math.max(rows, 1L))
+
+  /** Write `df`'s distinct keys as the hp-partitioned run `name`,
+    * sidecar sized to the true row count. One shuffle keyed on hp →
+    * ~one file per populated partition. */
+  private def writeRun(sp: SparkSession, indexDir: String, kind: String,
+      keyName: String, name: String, df: DataFrame): Run = {
+    val dir = s"$indexDir/$kind/$name"
+    df.select(col(keyName)).distinct()
+      .withColumn("hp", hpOf(col(keyName)))
+      .repartition(col("hp"))
+      .write.mode("overwrite").partitionBy("hp").parquet(dir)
+    val written = sp.read.option("basePath", dir).parquet(dir)
+    val n = written.count()
+    val bf = written.stat.bloomFilter(keyName,
+      math.max(n, BloomItems), BloomFpp)
+    writeBloom(fsFor(sp, indexDir), bloomPath(indexDir, kind, name), bf)
+    Run(name, n)
+  }
+
+  private def readRun(sp: SparkSession, indexDir: String, kind: String,
+      keyName: String, r: Run): DataFrame =
+    sp.read.option("basePath", s"$indexDir/$kind/${r.name}")
+      .parquet(s"$indexDir/$kind/${r.name}").select(col(keyName))
+
+  /** Per-kind wall-cost summary of one [[compact]] call — what the
+    * leveled-compaction soak reports: `folded` rows came from deltas
+    * (≈ batch-sized), `merged` rows were rewritten by same-size-class
+    * run merges (binary-counter amortized: O(log n) rewrites per key
+    * over the index lifetime), `total` is the live index size. */
+  final case class CompactStats(folded: Long, merged: Long, total: Long)
+
+  /** Fold every delta with id ≤ `upTo` into a new run per kind, then
+    * merge runs of the same power-of-two size class (binary counter:
+    * two ~equal runs merge into the next class, cascading), commit the
+    * new run set via the manifest pointer, then delete the folded
+    * deltas, superseded runs, and any orphan dirs. Safe to re-run
+    * (idempotent: the same version rewrites the same run names with
+    * the same content; probes meanwhile see the committed manifest's
+    * runs + still-present deltas, and duplicate membership rows cannot
+    * change a decision). NOT a full-base rewrite: a normal cycle costs
+    * O(deltas); the biggest run is only rewritten when the corpus has
+    * doubled since it was built. */
+  def compact(sp: SparkSession, indexDir: String, upTo: Long)
+      : Map[String, CompactStats] = {
     val fs = fsFor(sp, indexDir)
-    val (mc, oldBase) = readManifest(sp, indexDir)
-    if (upTo <= mc) return // nothing newer than the base
-    val newBase = s"base_v$upTo"
-    Kinds.foreach { kind =>
-      val pr = prior(sp, indexDir, kind, upTo + 1)
+    val m = readManifest(sp, indexDir)
+    if (upTo <= m.maxCompacted) return Map.empty
+    val results = Kinds.map { kind =>
       val keyName = if (kind == "hashes") "h" else "bk"
-      val all = readPruned(sp, pr, keyName, None).distinct()
-        .withColumn("hp", hpOf(col(keyName)))
-      val dir = s"$indexDir/$kind/$newBase"
-      // one shuffle keyed on hp → ~one file per populated partition
-      all.repartition(col("hp"))
-        .write.mode("overwrite").partitionBy("hp").parquet(dir)
-      // base sidecar re-sized to the true row count (own geometry)
-      val written = sp.read.option("basePath", dir).parquet(dir)
-      val n = written.count()
-      val bf = written.stat.bloomFilter(keyName,
-        math.max(n, BloomItems), BloomFpp)
-      writeBloom(fs, bloomPath(indexDir, kind, newBase), bf)
-    }
-    writeManifest(sp, indexDir, upTo, newBase) // the commit point
-    // cleanup AFTER commit: folded deltas, their sidecars, prior base
+      val deltas = deltaDirs(sp, indexDir, kind, m.maxCompacted, upTo + 1)
+      var seq = 0
+      def nextName(): String = { val n = s"run_${upTo}_$seq"; seq += 1; n }
+      var runs = m.runs.getOrElse(kind, Nil)
+      var folded = 0L
+      var mergedRows = 0L
+      if (deltas.nonEmpty) {
+        val r = writeRun(sp, indexDir, kind, keyName, nextName(),
+          sp.read.parquet(deltas.map(_._2): _*))
+        folded = r.rows
+        if (r.rows > 0) runs :+= r
+      }
+      // binary-counter merge: while the two smallest runs share a size
+      // class, fold them into one (dedup shrinks: a key present in
+      // both counts once)
+      var sorted = runs.sortBy(r => (r.rows, r.name))
+      while (sorted.lengthCompare(2) >= 0 &&
+             sizeClass(sorted(1).rows) == sizeClass(sorted(0).rows)) {
+        val (a, b) = (sorted(0), sorted(1))
+        val merged = writeRun(sp, indexDir, kind, keyName, nextName(),
+          readRun(sp, indexDir, kind, keyName, a)
+            .union(readRun(sp, indexDir, kind, keyName, b)))
+        mergedRows += a.rows + b.rows
+        sorted = (merged +: sorted.drop(2)).sortBy(r => (r.rows, r.name))
+      }
+      kind -> (sorted.sortBy(-_.rows),
+        CompactStats(folded, mergedRows, sorted.map(_.rows).sum))
+    }.toMap
+    writeManifest(sp, indexDir,
+      Manifest(upTo, results.map { case (k, v) => k -> v._1 }, m.cents))
+    // cleanup AFTER commit: every delta id ≤ upTo (from -1: a retry-
+    // rewritten delta whose id pre-dates the manifest would otherwise
+    // be orphaned forever), plus any run dir the manifest no longer
+    // references — superseded merges AND crashed-compaction orphans
     Kinds.foreach { kind =>
       deltaDirs(sp, indexDir, kind, -1L, upTo + 1).foreach { case (id, d) =>
         fs.delete(new Path(d), true)
-        fs.delete(bloomPath(indexDir, kind, s"batch=$id"), false)
-        ()
+        deleteBloom(fs, bloomPath(indexDir, kind, s"batch=$id"))
       }
-      oldBase.filter(_ != newBase).foreach { b =>
-        fs.delete(new Path(s"$indexDir/$kind/$b"), true)
-        fs.delete(bloomPath(indexDir, kind, b), false)
-        ()
+      val live = results(kind)._1.map(_.name).toSet
+      runDirsOnDisk(sp, indexDir, kind).filterNot(live).foreach { n =>
+        fs.delete(new Path(s"$indexDir/$kind/$n"), true)
+        deleteBloom(fs, bloomPath(indexDir, kind, n))
       }
     }
+    results.map { case (k, v) => k -> v._2 }
   }
 
   /** Does `indexDir` hold state from a previous run? (Restart-guard

@@ -415,28 +415,36 @@ object StreamOps {
     * parquet index itself (32-hex hash strings + bounded band rows, a
     * few dozen bytes per doc ever seen), laid out by [[IngestIndex]]
     * so per-batch cost is INDEPENDENT of stream history: small
-    * overwrite-idempotent deltas, a hash-prefix-partitioned compacted
-    * base ([[IngestIndex.compact]] folds deltas every `compactEvery`
-    * batches), Bloom sidecars routing only maybe-seen suspects to the
-    * exact probe joins, and suspect-prefix partition pruning on the
-    * base scan. A stream-store formulation would instead hold the
-    * whole corpus's keys in executor state.
+    * overwrite-idempotent deltas, hash-prefix-partitioned size-tiered
+    * runs ([[IngestIndex.compact]] folds deltas every `compactEvery`
+    * batches and merges runs binary-counter style, so a normal
+    * compaction costs O(deltas), not O(index)), Bloom sidecars routing
+    * only maybe-seen suspects to the exact probe joins, and
+    * suspect-prefix partition pruning on the run scans. A stream-store
+    * formulation would instead hold the whole corpus's keys in
+    * executor state.
     *
-    * Known, documented limitation: duplicates arriving WITHIN one
-    * micro-batch are all admitted (`kept = true`) — a batch is
-    * screened only against strictly earlier state, deliberately, so a
-    * foreachBatch retry cannot see its own first attempt. Callers who
-    * need intra-batch dedup group the batch on its md5 before the gate
-    * (a bounded per-batch `groupBy` — the cross-batch index is the
-    * part that needs this machinery). */
+    * Intra-batch duplicates: by default a batch is screened only
+    * against strictly earlier state, so duplicates arriving WITHIN one
+    * micro-batch are all admitted (`kept = true`) — deliberate, so a
+    * foreachBatch retry cannot see its own first attempt. At
+    * production micro-batch sizes (millions of docs) a crawl operator
+    * hits that on day one, so `intraBatch = true` additionally applies
+    * the keep-first-by-doc_id rule WITHIN the batch: per exact-hash
+    * group and per MinHash band key, the smallest doc_id survives and
+    * every other holder is flagged (`dup_exact` / `dup_near`). Both
+    * are bounded per-batch `groupBy`s over already-computed keys —
+    * deterministic (pure function of the batch contents), so retry
+    * idempotency is untouched. */
   /** One micro-batch of the ingestion gate — factored out of the
     * foreachBatch closure so retry idempotency is directly testable:
     * calling this twice with the SAME batchId must leave decisions and
     * index bit-identical to calling it once (everything is written
     * under `batch=<id>` dirs in OVERWRITE mode, and a batch probes
-    * only STRICTLY EARLIER state). */
+    * only STRICTLY EARLIER state plus — with `intraBatch` — its own
+    * deterministic contents). */
   def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String,
-                  outDir: String): Unit = {
+                  outDir: String, intraBatch: Boolean = false): Unit = {
     val sp = batch.sparkSession
     val b = batch.persist()
     // one MinHash pass per batch: the same band rows feed the
@@ -462,13 +470,39 @@ object StreamOps {
         .join(priorB.distinct(), Seq("bk"))
         .select("doc_id").distinct()
         .withColumn("dup_near", lit(true))
-      val decisions = batchHashes
+      // intra-batch keep-first: a doc is an intra dup iff some SMALLER
+      // doc_id in the same batch holds its hash / one of its band keys
+      // (min-per-key groupBy — bounded by the batch, no index IO)
+      val intraExact =
+        if (!intraBatch) None
+        else Some(batchHashes
+          .join(batchHashes.groupBy("h").agg(min("doc_id").as("first_id")),
+            Seq("h"))
+          .filter(col("doc_id") > col("first_id"))
+          .select("doc_id").distinct()
+          .withColumn("ie", lit(true)))
+      val intraNear =
+        if (!intraBatch) None
+        else Some(batchBandKeys
+          .join(batchBandKeys.groupBy("bk").agg(min("doc_id").as("first_id")),
+            Seq("bk"))
+          .filter(col("doc_id") > col("first_id"))
+          .select("doc_id").distinct()
+          .withColumn("in_", lit(true)))
+      val joined = batchHashes
         .join(priorH.distinct().withColumn("pe", lit(true)),
           Seq("h"), "left")
         .join(nearIds, Seq("doc_id"), "left")
+      val withIntra = Seq(intraExact, intraNear).flatten
+        .foldLeft(joined)((df, i) => df.join(i, Seq("doc_id"), "left"))
+      val intraCol = (c: String) =>
+        if (intraBatch) coalesce(col(c), lit(false)) else lit(false)
+      val decisions = withIntra
         .select(col("doc_id"),
-          coalesce(col("pe"), lit(false)).as("dup_exact"),
-          coalesce(col("dup_near"), lit(false)).as("dup_near"))
+          (coalesce(col("pe"), lit(false)) || intraCol("ie"))
+            .as("dup_exact"),
+          (coalesce(col("dup_near"), lit(false)) || intraCol("in_"))
+            .as("dup_near"))
         .withColumn("kept", !col("dup_exact") && !col("dup_near"))
       decisions.write.mode("overwrite")
         .parquet(s"$outDir/batch=$batchId")
@@ -490,7 +524,8 @@ object StreamOps {
   def dedupIngestStream(stream: DataFrame, indexDir: String,
                         outDir: String,
                         checkpoint: Option[String] = None,
-                        compactEvery: Int = 16)
+                        compactEvery: Int = 16,
+                        intraBatch: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     if (checkpoint.isEmpty &&
         IngestIndex.nonEmpty(stream.sparkSession, indexDir))
@@ -504,9 +539,10 @@ object StreamOps {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
         if (!batch.isEmpty) {
-          ingestBatch(batch.toDF(), batchId, indexDir, outDir)
+          ingestBatch(batch.toDF(), batchId, indexDir, outDir, intraBatch)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             IngestIndex.compact(batch.sparkSession, indexDir, batchId)
+          ()
         }
         ()
       }

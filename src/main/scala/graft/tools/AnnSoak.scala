@@ -13,14 +13,24 @@ package graft.tools
   * delta-dir count.
   *
   * Usage: runMain graft.tools.AnnSoak [numBatches] [vecsPerBatch]
-  *        [compactEvery] [nCells] — defaults 32 2000 8 16.
+  *        [compactEvery] [nCells] — defaults 32 2000 8 16. nCells
+  * `auto` = `AnnIngest.cellsFor(numBatches · vecsPerBatch)`, the
+  * production geometry: the 10×/100× query-path check must scale cells
+  * with √n (a fixed cell count makes per-query scan cost grow linearly
+  * with the corpus — the same cliff `bitsFor` fixed for LSH).
   * Results recorded in BENCH_SCALE.md. */
 object AnnSoak {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(32)
     val perBatch = args.lift(1).map(_.toInt).getOrElse(2000)
     val compactEvery = args.lift(2).map(_.toInt).getOrElse(8)
-    val nCells = args.lift(3).map(_.toInt).getOrElse(16)
+    val nCells = args.lift(3) match {
+      case Some("auto") =>
+        val c = graft.streaming.AnnIngest.cellsFor(n.toLong * perBatch)
+        println(s"nCells=auto -> $c for ${n.toLong * perBatch} vectors")
+        c
+      case other => other.map(_.toInt).getOrElse(16)
+    }
     val spark = Harness.session()
     import spark.implicits._
     val tmp = java.nio.file.Files

@@ -5,33 +5,44 @@ import org.apache.spark.sql.functions._
 /** Wall-time flatness soak for the streaming ingest gate's index
   * layout (streaming/IngestIndex): drive N micro-batches of synthetic
   * documents through StreamOps.ingestBatch (+ periodic compaction) and
-  * print per-batch milliseconds. The claim under test: per-batch cost
-  * is INDEPENDENT of how many batches came before — the old
-  * re-read-every-batch-dir layout grew linearly in history, the
-  * delta+compacted-base+bloom layout must not.
+  * print per-batch milliseconds. Two claims under test:
+  *
+  *  1. Per-batch SCREEN cost is INDEPENDENT of how many batches came
+  *     before — the old re-read-every-batch-dir layout grew linearly in
+  *     history; the delta+tiered-runs+bloom layout must not.
+  *  2. COMPACTION cost tracks delta size, not index size: with the
+  *     size-tiered (binary counter) run merge, a normal compaction only
+  *     folds the new deltas; merges of the big runs happen only at the
+  *     exponentially rare carry points. The round-10 full-base-rewrite
+  *     policy failed exactly this on a LOW-duplicate feed (index grows
+  *     linearly → every compaction rewrote the whole corpus), so the
+  *     soak takes the duplicate rate as an argument: run it with
+  *     dupPct=0 for the adversarial linear-growth regime.
   *
   * Usage: runMain graft.tools.IngestSoak [numBatches] [docsPerBatch]
-  *        [compactEvery] — defaults 64 512 16. ~10% of each batch
-  * duplicates earlier content so the suspect path stays exercised.
-  * Output: one line per batch `batch=<id> ms=<t>`, then a summary
-  * comparing mean ms of the first and last quartile of batches.
-  * Results recorded in BENCH_SCALE.md. */
+  *        [compactEvery] [dupPct] — defaults 64 512 16 10.
+  * Output: one line per batch `batch=<id> ms=<t>`, a line per
+  * compaction with its CompactStats (folded vs merged vs total rows),
+  * then a summary comparing mean ms of the first and last quartile of
+  * batches. Results recorded in BENCH_SCALE.md. */
 object IngestSoak {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(64)
     val perBatch = args.lift(1).map(_.toInt).getOrElse(512)
     val compactEvery = args.lift(2).map(_.toInt).getOrElse(16)
+    val dupPct = args.lift(3).map(_.toInt).getOrElse(10)
     val spark = Harness.session()
     import spark.implicits._
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_ingest_soak").toString
+    var compactLines = Vector.empty[String]
     val times = (0 until n).map { b =>
       val rows = (0 until perBatch).map { i =>
         val id = b.toLong * perBatch + i
-        // ~10% duplicate a doc from an EARLIER batch (suspect path);
-        // the rest are unique (bloom-clean fast path)
+        // dupPct% of each batch duplicates a doc from an EARLIER batch
+        // (suspect path); the rest are unique (bloom-clean fast path)
         val text =
-          if (b > 0 && i % 10 == 0)
+          if (b > 0 && dupPct > 0 && i % math.max(1, 100 / dupPct) == 0)
             s"shared corpus document number ${i / 10} body text " +
               s"with stable words ${(0 until 30).map(j => s"w${(i / 10 + j) % 97}").mkString(" ")}"
           else
@@ -43,25 +54,27 @@ object IngestSoak {
       val t0 = System.nanoTime()
       graft.streaming.StreamOps.ingestBatch(df, b.toLong,
         s"$tmp/idx", s"$tmp/out")
-      if (compactEvery > 0 && (b + 1) % compactEvery == 0)
-        graft.streaming.IngestIndex.compact(spark, s"$tmp/idx", b.toLong)
-      val ms = (System.nanoTime() - t0) / 1000000
-      println(s"batch=$b ms=$ms")
-      ms
+      val screenMs = (System.nanoTime() - t0) / 1000000
+      if (compactEvery > 0 && (b + 1) % compactEvery == 0) {
+        val c0 = System.nanoTime()
+        val st = graft.streaming.IngestIndex.compact(spark, s"$tmp/idx",
+          b.toLong)
+        val cMs = (System.nanoTime() - c0) / 1000000
+        val h = st("hashes")
+        compactLines :+= (s"compact at=$b ms=$cMs " +
+          s"folded=${h.folded} merged=${h.merged} total=${h.total}")
+        println(compactLines.last)
+      }
+      println(s"batch=$b ms=$screenMs")
+      screenMs
     }
-    // steady-state flatness: compare early vs late quartile means over
-    // NON-compaction batches (compaction pays the O(corpus) base
-    // rewrite deliberately, amortized over compactEvery batches — it
-    // is reported separately, not smeared into the per-batch claim)
-    // ... and over batches AFTER the first compaction: the pre-base
-    // regime (tiny delta-only index) is cheaper but not representative
-    // of a long-running stream, which lives in the compacted regime
+    // steady-state flatness of the SCREEN path: compare early vs late
+    // quartile means over non-compaction batches, after the first
+    // compaction (the pre-run regime is cheaper but not representative)
     val steadyFrom = if (compactEvery > 0) compactEvery else 1
     val steady = times.zipWithIndex.drop(steadyFrom)
       .filterNot { case (_, b) =>
         compactEvery > 0 && (b + 1) % compactEvery == 0 }.map(_._1)
-    val compactions = times.zipWithIndex.filter { case (_, b) =>
-      compactEvery > 0 && (b + 1) % compactEvery == 0 }.map(_._1)
     val q = steady.length / 4
     val firstQ = steady.take(q).sum.toDouble / q
     val lastQ = steady.takeRight(q).sum.toDouble / q
@@ -70,10 +83,8 @@ object IngestSoak {
       .filter(col("kept")).count()
     println(f"steadyFirstQMeanMs=$firstQ%.1f steadyLastQMeanMs=$lastQ%.1f " +
       f"ratio=${lastQ / firstQ}%.2f " +
-      f"compactionsMeanMs=${
-        if (compactions.isEmpty) 0.0
-        else compactions.sum.toDouble / compactions.length}%.1f " +
-      f"decisions=$total kept=$kept")
+      f"decisions=$total kept=$kept dupPct=$dupPct")
+    compactLines.foreach(l => println(s"summary $l"))
     spark.stop()
   }
 }

@@ -82,24 +82,36 @@ object PlanLint {
     }
   }
 
-  /** A build side whose root-ward subtree contains a no-grouping
-    * aggregate produces at most ONE row — the bounded crossJoin
-    * pattern (scalar counts joined for a ratio). */
-  private def scalarSide(p: SparkPlan): Boolean = {
+  /** A side that provably produces at most ONE row (or a bounded local
+    * frame) — the legitimate crossJoin pattern (scalar counts joined
+    * for a ratio). The walk descends ONLY through row-count-preserving
+    * or row-reducing wrappers (project/filter/sort/exchange/codegen):
+    * a blind subtree search would exempt a LARGE side merely built on
+    * top of a scalar aggregate (e.g. `scalarAgg.crossJoin(huge)` as
+    * the build side) — a joins/generate node can re-expand rows, so it
+    * stops the walk. */
+  private[graft] def scalarSide(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.aggregate._
-    p.collectFirst {
-      case h: HashAggregateExec if h.groupingExpressions.isEmpty => ()
-      case s: SortAggregateExec if s.groupingExpressions.isEmpty => ()
+    import org.apache.spark.sql.execution.exchange._
+    p match {
+      case h: HashAggregateExec if h.groupingExpressions.isEmpty => true
+      case s: SortAggregateExec if s.groupingExpressions.isEmpty => true
       case o: ObjectHashAggregateExec
-          if o.groupingExpressions.isEmpty => ()
-    }.isDefined || (p.collectLeaves() match {
+          if o.groupingExpressions.isEmpty => true
       // an all-literal side (driver-built frame) is bounded by
       // definition; cap guards against a large collected frame being
       // re-parallelized through the same node
-      case Seq(l: org.apache.spark.sql.execution.LocalTableScanExec) =>
-        l.rows.lengthCompare(1000) <= 0
+      case l: LocalTableScanExec => l.rows.lengthCompare(1000) <= 0
+      case r: ReusedExchangeExec => scalarSide(r.child)
+      case u @ (_: ProjectExec | _: FilterExec | _: SortExec |
+                _: CoalesceExec | _: ShuffleExchangeExec |
+                _: BroadcastExchangeExec | _: WholeStageCodegenExec |
+                _: InputAdapter | _: LocalLimitExec |
+                _: GlobalLimitExec | _: UnionExec) =>
+        u.children.forall(scalarSide) // union of scalars stays bounded
       case _ => false
-    })
+    }
   }
 
   def lintPlan(name: String, plan: SparkPlan): Seq[Finding] = {
@@ -137,7 +149,10 @@ object PlanLint {
         graft.tools.Harness.dropLeftovers(spark)
         (name, findings)
     }
+    // one finding per (query, kind): a query with several BNLJ nodes is
+    // ONE audit item, not several (the r10 report double-counted)
     val flat = results.flatMap(_._2)
+      .distinctBy(f => (f.query, f.kind))
     val (allowed, flagged) = flat.partition(f =>
       Allowed.contains((f.query, f.kind)))
     val md = new StringBuilder

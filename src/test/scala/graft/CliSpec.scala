@@ -914,16 +914,33 @@ class CliSpec extends AnyFunSuite {
       orphan.mkdirs()
       java.nio.file.Files.writeString(
         orphan.toPath.resolve("part-0.parquet"), "stale")
+      // NOT orphans: another database's root dir, a table that lives
+      // in that other database, and an external table whose location
+      // happens to sit under the warehouse — all live data a blunt
+      // "not a managed table of the current db" prune would destroy
+      spark.sql("CREATE DATABASE IF NOT EXISTS wh_spec_db")
+      spark.sql("CREATE TABLE wh_spec_db.wh_spec_t2 (k LONG) USING parquet")
+      val extLoc = new java.io.File(warehouse, "wh_spec_ext")
+      spark.sql("CREATE TABLE wh_spec_ext_t (k LONG) USING parquet " +
+        s"LOCATION '${extLoc.getAbsolutePath}'")
+      // materialize the location dir (empty external tables have none)
+      spark.sql("INSERT INTO wh_spec_ext_t VALUES (42)")
       val report = Cli.run(spark, "warehouse", Map.empty)
       assert(report.exists(l =>
         l.startsWith("table: wh_spec_t1") && l.contains("buckets=4")),
         report.mkString("\n"))
       assert(report.contains("orphan: wh_spec_stale"))
+      assert(!report.exists(_.contains("orphan: wh_spec_db.db")),
+        "another database's root is not an orphan")
+      assert(!report.exists(_.contains("orphan: wh_spec_ext")),
+        "an external table location under the warehouse is not an orphan")
       val pruned = Cli.run(spark, "warehouse", Map("prune" -> ""))
       assert(pruned.contains("pruned: wh_spec_stale"))
       assert(!orphan.exists())
-      // the live table survived the prune
+      // the live data all survived the prune
       assert(spark.catalog.tableExists("wh_spec_t1"))
+      assert(spark.catalog.tableExists("wh_spec_db.wh_spec_t2"))
+      assert(extLoc.exists(), "external table data must survive prune")
       val dropped = Cli.run(spark, "warehouse", Map("drop" -> "wh_spec_t1"))
       assert(dropped === Seq("dropped: wh_spec_t1"))
       assert(!spark.catalog.tableExists("wh_spec_t1"))
@@ -933,8 +950,14 @@ class CliSpec extends AnyFunSuite {
         === Seq("dropped: wh_spec_t1"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS wh_spec_t1")
-      val d = new java.io.File(warehouse, "wh_spec_stale")
-      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+      spark.sql("DROP TABLE IF EXISTS wh_spec_ext_t")
+      spark.sql("DROP DATABASE IF EXISTS wh_spec_db CASCADE")
+      Seq("wh_spec_stale", "wh_spec_ext").foreach { n =>
+        val d = new java.io.File(warehouse, n)
+        if (d.exists()) {
+          Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+        }
+      }
     }
   }
 

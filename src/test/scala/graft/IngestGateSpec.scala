@@ -42,6 +42,42 @@ class IngestGateSpec extends AnyFunSuite {
     assert(d.size === 4)
   }
 
+  test("intraBatch=true applies keep-first-by-doc_id WITHIN a batch — " +
+    "default mode admits within-batch duplicates, intra mode flags all " +
+    "but the smallest doc_id, and retry idempotency still holds") {
+    val sharedA = "twin document text repeated inside one micro batch"
+    val sharedB = "twin document text repeated inside one micro batch too"
+    val batch = docs(
+      7L -> sharedA, // intra-exact dup of 5 (and near: identical bands)
+      5L -> sharedA, // smallest holder of sharedA — survives
+      6L -> sharedB, // near-dup of 5/7 (one shingle off -> shares bands)
+      9L -> "a wholly unrelated document about something else entirely")
+    // default: all admitted (batch screens only against earlier state)
+    val t1 = java.nio.file.Files.createTempDirectory("graft_gate3").toString
+    graft.streaming.StreamOps.ingestBatch(batch, 0L, s"$t1/idx", s"$t1/out")
+    assert(decisions(s"$t1/out").forall(_._4), "default admits the batch")
+    // intraBatch: 5 keeps (smallest), 7 is exact+near, 6 at least near
+    val t2 = java.nio.file.Files.createTempDirectory("graft_gate4").toString
+    graft.streaming.StreamOps.ingestBatch(batch, 0L, s"$t2/idx", s"$t2/out",
+      intraBatch = true)
+    val d = decisions(s"$t2/out").sortBy(_._1).toSeq
+    assert(d.contains((5L, false, false, true)))
+    assert(d.contains((7L, true, true, false)))
+    assert(d.contains((9L, false, false, true)))
+    val six = d.find(_._1 == 6L).get
+    assert(!six._2 && six._3 && !six._4, s"6 should be intra near-dup: $six")
+    // retry with the same batchId: bit-identical (intra keys are a pure
+    // function of the batch — no self-probing introduced)
+    graft.streaming.StreamOps.ingestBatch(batch, 0L, s"$t2/idx", s"$t2/out",
+      intraBatch = true)
+    assert(decisions(s"$t2/out").sortBy(_._1).toSeq === d)
+    // a SECOND batch still screens cross-batch: the survivor's text is
+    // now prior state, so a re-arrival is an (exact) cross-batch dup
+    graft.streaming.StreamOps.ingestBatch(docs(11L -> sharedA), 1L,
+      s"$t2/idx", s"$t2/out", intraBatch = true)
+    assert(decisions(s"$t2/out").toSet.contains((11L, true, true, false)))
+  }
+
   test("retrying a batch with the same batchId is idempotent: verdicts " +
     "and index end bit-identical, no double rows, no self-matching") {
     val tmp = java.nio.file.Files

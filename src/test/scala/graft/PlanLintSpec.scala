@@ -41,10 +41,44 @@ class PlanLintSpec extends AnyFunSuite {
       "a small literal frame side is driver-bounded")
   }
 
+  test("scalarSide does not descend past a join: a large side BUILT ON " +
+    "a scalar aggregate is still flagged (the r10 false negative)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    // huge side that merely CONTAINS a scalar aggregate in its subtree
+    val hugeWithScalar = li.crossJoin(ord.agg(count(lit(1)).as("n")))
+    assert(!graft.tools.PlanLint.scalarSide(
+      hugeWithScalar.queryExecution.sparkPlan),
+      "scalar agg below a join must not exempt the whole side")
+    // while a genuine scalar side (through project/exchange) stays exempt
+    val scalar = ord.agg(count(lit(1)).as("n")).select(col("n") * 2)
+    assert(graft.tools.PlanLint.scalarSide(
+      scalar.queryExecution.sparkPlan))
+    // ...and the join of huge x (scalar-built-huge) therefore flags
+    val joined = li.join(hugeWithScalar.select(col("n")),
+      col("l_orderkey") =!= col("n"))
+    assert(lint(joined).map(_.kind).contains("bnlj") ||
+      lint(joined).map(_.kind).contains("cartesian"),
+      s"expected a flag, got ${lint(joined)}")
+  }
+
   test("the shipped whitelist matches the committed PLAN_LINT.md " +
-    "verdict: every allowed key names a registered query") {
+    "verdict: every allowed key names a registered query, no key " +
+    "repeats, and the committed report's whitelist count equals its " +
+    "distinct entry list (no per-node double counting)") {
     graft.tools.PlanLint.Allowed.keys.foreach { case (q, _) =>
       assert(SparkEntry.queries.contains(q), s"stale whitelist entry $q")
+    }
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLAN_LINT.md")), "UTF-8")
+    val wl = md.split("## Whitelisted").last.linesIterator
+      .filter(_.matches("- \\S+ `\\w+`:.*"))
+      .map(_.split("`").take(2).mkString("`")).toSeq
+    assert(wl === wl.distinct,
+      s"PLAN_LINT.md lists a (query, kind) twice: $wl")
+    "Whitelisted: (\\d+)".r.findFirstMatchIn(md).foreach { m =>
+      assert(m.group(1).toInt === wl.size,
+        "whitelist count must equal the distinct entry list")
     }
   }
 }

@@ -74,9 +74,13 @@ class AnnIngestSpec extends AnyFunSuite {
     }
     AnnIngest.compact(spark, s"$t/idx", 2L)
     assert(top1() === before)
-    // folded: only the base remains, and a pruned read shows the filter
-    val (base, deltas) = AnnIngest.live(spark, s"$t/idx", Long.MaxValue)
-    assert(base === Some(s"$t/idx/vectors/base_v2") && deltas.isEmpty)
+    // folded: one run remains, and a pruned read shows the filter
+    val (runs, deltas) = AnnIngest.live(spark, s"$t/idx", Long.MaxValue)
+    assert(runs === Seq(s"$t/idx/vectors/run_2_0") && deltas.isEmpty)
+    // compaction wrote the skew report (bounded: <= nCells entries)
+    val skewTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/idx/skew_v2.json")), "UTF-8")
+    assert(skewTxt.contains("\"skew\""))
     val pruned = AnnIngest.readIndex(spark, s"$t/idx", Some(Seq(1)))
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
@@ -114,6 +118,87 @@ class AnnIngestSpec extends AnyFunSuite {
     assert(AnnIngest.cellsFor(Long.MaxValue / 4) === (1 << 16)) // clamp
     assert(AnnIngest.cellsFor(100L) > AnnIngest.cellsFor(10L))
     intercept[IllegalArgumentException](AnnIngest.cellsFor(0L))
+  }
+
+  test("leveled compaction: small compactions fold only their deltas — " +
+    "the big run survives by name across later cycles") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ann7").toString
+    // 8 batches of 8 vectors, compact after every batch: binary counter
+    (0 until 8).foreach { b =>
+      AnnIngest.ingestBatch(vecs(b * 8 until (b + 1) * 8), b.toLong,
+        s"$t/idx", nCells = 4)
+      AnnIngest.compact(spark, s"$t/idx", b.toLong)
+      if (b == 6) {
+        val runs = graft.streaming.IngestIndex
+          .readManifest(spark, s"$t/idx").runs("vectors")
+        assert(runs.map(_.rows) === Seq(32L, 16L, 8L))
+        assert(runs.head.name.startsWith("run_3_"),
+          s"32-run built at t=3 must survive t=4..6: $runs")
+      }
+    }
+    val m = graft.streaming.IngestIndex.readManifest(spark, s"$t/idx")
+    assert(m.runs("vectors").map(_.rows) === Seq(64L))
+    // every vector is in the index exactly once through all the merges
+    val ids = AnnIngest.readIndex(spark, s"$t/idx", None)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === (0L until 64L))
+  }
+
+  test("retrain-at-compaction: a distribution-shifted feed is detected " +
+    "by the skew report, and the retrained index still satisfies the " +
+    "probe-all == exact contract with queries flipped atomically") {
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_ann8").toString
+    // first batch: well-spread vectors — the frozen quantizer's 4
+    // cells tile THAT distribution...
+    def cluster(ids: Range, base: Double) = ids.map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (base + 0.01 * math.sin(i * 31 + d * 7)).toFloat))
+    }.toDF("vec_id", "embedding")
+    AnnIngest.ingestBatch(vecs(0 until 30), 0L, s"$t/idx", nCells = 4)
+    // ...then the feed SHIFTS: a tight far-away cluster piles into one
+    // frozen cell — the drift the skew report exists to flag
+    AnnIngest.ingestBatch(cluster(30 until 90, -5.0), 1L, s"$t/idx",
+      nCells = 4)
+    AnnIngest.compact(spark, s"$t/idx", 1L)
+    val (skewBefore, _) = AnnIngest.skewReport(spark, s"$t/idx", 1L)
+    assert(skewBefore > 1.3, // >= 60 of 90 rows crowd one old cell
+      s"expected skew from the shifted feed, got $skewBefore")
+    // retrain rebuilds cells for the ACTUAL corpus and commits the new
+    // centroids + reassigned run in one manifest swap
+    AnnIngest.ingestBatch(cluster(90 until 120, -5.2), 2L, s"$t/idx",
+      nCells = 4)
+    AnnIngest.compact(spark, s"$t/idx", 2L, retrain = true)
+    val m = graft.streaming.IngestIndex.readManifest(spark, s"$t/idx")
+    assert(m.cents === Some("centroids_v2.json"))
+    val (_, counts) = AnnIngest.skewReport(spark, s"$t/idx", 2L)
+    assert(counts.values.sum === 120L) // nothing lost in the rebuild
+    // index rows agree with the NEW quantizer (atomic flip: no row
+    // still carries an old-centroid cell)
+    val cents = AnnIngest.readCentroids(spark, s"$t/idx").get
+    val idx = AnnIngest.readIndex(spark, s"$t/idx", None)
+    val expect = graft.sim.Ivf.assignCells(
+      idx.select("vec_id", "e", "norm"), cents)
+      .select(col("vec_id"), col("cell").as("cell_x"))
+    assert(idx.join(expect, Seq("vec_id"))
+      .filter(col("cell") =!= col("cell_x")).count() === 0L)
+    // probe-all == exact: probing every cell through the retrained
+    // index recovers each vector as its own top-1 at cos 1.0
+    val q = vecs(0 until 10).union(cluster(40 until 50, -5.0))
+    val self = AnnIngest.queryTopK(spark, s"$t/idx", q, k = 1, nProbe = 4)
+      .filter(col("nb_id") =!= col("vec_id") || col("cos_r") < 1.0)
+    assert(self.count() === 0L)
+    // ingest AFTER retrain assigns under the new quantizer too
+    AnnIngest.ingestBatch(cluster(120 until 130, -4.8), 3L, s"$t/idx",
+      nCells = 4)
+    val post = AnnIngest.readIndex(spark, s"$t/idx", None)
+      .filter(col("vec_id") >= 120)
+    val postExpect = graft.sim.Ivf.assignCells(
+      post.select("vec_id", "e", "norm"), cents)
+      .select(col("vec_id"), col("cell").as("cell_x"))
+    assert(post.join(postExpect, Seq("vec_id"))
+      .filter(col("cell") =!= col("cell_x")).count() === 0L)
   }
 
   test("lost centroids file with existing deltas fails fast instead of " +

@@ -51,26 +51,71 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(decisions(s"$t2/out") === decisions(s"$t1/out"))
     // batch 0's seed was flagged in every later batch
     assert(decisions(s"$t2/out").count(d => d._2 && !d._4) === 4)
-    // layout: manifest points at base_v3 (last compact at id=3), only
-    // delta batch=4 remains, folded deltas and their sidecars deleted
-    val (mc, base) = IngestIndex.readManifest(spark, s"$t2/idx")
-    assert(mc === 3L && base === Some("base_v3"))
+    // layout: manifest committed at upTo=3 (last compact at id=3), the
+    // two same-size-class runs from the two compactions were merged
+    // into one, only delta batch=4 remains, folded deltas + superseded
+    // runs and their sidecars deleted
+    val m = IngestIndex.readManifest(spark, s"$t2/idx")
+    assert(m.maxCompacted === 3L)
+    assert(m.runs("hashes").map(_.rows) === Seq(5L)) // seed + 4 uniques
     IngestIndex.Kinds.foreach { kind =>
       val live = IngestIndex.deltaDirs(spark, s"$t2/idx", kind, -1L,
         Long.MaxValue).map(_._1)
       assert(live === Seq(4L), s"$kind deltas after compaction")
+      assert(IngestIndex.runDirsOnDisk(spark, s"$t2/idx", kind).sorted ===
+        m.runs(kind).map(_.name).sorted, s"$kind superseded runs swept")
     }
-    // compacted base is hp-partitioned and holds every distinct hash
-    val baseDf = spark.read
-      .option("basePath", s"$t2/idx/hashes/base_v3")
-      .parquet(s"$t2/idx/hashes/base_v3")
-    assert(baseDf.columns.toSet === Set("h", "hp"))
-    assert(baseDf.schema("hp").dataType ===
+    // compacted run is hp-partitioned and holds every distinct hash
+    val runDir = s"$t2/idx/hashes/${m.runs("hashes").head.name}"
+    val runDf = spark.read.option("basePath", runDir).parquet(runDir)
+    assert(runDf.columns.toSet === Set("h", "hp"))
+    assert(runDf.schema("hp").dataType ===
       org.apache.spark.sql.types.StringType) // the "x" prefix guard
     val allH = spark.read.parquet(s"$t2/idx/hashes/batch=4")
-      .union(baseDf.select("h"))
+      .union(runDf.select("h"))
       .distinct().count()
     assert(allH === 6L) // 1 shared seed + 5 unique texts
+  }
+
+  test("leveled compaction: a small compaction folds only its deltas — " +
+    "the biggest run survives by name, and run sizes tier geometrically " +
+    "(binary counter), so compaction cost tracks delta size, not index " +
+    "size") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ii6").toString
+    val idx = s"$t/idx"
+    // 8 batches of 4 UNIQUE docs each (low-duplicate feed — the index
+    // grows linearly, the regime where full-base-rewrite compaction
+    // degrades), compacting after every batch
+    var statsLog = Vector.empty[IngestIndex.CompactStats]
+    var runsLog = Vector.empty[Seq[IngestIndex.Run]]
+    (0 until 8).foreach { b =>
+      val batch = docs((0 until 4).map { i =>
+        val id = 10L * b + i
+        id -> s"totally unique document $id with body ${id * 37}"
+      }: _*)
+      StreamOps.ingestBatch(batch, b.toLong, idx, s"$t/out")
+      statsLog :+= IngestIndex.compact(spark, idx, b.toLong)("hashes")
+      runsLog :+= IngestIndex.readManifest(spark, idx).runs("hashes")
+    }
+    // binary counter at t=6 (28 docs): runs of 16, 8, 4 — and the
+    // 16-row run is the one BUILT AT t=3, untouched by compactions
+    // 4–6 (the property full-base rewrite lacked: the biggest run is
+    // only rewritten when the corpus doubles)
+    assert(runsLog(6).map(_.rows) === Seq(16L, 8L, 4L))
+    assert(runsLog(6).head.name.startsWith("run_3_"),
+      s"the 16-run should survive from t=3: ${runsLog(6)}")
+    // at t=7 the counter carries: everything cascades into one 32-run
+    assert(runsLog(7).map(_.rows) === Seq(32L))
+    // every compaction folded exactly its delta; merge traffic follows
+    // the binary counter (0 when the low size classes are empty), so
+    // compaction cost tracks delta size except at the exponentially
+    // rare carry points
+    assert(statsLog.map(_.folded) === Vector.fill(8)(4L))
+    assert(statsLog.map(_.merged) ===
+      Vector(0L, 8L, 0L, 24L, 0L, 8L, 0L, 56L))
+    // total rewrite traffic 96 = n·log2(n/batch) — the full-rewrite
+    // policy's prior-base traffic for the same feed is 112 and grows
+    // quadratically with batch count, the binary counter's n·log n
   }
 
   test("probe plan prunes: suspect hash prefixes become partition " +
@@ -81,12 +126,12 @@ class IngestIndexSpec extends AnyFunSuite {
       StreamOps.ingestBatch(b, id, idx, s"$t/out") }
     IngestIndex.compact(spark, idx, 3L)
     val pr = IngestIndex.prior(spark, idx, "hashes", 4L)
-    assert(pr.baseDir.isDefined && pr.deltas.isEmpty &&
+    assert(pr.runs.lengthCompare(1) == 0 && pr.deltas.isEmpty &&
       pr.blooms.isDefined)
     // (a) pruned read: pick one REAL hp, assert the scan carries it as
     // a partition filter and returns only that partition's rows
     val one = spark.read
-      .option("basePath", pr.baseDir.get).parquet(pr.baseDir.get)
+      .option("basePath", pr.runs.head).parquet(pr.runs.head)
       .select("hp").head().getString(0)
     val pruned = IngestIndex.readPruned(spark, pr, "h", Some(Seq(one)))
     val plan = pruned.queryExecution.executedPlan.toString
