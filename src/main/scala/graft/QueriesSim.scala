@@ -588,9 +588,97 @@ object QueriesSim {
         |UNION ALL SELECT 'probe4_recall_floor', 1
         |""".stripMargin))
 
+  /** Retrain-at-compaction contract ([[graft.streaming.AnnIngest]]
+    * `retrainOnCompact`): embeddings stream in 4 batches with the
+    * SECOND HALF shifted far from the first (vec_id-keyed offset — the
+    * distribution drift a frozen quantizer cannot follow), compaction
+    * retrains the quantizer on the actual corpus and commits the
+    * reassigned index + new centroids in one manifest swap. Contracts:
+    * (1) manifest points at a retrained `centroids_v*` quantizer;
+    * (2) every indexed cell equals the argmin recompute under THE
+    * MANIFEST quantizer (atomic flip — no row left under old cells);
+    * (3) every vector indexed exactly once through the rebuild;
+    * (4) the skew telemetry file exists for the last compaction;
+    * (5) top-1 self-query at cos 1.0 through the retrained index. */
+  private val annIngestRetrainQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.{col, expr, when}
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val emb = Tables.load(s, dir, "embeddings")
+      // second half of the id space shifts by +8 in every dimension —
+      // far outside the first-half ball, so the first-batch quantizer
+      // would pile it into few cells (what retrain exists to fix)
+      val n = emb.count()
+      val typed = emb.select(col("vec_id").cast("long"),
+        expr("transform(embedding, x -> cast(x AS double))").as("e0"))
+        .withColumn("embedding", expr(
+          s"CASE WHEN vec_id >= ${n / 2} " +
+            "THEN transform(e0, x -> x + 8.0d) ELSE e0 END"))
+        .select("vec_id", "embedding")
+      // harness-only: batch staging for MemoryStream — ONE collect
+      val staged = typed.as[(Long, Seq[Double])].collect()
+      val batches = (0 to 3).map(b => staged.filter(_._1 % 4 == b).toSeq)
+      val tmp = s"/tmp/graft_sar_${java.util.UUID.randomUUID()}"
+      val ms = MemoryStream[(Long, Seq[Double])]
+      val q = graft.streaming.AnnIngest.annIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), s"$tmp/index",
+        checkpoint = Some(s"$tmp/ckpt"), nCells = 8, compactEvery = 2,
+        retrainOnCompact = true)
+      try {
+        batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+      } finally q.stop()
+      val retrained = graft.streaming.AnnIngest
+        .quantizerName(s, s"$tmp/index")
+        .exists(_.startsWith("centroids_v"))
+      val cents = graft.streaming.AnnIngest
+        .readCentroids(s, s"$tmp/index").get
+      val idx = graft.streaming.AnnIngest
+        .readIndex(s, s"$tmp/index", None).persist()
+      val expect = graft.sim.Ivf.assignCells(
+        idx.select("vec_id", "e", "norm"), cents)
+        .select(col("vec_id"), col("cell").as("cell_x"))
+      val mismatches = idx.join(expect, Seq("vec_id"))
+        .filter(col("cell") =!= col("cell_x")).count()
+      val indexedOnce = idx.count() == n &&
+        idx.select("vec_id").distinct().count() == n
+      val skewFile = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$tmp/index/skew_v3.json"))
+      val sample = typed.filter(col("vec_id") % 7 === 0)
+        .toDF("vec_id", "embedding")
+      val self = graft.streaming.AnnIngest.queryTopK(s, s"$tmp/index",
+          sample, k = 1, nProbe = 1)
+        .filter(col("nb_id") =!= col("vec_id") || col("cos_r") < 1.0)
+        .count()
+      idx.unpersist(false)
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      rm(java.nio.file.Paths.get(tmp))
+      Seq(
+        ("retrained_quantizer", if (retrained) 1 else 0),
+        ("cells_match_manifest_quantizer", if (mismatches == 0L) 1 else 0),
+        ("indexed_once", if (indexedOnce) 1 else 0),
+        ("skew_report_written", if (skewFile) 1 else 0),
+        ("self_hit", if (self == 0L) 1 else 0))
+        .toDF("contract", "ok")
+    },
+    oracle = Some(
+      """SELECT 'retrained_quantizer' AS contract, 1 AS ok
+        |UNION ALL SELECT 'cells_match_manifest_quantizer', 1
+        |UNION ALL SELECT 'indexed_once', 1
+        |UNION ALL SELECT 'skew_report_written', 1
+        |UNION ALL SELECT 'self_hit', 1
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_embed_cov"   -> embedCov,
     "q_stream_ann_ingest" -> streamAnnIngestQ,
+    "q_ann_ingest_retrain" -> annIngestRetrainQ,
     "q_cosine_topk" -> cosineTopK,
     "q_ann_lsh"     -> annLsh,
     "q_ann_ivf"     -> annIvf,

@@ -282,12 +282,13 @@ object QueriesText {
     * other holder is flagged — the keep-first rule a production crawl
     * needs because its micro-batches are millions of docs. Duplicates
     * are PLANTED deterministically (the oracle replays the same
-    * construction): each doc gets an even-offset twin (+100000 — same
-    * parity, so SAME batch → intra dup) and an odd-offset copy
-    * (+200001 — other parity, so the cross-batch screen fires too).
-    * 2 batches by doc_id parity; every verdict row is value-checked
-    * against "some earlier batch, or same batch with smaller doc_id,
-    * holds my hash / one of my bands". */
+    * construction): every doc gets ONE twin — even docs +100000 (same
+    * parity → SAME batch → the intra keep-first rule fires), odd docs
+    * +200001 (lands in the EARLIER batch → the cross-batch screen
+    * flags the original; the ranges are disjoint so twin ids never
+    * collide). 2 batches by doc_id parity; every verdict row is
+    * value-checked against "some earlier batch, or same batch with
+    * smaller doc_id, holds my hash / one of my bands". */
   private val streamDedupIntraQ: Q = Q(
     fn = (s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -297,8 +298,9 @@ object QueriesText {
       val base = docs(s, dir)
         .select(col("doc_id").cast("long"), col("text"))
       val d = base
-        .union(base.select(col("doc_id") + 100000L, col("text")))
-        .union(base.select(col("doc_id") + 200001L, col("text")))
+        .union(base.select(col("doc_id") + org.apache.spark.sql.functions
+          .when(col("doc_id") % 2 === 0, 100000L).otherwise(200001L),
+          col("text")))
         .as[(Long, String)]
       // harness-only: batch staging for MemoryStream — ONE collect,
       // partitioned driver-side
@@ -330,8 +332,8 @@ object QueriesText {
     oracle = Some(
       s"""WITH dd AS (
          |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 100000, text FROM documents
-         |  UNION ALL SELECT doc_id + 200001, text FROM documents),
+         |  UNION ALL SELECT doc_id + CASE WHEN doc_id % 2 = 0
+         |    THEN 100000 ELSE 200001 END, text FROM documents),
          |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
          |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
          |  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),

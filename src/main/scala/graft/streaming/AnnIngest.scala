@@ -89,6 +89,13 @@ object AnnIngest {
     try out.write(txt.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Name of the manifest-committed quantizer file, if retrain-at-
+    * compaction has replaced the original (None = the frozen
+    * first-batch `centroids.json` is still live). Telemetry surface for
+    * callers auditing whether a retrain took effect. */
+  def quantizerName(sp: SparkSession, indexDir: String): Option[String] =
+    IngestIndex.readManifest(sp, indexDir).cents
+
   /** The quantizer queries and ingest must use: the manifest's `cents`
     * pointer when retrain-at-compaction has committed one, else the
     * frozen first-batch `centroids.json`. */
@@ -323,6 +330,17 @@ object AnnIngest {
         if (stale) { f.delete(d, true); () }
       }
     }
+    // superseded retrain quantizers and older skew reports: only the
+    // manifest-referenced centroids file (plus the original fallback)
+    // and the latest skew telemetry stay — a forever stream must not
+    // accumulate one sidecar file per compaction
+    f.listStatus(new Path(indexDir)).toSeq.map(_.getPath)
+      .filter { d =>
+        val n = d.getName
+        (n.matches("centroids_v\\d+\\.json") && !cents.contains(n)) ||
+          n.matches("skew_v\\d+\\.json")
+      }
+      .foreach { d => f.delete(d, false); () }
     skewReport(sp, indexDir, upTo)
     ()
   }
