@@ -312,32 +312,40 @@ object AnnIngest {
     }
     IngestIndex.writeManifest(sp, indexDir,
       Manifest(upTo, Map("vectors" -> runs), cents))
-    // cleanup AFTER commit: every delta id ≤ upTo (swept from the disk
-    // listing, not the manifest-filtered live set — a batch delta
-    // rewritten by a foreachBatch retry after its compaction committed
-    // must not be orphaned forever), plus run dirs the manifest no
-    // longer references
+    // cleanup AFTER commit, with ONE-GENERATION retention (MVCC-lite,
+    // same contract as [[IngestIndex.compact]]): dirs superseded by
+    // THIS compaction stay until the NEXT one, so a concurrent
+    // [[queryTopK]] that planned its scan against the previous
+    // manifest survives this cleanup — the serving path only needs to
+    // finish within one compaction interval. Deleted now: deltas the
+    // PREVIOUS manifest had folded (swept from the disk listing, not
+    // the manifest-filtered live set — a retry-rewritten delta is
+    // still collected one generation later, never orphaned forever)
+    // and run dirs neither the new nor the previous manifest names.
     val p = new Path(vectorsDir(indexDir))
     if (f.exists(p)) {
-      val liveNames = runs.map(_.name).toSet
+      val retained = runs.map(_.name).toSet ++
+        m.runs.getOrElse("vectors", Nil).map(_.name)
       f.listStatus(p).toSeq.map(_.getPath).foreach { d =>
         val n = d.getName
         val stale =
           (n.startsWith("batch=") &&
-            n.stripPrefix("batch=").toLong <= upTo) ||
+            n.stripPrefix("batch=").toLong <= m.maxCompacted) ||
           ((n.startsWith("run_") || n.startsWith("base_v")) &&
-            !liveNames(n))
+            !retained(n))
         if (stale) { f.delete(d, true); () }
       }
     }
-    // superseded retrain quantizers and older skew reports: only the
-    // manifest-referenced centroids file (plus the original fallback)
+    // superseded retrain quantizers and older skew reports: the
+    // manifest-referenced centroids file, the PREVIOUS one (readers of
+    // the prior manifest may still resolve it), the original fallback,
     // and the latest skew telemetry stay — a forever stream must not
     // accumulate one sidecar file per compaction
     f.listStatus(new Path(indexDir)).toSeq.map(_.getPath)
       .filter { d =>
         val n = d.getName
-        (n.matches("centroids_v\\d+\\.json") && !cents.contains(n)) ||
+        (n.matches("centroids_v\\d+\\.json") &&
+          !cents.contains(n) && !m.cents.contains(n)) ||
           n.matches("skew_v\\d+\\.json")
       }
       .foreach { d => f.delete(d, false); () }

@@ -408,17 +408,25 @@ object IngestIndex {
     }.toMap
     writeManifest(sp, indexDir,
       Manifest(upTo, results.map { case (k, v) => k -> v._1 }, m.cents))
-    // cleanup AFTER commit: every delta id ≤ upTo (from -1: a retry-
-    // rewritten delta whose id pre-dates the manifest would otherwise
-    // be orphaned forever), plus any run dir the manifest no longer
-    // references — superseded merges AND crashed-compaction orphans
+    // cleanup AFTER commit, with ONE-GENERATION retention (MVCC-lite):
+    // dirs superseded by THIS compaction stay on disk until the NEXT
+    // one, so a reader that planned its scan against the previous
+    // manifest survives this cleanup — it only needs to finish within
+    // one compaction interval. Deleted now: deltas the PREVIOUS
+    // manifest had already folded (swept from -1, so a retry-rewritten
+    // delta whose compaction committed long ago is still collected one
+    // generation later, never orphaned forever) and run dirs that
+    // neither the new nor the previous manifest references
+    // (2-generations-old merges and crashed-compaction orphans).
     Kinds.foreach { kind =>
-      deltaDirs(sp, indexDir, kind, -1L, upTo + 1).foreach { case (id, d) =>
-        fs.delete(new Path(d), true)
-        deleteBloom(fs, bloomPath(indexDir, kind, s"batch=$id"))
-      }
-      val live = results(kind)._1.map(_.name).toSet
-      runDirsOnDisk(sp, indexDir, kind).filterNot(live).foreach { n =>
+      deltaDirs(sp, indexDir, kind, -1L, m.maxCompacted + 1)
+        .foreach { case (id, d) =>
+          fs.delete(new Path(d), true)
+          deleteBloom(fs, bloomPath(indexDir, kind, s"batch=$id"))
+        }
+      val retained = results(kind)._1.map(_.name).toSet ++
+        m.runs.getOrElse(kind, Nil).map(_.name)
+      runDirsOnDisk(sp, indexDir, kind).filterNot(retained).foreach { n =>
         fs.delete(new Path(s"$indexDir/$kind/$n"), true)
         deleteBloom(fs, bloomPath(indexDir, kind, n))
       }

@@ -53,17 +53,24 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(decisions(s"$t2/out").count(d => d._2 && !d._4) === 4)
     // layout: manifest committed at upTo=3 (last compact at id=3), the
     // two same-size-class runs from the two compactions were merged
-    // into one, only delta batch=4 remains, folded deltas + superseded
-    // runs and their sidecars deleted
+    // into one; the PROBE view sees only delta batch=4 (mc filter),
+    // while one-generation retention keeps the just-superseded dirs on
+    // disk until the NEXT compaction (deltas 2-3, run_1_0) so an
+    // in-flight reader of the previous manifest survives the cleanup
     val m = IngestIndex.readManifest(spark, s"$t2/idx")
     assert(m.maxCompacted === 3L)
     assert(m.runs("hashes").map(_.rows) === Seq(5L)) // seed + 4 uniques
     IngestIndex.Kinds.foreach { kind =>
-      val live = IngestIndex.deltaDirs(spark, s"$t2/idx", kind, -1L,
+      val live = IngestIndex.deltaDirs(spark, s"$t2/idx", kind,
+        m.maxCompacted, Long.MaxValue).map(_._1)
+      assert(live === Seq(4L), s"$kind probe-visible deltas")
+      val onDisk = IngestIndex.deltaDirs(spark, s"$t2/idx", kind, -1L,
         Long.MaxValue).map(_._1)
-      assert(live === Seq(4L), s"$kind deltas after compaction")
-      assert(IngestIndex.runDirsOnDisk(spark, s"$t2/idx", kind).sorted ===
-        m.runs(kind).map(_.name).sorted, s"$kind superseded runs swept")
+      assert(onDisk === Seq(2L, 3L, 4L),
+        s"$kind one-generation delta retention")
+      assert(IngestIndex.runDirsOnDisk(spark, s"$t2/idx", kind)
+        .sorted === (m.runs(kind).map(_.name) :+ "run_1_0").sorted,
+        s"$kind retains the previous manifest's run one generation")
     }
     // compacted run is hp-partitioned and holds every distinct hash
     val runDir = s"$t2/idx/hashes/${m.runs("hashes").head.name}"
@@ -116,6 +123,39 @@ class IngestIndexSpec extends AnyFunSuite {
     // total rewrite traffic 96 = n·log2(n/batch) — the full-rewrite
     // policy's prior-base traffic for the same feed is 112 and grows
     // quadratically with batch count, the binary counter's n·log n
+  }
+
+  test("one-generation retention: a reader planned against manifest " +
+    "version K executes correctly after version K+1 commits and cleans " +
+    "up; two compactions later the K dirs are gone") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ii7").toString
+    val idx = s"$t/idx"
+    def batch(b: Long) = docs(
+      (10 * b + 1) -> s"reader survival doc one of batch $b",
+      (10 * b + 2) -> s"reader survival doc two of batch $b")
+    (0L to 1L).foreach(b => StreamOps.ingestBatch(batch(b), b, idx, s"$t/out"))
+    IngestIndex.compact(spark, idx, 1L) // version K: run over batches 0-1
+    StreamOps.ingestBatch(batch(2L), 2L, idx, s"$t/out")
+    // plan a scan against version K (manifest + delta listing as of now)
+    val prK = IngestIndex.prior(spark, idx, "hashes", 3L)
+    val readerK = IngestIndex.readPruned(spark, prK, "h", None)
+    // version K+1 commits and cleans up while readerK is un-executed
+    StreamOps.ingestBatch(batch(3L), 3L, idx, s"$t/out")
+    IngestIndex.compact(spark, idx, 3L)
+    // the K-planned scan still executes: its run dir + delta survived
+    assert(readerK.count() === 6L) // batches 0-2, 2 docs each, distinct
+    // ...but after ANOTHER compaction the K generation is collected
+    StreamOps.ingestBatch(batch(4L), 4L, idx, s"$t/out")
+    IngestIndex.compact(spark, idx, 4L)
+    val names = IngestIndex.runDirsOnDisk(spark, idx, "hashes")
+    assert(!names.exists(_.startsWith("run_1_")),
+      s"version-K run must be collected two generations later: $names")
+    // the live view is intact through all of it
+    val m = IngestIndex.readManifest(spark, idx)
+    assert(m.maxCompacted === 4L)
+    assert(IngestIndex.readPruned(spark,
+      IngestIndex.prior(spark, idx, "hashes", 5L), "h", None)
+      .distinct().count() === 10L)
   }
 
   test("probe plan prunes: suspect hash prefixes become partition " +
