@@ -120,6 +120,11 @@ object IngestIndex {
     }
   }
 
+  /** Publish the manifest via write-temp-then-rename(OVERWRITE): the
+    * rename is the atomic commit on HDFS-like filesystems and the local
+    * FS, so a concurrent reader sees the OLD manifest or the NEW one,
+    * never a truncated in-place overwrite (which would read as "empty
+    * index" and silently skip the whole prior state). */
   private[streaming] def writeManifest(sp: SparkSession, indexDir: String,
                                        m: Manifest): Unit = {
     val fs = fsFor(sp, indexDir)
@@ -128,11 +133,18 @@ object IngestIndex {
         s"""{"name": "${r.name}", "rows": ${r.rows}}""").mkString(", ") + "]"
     }.mkString("{", ", ", "}")
     val centsJson = m.cents.map(c => s""", "cents": "$c"""").getOrElse("")
-    val out = fs.create(new Path(s"$indexDir/manifest.json"), true)
+    val tmp = new Path(s"$indexDir/manifest.json.tmp")
+    val dst = new Path(s"$indexDir/manifest.json")
+    val out = fs.create(tmp, true)
     try out.write(
       s"""{"maxCompacted": ${m.maxCompacted}$centsJson, "runs": $runsJson}"""
         .getBytes("UTF-8"))
     finally out.close()
+    val qTmp = fs.makeQualified(tmp)
+    val qDst = fs.makeQualified(dst)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      qDst.toUri, sp.sparkContext.hadoopConfiguration)
+    fc.rename(qTmp, qDst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   // ---- deltas -------------------------------------------------------------
