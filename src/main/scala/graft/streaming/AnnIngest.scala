@@ -172,7 +172,14 @@ object AnnIngest {
     val f = fs(sp, indexDir)
     val runs = m.runs.getOrElse("vectors", Nil)
       .map(r => s"${vectorsDir(indexDir)}/${r.name}")
-      .filter(d => f.exists(new Path(d)))
+    // manifest-referenced runs are committed-before-publish and
+    // retained one generation — a missing dir is corruption, and
+    // silently querying without it would drop its vectors from every
+    // top-k result
+    runs.find(d => !f.exists(new Path(d)))
+      .foreach(d => throw new IllegalStateException(
+        s"index run $d is referenced by the manifest but missing on " +
+          "disk — the index is corrupted; restore it or re-ingest"))
     val deltas = {
       val p = new Path(vectorsDir(indexDir))
       if (!f.exists(p)) Nil

@@ -116,6 +116,16 @@ object IngestIndex {
         m.group(1) -> runRe.findAllMatchIn(m.group(2))
           .map(r => Run(r.group(1), r.group(2).toLong)).toSeq
       }.toMap.filter(_._2.nonEmpty)
+      // fail-fast on a pre-tiered-layout manifest ("base": "base_vK"
+      // with no runs): silently parsing it as "no runs" would make
+      // every probe skip the whole compacted corpus — admitting every
+      // duplicate. No supported migration: rebuild the index.
+      if (runs.isEmpty &&
+          "\"base\"\\s*:\\s*\"".r.findFirstIn(txt).isDefined)
+        throw new IllegalStateException(
+          s"$indexDir/manifest.json uses the legacy single-base layout;" +
+            " rebuild the index (probing it as empty would silently" +
+            " re-admit every previously-seen document)")
       Manifest(mc, runs, cents)
     }
   }
@@ -254,7 +264,15 @@ object IngestIndex {
     val fs = fsFor(sp, indexDir)
     val m = readManifest(sp, indexDir)
     val runs = m.runs.getOrElse(kind, Nil)
-      .filter(r => fs.exists(new Path(s"$indexDir/$kind/${r.name}")))
+    // a manifest-referenced run dir is guaranteed present (committed
+    // before the manifest, retained one generation after supersession)
+    // — a missing one is index corruption, and silently probing
+    // without it would re-admit every duplicate it held
+    runs.find(r => !fs.exists(new Path(s"$indexDir/$kind/${r.name}")))
+      .foreach(r => throw new IllegalStateException(
+        s"index run $indexDir/$kind/${r.name} is referenced by the " +
+          "manifest but missing on disk — the index is corrupted; " +
+          "restore it or rebuild from the source feed"))
     val deltas = deltaDirs(sp, indexDir, kind, m.maxCompacted, batchId)
     val runBlooms = runs.map(r =>
       readBloom(fs, bloomPath(indexDir, kind, r.name)))

@@ -193,6 +193,39 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(IngestIndex.probeRows(spark, pr, suspect, "h").count() === 1L)
   }
 
+  test("corruption fails fast: a manifest-referenced run dir missing " +
+    "on disk throws instead of silently probing without it, and a " +
+    "legacy single-base manifest is refused outright") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ii8").toString
+    val idx = s"$t/idx"
+    mkBatches(2).foreach { case (id, b) =>
+      StreamOps.ingestBatch(b, id, idx, s"$t/out") }
+    IngestIndex.compact(spark, idx, 1L)
+    val m = IngestIndex.readManifest(spark, idx)
+    val runDir = s"$idx/hashes/${m.runs("hashes").head.name}"
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      java.nio.file.Files.deleteIfExists(p); ()
+    }
+    rm(java.nio.file.Paths.get(runDir))
+    val ex = intercept[IllegalStateException] {
+      IngestIndex.prior(spark, idx, "hashes", 5L)
+    }
+    assert(ex.getMessage.contains("corrupted"))
+    // legacy pre-tiered manifest: refuse, don't probe-as-empty
+    val t2 = java.nio.file.Files.createTempDirectory("graft_ii9").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t2, "x"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t2, "x", "manifest.json"),
+      """{"maxCompacted": 3, "base": "base_v3"}""")
+    val ex2 = intercept[IllegalStateException] {
+      IngestIndex.readManifest(spark, s"$t2/x")
+    }
+    assert(ex2.getMessage.contains("legacy"))
+  }
+
   test("restart without a checkpoint over a non-empty index is refused") {
     val s = spark
     import s.implicits._
