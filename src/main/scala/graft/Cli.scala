@@ -45,6 +45,10 @@ import graft.pipeline.Pipeline
   *                  [--minrate 0.95] [--out report.json]
   * graft.Cli inspect --spec ModelConfig.json [--data path] [--sets f.json]
   *                  [--binmethod m] [--binalgo a] [--meta a,b]  # spec gate
+  * graft.Cli gate   --feed docs/ --index idx/ --out decisions/
+  *                  [--checkpoint c/] [--intra true] [--compactevery 16]
+  * graft.Cli annindex --feed emb/ --index idx/ [--cells auto] [--retrain true]
+  * graft.Cli annindex --index idx/ --query e/ [--k 3] [--nprobe 1] [--out r/]
   * }}}
   *
   * `run` = init(autotype) → stats → varsel → norm → train → eval, printing
@@ -1187,10 +1191,81 @@ object Cli {
               s"${orphans.length} orphan dirs"
         }
 
+      case "gate" =>
+        // engine extension (no reference verb): the streaming ingestion
+        // dedup gate as a shell one-shot — drain everything currently
+        // in the feed dir through dedupIngestStream, then report. With
+        // --checkpoint, repeated invocations resume the SAME stream:
+        // each run screens only newly-arrived files against the
+        // persisted index (the incremental crawl-admission shape).
+        //   graft.Cli gate --feed docs/ --index idx/ --out decisions/
+        //     [--checkpoint c/] [--intra true] [--compactevery 16]
+        val feed = opts.getOrElse("feed", throw new IllegalArgumentException(
+          "gate needs --feed <parquet dir with doc_id,text>"))
+        val index = opts.getOrElse("index",
+          throw new IllegalArgumentException("gate needs --index <dir>"))
+        val out = opts.getOrElse("out",
+          throw new IllegalArgumentException("gate needs --out <dir>"))
+        val stream = spark.readStream
+          .schema(spark.read.parquet(feed).schema).parquet(feed)
+          .select(col("doc_id").cast("long"), col("text"))
+        val q = graft.streaming.StreamOps.dedupIngestStream(stream, index,
+          out, opts.get("checkpoint"),
+          opts.getOrElse("compactevery", "16").toInt,
+          opts.get("intra").exists(_ != "false"))
+        try q.processAllAvailable() finally q.stop()
+        val d = spark.read.parquet(out)
+        val total = d.count()
+        val kept = d.filter(col("kept")).count()
+        Seq(s"gate: $total decisions, $kept kept, " +
+          s"${total - kept} rejected; index at $index")
+
+      case "annindex" =>
+        // engine extension (no reference verb): the streaming ANN index
+        // — ingest an embeddings feed, or query a persisted index.
+        //   graft.Cli annindex --feed emb/ --index idx/ [--cells auto]
+        //     [--checkpoint c/] [--compactevery 16] [--retrain true]
+        //   graft.Cli annindex --index idx/ --query emb/ [--k 3]
+        //     [--nprobe 1] [--out results/]
+        val index = opts.getOrElse("index",
+          throw new IllegalArgumentException("annindex needs --index <dir>"))
+        opts.get("feed") match {
+          case Some(feed) =>
+            val emb = spark.read.parquet(feed)
+            val cells = opts.get("cells") match {
+              case Some("auto") | None =>
+                graft.streaming.AnnIngest.cellsFor(math.max(1L, emb.count()))
+              case Some(c) => c.toInt
+            }
+            val stream = spark.readStream.schema(emb.schema).parquet(feed)
+              .select(col("vec_id").cast("long"), col("embedding"))
+            val q = graft.streaming.AnnIngest.annIngestStream(stream, index,
+              opts.get("checkpoint"), cells,
+              opts.getOrElse("compactevery", "16").toInt,
+              opts.get("retrain").exists(_ != "false"))
+            try q.processAllAvailable() finally q.stop()
+            val n = graft.streaming.AnnIngest.readIndex(spark, index, None)
+              .count()
+            Seq(s"annindex: $n vectors live in $index (cells=$cells)")
+          case None =>
+            val queries = spark.read.parquet(opts.getOrElse("query",
+              throw new IllegalArgumentException(
+                "annindex needs --feed (ingest) or --query (search)")))
+              .select(col("vec_id").cast("long"), col("embedding"))
+            val res = graft.streaming.AnnIngest.queryTopK(spark, index,
+              queries, opts.getOrElse("k", "3").toInt,
+              opts.getOrElse("nprobe", "1").toInt)
+            opts.get("out").foreach(o =>
+              res.write.mode("overwrite").parquet(o))
+            Seq(s"annindex: ${res.count()} neighbor rows" +
+              opts.get("out").map(o => s" -> $o").getOrElse(""))
+        }
+
       case other =>
         throw new IllegalArgumentException(
           s"unknown verb '$other' (run|stats|varsel|norm|train|posttrain|" +
-            "encode|combo|eval|export|test|validate|inspect|warehouse)")
+            "encode|combo|eval|export|test|validate|inspect|warehouse|" +
+            "gate|annindex)")
     }
   }
 

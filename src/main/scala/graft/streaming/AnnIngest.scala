@@ -391,6 +391,28 @@ object AnnIngest {
         col("nb._2").as("nb_id"), round(col("nb._1"), 6).as("cos_r"))
   }
 
+  /** Skew ratio recorded by the most recent compaction (None before
+    * the first one). One tiny JSON read — the consumer side of
+    * [[skewReport]], used by the auto-retrain trigger. */
+  private[streaming] def lastSkew(sp: SparkSession, indexDir: String)
+      : Option[Double] = {
+    val f = fs(sp, indexDir)
+    val dir = new Path(indexDir)
+    if (!f.exists(dir)) return None
+    val latest = f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .flatMap { n =>
+        "skew_v(\\d+)\\.json".r.findFirstMatchIn(n)
+          .map(m => (m.group(1).toLong, n))
+      }.sortBy(-_._1).headOption
+    latest.flatMap { case (_, name) =>
+      val in = f.open(new Path(s"$indexDir/$name"))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"skew\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+    }
+  }
+
   /** Does `indexDir` hold vector state from a previous run? */
   private def nonEmpty(sp: SparkSession, indexDir: String): Boolean = {
     val f = fs(sp, indexDir)
@@ -404,13 +426,20 @@ object AnnIngest {
     * overwrite committed deltas); `compactEvery` > 0 folds the index
     * periodically so delta-dir count stays bounded on a forever
     * stream. `retrainOnCompact` opts every compaction into the
-    * quantizer rebuild ([[compact]]'s `retrain`) — for feeds whose
-    * distribution drifts past the frozen first-batch quantizer. */
+    * quantizer rebuild ([[compact]]'s `retrain`); `retrainSkewAbove`
+    * closes the telemetry loop instead — when the LAST compaction's
+    * recorded cell skew ([[skewReport]], max/mean occupancy) exceeds
+    * the threshold, THIS compaction retrains. Feeds whose distribution
+    * drifts past the frozen first-batch quantizer then self-heal at
+    * the next compaction boundary, paying the full rebuild only when
+    * the index's own telemetry says pruning has degraded (~2-4 is a
+    * sensible threshold; ∞ = never, the default). */
   def annIngestStream(stream: DataFrame, indexDir: String,
                       checkpoint: Option[String] = None,
                       nCells: Int = DefaultCells,
                       compactEvery: Int = 16,
-                      retrainOnCompact: Boolean = false)
+                      retrainOnCompact: Boolean = false,
+                      retrainSkewAbove: Double = Double.PositiveInfinity)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     if (checkpoint.isEmpty && nonEmpty(stream.sparkSession, indexDir))
       throw new IllegalStateException(
@@ -424,9 +453,13 @@ object AnnIngest {
          batchId: Long) =>
         if (!batch.isEmpty) {
           ingestBatch(batch.toDF(), batchId, indexDir, nCells)
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            compact(batch.sparkSession, indexDir, batchId,
-              retrain = retrainOnCompact)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            val sp = batch.sparkSession
+            val skewTrip = lastSkew(sp, indexDir)
+              .exists(_ > retrainSkewAbove)
+            compact(sp, indexDir, batchId,
+              retrain = retrainOnCompact || skewTrip)
+          }
         }
         ()
       }

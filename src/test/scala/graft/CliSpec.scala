@@ -900,6 +900,64 @@ class CliSpec extends AnyFunSuite {
     assert(evr.exists(_.contains("Eval Set - e1: data path doesn't exist")))
   }
 
+  test("gate: one-shot streaming dedup admission over a parquet feed — " +
+    "intra keep-first within the drain, checkpointed resume screens " +
+    "only new files against the persisted index") {
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_cli_gate").toString
+    def feedFile(rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$t/feed")
+    feedFile(
+      1L -> "cli gate seed document with some words in it",
+      2L -> "cli gate seed document with some words in it", // intra dup of 1
+      3L -> "a different document that should be admitted")
+    val r1 = Cli.run(spark, "gate", Map("feed" -> s"$t/feed",
+      "index" -> s"$t/idx", "out" -> s"$t/out",
+      "checkpoint" -> s"$t/ckpt", "intra" -> "true"))
+    assert(r1.head.startsWith("gate: 3 decisions, 2 kept, 1 rejected"),
+      r1.mkString("\n"))
+    // second invocation, same checkpoint: only the NEW file is
+    // screened, and it dups the first run's seed via the index
+    feedFile(4L -> "cli gate seed document with some words in it",
+      5L -> "yet another new and unique document arriving later")
+    val r2 = Cli.run(spark, "gate", Map("feed" -> s"$t/feed",
+      "index" -> s"$t/idx", "out" -> s"$t/out",
+      "checkpoint" -> s"$t/ckpt", "intra" -> "true"))
+    assert(r2.head.startsWith("gate: 5 decisions, 3 kept, 2 rejected"),
+      r2.mkString("\n"))
+    val d = spark.read.parquet(s"$t/out")
+      .select("doc_id", "kept").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(d(1L) && !d(2L) && d(3L) && !d(4L) && d(5L))
+  }
+
+  test("annindex: ingest an embeddings feed then query top-k through " +
+    "the persisted cell-pruned index") {
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_cli_ann").toString
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7))))
+      .toDF("vec_id", "embedding")
+    emb.coalesce(1).write.parquet(s"$t/feed")
+    val r1 = Cli.run(spark, "annindex", Map("feed" -> s"$t/feed",
+      "index" -> s"$t/idx", "cells" -> "4", "checkpoint" -> s"$t/ckpt"))
+    assert(r1.head.startsWith("annindex: 40 vectors live"),
+      r1.mkString("\n"))
+    emb.limit(5).coalesce(1).write.parquet(s"$t/q")
+    val r2 = Cli.run(spark, "annindex", Map("index" -> s"$t/idx",
+      "query" -> s"$t/q", "k" -> "1", "nprobe" -> "4",
+      "out" -> s"$t/res"))
+    assert(r2.head.startsWith("annindex: 5 neighbor rows"),
+      r2.mkString("\n"))
+    // probe-all top-1 of an indexed vector is itself at cos 1.0
+    val res = spark.read.parquet(s"$t/res")
+    assert(res.filter(org.apache.spark.sql.functions.col("nb_id") =!=
+      org.apache.spark.sql.functions.col("vec_id")).count() === 0L)
+  }
+
   test("warehouse: reports bucketed managed tables and orphan dirs, " +
     "prune deletes only orphans, drop removes the table entry AND dir") {
     val s = spark

@@ -201,6 +201,52 @@ class AnnIngestSpec extends AnyFunSuite {
       .filter(col("cell") =!= col("cell_x")).count() === 0L)
   }
 
+  test("retrainSkewAbove closes the telemetry loop: a compaction whose " +
+    "predecessor recorded high cell skew retrains automatically, without " +
+    "retrainOnCompact") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t = java.nio.file.Files.createTempDirectory("graft_ann9").toString
+    def cluster(ids: Range, base: Double) = ids.map { i =>
+      (i.toLong, Seq.tabulate(8)(d =>
+        base + 0.01 * math.sin(i * 31 + d * 7)))
+    }
+    def spread(ids: Range) = ids.map { i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7)))
+    }
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = AnnIngest.annIngestStream(
+      ms.toDF().toDF("vec_id", "embedding"), s"$t/idx",
+      checkpoint = Some(s"$t/ckpt"), nCells = 4, compactEvery = 2,
+      retrainSkewAbove = 1.3)
+    try {
+      // batch 0 spread (quantizer freezes on it), batch 1 the shifted
+      // cluster -> compaction at upTo=1 records high skew (no retrain:
+      // there is no prior telemetry yet)
+      ms.addData(spread(0 until 30)); q.processAllAvailable()
+      ms.addData(cluster(30 until 90, -5.0)); q.processAllAvailable()
+      assert(AnnIngest.quantizerName(spark, s"$t/idx").isEmpty)
+      assert(AnnIngest.lastSkew(spark, s"$t/idx").exists(_ > 1.3))
+      // two more shifted batches -> the upTo=3 compaction reads the
+      // recorded skew and self-heals by retraining
+      ms.addData(cluster(90 until 110, -5.1)); q.processAllAvailable()
+      ms.addData(cluster(110 until 120, -5.2)); q.processAllAvailable()
+    } finally q.stop()
+    assert(AnnIngest.quantizerName(spark, s"$t/idx")
+      === Some("centroids_v3.json"))
+    // the rebuilt index is consistent with the committed quantizer
+    val cents = AnnIngest.readCentroids(spark, s"$t/idx").get
+    val idx = AnnIngest.readIndex(spark, s"$t/idx", None)
+    val expect = graft.sim.Ivf.assignCells(
+      idx.select("vec_id", "e", "norm"), cents)
+      .select(col("vec_id"), col("cell").as("cell_x"))
+    assert(idx.join(expect, Seq("vec_id"))
+      .filter(col("cell") =!= col("cell_x")).count() === 0L)
+    assert(idx.count() === 120L)
+  }
+
   test("lost centroids file with existing deltas fails fast instead of " +
     "retraining an inconsistent quantizer") {
     val t = java.nio.file.Files.createTempDirectory("graft_ann6").toString
