@@ -675,10 +675,97 @@ object QueriesSim {
         |UNION ALL SELECT 'self_hit', 1
         |""".stripMargin))
 
+  /** ANN index deletion contract ([[graft.streaming.AnnIngest.delete]]
+    * — LSM tombstones): every vec_id ≡ 0 (mod 10) is tombstoned after
+    * ingest. Contracts: (1) reader-side exclusion is immediate (before
+    * any compaction — the anti-join over the delta state); (2) the
+    * query path excludes them (probe-all top-1 of a deleted vector is
+    * never itself); (3) after compaction the RUN PARQUET physically
+    * excludes them (read raw, bypassing the reader anti-join) and
+    * holds exactly n − n_deleted rows; (4) after the sweep-generation
+    * compaction, a re-ingested deleted id is visible again through the
+    * public read path (proves the tombstone was actually swept, via
+    * public surface only). */
+  private val annDeleteQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val typed = emb.select(col("vec_id").cast("long"),
+        expr("transform(embedding, x -> cast(x AS double))").as("embedding"))
+      val n = typed.count()
+      val tmp = s"/tmp/graft_adl_${java.util.UUID.randomUUID()}"
+      val idx = s"$tmp/index"
+      graft.streaming.AnnIngest.ingestBatch(
+        typed.filter(col("vec_id") % 2 === 0), 0L, idx, nCells = 8)
+      graft.streaming.AnnIngest.ingestBatch(
+        typed.filter(col("vec_id") % 2 === 1), 1L, idx, nCells = 8)
+      val doomed = typed.filter(col("vec_id") % 10 === 0)
+        .select("vec_id")
+      val nDel = doomed.count()
+      graft.streaming.AnnIngest.delete(s, idx, doomed, "takedown")
+      // (1) immediate exclusion over the delta-only state
+      val liveNow = graft.streaming.AnnIngest.readIndex(s, idx, None)
+        .select("vec_id").persist()
+      val immediateOk = liveNow.count() == n - nDel &&
+        liveNow.filter(col("vec_id") % 10 === 0).count() == 0L
+      liveNow.unpersist(false)
+      // (2) a deleted vector can no longer be its own top-1
+      val delSample = typed.filter(col("vec_id") % 10 === 0)
+        .limit(20).toDF("vec_id", "embedding")
+      val selfHits = graft.streaming.AnnIngest.queryTopK(s, idx,
+          delSample, k = 1, nProbe = 8)
+        .filter(col("nb_id") === col("vec_id")).count()
+      // (3) compaction folds the tombstone into the written run
+      graft.streaming.AnnIngest.compact(s, idx, 1L)
+      // harness-only: list the run dirs (internal layout) to read the
+      // physical run bytes, bypassing the reader-side anti-join
+      val runDirs = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(s"$idx/vectors"))
+          .iterator().asScala
+          .filter(_.getFileName.toString.startsWith("run_"))
+          .map(_.toString).toSeq
+      }
+      val rawRun = runDirs.map(d =>
+        s.read.option("basePath", d).parquet(d))
+        .reduce(_ unionByName _)
+        .select("vec_id").persist()
+      val physicalOk = rawRun.count() == n - nDel &&
+        rawRun.filter(col("vec_id") % 10 === 0).count() == 0L
+      rawRun.unpersist(false)
+      // (4) sweep generation, then re-ingest one deleted id
+      graft.streaming.AnnIngest.compact(s, idx, 2L)
+      graft.streaming.AnnIngest.ingestBatch(
+        typed.filter(col("vec_id") === 0), 3L, idx, nCells = 8)
+      val back = graft.streaming.AnnIngest.readIndex(s, idx, None)
+        .filter(col("vec_id") === 0).count()
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      rm(java.nio.file.Paths.get(tmp))
+      Seq(
+        ("immediate_exclusion", if (immediateOk) 1 else 0),
+        ("query_excludes_deleted", if (selfHits == 0L) 1 else 0),
+        ("physically_compacted_out", if (physicalOk) 1 else 0),
+        ("reingest_after_sweep", if (back == 1L) 1 else 0))
+        .toDF("contract", "ok")
+    },
+    oracle = Some(
+      """SELECT 'immediate_exclusion' AS contract, 1 AS ok
+        |UNION ALL SELECT 'query_excludes_deleted', 1
+        |UNION ALL SELECT 'physically_compacted_out', 1
+        |UNION ALL SELECT 'reingest_after_sweep', 1
+        |""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "q_embed_cov"   -> embedCov,
     "q_stream_ann_ingest" -> streamAnnIngestQ,
     "q_ann_ingest_retrain" -> annIngestRetrainQ,
+    "q_ann_delete"  -> annDeleteQ,
     "q_cosine_topk" -> cosineTopK,
     "q_ann_lsh"     -> annLsh,
     "q_ann_ivf"     -> annIvf,

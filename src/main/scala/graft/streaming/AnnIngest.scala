@@ -40,6 +40,11 @@ import graft.streaming.IngestIndex.{Manifest, Run}
   *    shift silently piles rows into a few hot cells, and this is the
   *    operator's own telemetry for noticing (`skew` = max/mean cell
   *    share; ≥ ~4 with many cells means pruning has stopped helping).
+  *  - `tombs/t_<tag>/` — deletion tombstones ([[delete]]): readers
+  *    anti-join them immediately; compaction folds them into every run
+  *    it writes and sweeps each tombstone once no live run predates it
+  *    (plus one retention generation) — the LSM delete, required the
+  *    moment a real corpus faces takedowns.
   *
   * Scale shape: ingest is APPEND-ONLY — unlike the dedup gate it never
   * probes prior state, so per-batch cost is O(batch) by construction
@@ -163,6 +168,50 @@ object AnnIngest {
   }
 
   private def vectorsDir(indexDir: String) = s"$indexDir/vectors"
+  private def tombsDir(indexDir: String) = s"$indexDir/tombs"
+
+  /** Register vectors for deletion (takedowns, dedup corrections): a
+    * TOMBSTONE — `ids` (single `vec_id` column) written under
+    * `tombs/t_<tag>` in overwrite mode, so re-issuing the same tag is
+    * idempotent. Readers anti-join live tombstones immediately (the
+    * ids vanish from every readIndex/queryTopK result as soon as this
+    * returns); the next [[compact]] APPLIES them (the rebuilt runs
+    * physically exclude the rows) and the one after SWEEPS the applied
+    * tombstone dirs (same one-generation retention as runs, so a
+    * reader planned before the apply still sees them). Semantics: a
+    * tombstone excludes its ids until it is swept — re-ingesting a
+    * deleted id becomes visible only after that second compaction.
+    * Call from the ingest control loop, not concurrently with a
+    * running compaction. */
+  def delete(sp: SparkSession, indexDir: String, ids: DataFrame,
+             tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_\\-]+"),
+      s"tombstone tag must be [A-Za-z0-9_-]+, got '$tag'")
+    ids.select(col("vec_id").cast("long"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"${tombsDir(indexDir)}/t_$tag")
+  }
+
+  /** Live (not yet swept) tombstone dirs on disk. Bounded: tombstones
+    * are applied at each compaction and swept one generation later. */
+  private[streaming] def tombDirs(sp: SparkSession, indexDir: String)
+      : Seq[String] = {
+    val p = new Path(tombsDir(indexDir))
+    val f = fs(sp, indexDir)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.map(_.getPath.toString)
+      .filter(_.split("/").last.startsWith("t_")).sorted
+  }
+
+  /** Exclude tombstoned ids from `rows` — a no-op plan when no
+    * tombstones are live (the common case pays nothing). */
+  private def minusTombs(sp: SparkSession, indexDir: String,
+      rows: DataFrame): DataFrame = {
+    val dirs = tombDirs(sp, indexDir)
+    if (dirs.isEmpty) rows
+    else rows.join(sp.read.parquet(dirs: _*).select("vec_id"),
+      Seq("vec_id"), "left_anti")
+  }
 
   /** Live (run dirs, delta dirs) under the manifest, batch deltas
     * strictly below `beforeBatch` (Long.MaxValue = everything). */
@@ -202,7 +251,7 @@ object AnnIngest {
       val full = sp.read.option("basePath", d).parquet(d)
       cells.fold(full)(cs => full.filter(col("cell").isin(cs: _*)))
     }
-    frames.reduceOption(_ unionByName _).getOrElse(
+    val all = frames.reduceOption(_ unionByName _).getOrElse(
       sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("vec_id",
@@ -214,6 +263,7 @@ object AnnIngest {
             org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.StructField("cell",
             org.apache.spark.sql.types.IntegerType)))))
+    minusTombs(sp, indexDir, all)
   }
 
   /** Write `df` (vec_id, e, norm, cell) as the cell-partitioned run
@@ -285,11 +335,28 @@ object AnnIngest {
     var cents = m.cents
     var seq = 0
     def nextName(): String = { val n = s"run_${upTo}_$seq"; seq += 1; n }
+    // tombstone ledger: every run written from here on excludes the
+    // live tombstones' ids, so a run's creation id (run_<id>_*) ≥ a
+    // tombstone's first-applied id proves the run is physically clean
+    // of it. `rows` in the "tombs" manifest kind records that
+    // first-applied compaction id.
+    val liveTombPaths = tombDirs(sp, indexDir)
+    val prevTombs = m.runs.getOrElse("tombs", Nil)
+    val tombRecords = liveTombPaths.map { d =>
+      val n = d.split("/").last
+      prevTombs.find(_.name == n).getOrElse(Run(n, upTo))
+    }
+    val clean: DataFrame => DataFrame =
+      if (liveTombPaths.isEmpty) identity
+      else {
+        val ids = sp.read.parquet(liveTombPaths: _*).select("vec_id")
+        df => df.join(ids, Seq("vec_id"), "left_anti")
+      }
     if (retrain) {
       val all = (runDirs ++ deltaDirs).map(readRunDir(sp, _))
         .reduceOption(_ union _)
       if (all.isEmpty) return
-      val corpus = all.get.select("vec_id", "e", "norm").persist()
+      val corpus = clean(all.get.select("vec_id", "e", "norm")).persist()
       val nCells = readCentroids(sp, indexDir)
         .map(_.length).getOrElse(DefaultCells)
       val newCents = graft.sim.Ivf.centroids(corpus, nCells)
@@ -303,22 +370,40 @@ object AnnIngest {
     } else {
       if (deltaDirs.nonEmpty) {
         val folded = writeRun(sp, indexDir, nextName(),
-          deltaDirs.map(readRunDir(sp, _)).reduce(_ union _))
+          clean(deltaDirs.map(readRunDir(sp, _)).reduce(_ union _)))
         if (folded.rows > 0) runs :+= folded
       }
       var sorted = runs.sortBy(r => (r.rows, r.name))
       while (sorted.lengthCompare(2) >= 0 &&
              sizeClass(sorted(1).rows) == sizeClass(sorted(0).rows)) {
         val (a, b) = (sorted(0), sorted(1))
-        val merged = writeRun(sp, indexDir, nextName(),
+        val merged = writeRun(sp, indexDir, nextName(), clean(
           readRunDir(sp, s"${vectorsDir(indexDir)}/${a.name}")
-            .union(readRunDir(sp, s"${vectorsDir(indexDir)}/${b.name}")))
+            .union(readRunDir(sp, s"${vectorsDir(indexDir)}/${b.name}"))))
         sorted = (merged +: sorted.drop(2)).sortBy(r => (r.rows, r.name))
       }
       runs = sorted.sortBy(-_.rows)
     }
+    // a tombstone is SWEEPABLE once every live run postdates-or-equals
+    // its first application (the ids are physically gone); sweep one
+    // generation later (condition already held at the previous
+    // manifest) so readers that planned an anti-join against it finish
+    def allClean(rs: Seq[Run], appliedAt: Long): Boolean =
+      rs.forall(r => "run_(\\d+)_".r.findFirstMatchIn(r.name)
+        .exists(_.group(1).toLong >= appliedAt))
+    val (sweep, keepTombs) = tombRecords.partition { tb =>
+      prevTombs.exists(_.name == tb.name) &&
+        allClean(m.runs.getOrElse("vectors", Nil), tb.rows) &&
+        allClean(runs, tb.rows)
+    }
     IngestIndex.writeManifest(sp, indexDir,
-      Manifest(upTo, Map("vectors" -> runs), cents))
+      Manifest(upTo,
+        Map("vectors" -> runs, "tombs" -> keepTombs)
+          .filter(_._2.nonEmpty),
+        cents))
+    sweep.foreach { tb =>
+      f.delete(new Path(s"${tombsDir(indexDir)}/${tb.name}"), true); ()
+    }
     // cleanup AFTER commit, with ONE-GENERATION retention (MVCC-lite,
     // same contract as [[IngestIndex.compact]]): dirs superseded by
     // THIS compaction stay until the NEXT one, so a concurrent

@@ -247,6 +247,62 @@ class AnnIngestSpec extends AnyFunSuite {
     assert(idx.count() === 120L)
   }
 
+  test("delete tombstones: ids vanish from queries immediately, " +
+    "compaction folds them out of every run it writes, and the " +
+    "tombstone is swept only after no live run predates it (plus one " +
+    "reader generation)") {
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_ann10").toString
+    val idx = s"$t/idx"
+    AnnIngest.ingestBatch(vecs(0 until 20), 0L, idx, nCells = 4)
+    AnnIngest.ingestBatch(vecs(20 until 40), 1L, idx, nCells = 4)
+    AnnIngest.compact(spark, idx, 1L) // run_1_0 holds 0..39
+    // a 40-vector batch so the t=2 fold lands in run_1_0's size class
+    // and the merge cascade rewrites EVERY run under the tombstone
+    AnnIngest.ingestBatch(vecs(40 until 80), 2L, idx, nCells = 4)
+    // tombstone two ids: one in the compacted run, one in the delta
+    AnnIngest.delete(spark, idx, Seq(5L, 45L).toDF("vec_id"), "case1")
+    def liveIds() = AnnIngest.readIndex(spark, idx, None)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(liveIds() === ((0L until 80L).filterNot(Set(5L, 45L))),
+      "reader-side exclusion is immediate")
+    // query path excludes them too (probe-all top-1 of a deleted id
+    // must NOT return itself)
+    val top1 = AnnIngest.queryTopK(spark, idx, vecs(5 until 6),
+      k = 1, nProbe = 4).select("nb_id").collect().map(_.getLong(0))
+    assert(!top1.contains(5L))
+    // compaction at t=2: fold (39 rows) shares run_1_0's size class ->
+    // cascade merge; every written run is clean, but the tombstone is
+    // NOT yet sweepable at its first application
+    AnnIngest.compact(spark, idx, 2L)
+    assert(AnnIngest.tombDirs(spark, idx).nonEmpty,
+      "first application must not sweep (reader generation)")
+    val m2 = graft.streaming.IngestIndex.readManifest(spark, idx)
+    assert(m2.runs("tombs").map(_.name) === Seq("t_case1"))
+    assert(m2.runs("vectors").map(_.rows) === Seq(78L)) // 80 - 2 deleted
+    // the physical run excludes the ids (read the run parquet raw,
+    // bypassing the reader-side anti-join)
+    val raw = m2.runs("vectors").map(r =>
+      spark.read.option("basePath", s"$idx/vectors/${r.name}")
+        .parquet(s"$idx/vectors/${r.name}"))
+      .reduce(_ unionByName _).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!raw.contains(5L) && !raw.contains(45L))
+    // next compaction: all runs postdate the tomb AND the condition
+    // held at the previous manifest -> swept
+    AnnIngest.ingestBatch(vecs(80 until 100), 3L, idx, nCells = 4)
+    AnnIngest.compact(spark, idx, 3L)
+    assert(AnnIngest.tombDirs(spark, idx).isEmpty, "swept at gen+1")
+    assert(graft.streaming.IngestIndex.readManifest(spark, idx)
+      .runs.get("tombs").isEmpty)
+    // a live tombstone is a STANDING exclusion; once swept, a deleted
+    // id can be re-ingested and becomes visible again
+    AnnIngest.ingestBatch(vecs(5 until 6), 4L, idx, nCells = 4)
+    assert(liveIds() === ((0L until 100L).filterNot(_ == 45L)),
+      "re-ingest after the sweep is visible")
+  }
+
   test("lost centroids file with existing deltas fails fast instead of " +
     "retraining an inconsistent quantizer") {
     val t = java.nio.file.Files.createTempDirectory("graft_ann6").toString
