@@ -364,6 +364,79 @@ object QueriesText {
          |LEFT JOIN nr ON d.doc_id = nr.doc_id
          |""".stripMargin))
 
+  // ---- ingest gate retraction (takedown) ------------------------------------
+
+  /** The gate's takedown path ([[graft.streaming.StreamOps.retractDocs]]):
+    * after batch 0 (even doc_ids) is indexed, every doc_id ≡ 0 (mod 10)
+    * is RETRACTED — its exact hash and band keys tombstoned — before
+    * batch 1 (odd doc_ids) screens. The oracle replays the key-level
+    * semantics exactly: an odd doc is a dup iff some batch-0 doc shares
+    * its hash / a band AND that key is not among the retracted docs'
+    * keys (key-level removal — a hash shared between a retracted and a
+    * surviving batch-0 doc is gone for both, which is what retracting
+    * content from a content-keyed index means). */
+  private val streamDedupRetractQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val base = docs(s, dir)
+        .select(col("doc_id").cast("long"), col("text"))
+      val tmp = s"/tmp/graft_sdr_${java.util.UUID.randomUUID()}"
+      graft.streaming.StreamOps.ingestBatch(
+        base.filter(col("doc_id") % 2 === 0), 0L, s"$tmp/index",
+        s"$tmp/out")
+      graft.streaming.StreamOps.retractDocs(
+        base.filter(col("doc_id") % 10 === 0), s"$tmp/index", "takedown")
+      graft.streaming.StreamOps.ingestBatch(
+        base.filter(col("doc_id") % 2 === 1), 1L, s"$tmp/index",
+        s"$tmp/out")
+      val out = s.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("dup_exact"), col("dup_near"),
+          col("kept"))
+        .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      rm(java.nio.file.Paths.get(tmp))
+      out.toDF("doc_id", "dup_exact", "dup_near", "kept")
+    },
+    oracle = Some(
+      s"""WITH $shingleCte,
+         |d AS (SELECT doc_id, doc_id % 2 AS b, md5(text) AS h
+         |      FROM documents),
+         |sig AS (SELECT doc_id,
+         |${minhashSelect(8)}
+         |FROM s),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |         md5(m_0 || m_1 || m_2 || m_3) AS band_hash FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(m_4 || m_5 || m_6 || m_7) FROM sig),
+         |bb AS (SELECT bands.*, d.b FROM bands JOIN d USING (doc_id)),
+         |rh AS (SELECT DISTINCT h FROM d WHERE doc_id % 10 = 0),
+         |rb AS (SELECT DISTINCT band_id, band_hash FROM bb
+         |       WHERE doc_id % 10 = 0),
+         |ex AS (SELECT DISTINCT n.doc_id
+         |       FROM d n JOIN d p ON n.h = p.h AND p.b < n.b
+         |       WHERE p.h NOT IN (SELECT h FROM rh)),
+         |nr AS (SELECT DISTINCT n.doc_id
+         |       FROM bb n JOIN bb p
+         |         ON n.band_id = p.band_id AND n.band_hash = p.band_hash
+         |        AND p.b < n.b
+         |       WHERE NOT EXISTS (SELECT 1 FROM rb
+         |         WHERE rb.band_id = p.band_id
+         |           AND rb.band_hash = p.band_hash))
+         |SELECT d.doc_id,
+         |  (ex.doc_id IS NOT NULL) AS dup_exact,
+         |  (nr.doc_id IS NOT NULL) AS dup_near,
+         |  (ex.doc_id IS NULL AND nr.doc_id IS NULL) AS kept
+         |FROM d LEFT JOIN ex ON d.doc_id = ex.doc_id
+         |LEFT JOIN nr ON d.doc_id = nr.doc_id
+         |""".stripMargin))
+
   // ---- LSH quality contract ------------------------------------------------
 
   /** MinHash-LSH candidate quality as ONE regression-guarded row: exact
@@ -2112,6 +2185,7 @@ object QueriesText {
     "q_incremental_dedup" -> incrementalDedupQ,
     "q_stream_dedup_ingest" -> streamDedupIngestQ,
     "q_stream_dedup_intra" -> streamDedupIntraQ,
+    "q_stream_dedup_retract" -> streamDedupRetractQ,
     "q_dedup_cc_iter" -> dedupCcIter,
     "q_stratified_sample" -> stratifiedSample,
     "q_minhash_est"   -> minhashJaccardEst,

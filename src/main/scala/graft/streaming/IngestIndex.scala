@@ -248,16 +248,53 @@ object IngestIndex {
       bloomPath(indexDir, kind, s"batch=$batchId"), bf)
   }
 
+  // ---- retraction tombstones ----------------------------------------------
+
+  /** Tombstone dir root for `kind`'s retracted keys. */
+  private def tombsDir(indexDir: String, kind: String) =
+    s"$indexDir/tombs_$kind"
+
+  /** Register `keys` (single key column) of `kind` for RETRACTION —
+    * the gate's takedown: future arrivals of content holding these
+    * keys are re-admitted as if never seen. Probes anti-join live
+    * tombstones immediately (the Bloom screen may still route a
+    * retracted key to the probe — a false positive costs a read, never
+    * a wrong decision); [[compact]] folds them into every run it
+    * writes and sweeps each tombstone once no live run predates it,
+    * plus one reader-retention generation. Overwrite mode per tag →
+    * idempotent re-issue. NOTE the key-sharing caveat: a hash/band key
+    * shared with OTHER documents is removed for them too (that is what
+    * retracting content means for an index keyed by content). */
+  private[streaming] def retractKeys(sp: SparkSession, indexDir: String,
+      kind: String, keys: DataFrame, tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_\\-]+"),
+      s"retraction tag must be [A-Za-z0-9_-]+, got '$tag'")
+    keys.distinct().write.mode("overwrite")
+      .parquet(s"${tombsDir(indexDir, kind)}/t_$tag")
+  }
+
+  /** Live (not yet swept) tombstone dirs of `kind`. */
+  private[streaming] def tombDirs(sp: SparkSession, indexDir: String,
+      kind: String): Seq[String] = {
+    val fs = fsFor(sp, indexDir)
+    val p = new Path(tombsDir(indexDir, kind))
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.toString)
+      .filter(_.split("/").last.startsWith("t_")).sorted
+  }
+
   // ---- probe --------------------------------------------------------------
 
   /** All prior index state of `kind` visible to `batchId`:
-    * (live run dirs, delta dirs, Bloom filters if COMPLETE).
-    * An incomplete sidecar set (legacy dirs, mid-write crash) returns
-    * None for the blooms — the probe then skips the pre-screen and
-    * reads the index exactly, never wrongly. */
+    * (live run dirs, delta dirs, Bloom filters if COMPLETE, live
+    * retraction-tombstone dirs). An incomplete sidecar set (legacy
+    * dirs, mid-write crash) returns None for the blooms — the probe
+    * then skips the pre-screen and reads the index exactly, never
+    * wrongly. */
   private[streaming] case class Prior(runs: Seq[String],
                                       deltas: Seq[String],
-                                      blooms: Option[Seq[BloomFilter]])
+                                      blooms: Option[Seq[BloomFilter]],
+                                      tombs: Seq[String] = Nil)
 
   private[streaming] def prior(sp: SparkSession, indexDir: String,
       kind: String, batchId: Long): Prior = {
@@ -281,7 +318,7 @@ object IngestIndex {
     val all = runBlooms ++ deltaBlooms
     val blooms = if (all.forall(_.isDefined)) Some(all.flatten) else None
     Prior(runs.map(r => s"$indexDir/$kind/${r.name}"),
-      deltas.map(_._2), blooms)
+      deltas.map(_._2), blooms, tombDirs(sp, indexDir, kind))
   }
 
   /** Exact copy of a Bloom filter (serialize round-trip — the public
@@ -315,7 +352,8 @@ object IngestIndex {
     * only run partitions whose `hp` appears in `hps` are scanned
     * (deltas are small and unpartitioned — read whole). `hps = None`
     * means "no suspect information" — read everything (exact fallback
-    * when sidecars are incomplete). */
+    * when sidecars are incomplete). Retracted keys (live tombstones)
+    * are anti-joined out — a no-op plan when none exist. */
   private[streaming] def readPruned(sp: SparkSession, pr: Prior,
       keyName: String, hps: Option[Seq[String]]): DataFrame = {
     val runs = pr.runs.map { d =>
@@ -323,13 +361,16 @@ object IngestIndex {
       hps.fold(full)(ps => full.filter(col("hp").isin(ps: _*)))
         .select(col(keyName))
     }
-    val delta =
+    val all = (runs ++ (
       if (pr.deltas.isEmpty) None
-      else Some(sp.read.parquet(pr.deltas: _*).select(col(keyName)))
-    (runs ++ delta.toSeq)
+      else Some(sp.read.parquet(pr.deltas: _*).select(col(keyName)))))
       .reduceOption(_ union _)
       .getOrElse(sp.emptyDataFrame
         .select(lit("").as(keyName)).limit(0))
+    if (pr.tombs.isEmpty) all
+    else all.join(
+      sp.read.parquet(pr.tombs: _*).toDF(keyName),
+      Seq(keyName), "left_anti")
   }
 
   /** The full routed probe for one kind: Bloom-screen `keys` (single
@@ -412,11 +453,26 @@ object IngestIndex {
       var seq = 0
       def nextName(): String = { val n = s"run_${upTo}_$seq"; seq += 1; n }
       var runs = m.runs.getOrElse(kind, Nil)
+      // retraction tombstones: every run written below excludes the
+      // live tombstones' keys; `rows` in the manifest's tombs_<kind>
+      // entry records the first compaction id that applied it
+      val tombPaths = tombDirs(sp, indexDir, kind)
+      val prevTombs = m.runs.getOrElse(s"tombs_$kind", Nil)
+      val tombRecords = tombPaths.map { d =>
+        val n = d.split("/").last
+        prevTombs.find(_.name == n).getOrElse(Run(n, upTo))
+      }
+      val clean: DataFrame => DataFrame =
+        if (tombPaths.isEmpty) identity
+        else {
+          val ids = sp.read.parquet(tombPaths: _*).toDF(keyName)
+          df => df.join(ids, Seq(keyName), "left_anti")
+        }
       var folded = 0L
       var mergedRows = 0L
       if (deltas.nonEmpty) {
         val r = writeRun(sp, indexDir, kind, keyName, nextName(),
-          sp.read.parquet(deltas.map(_._2): _*))
+          clean(sp.read.parquet(deltas.map(_._2): _*).select(keyName)))
         folded = r.rows
         if (r.rows > 0) runs :+= r
       }
@@ -428,16 +484,42 @@ object IngestIndex {
              sizeClass(sorted(1).rows) == sizeClass(sorted(0).rows)) {
         val (a, b) = (sorted(0), sorted(1))
         val merged = writeRun(sp, indexDir, kind, keyName, nextName(),
-          readRun(sp, indexDir, kind, keyName, a)
-            .union(readRun(sp, indexDir, kind, keyName, b)))
+          clean(readRun(sp, indexDir, kind, keyName, a)
+            .union(readRun(sp, indexDir, kind, keyName, b))))
         mergedRows += a.rows + b.rows
         sorted = (merged +: sorted.drop(2)).sortBy(r => (r.rows, r.name))
       }
       kind -> (sorted.sortBy(-_.rows),
-        CompactStats(folded, mergedRows, sorted.map(_.rows).sum))
+        CompactStats(folded, mergedRows, sorted.map(_.rows).sum),
+        tombRecords)
+    }.toMap
+    // a tombstone is sweepable once every live run of its kind
+    // postdates-or-equals its first application; sweep one generation
+    // later (condition held at the previous manifest too) so readers
+    // that planned an anti-join against it finish
+    def allClean(rs: Seq[Run], appliedAt: Long): Boolean =
+      rs.forall(r => "run_(\\d+)_".r.findFirstMatchIn(r.name)
+        .exists(_.group(1).toLong >= appliedAt))
+    val tombSplit = Kinds.map { kind =>
+      val (runsNow, _, tombRecords) = results(kind)
+      kind -> tombRecords.partition { tb =>
+        m.runs.getOrElse(s"tombs_$kind", Nil).exists(_.name == tb.name) &&
+          allClean(m.runs.getOrElse(kind, Nil), tb.rows) &&
+          allClean(runsNow, tb.rows)
+      }
     }.toMap
     writeManifest(sp, indexDir,
-      Manifest(upTo, results.map { case (k, v) => k -> v._1 }, m.cents))
+      Manifest(upTo,
+        (results.map { case (k, v) => k -> v._1 } ++
+          tombSplit.map { case (k, v) => s"tombs_$k" -> v._2 })
+          .filter(_._2.nonEmpty),
+        m.cents))
+    Kinds.foreach { kind =>
+      tombSplit(kind)._1.foreach { tb =>
+        fs.delete(new Path(s"${tombsDir(indexDir, kind)}/${tb.name}"), true)
+        ()
+      }
+    }
     // cleanup AFTER commit, with ONE-GENERATION retention (MVCC-lite):
     // dirs superseded by THIS compaction stay on disk until the NEXT
     // one, so a reader that planned its scan against the previous

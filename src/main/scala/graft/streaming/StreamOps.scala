@@ -513,6 +513,31 @@ object StreamOps {
     } finally { bands.unpersist(false); b.unpersist(false); () }
   }
 
+  /** Retract CONTENT from the ingest index (the gate's takedown): the
+    * exact hashes and MinHash band keys of `docs` are tombstoned, so a
+    * future arrival of that content is re-admitted as if never seen.
+    * Effective immediately (probes anti-join live tombstones); the
+    * next [[IngestIndex.compact]] folds them out of the physical runs
+    * and sweeps each tombstone once no live run predates it (+1 reader
+    * generation). Past DECISIONS are history and stay untouched.
+    * Key-sharing caveat: a band key shared with near-duplicate
+    * neighbors is removed for them too — the near-dup screen for those
+    * neighbors weakens until their content is next seen. Call from the
+    * ingest control loop, not concurrently with a running batch or
+    * compaction. */
+  def retractDocs(docs: DataFrame, indexDir: String, tag: String): Unit = {
+    val sp = docs.sparkSession
+    val b = docs.persist()
+    try {
+      IngestIndex.retractKeys(sp, indexDir, "hashes",
+        b.select(md5(col("text").cast("binary")).as("h")).distinct(), tag)
+      IngestIndex.retractKeys(sp, indexDir, "bands",
+        graft.text.TextOps.minhashBands(graft.text.TextOps.minhash(b))
+          .select(concat(col("band_hash"), lit(":"), col("band_id"))
+            .as("bk")).distinct(), tag)
+    } finally { b.unpersist(false); () }
+  }
+
   /** Start the gate. `compactEvery` > 0 folds the index every that
     * many batches ([[IngestIndex.compact]]) so delta-dir count — and
     * with it probe file-listing cost — stays bounded on a forever

@@ -193,6 +193,57 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(IngestIndex.probeRows(spark, pr, suspect, "h").count() === 1L)
   }
 
+  test("retraction: tombstoned content is re-admitted while the " +
+    "tombstone lives (standing exclusion), compaction physically drops " +
+    "its keys and sweeps one generation later, and content seen after " +
+    "the sweep indexes and screens normally again") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ii10").toString
+    val idx = s"$t/idx"; val out = s"$t/out"
+    val seed = "retract me this exact document text please now"
+    def d(outDir: String) = spark.read.parquet(outDir)
+      .select("doc_id", "dup_exact", "dup_near", "kept").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3))).toSet
+    StreamOps.ingestBatch(docs(1L -> seed,
+      2L -> "other content entirely unrelated to the seed"), 0L, idx, out)
+    StreamOps.ingestBatch(docs(3L -> seed), 1L, idx, out)
+    assert(d(out).contains((3L, true, true, false))) // flagged pre-retract
+    StreamOps.retractDocs(docs(99L -> seed), idx, "takedown")
+    // re-admitted immediately, and again while the tombstone lives —
+    // even though batch 2's own keys re-entered the delta state
+    StreamOps.ingestBatch(docs(4L -> seed), 2L, idx, out)
+    StreamOps.ingestBatch(docs(5L -> seed), 3L, idx, out)
+    assert(d(out).contains((4L, false, false, true)))
+    assert(d(out).contains((5L, false, false, true)))
+    // the unrelated doc's keys are untouched by the retraction
+    StreamOps.ingestBatch(docs(
+      6L -> "other content entirely unrelated to the seed"), 4L, idx, out)
+    assert(d(out).contains((6L, true, true, false)))
+    // compaction applies the tombstone: physical runs hold no seed key
+    IngestIndex.compact(spark, idx, 4L)
+    val m = IngestIndex.readManifest(spark, idx)
+    assert(m.runs("tombs_hashes").map(_.name) === Seq("t_takedown"))
+    val seedHash = docs(0L -> seed)
+      .select(md5(col("text").cast("binary"))).head().getString(0)
+    val rawRun = spark.read
+      .option("basePath", s"$idx/hashes/${m.runs("hashes").head.name}")
+      .parquet(s"$idx/hashes/${m.runs("hashes").head.name}")
+    assert(rawRun.filter(col("h") === seedHash).count() === 0L)
+    // next compaction sweeps the tombstone (reader generation passed)
+    StreamOps.ingestBatch(docs(
+      7L -> "filler document to advance the batch counter"), 5L, idx, out)
+    IngestIndex.compact(spark, idx, 5L)
+    assert(IngestIndex.tombDirs(spark, idx, "hashes").isEmpty)
+    assert(IngestIndex.readManifest(spark, idx).runs
+      .get("tombs_hashes").isEmpty)
+    // post-sweep: the seed is genuinely forgotten — first arrival is
+    // admitted, indexes, and the NEXT copy is flagged again
+    StreamOps.ingestBatch(docs(8L -> seed), 6L, idx, out)
+    StreamOps.ingestBatch(docs(9L -> seed), 7L, idx, out)
+    assert(d(out).contains((8L, false, false, true)))
+    assert(d(out).contains((9L, true, true, false)))
+  }
+
   test("corruption fails fast: a manifest-referenced run dir missing " +
     "on disk throws instead of silently probing without it, and a " +
     "legacy single-base manifest is refused outright") {
