@@ -47,8 +47,10 @@ import graft.pipeline.Pipeline
   *                  [--binmethod m] [--binalgo a] [--meta a,b]  # spec gate
   * graft.Cli gate   --feed docs/ --index idx/ --out decisions/
   *                  [--checkpoint c/] [--intra true] [--compactevery 16]
+  * graft.Cli gate   --index idx/ --retract docs/ [--tag takedown]
   * graft.Cli annindex --feed emb/ --index idx/ [--cells auto] [--retrain true]
   * graft.Cli annindex --index idx/ --query e/ [--k 3] [--nprobe 1] [--out r/]
+  * graft.Cli annindex --index idx/ --delete ids/ [--tag takedown]
   * }}}
   *
   * `run` = init(autotype) → stats → varsel → norm → train → eval, printing
@@ -1200,25 +1202,40 @@ object Cli {
         // persisted index (the incremental crawl-admission shape).
         //   graft.Cli gate --feed docs/ --index idx/ --out decisions/
         //     [--checkpoint c/] [--intra true] [--compactevery 16]
-        val feed = opts.getOrElse("feed", throw new IllegalArgumentException(
-          "gate needs --feed <parquet dir with doc_id,text>"))
         val index = opts.getOrElse("index",
           throw new IllegalArgumentException("gate needs --index <dir>"))
-        val out = opts.getOrElse("out",
-          throw new IllegalArgumentException("gate needs --out <dir>"))
-        val stream = spark.readStream
-          .schema(spark.read.parquet(feed).schema).parquet(feed)
-          .select(col("doc_id").cast("long"), col("text"))
-        val q = graft.streaming.StreamOps.dedupIngestStream(stream, index,
-          out, opts.get("checkpoint"),
-          opts.getOrElse("compactevery", "16").toInt,
-          opts.get("intra").exists(_ != "false"))
-        try q.processAllAvailable() finally q.stop()
-        val d = spark.read.parquet(out)
-        val total = d.count()
-        val kept = d.filter(col("kept")).count()
-        Seq(s"gate: $total decisions, $kept kept, " +
-          s"${total - kept} rejected; index at $index")
+        opts.get("retract") match {
+          case Some(r) =>
+            // takedown mode: tombstone that content's keys — future
+            // arrivals re-admitted; keys physically removed at the
+            // next compaction
+            graft.streaming.StreamOps.retractDocs(
+              spark.read.parquet(r).select(col("doc_id").cast("long"),
+                col("text")),
+              index, opts.getOrElse("tag", "takedown"))
+            Seq(s"gate: retracted content of $r from $index " +
+              s"(tag=${opts.getOrElse("tag", "takedown")})")
+          case None =>
+            val feed = opts.getOrElse("feed",
+              throw new IllegalArgumentException(
+                "gate needs --feed <parquet dir with doc_id,text> " +
+                  "or --retract"))
+            val out = opts.getOrElse("out",
+              throw new IllegalArgumentException("gate needs --out <dir>"))
+            val stream = spark.readStream
+              .schema(spark.read.parquet(feed).schema).parquet(feed)
+              .select(col("doc_id").cast("long"), col("text"))
+            val q = graft.streaming.StreamOps.dedupIngestStream(stream,
+              index, out, opts.get("checkpoint"),
+              opts.getOrElse("compactevery", "16").toInt,
+              opts.get("intra").exists(_ != "false"))
+            try q.processAllAvailable() finally q.stop()
+            val d = spark.read.parquet(out)
+            val total = d.count()
+            val kept = d.filter(col("kept")).count()
+            Seq(s"gate: $total decisions, $kept kept, " +
+              s"${total - kept} rejected; index at $index")
+        }
 
       case "annindex" =>
         // engine extension (no reference verb): the streaming ANN index
@@ -1229,6 +1246,19 @@ object Cli {
         //     [--nprobe 1] [--out results/]
         val index = opts.getOrElse("index",
           throw new IllegalArgumentException("annindex needs --index <dir>"))
+        // takedown mode (exclusive): --delete <parquet with vec_id>
+        // tombstones those ids — immediate exclusion from every query;
+        // compacted out, then swept
+        opts.get("delete") match {
+          case Some(del) =>
+            val ids = spark.read.parquet(del).select(col("vec_id"))
+            val n = ids.distinct().count()
+            graft.streaming.AnnIngest.delete(spark, index, ids,
+              opts.getOrElse("tag", "takedown"))
+            return Seq(s"annindex: tombstoned $n ids in $index " +
+              s"(tag=${opts.getOrElse("tag", "takedown")})")
+          case None => ()
+        }
         opts.get("feed") match {
           case Some(feed) =>
             val emb = spark.read.parquet(feed)

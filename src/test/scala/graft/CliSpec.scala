@@ -931,6 +931,19 @@ class CliSpec extends AnyFunSuite {
       .select("doc_id", "kept").collect()
       .map(r => (r.getLong(0), r.getBoolean(1))).toMap
     assert(d(1L) && !d(2L) && d(3L) && !d(4L) && d(5L))
+    // takedown: retract the seed's content, then a third run re-admits
+    // a fresh copy of it
+    Seq(0L -> "cli gate seed document with some words in it")
+      .toDF("doc_id", "text").write.parquet(s"$t/takedown")
+    val r3 = Cli.run(spark, "gate", Map("index" -> s"$t/idx",
+      "retract" -> s"$t/takedown"))
+    assert(r3.head.startsWith("gate: retracted"), r3.mkString("\n"))
+    feedFile(6L -> "cli gate seed document with some words in it")
+    val r4 = Cli.run(spark, "gate", Map("feed" -> s"$t/feed",
+      "index" -> s"$t/idx", "out" -> s"$t/out",
+      "checkpoint" -> s"$t/ckpt", "intra" -> "true"))
+    assert(r4.head.startsWith("gate: 6 decisions, 4 kept"),
+      r4.mkString("\n"))
   }
 
   test("annindex: ingest an embeddings feed then query top-k through " +
@@ -956,6 +969,18 @@ class CliSpec extends AnyFunSuite {
     val res = spark.read.parquet(s"$t/res")
     assert(res.filter(org.apache.spark.sql.functions.col("nb_id") =!=
       org.apache.spark.sql.functions.col("vec_id")).count() === 0L)
+    // takedown: delete two ids, the same query no longer self-hits them
+    Seq(0L, 1L).toDF("vec_id").write.parquet(s"$t/del")
+    val r3 = Cli.run(spark, "annindex", Map("index" -> s"$t/idx",
+      "delete" -> s"$t/del"))
+    assert(r3.head.startsWith("annindex: tombstoned 2 ids"),
+      r3.mkString("\n"))
+    Cli.run(spark, "annindex", Map("index" -> s"$t/idx",
+      "query" -> s"$t/q", "k" -> "1", "nprobe" -> "4",
+      "out" -> s"$t/res2"))
+    val res2 = spark.read.parquet(s"$t/res2")
+    assert(res2.filter(org.apache.spark.sql.functions.col("nb_id")
+      .isin(0L, 1L)).count() === 0L)
   }
 
   test("warehouse: reports bucketed managed tables and orphan dirs, " +
