@@ -1285,9 +1285,15 @@ object Cli {
             val res = graft.streaming.AnnIngest.queryTopK(spark, index,
               queries, opts.getOrElse("k", "3").toInt,
               opts.getOrElse("nprobe", "1").toInt)
-            opts.get("out").foreach(o =>
-              res.write.mode("overwrite").parquet(o))
-            Seq(s"annindex: ${res.count()} neighbor rows" +
+            // count the WRITTEN parquet when an out dir is given — a
+            // separate res.count() would re-run the whole probe join
+            val n = opts.get("out") match {
+              case Some(o) =>
+                res.write.mode("overwrite").parquet(o)
+                spark.read.parquet(o).count()
+              case None => res.count()
+            }
+            Seq(s"annindex: $n neighbor rows" +
               opts.get("out").map(o => s" -> $o").getOrElse(""))
         }
 

@@ -734,10 +734,12 @@ object QueriesSim {
       val physicalOk = rawRun.count() == n - nDel &&
         rawRun.filter(col("vec_id") % 10 === 0).count() == 0L
       rawRun.unpersist(false)
-      // (4) sweep generation, then re-ingest one deleted id
+      // (4) logical sweep (gen+1), physical delete (gen+2), then
+      // re-ingest one deleted id
       graft.streaming.AnnIngest.compact(s, idx, 2L)
+      graft.streaming.AnnIngest.compact(s, idx, 3L)
       graft.streaming.AnnIngest.ingestBatch(
-        typed.filter(col("vec_id") === 0), 3L, idx, nCells = 8)
+        typed.filter(col("vec_id") === 0), 4L, idx, nCells = 8)
       val back = graft.streaming.AnnIngest.readIndex(s, idx, None)
         .filter(col("vec_id") === 0).count()
       def rm(p: java.nio.file.Path): Unit = {

@@ -105,11 +105,12 @@ object AnnIngest {
     * pointer when retrain-at-compaction has committed one, else the
     * frozen first-batch `centroids.json`. */
   def readCentroids(sp: SparkSession, indexDir: String)
-      : Option[Array[Array[Double]]] = {
-    val name = IngestIndex.readManifest(sp, indexDir).cents
-      .getOrElse("centroids.json")
-    readCentroidsFile(sp, indexDir, name)
-  }
+      : Option[Array[Array[Double]]] =
+    centroidsOf(IngestIndex.readManifest(sp, indexDir), sp, indexDir)
+
+  private def centroidsOf(m: Manifest, sp: SparkSession, indexDir: String)
+      : Option[Array[Array[Double]]] =
+    readCentroidsFile(sp, indexDir, m.cents.getOrElse("centroids.json"))
 
   private def readCentroidsFile(sp: SparkSession, indexDir: String,
       name: String): Option[Array[Array[Double]]] = {
@@ -187,6 +188,18 @@ object AnnIngest {
              tag: String): Unit = {
     require(tag.matches("[A-Za-z0-9_\\-]+"),
       s"tombstone tag must be [A-Za-z0-9_-]+, got '$tag'")
+    // an APPLIED tag must not be re-issued with more ids: the sweep
+    // proof covers what was applied under that name, so extending it
+    // could sweep before the new ids are removed — silently undoing a
+    // takedown. Overwriting a not-yet-applied tag stays allowed (the
+    // idempotent-retry shape).
+    val m = IngestIndex.readManifest(sp, indexDir)
+    val applied = (m.runs.getOrElse("tombs", Nil) ++
+      m.runs.getOrElse("tswept", Nil)).map(_.name).toSet
+    if (applied.contains(s"t_$tag"))
+      throw new IllegalArgumentException(
+        s"tombstone tag '$tag' was already applied by a compaction — " +
+          "issue the additional ids under a fresh tag")
     ids.select(col("vec_id").cast("long"))
       .distinct()
       .write.mode("overwrite").parquet(s"${tombsDir(indexDir)}/t_$tag")
@@ -216,8 +229,12 @@ object AnnIngest {
   /** Live (run dirs, delta dirs) under the manifest, batch deltas
     * strictly below `beforeBatch` (Long.MaxValue = everything). */
   private[streaming] def live(sp: SparkSession, indexDir: String,
+      beforeBatch: Long): (Seq[String], Seq[String]) =
+    liveWith(IngestIndex.readManifest(sp, indexDir), sp, indexDir,
+      beforeBatch)
+
+  private def liveWith(m: Manifest, sp: SparkSession, indexDir: String,
       beforeBatch: Long): (Seq[String], Seq[String]) = {
-    val m = IngestIndex.readManifest(sp, indexDir)
     val f = fs(sp, indexDir)
     val runs = m.runs.getOrElse("vectors", Nil)
       .map(r => s"${vectorsDir(indexDir)}/${r.name}")
@@ -245,8 +262,13 @@ object AnnIngest {
     * `cells` is given — the pruned read is the query fast path
     * (PartitionFilters on the scan, spec-asserted). */
   def readIndex(sp: SparkSession, indexDir: String,
-      cells: Option[Seq[Int]]): DataFrame = {
-    val (runs, deltas) = live(sp, indexDir, Long.MaxValue)
+      cells: Option[Seq[Int]]): DataFrame =
+    readIndexWith(IngestIndex.readManifest(sp, indexDir), sp, indexDir,
+      cells)
+
+  private def readIndexWith(m: Manifest, sp: SparkSession,
+      indexDir: String, cells: Option[Seq[Int]]): DataFrame = {
+    val (runs, deltas) = liveWith(m, sp, indexDir, Long.MaxValue)
     val frames = (runs ++ deltas).map { d =>
       val full = sp.read.option("basePath", d).parquet(d)
       cells.fold(full)(cs => full.filter(col("cell").isin(cs: _*)))
@@ -266,15 +288,30 @@ object AnnIngest {
     minusTombs(sp, indexDir, all)
   }
 
+  private val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("e",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("norm",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.IntegerType)))
+
   /** Write `df` (vec_id, e, norm, cell) as the cell-partitioned run
-    * `name` and return its manifest entry. */
+    * `name` and return its manifest entry. Explicit-schema read-back:
+    * a fully-tombstoned input writes an empty partitioned dir, and a
+    * schema-inferring read of that throws — wedging compaction
+    * permanently (the retry hits the same empty write). */
   private def writeRun(sp: SparkSession, indexDir: String, name: String,
       df: DataFrame): Run = {
     val dir = s"${vectorsDir(indexDir)}/$name"
     df.select(col("vec_id"), col("e"), col("norm"), col("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
-    Run(name, sp.read.option("basePath", dir).parquet(dir).count())
+    Run(name, sp.read.option("basePath", dir).schema(vecSchema)
+      .parquet(dir).count())
   }
 
   private def readRunDir(sp: SparkSession, d: String): DataFrame =
@@ -285,24 +322,36 @@ object AnnIngest {
     63 - java.lang.Long.numberOfLeadingZeros(math.max(rows, 1L))
 
   /** Cell-occupancy skew report, written as `skew_v<upTo>.json` at each
-    * compaction. Row counts come from a partition-column-only aggregate
-    * (parquet footers — no vector bytes read), so the report is cheap
-    * even on a big index. Returns (skew ratio, per-cell counts). */
+    * compaction. Counts the PHYSICAL runs/deltas directly — a
+    * partition-column-only aggregate (parquet footers, no vector bytes
+    * read), deliberately WITHOUT the tombstone anti-join the reader
+    * path applies: occupancy telemetry describes the layout, and the
+    * anti-join would force vec_id reads of the whole corpus whenever a
+    * tombstone is live. Cheap even on a big index. Returns
+    * (skew ratio, per-cell counts). */
   private[streaming] def skewReport(sp: SparkSession, indexDir: String,
       upTo: Long): (Double, Map[Int, Long]) = {
-    val counts = readIndex(sp, indexDir, None)
-      .groupBy("cell").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (runs, deltas) = live(sp, indexDir, Long.MaxValue)
+    val counts = (runs ++ deltas)
+      .map(d => sp.read.option("basePath", d).schema(vecSchema).parquet(d))
+      .reduceOption(_ unionByName _)
+      .map(_.groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty[Int, Long])
     val skew =
       if (counts.isEmpty) 0.0
       else counts.values.max.toDouble *
         counts.size / counts.values.sum
     val body = counts.toSeq.sorted.map { case (c, n) => s""""$c": $n""" }
       .mkString("{", ", ", "}")
+    // Locale.ROOT: the default-locale f-interpolator writes a comma
+    // decimal separator on e.g. de_DE JVMs — malformed JSON that would
+    // silently disable the retrainSkewAbove trigger
+    val skewTxt = "%.4f".formatLocal(java.util.Locale.ROOT, skew)
     val out = fs(sp, indexDir)
       .create(new Path(s"$indexDir/skew_v$upTo.json"), true)
     try out.write(
-      (f"""{"skew": $skew%.4f, "cells": $body}""").getBytes("UTF-8"))
+      (s"""{"skew": $skewTxt, "cells": $body}""").getBytes("UTF-8"))
     finally out.close()
     (skew, counts)
   }
@@ -339,9 +388,12 @@ object AnnIngest {
     // live tombstones' ids, so a run's creation id (run_<id>_*) ≥ a
     // tombstone's first-applied id proves the run is physically clean
     // of it. `rows` in the "tombs" manifest kind records that
-    // first-applied compaction id.
-    val liveTombPaths = tombDirs(sp, indexDir)
+    // first-applied compaction id; dirs in "tswept" were logically
+    // swept last cycle and await physical deletion (not live).
     val prevTombs = m.runs.getOrElse("tombs", Nil)
+    val sweptPending = m.runs.getOrElse("tswept", Nil)
+    val liveTombPaths = tombDirs(sp, indexDir)
+      .filterNot(d => sweptPending.exists(_.name == d.split("/").last))
     val tombRecords = liveTombPaths.map { d =>
       val n = d.split("/").last
       prevTombs.find(_.name == n).getOrElse(Run(n, upTo))
@@ -380,14 +432,19 @@ object AnnIngest {
         val merged = writeRun(sp, indexDir, nextName(), clean(
           readRunDir(sp, s"${vectorsDir(indexDir)}/${a.name}")
             .union(readRunDir(sp, s"${vectorsDir(indexDir)}/${b.name}"))))
-        sorted = (merged +: sorted.drop(2)).sortBy(r => (r.rows, r.name))
+        // a fully-tombstoned merge yields zero rows — drop it instead
+        // of looping on an empty size class
+        sorted = ((if (merged.rows > 0) Seq(merged) else Nil) ++
+          sorted.drop(2)).sortBy(r => (r.rows, r.name))
       }
       runs = sorted.sortBy(-_.rows)
     }
-    // a tombstone is SWEEPABLE once every live run postdates-or-equals
-    // its first application (the ids are physically gone); sweep one
-    // generation later (condition already held at the previous
-    // manifest) so readers that planned an anti-join against it finish
+    // tombstone lifecycle, two-phase so readers get the same
+    // one-generation grace as runs: LOGICALLY sweepable once every
+    // live run postdates-or-equals its first application AND that
+    // already held at the previous manifest; it then moves to "tswept"
+    // (files stay — in-flight readers still anti-join them,
+    // harmlessly) and is PHYSICALLY deleted at the NEXT compaction.
     def allClean(rs: Seq[Run], appliedAt: Long): Boolean =
       rs.forall(r => "run_(\\d+)_".r.findFirstMatchIn(r.name)
         .exists(_.group(1).toLong >= appliedAt))
@@ -398,10 +455,12 @@ object AnnIngest {
     }
     IngestIndex.writeManifest(sp, indexDir,
       Manifest(upTo,
-        Map("vectors" -> runs, "tombs" -> keepTombs)
+        Map("vectors" -> runs, "tombs" -> keepTombs,
+          "tswept" -> sweep.map(tb => Run(tb.name, upTo)))
           .filter(_._2.nonEmpty),
         cents))
-    sweep.foreach { tb =>
+    // physical deletion of LAST cycle's logically-swept tombstones
+    sweptPending.foreach { tb =>
       f.delete(new Path(s"${tombsDir(indexDir)}/${tb.name}"), true); ()
     }
     // cleanup AFTER commit, with ONE-GENERATION retention (MVCC-lite,
@@ -454,14 +513,19 @@ object AnnIngest {
     * callers screening a corpus against itself filter them. */
   def queryTopK(sp: SparkSession, indexDir: String, queries: DataFrame,
                 k: Int = 3, nProbe: Int = 1): DataFrame = {
-    val cents = readCentroids(sp, indexDir).getOrElse(
+    // ONE manifest read for both the quantizer and the run set: a
+    // retrain commit between two separate reads would pair old
+    // centroids with new-quantizer cell ids — same value range,
+    // semantically wrong cells, silent recall collapse
+    val m = IngestIndex.readManifest(sp, indexDir)
+    val cents = centroidsOf(m, sp, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no centroids at $indexDir — ingest at least one batch first"))
     val q = graft.sim.Similarity.prep(queries)
     val probes = graft.sim.Ivf.assignProbes(q, cents, nProbe)
     val cells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ nCells values
-    val idx = readIndex(sp, indexDir, Some(cells))
+    val idx = readIndexWith(m, sp, indexDir, Some(cells))
       .select(col("cell"), col("vec_id").as("nb_id"), col("e").as("eb"),
         col("norm").as("nb"))
     val pairs = probes

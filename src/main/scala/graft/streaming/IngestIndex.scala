@@ -269,6 +269,19 @@ object IngestIndex {
       kind: String, keys: DataFrame, tag: String): Unit = {
     require(tag.matches("[A-Za-z0-9_\\-]+"),
       s"retraction tag must be [A-Za-z0-9_-]+, got '$tag'")
+    // a tag the manifest has already APPLIED must not be re-issued
+    // with different content: the sweep condition proves runs are
+    // clean of what was applied UNDER THAT NAME, so extending an
+    // applied tag could sweep before the new keys are removed —
+    // silently undoing a takedown. (Overwriting a not-yet-applied tag
+    // remains allowed: that is the idempotent-retry shape.)
+    val m = readManifest(sp, indexDir)
+    val applied = (m.runs.getOrElse(s"tombs_$kind", Nil) ++
+      m.runs.getOrElse(s"tswept_$kind", Nil)).map(_.name).toSet
+    if (applied.contains(s"t_$tag"))
+      throw new IllegalArgumentException(
+        s"retraction tag '$tag' was already applied by a compaction — " +
+          "issue the additional keys under a fresh tag")
     keys.distinct().write.mode("overwrite")
       .parquet(s"${tombsDir(indexDir, kind)}/t_$tag")
   }
@@ -403,7 +416,13 @@ object IngestIndex {
 
   /** Write `df`'s distinct keys as the hp-partitioned run `name`,
     * sidecar sized to the true row count. One shuffle keyed on hp →
-    * ~one file per populated partition. */
+    * ~one file per populated partition. The read-back carries an
+    * EXPLICIT schema: a fully-tombstoned input writes an empty
+    * partitioned dir (only _SUCCESS, zero part files), and a
+    * schema-inferring read of that throws — which would wedge
+    * compaction permanently (the tombstone stays live, every retry
+    * hits the same empty write). With the schema given, the empty run
+    * reads as zero rows and the caller drops it. */
   private def writeRun(sp: SparkSession, indexDir: String, kind: String,
       keyName: String, name: String, df: DataFrame): Run = {
     val dir = s"$indexDir/$kind/$name"
@@ -411,11 +430,19 @@ object IngestIndex {
       .withColumn("hp", hpOf(col(keyName)))
       .repartition(col("hp"))
       .write.mode("overwrite").partitionBy("hp").parquet(dir)
-    val written = sp.read.option("basePath", dir).parquet(dir)
+    val written = sp.read.option("basePath", dir)
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(keyName,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("hp",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(dir)
     val n = written.count()
-    val bf = written.stat.bloomFilter(keyName,
-      math.max(n, BloomItems), BloomFpp)
-    writeBloom(fsFor(sp, indexDir), bloomPath(indexDir, kind, name), bf)
+    if (n > 0) {
+      val bf = written.stat.bloomFilter(keyName,
+        math.max(n, BloomItems), BloomFpp)
+      writeBloom(fsFor(sp, indexDir), bloomPath(indexDir, kind, name), bf)
+    }
     Run(name, n)
   }
 
@@ -455,9 +482,13 @@ object IngestIndex {
       var runs = m.runs.getOrElse(kind, Nil)
       // retraction tombstones: every run written below excludes the
       // live tombstones' keys; `rows` in the manifest's tombs_<kind>
-      // entry records the first compaction id that applied it
-      val tombPaths = tombDirs(sp, indexDir, kind)
+      // entry records the first compaction id that applied it. Dirs in
+      // tswept_<kind> were LOGICALLY swept last cycle and await
+      // physical deletion below — they are not live (not re-applied).
       val prevTombs = m.runs.getOrElse(s"tombs_$kind", Nil)
+      val sweptPending = m.runs.getOrElse(s"tswept_$kind", Nil)
+      val tombPaths = tombDirs(sp, indexDir, kind)
+        .filterNot(d => sweptPending.exists(_.name == d.split("/").last))
       val tombRecords = tombPaths.map { d =>
         val n = d.split("/").last
         prevTombs.find(_.name == n).getOrElse(Run(n, upTo))
@@ -487,16 +518,23 @@ object IngestIndex {
           clean(readRun(sp, indexDir, kind, keyName, a)
             .union(readRun(sp, indexDir, kind, keyName, b))))
         mergedRows += a.rows + b.rows
-        sorted = (merged +: sorted.drop(2)).sortBy(r => (r.rows, r.name))
+        // a fully-tombstoned merge yields zero rows — drop it (the
+        // unreferenced dir is swept below) instead of looping on an
+        // empty size class
+        sorted = ((if (merged.rows > 0) Seq(merged) else Nil) ++
+          sorted.drop(2)).sortBy(r => (r.rows, r.name))
       }
       kind -> (sorted.sortBy(-_.rows),
         CompactStats(folded, mergedRows, sorted.map(_.rows).sum),
         tombRecords)
     }.toMap
-    // a tombstone is sweepable once every live run of its kind
-    // postdates-or-equals its first application; sweep one generation
-    // later (condition held at the previous manifest too) so readers
-    // that planned an anti-join against it finish
+    // tombstone lifecycle, two-phase so readers get the same
+    // one-generation grace as runs: a tombstone is LOGICALLY sweepable
+    // once every live run of its kind postdates-or-equals its first
+    // application AND that already held at the previous manifest; it
+    // then moves to tswept_<kind> (files stay on disk — in-flight
+    // readers still anti-join them, harmlessly) and is PHYSICALLY
+    // deleted at the NEXT compaction.
     def allClean(rs: Seq[Run], appliedAt: Long): Boolean =
       rs.forall(r => "run_(\\d+)_".r.findFirstMatchIn(r.name)
         .exists(_.group(1).toLong >= appliedAt))
@@ -511,11 +549,14 @@ object IngestIndex {
     writeManifest(sp, indexDir,
       Manifest(upTo,
         (results.map { case (k, v) => k -> v._1 } ++
-          tombSplit.map { case (k, v) => s"tombs_$k" -> v._2 })
+          tombSplit.map { case (k, v) => s"tombs_$k" -> v._2 } ++
+          Kinds.map(k => s"tswept_$k" ->
+            tombSplit(k)._1.map(tb => Run(tb.name, upTo))))
           .filter(_._2.nonEmpty),
         m.cents))
+    // physical deletion of LAST cycle's logically-swept tombstones
     Kinds.foreach { kind =>
-      tombSplit(kind)._1.foreach { tb =>
+      m.runs.getOrElse(s"tswept_$kind", Nil).foreach { tb =>
         fs.delete(new Path(s"${tombsDir(indexDir, kind)}/${tb.name}"), true)
         ()
       }

@@ -527,6 +527,18 @@ object StreamOps {
     * compaction. */
   def retractDocs(docs: DataFrame, indexDir: String, tag: String): Unit = {
     val sp = docs.sparkSession
+    // check BOTH kinds' applied sets before writing either tombstone:
+    // kinds can reach the applied/swept state at different compactions
+    // (their run histories differ), and failing between the two writes
+    // would leave a partial retraction
+    val m = IngestIndex.readManifest(sp, indexDir)
+    val applied = Seq("hashes", "bands").flatMap(k =>
+      m.runs.getOrElse(s"tombs_$k", Nil) ++
+        m.runs.getOrElse(s"tswept_$k", Nil)).map(_.name).toSet
+    if (applied.contains(s"t_$tag"))
+      throw new IllegalArgumentException(
+        s"retraction tag '$tag' was already applied by a compaction — " +
+          "issue the additional content under a fresh tag")
     val b = docs.persist()
     try {
       IngestIndex.retractKeys(sp, indexDir, "hashes",

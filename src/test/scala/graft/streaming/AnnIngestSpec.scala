@@ -290,15 +290,30 @@ class AnnIngestSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(!raw.contains(5L) && !raw.contains(45L))
     // next compaction: all runs postdate the tomb AND the condition
-    // held at the previous manifest -> swept
+    // held at the previous manifest -> LOGICAL sweep (manifest entry
+    // moves to tswept; the files stay one more generation so readers
+    // that planned an anti-join against them can finish)
     AnnIngest.ingestBatch(vecs(80 until 100), 3L, idx, nCells = 4)
     AnnIngest.compact(spark, idx, 3L)
-    assert(AnnIngest.tombDirs(spark, idx).isEmpty, "swept at gen+1")
+    val m3 = graft.streaming.IngestIndex.readManifest(spark, idx)
+    assert(m3.runs.get("tombs").isEmpty)
+    assert(m3.runs("tswept").map(_.name) === Seq("t_case1"))
+    assert(AnnIngest.tombDirs(spark, idx).nonEmpty,
+      "files stay through the reader-grace generation")
+    // re-issuing an APPLIED tag is refused — extending it could sweep
+    // before the new ids are physically removed
+    val ex = intercept[IllegalArgumentException] {
+      AnnIngest.delete(spark, idx, Seq(7L).toDF("vec_id"), "case1")
+    }
+    assert(ex.getMessage.contains("already applied"))
+    // one more compaction physically deletes the tombstone
+    AnnIngest.compact(spark, idx, 4L)
+    assert(AnnIngest.tombDirs(spark, idx).isEmpty, "deleted at gen+2")
     assert(graft.streaming.IngestIndex.readManifest(spark, idx)
-      .runs.get("tombs").isEmpty)
-    // a live tombstone is a STANDING exclusion; once swept, a deleted
-    // id can be re-ingested and becomes visible again
-    AnnIngest.ingestBatch(vecs(5 until 6), 4L, idx, nCells = 4)
+      .runs.get("tswept").isEmpty)
+    // a live tombstone is a STANDING exclusion; once physically gone,
+    // a deleted id can be re-ingested and becomes visible again
+    AnnIngest.ingestBatch(vecs(5 until 6), 5L, idx, nCells = 4)
     assert(liveIds() === ((0L until 100L).filterNot(_ == 45L)),
       "re-ingest after the sweep is visible")
   }

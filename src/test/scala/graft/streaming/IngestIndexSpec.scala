@@ -229,17 +229,29 @@ class IngestIndexSpec extends AnyFunSuite {
       .option("basePath", s"$idx/hashes/${m.runs("hashes").head.name}")
       .parquet(s"$idx/hashes/${m.runs("hashes").head.name}")
     assert(rawRun.filter(col("h") === seedHash).count() === 0L)
-    // next compaction sweeps the tombstone (reader generation passed)
+    // next compaction LOGICALLY sweeps (manifest entry -> tswept, the
+    // files stay one reader-grace generation), the one after deletes
     StreamOps.ingestBatch(docs(
       7L -> "filler document to advance the batch counter"), 5L, idx, out)
     IngestIndex.compact(spark, idx, 5L)
+    val m5 = IngestIndex.readManifest(spark, idx)
+    assert(m5.runs.get("tombs_hashes").isEmpty)
+    assert(m5.runs("tswept_hashes").map(_.name) === Seq("t_takedown"))
+    assert(IngestIndex.tombDirs(spark, idx, "hashes").nonEmpty)
+    // re-issuing an APPLIED tag is refused (extending it could sweep
+    // before the new keys are physically removed)
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.retractDocs(docs(98L -> "whatever"), idx, "takedown")
+    }
+    assert(ex.getMessage.contains("already applied"))
+    IngestIndex.compact(spark, idx, 6L)
     assert(IngestIndex.tombDirs(spark, idx, "hashes").isEmpty)
     assert(IngestIndex.readManifest(spark, idx).runs
-      .get("tombs_hashes").isEmpty)
+      .get("tswept_hashes").isEmpty)
     // post-sweep: the seed is genuinely forgotten — first arrival is
     // admitted, indexes, and the NEXT copy is flagged again
-    StreamOps.ingestBatch(docs(8L -> seed), 6L, idx, out)
-    StreamOps.ingestBatch(docs(9L -> seed), 7L, idx, out)
+    StreamOps.ingestBatch(docs(8L -> seed), 7L, idx, out)
+    StreamOps.ingestBatch(docs(9L -> seed), 8L, idx, out)
     assert(d(out).contains((8L, false, false, true)))
     assert(d(out).contains((9L, true, true, false)))
   }
