@@ -57,7 +57,15 @@ object IngestIndex {
 
   /** Hex chars of the key used as the run partition column `hp`:
     * 2 → 256 partitions, enough that a pruned probe reads ≲1/256 of
-    * a run per suspect prefix while keeping file counts sane. */
+    * a run per suspect prefix while keeping file counts sane. Fixed
+    * geometry is deliberate (a per-run prefix length would complicate
+    * the probe's pruning filter), and it sets compaction's FLOOR cost:
+    * every run write touches ~256 partition dirs however small the
+    * index, so compacting a few-thousand-key index costs seconds of
+    * pure file-op overhead (measured ~10 s at sf0.1). That floor is
+    * noise at the corpus scales the index exists for — amortize it by
+    * sizing `compactEvery` so deltas are at least partition-count-sized
+    * batches. */
   val HashPrefixLen = 2
 
   /** `hp` partition value for a key: a letter prefix keeps an
