@@ -217,13 +217,16 @@ object AnnIngest {
   }
 
   /** Exclude tombstoned ids from `rows` — a no-op plan when no
-    * tombstones are live (the common case pays nothing). */
+    * tombstones are live (the common case pays nothing); a small live
+    * set (the usual state between a takedown and its sweep) is
+    * broadcast so the serving path's anti-join never shuffles the
+    * pruned index scan ([[IngestIndex.antiJoinTombs]]). */
   private def minusTombs(sp: SparkSession, indexDir: String,
       rows: DataFrame): DataFrame = {
     val dirs = tombDirs(sp, indexDir)
     if (dirs.isEmpty) rows
-    else rows.join(sp.read.parquet(dirs: _*).select("vec_id"),
-      Seq("vec_id"), "left_anti")
+    else IngestIndex.antiJoinTombs(rows,
+      sp.read.parquet(dirs: _*).select("vec_id"), Seq("vec_id"))
   }
 
   /** Live (run dirs, delta dirs) under the manifest, batch deltas
@@ -338,10 +341,17 @@ object AnnIngest {
       .map(_.groupBy("cell").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
       .getOrElse(Map.empty[Int, Long])
+    // skew = max / mean over the QUANTIZER's cell count, empty cells
+    // counting as zero occupancy. Dividing by the populated-cell count
+    // (the groupBy's row count) reads TOTAL COLLAPSE — every vector in
+    // one cell, the worst drift this telemetry exists for — as
+    // "1.0, perfectly balanced", so a retrainSkewAbove trigger would
+    // never fire exactly when it is most needed.
+    val nCells = math.max(
+      readCentroids(sp, indexDir).map(_.length).getOrElse(0), counts.size)
     val skew =
       if (counts.isEmpty) 0.0
-      else counts.values.max.toDouble *
-        counts.size / counts.values.sum
+      else counts.values.max.toDouble * nCells / counts.values.sum
     val body = counts.toSeq.sorted.map { case (c, n) => s""""$c": $n""" }
       .mkString("{", ", ", "}")
     // Locale.ROOT: the default-locale f-interpolator writes a comma
@@ -409,33 +419,57 @@ object AnnIngest {
         .reduceOption(_ union _)
       if (all.isEmpty) return
       val corpus = clean(all.get.select("vec_id", "e", "norm")).persist()
-      val nCells = readCentroids(sp, indexDir)
-        .map(_.length).getOrElse(DefaultCells)
-      val newCents = graft.sim.Ivf.centroids(corpus, nCells)
-      val centsName = s"centroids_v$upTo.json"
-      writeCentroids(sp, indexDir, newCents, centsName)
-      val rebuilt = writeRun(sp, indexDir, nextName(),
-        graft.sim.Ivf.assignCells(corpus, newCents))
-      corpus.unpersist(false)
-      runs = Seq(rebuilt)
-      cents = Some(centsName)
+      if (corpus.isEmpty) {
+        // fully-tombstoned corpus: there is nothing to train a
+        // quantizer on (Ivf.centroids on zero rows throws), and an
+        // unguarded throw here WEDGES compaction — retrainOnCompact /
+        // a tripped skew trigger re-fires every cycle into the same
+        // state, the tombstone stays live forever, and maxCompacted
+        // never advances. Commit an empty run set instead (quantizer
+        // pointer unchanged) and let the normal tombstone lifecycle
+        // below apply-and-sweep as usual.
+        corpus.unpersist(false)
+        runs = Nil
+      } else {
+        val nCells = readCentroids(sp, indexDir)
+          .map(_.length).getOrElse(DefaultCells)
+        val newCents = graft.sim.Ivf.centroids(corpus, nCells)
+        val centsName = s"centroids_v$upTo.json"
+        writeCentroids(sp, indexDir, newCents, centsName)
+        val rebuilt = writeRun(sp, indexDir, nextName(),
+          graft.sim.Ivf.assignCells(corpus, newCents))
+        corpus.unpersist(false)
+        runs = Seq(rebuilt)
+        cents = Some(centsName)
+      }
     } else {
       if (deltaDirs.nonEmpty) {
         val folded = writeRun(sp, indexDir, nextName(),
           clean(deltaDirs.map(readRunDir(sp, _)).reduce(_ union _)))
         if (folded.rows > 0) runs :+= folded
       }
+      // merge ANY adjacent same-size-class pair, not just the bottom
+      // one: a fold can land directly in a higher class that already
+      // has an occupant (runs [2,5] + a new class-5 fold), and the
+      // bottom-pair-only loop would leave that 5/5 pair unmerged
+      // forever — breaking the <= log2(n) run-count bound
       var sorted = runs.sortBy(r => (r.rows, r.name))
-      while (sorted.lengthCompare(2) >= 0 &&
-             sizeClass(sorted(1).rows) == sizeClass(sorted(0).rows)) {
-        val (a, b) = (sorted(0), sorted(1))
+      def samePair(rs: Seq[Run]): Option[Int] =
+        (0 until rs.length - 1).find(i =>
+          sizeClass(rs(i).rows) == sizeClass(rs(i + 1).rows))
+      var pair = samePair(sorted)
+      while (pair.isDefined) {
+        val i = pair.get
+        val (a, b) = (sorted(i), sorted(i + 1))
         val merged = writeRun(sp, indexDir, nextName(), clean(
           readRunDir(sp, s"${vectorsDir(indexDir)}/${a.name}")
             .union(readRunDir(sp, s"${vectorsDir(indexDir)}/${b.name}"))))
         // a fully-tombstoned merge yields zero rows — drop it instead
         // of looping on an empty size class
-        sorted = ((if (merged.rows > 0) Seq(merged) else Nil) ++
-          sorted.drop(2)).sortBy(r => (r.rows, r.name))
+        sorted = (sorted.patch(i,
+          if (merged.rows > 0) Seq(merged) else Nil, 2))
+          .sortBy(r => (r.rows, r.name))
+        pair = samePair(sorted)
       }
       runs = sorted.sortBy(-_.rows)
     }
@@ -453,16 +487,23 @@ object AnnIngest {
         allClean(m.runs.getOrElse("vectors", Nil), tb.rows) &&
         allClean(runs, tb.rows)
     }
+    // physical deletion of LAST cycle's logically-swept tombstones,
+    // BEFORE publishing the manifest that drops their tswept records:
+    // the reverse order leaves a crash window (manifest published, dirs
+    // still on disk with no record) where the next compaction would
+    // read the undeleted dir as a brand-new LIVE tombstone and silently
+    // re-delete ids that were legitimately re-ingested after the sweep.
+    // Deletion-first leaves at worst dirs-gone + old-manifest-names-
+    // them-in-tswept, which the next cycle drops as a no-op.
+    sweptPending.foreach { tb =>
+      f.delete(new Path(s"${tombsDir(indexDir)}/${tb.name}"), true); ()
+    }
     IngestIndex.writeManifest(sp, indexDir,
       Manifest(upTo,
         Map("vectors" -> runs, "tombs" -> keepTombs,
           "tswept" -> sweep.map(tb => Run(tb.name, upTo)))
           .filter(_._2.nonEmpty),
         cents))
-    // physical deletion of LAST cycle's logically-swept tombstones
-    sweptPending.foreach { tb =>
-      f.delete(new Path(s"${tombsDir(indexDir)}/${tb.name}"), true); ()
-    }
     // cleanup AFTER commit, with ONE-GENERATION retention (MVCC-lite,
     // same contract as [[IngestIndex.compact]]): dirs superseded by
     // THIS compaction stay until the NEXT one, so a concurrent
@@ -487,6 +528,14 @@ object AnnIngest {
         if (stale) { f.delete(d, true); () }
       }
     }
+    // this compaction's skew report is written BEFORE older ones are
+    // deleted, and the cleanup filter excludes the new file by name: the
+    // reverse order (delete-all, then write) had a crash window in which
+    // NO skew report exists, so lastSkew() reads None and the
+    // retrainSkewAbove trigger is silently disabled for the next
+    // compaction interval — mirrors the keep-current-and-previous rule
+    // used for the centroids files
+    skewReport(sp, indexDir, upTo)
     // superseded retrain quantizers and older skew reports: the
     // manifest-referenced centroids file, the PREVIOUS one (readers of
     // the prior manifest may still resolve it), the original fallback,
@@ -497,10 +546,9 @@ object AnnIngest {
         val n = d.getName
         (n.matches("centroids_v\\d+\\.json") &&
           !cents.contains(n) && !m.cents.contains(n)) ||
-          n.matches("skew_v\\d+\\.json")
+          (n.matches("skew_v\\d+\\.json") && n != s"skew_v$upTo.json")
       }
       .foreach { d => f.delete(d, false); () }
-    skewReport(sp, indexDir, upTo)
     ()
   }
 

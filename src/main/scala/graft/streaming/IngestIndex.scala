@@ -389,9 +389,28 @@ object IngestIndex {
       .getOrElse(sp.emptyDataFrame
         .select(lit("").as(keyName)).limit(0))
     if (pr.tombs.isEmpty) all
-    else all.join(
-      sp.read.parquet(pr.tombs: _*).toDF(keyName),
-      Seq(keyName), "left_anti")
+    else antiJoinTombs(all,
+      sp.read.parquet(pr.tombs: _*).toDF(keyName), Seq(keyName))
+  }
+
+  /** Row-count ceiling under which a live tombstone set is broadcast
+    * into the serving path's anti-join. Between a retraction and its
+    * sweep, EVERY probe/read pays the exclusion — with a handful of
+    * tombstoned keys the shuffled anti-join would repartition the whole
+    * pruned index scan just to drop a few rows. Broadcasting turns it
+    * into a shuffle-free BroadcastHashJoin on the probe side; larger
+    * tombstone sets (bulk takedowns) keep the shuffled join. */
+  val TombBroadcastMax = 10000L
+
+  /** Anti-join `rows` against tombstones, broadcasting the tombstone
+    * side when it is small (≤ [[TombBroadcastMax]] rows — checked with
+    * an early-exit limit+count, so the sizing probe itself never scans
+    * a bulk tombstone set fully). */
+  private[streaming] def antiJoinTombs(rows: DataFrame, tombs: DataFrame,
+      on: Seq[String]): DataFrame = {
+    val small = tombs
+      .limit(TombBroadcastMax.toInt + 1).count() <= TombBroadcastMax
+    rows.join(if (small) broadcast(tombs) else tombs, on, "left_anti")
   }
 
   /** The full routed probe for one kind: Bloom-screen `keys` (single
@@ -515,13 +534,23 @@ object IngestIndex {
         folded = r.rows
         if (r.rows > 0) runs :+= r
       }
-      // binary-counter merge: while the two smallest runs share a size
-      // class, fold them into one (dedup shrinks: a key present in
-      // both counts once)
+      // binary-counter merge: while ANY adjacent pair in the
+      // size-sorted run list shares a size class, fold that pair into
+      // one (dedup shrinks: a key present in both counts once).
+      // Scanning ALL positions — not just the two smallest — matters
+      // when a fold lands a run directly in a HIGHER class that already
+      // has an occupant (e.g. runs [2,5] + a new class-5 fold): the
+      // bottom-pair-only loop would exit on the 2-vs-5 mismatch and
+      // leave the 5/5 pair unmerged forever, breaking the <= log2(n)
+      // run-count bound that keeps probe cost flat.
       var sorted = runs.sortBy(r => (r.rows, r.name))
-      while (sorted.lengthCompare(2) >= 0 &&
-             sizeClass(sorted(1).rows) == sizeClass(sorted(0).rows)) {
-        val (a, b) = (sorted(0), sorted(1))
+      def samePair(rs: Seq[Run]): Option[Int] =
+        (0 until rs.length - 1).find(i =>
+          sizeClass(rs(i).rows) == sizeClass(rs(i + 1).rows))
+      var pair = samePair(sorted)
+      while (pair.isDefined) {
+        val i = pair.get
+        val (a, b) = (sorted(i), sorted(i + 1))
         val merged = writeRun(sp, indexDir, kind, keyName, nextName(),
           clean(readRun(sp, indexDir, kind, keyName, a)
             .union(readRun(sp, indexDir, kind, keyName, b))))
@@ -529,8 +558,10 @@ object IngestIndex {
         // a fully-tombstoned merge yields zero rows — drop it (the
         // unreferenced dir is swept below) instead of looping on an
         // empty size class
-        sorted = ((if (merged.rows > 0) Seq(merged) else Nil) ++
-          sorted.drop(2)).sortBy(r => (r.rows, r.name))
+        sorted = (sorted.patch(i,
+          if (merged.rows > 0) Seq(merged) else Nil, 2))
+          .sortBy(r => (r.rows, r.name))
+        pair = samePair(sorted)
       }
       kind -> (sorted.sortBy(-_.rows),
         CompactStats(folded, mergedRows, sorted.map(_.rows).sum),
@@ -554,6 +585,22 @@ object IngestIndex {
           allClean(runsNow, tb.rows)
       }
     }.toMap
+    // physical deletion of LAST cycle's logically-swept tombstones,
+    // BEFORE publishing the manifest that drops their tswept records:
+    // their one-generation reader grace already elapsed, and the
+    // reverse order leaves a crash window (manifest published, dirs
+    // still on disk with no record) in which the next compaction would
+    // read the undeleted dir as a brand-new LIVE tombstone and silently
+    // re-retract keys that were legitimately re-ingested after the
+    // sweep. With deletion first, a crash leaves dirs gone + the OLD
+    // manifest still naming them in tswept — the next compaction's
+    // delete of a missing dir is a no-op and nothing is re-applied.
+    Kinds.foreach { kind =>
+      m.runs.getOrElse(s"tswept_$kind", Nil).foreach { tb =>
+        fs.delete(new Path(s"${tombsDir(indexDir, kind)}/${tb.name}"), true)
+        ()
+      }
+    }
     writeManifest(sp, indexDir,
       Manifest(upTo,
         (results.map { case (k, v) => k -> v._1 } ++
@@ -562,13 +609,6 @@ object IngestIndex {
             tombSplit(k)._1.map(tb => Run(tb.name, upTo))))
           .filter(_._2.nonEmpty),
         m.cents))
-    // physical deletion of LAST cycle's logically-swept tombstones
-    Kinds.foreach { kind =>
-      m.runs.getOrElse(s"tswept_$kind", Nil).foreach { tb =>
-        fs.delete(new Path(s"${tombsDir(indexDir, kind)}/${tb.name}"), true)
-        ()
-      }
-    }
     // cleanup AFTER commit, with ONE-GENERATION retention (MVCC-lite):
     // dirs superseded by THIS compaction stay on disk until the NEXT
     // one, so a reader that planned its scan against the previous

@@ -142,6 +142,95 @@ class AnnIngestSpec extends AnyFunSuite {
     val ids = AnnIngest.readIndex(spark, s"$t/idx", None)
       .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids === (0L until 64L))
+    // skew telemetry never accumulates (one report per compaction would
+    // leak on a forever stream) and is never left ABSENT either — the
+    // newest report survives its own cleanup pass (write-then-delete
+    // ordering, keep-current rule)
+    val skews = new java.io.File(s"$t/idx").listFiles.toSeq
+      .map(_.getName).filter(_.startsWith("skew_v"))
+    assert(skews === Seq("skew_v7.json"))
+  }
+
+  test("skew telemetry reads TOTAL COLLAPSE as maximal skew — the " +
+    "denominator is the quantizer's cell count, not the populated-cell " +
+    "count — and retrainSkewAbove fires on exactly that state") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // hand-placed 4-cell quantizer: cell 0 sits on the feed, cells 1-3
+    // far away — EVERY ingested vector collapses into cell 0, the
+    // worst-case drift the telemetry exists for
+    val farCents = Array(
+      Array.fill(8)(0.0),
+      Array.fill(8)(-100.0),
+      Array.tabulate(8)(d => if (d % 2 == 0) 100.0 else -100.0),
+      Array.fill(8)(100.0))
+    val t = java.nio.file.Files.createTempDirectory("graft_ann11").toString
+    AnnIngest.writeCentroids(spark, s"$t/idx", farCents)
+    AnnIngest.ingestBatch(vecs(0 until 20), 0L, s"$t/idx", nCells = 4)
+    val (skew, counts) = AnnIngest.skewReport(spark, s"$t/idx", 0L)
+    assert(counts.keySet === Set(0) && counts(0) === 20L)
+    // max * nCells / sum = 20 * 4 / 20; the populated-cell denominator
+    // reads this as 1.0 ("perfectly balanced") and the trigger never fires
+    assert(skew === 4.0)
+    // the closed loop: a stream over the same collapsing feed self-heals
+    val t2 = java.nio.file.Files.createTempDirectory("graft_ann12").toString
+    AnnIngest.writeCentroids(spark, s"$t2/idx", farCents)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    def feed(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7))))
+    val q = AnnIngest.annIngestStream(
+      ms.toDF().toDF("vec_id", "embedding"), s"$t2/idx",
+      checkpoint = Some(s"$t2/ckpt"), nCells = 4, compactEvery = 2,
+      retrainSkewAbove = 2.0)
+    try {
+      ms.addData(feed(0 until 20)); q.processAllAvailable()
+      ms.addData(feed(20 until 40)); q.processAllAvailable()
+      // upTo=1 compaction recorded the collapse (no prior telemetry yet)
+      assert(AnnIngest.quantizerName(spark, s"$t2/idx").isEmpty)
+      assert(AnnIngest.lastSkew(spark, s"$t2/idx").exists(_ >= 3.9))
+      ms.addData(feed(40 until 60)); q.processAllAvailable()
+      ms.addData(feed(60 until 80)); q.processAllAvailable()
+    } finally q.stop()
+    // the upTo=3 compaction read skew 4.0 > 2.0 and retrained
+    assert(AnnIngest.quantizerName(spark, s"$t2/idx")
+      === Some("centroids_v3.json"))
+    // the healed quantizer spreads the actual feed back across cells
+    assert(AnnIngest.lastSkew(spark, s"$t2/idx").exists(_ < 4.0))
+    assert(AnnIngest.readIndex(spark, s"$t2/idx", None).count() === 80L)
+  }
+
+  test("retrain over a fully-tombstoned corpus commits an empty run set " +
+    "instead of wedging: maxCompacted advances, the tombstone lifecycle " +
+    "proceeds to its sweep, and re-ingest works afterward") {
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_ann13").toString
+    val idx = s"$t/idx"
+    AnnIngest.ingestBatch(vecs(0 until 20), 0L, idx, nCells = 4)
+    AnnIngest.delete(spark, idx, (0L until 20L).toDF("vec_id"), "all")
+    // the unguarded path called Ivf.centroids on zero rows and threw —
+    // and every retry (retrainOnCompact / a tripped skew trigger)
+    // re-entered the same state, so compaction never advanced
+    AnnIngest.compact(spark, idx, 0L, retrain = true)
+    val m = graft.streaming.IngestIndex.readManifest(spark, idx)
+    assert(m.maxCompacted === 0L)
+    assert(m.runs.get("vectors").isEmpty)
+    assert(m.runs("tombs").map(_.name) === Seq("t_all"))
+    assert(AnnIngest.readIndex(spark, idx, None).count() === 0L)
+    // lifecycle proceeds: logical sweep, then physical deletion
+    AnnIngest.ingestBatch(vecs(20 until 25), 1L, idx, nCells = 4)
+    AnnIngest.compact(spark, idx, 1L)
+    assert(graft.streaming.IngestIndex.readManifest(spark, idx)
+      .runs("tswept").map(_.name) === Seq("t_all"))
+    AnnIngest.compact(spark, idx, 2L)
+    assert(AnnIngest.tombDirs(spark, idx).isEmpty)
+    // post-sweep re-ingest of formerly-deleted ids is visible again
+    AnnIngest.ingestBatch(vecs(0 until 5), 3L, idx, nCells = 4)
+    val ids = AnnIngest.readIndex(spark, idx, None)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === ((0L until 5L) ++ (20L until 25L)))
   }
 
   test("retrain-at-compaction: a distribution-shifted feed is detected " +

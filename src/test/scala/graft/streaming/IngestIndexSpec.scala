@@ -125,6 +125,98 @@ class IngestIndexSpec extends AnyFunSuite {
     // quadratically with batch count, the binary counter's n·log n
   }
 
+  test("binary-counter merge closes same-class pairs ABOVE the bottom: " +
+    "a fold landing directly in an occupied higher size class still " +
+    "merges, keeping the run count <= log2(n)") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ii11").toString
+    val idx = s"$t/idx"
+    def uniq(b: Int, n: Int) = docs((0 until n).map { i =>
+      val id = 100L * b + i
+      id -> s"distinct body $id never repeated ${id * 13}"
+    }: _*)
+    // t=0: 4 docs -> run of 4 (class 2)
+    StreamOps.ingestBatch(uniq(0, 4), 0L, idx, s"$t/out")
+    IngestIndex.compact(spark, idx, 0L)
+    // t=1: 40 docs -> runs [40 (class 5), 4 (class 2)] — no pair
+    StreamOps.ingestBatch(uniq(1, 40), 1L, idx, s"$t/out")
+    IngestIndex.compact(spark, idx, 1L)
+    assert(IngestIndex.readManifest(spark, idx).runs("hashes")
+      .map(_.rows) === Seq(40L, 4L))
+    // t=2: another 40-doc fold lands in class 5 NEXT TO the existing
+    // 40-run while the bottom pair (4 vs 40) mismatches — the
+    // bottom-pair-only policy would leave [40, 40, 4] forever
+    StreamOps.ingestBatch(uniq(2, 40), 2L, idx, s"$t/out")
+    IngestIndex.compact(spark, idx, 2L)
+    assert(IngestIndex.readManifest(spark, idx).runs("hashes")
+      .map(_.rows) === Seq(80L, 4L),
+      "the 40/40 pair above the bottom must merge")
+  }
+
+  test("swept-tombstone crash window: dirs are deleted BEFORE the " +
+    "manifest drops their tswept records, so the crash state is " +
+    "dir-gone + old-manifest-names-it — which the next compaction " +
+    "drops as a no-op instead of resurrecting the tombstone") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ii12").toString
+    val idx = s"$t/idx"; val out = s"$t/out"
+    val seed = "crash window document text to retract and re-admit"
+    StreamOps.ingestBatch(docs(1L -> seed), 0L, idx, out)
+    StreamOps.retractDocs(docs(9L -> seed), idx, "crashcase")
+    IngestIndex.compact(spark, idx, 0L) // applies
+    StreamOps.ingestBatch(docs(
+      2L -> "filler to advance the counter one"), 1L, idx, out)
+    IngestIndex.compact(spark, idx, 1L) // logical sweep -> tswept
+    val m = IngestIndex.readManifest(spark, idx)
+    assert(m.runs("tswept_hashes").map(_.name) === Seq("t_crashcase"))
+    // simulate the fixed ordering's crash point: compact #3 deletes the
+    // tswept dirs FIRST, then crashes before publishing — dirs gone,
+    // manifest still lists them in tswept
+    IngestIndex.tombDirs(spark, idx, "hashes").foreach { d =>
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      rm(java.nio.file.Paths.get(d))
+    }
+    // the retracted seed re-ingested after the crash...
+    StreamOps.ingestBatch(docs(3L -> seed), 2L, idx, out)
+    // ...survives the recovery compaction: the stale tswept record is
+    // dropped, nothing is re-applied, and the seed stays indexed
+    IngestIndex.compact(spark, idx, 2L)
+    val m2 = IngestIndex.readManifest(spark, idx)
+    assert(m2.runs.get("tswept_hashes").isEmpty &&
+      m2.runs.get("tombs_hashes").isEmpty)
+    StreamOps.ingestBatch(docs(4L -> seed), 3L, idx, out)
+    val d4 = spark.read.parquet(out)
+      .filter(col("doc_id") === 4L).select("dup_exact").head().getBoolean(0)
+    assert(d4, "re-ingested seed must stay indexed — a resurrected " +
+      "tombstone would have silently re-retracted it")
+  }
+
+  test("small live tombstone sets broadcast into the serving path: the " +
+    "probe's anti-join is a shuffle-free BroadcastHashJoin, decisions " +
+    "unchanged") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ii13").toString
+    val idx = s"$t/idx"; val out = s"$t/out"
+    mkBatches(3).foreach { case (id, b) =>
+      StreamOps.ingestBatch(b, id, idx, out) }
+    StreamOps.retractDocs(docs(
+      99L -> "seed text shared by the very first batch here"), idx, "bc")
+    val pr = IngestIndex.prior(spark, idx, "hashes", 3L)
+    assert(pr.tombs.nonEmpty)
+    val read = IngestIndex.readPruned(spark, pr, "h", None)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti") && !plan.contains("SortMergeJoin"),
+      s"small tombstone set must broadcast, not shuffle:\n$plan")
+    // the exclusion itself is unchanged: the seed's hash is gone
+    val seedHash = docs(0L ->
+      "seed text shared by the very first batch here")
+      .select(md5(col("text").cast("binary"))).head().getString(0)
+    assert(read.filter(col("h") === seedHash).count() === 0L)
+  }
+
   test("one-generation retention: a reader planned against manifest " +
     "version K executes correctly after version K+1 commits and cleans " +
     "up; two compactions later the K dirs are gone") {
