@@ -158,7 +158,8 @@ object AnnIngest {
     * bit-identical. No prior index state is read — ingest cost is
     * O(batch) whatever the corpus size. */
   def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String,
-                  nCells: Int = DefaultCells): Unit = {
+                  nCells: Int = DefaultCells): Unit =
+      IngestIndex.withWriterLease(batch.sparkSession, indexDir) {
     val cents = ensureCentroids(batch, indexDir, nCells)
     val assigned = graft.sim.Ivf.assignCells(
       graft.sim.Similarity.prep(batch), cents)
@@ -185,7 +186,8 @@ object AnnIngest {
     * Call from the ingest control loop, not concurrently with a
     * running compaction. */
   def delete(sp: SparkSession, indexDir: String, ids: DataFrame,
-             tag: String): Unit = {
+             tag: String): Unit =
+      IngestIndex.withWriterLease(sp, indexDir) {
     require(tag.matches("[A-Za-z0-9_\\-]+"),
       s"tombstone tag must be [A-Za-z0-9_-]+, got '$tag'")
     // an APPLIED tag must not be re-issued with more ids: the sweep
@@ -385,7 +387,12 @@ object AnnIngest {
     * hash-partitioned index) — reach for it when [[skewReport]] says
     * the frozen quantizer no longer fits the feed. */
   def compact(sp: SparkSession, indexDir: String, upTo: Long,
-              retrain: Boolean = false): Unit = {
+              retrain: Boolean = false): Unit =
+    IngestIndex.withWriterLease(sp, indexDir)(
+      compactLocked(sp, indexDir, upTo, retrain))
+
+  private def compactLocked(sp: SparkSession, indexDir: String, upTo: Long,
+      retrain: Boolean): Unit = {
     val m = IngestIndex.readManifest(sp, indexDir)
     if (upTo <= m.maxCompacted) return
     val (runDirs, deltaDirs) = live(sp, indexDir, upTo + 1)

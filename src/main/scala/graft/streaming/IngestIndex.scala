@@ -165,6 +165,110 @@ object IngestIndex {
     fc.rename(qTmp, qDst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  // ---- writer lease ---------------------------------------------------------
+
+  /** Age past which a `_writer.lease` is presumed abandoned (crashed
+    * writer) and may be taken over. Crash anywhere inside a leased op
+    * is already SAFE for the index itself — every writer commits via
+    * overwrite-idempotent dirs or the manifest rename — so takeover
+    * only needs to be conservative enough that a live-but-slow writer
+    * is not usurped mid-compaction. */
+  val LeaseStaleMs: Long = 10 * 60 * 1000L
+
+  private def leasePath(indexDir: String) = new Path(s"$indexDir/_writer.lease")
+
+  /** Leases held by THIS JVM (qualified index path → re-entry depth):
+    * a caller may legitimately nest writer ops under one lease (e.g.
+    * `withWriterLease { ingestBatch(...); compact(...) }` as a single
+    * writer transaction), and same-process nesting must not
+    * self-deadlock on the file. */
+  private val heldLeases = scala.collection.mutable.Map.empty[String, Int]
+
+  private def acquireFileLease(fs: FileSystem, indexDir: String): Unit = {
+    val p = leasePath(indexDir)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(p, false) // create-if-absent = the acquisition
+        try out.write((s"""{"owner": "pid${
+          ProcessHandle.current().pid()}@${
+          java.net.InetAddress.getLocalHost.getHostName}"}""")
+          .getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return
+    val status =
+      try Some(fs.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    val fresh = status.exists(s =>
+      System.currentTimeMillis() - s.getModificationTime < LeaseStaleMs)
+    if (fresh) {
+      val owner = try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch { case _: Throwable => "(unreadable)" }
+      throw new IllegalStateException(
+        s"another writer holds the lease on $indexDir: $owner — " +
+          "refusing to interleave (two writers racing the manifest " +
+          "read->write can silently drop a tombstone record or a run " +
+          s"list update); retry after it finishes, or delete ${p} if " +
+          "that writer is known dead")
+    }
+    // stale (or vanished between the failed create and the stat):
+    // presume a crashed writer and take over ONCE — if two takeovers
+    // race, the second create-if-absent loses and fails loudly
+    fs.delete(p, false)
+    if (!tryCreate())
+      throw new IllegalStateException(
+        s"lost the stale-lease takeover race on $indexDir — another " +
+          "writer claimed it first; retry after it finishes")
+  }
+
+  /** Run `body` holding the index's SINGLE-WRITER lease.
+    *
+    * Writers (delta append, compaction, retraction/deletion) each
+    * read-modify-write shared state (the manifest, tombstone dirs)
+    * with no other concurrency control: two invocations racing — a
+    * `gate --retract` while a `gate --feed` drain compacts, or two
+    * `annindex` processes — can interleave a manifest read→write and
+    * silently drop a tombstone record or a run-list update. READERS
+    * stay lease-free: the manifest pointer swap plus one-generation
+    * retention already gives them MVCC-lite safety.
+    *
+    * Protocol: create-if-absent of `_writer.lease` (atomic on
+    * HDFS-like filesystems and the local FS) acquires; the file is
+    * deleted on the way out (also on failure — crash-left leases age
+    * out via [[LeaseStaleMs]] takeover). Same-JVM nesting re-enters
+    * without touching the file. Every public writer op takes the lease
+    * itself, so CLI verbs and streams are covered transitively; wrap
+    * several ops in one `withWriterLease` to make them a single
+    * writer transaction. */
+  def withWriterLease[T](sp: SparkSession, indexDir: String)(body: => T): T = {
+    val fs = fsFor(sp, indexDir)
+    val key = fs.makeQualified(new Path(indexDir)).toString
+    val nested = heldLeases.synchronized {
+      val d = heldLeases.getOrElse(key, 0)
+      if (d > 0) heldLeases(key) = d + 1
+      d > 0
+    }
+    if (nested)
+      try body
+      finally heldLeases.synchronized {
+        heldLeases(key) = heldLeases(key) - 1
+      }
+    else {
+      acquireFileLease(fs, indexDir)
+      heldLeases.synchronized { heldLeases(key) = 1 }
+      try body
+      finally {
+        heldLeases.synchronized { heldLeases.remove(key); () }
+        fs.delete(leasePath(indexDir), false)
+        ()
+      }
+    }
+  }
+
   // ---- deltas -------------------------------------------------------------
 
   /** Delta dirs of `kind` with maxCompacted < id < batchId, oldest
@@ -497,6 +601,10 @@ object IngestIndex {
     * O(deltas); the biggest run is only rewritten when the corpus has
     * doubled since it was built. */
   def compact(sp: SparkSession, indexDir: String, upTo: Long)
+      : Map[String, CompactStats] =
+    withWriterLease(sp, indexDir)(compactLocked(sp, indexDir, upTo))
+
+  private def compactLocked(sp: SparkSession, indexDir: String, upTo: Long)
       : Map[String, CompactStats] = {
     val fs = fsFor(sp, indexDir)
     val m = readManifest(sp, indexDir)

@@ -444,7 +444,13 @@ object StreamOps {
     * only STRICTLY EARLIER state plus — with `intraBatch` — its own
     * deterministic contents). */
   def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String,
-                  outDir: String, intraBatch: Boolean = false): Unit = {
+                  outDir: String, intraBatch: Boolean = false): Unit =
+    IngestIndex.withWriterLease(batch.sparkSession, indexDir) {
+      ingestBatchLocked(batch, batchId, indexDir, outDir, intraBatch)
+    }
+
+  private def ingestBatchLocked(batch: DataFrame, batchId: Long,
+      indexDir: String, outDir: String, intraBatch: Boolean): Unit = {
     val sp = batch.sparkSession
     val b = batch.persist()
     // one MinHash pass per batch: the same band rows feed the
@@ -525,7 +531,17 @@ object StreamOps {
     * neighbors weakens until their content is next seen. Call from the
     * ingest control loop, not concurrently with a running batch or
     * compaction. */
-  def retractDocs(docs: DataFrame, indexDir: String, tag: String): Unit = {
+  def retractDocs(docs: DataFrame, indexDir: String, tag: String): Unit =
+    // ONE lease across both kinds' tombstone writes: a compaction
+    // interleaving between them would apply the hashes tombstone a
+    // cycle before the bands one — consistent but confusing; the lease
+    // makes the retraction a single writer transaction
+    IngestIndex.withWriterLease(docs.sparkSession, indexDir) {
+      retractDocsLocked(docs, indexDir, tag)
+    }
+
+  private def retractDocsLocked(docs: DataFrame, indexDir: String,
+      tag: String): Unit = {
     val sp = docs.sparkSession
     // check BOTH kinds' applied sets before writing either tombstone:
     // kinds can reach the applied/swept state at different compactions

@@ -407,6 +407,34 @@ class AnnIngestSpec extends AnyFunSuite {
       "re-ingest after the sweep is visible")
   }
 
+  test("write lease: a held lease makes ingest/compact/delete fail " +
+    "loudly with the index untouched; the lease releases after each op") {
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_ann14").toString
+    val idx = s"$t/idx"
+    AnnIngest.ingestBatch(vecs(0 until 10), 0L, idx, nCells = 4)
+    val lease = java.nio.file.Paths.get(idx, "_writer.lease")
+    assert(!java.nio.file.Files.exists(lease), "released after ingest")
+    java.nio.file.Files.writeString(lease, """{"owner": "pid1@other"}""")
+    val before = AnnIngest.readIndex(spark, idx, None).count()
+    assert(intercept[IllegalStateException] {
+      AnnIngest.ingestBatch(vecs(10 until 20), 1L, idx, nCells = 4)
+    }.getMessage.contains("another writer"))
+    assert(intercept[IllegalStateException] {
+      AnnIngest.compact(spark, idx, 0L)
+    }.getMessage.contains("another writer"))
+    assert(intercept[IllegalStateException] {
+      AnnIngest.delete(spark, idx, Seq(1L).toDF("vec_id"), "blocked")
+    }.getMessage.contains("another writer"))
+    assert(AnnIngest.readIndex(spark, idx, None).count() === before)
+    assert(AnnIngest.tombDirs(spark, idx).isEmpty)
+    java.nio.file.Files.delete(lease)
+    AnnIngest.compact(spark, idx, 0L) // released -> proceeds
+    assert(graft.streaming.IngestIndex.readManifest(spark, idx)
+      .maxCompacted === 0L)
+  }
+
   test("lost centroids file with existing deltas fails fast instead of " +
     "retraining an inconsistent quantizer") {
     val t = java.nio.file.Files.createTempDirectory("graft_ann6").toString

@@ -348,6 +348,58 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(d(out).contains((9L, true, true, false)))
   }
 
+  test("write lease: a second writer fails loudly while the lease is " +
+    "held and the index is untouched; a stale lease (crashed writer) " +
+    "is taken over; nesting under one lease is a writer transaction") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ii14").toString
+    val idx = s"$t/idx"; val out = s"$t/out"
+    StreamOps.ingestBatch(docs(1L -> "lease spec document number one"),
+      0L, idx, out)
+    val mBefore = IngestIndex.readManifest(spark, idx)
+    // an EXTERNAL writer's lease (another process would create exactly
+    // this file): every writer op must refuse to interleave
+    val lease = java.nio.file.Paths.get(idx, "_writer.lease")
+    java.nio.file.Files.writeString(lease, """{"owner": "pid99999@elsewhere"}""")
+    val exC = intercept[IllegalStateException] {
+      IngestIndex.compact(spark, idx, 0L)
+    }
+    assert(exC.getMessage.contains("another writer"))
+    val exI = intercept[IllegalStateException] {
+      StreamOps.ingestBatch(docs(2L -> "blocked arrival"), 1L, idx, out)
+    }
+    assert(exI.getMessage.contains("another writer"))
+    val exR = intercept[IllegalStateException] {
+      StreamOps.retractDocs(docs(9L -> "anything"), idx, "blocked")
+    }
+    assert(exR.getMessage.contains("another writer"))
+    // the loser left no trace: manifest identical, no tombstones, no
+    // new deltas
+    assert(IngestIndex.readManifest(spark, idx) === mBefore)
+    assert(IngestIndex.tombDirs(spark, idx, "hashes").isEmpty)
+    assert(IngestIndex.deltaDirs(spark, idx, "hashes", -1L, Long.MaxValue)
+      .map(_._1) === Seq(0L))
+    // stale lease (crashed writer): aged past LeaseStaleMs -> taken
+    // over, the op proceeds, and the lease is released afterward
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(lease.toString),
+      System.currentTimeMillis() - IngestIndex.LeaseStaleMs - 1000, -1)
+    IngestIndex.compact(spark, idx, 0L)
+    assert(IngestIndex.readManifest(spark, idx).maxCompacted === 0L)
+    assert(!java.nio.file.Files.exists(lease), "lease released after op")
+    // nesting: several ops under ONE withWriterLease form a single
+    // writer transaction (same-JVM re-entry, no self-deadlock), and
+    // the lease is released only when the outermost frame exits
+    IngestIndex.withWriterLease(spark, idx) {
+      StreamOps.ingestBatch(docs(3L -> "transactional arrival"), 1L,
+        idx, out)
+      IngestIndex.compact(spark, idx, 1L)
+      assert(java.nio.file.Files.exists(lease), "held inside the txn")
+    }
+    assert(!java.nio.file.Files.exists(lease))
+    assert(IngestIndex.readManifest(spark, idx).maxCompacted === 1L)
+  }
+
   test("corruption fails fast: a manifest-referenced run dir missing " +
     "on disk throws instead of silently probing without it, and a " +
     "legacy single-base manifest is refused outright") {
