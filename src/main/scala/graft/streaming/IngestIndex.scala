@@ -55,25 +55,42 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object IngestIndex {
 
-  /** Hex chars of the key used as the run partition column `hp`:
+  /** MAX hex chars of the key used as the run partition column `hp`:
     * 2 → 256 partitions, enough that a pruned probe reads ≲1/256 of
-    * a run per suspect prefix while keeping file counts sane. Fixed
-    * geometry is deliberate (a per-run prefix length would complicate
-    * the probe's pruning filter), and it sets compaction's FLOOR cost:
-    * every run write touches ~256 partition dirs however small the
-    * index, so compacting a few-thousand-key index costs seconds of
-    * pure file-op overhead (measured ~10 s at sf0.1). That floor is
-    * noise at the corpus scales the index exists for — amortize it by
-    * sizing `compactEvery` so deltas are at least partition-count-sized
-    * batches. */
+    * a big run per suspect prefix while keeping file counts sane.
+    * Suspect prefixes are always collected at THIS width and truncated
+    * per run at probe time. */
   val HashPrefixLen = 2
 
-  /** `hp` partition value for a key: a letter prefix keeps an
-    * all-digit prefix ("07") from being type-inferred back as an INT
-    * partition column, which would silently break the string `isin`
-    * pruning filter. */
-  private[streaming] def hpOf(key: Column): Column =
-    concat(lit("x"), substring(key, 1, HashPrefixLen))
+  /** Runs below this row count use a 1-hex-char `hp` (16 partitions),
+    * at-or-above use [[HashPrefixLen]] (256). A fixed 256-partition
+    * geometry set compaction's FLOOR cost: every run write touched
+    * ~256 partition dirs however small the run (md5 keys are uniform),
+    * so compacting a few-thousand-key index cost ~10 s of pure file-op
+    * overhead at sf0.1. Per-run widths remove that floor; each run's
+    * width is self-described by its `_w<N>` name suffix, so the probe
+    * never guesses (and a run never changes width in place — runs are
+    * immutable, width is fixed at write). */
+  val HpWidthThreshold: Long = 1L << 20
+
+  /** Hex-prefix width for a run of `rows` distinct keys. */
+  private[streaming] def widthFor(rows: Long): Int =
+    if (rows < HpWidthThreshold) 1 else HashPrefixLen
+
+  /** A run's hp width, parsed from its self-describing `_w<N>` name
+    * suffix; legacy suffix-less runs were all written at
+    * [[HashPrefixLen]]. */
+  private[streaming] def widthOf(runName: String): Int =
+    "_w(\\d+)$".r.findFirstMatchIn(runName).map(_.group(1).toInt)
+      .getOrElse(HashPrefixLen)
+
+  /** `hp` partition value for a key at `width` hex chars: a letter
+    * prefix keeps an all-digit prefix ("07") from being type-inferred
+    * back as an INT partition column, which would silently break the
+    * string `isin` pruning filter. */
+  private[streaming] def hpOf(key: Column,
+      width: Int = HashPrefixLen): Column =
+    concat(lit("x"), substring(key, 1, width))
 
   /** Shared delta-sidecar Bloom geometry (must be identical across
     * deltas for OR-merge); ~1.2 MB at 1% FPP. */
@@ -483,7 +500,12 @@ object IngestIndex {
       keyName: String, hps: Option[Seq[String]]): DataFrame = {
     val runs = pr.runs.map { d =>
       val full = sp.read.option("basePath", d).parquet(d)
-      hps.fold(full)(ps => full.filter(col("hp").isin(ps: _*)))
+      // suspect prefixes are collected at the MAX width; truncate to
+      // this run's own width (self-described by its name) so the isin
+      // values match its coarser partition values
+      val w = widthOf(d.split("/").last)
+      hps.fold(full)(ps =>
+        full.filter(col("hp").isin(ps.map(_.take(1 + w)).distinct: _*)))
         .select(col(keyName))
     }
     val all = (runs ++ (
@@ -545,36 +567,47 @@ object IngestIndex {
   private def sizeClass(rows: Long): Int =
     63 - java.lang.Long.numberOfLeadingZeros(math.max(rows, 1L))
 
-  /** Write `df`'s distinct keys as the hp-partitioned run `name`,
-    * sidecar sized to the true row count. One shuffle keyed on hp →
-    * ~one file per populated partition. The read-back carries an
-    * EXPLICIT schema: a fully-tombstoned input writes an empty
-    * partitioned dir (only _SUCCESS, zero part files), and a
-    * schema-inferring read of that throws — which would wedge
-    * compaction permanently (the tombstone stays live, every retry
-    * hits the same empty write). With the schema given, the empty run
-    * reads as zero rows and the caller drops it. */
-  private def writeRun(sp: SparkSession, indexDir: String, kind: String,
-      keyName: String, name: String, df: DataFrame): Run = {
-    val dir = s"$indexDir/$kind/$name"
-    df.select(col(keyName)).distinct()
-      .withColumn("hp", hpOf(col(keyName)))
-      .repartition(col("hp"))
-      .write.mode("overwrite").partitionBy("hp").parquet(dir)
-    val written = sp.read.option("basePath", dir)
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(keyName,
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("hp",
-          org.apache.spark.sql.types.StringType))))
-      .parquet(dir)
-    val n = written.count()
-    if (n > 0) {
-      val bf = written.stat.bloomFilter(keyName,
-        math.max(n, BloomItems), BloomFpp)
-      writeBloom(fsFor(sp, indexDir), bloomPath(indexDir, kind, name), bf)
-    }
-    Run(name, n)
+  /** Write `df`'s distinct keys as an hp-partitioned run named
+    * `<baseName>_w<width>`, sidecar sized to the true row count. One
+    * shuffle keyed on hp → ~one file per populated partition. The
+    * distinct keys are persisted and COUNTED FIRST: the row count
+    * picks the run's hp width ([[widthFor]] — small runs write 16
+    * partition dirs, not 256, removing the old fixed-geometry
+    * compaction floor), and the count is deterministic, so a
+    * compaction retry rewrites the same name with the same content.
+    * The bloom sidecar is still built from a read-back of the written
+    * files (one packed scan task → exactly one filter allocated; see
+    * [[writeDelta]]). `forceWidth` lets specs exercise the wide-run
+    * geometry without a million-key corpus. */
+  private[streaming] def writeRun(sp: SparkSession, indexDir: String,
+      kind: String, keyName: String, baseName: String, df: DataFrame,
+      forceWidth: Option[Int] = None): Run = {
+    val keys = df.select(col(keyName)).distinct().persist()
+    try {
+      val n = keys.count()
+      val w = forceWidth.getOrElse(widthFor(n))
+      val name = s"${baseName}_w$w"
+      val dir = s"$indexDir/$kind/$name"
+      keys.withColumn("hp", hpOf(col(keyName), w))
+        .repartition(col("hp"))
+        .write.mode("overwrite").partitionBy("hp").parquet(dir)
+      if (n > 0) {
+        // explicit schema: a fully-tombstoned input writes an empty
+        // partitioned dir, and a schema-INFERRING read of that throws —
+        // which would wedge compaction permanently
+        val written = sp.read.option("basePath", dir)
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(keyName,
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("hp",
+              org.apache.spark.sql.types.StringType))))
+          .parquet(dir)
+        val bf = written.stat.bloomFilter(keyName,
+          math.max(n, BloomItems), BloomFpp)
+        writeBloom(fsFor(sp, indexDir), bloomPath(indexDir, kind, name), bf)
+      }
+      Run(name, n)
+    } finally { keys.unpersist(false); () }
   }
 
   private def readRun(sp: SparkSession, indexDir: String, kind: String,

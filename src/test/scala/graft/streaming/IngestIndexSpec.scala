@@ -69,7 +69,7 @@ class IngestIndexSpec extends AnyFunSuite {
       assert(onDisk === Seq(2L, 3L, 4L),
         s"$kind one-generation delta retention")
       assert(IngestIndex.runDirsOnDisk(spark, s"$t2/idx", kind)
-        .sorted === (m.runs(kind).map(_.name) :+ "run_1_0").sorted,
+        .sorted === (m.runs(kind).map(_.name) :+ "run_1_0_w1").sorted,
         s"$kind retains the previous manifest's run one generation")
     }
     // compacted run is hp-partitioned and holds every distinct hash
@@ -262,6 +262,7 @@ class IngestIndexSpec extends AnyFunSuite {
       pr.blooms.isDefined)
     // (a) pruned read: pick one REAL hp, assert the scan carries it as
     // a partition filter and returns only that partition's rows
+    val w = IngestIndex.widthOf(pr.runs.head.split("/").last)
     val one = spark.read
       .option("basePath", pr.runs.head).parquet(pr.runs.head)
       .select("hp").head().getString(0)
@@ -270,7 +271,7 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains(one),
       s"expected hp partition filter in plan:\n$plan")
     assert(pruned.collect().map(_.getString(0))
-      .forall(h => s"x${h.take(IngestIndex.HashPrefixLen)}" == one))
+      .forall(h => s"x${h.take(w)}" == one))
     // (b) bloom-clean keys: the probe returns an EMPTY LOCAL relation —
     // zero index files touched (the 100 TB fast path for clean batches)
     val clean = docs(99L -> "text the index has never seen anywhere")
@@ -283,6 +284,59 @@ class IngestIndexSpec extends AnyFunSuite {
     val suspect = docs(100L -> "seed text shared by the very first batch here")
       .select(md5(col("text").cast("binary")).as("h"))
     assert(IngestIndex.probeRows(spark, pr, suspect, "h").count() === 1L)
+  }
+
+  test("adaptive hp width: a small run self-describes _w1 (16 " +
+    "partitions, killing the fixed-256 compaction floor), a wide run " +
+    "_w2, and one probe prunes BOTH by truncating suspect prefixes to " +
+    "each run's own width") {
+    assert(IngestIndex.widthFor(10L) === 1)
+    assert(IngestIndex.widthFor(IngestIndex.HpWidthThreshold - 1) === 1)
+    assert(IngestIndex.widthFor(IngestIndex.HpWidthThreshold) === 2)
+    assert(IngestIndex.widthOf("run_3_0_w1") === 1)
+    assert(IngestIndex.widthOf("run_3_0_w2") === 2)
+    assert(IngestIndex.widthOf("run_3_0") === 2) // legacy: always wide
+    val t = java.nio.file.Files.createTempDirectory("graft_ii15").toString
+    val idx = s"$t/idx"
+    // small run via the normal path -> width 1, 1-hex-char partitions
+    mkBatches(2).foreach { case (id, b) =>
+      StreamOps.ingestBatch(b, id, idx, s"$t/out") }
+    IngestIndex.compact(spark, idx, 1L)
+    val m = IngestIndex.readManifest(spark, idx)
+    val narrow = m.runs("hashes").head.name
+    assert(narrow.endsWith("_w1"), s"small run must be narrow: $narrow")
+    val narrowHps = spark.read
+      .option("basePath", s"$idx/hashes/$narrow")
+      .parquet(s"$idx/hashes/$narrow")
+      .select("hp").distinct().collect().map(_.getString(0))
+    assert(narrowHps.forall(_.length === 2)) // "x" + 1 hex char
+    // wide run injected at forced width 2 (the >= threshold geometry,
+    // without needing a million-key corpus)
+    val wideKeys = docs((100L to 120L).map(i =>
+      i -> s"wide-run doc $i with its own text ${i * 7}"): _*)
+      .select(md5(col("text").cast("binary")).as("h"))
+    val wide = IngestIndex.writeRun(spark, idx, "hashes", "h",
+      "run_9_0", wideKeys, forceWidth = Some(2))
+    assert(wide.name === "run_9_0_w2")
+    // one probe over both runs: suspect prefixes collected at max
+    // width match the wide run directly and the narrow run truncated
+    val kNarrow = spark.read.option("basePath", s"$idx/hashes/$narrow")
+      .parquet(s"$idx/hashes/$narrow").select("h").head().getString(0)
+    val kWide = wideKeys.head().getString(0)
+    val pr = IngestIndex.Prior(
+      Seq(s"$idx/hashes/$narrow", s"$idx/hashes/${wide.name}"),
+      Nil, None)
+    val hps = Seq(s"x${kNarrow.take(2)}", s"x${kWide.take(2)}")
+    val read = IngestIndex.readPruned(spark, pr, "h", Some(hps))
+    val got = read.collect().map(_.getString(0)).toSet
+    assert(got.contains(kNarrow) && got.contains(kWide),
+      "both widths must surface their suspect rows under one probe")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains(s"x${kNarrow.take(1)}"),
+      s"narrow run must filter on the TRUNCATED prefix:\n$plan")
+    assert(plan.contains(s"x${kWide.take(2)}"),
+      s"wide run must filter on the full prefix:\n$plan")
   }
 
   test("retraction: tombstoned content is re-admitted while the " +
