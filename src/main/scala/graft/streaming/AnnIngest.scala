@@ -218,17 +218,50 @@ object AnnIngest {
       .filter(_.split("/").last.startsWith("t_")).sorted
   }
 
-  /** Exclude tombstoned ids from `rows` — a no-op plan when no
-    * tombstones are live (the common case pays nothing); a small live
-    * set (the usual state between a takedown and its sweep) is
-    * broadcast so the serving path's anti-join never shuffles the
-    * pruned index scan ([[IngestIndex.antiJoinTombs]]). */
+  /** Live tombstone rows normalized to (vec_id, cell): takedown
+    * tombstones ([[delete]]) carry only vec_id — cell reads NULL,
+    * meaning "exclude everywhere"; split-retrain relocation tombstones
+    * are CELL-SCOPED (vec_id, cell) — they exclude only the STALE copy
+    * left in the row's former cell, while the relocated copy under its
+    * new cell lives on. */
+  private def tombRows(sp: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map { d =>
+      val df = sp.read.parquet(d)
+      if (df.columns.contains("cell"))
+        df.select(col("vec_id"), col("cell").cast("int"))
+      else df.select(col("vec_id"), lit(null).cast("int").as("cell"))
+    }.reduce(_ unionByName _)
+
+  /** Anti-join `rows` (must carry vec_id + cell) against normalized
+    * tombstone rows: match on vec_id, scoped to the row's cell when the
+    * tombstone names one. Small tombstone sets broadcast (shuffle-free
+    * BroadcastHashJoin — the vec_id equality is the hash key, the cell
+    * scope rides along as the join's extra condition). */
+  private def antiTombs(rows: DataFrame, tombs: DataFrame,
+      small: Boolean): DataFrame = {
+    val t = (if (small) broadcast(tombs) else tombs)
+      .withColumnRenamed("vec_id", "tb_vid")
+      .withColumnRenamed("cell", "tb_cell")
+    rows.join(t,
+      rows("vec_id") === t("tb_vid") &&
+        (t("tb_cell").isNull || t("tb_cell") === rows("cell")),
+      "left_anti")
+  }
+
+  private def tombsAreSmall(t: DataFrame): Boolean =
+    t.limit(IngestIndex.TombBroadcastMax.toInt + 1).count() <=
+      IngestIndex.TombBroadcastMax
+
+  /** Exclude tombstoned rows from `rows` — a no-op plan when no
+    * tombstones are live (the common case pays nothing). */
   private def minusTombs(sp: SparkSession, indexDir: String,
       rows: DataFrame): DataFrame = {
     val dirs = tombDirs(sp, indexDir)
     if (dirs.isEmpty) rows
-    else IngestIndex.antiJoinTombs(rows,
-      sp.read.parquet(dirs: _*).select("vec_id"), Seq("vec_id"))
+    else {
+      val t = tombRows(sp, dirs)
+      antiTombs(rows, t, tombsAreSmall(t))
+    }
   }
 
   /** Live (run dirs, delta dirs) under the manifest, batch deltas
@@ -326,6 +359,34 @@ object AnnIngest {
   private def sizeClass(rows: Long): Int =
     63 - java.lang.Long.numberOfLeadingZeros(math.max(rows, 1L))
 
+  /** Nearest-centroid REassignment that carries each row's current cell
+    * through ([[graft.sim.Ivf.assignCells]] drops extra columns): the
+    * split step needs (old_cell, new cell) per row to find movers as a
+    * narrow map — no corpus-wide self-join. Same allocation-free
+    * running-min loop as assignCells (per-row hot path). */
+  private def reassign(v: DataFrame, cents: Array[Array[Double]])
+      : DataFrame = {
+    val sp = v.sparkSession
+    import sp.implicits._
+    val bc = sp.sparkContext.broadcast(cents)
+    v.select(col("vec_id"), col("e"), col("norm"), col("cell"))
+      .as[(Long, Array[Double], Double, Int)]
+      .map { case (id, e, norm, old) =>
+        val cs = bc.value
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          val cv = cs(c)
+          while (i < e.length) { val t = e(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (id, e, norm, old, best)
+      }
+      .toDF("vec_id", "e", "norm", "old_cell", "cell")
+  }
+
   /** Cell-occupancy skew report, written as `skew_v<upTo>.json` at each
     * compaction. Counts the PHYSICAL runs/deltas directly — a
     * partition-column-only aggregate (parquet footers, no vector bytes
@@ -387,18 +448,19 @@ object AnnIngest {
     * hash-partitioned index) — reach for it when [[skewReport]] says
     * the frozen quantizer no longer fits the feed. */
   def compact(sp: SparkSession, indexDir: String, upTo: Long,
-              retrain: Boolean = false): Unit =
+              retrain: Boolean = false, splitHot: Double = 0.0): Unit =
     IngestIndex.withWriterLease(sp, indexDir)(
-      compactLocked(sp, indexDir, upTo, retrain))
+      compactLocked(sp, indexDir, upTo, retrain, splitHot))
 
   private def compactLocked(sp: SparkSession, indexDir: String, upTo: Long,
-      retrain: Boolean): Unit = {
+      retrain: Boolean, splitHot: Double): Unit = {
     val m = IngestIndex.readManifest(sp, indexDir)
     if (upTo <= m.maxCompacted) return
     val (runDirs, deltaDirs) = live(sp, indexDir, upTo + 1)
     val f = fs(sp, indexDir)
     var runs = m.runs.getOrElse("vectors", Nil)
     var cents = m.cents
+    var splitTomb: Option[Run] = None
     var seq = 0
     def nextName(): String = { val n = s"run_${upTo}_$seq"; seq += 1; n }
     // tombstone ledger: every run written from here on excludes the
@@ -418,14 +480,17 @@ object AnnIngest {
     val clean: DataFrame => DataFrame =
       if (liveTombPaths.isEmpty) identity
       else {
-        val ids = sp.read.parquet(liveTombPaths: _*).select("vec_id")
-        df => df.join(ids, Seq("vec_id"), "left_anti")
+        val ids = tombRows(sp, liveTombPaths)
+        val small = tombsAreSmall(ids)
+        df => antiTombs(df, ids, small)
       }
     if (retrain) {
       val all = (runDirs ++ deltaDirs).map(readRunDir(sp, _))
         .reduceOption(_ union _)
       if (all.isEmpty) return
-      val corpus = clean(all.get.select("vec_id", "e", "norm")).persist()
+      // clean BEFORE dropping the cell column: relocation tombstones
+      // are cell-scoped and need the row's current cell to match
+      val corpus = clean(all.get).select("vec_id", "e", "norm").persist()
       if (corpus.isEmpty) {
         // fully-tombstoned corpus: there is nothing to train a
         // quantizer on (Ivf.centroids on zero rows throws), and an
@@ -480,6 +545,82 @@ object AnnIngest {
       }
       runs = sorted.sortBy(-_.rows)
     }
+    // ---- split-cell LOCAL retrain ------------------------------------------
+    // The affordable self-heal for moderate drift: instead of the
+    // all-or-nothing full rebuild (`retrain = true` — the cost of
+    // re-hashing a hash-partitioned index), re-cluster ONLY the cells
+    // whose LIVE occupancy exceeds `splitHot` × mean. Each hot cell's
+    // centroid slot is replaced by its first sub-centroid and the rest
+    // are APPENDED (slot positions are cell ids — untouched cells keep
+    // their ids, files, and assignments). Rows whose argmin changes
+    // under the extended quantizer are rewritten ONCE into a relocation
+    // run under their new cells; their stale old-cell copies stay
+    // physically in place but are excluded by a CELL-SCOPED tombstone
+    // (vec_id, old_cell) and physically dropped as their runs merge.
+    // Everything — relocation run, tombstone record, extended
+    // centroids file — commits in the SAME single manifest swap below,
+    // so queries never see new cells under the old quantizer or vice
+    // versa. The tombstone's applied-at id is upTo+1: runs written
+    // THIS cycle (the fold/merge above) still hold stale copies, so
+    // only strictly-later runs count as clean for its sweep.
+    // Bytes rewritten = movers only (hot-cell rows that leave their
+    // slot + boundary rows pulled to a new sub-centroid) — the <20%%
+    // heal the full rebuild could not offer. The hot/mover scan uses
+    // the LIVE view (tombstone-applied), so re-running after a heal is
+    // a cheap no-op even while skewReport's PHYSICAL counts still show
+    // the stale copies.
+    if (!retrain && splitHot > 0 && runs.nonEmpty) {
+      readCentroidsFile(sp, indexDir,
+          cents.getOrElse("centroids.json")).foreach { base =>
+        val nC = base.length
+        val liveRows = clean(runs.map(r =>
+          readRunDir(sp, s"${vectorsDir(indexDir)}/${r.name}"))
+          .reduce(_ union _)).persist()
+        try {
+          val counts = liveRows.groupBy("cell")
+            .agg(count(lit(1)).as("n")).collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val total = counts.values.sum
+          val mean = total.toDouble / nC
+          val hot = counts.filter { case (_, n) => n > splitHot * mean }
+            .keys.toSeq.sorted
+          if (total > 0 && hot.nonEmpty) {
+            val buf = base.clone()
+            val appended =
+              scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+            hot.foreach { c =>
+              // sub-cell count sized so healed occupancy ≈ mean
+              val sub = graft.sim.Ivf.centroids(
+                liveRows.filter(col("cell") === c)
+                  .select("vec_id", "e", "norm"),
+                math.max(2, math.min(64,
+                  math.round(counts(c) / math.max(mean, 1.0)).toInt)),
+                nHint = counts(c))
+              buf(c) = sub(0)
+              appended ++= sub.tail
+            }
+            val full = buf ++ appended.toArray
+            val moved = reassign(liveRows, full)
+              .filter(col("cell") =!= col("old_cell")).persist()
+            try {
+              val reloc = writeRun(sp, indexDir, nextName(),
+                moved.select("vec_id", "e", "norm", "cell"))
+              if (reloc.rows > 0) {
+                runs = (runs :+ reloc).sortBy(-_.rows)
+                moved.select(col("vec_id"),
+                  col("old_cell").cast("int").as("cell"))
+                  .write.mode("overwrite")
+                  .parquet(s"${tombsDir(indexDir)}/t_split_$upTo")
+                splitTomb = Some(Run(s"t_split_$upTo", upTo + 1))
+              }
+              val centsName = s"centroids_v$upTo.json"
+              writeCentroids(sp, indexDir, full, centsName)
+              cents = Some(centsName)
+            } finally { moved.unpersist(false); () }
+          }
+        } finally { liveRows.unpersist(false); () }
+      }
+    }
     // tombstone lifecycle, two-phase so readers get the same
     // one-generation grace as runs: LOGICALLY sweepable once every
     // live run postdates-or-equals its first application AND that
@@ -507,7 +648,8 @@ object AnnIngest {
     }
     IngestIndex.writeManifest(sp, indexDir,
       Manifest(upTo,
-        Map("vectors" -> runs, "tombs" -> keepTombs,
+        Map("vectors" -> runs,
+          "tombs" -> (keepTombs ++ splitTomb),
           "tswept" -> sweep.map(tb => Run(tb.name, upTo)))
           .filter(_._2.nonEmpty),
         cents))
@@ -637,13 +779,20 @@ object AnnIngest {
     * drifts past the frozen first-batch quantizer then self-heal at
     * the next compaction boundary, paying the full rebuild only when
     * the index's own telemetry says pruning has degraded (~2-4 is a
-    * sensible threshold; ∞ = never, the default). */
+    * sensible threshold; ∞ = never, the default). `splitSkewAbove` is
+    * the CHEAPER heal on the same trigger: when the recorded skew
+    * exceeds it, this compaction runs the split-cell LOCAL retrain
+    * ([[compact]]'s `splitHot`, with the same value as the hot-cell
+    * factor — skew > f guarantees at least the max cell is hot) —
+    * movers only are rewritten, untouched cells keep their files. If
+    * both thresholds trip, the full rebuild wins. */
   def annIngestStream(stream: DataFrame, indexDir: String,
                       checkpoint: Option[String] = None,
                       nCells: Int = DefaultCells,
                       compactEvery: Int = 16,
                       retrainOnCompact: Boolean = false,
-                      retrainSkewAbove: Double = Double.PositiveInfinity)
+                      retrainSkewAbove: Double = Double.PositiveInfinity,
+                      splitSkewAbove: Double = Double.PositiveInfinity)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     if (checkpoint.isEmpty && nonEmpty(stream.sparkSession, indexDir))
       throw new IllegalStateException(
@@ -659,10 +808,12 @@ object AnnIngest {
           ingestBatch(batch.toDF(), batchId, indexDir, nCells)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
             val sp = batch.sparkSession
-            val skewTrip = lastSkew(sp, indexDir)
-              .exists(_ > retrainSkewAbove)
-            compact(sp, indexDir, batchId,
-              retrain = retrainOnCompact || skewTrip)
+            val skew = lastSkew(sp, indexDir)
+            val fullTrip = retrainOnCompact ||
+              skew.exists(_ > retrainSkewAbove)
+            val splitTrip = !fullTrip && skew.exists(_ > splitSkewAbove)
+            compact(sp, indexDir, batchId, retrain = fullTrip,
+              splitHot = if (splitTrip) splitSkewAbove else 0.0)
           }
         }
         ()

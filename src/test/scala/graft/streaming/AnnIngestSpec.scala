@@ -407,6 +407,128 @@ class AnnIngestSpec extends AnyFunSuite {
       "re-ingest after the sweep is visible")
   }
 
+  test("split-cell local retrain: hot cells re-cluster into appended " +
+    "sub-centroids, <20% of index rows are rewritten, the pre-split " +
+    "run survives by name, and the argmin-cell contract holds under " +
+    "the extended quantizer") {
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_ann15").toString
+    val idx = s"$t/idx"
+    def cluster(ids: Range, base: Double) = ids.map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (base + 0.01 * math.sin(i * 31 + d * 7)).toFloat))
+    }.toDF("vec_id", "embedding")
+    // freeze a 16-cell quantizer on a 300-vector spread batch...
+    AnnIngest.ingestBatch(vecs(0 until 300), 0L, idx, nCells = 16)
+    // ...then drift: a tight far-away 40-vector cluster piles into ONE
+    // frozen cell (~3x the mean occupancy)
+    AnnIngest.ingestBatch(cluster(300 until 340, -5.0), 1L, idx,
+      nCells = 16)
+    AnnIngest.compact(spark, idx, 1L)
+    val centsBefore = AnnIngest.readCentroids(spark, idx).get
+    val runsBefore = graft.streaming.IngestIndex
+      .readManifest(spark, idx).runs("vectors")
+    // the heal: local split, not the full rebuild
+    AnnIngest.compact(spark, idx, 2L, splitHot = 2.0)
+    val m = graft.streaming.IngestIndex.readManifest(spark, idx)
+    assert(m.cents === Some("centroids_v2.json"))
+    val centsAfter = AnnIngest.readCentroids(spark, idx).get
+    assert(centsAfter.length > centsBefore.length,
+      "sub-centroids must be appended")
+    // untouched cells keep their files: every pre-split run survives
+    // by name (a full rebuild would replace them all)
+    assert(runsBefore.map(_.name)
+      .forall(n => m.runs("vectors").exists(_.name == n)),
+      s"pre-split runs must survive: before=$runsBefore after=${m.runs("vectors")}")
+    // <20% of index rows rewritten (the relocation run holds movers only)
+    val reloc = m.runs("vectors").filter(_.name.startsWith("run_2_"))
+    val movedRows = reloc.map(_.rows).sum
+    assert(movedRows > 0, "the split must relocate the hot-cell movers")
+    assert(movedRows.toDouble / 340 < 0.20,
+      s"split rewrote $movedRows of 340 rows — not a local heal")
+    // cell-scoped tombstone recorded, applied-at next cycle (this
+    // cycle's runs still hold the stale copies)
+    assert(m.runs("tombs").map(_.name).contains("t_split_2"))
+    // live view: nothing lost, nothing duplicated (stale copies are
+    // excluded by the cell-scoped tombstone)
+    val live = AnnIngest.readIndex(spark, idx, None)
+    assert(live.count() === 340L)
+    assert(live.select("vec_id").distinct().count() === 340L)
+    // argmin contract: every live row sits in its argmin cell under
+    // the COMMITTED extended quantizer
+    val expect = graft.sim.Ivf.assignCells(
+      live.select("vec_id", "e", "norm"), centsAfter)
+      .select(col("vec_id"), col("cell").as("cell_x"))
+    assert(live.join(expect, Seq("vec_id"))
+      .filter(col("cell") =!= col("cell_x")).count() === 0L)
+    // probe-all == exact through the healed index
+    val q = vecs(0 until 10).union(cluster(310 until 320, -5.0))
+    val self = AnnIngest.queryTopK(spark, idx, q, k = 1,
+      nProbe = centsAfter.length)
+      .filter(col("nb_id") =!= col("vec_id") || col("cos_r") < 1.0)
+    assert(self.count() === 0L)
+    // ingest AFTER the split assigns under the extended quantizer
+    AnnIngest.ingestBatch(cluster(340 until 350, -5.1), 3L, idx,
+      nCells = 16)
+    val post = AnnIngest.readIndex(spark, idx, None)
+      .filter(col("vec_id") >= 340)
+    val postEx = graft.sim.Ivf.assignCells(
+      post.select("vec_id", "e", "norm"), centsAfter)
+      .select(col("vec_id"), col("cell").as("cell_x"))
+    assert(post.join(postEx, Seq("vec_id"))
+      .filter(col("cell") =!= col("cell_x")).count() === 0L)
+    // the next compaction folds/merges with the cell-scoped tombstone
+    // applied — the live view stays exact through it
+    AnnIngest.compact(spark, idx, 3L)
+    assert(AnnIngest.readIndex(spark, idx, None).count() === 350L)
+    assert(AnnIngest.readIndex(spark, idx, None)
+      .select("vec_id").distinct().count() === 350L)
+  }
+
+  test("splitSkewAbove closes the telemetry loop with the LOCAL heal: " +
+    "a collapsing feed trips the recorded skew and the next compaction " +
+    "splits the hot cell instead of rebuilding the index") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val farCents = Array(
+      Array.fill(8)(0.0),
+      Array.fill(8)(-100.0),
+      Array.tabulate(8)(d => if (d % 2 == 0) 100.0 else -100.0),
+      Array.fill(8)(100.0))
+    val t = java.nio.file.Files.createTempDirectory("graft_ann16").toString
+    AnnIngest.writeCentroids(spark, s"$t/idx", farCents)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    def feed(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7))))
+    val q = AnnIngest.annIngestStream(
+      ms.toDF().toDF("vec_id", "embedding"), s"$t/idx",
+      checkpoint = Some(s"$t/ckpt"), nCells = 4, compactEvery = 2,
+      splitSkewAbove = 2.0)
+    try {
+      ms.addData(feed(0 until 20)); q.processAllAvailable()
+      ms.addData(feed(20 until 40)); q.processAllAvailable()
+      assert(AnnIngest.quantizerName(spark, s"$t/idx").isEmpty)
+      ms.addData(feed(40 until 60)); q.processAllAvailable()
+      ms.addData(feed(60 until 80)); q.processAllAvailable()
+    } finally q.stop()
+    // the upTo=3 compaction split the collapsed cell: quantizer
+    // extended (not rebuilt at the same width), committed atomically
+    assert(AnnIngest.quantizerName(spark, s"$t/idx")
+      === Some("centroids_v3.json"))
+    val cents = AnnIngest.readCentroids(spark, s"$t/idx").get
+    assert(cents.length > 4, "split must APPEND sub-centroids")
+    val idx = AnnIngest.readIndex(spark, s"$t/idx", None)
+    assert(idx.count() === 80L)
+    val expect = graft.sim.Ivf.assignCells(
+      idx.select("vec_id", "e", "norm"), cents)
+      .select(col("vec_id"), col("cell").as("cell_x"))
+    assert(idx.join(expect, Seq("vec_id"))
+      .filter(col("cell") =!= col("cell_x")).count() === 0L)
+  }
+
   test("write lease: a held lease makes ingest/compact/delete fail " +
     "loudly with the index untouched; the lease releases after each op") {
     val s = spark
