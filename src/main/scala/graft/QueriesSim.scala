@@ -675,6 +675,111 @@ object QueriesSim {
         |UNION ALL SELECT 'self_hit', 1
         |""".stripMargin))
 
+  /** Split-cell LOCAL retrain contract ([[graft.streaming.AnnIngest]]
+    * `compact(splitHot)` — the affordable self-heal): four batches
+    * stream in with ONE (ids ≡ 2 mod 4) shifted far outside the rest,
+    * so the frozen 8-cell quantizer piles ~25% of the corpus into one
+    * hot cell; the drained index folds to a single run. An explicit
+    * split compaction then heals LOCALLY — the hot cell re-clusters
+    * into appended sub-centroids, movers are rewritten into a
+    * relocation run, stale copies are excluded by a cell-scoped
+    * tombstone, all committed in one manifest swap. (The auto-trigger
+    * wiring, `splitSkewAbove`, is spec-covered — this oracle pins the
+    * deterministic heal itself.) Contracts: (1) the manifest points at
+    * an EXTENDED quantizer (more cells than the frozen 8 — appended,
+    * not rebuilt); (2) the pre-split run SURVIVES by name (the rewrite
+    * was local, not a full rebuild); (3) the cell-scoped split
+    * tombstone is recorded; (4) every live row sits in its argmin cell
+    * under the committed quantizer; (5) every vector is live exactly
+    * once (stale old-cell copies excluded); (6) top-1 self-query at
+    * cos 1.0 through the healed index. */
+  private val annSplitQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.{col, expr}
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val emb = Tables.load(s, dir, "embeddings")
+      val typed = emb.select(col("vec_id").cast("long"),
+        expr("transform(embedding, x -> cast(x AS double))").as("e0"))
+        .withColumn("embedding", expr(
+          "CASE WHEN vec_id % 4 = 2 " +
+            "THEN transform(e0, x -> x + 8.0d) ELSE e0 END"))
+        .select("vec_id", "embedding")
+      val n = typed.count()
+      // harness-only: batch staging for MemoryStream — ONE collect.
+      // Batch b = ids ≡ b (mod 4): the quantizer freezes on batch 0
+      // (unshifted); compactions at upTo=1,3 fold + merge everything
+      // into ONE run that the split must then leave standing
+      val staged = typed.as[(Long, Seq[Double])].collect()
+      val batches = (0 to 3).map(b => staged.filter(_._1 % 4 == b).toSeq)
+      val tmp = s"/tmp/graft_asp_${java.util.UUID.randomUUID()}"
+      val ms = MemoryStream[(Long, Seq[Double])]
+      val q = graft.streaming.AnnIngest.annIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), s"$tmp/index",
+        checkpoint = Some(s"$tmp/ckpt"), nCells = 8, compactEvery = 2)
+      try {
+        batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+      } finally q.stop()
+      // the heal: shifted cell holds ~2x the mean -> hot at factor 1.25
+      graft.streaming.AnnIngest.compact(s, s"$tmp/index", 4L,
+        splitHot = 1.25)
+      val cents = graft.streaming.AnnIngest
+        .readCentroids(s, s"$tmp/index").get
+      val ver = graft.streaming.AnnIngest
+        .quantizerName(s, s"$tmp/index")
+        .flatMap(n => "centroids_v(\\d+)\\.json".r.findFirstMatchIn(n)
+          .map(_.group(1).toLong))
+      val extended = ver.contains(4L) && cents.length > 8
+      val manifestTxt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$tmp/index/manifest.json")), "UTF-8")
+      // a run OLDER than the split's quantizer version survives in the
+      // manifest — the rewrite was local, not a full rebuild
+      val preSplitRunSurvives = ver.exists(v =>
+        "\"name\": \"run_(\\d+)_".r.findAllMatchIn(manifestTxt)
+          .exists(_.group(1).toLong < v))
+      val splitTombRecorded = manifestTxt.contains("t_split_4")
+      val idx = graft.streaming.AnnIngest
+        .readIndex(s, s"$tmp/index", None).persist()
+      val expect = graft.sim.Ivf.assignCells(
+        idx.select("vec_id", "e", "norm"), cents)
+        .select(col("vec_id"), col("cell").as("cell_x"))
+      val mismatches = idx.join(expect, Seq("vec_id"))
+        .filter(col("cell") =!= col("cell_x")).count()
+      val liveOnce = idx.count() == n &&
+        idx.select("vec_id").distinct().count() == n
+      val sample = typed.filter(col("vec_id") % 7 === 0)
+        .toDF("vec_id", "embedding")
+      val self = graft.streaming.AnnIngest.queryTopK(s, s"$tmp/index",
+          sample, k = 1, nProbe = 1)
+        .filter(col("nb_id") =!= col("vec_id") || col("cos_r") < 1.0)
+        .count()
+      idx.unpersist(false)
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      rm(java.nio.file.Paths.get(tmp))
+      Seq(
+        ("extended_quantizer", if (extended) 1 else 0),
+        ("pre_split_run_survives", if (preSplitRunSurvives) 1 else 0),
+        ("split_tombstone_recorded", if (splitTombRecorded) 1 else 0),
+        ("cells_match_manifest_quantizer", if (mismatches == 0L) 1 else 0),
+        ("live_exactly_once", if (liveOnce) 1 else 0),
+        ("self_hit", if (self == 0L) 1 else 0))
+        .toDF("contract", "ok")
+    },
+    oracle = Some(
+      """SELECT 'extended_quantizer' AS contract, 1 AS ok
+        |UNION ALL SELECT 'pre_split_run_survives', 1
+        |UNION ALL SELECT 'split_tombstone_recorded', 1
+        |UNION ALL SELECT 'cells_match_manifest_quantizer', 1
+        |UNION ALL SELECT 'live_exactly_once', 1
+        |UNION ALL SELECT 'self_hit', 1
+        |""".stripMargin))
+
   /** ANN index deletion contract ([[graft.streaming.AnnIngest.delete]]
     * — LSM tombstones): every vec_id ≡ 0 (mod 10) is tombstoned after
     * ingest. Contracts: (1) reader-side exclusion is immediate (before
@@ -767,6 +872,7 @@ object QueriesSim {
     "q_embed_cov"   -> embedCov,
     "q_stream_ann_ingest" -> streamAnnIngestQ,
     "q_ann_ingest_retrain" -> annIngestRetrainQ,
+    "q_ann_split"   -> annSplitQ,
     "q_ann_delete"  -> annDeleteQ,
     "q_cosine_topk" -> cosineTopK,
     "q_ann_lsh"     -> annLsh,

@@ -946,6 +946,101 @@ class CliSpec extends AnyFunSuite {
       r4.mkString("\n"))
   }
 
+  test("gate takedown lifecycle end-to-end through the CLI: feed -> " +
+    "retract -> compacting drains apply then sweep the tombstone -> " +
+    "re-fed retracted content is re-admitted, re-indexed, and screens " +
+    "normally again") {
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_cli_td").toString
+    val seed = "cli takedown lifecycle seed document please retract me"
+    var nextFiller = 0
+    def feedFile(rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$t/feed")
+    // compactevery=1: every drained batch is followed by a compaction,
+    // so the drill exercises apply -> logical sweep -> physical sweep
+    // through the CLI alone
+    def gate(): Unit = {
+      Cli.run(spark, "gate", Map("feed" -> s"$t/feed",
+        "index" -> s"$t/idx", "out" -> s"$t/out",
+        "checkpoint" -> s"$t/ckpt", "compactevery" -> "1"))
+      ()
+    }
+    def decisions(): Map[Long, Boolean] =
+      spark.read.parquet(s"$t/out").select("doc_id", "kept").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def tombsOnDisk(): Seq[String] = {
+      val p = java.nio.file.Paths.get(t, "idx", "tombs_hashes")
+      if (!java.nio.file.Files.exists(p)) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(p).iterator().asScala
+          .map(_.getFileName.toString).toSeq
+      }
+    }
+    def manifest(): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "idx", "manifest.json")), "UTF-8")
+    feedFile(1L -> seed, 2L -> "unrelated filler document number two")
+    gate()
+    feedFile(3L -> seed) // duplicate of the indexed seed
+    gate()
+    assert(decisions()(1L) && !decisions()(3L))
+    // takedown via the CLI
+    Seq(9L -> seed).toDF("doc_id", "text").write.parquet(s"$t/take")
+    val r = Cli.run(spark, "gate", Map("index" -> s"$t/idx",
+      "retract" -> s"$t/take", "tag" -> "tdcase"))
+    assert(r.head.startsWith("gate: retracted"))
+    assert(tombsOnDisk() === Seq("t_tdcase"))
+    // each CLI invocation is a RESTART (fresh drain over the same
+    // checkpoint): the re-fed seed is re-admitted while the tombstone
+    // lives, and the drain's compaction applies it into the runs
+    feedFile(4L -> seed)
+    gate()
+    assert(decisions()(4L), "re-admitted after retraction")
+    assert(manifest().contains("t_tdcase"))
+    // keep draining fillers until both kinds sweep (bounded): the
+    // tombstone moves tombs -> tswept -> deleted as the run merges
+    // roll every seed-holding run forward (the sweep condition IS
+    // "every live run postdates the application", so sweep completion
+    // proves physical exclusion)
+    var i = 0
+    while (tombsOnDisk().nonEmpty && i < 10) {
+      nextFiller += 1
+      feedFile((100L + nextFiller) ->
+        s"takedown drill filler document number $nextFiller")
+      gate()
+      i += 1
+    }
+    assert(tombsOnDisk().isEmpty, s"tombstone not swept after $i drains")
+    assert(!manifest().contains("t_tdcase"))
+    // swept ⇒ the MANIFEST-referenced runs physically hold no seed key
+    // (read the run parquet raw, bypassing the reader-side anti-join;
+    // one-generation retention keeps superseded dirs, so manifest
+    // names only)
+    val seedHash = Seq(0L -> seed).toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text").cast("binary")))
+      .head().getString(0)
+    val liveRuns = "\\{\"name\": \"(run_[^\"]+)\"".r
+      .findAllMatchIn(manifest()).map(_.group(1)).toSeq
+    val liveKeys = liveRuns
+      .map(n => spark.read.option("basePath", s"$t/idx/hashes/$n")
+        .parquet(s"$t/idx/hashes/$n").select("h"))
+      .reduceOption(_ union _)
+      .map(_.collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+    assert(!liveKeys.contains(seedHash),
+      "a completed sweep proves every live run is physically clean")
+    // post-sweep: the seed is genuinely forgotten — first re-feed is
+    // admitted and re-indexed, the NEXT copy is flagged again
+    feedFile(50L -> seed)
+    gate()
+    feedFile(51L -> seed)
+    gate()
+    assert(decisions()(50L), "post-sweep arrival must be admitted")
+    assert(!decisions()(51L), "the index must screen the seed again")
+  }
+
   test("annindex: ingest an embeddings feed then query top-k through " +
     "the persisted cell-pruned index") {
     val s = spark
