@@ -190,6 +190,12 @@ object AnnIngest {
       IngestIndex.withWriterLease(sp, indexDir) {
     require(tag.matches("[A-Za-z0-9_\\-]+"),
       s"tombstone tag must be [A-Za-z0-9_-]+, got '$tag'")
+    // the split_ namespace is reserved: split-retrain tombstones are
+    // MANIFEST-GATED (a dir is honored only when committed), which
+    // would silently defer a user takedown issued under such a tag
+    require(!tag.startsWith("split_"),
+      s"tag '$tag' collides with the reserved split-retrain namespace " +
+        "(t_split_*); pick another tag")
     // an APPLIED tag must not be re-issued with more ids: the sweep
     // proof covers what was applied under that name, so extending it
     // could sweep before the new ids are removed — silently undoing a
@@ -208,14 +214,36 @@ object AnnIngest {
   }
 
   /** Live (not yet swept) tombstone dirs on disk. Bounded: tombstones
-    * are applied at each compaction and swept one generation later. */
+    * are applied at each compaction and swept one generation later.
+    *
+    * MANIFEST-GATING for split tombstones: a `t_split_*` dir is live
+    * ONLY IF the manifest's tombs/tswept lists it. A takedown
+    * tombstone ([[delete]]) is deliberately live the moment its dir
+    * exists — the user asked for the exclusion, committed or not. A
+    * SPLIT tombstone is compaction-internal: it is written just before
+    * the manifest swap that also publishes the relocation run, and a
+    * crash in between leaves the dir on disk with the relocated copies
+    * UNCOMMITTED — honoring it would silently hide every mover (its
+    * old-cell copy excluded, its new-cell copy nonexistent). Gated on
+    * the manifest, the orphan dir is inert and the next compaction
+    * retry overwrites it with the same deterministic content. */
   private[streaming] def tombDirs(sp: SparkSession, indexDir: String)
-      : Seq[String] = {
+      : Seq[String] =
+    tombDirsWith(IngestIndex.readManifest(sp, indexDir), sp, indexDir)
+
+  private def tombDirsWith(m: Manifest, sp: SparkSession,
+      indexDir: String): Seq[String] = {
     val p = new Path(tombsDir(indexDir))
     val f = fs(sp, indexDir)
-    if (!f.exists(p)) Nil
-    else f.listStatus(p).toSeq.map(_.getPath.toString)
-      .filter(_.split("/").last.startsWith("t_")).sorted
+    if (!f.exists(p)) return Nil
+    val recognized = (m.runs.getOrElse("tombs", Nil) ++
+      m.runs.getOrElse("tswept", Nil)).map(_.name).toSet
+    f.listStatus(p).toSeq.map(_.getPath.toString)
+      .filter { d =>
+        val n = d.split("/").last
+        n.startsWith("t_") &&
+          (!n.startsWith("t_split_") || recognized(n))
+      }.sorted
   }
 
   /** Live tombstone rows normalized to (vec_id, cell): takedown
@@ -253,10 +281,12 @@ object AnnIngest {
       IngestIndex.TombBroadcastMax
 
   /** Exclude tombstoned rows from `rows` — a no-op plan when no
-    * tombstones are live (the common case pays nothing). */
-  private def minusTombs(sp: SparkSession, indexDir: String,
+    * tombstones are live (the common case pays nothing). Takes the
+    * SAME manifest the caller planned its run set against, both for
+    * read consistency and for the split-tombstone gating. */
+  private def minusTombs(m: Manifest, sp: SparkSession, indexDir: String,
       rows: DataFrame): DataFrame = {
-    val dirs = tombDirs(sp, indexDir)
+    val dirs = tombDirsWith(m, sp, indexDir)
     if (dirs.isEmpty) rows
     else {
       val t = tombRows(sp, dirs)
@@ -323,7 +353,7 @@ object AnnIngest {
             org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.StructField("cell",
             org.apache.spark.sql.types.IntegerType)))))
-    minusTombs(sp, indexDir, all)
+    minusTombs(m, sp, indexDir, all)
   }
 
   private val vecSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -471,7 +501,7 @@ object AnnIngest {
     // swept last cycle and await physical deletion (not live).
     val prevTombs = m.runs.getOrElse("tombs", Nil)
     val sweptPending = m.runs.getOrElse("tswept", Nil)
-    val liveTombPaths = tombDirs(sp, indexDir)
+    val liveTombPaths = tombDirsWith(m, sp, indexDir)
       .filterNot(d => sweptPending.exists(_.name == d.split("/").last))
     val tombRecords = liveTombPaths.map { d =>
       val n = d.split("/").last
@@ -675,6 +705,20 @@ object AnnIngest {
           ((n.startsWith("run_") || n.startsWith("base_v")) &&
             !retained(n))
         if (stale) { f.delete(d, true); () }
+      }
+    }
+    // orphan split-tombstone dirs — a crash between a previous split's
+    // tombstone write and its manifest publish: inert for every reader
+    // and compaction (manifest-gated in tombDirs), collected here so
+    // they do not accumulate
+    val keptTombNames =
+      (keepTombs ++ splitTomb ++ sweep).map(_.name).toSet
+    val tombsRoot = new Path(tombsDir(indexDir))
+    if (f.exists(tombsRoot)) {
+      f.listStatus(tombsRoot).toSeq.map(_.getPath).foreach { d =>
+        if (d.getName.startsWith("t_split_") && !keptTombNames(d.getName)) {
+          f.delete(d, true); ()
+        }
       }
     }
     // this compaction's skew report is written BEFORE older ones are

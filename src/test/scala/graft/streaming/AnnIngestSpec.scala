@@ -529,6 +529,44 @@ class AnnIngestSpec extends AnyFunSuite {
       .filter(col("cell") =!= col("cell_x")).count() === 0L)
   }
 
+  test("an ORPHAN split tombstone (crash between its write and the " +
+    "manifest publish) is inert: readers ignore it — honoring it would " +
+    "hide movers whose relocated copies were never committed — and the " +
+    "next compaction collects the dir; the split_ tag namespace is " +
+    "reserved") {
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_ann17").toString
+    val idx = s"$t/idx"
+    AnnIngest.ingestBatch(vecs(0 until 20), 0L, idx, nCells = 4)
+    AnnIngest.compact(spark, idx, 0L)
+    // forge the crash state: a cell-scoped split tombstone dir with NO
+    // manifest record, targeting a live row's current cell
+    val victim = AnnIngest.readIndex(spark, idx, None)
+      .select("vec_id", "cell").head()
+    Seq((victim.getLong(0), victim.getInt(1))).toDF("vec_id", "cell")
+      .write.parquet(s"$idx/tombs/t_split_99")
+    // readers ignore it — the row stays live (manifest-gated)
+    assert(AnnIngest.tombDirs(spark, idx).isEmpty)
+    assert(AnnIngest.readIndex(spark, idx, None).count() === 20L)
+    // ...while a TAKEDOWN tombstone dir is honored the moment it
+    // exists, committed or not (the user asked for the exclusion)
+    AnnIngest.delete(spark, idx,
+      Seq(victim.getLong(0)).toDF("vec_id"), "realcase")
+    assert(AnnIngest.readIndex(spark, idx, None).count() === 19L)
+    // the next compaction collects the orphan dir (it never applies it)
+    AnnIngest.ingestBatch(vecs(20 until 25), 1L, idx, nCells = 4)
+    AnnIngest.compact(spark, idx, 1L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/tombs/t_split_99")),
+      "orphan split dir must be collected")
+    assert(AnnIngest.readIndex(spark, idx, None).count() === 24L)
+    // user tags cannot enter the reserved (manifest-gated) namespace
+    assert(intercept[IllegalArgumentException] {
+      AnnIngest.delete(spark, idx, Seq(1L).toDF("vec_id"), "split_x")
+    }.getMessage.contains("reserved"))
+  }
+
   test("write lease: a held lease makes ingest/compact/delete fail " +
     "loudly with the index untouched; the lease releases after each op") {
     val s = spark
