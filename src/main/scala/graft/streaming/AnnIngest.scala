@@ -276,9 +276,6 @@ object AnnIngest {
       "left_anti")
   }
 
-  private def tombsAreSmall(t: DataFrame): Boolean =
-    t.limit(IngestIndex.TombBroadcastMax.toInt + 1).count() <=
-      IngestIndex.TombBroadcastMax
 
   /** Exclude tombstoned rows from `rows` — a no-op plan when no
     * tombstones are live (the common case pays nothing). Takes the
@@ -290,7 +287,7 @@ object AnnIngest {
     if (dirs.isEmpty) rows
     else {
       val t = tombRows(sp, dirs)
-      antiTombs(rows, t, tombsAreSmall(t))
+      antiTombs(rows, t, IngestIndex.tombsSmall(dirs, t))
     }
   }
 
@@ -511,7 +508,7 @@ object AnnIngest {
       if (liveTombPaths.isEmpty) identity
       else {
         val ids = tombRows(sp, liveTombPaths)
-        val small = tombsAreSmall(ids)
+        val small = IngestIndex.tombsSmall(liveTombPaths, ids)
         df => antiTombs(df, ids, small)
       }
     if (retrain) {

@@ -516,7 +516,7 @@ object IngestIndex {
         .select(lit("").as(keyName)).limit(0))
     if (pr.tombs.isEmpty) all
     else antiJoinTombs(all,
-      sp.read.parquet(pr.tombs: _*).toDF(keyName), Seq(keyName))
+      sp.read.parquet(pr.tombs: _*).toDF(keyName), Seq(keyName), pr.tombs)
   }
 
   /** Row-count ceiling under which a live tombstone set is broadcast
@@ -528,16 +528,38 @@ object IngestIndex {
     * tombstone sets (bulk takedowns) keep the shuffled join. */
   val TombBroadcastMax = 10000L
 
+  /** Driver-side cache of the broadcast-or-shuffle sizing decision,
+    * keyed by the tombstone DIR SET: the serving path would otherwise
+    * pay one (tiny) sizing job per probe for as long as a tombstone is
+    * live. A new retraction changes the dir set → new key; overwriting
+    * a not-yet-applied tag (the allowed retry shape) keeps the key —
+    * and a deliberately grown overwrite at worst broadcasts a
+    * larger-than-threshold set once, which is harmless. Bounded by a
+    * hard cap like [[bloomCache]]. */
+  private val tombSizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[streaming] def tombsSmall(dirs: Seq[String],
+      tombs: => DataFrame): Boolean = {
+    val k = dirs.sorted.mkString("|")
+    Option(tombSizeCache.get(k)).map(_.booleanValue).getOrElse {
+      if (tombSizeCache.size > 256) tombSizeCache.clear()
+      val v = tombs
+        .limit(TombBroadcastMax.toInt + 1).count() <= TombBroadcastMax
+      tombSizeCache.put(k, v)
+      v
+    }
+  }
+
   /** Anti-join `rows` against tombstones, broadcasting the tombstone
     * side when it is small (≤ [[TombBroadcastMax]] rows — checked with
-    * an early-exit limit+count, so the sizing probe itself never scans
-    * a bulk tombstone set fully). */
+    * an early-exit limit+count through [[tombsSmall]]'s cache, so the
+    * sizing probe runs once per live tombstone set, not once per
+    * probe). */
   private[streaming] def antiJoinTombs(rows: DataFrame, tombs: DataFrame,
-      on: Seq[String]): DataFrame = {
-    val small = tombs
-      .limit(TombBroadcastMax.toInt + 1).count() <= TombBroadcastMax
-    rows.join(if (small) broadcast(tombs) else tombs, on, "left_anti")
-  }
+      on: Seq[String], dirs: Seq[String]): DataFrame =
+    rows.join(if (tombsSmall(dirs, tombs)) broadcast(tombs) else tombs,
+      on, "left_anti")
 
   /** The full routed probe for one kind: Bloom-screen `keys` (single
     * key column) against `pr`, collect the suspects' hash prefixes,
