@@ -32,9 +32,17 @@ object Ivf {
                 sampleCap: Int = 50000, nHint: Long = -1L): Array[Array[Double]] = {
     val n = if (nHint > 0) nHint else v.count()
     val step = math.max(1L, n / sampleCap)
-    val sample = v.filter(pmod(col("vec_id"), lit(step)) === 0)
+    val strided = v.filter(pmod(col("vec_id"), lit(step)) === 0)
       .select("vec_id", "e").collect()
       .sortBy(_.getLong(0)).map(toArr(_, 1))
+    // the id-stride sample can come up empty on id distributions that
+    // dodge the modulus (e.g. a SUBSET of a corpus — a split-retrain
+    // hot cell — whose ids share a parity with an even step); fall
+    // back to a bounded head sample rather than crash on cents(0)
+    val sample =
+      if (strided.nonEmpty) strided
+      else v.select("vec_id", "e").limit(math.max(nCells, 1)).collect()
+        .sortBy(_.getLong(0)).map(toArr(_, 1))
     var cents = sample.take(nCells)
     for (_ <- 0 until iters) {
       val sums = Array.fill(nCells)(new Array[Double](cents(0).length))

@@ -194,12 +194,15 @@ object IngestIndex {
 
   private def leasePath(indexDir: String) = new Path(s"$indexDir/_writer.lease")
 
-  /** Leases held by THIS JVM (qualified index path → re-entry depth):
-    * a caller may legitimately nest writer ops under one lease (e.g.
-    * `withWriterLease { ingestBatch(...); compact(...) }` as a single
-    * writer transaction), and same-process nesting must not
-    * self-deadlock on the file. */
-  private val heldLeases = scala.collection.mutable.Map.empty[String, Int]
+  /** Leases held by THIS JVM (qualified index path → (holder thread,
+    * re-entry depth)): a caller may legitimately nest writer ops under
+    * one lease (e.g. `withWriterLease { ingestBatch(...); compact(...)
+    * }` as a single writer transaction), and same-THREAD nesting must
+    * not self-deadlock on the file. A DIFFERENT thread of the same JVM
+    * is a different writer — it must fail exactly like a second
+    * process would, not silently ride the holder's lease. */
+  private val heldLeases =
+    scala.collection.mutable.Map.empty[String, (Long, Int)]
 
   private def acquireFileLease(fs: FileSystem, indexDir: String): Unit = {
     val p = leasePath(indexDir)
@@ -264,19 +267,27 @@ object IngestIndex {
   def withWriterLease[T](sp: SparkSession, indexDir: String)(body: => T): T = {
     val fs = fsFor(sp, indexDir)
     val key = fs.makeQualified(new Path(indexDir)).toString
+    val me = Thread.currentThread().getId
     val nested = heldLeases.synchronized {
-      val d = heldLeases.getOrElse(key, 0)
-      if (d > 0) heldLeases(key) = d + 1
-      d > 0
+      heldLeases.get(key) match {
+        case Some((holder, d)) if holder == me =>
+          heldLeases(key) = (holder, d + 1); true
+        case Some((holder, _)) =>
+          throw new IllegalStateException(
+            s"another writer (thread $holder of this process) holds " +
+              s"the lease on $indexDir — refusing to interleave")
+        case None => false
+      }
     }
     if (nested)
       try body
       finally heldLeases.synchronized {
-        heldLeases(key) = heldLeases(key) - 1
+        val (h, d) = heldLeases(key)
+        heldLeases(key) = (h, d - 1)
       }
     else {
       acquireFileLease(fs, indexDir)
-      heldLeases.synchronized { heldLeases(key) = 1 }
+      heldLeases.synchronized { heldLeases(key) = (me, 1) }
       try body
       finally {
         heldLeases.synchronized { heldLeases.remove(key); () }

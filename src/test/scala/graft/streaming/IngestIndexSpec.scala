@@ -449,6 +449,17 @@ class IngestIndexSpec extends AnyFunSuite {
         idx, out)
       IngestIndex.compact(spark, idx, 1L)
       assert(java.nio.file.Files.exists(lease), "held inside the txn")
+      // a DIFFERENT thread of the SAME process is a different writer:
+      // it must fail exactly like a second process, not silently ride
+      // this thread's re-entry
+      @volatile var caught: Option[Throwable] = None
+      val th = new Thread(() => {
+        try { IngestIndex.compact(spark, idx, 5L); () }
+        catch { case e: Throwable => caught = Some(e) }
+      })
+      th.start(); th.join()
+      assert(caught.exists(_.getMessage.contains("another writer")),
+        s"cross-thread writer must be refused, got $caught")
     }
     assert(!java.nio.file.Files.exists(lease))
     assert(IngestIndex.readManifest(spark, idx).maxCompacted === 1L)
