@@ -287,7 +287,7 @@ object AnnIngest {
     if (dirs.isEmpty) rows
     else {
       val t = tombRows(sp, dirs)
-      antiTombs(rows, t, IngestIndex.tombsSmall(dirs, t))
+      antiTombs(rows, t, IngestIndex.tombsSmall(sp, dirs, t))
     }
   }
 
@@ -508,7 +508,7 @@ object AnnIngest {
       if (liveTombPaths.isEmpty) identity
       else {
         val ids = tombRows(sp, liveTombPaths)
-        val small = IngestIndex.tombsSmall(liveTombPaths, ids)
+        val small = IngestIndex.tombsSmall(sp, liveTombPaths, ids)
         df => antiTombs(df, ids, small)
       }
     if (retrain) {

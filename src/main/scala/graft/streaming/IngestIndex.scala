@@ -540,19 +540,25 @@ object IngestIndex {
   val TombBroadcastMax = 10000L
 
   /** Driver-side cache of the broadcast-or-shuffle sizing decision,
-    * keyed by the tombstone DIR SET: the serving path would otherwise
-    * pay one (tiny) sizing job per probe for as long as a tombstone is
-    * live. A new retraction changes the dir set → new key; overwriting
-    * a not-yet-applied tag (the allowed retry shape) keeps the key —
-    * and a deliberately grown overwrite at worst broadcasts a
-    * larger-than-threshold set once, which is harmless. Bounded by a
-    * hard cap like [[bloomCache]]. */
+    * keyed by the tombstone DIR SET plus each dir's modification time:
+    * the serving path would otherwise pay one (tiny) sizing job per
+    * probe for as long as a tombstone is live. A new retraction
+    * changes the dir set; an overwrite — a not-yet-applied-tag retry,
+    * or a tag legitimately REUSED after its sweep (the applied-set
+    * check only covers the current manifest) — bumps the mtime, so a
+    * reused tag with different content can never ride a stale verdict
+    * into an oversized broadcast. Bounded by a hard cap like
+    * [[bloomCache]]. */
   private val tombSizeCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private[streaming] def tombsSmall(dirs: Seq[String],
+  private[streaming] def tombsSmall(sp: SparkSession, dirs: Seq[String],
       tombs: => DataFrame): Boolean = {
-    val k = dirs.sorted.mkString("|")
+    val k = dirs.sorted.map { d =>
+      val mt = try fsFor(sp, d).getFileStatus(new Path(d))
+        .getModificationTime catch { case _: Throwable => -1L }
+      s"$d@$mt"
+    }.mkString("|")
     Option(tombSizeCache.get(k)).map(_.booleanValue).getOrElse {
       if (tombSizeCache.size > 256) tombSizeCache.clear()
       val v = tombs
@@ -569,7 +575,9 @@ object IngestIndex {
     * probe). */
   private[streaming] def antiJoinTombs(rows: DataFrame, tombs: DataFrame,
       on: Seq[String], dirs: Seq[String]): DataFrame =
-    rows.join(if (tombsSmall(dirs, tombs)) broadcast(tombs) else tombs,
+    rows.join(
+      if (tombsSmall(rows.sparkSession, dirs, tombs)) broadcast(tombs)
+      else tombs,
       on, "left_anti")
 
   /** The full routed probe for one kind: Bloom-screen `keys` (single
