@@ -268,29 +268,35 @@ object IngestIndex {
     val fs = fsFor(sp, indexDir)
     val key = fs.makeQualified(new Path(indexDir)).toString
     val me = Thread.currentThread().getId
-    val nested = heldLeases.synchronized {
+    // ALL same-process acquisition/release state changes happen under
+    // ONE monitor, including the lease-file create and delete: the
+    // local FS's create-if-absent is exists-then-create (NOT atomic),
+    // and the threaded stress spec caught a release's delete opening a
+    // window in which several contenders' creates all succeeded at
+    // once. Under the monitor, same-process contenders fully
+    // serialize; CROSS-process mutual exclusion rides on the store's
+    // create-if-absent, which is atomic on HDFS-like filesystems (the
+    // deployment this index targets — the local-FS microsecond TOCTOU
+    // between separate processes is accepted and documented).
+    heldLeases.synchronized {
       heldLeases.get(key) match {
         case Some((holder, d)) if holder == me =>
-          heldLeases(key) = (holder, d + 1); true
+          heldLeases(key) = (holder, d + 1)
         case Some((holder, _)) =>
           throw new IllegalStateException(
             s"another writer (thread $holder of this process) holds " +
               s"the lease on $indexDir — refusing to interleave")
-        case None => false
+        case None =>
+          acquireFileLease(fs, indexDir)
+          heldLeases(key) = (me, 1)
       }
     }
-    if (nested)
-      try body
-      finally heldLeases.synchronized {
-        val (h, d) = heldLeases(key)
-        heldLeases(key) = (h, d - 1)
-      }
-    else {
-      acquireFileLease(fs, indexDir)
-      heldLeases.synchronized { heldLeases(key) = (me, 1) }
-      try body
-      finally {
-        heldLeases.synchronized { heldLeases.remove(key); () }
+    try body
+    finally heldLeases.synchronized {
+      val (h, d) = heldLeases(key)
+      if (d > 1) heldLeases(key) = (h, d - 1)
+      else {
+        heldLeases.remove(key)
         fs.delete(leasePath(indexDir), false)
         ()
       }

@@ -465,6 +465,40 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(IngestIndex.readManifest(spark, idx).maxCompacted === 1L)
   }
 
+  test("lease stress: eight threads contending on one index never " +
+    "overlap — at most one holder at any instant, losers fail loudly") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ii16").toString
+    val idx = s"$t/idx"
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val held = new java.util.concurrent.atomic.AtomicInteger(0)
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map(_ => new Thread(() => {
+      (1 to 6).foreach { _ =>
+        try IngestIndex.withWriterLease(spark, idx) {
+          val a = active.incrementAndGet()
+          maxActive.updateAndGet(m => math.max(m, a))
+          Thread.sleep(3)
+          active.decrementAndGet()
+          held.incrementAndGet()
+          ()
+        } catch {
+          case _: IllegalStateException => refused.incrementAndGet(); ()
+        }
+        Thread.sleep(1)
+      }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(maxActive.get() === 1,
+      s"two writers held the lease simultaneously (max=${maxActive.get()})")
+    assert(held.get() + refused.get() === 48)
+    assert(held.get() > 0, "someone must acquire")
+    assert(refused.get() > 0, "contention must surface as loud failures")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idx, "_writer.lease")),
+      "lease released after the dust settles")
+  }
+
   test("corruption fails fast: a manifest-referenced run dir missing " +
     "on disk throws instead of silently probing without it, and a " +
     "legacy single-base manifest is refused outright") {
