@@ -98,12 +98,22 @@ object ShardSink {
     (recomputed, stored == recomputedJson)
   }
 
+  /** Manifest publish via write-temp-then-rename(OVERWRITE) — the same
+    * commit discipline as the LSM index manifests: a crash mid-write
+    * must leave the OLD manifest (or none), never a truncated one that
+    * an auditor's verify pass would have to distinguish from a corrupt
+    * export. */
   private def writeText(spark: SparkSession, path: String,
                         content: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(p).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readText(spark: SparkSession, path: String): String = {
