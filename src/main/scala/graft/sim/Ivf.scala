@@ -35,14 +35,26 @@ object Ivf {
     val strided = v.filter(pmod(col("vec_id"), lit(step)) === 0)
       .select("vec_id", "e").collect()
       .sortBy(_.getLong(0)).map(toArr(_, 1))
-    // the id-stride sample can come up empty on id distributions that
-    // dodge the modulus (e.g. a SUBSET of a corpus — a split-retrain
-    // hot cell — whose ids share a parity with an even step); fall
-    // back to a bounded head sample rather than crash on cents(0)
+    // the id-stride sample can come up empty (or degenerate) on id
+    // distributions that dodge the modulus (e.g. a SUBSET of a corpus
+    // — a split-retrain hot cell — whose ids share a parity with an
+    // even step). Fall back to a HASH-stride sample: xxhash64 breaks
+    // any id-structure correlation with the modulus, still
+    // deterministic and still ~n/step rows. A quantizer trained on a
+    // handful of head rows (the old fallback) is one-seed-per-cell
+    // degenerate — the opposite of the ~50k-sample recipe. Final
+    // guard: a bounded head sample, reachable only if BOTH strides
+    // come up empty (vanishingly unlikely with a uniform hash).
     val sample =
       if (strided.nonEmpty) strided
-      else v.select("vec_id", "e").limit(math.max(nCells, 1)).collect()
-        .sortBy(_.getLong(0)).map(toArr(_, 1))
+      else {
+        val hashed = v.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
+          .select("vec_id", "e").collect()
+          .sortBy(_.getLong(0)).map(toArr(_, 1))
+        if (hashed.nonEmpty) hashed
+        else v.select("vec_id", "e").limit(sampleCap).collect()
+          .sortBy(_.getLong(0)).map(toArr(_, 1))
+      }
     var cents = sample.take(nCells)
     for (_ <- 0 until iters) {
       val sums = Array.fill(nCells)(new Array[Double](cents(0).length))
@@ -114,7 +126,13 @@ object Ivf {
     * vector probes its `nProbe` nearest cells — one (vec_id, cell) row per
     * probe, narrow flatMap over the broadcast centroids. The INDEX side
     * stays single-assigned; candidate volume scales ×nProbe and recall
-    * approaches brute force as nProbe → nCells. */
+    * approaches brute force as nProbe → nCells. DEAD slots (all-NaN
+    * centroids left by a cold-cell fold — see
+    * [[graft.streaming.AnnIngest]]) are never probed: their distances
+    * read NaN and are filtered before the sort (the single-assign
+    * loops skip them for free — NaN never wins a running min — but a
+    * sort would order NaN after the finites and a large nProbe could
+    * reach them). */
   def assignProbes(v: DataFrame, cents: Array[Array[Double]],
                    nProbe: Int): DataFrame = {
     val spark = v.sparkSession
@@ -126,7 +144,8 @@ object Ivf {
       .flatMap { case (id, e) =>
         val cs = bc.value
         val d2 = distances(cs, e)
-        d2.zipWithIndex.sortBy { case (d, i) => (d, i) }
+        d2.zipWithIndex.filter(!_._1.isNaN)
+          .sortBy { case (d, i) => (d, i) }
           .take(math.min(p, cs.length))
           .map { case (_, cell) => (id, cell) }
       }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.DotProduct.dot
@@ -172,6 +172,21 @@ object AnnIngest {
   private def vectorsDir(indexDir: String) = s"$indexDir/vectors"
   private def tombsDir(indexDir: String) = s"$indexDir/tombs"
 
+  /** Slot ids of LIVE centroids. A cold-cell fold deadens a slot by
+    * writing an all-NaN centroid in place (slot ids ARE cell ids, so
+    * folding must never renumber the survivors): dead slots hold no
+    * rows, win no argmin (NaN never beats a running min), and are
+    * filtered out of probe sets — they cost one NaN check per row in
+    * the assignment loop and nothing anywhere else. */
+  private[streaming] def liveSlots(cents: Array[Array[Double]]): Seq[Int] =
+    cents.indices.filter(c => !cents(c)(0).isNaN)
+
+  /** Count of live (non-dead) quantizer slots — the figure that
+    * bounds probe sets, partition counts, and skew mean. Telemetry
+    * surface for callers auditing fold/split heals. */
+  def liveCellCount(sp: SparkSession, indexDir: String): Int =
+    readCentroids(sp, indexDir).map(liveSlots(_).size).getOrElse(0)
+
   /** Register vectors for deletion (takedowns, dedup corrections): a
     * TOMBSTONE — `ids` (single `vec_id` column) written under
     * `tombs/t_<tag>` in overwrite mode, so re-issuing the same tag is
@@ -246,25 +261,59 @@ object AnnIngest {
       }.sorted
   }
 
-  /** Live tombstone rows normalized to (vec_id, cell): takedown
-    * tombstones ([[delete]]) carry only vec_id — cell reads NULL,
-    * meaning "exclude everywhere"; split-retrain relocation tombstones
-    * are CELL-SCOPED (vec_id, cell) — they exclude only the STALE copy
-    * left in the row's former cell, while the relocated copy under its
-    * new cell lives on. */
-  private def tombRows(sp: SparkSession, dirs: Seq[String]): DataFrame =
+  /** Source id of a run/delta dir: the compaction id that wrote a run
+    * (`run_<id>_<k>`) or a delta's batch id (`batch=<id>`) — both on
+    * the batch-id axis the tombstone ledger's applied-at ids use. An
+    * unrecognized name reads 0 (oldest — conservatively INSIDE every
+    * cell-scoped tombstone's exclusion scope: the failure mode of
+    * guessing "new" would be resurrecting a stale pre-split copy). */
+  private def srcIdOf(dir: String): Long = {
+    val n = dir.split("/").last
+    "run_(\\d+)_\\d+".r.findFirstMatchIn(n).map(_.group(1).toLong)
+      .orElse("batch=(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toLong))
+      .getOrElse(0L)
+  }
+
+  /** Live tombstone rows normalized to (vec_id, cell, tb_applied):
+    * takedown tombstones ([[delete]]) carry only vec_id — cell reads
+    * NULL, meaning "exclude everywhere, from every source"; split-
+    * retrain relocation tombstones are CELL-SCOPED (vec_id, cell) AND
+    * SOURCE-SCOPED (tb_applied = the manifest's applied-at id): they
+    * exclude only the STALE copy left in the row's former cell by a
+    * run that PREDATES the split. Without the source scope, a vec_id
+    * re-ingested after the split with an updated embedding whose
+    * argmin lands back in its old cell would match the (vec_id, cell)
+    * tombstone and be silently excluded — and the next compaction's
+    * fold would physically drop the fresh row. */
+  private def tombRows(m: Manifest, sp: SparkSession,
+      dirs: Seq[String]): DataFrame =
     dirs.map { d =>
+      val n = d.split("/").last
       val df = sp.read.parquet(d)
-      if (df.columns.contains("cell"))
-        df.select(col("vec_id"), col("cell").cast("int"))
-      else df.select(col("vec_id"), lit(null).cast("int").as("cell"))
+      val base =
+        if (df.columns.contains("cell"))
+          df.select(col("vec_id"), col("cell").cast("int"))
+        else df.select(col("vec_id"), lit(null).cast("int").as("cell"))
+      val applied: Column =
+        if (n.startsWith("t_split_"))
+          // split tombstones are manifest-gated, so a live one always
+          // has a ledger record; a missing one (impossible by
+          // construction) reads MaxValue = exclude from every source,
+          // the pre-scoping behavior
+          lit((m.runs.getOrElse("tombs", Nil) ++
+            m.runs.getOrElse("tswept", Nil))
+            .find(_.name == n).map(_.rows).getOrElse(Long.MaxValue))
+        else lit(null).cast("long")
+      base.withColumn("tb_applied", applied)
     }.reduce(_ unionByName _)
 
-  /** Anti-join `rows` (must carry vec_id + cell) against normalized
-    * tombstone rows: match on vec_id, scoped to the row's cell when the
-    * tombstone names one. Small tombstone sets broadcast (shuffle-free
-    * BroadcastHashJoin — the vec_id equality is the hash key, the cell
-    * scope rides along as the join's extra condition). */
+  /** Anti-join `rows` (must carry vec_id + cell + src_id) against
+    * normalized tombstone rows: match on vec_id, scoped to the row's
+    * cell when the tombstone names one, and to sources older than the
+    * tombstone's application when it carries an applied-at id. Small
+    * tombstone sets broadcast (shuffle-free BroadcastHashJoin — the
+    * vec_id equality is the hash key, the cell/source scopes ride
+    * along as the join's extra condition). */
   private def antiTombs(rows: DataFrame, tombs: DataFrame,
       small: Boolean): DataFrame = {
     val t = (if (small) broadcast(tombs) else tombs)
@@ -272,7 +321,10 @@ object AnnIngest {
       .withColumnRenamed("cell", "tb_cell")
     rows.join(t,
       rows("vec_id") === t("tb_vid") &&
-        (t("tb_cell").isNull || t("tb_cell") === rows("cell")),
+        (t("tb_cell").isNull ||
+          (t("tb_cell") === rows("cell") &&
+            (t("tb_applied").isNull ||
+              rows("src_id") < t("tb_applied")))),
       "left_anti")
   }
 
@@ -286,7 +338,7 @@ object AnnIngest {
     val dirs = tombDirsWith(m, sp, indexDir)
     if (dirs.isEmpty) rows
     else {
-      val t = tombRows(sp, dirs)
+      val t = tombRows(m, sp, dirs)
       antiTombs(rows, t, IngestIndex.tombsSmall(sp, dirs, t))
     }
   }
@@ -337,6 +389,7 @@ object AnnIngest {
     val frames = (runs ++ deltas).map { d =>
       val full = sp.read.option("basePath", d).parquet(d)
       cells.fold(full)(cs => full.filter(col("cell").isin(cs: _*)))
+        .withColumn("src_id", lit(srcIdOf(d)))
     }
     val all = frames.reduceOption(_ unionByName _).getOrElse(
       sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -349,8 +402,10 @@ object AnnIngest {
           org.apache.spark.sql.types.StructField("norm",
             org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.StructField("cell",
-            org.apache.spark.sql.types.IntegerType)))))
-    minusTombs(m, sp, indexDir, all)
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("src_id",
+            org.apache.spark.sql.types.LongType)))))
+    minusTombs(m, sp, indexDir, all).drop("src_id")
   }
 
   private val vecSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -379,9 +434,14 @@ object AnnIngest {
       .parquet(dir).count())
   }
 
+  /** Read one run/delta dir, carrying its source id ([[srcIdOf]]) so
+    * downstream tombstone anti-joins can source-scope split
+    * tombstones. Writers ([[writeRun]], [[reassign]]) select their
+    * columns explicitly, so src_id never reaches disk. */
   private def readRunDir(sp: SparkSession, d: String): DataFrame =
     sp.read.option("basePath", d).parquet(d)
       .select(col("vec_id"), col("e"), col("norm"), col("cell"))
+      .withColumn("src_id", lit(srcIdOf(d)))
 
   private def sizeClass(rows: Long): Int =
     63 - java.lang.Long.numberOfLeadingZeros(math.max(rows, 1L))
@@ -431,14 +491,18 @@ object AnnIngest {
       .map(_.groupBy("cell").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
       .getOrElse(Map.empty[Int, Long])
-    // skew = max / mean over the QUANTIZER's cell count, empty cells
-    // counting as zero occupancy. Dividing by the populated-cell count
-    // (the groupBy's row count) reads TOTAL COLLAPSE — every vector in
-    // one cell, the worst drift this telemetry exists for — as
-    // "1.0, perfectly balanced", so a retrainSkewAbove trigger would
-    // never fire exactly when it is most needed.
+    // skew = max / mean over the QUANTIZER's LIVE cell count, empty
+    // cells counting as zero occupancy. Dividing by the populated-cell
+    // count (the groupBy's row count) reads TOTAL COLLAPSE — every
+    // vector in one cell, the worst drift this telemetry exists for —
+    // as "1.0, perfectly balanced", so a retrainSkewAbove trigger
+    // would never fire exactly when it is most needed. Dead (folded)
+    // slots are excluded the other way: they CANNOT receive rows, so
+    // counting them as zero-occupancy cells would inflate skew and
+    // spuriously trip the retrain trigger on a healthy folded index.
     val nCells = math.max(
-      readCentroids(sp, indexDir).map(_.length).getOrElse(0), counts.size)
+      readCentroids(sp, indexDir).map(liveSlots(_).size).getOrElse(0),
+      counts.size)
     val skew =
       if (counts.isEmpty) 0.0
       else counts.values.max.toDouble * nCells / counts.values.sum
@@ -475,19 +539,22 @@ object AnnIngest {
     * hash-partitioned index) — reach for it when [[skewReport]] says
     * the frozen quantizer no longer fits the feed. */
   def compact(sp: SparkSession, indexDir: String, upTo: Long,
-              retrain: Boolean = false, splitHot: Double = 0.0): Unit =
+              retrain: Boolean = false, splitHot: Double = 0.0,
+              foldColdBelow: Double = 0.0): Unit =
     IngestIndex.withWriterLease(sp, indexDir)(
-      compactLocked(sp, indexDir, upTo, retrain, splitHot))
+      compactLocked(sp, indexDir, upTo, retrain, splitHot, foldColdBelow))
 
   private def compactLocked(sp: SparkSession, indexDir: String, upTo: Long,
-      retrain: Boolean, splitHot: Double): Unit = {
+      retrain: Boolean, splitHot: Double, foldColdBelow: Double): Unit = {
     val m = IngestIndex.readManifest(sp, indexDir)
     if (upTo <= m.maxCompacted) return
     val (runDirs, deltaDirs) = live(sp, indexDir, upTo + 1)
     val f = fs(sp, indexDir)
     var runs = m.runs.getOrElse("vectors", Nil)
     var cents = m.cents
-    var splitTomb: Option[Run] = None
+    // heal tombstones written THIS compaction (split and/or fold) —
+    // both live in the manifest-gated t_split_* namespace
+    val healTombs = scala.collection.mutable.ArrayBuffer.empty[Run]
     var seq = 0
     def nextName(): String = { val n = s"run_${upTo}_$seq"; seq += 1; n }
     // tombstone ledger: every run written from here on excludes the
@@ -507,7 +574,7 @@ object AnnIngest {
     val clean: DataFrame => DataFrame =
       if (liveTombPaths.isEmpty) identity
       else {
-        val ids = tombRows(sp, liveTombPaths)
+        val ids = tombRows(m, sp, liveTombPaths)
         val small = IngestIndex.tombsSmall(sp, liveTombPaths, ids)
         df => antiTombs(df, ids, small)
       }
@@ -530,8 +597,11 @@ object AnnIngest {
         corpus.unpersist(false)
         runs = Nil
       } else {
+        // retrain width = LIVE slot count: a full rebuild writes a
+        // fresh positional array, and carrying dead (folded) slots
+        // into it would resurrect them as real cells
         val nCells = readCentroids(sp, indexDir)
-          .map(_.length).getOrElse(DefaultCells)
+          .map(c => math.max(1, liveSlots(c).size)).getOrElse(DefaultCells)
         val newCents = graft.sim.Ivf.centroids(corpus, nCells)
         val centsName = s"centroids_v$upTo.json"
         writeCentroids(sp, indexDir, newCents, centsName)
@@ -589,7 +659,11 @@ object AnnIngest {
     // so queries never see new cells under the old quantizer or vice
     // versa. The tombstone's applied-at id is upTo+1: runs written
     // THIS cycle (the fold/merge above) still hold stale copies, so
-    // only strictly-later runs count as clean for its sweep.
+    // only strictly-later runs count as clean for its sweep — and the
+    // anti-join SOURCE-SCOPES the exclusion the same way (src_id <
+    // applied-at), so a vec_id re-ingested after the split whose new
+    // embedding lands back in its old cell is NOT mistaken for the
+    // stale copy.
     // Bytes rewritten = movers only (hot-cell rows that leave their
     // slot + boundary rows pulled to a new sub-centroid) — the <20%%
     // heal the full rebuild could not offer. The hot/mover scan uses
@@ -607,7 +681,7 @@ object AnnIngest {
     if (!retrain && splitHot > 0 && runs.nonEmpty) {
       readCentroidsFile(sp, indexDir,
           cents.getOrElse("centroids.json")).foreach { base =>
-        val nC = base.length
+        val nC = liveSlots(base).size
         val liveRows = clean(runs.map(r =>
           readRunDir(sp, s"${vectorsDir(indexDir)}/${r.name}"))
           .reduce(_ union _)).persist()
@@ -646,7 +720,7 @@ object AnnIngest {
                   col("old_cell").cast("int").as("cell"))
                   .write.mode("overwrite")
                   .parquet(s"${tombsDir(indexDir)}/t_split_$upTo")
-                splitTomb = Some(Run(s"t_split_$upTo", upTo + 1))
+                healTombs += Run(s"t_split_$upTo", upTo + 1)
               }
               val centsName = s"centroids_v$upTo.json"
               writeCentroids(sp, indexDir, full, centsName)
@@ -654,6 +728,91 @@ object AnnIngest {
             } finally { moved.unpersist(false); () }
           }
         } finally { liveRows.unpersist(false); () }
+      }
+    }
+    // ---- cold-cell FOLD (the split's inverse) --------------------------------
+    // Split-only healing grows the quantizer monotonically: every heal
+    // APPENDS sub-centroids and nothing ever removes a cell that
+    // drained (drift moved the feed away, or a takedown wave emptied
+    // it), so a long-drifting stream accretes centroids — and with
+    // them per-row argmin cost and partition-set width — without
+    // bound. The fold is the inverse operation on the SAME machinery:
+    // cells whose LIVE occupancy is below `foldColdBelow` × mean are
+    // DEADENED in place (their slot keeps its id — slot ids ARE cell
+    // ids, so survivors must never renumber — but the centroid becomes
+    // all-NaN, which no argmin and no probe set can select), their
+    // remaining rows are rewritten ONCE into a relocation run under
+    // their nearest SURVIVING cells, and the stale cold-cell copies
+    // are excluded by a cell-scoped, source-scoped, manifest-gated
+    // tombstone (t_split_f<id> — same reserved namespace, lifecycle,
+    // and crash-orphan story as the split's). Quantizer file,
+    // relocation run, and tombstone commit in the ONE manifest swap
+    // below. Cost control: the exact cold determination needs the
+    // LIVE view (a full read pass), so a footer-only pre-check
+    // (partition-column counts, no vector bytes) skips it whenever no
+    // cell is even PHYSICALLY below threshold — physical ≥ live can
+    // delay a fold behind stale copies for a cycle or two (harmless —
+    // merges drop the stale copies and the footer count converges),
+    // never trigger a wasted scan.
+    if (!retrain && foldColdBelow > 0 && runs.nonEmpty) {
+      readCentroidsFile(sp, indexDir,
+          cents.getOrElse("centroids.json")).foreach { base =>
+        val live = liveSlots(base)
+        val footer = runs.map(r =>
+          sp.read.option("basePath", s"${vectorsDir(indexDir)}/${r.name}")
+            .schema(vecSchema)
+            .parquet(s"${vectorsDir(indexDir)}/${r.name}"))
+          .reduceOption(_ unionByName _)
+          .map(_.groupBy("cell").agg(count(lit(1)).as("n")).collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+          .getOrElse(Map.empty[Int, Long])
+        val fMean = footer.values.sum.toDouble / math.max(live.size, 1)
+        // while tombstones are LIVE, physical counts overstate live
+        // occupancy (a takedown wave that just drained a cell is
+        // exactly the fold's trigger scenario) — defer to the exact
+        // scan; tombstones are transient, so the steady no-tombstone
+        // case keeps the zero-cost skip
+        val maybeCold = liveTombPaths.nonEmpty || live.exists(c =>
+          footer.getOrElse(c, 0L) < foldColdBelow * fMean)
+        if (live.size > 1 && footer.values.sum > 0 && maybeCold) {
+          val liveRows = clean(runs.map(r =>
+            readRunDir(sp, s"${vectorsDir(indexDir)}/${r.name}"))
+            .reduce(_ union _)).persist()
+          try {
+            val counts = liveRows.groupBy("cell")
+              .agg(count(lit(1)).as("n")).collect()
+              .map(r => r.getInt(0) -> r.getLong(1)).toMap
+            val total = counts.values.sum
+            val mean = total.toDouble / live.size
+            val cold = live.filter(c =>
+              counts.getOrElse(c, 0L) < foldColdBelow * mean)
+            val survivors = live.filterNot(cold.contains)
+            // never fold the last survivors: rows need a live argmin
+            if (total > 0 && cold.nonEmpty && survivors.nonEmpty) {
+              val buf = base.clone()
+              cold.foreach(c =>
+                buf(c) = Array.fill(base(c).length)(Double.NaN))
+              val movers = reassign(
+                liveRows.filter(col("cell").isin(cold: _*)), buf)
+                .persist()
+              try {
+                val reloc = writeRun(sp, indexDir, nextName(),
+                  movers.select("vec_id", "e", "norm", "cell"))
+                if (reloc.rows > 0) {
+                  runs = (runs :+ reloc).sortBy(-_.rows)
+                  movers.select(col("vec_id"),
+                    col("old_cell").cast("int").as("cell"))
+                    .write.mode("overwrite")
+                    .parquet(s"${tombsDir(indexDir)}/t_split_f$upTo")
+                  healTombs += Run(s"t_split_f$upTo", upTo + 1)
+                }
+                val centsName = s"centroids_v${upTo}_f.json"
+                writeCentroids(sp, indexDir, buf, centsName)
+                cents = Some(centsName)
+              } finally { movers.unpersist(false); () }
+            }
+          } finally { liveRows.unpersist(false); () }
+        }
       }
     }
     // tombstone lifecycle, two-phase so readers get the same
@@ -684,7 +843,7 @@ object AnnIngest {
     IngestIndex.writeManifest(sp, indexDir,
       Manifest(upTo,
         Map("vectors" -> runs,
-          "tombs" -> (keepTombs ++ splitTomb),
+          "tombs" -> (keepTombs ++ healTombs),
           "tswept" -> sweep.map(tb => Run(tb.name, upTo)))
           .filter(_._2.nonEmpty),
         cents))
@@ -717,7 +876,7 @@ object AnnIngest {
     // and compaction (manifest-gated in tombDirs), collected here so
     // they do not accumulate
     val keptTombNames =
-      (keepTombs ++ splitTomb ++ sweep).map(_.name).toSet
+      (keepTombs ++ healTombs ++ sweep).map(_.name).toSet
     val tombsRoot = new Path(tombsDir(indexDir))
     if (f.exists(tombsRoot)) {
       f.listStatus(tombsRoot).toSeq.map(_.getPath).foreach { d =>
@@ -742,7 +901,7 @@ object AnnIngest {
     f.listStatus(new Path(indexDir)).toSeq.map(_.getPath)
       .filter { d =>
         val n = d.getName
-        (n.matches("centroids_v\\d+\\.json") &&
+        (n.matches("centroids_v\\d+(_f)?\\.json") &&
           !cents.contains(n) && !m.cents.contains(n)) ||
           (n.matches("skew_v\\d+\\.json") && n != s"skew_v$upTo.json")
       }
@@ -834,14 +993,20 @@ object AnnIngest {
     * ([[compact]]'s `splitHot`, with the same value as the hot-cell
     * factor — skew > f guarantees at least the max cell is hot) —
     * movers only are rewritten, untouched cells keep their files. If
-    * both thresholds trip, the full rebuild wins. */
+    * both thresholds trip, the full rebuild wins. `foldColdBelow` > 0
+    * arms the inverse heal at every compaction: cells drained below
+    * that fraction of the mean live occupancy fold into their nearest
+    * survivors ([[compact]]'s `foldColdBelow`), keeping the quantizer
+    * bounded under repeated splits; the footer pre-check keeps the
+    * no-cold common case at zero extra read cost. */
   def annIngestStream(stream: DataFrame, indexDir: String,
                       checkpoint: Option[String] = None,
                       nCells: Int = DefaultCells,
                       compactEvery: Int = 16,
                       retrainOnCompact: Boolean = false,
                       retrainSkewAbove: Double = Double.PositiveInfinity,
-                      splitSkewAbove: Double = Double.PositiveInfinity)
+                      splitSkewAbove: Double = Double.PositiveInfinity,
+                      foldColdBelow: Double = 0.0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     if (checkpoint.isEmpty && nonEmpty(stream.sparkSession, indexDir))
       throw new IllegalStateException(
@@ -862,7 +1027,8 @@ object AnnIngest {
               skew.exists(_ > retrainSkewAbove)
             val splitTrip = !fullTrip && skew.exists(_ > splitSkewAbove)
             compact(sp, indexDir, batchId, retrain = fullTrip,
-              splitHot = if (splitTrip) splitSkewAbove else 0.0)
+              splitHot = if (splitTrip) splitSkewAbove else 0.0,
+              foldColdBelow = if (fullTrip) 0.0 else foldColdBelow)
           }
         }
         ()

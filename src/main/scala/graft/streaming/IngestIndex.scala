@@ -187,32 +187,68 @@ object IngestIndex {
   /** Age past which a `_writer.lease` is presumed abandoned (crashed
     * writer) and may be taken over. Crash anywhere inside a leased op
     * is already SAFE for the index itself — every writer commits via
-    * overwrite-idempotent dirs or the manifest rename — so takeover
-    * only needs to be conservative enough that a live-but-slow writer
-    * is not usurped mid-compaction. */
+    * overwrite-idempotent dirs or the manifest rename — and a LIVE
+    * holder refreshes the file's mtime every [[LeaseBeatMs]] from a
+    * daemon heartbeat, so however slow the op, only a genuinely dead
+    * writer's lease ever reaches this age. */
   val LeaseStaleMs: Long = 10 * 60 * 1000L
+
+  /** Heartbeat period: the lease HOLDER refreshes `_writer.lease`'s
+    * mtime this often from a daemon thread, so a live writer's lease
+    * can never age past [[LeaseStaleMs]] — a legitimately slow op (a
+    * full retrain at real scale runs well past 10 minutes) is never
+    * usurped as "stale"; takeover now only ever fires on genuinely
+    * dead writers. Test seam: specs shrink it to drill the beat. */
+  @volatile private[streaming] var LeaseBeatMs: Long = LeaseStaleMs / 4
 
   private def leasePath(indexDir: String) = new Path(s"$indexDir/_writer.lease")
 
-  /** Leases held by THIS JVM (qualified index path → (holder thread,
-    * re-entry depth)): a caller may legitimately nest writer ops under
-    * one lease (e.g. `withWriterLease { ingestBatch(...); compact(...)
-    * }` as a single writer transaction), and same-THREAD nesting must
-    * not self-deadlock on the file. A DIFFERENT thread of the same JVM
-    * is a different writer — it must fail exactly like a second
-    * process would, not silently ride the holder's lease. */
-  private val heldLeases =
-    scala.collection.mutable.Map.empty[String, (Long, Int)]
+  /** Single shared daemon scheduler for all held leases' heartbeats —
+    * one parked thread JVM-wide, not one per lease. */
+  private lazy val leaseHeart =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-lease-heartbeat")
+        t.setDaemon(true); t
+      })
 
-  private def acquireFileLease(fs: FileSystem, indexDir: String): Unit = {
+  private def leaseBody(token: String): String =
+    s"""{"owner": "pid${ProcessHandle.current().pid()}@${
+      java.net.InetAddress.getLocalHost.getHostName}", "token": "$token"}"""
+
+  private def readLease(fs: FileSystem, p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  private def leaseToken(body: String): Option[String] =
+    "\"token\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(body)
+      .map(_.group(1))
+
+  /** Leases held by THIS JVM (qualified index path → holder record):
+    * a caller may legitimately nest writer ops under one lease (e.g.
+    * `withWriterLease { ingestBatch(...); compact(...) }` as a single
+    * writer transaction), and same-THREAD nesting must not
+    * self-deadlock on the file. A DIFFERENT thread of the same JVM is
+    * a different writer — it must fail exactly like a second process
+    * would, not silently ride the holder's lease. `token` is this
+    * acquisition's unique identity (written into the file): release
+    * and heartbeat verify it, so a holder that somehow lost the file
+    * to a takeover can never delete the NEW holder's lease. */
+  private case class Held(thread: Long, depth: Int, token: String,
+      beat: java.util.concurrent.ScheduledFuture[_])
+  private val heldLeases =
+    scala.collection.mutable.Map.empty[String, Held]
+
+  private def acquireFileLease(fs: FileSystem, indexDir: String,
+      token: String): Unit = {
     val p = leasePath(indexDir)
     def tryCreate(): Boolean =
       try {
         val out = fs.create(p, false) // create-if-absent = the acquisition
-        try out.write((s"""{"owner": "pid${
-          ProcessHandle.current().pid()}@${
-          java.net.InetAddress.getLocalHost.getHostName}"}""")
-          .getBytes("UTF-8"))
+        try out.write(leaseBody(token).getBytes("UTF-8"))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
@@ -223,11 +259,7 @@ object IngestIndex {
     val fresh = status.exists(s =>
       System.currentTimeMillis() - s.getModificationTime < LeaseStaleMs)
     if (fresh) {
-      val owner = try {
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      } catch { case _: Throwable => "(unreadable)" }
+      val owner = readLease(fs, p).getOrElse("(unreadable)")
       throw new IllegalStateException(
         s"another writer holds the lease on $indexDir: $owner — " +
           "refusing to interleave (two writers racing the manifest " +
@@ -235,14 +267,55 @@ object IngestIndex {
           s"list update); retry after it finishes, or delete ${p} if " +
           "that writer is known dead")
     }
-    // stale (or vanished between the failed create and the stat):
-    // presume a crashed writer and take over ONCE — if two takeovers
-    // race, the second create-if-absent loses and fails loudly
-    fs.delete(p, false)
+    // Stale (or vanished between the failed create and the stat):
+    // presume a crashed writer and take over by RENAME-to-claim — the
+    // rename is atomic on HDFS-like stores, so two takeover racers
+    // cannot both claim, and a bare delete can never hit a lease some
+    // OTHER taker just re-created (the delete->create TOCTOU of the
+    // naive protocol). If the claimed file turns out to be fresher
+    // than the one we stat'ed (it was replaced inside our stat window
+    // by a new live holder), put it back and fail loudly.
+    val staleMtime = status.map(_.getModificationTime)
+    val reap = new Path(s"$indexDir/_writer.lease.reap.$token")
+    val claimed =
+      try fs.rename(p, reap)
+      catch { case _: java.io.IOException => false }
+    if (!claimed)
+      throw new IllegalStateException(
+        s"lost the stale-lease takeover race on $indexDir — another " +
+          "writer claimed it first; retry after it finishes")
+    val reapedMtime =
+      try Some(fs.getFileStatus(reap).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    if (staleMtime.isDefined && reapedMtime.isDefined &&
+        reapedMtime != staleMtime) {
+      // we reaped a DIFFERENT file than the stale one we observed — a
+      // live writer re-acquired inside the window; restore and back off
+      try { fs.rename(reap, p); () }
+      catch { case _: java.io.IOException => () }
+      throw new IllegalStateException(
+        s"lease on $indexDir changed during the stale takeover — a new " +
+          "writer acquired it; retry after it finishes")
+    }
+    fs.delete(reap, false)
     if (!tryCreate())
       throw new IllegalStateException(
         s"lost the stale-lease takeover race on $indexDir — another " +
           "writer claimed it first; retry after it finishes")
+  }
+
+  /** One heartbeat: refresh the lease's mtime IF it still carries our
+    * token. A token mismatch means we were usurped (should be
+    * impossible while beating — it takes a manual lease delete or an
+    * external actor); the beat then stops touching the file and the
+    * release path reports it. */
+  private def beatOnce(fs: FileSystem, indexDir: String,
+      token: String): Unit = {
+    val p = leasePath(indexDir)
+    try {
+      if (readLease(fs, p).flatMap(leaseToken).contains(token))
+        fs.setTimes(p, System.currentTimeMillis(), -1)
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Run `body` holding the index's SINGLE-WRITER lease.
@@ -257,13 +330,16 @@ object IngestIndex {
     * retention already gives them MVCC-lite safety.
     *
     * Protocol: create-if-absent of `_writer.lease` (atomic on
-    * HDFS-like filesystems and the local FS) acquires; the file is
-    * deleted on the way out (also on failure — crash-left leases age
-    * out via [[LeaseStaleMs]] takeover). Same-JVM nesting re-enters
-    * without touching the file. Every public writer op takes the lease
-    * itself, so CLI verbs and streams are covered transitively; wrap
-    * several ops in one `withWriterLease` to make them a single
-    * writer transaction. */
+    * HDFS-like filesystems and the local FS) acquires, stamping a
+    * unique token; a daemon heartbeat refreshes the mtime every
+    * [[LeaseBeatMs]] while held (a live slow writer never looks
+    * stale); release deletes the file ONLY if it still carries this
+    * acquisition's token (also on failure — crash-left leases age out
+    * via [[LeaseStaleMs]] rename-to-claim takeover). Same-JVM nesting
+    * re-enters without touching the file. Every public writer op takes
+    * the lease itself, so CLI verbs and streams are covered
+    * transitively; wrap several ops in one `withWriterLease` to make
+    * them a single writer transaction. */
   def withWriterLease[T](sp: SparkSession, indexDir: String)(body: => T): T = {
     val fs = fsFor(sp, indexDir)
     val key = fs.makeQualified(new Path(indexDir)).toString
@@ -280,25 +356,45 @@ object IngestIndex {
     // between separate processes is accepted and documented).
     heldLeases.synchronized {
       heldLeases.get(key) match {
-        case Some((holder, d)) if holder == me =>
-          heldLeases(key) = (holder, d + 1)
-        case Some((holder, _)) =>
+        case Some(h) if h.thread == me =>
+          heldLeases(key) = h.copy(depth = h.depth + 1)
+        case Some(h) =>
           throw new IllegalStateException(
-            s"another writer (thread $holder of this process) holds " +
+            s"another writer (thread ${h.thread} of this process) holds " +
               s"the lease on $indexDir — refusing to interleave")
         case None =>
-          acquireFileLease(fs, indexDir)
-          heldLeases(key) = (me, 1)
+          val token = java.util.UUID.randomUUID().toString
+          acquireFileLease(fs, indexDir, token)
+          val beat = leaseHeart.scheduleWithFixedDelay(
+            () => beatOnce(fs, indexDir, token),
+            LeaseBeatMs, LeaseBeatMs,
+            java.util.concurrent.TimeUnit.MILLISECONDS)
+          heldLeases(key) = Held(me, 1, token, beat)
       }
     }
     try body
     finally heldLeases.synchronized {
-      val (h, d) = heldLeases(key)
-      if (d > 1) heldLeases(key) = (h, d - 1)
+      val h = heldLeases(key)
+      if (h.depth > 1) heldLeases(key) = h.copy(depth = h.depth - 1)
       else {
+        h.beat.cancel(false)
         heldLeases.remove(key)
-        fs.delete(leasePath(indexDir), false)
-        ()
+        // ownership-checked release: delete ONLY a lease that still
+        // carries this acquisition's token. Deleting unconditionally
+        // would, after a (manual or stale-misjudged) takeover, remove
+        // the USURPER's live lease and open the index to a third
+        // writer while the usurper is mid-compaction.
+        val p = leasePath(indexDir)
+        readLease(fs, p).flatMap(leaseToken) match {
+          case Some(t) if t == h.token => fs.delete(p, false); ()
+          case Some(other) =>
+            throw new IllegalStateException(
+              s"lease on $indexDir was taken over mid-operation (now " +
+                s"held by token $other) — this writer's commits may " +
+                "have interleaved with the new holder's; verify the " +
+                "manifest before trusting the index")
+          case None => () // already gone (manual delete) — nothing to release
+        }
       }
     }
   }
@@ -546,7 +642,8 @@ object IngestIndex {
   val TombBroadcastMax = 10000L
 
   /** Driver-side cache of the broadcast-or-shuffle sizing decision,
-    * keyed by the tombstone DIR SET plus each dir's modification time:
+    * keyed by the tombstone DIR SET plus each dir's modification
+    * time, file count, and total byte length:
     * the serving path would otherwise pay one (tiny) sizing job per
     * probe for as long as a tombstone is live. A new retraction
     * changes the dir set; an overwrite — a not-yet-applied-tag retry,
@@ -560,10 +657,19 @@ object IngestIndex {
 
   private[streaming] def tombsSmall(sp: SparkSession, dirs: Seq[String],
       tombs: => DataFrame): Boolean = {
+    // key = dir + mtime + file count + total bytes: mtime alone has
+    // 1-second granularity on many filesystems, so a tag overwritten
+    // twice within the same second with a much larger id set could
+    // ride the first write's stale "small" verdict into broadcasting
+    // an oversized tombstone set — the size fields catch that
     val k = dirs.sorted.map { d =>
-      val mt = try fsFor(sp, d).getFileStatus(new Path(d))
-        .getModificationTime catch { case _: Throwable => -1L }
-      s"$d@$mt"
+      val fs = fsFor(sp, d)
+      val (mt, cnt, len) = try {
+        val st = fs.getFileStatus(new Path(d))
+        val files = fs.listStatus(new Path(d))
+        (st.getModificationTime, files.length, files.map(_.getLen).sum)
+      } catch { case _: Throwable => (-1L, -1, -1L) }
+      s"$d@$mt@$cnt@$len"
     }.mkString("|")
     Option(tombSizeCache.get(k)).map(_.booleanValue).getOrElse {
       if (tombSizeCache.size > 256) tombSizeCache.clear()

@@ -529,6 +529,132 @@ class AnnIngestSpec extends AnyFunSuite {
       .filter(col("cell") =!= col("cell_x")).count() === 0L)
   }
 
+  test("cold-cell FOLD (the split's inverse): a drift-then-drain feed " +
+    "shrinks the LIVE quantizer back — drained cells deaden in place " +
+    "(slot ids stable), their residual rows relocate into surviving " +
+    "cells via the same relocation-run + cell-scoped tombstone + one " +
+    "manifest swap, and argmin + live-exactly-once + probe-all==exact " +
+    "hold through the fold and the next compaction") {
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_ann20").toString
+    val idx = s"$t/idx"
+    def cluster(ids: Range, base: Double) = ids.map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (base + 0.01 * math.sin(i * 31 + d * 7)).toFloat))
+    }.toDF("vec_id", "embedding")
+    // drift: freeze 16 cells on a spread batch, pile a far cluster
+    // into one hot cell, split-heal it (quantizer GROWS)
+    AnnIngest.ingestBatch(vecs(0 until 300), 0L, idx, nCells = 16)
+    AnnIngest.ingestBatch(cluster(300 until 340, -5.0), 1L, idx,
+      nCells = 16)
+    AnnIngest.compact(spark, idx, 1L)
+    AnnIngest.compact(spark, idx, 2L, splitHot = 2.0)
+    val centsSplit = AnnIngest.readCentroids(spark, idx).get
+    val liveSplit = AnnIngest.liveCellCount(spark, idx)
+    assert(centsSplit.length > 16 && liveSplit === centsSplit.length)
+    // drain: a takedown wave empties most of the far cluster — its
+    // sub-cells drop far below mean occupancy
+    AnnIngest.delete(spark, idx,
+      (300L until 332L).toDF("vec_id"), "drainwave")
+    AnnIngest.compact(spark, idx, 3L, foldColdBelow = 0.5)
+    val centsFold = AnnIngest.readCentroids(spark, idx).get
+    val liveFold = AnnIngest.liveCellCount(spark, idx)
+    assert(liveFold < liveSplit, s"fold must shrink the LIVE quantizer " +
+      s"($liveSplit -> $liveFold)")
+    assert(centsFold.length === centsSplit.length,
+      "slot ids must stay stable — dead slots keep their positions")
+    assert(graft.streaming.IngestIndex.readManifest(spark, idx)
+      .cents === Some("centroids_v3_f.json"))
+    // residual rows of the folded cells were relocated: the fold
+    // tombstone is recorded and the live view is exact
+    val m3 = graft.streaming.IngestIndex.readManifest(spark, idx)
+    assert(m3.runs("tombs").map(_.name).contains("t_split_f3"),
+      s"fold tombstone missing: ${m3.runs.get("tombs")}")
+    def liveView() = AnnIngest.readIndex(spark, idx, None)
+    assert(liveView().count() === 308L) // 340 - 32 drained
+    assert(liveView().select("vec_id").distinct().count() === 308L)
+    // argmin contract under the committed folded quantizer (NaN slots
+    // never win a running min)
+    val expect = graft.sim.Ivf.assignCells(
+      liveView().select("vec_id", "e", "norm"), centsFold)
+      .select(col("vec_id"), col("cell").as("cell_x"))
+    assert(liveView().join(expect, Seq("vec_id"))
+      .filter(col("cell") =!= col("cell_x")).count() === 0L)
+    // no live row sits in a dead slot
+    val deadSlots = centsFold.indices.filter(c => centsFold(c)(0).isNaN)
+    assert(deadSlots.nonEmpty)
+    assert(liveView().filter(col("cell").isin(deadSlots: _*))
+      .count() === 0L)
+    // probe-all == exact through the folded index (probe sets skip
+    // dead slots)
+    val q = vecs(10 until 20).union(cluster(332 until 336, -5.0))
+    val self = AnnIngest.queryTopK(spark, idx, q, k = 1,
+      nProbe = centsFold.length)
+      .filter(col("nb_id") =!= col("vec_id") || col("cos_r") < 1.0)
+    assert(self.count() === 0L)
+    // post-fold ingest assigns under the folded quantizer; the next
+    // compaction folds/merges with the fold tombstone applied and the
+    // live view stays exact
+    AnnIngest.ingestBatch(vecs(400 until 420), 4L, idx, nCells = 16)
+    AnnIngest.compact(spark, idx, 4L)
+    assert(liveView().count() === 328L)
+    assert(liveView().select("vec_id").distinct().count() === 328L)
+    assert(AnnIngest.liveCellCount(spark, idx) === liveFold,
+      "a plain compaction must not resurrect dead slots")
+  }
+
+  test("split tombstones are SOURCE-scoped: a vec_id re-ingested after " +
+    "the split whose updated embedding lands back in its old cell is " +
+    "not mistaken for the stale pre-split copy — it stays live and " +
+    "survives the next compaction's fold") {
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_ann18").toString
+    val idx = s"$t/idx"
+    def cluster(ids: Range, base: Double) = ids.map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (base + 0.01 * math.sin(i * 31 + d * 7)).toFloat))
+    }.toDF("vec_id", "embedding")
+    AnnIngest.ingestBatch(vecs(0 until 300), 0L, idx, nCells = 16)
+    AnnIngest.ingestBatch(cluster(300 until 340, -5.0), 1L, idx,
+      nCells = 16)
+    AnnIngest.compact(spark, idx, 1L)
+    AnnIngest.compact(spark, idx, 2L, splitHot = 2.0)
+    val m = graft.streaming.IngestIndex.readManifest(spark, idx)
+    assert(m.runs("tombs").map(_.name).contains("t_split_2"))
+    // pick a mover straight from the live split tombstone: its stale
+    // copy sits in (vid, oldCell) of a pre-split run
+    val mover = spark.read.parquet(s"$idx/tombs/t_split_2")
+      .select("vec_id", "cell").head()
+    val (vid, oldCell) = (mover.getLong(0), mover.getInt(1))
+    // re-ingest the SAME vec_id with an UPDATED embedding that argmins
+    // back into its old cell under the extended quantizer (the old
+    // slot id still exists — the split replaced its centroid in place)
+    val cents = AnnIngest.readCentroids(spark, idx).get
+    val eNew = cents(oldCell).map(_.toFloat)
+    AnnIngest.ingestBatch(Seq((vid, eNew)).toDF("vec_id", "embedding"),
+      3L, idx, nCells = 16)
+    val freshRow = spark.read.option("basePath", s"$idx/vectors/batch=3")
+      .parquet(s"$idx/vectors/batch=3").select("vec_id", "cell").head()
+    assert(freshRow.getInt(1) === oldCell,
+      "drill setup: the fresh row must land in the tombstoned cell")
+    // live view: BOTH copies of vid visible — the relocated split copy
+    // and the fresh re-ingest; the cell-scoped tombstone hides only
+    // the stale PRE-SPLIT copy (source-scoped: src_id < applied-at)
+    def vidRows() = AnnIngest.readIndex(spark, idx, None)
+      .filter(col("vec_id") === vid)
+    assert(vidRows().count() === 2L,
+      "the fresh re-ingest must not be eaten by the split tombstone")
+    assert(vidRows().filter(col("cell") === oldCell).count() === 1L)
+    // the next compaction folds the delta THROUGH the tombstone
+    // anti-join — the fresh row must be physically retained
+    AnnIngest.compact(spark, idx, 3L)
+    assert(vidRows().count() === 2L,
+      "the fold must not physically drop the fresh re-ingest")
+    assert(vidRows().filter(col("cell") === oldCell).count() === 1L)
+  }
+
   test("an ORPHAN split tombstone (crash between its write and the " +
     "manifest publish) is inert: readers ignore it — honoring it would " +
     "hide movers whose relocated copies were never committed — and the " +

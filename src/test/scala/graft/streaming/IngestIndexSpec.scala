@@ -499,6 +499,71 @@ class IngestIndexSpec extends AnyFunSuite {
       "lease released after the dust settles")
   }
 
+  test("lease heartbeat: a live slow writer's lease never goes stale — " +
+    "the holder's daemon beat refreshes the mtime even after the file " +
+    "is artificially aged past LeaseStaleMs, so a takeover check would " +
+    "read it as fresh; release still cleans up") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ii17").toString
+    val idx = s"$t/idx"
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$idx/_writer.lease")
+    val beat0 = IngestIndex.LeaseBeatMs
+    IngestIndex.LeaseBeatMs = 50L
+    try {
+      IngestIndex.withWriterLease(spark, idx) {
+        // simulate a >10-min op: age the lease as if the wall clock
+        // advanced past LeaseStaleMs mid-operation
+        fs.setTimes(lease,
+          System.currentTimeMillis() - IngestIndex.LeaseStaleMs - 60000, -1)
+        val deadline = System.currentTimeMillis() + 5000
+        var fresh = false
+        while (!fresh && System.currentTimeMillis() < deadline) {
+          Thread.sleep(25)
+          fresh = System.currentTimeMillis() -
+            fs.getFileStatus(lease).getModificationTime <
+            IngestIndex.LeaseStaleMs
+        }
+        // this is exactly the staleness predicate a second process's
+        // takeover path evaluates — fresh means it refuses to usurp
+        assert(fresh, "heartbeat must refresh the aged lease mtime")
+      }
+    } finally IngestIndex.LeaseBeatMs = beat0
+    assert(!fs.exists(lease), "released after the slow op")
+  }
+
+  test("ownership-checked release: a holder whose lease was usurped " +
+    "mid-operation reports it loudly and does NOT delete the usurper's " +
+    "lease (deleting it would admit a third concurrent writer)") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ii18").toString
+    val idx = s"$t/idx"
+    val lease = java.nio.file.Paths.get(idx, "_writer.lease")
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ex = intercept[IllegalStateException] {
+      IngestIndex.withWriterLease(spark, idx) {
+        // forge a takeover while we are mid-op: another writer's
+        // token-stamped lease replaces ours (a manual lease delete
+        // followed by a second process's acquisition) — written
+        // through the Hadoop FS, as a real usurper would (keeps the
+        // checksummed LocalFileSystem's CRC sidecar consistent)
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"$idx/_writer.lease"), true)
+        try out.write(
+          """{"owner": "pid424242@usurper", "token": "not-ours"}"""
+            .getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
+    assert(ex.getMessage.contains("taken over"),
+      s"usurpation must surface loudly, got: ${ex.getMessage}")
+    assert(java.nio.file.Files.exists(lease),
+      "the usurper's live lease must survive our release")
+    assert(new String(java.nio.file.Files.readAllBytes(lease), "UTF-8")
+      .contains("not-ours"))
+    java.nio.file.Files.delete(lease)
+  }
+
   test("corruption fails fast: a manifest-referenced run dir missing " +
     "on disk throws instead of silently probing without it, and a " +
     "legacy single-base manifest is refused outright") {
