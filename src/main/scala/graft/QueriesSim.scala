@@ -780,6 +780,118 @@ object QueriesSim {
         |UNION ALL SELECT 'self_hit', 1
         |""".stripMargin))
 
+  /** Cold-cell FOLD contract ([[graft.streaming.AnnIngest]]
+    * `compact(foldColdBelow)` — the split's inverse, bounding quantizer
+    * growth over a drift-then-drain lifecycle): the same shifted feed
+    * as `q_ann_split` streams in and the hot cell is split-healed
+    * (quantizer GROWS); a takedown wave then drains most of the
+    * shifted cluster, leaving its sub-cells far below mean occupancy;
+    * the next compaction with `foldColdBelow` DEADENS the drained
+    * cells in place (all-NaN slots — slot ids are cell ids and must
+    * never renumber) and relocates their few residual rows into
+    * surviving cells via the same relocation-run + cell-scoped
+    * tombstone + one-manifest-swap machinery. Contracts: (1) the LIVE
+    * cell count SHRINKS back while the slot array length is unchanged
+    * (stable ids); (2) the fold tombstone is recorded in the manifest;
+    * (3) every live row sits in its argmin cell under the committed
+    * folded quantizer; (4) no live row sits in a dead slot; (5) every
+    * surviving vector is live exactly once; (6) top-1 self-query at
+    * cos 1.0 through the folded index (probe sets skip dead slots). */
+  private val annFoldQ: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.{col, expr}
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val emb = Tables.load(s, dir, "embeddings")
+      val typed = emb.select(col("vec_id").cast("long"),
+        expr("transform(embedding, x -> cast(x AS double))").as("e0"))
+        .withColumn("embedding", expr(
+          "CASE WHEN vec_id % 4 = 2 " +
+            "THEN transform(e0, x -> x + 8.0d) ELSE e0 END"))
+        .select("vec_id", "embedding")
+      // harness-only: batch staging for MemoryStream — ONE collect
+      val staged = typed.as[(Long, Seq[Double])].collect()
+      val batches = (0 to 3).map(b => staged.filter(_._1 % 4 == b).toSeq)
+      val tmp = s"/tmp/graft_afd_${java.util.UUID.randomUUID()}"
+      val ms = MemoryStream[(Long, Seq[Double])]
+      val q = graft.streaming.AnnIngest.annIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), s"$tmp/index",
+        checkpoint = Some(s"$tmp/ckpt"), nCells = 8, compactEvery = 2)
+      try {
+        batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+      } finally q.stop()
+      // drift heal: split the hot (shifted) cell — quantizer grows
+      graft.streaming.AnnIngest.compact(s, s"$tmp/index", 4L,
+        splitHot = 1.25)
+      val liveSplit = graft.streaming.AnnIngest
+        .liveCellCount(s, s"$tmp/index")
+      val slotsSplit = graft.streaming.AnnIngest
+        .readCentroids(s, s"$tmp/index").get.length
+      // drain: take down most of the shifted cluster, then fold
+      val doomed = typed.filter(
+        col("vec_id") % 4 === 2 && col("vec_id") % 20 =!= 2)
+        .select("vec_id")
+      val nDel = doomed.count()
+      graft.streaming.AnnIngest.delete(s, s"$tmp/index", doomed, "drain")
+      graft.streaming.AnnIngest.compact(s, s"$tmp/index", 5L,
+        foldColdBelow = 0.5)
+      val cents = graft.streaming.AnnIngest
+        .readCentroids(s, s"$tmp/index").get
+      val liveFold = graft.streaming.AnnIngest
+        .liveCellCount(s, s"$tmp/index")
+      val shrinks = liveFold < liveSplit && cents.length == slotsSplit
+      val manifestTxt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$tmp/index/manifest.json")), "UTF-8")
+      val foldTombRecorded = manifestTxt.contains("t_split_f5")
+      val n = typed.count() - nDel
+      val idx = graft.streaming.AnnIngest
+        .readIndex(s, s"$tmp/index", None).persist()
+      val expect = graft.sim.Ivf.assignCells(
+        idx.select("vec_id", "e", "norm"), cents)
+        .select(col("vec_id"), col("cell").as("cell_x"))
+      val mismatches = idx.join(expect, Seq("vec_id"))
+        .filter(col("cell") =!= col("cell_x")).count()
+      val deadSlots = cents.indices.filter(c => cents(c)(0).isNaN)
+      val deadEmpty = deadSlots.isEmpty ||
+        idx.filter(col("cell").isin(deadSlots: _*)).count() == 0L
+      val liveOnce = idx.count() == n &&
+        idx.select("vec_id").distinct().count() == n
+      // surviving sample: unshifted every-7th + the shifted residue
+      val sample = typed.filter(
+        (col("vec_id") % 4 =!= 2 && col("vec_id") % 7 === 0) ||
+          col("vec_id") % 20 === 2)
+        .toDF("vec_id", "embedding")
+      val self = graft.streaming.AnnIngest.queryTopK(s, s"$tmp/index",
+          sample, k = 1, nProbe = 1)
+        .filter(col("nb_id") =!= col("vec_id") || col("cos_r") < 1.0)
+        .count()
+      idx.unpersist(false)
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      rm(java.nio.file.Paths.get(tmp))
+      Seq(
+        ("quantizer_shrinks_stable_slots", if (shrinks) 1 else 0),
+        ("fold_tombstone_recorded", if (foldTombRecorded) 1 else 0),
+        ("cells_match_manifest_quantizer", if (mismatches == 0L) 1 else 0),
+        ("dead_slots_hold_no_rows", if (deadEmpty) 1 else 0),
+        ("live_exactly_once", if (liveOnce) 1 else 0),
+        ("self_hit", if (self == 0L) 1 else 0))
+        .toDF("contract", "ok")
+    },
+    oracle = Some(
+      """SELECT 'quantizer_shrinks_stable_slots' AS contract, 1 AS ok
+        |UNION ALL SELECT 'fold_tombstone_recorded', 1
+        |UNION ALL SELECT 'cells_match_manifest_quantizer', 1
+        |UNION ALL SELECT 'dead_slots_hold_no_rows', 1
+        |UNION ALL SELECT 'live_exactly_once', 1
+        |UNION ALL SELECT 'self_hit', 1
+        |""".stripMargin))
+
   /** ANN index deletion contract ([[graft.streaming.AnnIngest.delete]]
     * — LSM tombstones): every vec_id ≡ 0 (mod 10) is tombstoned after
     * ingest. Contracts: (1) reader-side exclusion is immediate (before
@@ -873,6 +985,7 @@ object QueriesSim {
     "q_stream_ann_ingest" -> streamAnnIngestQ,
     "q_ann_ingest_retrain" -> annIngestRetrainQ,
     "q_ann_split"   -> annSplitQ,
+    "q_ann_fold"    -> annFoldQ,
     "q_ann_delete"  -> annDeleteQ,
     "q_cosine_topk" -> cosineTopK,
     "q_ann_lsh"     -> annLsh,
