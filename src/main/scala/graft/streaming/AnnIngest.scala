@@ -678,6 +678,7 @@ object AnnIngest {
     // if dist(c_d, k) < 2·R_d), honored only for runs stamped with the
     // current quantizer version; not built yet because splits are
     // drift-rare and the scan is the cheap half of the heal.
+    var splitThisCycle = false
     if (!retrain && splitHot > 0 && runs.nonEmpty) {
       readCentroidsFile(sp, indexDir,
           cents.getOrElse("centroids.json")).foreach { base =>
@@ -725,6 +726,7 @@ object AnnIngest {
               val centsName = s"centroids_v$upTo.json"
               writeCentroids(sp, indexDir, full, centsName)
               cents = Some(centsName)
+              splitThisCycle = true
             } finally { moved.unpersist(false); () }
           }
         } finally { liveRows.unpersist(false); () }
@@ -754,7 +756,22 @@ object AnnIngest {
     // delay a fold behind stale copies for a cycle or two (harmless —
     // merges drop the stale copies and the footer count converges),
     // never trigger a wasted scan.
-    if (!retrain && foldColdBelow > 0 && runs.nonEmpty) {
+    //
+    // AT MOST ONE HEAL PER COMPACTION: when the split ran this cycle,
+    // the fold DEFERS to the next one. Applied-at scoping works at
+    // run-ID granularity, and two heals in one cycle share run ids
+    // (run_<upTo>_*) — a fold relocating a row BACK into a cell the
+    // same-cycle split just tombstoned would write a live copy with
+    // src_id < the split tombstone's applied-at, and the anti-join
+    // would eat it (the heal-soak drill caught exactly this: split
+    // moved boundary rows into fresh sub-cells, the fold — whose live
+    // view predates the split's tombstone and whose mean was inflated
+    // by the stale copies — judged those brand-new sub-cells cold and
+    // bounced the rows straight back). Serialized heals can never
+    // collide: a fold's reloc rows carry src_id = upTo, and every
+    // tombstone from an EARLIER cycle has applied-at ≤ upTo.
+    if (!retrain && foldColdBelow > 0 && !splitThisCycle &&
+        runs.nonEmpty) {
       readCentroidsFile(sp, indexDir,
           cents.getOrElse("centroids.json")).foreach { base =>
         val live = liveSlots(base)
@@ -948,7 +965,7 @@ object AnnIngest {
   /** Skew ratio recorded by the most recent compaction (None before
     * the first one). One tiny JSON read — the consumer side of
     * [[skewReport]], used by the auto-retrain trigger. */
-  private[streaming] def lastSkew(sp: SparkSession, indexDir: String)
+  private[graft] def lastSkew(sp: SparkSession, indexDir: String)
       : Option[Double] = {
     val f = fs(sp, indexDir)
     val dir = new Path(indexDir)

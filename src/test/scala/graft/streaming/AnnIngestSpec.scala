@@ -604,6 +604,83 @@ class AnnIngestSpec extends AnyFunSuite {
       "a plain compaction must not resurrect dead slots")
   }
 
+  test("long-horizon heal soak: 16 batches with two distribution " +
+    "shifts and a takedown wave, splitSkewAbove + foldColdBelow armed " +
+    "— repeated heals keep live-exactly-once green at every compaction " +
+    "boundary, splits grow the live quantizer under drift, and the " +
+    "post-drain folds shrink it back") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t = java.nio.file.Files.createTempDirectory("graft_ann21").toString
+    val idx = s"$t/idx"
+    def feed(ids: Range, base: Double, spread: Double) = ids.map(i =>
+      (i.toLong, Seq.tabulate(8)(d =>
+        base + spread * math.sin(i * 31 + d * 7))))
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = AnnIngest.annIngestStream(
+      ms.toDF().toDF("vec_id", "embedding"), idx,
+      checkpoint = Some(s"$t/ckpt"), nCells = 8, compactEvery = 2,
+      splitSkewAbove = 2.0, foldColdBelow = 0.3)
+    val widths = scala.collection.mutable.ArrayBuffer.empty[Int]
+    try {
+      (0 until 16).foreach { b =>
+        val ids = (b * 100) until ((b + 1) * 100)
+        // era 1: spread base; era 2 (drift A): tight far cluster; era
+        // 3 (drift B): tight cluster on the other side
+        val rows =
+          if (b < 6) feed(ids, 0.0, 1.0)
+          else if (b < 11) feed(ids, -7.0, 0.01)
+          else feed(ids, 9.0, 0.01)
+        ms.addData(rows); q.processAllAvailable()
+        if ((b + 1) % 2 == 0) {
+          widths += AnnIngest.liveCellCount(spark, idx)
+          // the standing contract at every compaction boundary
+          val live = AnnIngest.readIndex(spark, idx, None)
+          assert(live.count() === ((b + 1) * 100).toLong,
+            s"live count broken after batch $b")
+          assert(live.select("vec_id").distinct().count()
+            === ((b + 1) * 100).toLong)
+        }
+      }
+    } finally q.stop()
+    val peak = widths.max
+    assert(peak > 8, s"the drift eras must trigger splits (widths=$widths)")
+    // takedown wave: era-2 is fully retracted; the fold at the next
+    // compactions collects its drained cells
+    AnnIngest.delete(spark, idx, (600L until 1100L).toDF("vec_id"),
+      "waveA")
+    AnnIngest.compact(spark, idx, 16L, foldColdBelow = 0.3)
+    AnnIngest.compact(spark, idx, 17L, foldColdBelow = 0.3)
+    val after = AnnIngest.liveCellCount(spark, idx)
+    assert(after < peak,
+      s"post-drain folds must shrink the live quantizer ($peak -> $after)")
+    // end-state contracts through every heal in the horizon
+    val cents = AnnIngest.readCentroids(spark, idx).get
+    val live = AnnIngest.readIndex(spark, idx, None).persist()
+    try {
+      assert(live.count() === 1100L) // 1600 - 500 drained
+      assert(live.select("vec_id").distinct().count() === 1100L)
+      val expect = graft.sim.Ivf.assignCells(
+        live.select("vec_id", "e", "norm"), cents)
+        .select(col("vec_id"), col("cell").as("cell_x"))
+      assert(live.join(expect, Seq("vec_id"))
+        .filter(col("cell") =!= col("cell_x")).count() === 0L)
+      val dead = cents.indices.filter(c => cents(c)(0).isNaN)
+      assert(dead.nonEmpty, "the folds must have deadened slots")
+      assert(live.filter(col("cell").isin(dead: _*)).count() === 0L)
+      // probe-all == exact across survivors of all three eras
+      val sample = feed(0 until 10, 0.0, 1.0) ++
+        feed(1200 until 1210, 9.0, 0.01)
+      val self = AnnIngest.queryTopK(spark, idx,
+        sample.toDF("vec_id", "embedding"), k = 1,
+        nProbe = cents.length)
+        .filter(col("nb_id") =!= col("vec_id") || col("cos_r") < 1.0)
+      assert(self.count() === 0L)
+    } finally { live.unpersist(false); () }
+  }
+
   test("split tombstones are SOURCE-scoped: a vec_id re-ingested after " +
     "the split whose updated embedding lands back in its old cell is " +
     "not mistaken for the stale pre-split copy — it stays live and " +
