@@ -71,8 +71,9 @@ object QualityModel {
       }.toDF("doc_id", "label", "features")
       // materialize the (two-shuffle) feature assembly ONCE — fit and
       // transform otherwise both replay it from the scan; lineage
-      // truncation also keeps the L-BFGS iteration DAG flat
-      .localCheckpoint(true)
+      // truncation also keeps the L-BFGS iteration DAG flat (reliable
+      // checkpoint when spark.sql.graft.checkpointDir is set)
+      .transform(graft.Ckpt.truncate(_))
     val lr = new LogisticRegression().setMaxIter(maxIter)
       .setLabelCol("label").setFeaturesCol("features")
     val scored = lr.fit(data).transform(data)

@@ -362,9 +362,10 @@ object TextOps {
                              maxRounds: Int = 40,
                              checkpointDir: Option[String] = None)
       : DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // explicit param wins; otherwise the session-level
+    // spark.sql.graft.checkpointDir conf decides (reliable vs local)
     def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      graft.Ckpt.truncate(df, explicit = checkpointDir)
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = ckpt(fwd.union(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))

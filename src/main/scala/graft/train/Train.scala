@@ -99,7 +99,7 @@ object Train {
     val data = df.select(features.map(col) :+
       label.cast("double").as("label"): _*)
       // k per-class fits + the transform all replay this otherwise
-      .localCheckpoint(true)
+      .transform(graft.Ckpt.truncate(_))
     val pipeline = new Pipeline()
       .setStages(Array(assemble(features), ovr))
     pipeline.fit(data).transform(data)
@@ -112,7 +112,7 @@ object Train {
       label.cast("double").as("label"): _*)
       // fit, transform and the AUC evaluator each replay this projection
       // from the scan otherwise — materialize it once
-      .localCheckpoint(true)
+      .transform(graft.Ckpt.truncate(_))
     val model = pipeline.fit(data)
     val scored = model.transform(data)
     val auc = new BinaryClassificationEvaluator().setLabelCol("label")
@@ -388,7 +388,7 @@ object Train {
     val deep = nn(data, deepCols, col("label") === 1, hidden, maxIter)
     // the deep model's forward pass is otherwise replayed by the wide
     // fit, the transform AND the evaluator — materialize it once
-    val withLogit = WideDeep.withDeepLogit(deep, data).localCheckpoint(true)
+    val withLogit = graft.Ckpt.truncate(WideDeep.withDeepLogit(deep, data))
     val hasher = new FeatureHasher()
       .setInputCols((wideCols ++ crossNames).toArray)
       .setOutputCol("wide_vec").setNumFeatures(hashDim)

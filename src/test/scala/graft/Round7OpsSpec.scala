@@ -27,6 +27,46 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(m(4L) === ((0L, 0L, 0.0, false)), "empty payload flagged, not fatal")
   }
 
+  test("session-level spark.sql.graft.checkpointDir: engine-internal " +
+    "lineage truncation (iterative CC, trainer fit-assembly) switches " +
+    "to RELIABLE checkpoints into the configured dir — files appear " +
+    "there — and the local default is unchanged when unset") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_conf").toString
+    def fileCount(): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally s.close()
+    }
+    spark.conf.set(graft.Ckpt.DirKey, dir)
+    try {
+      // iterative CC with NO explicit dir — the session conf decides
+      val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+      val got = graft.text.TextOps.dedupClustersIterative(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L)))
+      assert(fileCount() > 0,
+        "reliable checkpoint files must land in the configured dir")
+      // a trainer's fit-assembly truncation rides the same conf
+      val before = fileCount()
+      val docs = (0 until 60).map(i =>
+        (i.toLong, i % 2, i.toDouble, (i * 7 % 13).toDouble))
+        .toDF("doc_id", "label", "f1", "f2")
+      val scored = graft.text.QualityModel.trainScore(
+        docs.selectExpr("doc_id",
+          "case when label = 1 then repeat('spammy word ', 12) " +
+            "else concat('clean prose number ', doc_id) end as text",
+          "label"),
+        label = org.apache.spark.sql.functions.col("label"))
+      assert(scored.count() === 60L)
+      assert(fileCount() > before,
+        "the trainer's truncation must also checkpoint reliably")
+    } finally spark.conf.unset(graft.Ckpt.DirKey)
+    assert(graft.Ckpt.dir(spark).isEmpty,
+      "unset conf -> local default (no reliable dir)")
+  }
+
   test("dedupClustersIterative with a reliable checkpoint dir: same " +
     "clusters, rounds materialized as files (the 100-TB path is a flag)") {
     import spark.implicits._
