@@ -105,6 +105,34 @@ object Bench {
       if (cleanBetween && sinceGc >= 25) { System.gc(); sinceGc = 0 }
       (name, math.min(r1, r2), r1, r2)
     }
+    // SELF-HEALING re-measure (rounds 8/11/12 each shipped one headline
+    // query reading 5-10x its true time): transient interference — a
+    // noisy-neighbor burst, a ContextCleaner/GC stall — can inflate a
+    // query's BOTH reps (they run back-to-back), and the per-round
+    // artifacts show it repeatedly hitting the same early-alphabet
+    // stretch of the run. The end of the session is a second,
+    // time-shifted window: re-measure the slowest queries there and
+    // adopt the new number ONLY on a >=2x improvement, so a burst
+    // self-heals while a genuinely heavy query (re-measure lands within
+    // noise of the original) keeps its min-of-2 semantics — clean runs
+    // are bit-for-bit unaffected.
+    val healed = results.sortBy(-_._2).take(12)
+      .filter(_._2 > 1.0)
+      .flatMap { case (name, v, _, _) =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, sfDir).count() }
+          catch { case _: Throwable => return Double.NaN }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val (h1, h2) = (once(), once())
+        dropLeftovers(spark)
+        val m = if (h1.isNaN || h2.isNaN) Double.NaN else math.min(h1, h2)
+        if (!m.isNaN && m < v / 2) Some(name -> (v, m)) else None
+      }.toMap
+    val adopted = results.map { case (name, v, r1, r2) =>
+      (name, healed.get(name).map(_._2).getOrElse(v), r1, r2)
+    }
     // keep the JSON line SHORT: the driver greps it out of a ~2.4 kB output
     // tail — rounds 1–3 ALL overflowed it at full query count (parsed:null).
     // The summary line now carries only total + top-5 slowest (≈300 B,
@@ -115,7 +143,7 @@ object Bench {
     def f(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val load1 = loadavg()
-    val top5Rows = results.sortBy(-_._2).take(5)
+    val top5Rows = adopted.sortBy(-_._2).take(5)
     val top5 = top5Rows.map { case (k, v, _, _) =>
       "\"" + k.stripPrefix("q_") + "\":" + f(v)
     }.mkString("{", ",", "}")
@@ -127,7 +155,7 @@ object Bench {
     spark.stop()
     val fresh = graft.tools.Harness.session(cpus)
     fresh.range(1000000).selectExpr("sum(id)").collect()
-    val top5Fresh = top5Rows.map { case (k, _, _, _) =>
+    val top5FreshVals = top5Rows.map { case (k, v, _, _) =>
       // a FAILED fresh run must read as a failure (-1), not as a
       // near-zero time that fabricates "in-session inflation" evidence
       def once(): Double = {
@@ -141,23 +169,36 @@ object Bench {
       val steady =
         if (r1.isNaN || r2.isNaN) -1.0 else math.min(r1, r2)
       dropLeftovers(fresh)
+      (k, v, steady)
+    }
+    val top5Fresh = top5FreshVals.map { case (k, _, steady) =>
       "\"" + k.stripPrefix("q_") + "\":" + f(steady)
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = adopted.map(_._2).sum
     val sfName = sfDir.split("/").filter(_.nonEmpty).lastOption
       .getOrElse(sfDir) // basename only: every byte of this line counts
     // contaminated = the box was loaded when we gave up waiting, OR the
     // 1-min load at either stamp exceeds the limit + our own ~3 of
-    // steady-state self-load — either way the numbers are not trustworthy
+    // steady-state self-load, OR — even at innocuous loadavg — a
+    // headline query still reads >2x its fresh-session time after the
+    // self-heal pass (shared-session or mid-run interference the
+    // artifact must not present as a real number)
     val selfLoad = 3.0
-    val contaminated = startedLoaded ||
+    val inflatedVsFresh = top5FreshVals.exists { case (_, v, steady) =>
+      steady > 0.3 && v / steady > 2.0
+    }
+    val contaminated = startedLoaded || inflatedVsFresh ||
       Seq(load0, load1).exists(l =>
         try l.toDouble > loadLimit + selfLoad catch { case _: Throwable => false })
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"top5_sec":$top5,"top5_fresh_sec":$top5Fresh,"runs_per_query":2,"loadavg":["$load0","$load1"],"contaminated":$contaminated,"sf":"$sfName"}"""
-    // full-precision per-query detail — committed artifact, not tail-parsed
-    val detail = results.map { case (k, v, r1, r2) =>
-      s"""{"query":"$k","sec":${f(v)},"r1":${f(r1)},"r2":${f(r2)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"top5_sec":$top5,"top5_fresh_sec":$top5Fresh,"runs_per_query":2,"n_healed":${healed.size},"loadavg":["$load0","$load1"],"contaminated":$contaminated,"sf":"$sfName"}"""
+    // full-precision per-query detail — committed artifact, not tail-parsed;
+    // healed queries carry their inflated original alongside the adopted time
+    val detail = adopted.map { case (k, v, r1, r2) =>
+      val h = healed.get(k)
+        .map { case (orig, _) => s""","inflated_orig":${f(orig)}""" }
+        .getOrElse("")
+      s"""{"query":"$k","sec":${f(v)},"r1":${f(r1)},"r2":${f(r2)}$h}"""
     }.mkString("", "\n", "\n") + line + "\n"
     Seq("BENCH_DETAILS_latest.jsonl", "/tmp/graft_bench_last.json").foreach {
       p => try java.nio.file.Files.writeString(

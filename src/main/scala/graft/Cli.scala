@@ -48,7 +48,7 @@ import graft.pipeline.Pipeline
   * graft.Cli gate   --feed docs/ --index idx/ --out decisions/
   *                  [--checkpoint c/] [--intra true] [--compactevery 16]
   * graft.Cli gate   --index idx/ --retract docs/ [--tag takedown]
-  * graft.Cli annindex --feed emb/ --index idx/ [--cells auto] [--retrain true] [--split skew]
+  * graft.Cli annindex --feed emb/ --index idx/ [--cells auto] [--retrain true] [--split skew] [--fold frac]
   * graft.Cli annindex --index idx/ --query e/ [--k 3] [--nprobe 1] [--out r/]
   * graft.Cli annindex --index idx/ --delete ids/ [--tag takedown]
   * }}}
@@ -1271,13 +1271,19 @@ object Cli {
               .select(col("vec_id").cast("long"), col("embedding"))
             // --split <skew>: compactions whose recorded cell skew
             // exceeds the threshold self-heal with the split-cell
-            // LOCAL retrain (movers only) instead of a full rebuild
+            // LOCAL retrain (movers only) instead of a full rebuild;
+            // --fold <frac>: cells drained below <frac> x mean live
+            // occupancy fold into their nearest survivors (the split's
+            // inverse — bounds quantizer growth; at most one heal per
+            // compaction, the fold defers to a same-cycle split)
             val q = graft.streaming.AnnIngest.annIngestStream(stream, index,
               opts.get("checkpoint"), cells,
               opts.getOrElse("compactevery", "16").toInt,
               opts.get("retrain").exists(_ != "false"),
               splitSkewAbove = opts.get("split").map(_.toDouble)
-                .getOrElse(Double.PositiveInfinity))
+                .getOrElse(Double.PositiveInfinity),
+              foldColdBelow = opts.get("fold").map(_.toDouble)
+                .getOrElse(0.0))
             try q.processAllAvailable() finally q.stop()
             val n = graft.streaming.AnnIngest.readIndex(spark, index, None)
               .count()

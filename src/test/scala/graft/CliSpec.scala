@@ -1078,6 +1078,53 @@ class CliSpec extends AnyFunSuite {
       .isin(0L, 1L)).count() === 0L)
   }
 
+  test("annindex --fold: the CLI drives drift -> split -> takedown -> " +
+    "fold end-to-end — the live quantizer grows under --split and " +
+    "shrinks back under --fold, with the live view exact throughout") {
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_cli_fold").toString
+    def emb(ids: Range, base: Double, spread: Double) = ids.map(i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        base + spread * math.sin(i * 31 + d * 7))))
+      .toDF("vec_id", "embedding")
+    def feedFile(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(s"$t/feed")
+    // compactevery=1: every drained batch is followed by a compaction,
+    // so each CLI invocation advances the heal lifecycle one step
+    def ann(): Unit = {
+      Cli.run(spark, "annindex", Map("feed" -> s"$t/feed",
+        "index" -> s"$t/idx", "cells" -> "8", "checkpoint" -> s"$t/ckpt",
+        "compactevery" -> "1", "split" -> "2.0", "fold" -> "0.5"))
+      ()
+    }
+    feedFile(emb(0 until 300, 0.0, 1.0)); ann() // freeze 8 cells
+    // drift batch: its compaction records high skew — and may already
+    // FOLD small base cells (the drift raises the mean), so growth is
+    // measured against the post-drift state, not the initial 8
+    feedFile(emb(300 until 460, -7.0, 0.01)); ann()
+    val preSplit = graft.streaming.AnnIngest.liveCellCount(spark, s"$t/idx")
+    feedFile(emb(460 until 500, -7.0, 0.01)); ann() // split fires on lastSkew
+    val grown = graft.streaming.AnnIngest.liveCellCount(spark, s"$t/idx")
+    assert(grown > preSplit,
+      s"--split must extend the live quantizer ($preSplit -> $grown)")
+    // takedown the whole drifted cluster through the CLI
+    (300L until 500L).toDF("vec_id").write.parquet(s"$t/del")
+    val r = Cli.run(spark, "annindex",
+      Map("index" -> s"$t/idx", "delete" -> s"$t/del"))
+    assert(r.head.startsWith("annindex: tombstoned 200 ids"))
+    // the next drain's compaction folds the drained cells (the split
+    // trigger may still read stale-high skew, but with no live-hot
+    // cell the split is a no-op and the fold proceeds)
+    feedFile(emb(500 until 510, 0.0, 1.0)); ann()
+    val after = graft.streaming.AnnIngest.liveCellCount(spark, s"$t/idx")
+    assert(after < grown,
+      s"--fold must shrink the live quantizer ($grown -> $after)")
+    val live = graft.streaming.AnnIngest.readIndex(spark, s"$t/idx", None)
+    assert(live.count() === 310L) // 300 base + 10 fresh survivors
+    assert(live.select("vec_id").distinct().count() === 310L)
+  }
+
   test("warehouse: reports bucketed managed tables and orphan dirs, " +
     "prune deletes only orphans, drop removes the table entry AND dir") {
     val s = spark
