@@ -799,10 +799,8 @@ object QueriesSim {
     * cos 1.0 through the folded index (probe sets skip dead slots). */
   private val annFoldQ: Q = Q(
     fn = (s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.functions.{col, expr}
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val emb = Tables.load(s, dir, "embeddings")
       val typed = emb.select(col("vec_id").cast("long"),
         expr("transform(embedding, x -> cast(x AS double))").as("e0"))
@@ -810,17 +808,17 @@ object QueriesSim {
           "CASE WHEN vec_id % 4 = 2 " +
             "THEN transform(e0, x -> x + 8.0d) ELSE e0 END"))
         .select("vec_id", "embedding")
-      // harness-only: batch staging for MemoryStream — ONE collect
-      val staged = typed.as[(Long, Seq[Double])].collect()
-      val batches = (0 to 3).map(b => staged.filter(_._1 % 4 == b).toSeq)
       val tmp = s"/tmp/graft_afd_${java.util.UUID.randomUUID()}"
-      val ms = MemoryStream[(Long, Seq[Double])]
-      val q = graft.streaming.AnnIngest.annIngestStream(
-        ms.toDF().toDF("vec_id", "embedding"), s"$tmp/index",
-        checkpoint = Some(s"$tmp/ckpt"), nCells = 8, compactEvery = 2)
-      try {
-        batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
-      } finally q.stop()
+      // the STREAM wiring of the heal pair is exercised by
+      // q_ann_split + the AnnIngestSpec/CliSpec lifecycle drills; this
+      // oracle pins the FOLD itself, so it drives the batch API
+      // directly (quantizer freezes on the unshifted batch 0)
+      (0 to 3).foreach { b =>
+        graft.streaming.AnnIngest.ingestBatch(
+          typed.filter(col("vec_id") % 4 === b), b.toLong,
+          s"$tmp/index", nCells = 8)
+      }
+      graft.streaming.AnnIngest.compact(s, s"$tmp/index", 3L)
       // drift heal: split the hot (shifted) cell — quantizer grows
       graft.streaming.AnnIngest.compact(s, s"$tmp/index", 4L,
         splitHot = 1.25)
