@@ -480,17 +480,27 @@ object AnnIngest {
     * read), deliberately WITHOUT the tombstone anti-join the reader
     * path applies: occupancy telemetry describes the layout, and the
     * anti-join would force vec_id reads of the whole corpus whenever a
-    * tombstone is live. Cheap even on a big index. Returns
+    * tombstone is live. Cheap even on a big index. EXCEPT right after
+    * a heal: the split/fold just computed exact LIVE counts and the
+    * mover deltas, and the physical footers still show every stale
+    * copy — a report from them reads the healed cell as still-hot and
+    * re-fires the stream's skew trigger into a useless full-scan heal
+    * attempt every compaction until merges drop the stale copies. The
+    * heal passes its adjusted live counts via `liveCounts`, so the
+    * cycle after a heal sees honest occupancy. Returns
     * (skew ratio, per-cell counts). */
   private[streaming] def skewReport(sp: SparkSession, indexDir: String,
-      upTo: Long): (Double, Map[Int, Long]) = {
-    val (runs, deltas) = live(sp, indexDir, Long.MaxValue)
-    val counts = (runs ++ deltas)
-      .map(d => sp.read.option("basePath", d).schema(vecSchema).parquet(d))
-      .reduceOption(_ unionByName _)
-      .map(_.groupBy("cell").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
-      .getOrElse(Map.empty[Int, Long])
+      upTo: Long, liveCounts: Option[Map[Int, Long]] = None)
+      : (Double, Map[Int, Long]) = {
+    val counts = liveCounts.getOrElse {
+      val (runs, deltas) = live(sp, indexDir, Long.MaxValue)
+      (runs ++ deltas)
+        .map(d => sp.read.option("basePath", d).schema(vecSchema).parquet(d))
+        .reduceOption(_ unionByName _)
+        .map(_.groupBy("cell").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+        .getOrElse(Map.empty[Int, Long])
+    }
     // skew = max / mean over the QUANTIZER's LIVE cell count, empty
     // cells counting as zero occupancy. Dividing by the populated-cell
     // count (the groupBy's row count) reads TOTAL COLLAPSE — every
@@ -555,6 +565,21 @@ object AnnIngest {
     // heal tombstones written THIS compaction (split and/or fold) —
     // both live in the manifest-gated t_split_* namespace
     val healTombs = scala.collection.mutable.ArrayBuffer.empty[Run]
+    // exact post-heal live occupancy (the heal's scan counts adjusted
+    // by its mover deltas) — fed to skewReport so the cycle after a
+    // heal is not re-triggered by stale physical copies
+    var healedCounts: Option[Map[Int, Long]] = None
+    def adjustCounts(pre: Map[Int, Long],
+        movers: DataFrame): Map[Int, Long] = {
+      def tally(c: String) = movers.groupBy(c)
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val out = tally("old_cell"); val in = tally("cell")
+      (pre.keySet ++ in.keySet).map { c =>
+        c -> (pre.getOrElse(c, 0L) - out.getOrElse(c, 0L) +
+          in.getOrElse(c, 0L))
+      }.filter(_._2 > 0).toMap
+    }
     var seq = 0
     def nextName(): String = { val n = s"run_${upTo}_$seq"; seq += 1; n }
     // tombstone ledger: every run written from here on excludes the
@@ -727,6 +752,7 @@ object AnnIngest {
               writeCentroids(sp, indexDir, full, centsName)
               cents = Some(centsName)
               splitThisCycle = true
+              healedCounts = Some(adjustCounts(counts, moved))
             } finally { moved.unpersist(false); () }
           }
         } finally { liveRows.unpersist(false); () }
@@ -826,6 +852,7 @@ object AnnIngest {
                 val centsName = s"centroids_v${upTo}_f.json"
                 writeCentroids(sp, indexDir, buf, centsName)
                 cents = Some(centsName)
+                healedCounts = Some(adjustCounts(counts, movers))
               } finally { movers.unpersist(false); () }
             }
           } finally { liveRows.unpersist(false); () }
@@ -909,7 +936,7 @@ object AnnIngest {
     // retrainSkewAbove trigger is silently disabled for the next
     // compaction interval — mirrors the keep-current-and-previous rule
     // used for the centroids files
-    skewReport(sp, indexDir, upTo)
+    skewReport(sp, indexDir, upTo, healedCounts)
     // superseded retrain quantizers and older skew reports: the
     // manifest-referenced centroids file, the PREVIOUS one (readers of
     // the prior manifest may still resolve it), the original fallback,

@@ -433,6 +433,19 @@ class AnnIngestSpec extends AnyFunSuite {
     AnnIngest.compact(spark, idx, 2L, splitHot = 2.0)
     val m = graft.streaming.IngestIndex.readManifest(spark, idx)
     assert(m.cents === Some("centroids_v2.json"))
+    // post-heal telemetry is LIVE, not physical: the skew report's
+    // per-cell counts equal the live view exactly (stale copies
+    // excluded), so the stream's skew trigger cannot re-fire a
+    // useless heal off the healed cell's stale physical copies
+    val skewTxt2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$idx/skew_v2.json")), "UTF-8")
+    val reported = "\"(\\d+)\": (\\d+)".r.findAllMatchIn(skewTxt2)
+      .map(mm => mm.group(1).toInt -> mm.group(2).toLong).toMap
+    val liveCounts = AnnIngest.readIndex(spark, idx, None)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(reported === liveCounts,
+      s"post-heal skew cells must be the LIVE occupancy:\n$skewTxt2\n$liveCounts")
     val centsAfter = AnnIngest.readCentroids(spark, idx).get
     assert(centsAfter.length > centsBefore.length,
       "sub-centroids must be appended")
