@@ -19,6 +19,10 @@ object GeoProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 2
+    // optional 3rd arg: comma-separated path tags to probe (isolated
+    // re-measures when adjudicating one path's window variance)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = Harness.session()
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -49,7 +53,8 @@ object GeoProbe {
       "ann_auto" -> (() => graft.sim.Similarity
         .annTopKAuto(emb, 3).count()))
 
-    ops.foreach { case (tag, f) =>
+    ops.filter { case (tag, _) => only.forall(_.contains(tag)) }
+      .foreach { case (tag, f) =>
       val times = (1 to reps).map { r =>
         val t0 = System.nanoTime()
         val rows = f()
