@@ -155,14 +155,44 @@ object IngestIndex {
     }
   }
 
+  /** Commit-time FENCE: immediately before a manifest publish, verify
+    * that the lease this thread holds for `indexDir` (if any) still
+    * carries its acquisition token. The heartbeat makes usurpation of
+    * a LIVE writer near-impossible, and the ownership-checked release
+    * reports one after the fact — but a writer that somehow lost its
+    * lease mid-operation (heartbeat thread died, manual lease delete,
+    * clock skew past the stale threshold) must fail its COMMIT, not
+    * overwrite the new holder's manifest with a state that never saw
+    * the new holder's writes. One tiny file read per writer op. A
+    * thread holding no lease for this index (bootstrap/test paths)
+    * skips the check. */
+  private def fenceCheck(fs: FileSystem, indexDir: String): Unit = {
+    val key = fs.makeQualified(new Path(indexDir)).toString
+    val me = Thread.currentThread().getId
+    val tokenOpt = heldLeases.synchronized {
+      heldLeases.get(key).filter(_.thread == me).map(_.token)
+    }
+    tokenOpt.foreach { token =>
+      val cur = readLease(fs, leasePath(indexDir)).flatMap(leaseToken)
+      if (!cur.contains(token))
+        throw new IllegalStateException(
+          s"lease on $indexDir was lost mid-operation (now held by " +
+            s"${cur.getOrElse("nobody")}) — refusing to commit the " +
+            "manifest over the new writer's state")
+    }
+  }
+
   /** Publish the manifest via write-temp-then-rename(OVERWRITE): the
     * rename is the atomic commit on HDFS-like filesystems and the local
     * FS, so a concurrent reader sees the OLD manifest or the NEW one,
     * never a truncated in-place overwrite (which would read as "empty
-    * index" and silently skip the whole prior state). */
+    * index" and silently skip the whole prior state). Fenced: a writer
+    * whose lease was usurped mid-operation fails here ([[fenceCheck]])
+    * instead of clobbering the new holder's commits. */
   private[streaming] def writeManifest(sp: SparkSession, indexDir: String,
                                        m: Manifest): Unit = {
     val fs = fsFor(sp, indexDir)
+    fenceCheck(fs, indexDir)
     val runsJson = m.runs.toSeq.sortBy(_._1).map { case (kind, rs) =>
       "\"" + kind + "\": [" + rs.map(r =>
         s"""{"name": "${r.name}", "rows": ${r.rows}}""").mkString(", ") + "]"

@@ -564,6 +564,46 @@ class IngestIndexSpec extends AnyFunSuite {
     java.nio.file.Files.delete(lease)
   }
 
+  test("manifest-commit fence: a writer whose lease was usurped " +
+    "mid-operation fails its COMMIT — the new holder's manifest is " +
+    "never clobbered by a state that predates its writes") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ii19").toString
+    val idx = s"$t/idx"; val out = s"$t/out"
+    StreamOps.ingestBatch(docs(1L -> "fence drill document number one"),
+      0L, idx, out)
+    val mBefore = IngestIndex.readManifest(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    var fenceMsg: Option[String] = None
+    // the release's ownership check ALSO throws on exit (and replaces
+    // the body's exception), so capture the fence message inside
+    intercept[IllegalStateException] {
+      IngestIndex.withWriterLease(spark, idx) {
+        val o = fs.create(
+          new org.apache.hadoop.fs.Path(s"$idx/_writer.lease"), true)
+        try o.write(
+          """{"owner": "pid7@usurper", "token": "theirs"}"""
+            .getBytes("UTF-8"))
+        finally o.close()
+        try IngestIndex.writeManifest(spark, idx,
+          mBefore.copy(maxCompacted = 99L))
+        catch { case e: IllegalStateException =>
+          fenceMsg = Some(e.getMessage); throw e
+        }
+      }
+    }
+    assert(fenceMsg.exists(_.contains("refusing to commit")),
+      s"the COMMIT itself must be fenced, got $fenceMsg")
+    assert(IngestIndex.readManifest(spark, idx) === mBefore,
+      "the manifest on disk must be untouched")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(idx, "_writer.lease"))
+    // sanity: an un-usurped holder commits normally through the fence
+    IngestIndex.withWriterLease(spark, idx) {
+      IngestIndex.compact(spark, idx, 0L)
+    }
+    assert(IngestIndex.readManifest(spark, idx).maxCompacted === 0L)
+  }
+
   test("corruption fails fast: a manifest-referenced run dir missing " +
     "on disk throws instead of silently probing without it, and a " +
     "legacy single-base manifest is refused outright") {
