@@ -37,7 +37,8 @@ object AnnSoak {
       .createTempDirectory("graft_ann_soak").toString
     def batchDf(b: Int) = (0 until perBatch).map { i =>
       val id = b.toLong * perBatch + i
-      (id, Array.tabulate(64)(d => math.sin(id * 131 + d * 17).toFloat))
+      (id, Array.tabulate(64)(d =>
+        math.sin((id * 131 + d * 17).toDouble).toFloat))
     }.toDF("vec_id", "embedding").repartition(8)
     def queryMs(tag: String): Unit = {
       val q = batchDf(0).limit(200)
