@@ -229,7 +229,7 @@ object IngestIndex {
     * full retrain at real scale runs well past 10 minutes) is never
     * usurped as "stale"; takeover now only ever fires on genuinely
     * dead writers. Test seam: specs shrink it to drill the beat. */
-  @volatile private[streaming] var LeaseBeatMs: Long = LeaseStaleMs / 4
+  @volatile private[graft] var LeaseBeatMs: Long = LeaseStaleMs / 4
 
   private def leasePath(indexDir: String) = new Path(s"$indexDir/_writer.lease")
 
@@ -369,9 +369,25 @@ object IngestIndex {
     * re-enters without touching the file. Every public writer op takes
     * the lease itself, so CLI verbs and streams are covered
     * transitively; wrap several ops in one `withWriterLease` to make
-    * them a single writer transaction. */
-  def withWriterLease[T](sp: SparkSession, indexDir: String)(body: => T): T = {
-    val fs = fsFor(sp, indexDir)
+    * them a single writer transaction.
+    *
+    * DEPLOYMENT NOTE (object stores): the protocol needs atomic
+    * create-if-absent and atomic rename — true on HDFS and ABFS, NOT
+    * on S3A (create(p, false) is check-then-create and rename is
+    * copy+delete there). On S3, point `indexDir` at an HDFS/ABFS
+    * path or front the bucket with a consistency layer; even if two
+    * S3 writers slip past the lease, the commit-time [[fenceCheck]]
+    * downgrades silent interleaving to a loud failed commit. */
+  def withWriterLease[T](sp: SparkSession, indexDir: String)(body: => T): T =
+    withWriterLeaseFs(fsFor(sp, indexDir), indexDir)(body)
+
+  /** [[withWriterLease]] against an explicit FileSystem — the whole
+    * protocol is metadata-only (create-if-absent, stat, rename,
+    * setTimes), so an EXTERNAL writer needs no SparkSession to
+    * participate. `tools.LeaseProbe` drives this from a separate JVM;
+    * the cross-process drill in IngestIndexSpec rides on it. */
+  private[graft] def withWriterLeaseFs[T](fs: FileSystem,
+      indexDir: String)(body: => T): T = {
     val key = fs.makeQualified(new Path(indexDir)).toString
     val me = Thread.currentThread().getId
     // ALL same-process acquisition/release state changes happen under

@@ -694,4 +694,83 @@ class IngestIndexSpec extends AnyFunSuite {
       -1L, Long.MaxValue).map(_._1)
     assert(hashDeltas === hashDeltas.distinct)
   }
+
+  test("CROSS-PROCESS lease drill: a second JVM (tools.LeaseProbe) is " +
+    "refused while this process would be, its heartbeat is visible " +
+    "across process boundaries, and its release frees the index — the " +
+    "threaded drills never leave the heldLeases monitor; this one " +
+    "exercises the file protocol between real processes") {
+    val t = java.nio.file.Files.createTempDirectory("graft_ii20").toString
+    val idx = s"$t/idx"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx))
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$idx/_writer.lease")
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    def spawn(args: String*): Process =
+      new ProcessBuilder(
+        (Seq(javaBin, "-Xmx256m", "-cp", cp,
+          "graft.tools.LeaseProbe", idx) ++ args): _*).start()
+    def drain(p: Process): String = {
+      val err = new String(p.getErrorStream.readAllBytes(), "UTF-8")
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      s"stdout: $out\nstderr: $err"
+    }
+    // (1) the probe JVM acquires and holds (8 s, 100 ms heartbeat)
+    val holder = spawn("hold", "8000", "100")
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(holder.getInputStream, "UTF-8"))
+    val first = rd.readLine() // blocks until the probe prints HELD
+    if (first != "HELD") { // read stderr only AFTER exit: it blocks on a live process
+      holder.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+      holder.destroyForcibly()
+      fail(s"probe failed to acquire: got '$first'\n${drain(holder)}")
+    }
+    try {
+      // (2) THIS process's writer is refused loudly, index untouched
+      val ex = intercept[IllegalStateException] {
+        IngestIndex.withWriterLease(spark, idx) { fail("must not enter") }
+      }
+      assert(ex.getMessage.contains("another writer holds"),
+        s"got: ${ex.getMessage}")
+      // (3) the probe's heartbeat is visible ACROSS processes: age the
+      // lease file from here; the holder JVM must refresh it, so the
+      // takeover staleness predicate keeps reading it as fresh
+      fs.setTimes(lease,
+        System.currentTimeMillis() - IngestIndex.LeaseStaleMs - 60000, -1)
+      val deadline = System.currentTimeMillis() + 6000
+      var fresh = false
+      while (!fresh && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        fresh = System.currentTimeMillis() -
+          fs.getFileStatus(lease).getModificationTime <
+          IngestIndex.LeaseStaleMs
+      }
+      assert(fresh,
+        "the holder JVM's heartbeat must refresh the aged lease mtime")
+      // (4) a THIRD process's try-acquire also fails (exit 3) while
+      // the holder lives
+      val contender = spawn("try")
+      assert(contender.waitFor(30, java.util.concurrent.TimeUnit.SECONDS),
+        "contender probe hung")
+      assert(contender.exitValue() === 3,
+        s"contender must be refused; ${drain(contender)}")
+    } finally {
+      if (!holder.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)) {
+        holder.destroyForcibly()
+        holder.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+      }
+    }
+    assert(holder.exitValue() === 0,
+      s"holder probe failed: ${
+        new String(holder.getErrorStream.readAllBytes(), "UTF-8")}")
+    assert(rd.readLine() === "RELEASED")
+    // (5) the release freed the index: this process acquires normally
+    assert(!fs.exists(lease), "lease must be gone after the probe exits")
+    IngestIndex.withWriterLease(spark, idx) {
+      assert(fs.exists(lease))
+    }
+    assert(!fs.exists(lease))
+  }
 }
