@@ -30,6 +30,17 @@ object Ckpt {
   def dir(sp: SparkSession): Option[String] =
     sp.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty)
 
+  /** The root last passed to `setCheckpointDir`, per SparkContext
+    * identity: Spark's setter MUTATES GLOBAL context state and mkdirs
+    * a fresh UUID subdirectory on every call, so an iterative caller
+    * (dedupClustersIterative checkpoints once per round) must not
+    * re-set an unchanged root 40 times per job. Concurrent driver
+    * threads wanting DIFFERENT roots still race on Spark's one global
+    * slot — callers needing that isolation pass `explicit` dirs and
+    * serialize themselves. */
+  private val lastRoot =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
   /** Materialize `df` once and truncate its lineage: a RELIABLE
     * `checkpoint()` into the configured directory when the session
     * (or the `explicit` override) names one, `localCheckpoint()`
@@ -37,7 +48,10 @@ object Ckpt {
   def truncate(df: DataFrame, explicit: Option[String] = None): DataFrame =
     explicit.orElse(dir(df.sparkSession)) match {
       case Some(d) =>
-        df.sparkSession.sparkContext.setCheckpointDir(d)
+        val sc = df.sparkSession.sparkContext
+        val key = Integer.valueOf(System.identityHashCode(sc))
+        if (lastRoot.put(key, d) != d || sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(d)
         df.checkpoint()
       case None => df.localCheckpoint(true)
     }

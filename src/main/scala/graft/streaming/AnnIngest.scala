@@ -582,6 +582,35 @@ object AnnIngest {
     }
     var seq = 0
     def nextName(): String = { val n = s"run_${upTo}_$seq"; seq += 1; n }
+    // ONE heal-commit implementation for the split AND the fold — the
+    // two heals differ only in slot selection, and their commit
+    // machinery (relocation run + cell-scoped source-scoped tombstone
+    // in the reserved t_split_* namespace, applied-at upTo+1 +
+    // quantizer file + post-heal live telemetry, all recorded for the
+    // single manifest swap below) must never drift apart. `movers`
+    // must carry (vec_id, e, norm, cell, old_cell); `tag` is "" for
+    // the split, "f" for the fold (heals serialize, so same-cycle
+    // collisions are impossible — the suffix just keeps the
+    // artifact's origin readable on disk).
+    def commitHeal(movers: DataFrame, newCents: Array[Array[Double]],
+        tag: String, counts: Map[Int, Long]): Unit = {
+      val reloc = writeRun(sp, indexDir, nextName(),
+        movers.select("vec_id", "e", "norm", "cell"))
+      if (reloc.rows > 0) {
+        runs = (runs :+ reloc).sortBy(-_.rows)
+        movers.select(col("vec_id"),
+          col("old_cell").cast("int").as("cell"))
+          .write.mode("overwrite")
+          .parquet(s"${tombsDir(indexDir)}/t_split_$tag$upTo")
+        healTombs += Run(s"t_split_$tag$upTo", upTo + 1)
+      }
+      val centsName =
+        if (tag.isEmpty) s"centroids_v$upTo.json"
+        else s"centroids_v${upTo}_$tag.json"
+      writeCentroids(sp, indexDir, newCents, centsName)
+      cents = Some(centsName)
+      healedCounts = Some(adjustCounts(counts, movers))
+    }
     // tombstone ledger: every run written from here on excludes the
     // live tombstones' ids, so a run's creation id (run_<id>_*) ≥ a
     // tombstone's first-applied id proves the run is physically clean
@@ -704,22 +733,33 @@ object AnnIngest {
     // current quantizer version; not built yet because splits are
     // drift-rare and the scan is the cheap half of the heal.
     var splitThisCycle = false
+    def liveAll() = clean(runs.map(r =>
+      readRunDir(sp, s"${vectorsDir(indexDir)}/${r.name}"))
+      .reduce(_ union _))
     if (!retrain && splitHot > 0 && runs.nonEmpty) {
       readCentroidsFile(sp, indexDir,
           cents.getOrElse("centroids.json")).foreach { base =>
         val nC = liveSlots(base).size
-        val liveRows = clean(runs.map(r =>
-          readRunDir(sp, s"${vectorsDir(indexDir)}/${r.name}"))
-          .reduce(_ union _)).persist()
-        try {
-          val counts = liveRows.groupBy("cell")
-            .agg(count(lit(1)).as("n")).collect()
-            .map(r => r.getInt(0) -> r.getLong(1)).toMap
-          val total = counts.values.sum
-          val mean = total.toDouble / nC
-          val hot = counts.filter { case (_, n) => n > splitHot * mean }
-            .keys.toSeq.sorted
-          if (total > 0 && hot.nonEmpty) {
+        // exact live occupancy from an UNPERSISTED plan: Catalyst
+        // prunes the scan to (vec_id, cell, src_id) — the embedding
+        // bytes, the dominant read cost, are touched only when a heal
+        // actually fires below
+        val counts = liveAll().groupBy("cell")
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        // record the LIVE view even when nothing is hot: a scan that
+        // finds no heal must still feed skewReport, or the next
+        // cycle's PHYSICAL fallback (stale copies included) would
+        // re-read as hot and re-trigger this full scan on every
+        // compaction of a slow-growing stream
+        healedCounts = Some(counts)
+        val total = counts.values.sum
+        val mean = total.toDouble / nC
+        val hot = counts.filter { case (_, n) => n > splitHot * mean }
+          .keys.toSeq.sorted
+        if (total > 0 && hot.nonEmpty) {
+          val liveRows = liveAll().persist() // WITH vectors, heal-only
+          try {
             val buf = base.clone()
             val appended =
               scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
@@ -738,24 +778,11 @@ object AnnIngest {
             val moved = reassign(liveRows, full)
               .filter(col("cell") =!= col("old_cell")).persist()
             try {
-              val reloc = writeRun(sp, indexDir, nextName(),
-                moved.select("vec_id", "e", "norm", "cell"))
-              if (reloc.rows > 0) {
-                runs = (runs :+ reloc).sortBy(-_.rows)
-                moved.select(col("vec_id"),
-                  col("old_cell").cast("int").as("cell"))
-                  .write.mode("overwrite")
-                  .parquet(s"${tombsDir(indexDir)}/t_split_$upTo")
-                healTombs += Run(s"t_split_$upTo", upTo + 1)
-              }
-              val centsName = s"centroids_v$upTo.json"
-              writeCentroids(sp, indexDir, full, centsName)
-              cents = Some(centsName)
+              commitHeal(moved, full, "", counts)
               splitThisCycle = true
-              healedCounts = Some(adjustCounts(counts, moved))
             } finally { moved.unpersist(false); () }
-          }
-        } finally { liveRows.unpersist(false); () }
+          } finally { liveRows.unpersist(false); () }
+        }
       }
     }
     // ---- cold-cell FOLD (the split's inverse) --------------------------------
@@ -801,61 +828,61 @@ object AnnIngest {
       readCentroidsFile(sp, indexDir,
           cents.getOrElse("centroids.json")).foreach { base =>
         val live = liveSlots(base)
-        val footer = runs.map(r =>
-          sp.read.option("basePath", s"${vectorsDir(indexDir)}/${r.name}")
-            .schema(vecSchema)
-            .parquet(s"${vectorsDir(indexDir)}/${r.name}"))
-          .reduceOption(_ unionByName _)
-          .map(_.groupBy("cell").agg(count(lit(1)).as("n")).collect()
-            .map(r => r.getInt(0) -> r.getLong(1)).toMap)
-          .getOrElse(Map.empty[Int, Long])
-        val fMean = footer.values.sum.toDouble / math.max(live.size, 1)
-        // while tombstones are LIVE, physical counts overstate live
-        // occupancy (a takedown wave that just drained a cell is
-        // exactly the fold's trigger scenario) — defer to the exact
-        // scan; tombstones are transient, so the steady no-tombstone
-        // case keeps the zero-cost skip
-        val maybeCold = liveTombPaths.nonEmpty || live.exists(c =>
-          footer.getOrElse(c, 0L) < foldColdBelow * fMean)
-        if (live.size > 1 && footer.values.sum > 0 && maybeCold) {
-          val liveRows = clean(runs.map(r =>
-            readRunDir(sp, s"${vectorsDir(indexDir)}/${r.name}"))
-            .reduce(_ union _)).persist()
-          try {
-            val counts = liveRows.groupBy("cell")
+        // the live view, when some path already paid for it THIS
+        // cycle: a split scan that found nothing hot recorded its
+        // counts in healedCounts (the run set is unchanged since —
+        // a split heal would have set splitThisCycle and skipped the
+        // fold entirely), so the fold never re-reads what the split
+        // just counted
+        val counts: Option[Map[Int, Long]] = healedCounts.orElse {
+          val footer = runs.map(r =>
+            sp.read.option("basePath", s"${vectorsDir(indexDir)}/${r.name}")
+              .schema(vecSchema)
+              .parquet(s"${vectorsDir(indexDir)}/${r.name}"))
+            .reduceOption(_ unionByName _)
+            .map(_.groupBy("cell").agg(count(lit(1)).as("n")).collect()
+              .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+            .getOrElse(Map.empty[Int, Long])
+          val fMean = footer.values.sum.toDouble / math.max(live.size, 1)
+          // while tombstones are LIVE, physical counts overstate live
+          // occupancy (a takedown wave that just drained a cell is
+          // exactly the fold's trigger scenario) — defer to the exact
+          // scan; tombstones are transient, so the steady no-tombstone
+          // case keeps the zero-cost skip. The exact scan itself is
+          // column-pruned (vec_id, cell, src_id — no vector bytes)
+          val maybeCold = liveTombPaths.nonEmpty || live.exists(c =>
+            footer.getOrElse(c, 0L) < foldColdBelow * fMean)
+          if (live.size > 1 && footer.values.sum > 0 && maybeCold) {
+            val c = liveAll().groupBy("cell")
               .agg(count(lit(1)).as("n")).collect()
               .map(r => r.getInt(0) -> r.getLong(1)).toMap
-            val total = counts.values.sum
-            val mean = total.toDouble / live.size
-            val cold = live.filter(c =>
-              counts.getOrElse(c, 0L) < foldColdBelow * mean)
-            val survivors = live.filterNot(cold.contains)
-            // never fold the last survivors: rows need a live argmin
-            if (total > 0 && cold.nonEmpty && survivors.nonEmpty) {
-              val buf = base.clone()
-              cold.foreach(c =>
-                buf(c) = Array.fill(base(c).length)(Double.NaN))
-              val movers = reassign(
-                liveRows.filter(col("cell").isin(cold: _*)), buf)
-                .persist()
-              try {
-                val reloc = writeRun(sp, indexDir, nextName(),
-                  movers.select("vec_id", "e", "norm", "cell"))
-                if (reloc.rows > 0) {
-                  runs = (runs :+ reloc).sortBy(-_.rows)
-                  movers.select(col("vec_id"),
-                    col("old_cell").cast("int").as("cell"))
-                    .write.mode("overwrite")
-                    .parquet(s"${tombsDir(indexDir)}/t_split_f$upTo")
-                  healTombs += Run(s"t_split_f$upTo", upTo + 1)
-                }
-                val centsName = s"centroids_v${upTo}_f.json"
-                writeCentroids(sp, indexDir, buf, centsName)
-                cents = Some(centsName)
-                healedCounts = Some(adjustCounts(counts, movers))
-              } finally { movers.unpersist(false); () }
-            }
-          } finally { liveRows.unpersist(false); () }
+            // record the live view even when no fold fires (same
+            // telemetry contract as the split scan)
+            healedCounts = Some(c)
+            Some(c)
+          } else None
+        }
+        counts.foreach { cnt =>
+          val total = cnt.values.sum
+          val mean = total.toDouble / live.size
+          val cold = live.filter(c =>
+            cnt.getOrElse(c, 0L) < foldColdBelow * mean)
+          val survivors = live.filterNot(cold.contains)
+          // never fold the last survivors: rows need a live argmin
+          if (live.size > 1 && total > 0 && cold.nonEmpty &&
+              survivors.nonEmpty) {
+            val buf = base.clone()
+            cold.foreach(c =>
+              buf(c) = Array.fill(base(c).length)(Double.NaN))
+            // only the COLD cells' residents move — a cell-PRUNED
+            // read (cell is the runs' partition column), never the
+            // full-corpus vector pass the split needs
+            val movers = reassign(
+              liveAll().filter(col("cell").isin(cold: _*)), buf)
+              .persist()
+            try commitHeal(movers, buf, "f", cnt)
+            finally { movers.unpersist(false); () }
+          }
         }
       }
     }
@@ -888,7 +915,13 @@ object AnnIngest {
       Manifest(upTo,
         Map("vectors" -> runs,
           "tombs" -> (keepTombs ++ healTombs),
-          "tswept" -> sweep.map(tb => Run(tb.name, upTo)))
+          // the tswept record KEEPS the first-applied id: readers
+          // still anti-join the dir for one generation, and tombRows
+          // resolves tb_applied from tombs ++ tswept — recording the
+          // sweep id here would inflate the source scope and eat a
+          // row legitimately re-ingested into its old cell (src >=
+          // first-applied but < sweep id) for exactly that window
+          "tswept" -> sweep.map(tb => Run(tb.name, tb.rows)))
           .filter(_._2.nonEmpty),
         cents))
     // cleanup AFTER commit, with ONE-GENERATION retention (MVCC-lite,

@@ -286,6 +286,19 @@ object IngestIndex {
     val status =
       try Some(fs.getFileStatus(p))
       catch { case _: java.io.FileNotFoundException => None }
+    if (status.isEmpty) {
+      // the lease VANISHED between the failed create and the stat —
+      // the holder released. This is NOT takeover territory: we never
+      // observed a stale file, so the rename-to-claim below could only
+      // ever reap a lease some NEW writer just created (the mtime
+      // guard cannot fire without an observed mtime to compare
+      // against). Re-try the create once; losing that race to another
+      // live writer is the ordinary fresh-holder refusal.
+      if (tryCreate()) return
+      throw new IllegalStateException(
+        s"another writer acquired the lease on $indexDir as it was " +
+          "released — retry after it finishes")
+    }
     val fresh = status.exists(s =>
       System.currentTimeMillis() - s.getModificationTime < LeaseStaleMs)
     if (fresh) {
@@ -297,15 +310,22 @@ object IngestIndex {
           s"list update); retry after it finishes, or delete ${p} if " +
           "that writer is known dead")
     }
-    // Stale (or vanished between the failed create and the stat):
-    // presume a crashed writer and take over by RENAME-to-claim — the
-    // rename is atomic on HDFS-like stores, so two takeover racers
-    // cannot both claim, and a bare delete can never hit a lease some
-    // OTHER taker just re-created (the delete->create TOCTOU of the
-    // naive protocol). If the claimed file turns out to be fresher
-    // than the one we stat'ed (it was replaced inside our stat window
-    // by a new live holder), put it back and fail loudly.
+    // Stale: presume a crashed writer and take over by RENAME-to-claim
+    // — the rename is atomic on HDFS-like stores, so two takeover
+    // racers cannot both claim, and a bare delete can never hit a
+    // lease some OTHER taker just re-created (the delete->create
+    // TOCTOU of the naive protocol). If the claimed file turns out to
+    // be fresher than the one we stat'ed (it was replaced inside our
+    // stat window by a new live holder), put it back and fail loudly.
     val staleMtime = status.map(_.getModificationTime)
+    // a takeover that crashed between its rename and its delete left
+    // an orphan reap file behind; collect aged ones while we are here
+    // (the age gate keeps an IN-FLIGHT takeover's reap safe)
+    try fs.listStatus(new Path(indexDir)).foreach { st =>
+      if (st.getPath.getName.startsWith("_writer.lease.reap.") &&
+          System.currentTimeMillis() - st.getModificationTime >
+            LeaseStaleMs) { fs.delete(st.getPath, false); () }
+    } catch { case _: java.io.IOException => () }
     val reap = new Path(s"$indexDir/_writer.lease.reap.$token")
     val claimed =
       try fs.rename(p, reap)
@@ -418,7 +438,9 @@ object IngestIndex {
           heldLeases(key) = Held(me, 1, token, beat)
       }
     }
+    var primary: Throwable = null
     try body
+    catch { case t: Throwable => primary = t; throw t }
     finally heldLeases.synchronized {
       val h = heldLeases(key)
       if (h.depth > 1) heldLeases(key) = h.copy(depth = h.depth - 1)
@@ -434,11 +456,17 @@ object IngestIndex {
         readLease(fs, p).flatMap(leaseToken) match {
           case Some(t) if t == h.token => fs.delete(p, false); ()
           case Some(other) =>
-            throw new IllegalStateException(
+            val usurped = new IllegalStateException(
               s"lease on $indexDir was taken over mid-operation (now " +
                 s"held by token $other) — this writer's commits may " +
                 "have interleaved with the new holder's; verify the " +
                 "manifest before trusting the index")
+            // when the body ALSO failed (typically the fenceCheck on
+            // its commit), its exception is the root cause — attach
+            // the release's report instead of replacing it from the
+            // finally block
+            if (primary != null) primary.addSuppressed(usurped)
+            else throw usurped
           case None => () // already gone (manual delete) — nothing to release
         }
       }

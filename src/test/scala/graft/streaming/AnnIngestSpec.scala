@@ -745,6 +745,104 @@ class AnnIngestSpec extends AnyFunSuite {
     assert(vidRows().filter(col("cell") === oldCell).count() === 1L)
   }
 
+  test("a heal SCAN that fires no heal still records LIVE telemetry: " +
+    "with a live takedown tombstone, the post-compaction skew report's " +
+    "cells equal the live view — the physical fallback (stale copies " +
+    "included) would re-trigger the full scan on every later cycle") {
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_ann20").toString
+    val idx = s"$t/idx"
+    AnnIngest.ingestBatch(vecs(0 until 200), 0L, idx, nCells = 8)
+    AnnIngest.compact(spark, idx, 0L)
+    AnnIngest.delete(spark, idx,
+      (0L until 100L by 2).toDF("vec_id"), "half")
+    // the scan runs (splitHot armed) and finds nothing hot
+    AnnIngest.compact(spark, idx, 1L, splitHot = 100.0)
+    assert(IngestIndex.readManifest(spark, idx)
+      .runs.getOrElse("tombs", Nil).nonEmpty,
+      "drill setup: the takedown tombstone must still be live")
+    val skewTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$idx/skew_v1.json")), "UTF-8")
+    val reported = "\"(\\d+)\": (\\d+)".r.findAllMatchIn(skewTxt)
+      .map(mm => mm.group(1).toInt -> mm.group(2).toLong).toMap
+    val liveCounts = AnnIngest.readIndex(spark, idx, None)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(liveCounts.values.sum === 150L)
+    assert(reported === liveCounts,
+      s"no-heal scan must still report LIVE occupancy:\n$skewTxt\n$liveCounts")
+  }
+
+  test("a SWEPT split tombstone keeps its FIRST-APPLIED id through the " +
+    "tswept reader-grace window: recording the sweep id instead would " +
+    "inflate tb_applied and the still-anti-joined dir would eat a " +
+    "legitimately re-ingested vec_id living in its old cell") {
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_ann19").toString
+    val idx = s"$t/idx"
+    def cluster(ids: Range, base: Double) = ids.map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (base + 0.01 * math.sin(i * 31 + d * 7)).toFloat))
+    }.toDF("vec_id", "embedding")
+    AnnIngest.ingestBatch(vecs(0 until 300), 0L, idx, nCells = 16)
+    AnnIngest.ingestBatch(cluster(300 until 340, -5.0), 1L, idx,
+      nCells = 16)
+    AnnIngest.compact(spark, idx, 1L)
+    AnnIngest.compact(spark, idx, 2L, splitHot = 2.0) // t_split_2, applied 3
+    assert(IngestIndex.readManifest(spark, idx)
+      .runs("tombs").map(_.name).contains("t_split_2"))
+    val mover = spark.read.parquet(s"$idx/tombs/t_split_2")
+      .select("vec_id", "cell").head()
+    val (vid, oldCell) = (mover.getLong(0), mover.getInt(1))
+    // re-ingest the mover back into its old (tombstoned) cell — the
+    // source scope (src_id >= applied-at 3) is what keeps it live
+    val eNew = AnnIngest.readCentroids(spark, idx).get(oldCell)
+      .map(_.toFloat)
+    AnnIngest.ingestBatch(Seq((vid, eNew)).toDF("vec_id", "embedding"),
+      3L, idx, nCells = 16)
+    AnnIngest.compact(spark, idx, 3L)
+    def vidInOldCell() = AnnIngest.readIndex(spark, idx, None)
+      .filter(col("vec_id") === vid && col("cell") === oldCell).count()
+    assert(vidInOldCell() === 1L, "drill setup: re-ingest visible")
+    // age the pre-application runs out by feeding SAME-SIZE-CLASS
+    // batches (far cluster — irrelevant cells): each merge rewrites a
+    // pre-split run under the current compaction id, until every live
+    // run postdates the tombstone's application and it can sweep
+    def runRows() = IngestIndex.readManifest(spark, idx).runs("vectors")
+    Seq(4L, 5L).foreach { b =>
+      val oldest = runRows().filter(r =>
+        "run_(\\d+)_".r.findFirstMatchIn(r.name)
+          .exists(_.group(1).toLong < 3L))
+      if (oldest.nonEmpty) {
+        val sz = oldest.maxBy(_.rows).rows.toInt
+        AnnIngest.ingestBatch(
+          cluster(10000 + b.toInt * 1000 until
+            10000 + b.toInt * 1000 + sz, 9.0), b, idx, nCells = 16)
+      }
+      AnnIngest.compact(spark, idx, b)
+    }
+    assert(runRows().forall(r => "run_(\\d+)_".r.findFirstMatchIn(r.name)
+      .exists(_.group(1).toLong >= 3L)), "drill setup: all runs aged past 3")
+    AnnIngest.compact(spark, idx, 6L) // the sweep cycle
+    val m6 = IngestIndex.readManifest(spark, idx)
+    val swept = m6.runs.getOrElse("tswept", Nil).find(_.name == "t_split_2")
+    assert(swept.isDefined, "drill setup: tombstone logically swept")
+    assert(swept.get.rows === 3L,
+      "the tswept record must keep the FIRST-APPLIED id, not the sweep id")
+    // the dir is still on disk for one reader generation — and the
+    // re-ingested row must stay visible THROUGH that window
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/tombs/t_split_2")))
+    assert(vidInOldCell() === 1L,
+      "re-ingest must survive the tswept reader-grace window")
+    AnnIngest.compact(spark, idx, 7L) // physical deletion
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/tombs/t_split_2")))
+    assert(vidInOldCell() === 1L)
+  }
+
   test("an ORPHAN split tombstone (crash between its write and the " +
     "manifest publish) is inert: readers ignore it — honoring it would " +
     "hide movers whose relocated copies were never committed — and the " +
