@@ -226,8 +226,8 @@ object QueriesTemporal {
       val perSrc = perDoc.groupBy("source")
         .agg(min("m_0").as("m_0"), (1 until 8).map(h =>
           min(s"m_$h").as(s"m_$h")): _*)
-      val a = perSrc.select(perSrc.columns.map(c => col(c).as(s"a_$c")): _*)
-      val b = perSrc.select(perSrc.columns.map(c => col(c).as(s"b_$c")): _*)
+      val a = perSrc.select(perSrc.columns.toIndexedSeq.map(c => col(c).as(s"a_$c")): _*)
+      val b = perSrc.select(perSrc.columns.toIndexedSeq.map(c => col(c).as(s"b_$c")): _*)
       a.join(b, col("a_source") < col("b_source"))
         .select(col("a_source").as("src_a"), col("b_source").as("src_b"),
           round((0 until 8).map(h =>

@@ -618,8 +618,8 @@ object QueriesText {
       import org.apache.spark.sql.functions._
       val sig = TextOps.minhash(docs(s, dir), respread = true)
       val pairs = TextOps.lshPairs(sig)
-      val sa = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
-      val sb = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+      val sa = sig.toDF(sig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
+      val sb = sig.toDF(sig.columns.toIndexedSeq.map(c => s"b_$c"): _*)
       val agree = (0 until 8).map(h =>
         when(col(s"a_m_$h") === col(s"b_m_$h"), 1).otherwise(0))
         .reduce(_ + _)

@@ -61,7 +61,7 @@ object TemporalJoin {
       key.map(col) ++ Seq(
         col(leftTs).cast("long").as("__ts"), lit(1).as("__side"),
         lit(null).cast(rType(rightTie)).as("__tie"),
-        struct(left.columns.map(col): _*).as("__row"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__row"),
         lit(null).cast("long").as("__v___mts")) ++
         rightVals.map(c => lit(null).cast(rType(c)).as(s"__v_$c")): _*)
     val r = right.select(

@@ -102,7 +102,7 @@ object Pca {
       .agg(array((0 until d)
         .map(i => avg(element_at(col("e"), i + 1))): _*))
       .head().getSeq[Double](0).toArray
-    val meanLit = array(meanArr.map(lit): _*)
+    val meanLit = array(meanArr.toIndexedSeq.map(lit): _*)
     val centered = emb.select(col(idCol),
       array_to_vector(zip_with(col(embCol).cast("array<double>"), meanLit,
         (x, m) => x - m)).as("features"))
@@ -116,7 +116,7 @@ object Pca {
       else {
         // λ_j = explainedVariance_j × total variance; scale 1/√λ
         val totVar = totalVariance(emb, embCol)
-        val scales = array(ev.map(r =>
+        val scales = array(ev.toIndexedSeq.map(r =>
           lit(1.0 / math.sqrt(math.max(r * totVar, 1e-300)))): _*)
         projected.select(col(idCol),
           zip_with(col("proj"), scales, (x, s) => x * s).as("pca"))

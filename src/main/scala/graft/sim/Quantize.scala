@@ -51,8 +51,8 @@ object Quantize {
     * unsigned here so the oracle compare stays sign-free). */
   def codeExpr(embCol: Column, lo: Array[Double],
                hi: Array[Double]): Column = {
-    val loLit = array(lo.map(lit(_)): _*)
-    val hiLit = array(hi.map(lit(_)): _*)
+    val loLit = array(lo.toIndexedSeq.map(lit(_)): _*)
+    val hiLit = array(hi.toIndexedSeq.map(lit(_)): _*)
     // transform's (x, i) lambda: i is the 0-based dim; element_at is
     // 1-based into the literal range arrays
     transform(embCol, (x, i) => {
@@ -77,8 +77,8 @@ object Quantize {
     * error is bounded by half a bucket, range/512. */
   def dequantExpr(codesCol: Column, lo: Array[Double],
                   hi: Array[Double]): Column = {
-    val loLit = array(lo.map(lit(_)): _*)
-    val hiLit = array(hi.map(lit(_)): _*)
+    val loLit = array(lo.toIndexedSeq.map(lit(_)): _*)
+    val hiLit = array(hi.toIndexedSeq.map(lit(_)): _*)
     transform(codesCol, (q, i) => {
       val l = element_at(loLit, i + 1)
       val h = element_at(hiLit, i + 1)

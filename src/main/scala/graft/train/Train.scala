@@ -183,7 +183,7 @@ object Train {
       struct(votes.as("v"), lit(-c).as("negc"))
     }
     // lexicographic max: most votes, then lowest class id
-    val winner = -array_max(array(voteStructs: _*)).getField("negc")
+    val winner = -array_max(array(voteStructs.toIndexedSeq: _*)).getField("negc")
     withPreds.select(winner.as("prediction"), col("label"))
   }
 
