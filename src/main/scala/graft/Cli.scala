@@ -1206,9 +1206,11 @@ object Cli {
           throw new IllegalArgumentException("gate needs --index <dir>"))
         opts.get("retract") match {
           case Some(r) =>
-            // takedown mode: tombstone that content's keys — future
-            // arrivals re-admitted; keys physically removed at the
-            // next compaction
+            // takedown mode: tombstone that content's keys, scoped to
+            // the sources that exist now — the first re-arrival is
+            // re-admitted and re-indexed, later arrivals screen
+            // against it; pre-retraction keys physically removed at
+            // the next compaction
             graft.streaming.StreamOps.retractDocs(
               spark.read.parquet(r).select(col("doc_id").cast("long"),
                 col("text")),

@@ -82,9 +82,16 @@ object Mmr {
         }
         i += 1
       }
-      selected += best
-      out += ((r, ids(best), rels(best), bestScore))
-      r += 1
+      if (best < 0) {
+        // every remaining candidate scored NaN (a zero-norm query or
+        // candidate embedding makes rel = 0/0) — nothing is selectable;
+        // return what was picked instead of indexing ids(-1)
+        r = k + 1
+      } else {
+        selected += best
+        out += ((r, ids(best), rels(best), bestScore))
+        r += 1
+      }
     }
     out.toSeq.toDF("rank", "vec_id", "rel", "mmr")
       .select(col("rank"), col("vec_id"),

@@ -38,9 +38,17 @@ object Pq {
             sampleCap: Int = 50000, nHint: Long = -1L): Codebooks = {
     val n = if (nHint > 0) nHint else v.count()
     val step = math.max(1L, n / sampleCap)
-    val sample = v.filter(pmod(col("vec_id"), lit(step)) === 0)
+    val strided = v.filter(pmod(col("vec_id"), lit(step)) === 0)
       .select("vec_id", "e").collect()
       .sortBy(_.getLong(0)).map(toArr(_, 1))
+    // same guard as Ivf.centroids: an id distribution that dodges the
+    // modulus (all-odd ids with an even step) empties the raw stride;
+    // a HASH stride breaks any id structure and stays deterministic
+    val sample =
+      if (strided.nonEmpty) strided
+      else v.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
+        .select("vec_id", "e").collect()
+        .sortBy(_.getLong(0)).map(toArr(_, 1))
     require(sample.nonEmpty, "PQ training sample is empty")
     val d = sample(0).length
     require(d % m == 0, s"dim $d not divisible by m=$m")
@@ -220,10 +228,17 @@ object Pq {
         (id, s)
       }
       .toDF("vec_id", "adc_dist")
-    scored.groupBy()
+    val plan = scored.groupBy()
       .agg(TopKAgg.topK(k)(-col("adc_dist"), col("vec_id")).as("nn"))
       .select(posexplode(col("nn")).as(Seq("p", "nb")))
       .select((col("p") + 1).cast("int").as("rank"),
         col("nb._2").as("vec_id"), round(-col("nb._1"), 6).as("adc_r"))
+    // materialize the k-row answer, then RELEASE the O(n x dim)
+    // residual cache — returning the lazy plan would pin it in storage
+    // memory until the caller's action, with no path ever unpersisting
+    val rows = plan.collect().toIndexedSeq
+    resid.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), plan.schema)
   }
 }

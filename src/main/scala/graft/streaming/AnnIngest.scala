@@ -80,6 +80,20 @@ object AnnIngest {
   private def fs(sp: SparkSession, dir: String) =
     new Path(dir).getFileSystem(sp.sparkContext.hadoopConfiguration)
 
+  /** Anything to compact at `indexDir`? The ANN layout's dual of
+    * [[IngestIndex.nonEmpty]] (which checks the GATE's hashes/bands
+    * subdirs): a committed manifest, or any vector delta. Guards the
+    * stream's empty-batch compaction cadence against compacting an
+    * index that has never seen a row. */
+  private def indexNonEmpty(sp: SparkSession, indexDir: String): Boolean = {
+    val f = fs(sp, indexDir)
+    f.exists(new Path(s"$indexDir/manifest.json")) || {
+      val p = new Path(vectorsDir(indexDir))
+      f.exists(p) &&
+        f.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+    }
+  }
+
   private def centroidsPath(indexDir: String, name: String) =
     new Path(s"$indexDir/$name")
 
@@ -90,8 +104,20 @@ object AnnIngest {
       cents: Array[Array[Double]], name: String = "centroids.json"): Unit = {
     val txt = cents.map(_.mkString("[", ",", "]"))
       .mkString("[", ",\n", "]")
-    val out = fs(sp, indexDir).create(centroidsPath(indexDir, name), true)
+    // write-temp-then-rename, same as the manifest: an in-place write
+    // crashed mid-stream leaves a TRUNCATED quantizer — and the frozen
+    // first-batch centroids.json is not manifest-gated, so a retry
+    // would parse the partial text into a short/jagged array and
+    // either wedge on it or silently freeze a degenerate quantizer
+    val f = fs(sp, indexDir)
+    val tmp = centroidsPath(indexDir, s"$name.tmp")
+    val out = f.create(tmp, true)
     try out.write(txt.getBytes("UTF-8")) finally out.close()
+    val dst = centroidsPath(indexDir, name)
+    f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"failed to publish quantizer $name at $indexDir")
   }
 
   /** Name of the manifest-committed quantizer file, if retrain-at-
@@ -223,8 +249,19 @@ object AnnIngest {
       throw new IllegalArgumentException(
         s"tombstone tag '$tag' was already applied by a compaction — " +
           "issue the additional ids under a fresh tag")
+    // SOURCE-SCOPE the takedown: it removes the id's copies from
+    // sources that exist NOW. Without the bound a vec_id re-ingested
+    // AFTER the delete (fresh content under a recycled id) was
+    // silently hidden until the tombstone swept — and a compaction in
+    // that window physically dropped the fresh row. Writers are
+    // lease-serialized, so every future batch/compaction id is > the
+    // max source id observed here.
+    val bound = 1L + math.max(m.maxCompacted,
+      liveWith(m, sp, indexDir, Long.MaxValue)._2
+        .map(d => srcIdOf(d)).maxOption.getOrElse(-1L))
     ids.select(col("vec_id").cast("long"))
       .distinct()
+      .withColumn("tb_bound", lit(bound))
       .write.mode("overwrite").parquet(s"${tombsDir(indexDir)}/t_$tag")
   }
 
@@ -267,12 +304,7 @@ object AnnIngest {
     * unrecognized name reads 0 (oldest — conservatively INSIDE every
     * cell-scoped tombstone's exclusion scope: the failure mode of
     * guessing "new" would be resurrecting a stale pre-split copy). */
-  private def srcIdOf(dir: String): Long = {
-    val n = dir.split("/").last
-    "run_(\\d+)_\\d+".r.findFirstMatchIn(n).map(_.group(1).toLong)
-      .orElse("batch=(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toLong))
-      .getOrElse(0L)
-  }
+  private def srcIdOf(dir: String): Long = IngestIndex.srcIdOf(dir)
 
   /** Live tombstone rows normalized to (vec_id, cell, tb_applied):
     * takedown tombstones ([[delete]]) carry only vec_id — cell reads
@@ -290,10 +322,9 @@ object AnnIngest {
     dirs.map { d =>
       val n = d.split("/").last
       val df = sp.read.parquet(d)
-      val base =
-        if (df.columns.contains("cell"))
-          df.select(col("vec_id"), col("cell").cast("int"))
-        else df.select(col("vec_id"), lit(null).cast("int").as("cell"))
+      val cellCol =
+        if (df.columns.contains("cell")) col("cell").cast("int")
+        else lit(null).cast("int")
       val applied: Column =
         if (n.startsWith("t_split_"))
           // split tombstones are manifest-gated, so a live one always
@@ -303,8 +334,13 @@ object AnnIngest {
           lit((m.runs.getOrElse("tombs", Nil) ++
             m.runs.getOrElse("tswept", Nil))
             .find(_.name == n).map(_.rows).getOrElse(Long.MaxValue))
+        else if (df.columns.contains("tb_bound"))
+          // source-scoped takedown ([[delete]] stamps the bound); a
+          // legacy dir without it excludes from every source
+          col("tb_bound").cast("long")
         else lit(null).cast("long")
-      base.withColumn("tb_applied", applied)
+      df.select(col("vec_id"), cellCol.as("cell"),
+        applied.as("tb_applied"))
     }.reduce(_ unionByName _)
 
   /** Anti-join `rows` (must carry vec_id + cell + src_id) against
@@ -319,12 +355,14 @@ object AnnIngest {
     val t = (if (small) broadcast(tombs) else tombs)
       .withColumnRenamed("vec_id", "tb_vid")
       .withColumnRenamed("cell", "tb_cell")
+    // cell scope and source scope are INDEPENDENT: a split tombstone
+    // carries both (stale old-cell copy, pre-split sources); a scoped
+    // takedown carries only the source bound (every cell, pre-delete
+    // sources); a legacy takedown carries neither (exclude everywhere)
     rows.join(t,
       rows("vec_id") === t("tb_vid") &&
-        (t("tb_cell").isNull ||
-          (t("tb_cell") === rows("cell") &&
-            (t("tb_applied").isNull ||
-              rows("src_id") < t("tb_applied")))),
+        (t("tb_cell").isNull || t("tb_cell") === rows("cell")) &&
+        (t("tb_applied").isNull || rows("src_id") < t("tb_applied")),
       "left_anti")
   }
 
@@ -391,20 +429,11 @@ object AnnIngest {
       cells.fold(full)(cs => full.filter(col("cell").isin(cs: _*)))
         .withColumn("src_id", lit(srcIdOf(d)))
     }
+    // empty-index fallback reuses vecSchema so the two can never
+    // drift (a diverged empty schema breaks unionByName callers)
     val all = frames.reduceOption(_ unionByName _).getOrElse(
       sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("e",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType)),
-          org.apache.spark.sql.types.StructField("norm",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("cell",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("src_id",
-            org.apache.spark.sql.types.LongType)))))
+        vecSchema.add("src_id", org.apache.spark.sql.types.LongType)))
     minusTombs(m, sp, indexDir, all).drop("src_id")
   }
 
@@ -980,6 +1009,7 @@ object AnnIngest {
         val n = d.getName
         (n.matches("centroids_v\\d+(_f)?\\.json") &&
           !cents.contains(n) && !m.cents.contains(n)) ||
+          n.matches("centroids.*\\.json\\.tmp") || // crashed quantizer publish
           (n.matches("skew_v\\d+\\.json") && n != s"skew_v$upTo.json")
       }
       .foreach { d => f.delete(d, false); () }
@@ -1095,18 +1125,23 @@ object AnnIngest {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty)
           ingestBatch(batch.toDF(), batchId, indexDir, nCells)
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-            val sp = batch.sparkSession
-            val skew = lastSkew(sp, indexDir)
-            val fullTrip = retrainOnCompact ||
-              skew.exists(_ > retrainSkewAbove)
-            val splitTrip = !fullTrip && skew.exists(_ > splitSkewAbove)
-            compact(sp, indexDir, batchId, retrain = fullTrip,
-              splitHot = if (splitTrip) splitSkewAbove else 0.0,
-              foldColdBelow = if (fullTrip) 0.0 else foldColdBelow)
-          }
+        // the compaction cadence must NOT hide behind the emptiness
+        // check: an empty micro-batch (a zero-row upstream file) still
+        // consumes a batchId, and a feed whose empty files align with
+        // the boundary would otherwise never compact — unbounded delta
+        // dirs, and a skew/heal telemetry loop that never runs
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            indexNonEmpty(batch.sparkSession, indexDir)) {
+          val sp = batch.sparkSession
+          val skew = lastSkew(sp, indexDir)
+          val fullTrip = retrainOnCompact ||
+            skew.exists(_ > retrainSkewAbove)
+          val splitTrip = !fullTrip && skew.exists(_ > splitSkewAbove)
+          compact(sp, indexDir, batchId, retrain = fullTrip,
+            splitHot = if (splitTrip) splitSkewAbove else 0.0,
+            foldColdBelow = if (fullTrip) 0.0 else foldColdBelow)
         }
         ()
       }

@@ -598,9 +598,49 @@ object IngestIndex {
       throw new IllegalArgumentException(
         s"retraction tag '$tag' was already applied by a compaction — " +
           "issue the additional keys under a fresh tag")
-    keys.distinct().write.mode("overwrite")
+    // SOURCE-SCOPE the retraction: it excludes keys only from sources
+    // (deltas/runs) that exist NOW. Without the bound, the exclusion
+    // also ate the key's own RE-INGESTION — the admitted re-arrival's
+    // key vanished from every probe view (and compaction physically
+    // dropped it), so each further arrival of retracted-then-re-added
+    // content was admitted as a duplicate until the sweep. Writers are
+    // lease-serialized, so every future batch/compaction id is > the
+    // max source id observed here.
+    val bound = 1L + math.max(m.maxCompacted,
+      deltaDirs(sp, indexDir, kind, Long.MinValue, Long.MaxValue)
+        .map(_._1).maxOption.getOrElse(-1L))
+    keys.distinct().withColumn("tb_bound", lit(bound))
+      .write.mode("overwrite")
       .parquet(s"${tombsDir(indexDir, kind)}/t_$tag")
   }
+
+  /** Source id of a run or delta dir name — the compaction id that
+    * wrote a run (`run_<id>_…`) or a delta's batch id (`batch=<id>`),
+    * the axis retraction bounds are scoped on. Unrecognized names read
+    * 0: conservatively INSIDE every retraction's scope (guessing "new"
+    * would resurrect retracted content). */
+  private[streaming] def srcIdOf(dir: String): Long = {
+    val n = dir.split("/").last
+    "run_(\\d+)_\\d+".r.findFirstMatchIn(n).map(_.group(1).toLong)
+      .orElse("batch=(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toLong))
+      .getOrElse(0L)
+  }
+
+  /** Live retraction tombstones of one kind, normalized to
+    * (`keyName`, tb_bound) — dirs are read one by one because a legacy
+    * dir (pre-scoping) lacks the bound column and a multi-path read
+    * would not reconcile the schemas; the legacy default MaxValue =
+    * "exclude from every source", the pre-scoping behavior. */
+  private[streaming] def readTombs(sp: SparkSession, dirs: Seq[String],
+      keyName: String): DataFrame =
+    dirs.map { d =>
+      val df = sp.read.parquet(d)
+      val keyCol = df.columns.filterNot(_ == "tb_bound").head
+      val bound =
+        if (df.columns.contains("tb_bound")) col("tb_bound").cast("long")
+        else lit(Long.MaxValue)
+      df.select(col(keyCol).as(keyName), bound.as("tb_bound"))
+    }.reduce(_ unionByName _)
 
   /** Live (not yet swept) tombstone dirs of `kind`. */
   private[streaming] def tombDirs(sp: SparkSession, indexDir: String,
@@ -693,17 +733,20 @@ object IngestIndex {
       val w = widthOf(d.split("/").last)
       hps.fold(full)(ps =>
         full.filter(col("hp").isin(ps.map(_.take(1 + w)).distinct: _*)))
-        .select(col(keyName))
+        .select(col(keyName), lit(srcIdOf(d)).as("src_id"))
     }
-    val all = (runs ++ (
-      if (pr.deltas.isEmpty) None
-      else Some(sp.read.parquet(pr.deltas: _*).select(col(keyName)))))
+    // deltas read per-dir so each key carries its SOURCE id — the
+    // retraction anti-join is source-scoped (a key re-ingested after
+    // the retraction must stay visible as dup-screen prior state)
+    val deltas = pr.deltas.map(d => sp.read.parquet(d)
+      .select(col(keyName), lit(srcIdOf(d)).as("src_id")))
+    val all = (runs ++ deltas)
       .reduceOption(_ union _)
       .getOrElse(sp.emptyDataFrame
-        .select(lit("").as(keyName)).limit(0))
-    if (pr.tombs.isEmpty) all
-    else antiJoinTombs(all,
-      sp.read.parquet(pr.tombs: _*).toDF(keyName), Seq(keyName), pr.tombs)
+        .select(lit("").as(keyName), lit(0L).as("src_id")).limit(0))
+    (if (pr.tombs.isEmpty) all
+     else antiJoinTombs(all, readTombs(sp, pr.tombs, keyName),
+       keyName, pr.tombs)).drop("src_id")
   }
 
   /** Row-count ceiling under which a live tombstone set is broadcast
@@ -754,17 +797,24 @@ object IngestIndex {
     }
   }
 
-  /** Anti-join `rows` against tombstones, broadcasting the tombstone
-    * side when it is small (≤ [[TombBroadcastMax]] rows — checked with
-    * an early-exit limit+count through [[tombsSmall]]'s cache, so the
-    * sizing probe runs once per live tombstone set, not once per
-    * probe). */
+  /** Anti-join `rows` (which must carry a `src_id` column) against
+    * normalized (`keyName`, tb_bound) tombstones, broadcasting the
+    * tombstone side when it is small (≤ [[TombBroadcastMax]] rows —
+    * checked with an early-exit limit+count through [[tombsSmall]]'s
+    * cache, so the sizing probe runs once per live tombstone set, not
+    * once per probe). The exclusion is SOURCE-SCOPED: only rows whose
+    * source predates the retraction's bound match — the key equality
+    * stays the hash-join key, the bound rides as the join's extra
+    * condition. */
   private[streaming] def antiJoinTombs(rows: DataFrame, tombs: DataFrame,
-      on: Seq[String], dirs: Seq[String]): DataFrame =
-    rows.join(
-      if (tombsSmall(rows.sparkSession, dirs, tombs)) broadcast(tombs)
-      else tombs,
-      on, "left_anti")
+      keyName: String, dirs: Seq[String]): DataFrame = {
+    val t = (if (tombsSmall(rows.sparkSession, dirs, tombs))
+      broadcast(tombs) else tombs)
+      .withColumnRenamed(keyName, "tb_k")
+    rows.join(t,
+      rows(keyName) === t("tb_k") && rows("src_id") < t("tb_bound"),
+      "left_anti")
+  }
 
   /** The full routed probe for one kind: Bloom-screen `keys` (single
     * key column) against `pr`, collect the suspects' hash prefixes,
@@ -888,17 +938,24 @@ object IngestIndex {
         val n = d.split("/").last
         prevTombs.find(_.name == n).getOrElse(Run(n, upTo))
       }
+      // SOURCE-SCOPED clean (input rows carry src_id): only pre-bound
+      // copies of a retracted key are dropped — a key re-ingested
+      // after the retraction keeps living in the index as dup-screen
+      // prior state, so later arrivals of the re-admitted content are
+      // still flagged as duplicates
       val clean: DataFrame => DataFrame =
-        if (tombPaths.isEmpty) identity
+        if (tombPaths.isEmpty) df => df.drop("src_id")
         else {
-          val ids = sp.read.parquet(tombPaths: _*).toDF(keyName)
-          df => df.join(ids, Seq(keyName), "left_anti")
+          val ids = readTombs(sp, tombPaths, keyName)
+          df => antiJoinTombs(df, ids, keyName, tombPaths).drop("src_id")
         }
       var folded = 0L
       var mergedRows = 0L
       if (deltas.nonEmpty) {
         val r = writeRun(sp, indexDir, kind, keyName, nextName(),
-          clean(sp.read.parquet(deltas.map(_._2): _*).select(keyName)))
+          clean(deltas.map { case (id, d) => sp.read.parquet(d)
+            .select(col(keyName), lit(id).as("src_id")) }
+            .reduce(_ union _)))
         folded = r.rows
         if (r.rows > 0) runs :+= r
       }
@@ -920,8 +977,11 @@ object IngestIndex {
         val i = pair.get
         val (a, b) = (sorted(i), sorted(i + 1))
         val merged = writeRun(sp, indexDir, kind, keyName, nextName(),
-          clean(readRun(sp, indexDir, kind, keyName, a)
-            .union(readRun(sp, indexDir, kind, keyName, b))))
+          clean(
+            readRun(sp, indexDir, kind, keyName, a)
+              .withColumn("src_id", lit(srcIdOf(a.name)))
+              .union(readRun(sp, indexDir, kind, keyName, b)
+                .withColumn("src_id", lit(srcIdOf(b.name))))))
         mergedRows += a.rows + b.rows
         // a fully-tombstoned merge yields zero rows — drop it (the
         // unreferenced dir is swept below) instead of looping on an

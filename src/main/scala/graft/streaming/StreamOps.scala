@@ -591,12 +591,14 @@ object StreamOps {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty)
           ingestBatch(batch.toDF(), batchId, indexDir, outDir, intraBatch)
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            IngestIndex.compact(batch.sparkSession, indexDir, batchId)
-          ()
-        }
+        // compaction cadence outside the emptiness check: an empty
+        // micro-batch still consumes a batchId, and empty files aligned
+        // with the boundary must not defer compaction forever
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            IngestIndex.nonEmpty(batch.sparkSession, indexDir))
+          IngestIndex.compact(batch.sparkSession, indexDir, batchId)
         ()
       }
     // a real deployment passes `checkpoint` so a restart resumes from
@@ -716,10 +718,13 @@ object StreamOps {
         .coalesce(1)
         .write.parquet(tmp.resolve(s"sentinel_stage$n").toString)
       // the file-stream listing is FLAT: move the part-file out of the
-      // write directory so it is discovered as a plain file
-      val part = java.nio.file.Files.list(tmp.resolve(s"sentinel_stage$n"))
-        .filter(f => f.getFileName.toString.startsWith("part-"))
-        .findFirst().get()
+      // write directory so it is discovered as a plain file (close the
+      // directory stream — Files.list holds the dir's fd until closed)
+      val ls = java.nio.file.Files.list(tmp.resolve(s"sentinel_stage$n"))
+      val part =
+        try ls.filter(f => f.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        finally ls.close()
       java.nio.file.Files.move(part,
         srcDir.resolve(s"sentinel$n.parquet"))
     }
@@ -784,10 +789,25 @@ object StreamOps {
       writeSentinel(2)
       runOnce()
     }
-    spark.read.parquet(outDir)
+    // materialize the per-purchase rollup, then DELETE the staging tree
+    // — the lazy frame would otherwise pin a full events.parquet copy
+    // plus sink/checkpoint dirs on disk for the caller's lifetime
+    val plan = spark.read.parquet(outDir)
       .filter(col("p_id") =!= -1L) // drop the watermark sentinel
       .groupBy("p_id")
       .agg(count(col("c_ts")).as("n_context"))
+    val rows = plan.collect().toIndexedSeq
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p)) {
+        val ls = java.nio.file.Files.list(p)
+        try ls.iterator().asScala.toSeq.foreach(rm) finally ls.close()
+      }
+      java.nio.file.Files.deleteIfExists(p); ()
+    }
+    rm(tmp)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), plan.schema)
     }
 
   /** Stream-static enrichment join: the event stream joins a STATIC

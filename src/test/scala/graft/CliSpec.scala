@@ -948,8 +948,8 @@ class CliSpec extends AnyFunSuite {
 
   test("gate takedown lifecycle end-to-end through the CLI: feed -> " +
     "retract -> compacting drains apply then sweep the tombstone -> " +
-    "re-fed retracted content is re-admitted, re-indexed, and screens " +
-    "normally again") {
+    "the re-fed content is re-admitted once, stays indexed through the " +
+    "sweep, and screens every later arrival") {
     val s = spark
     import s.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft_cli_td").toString
@@ -1014,31 +1014,32 @@ class CliSpec extends AnyFunSuite {
     }
     assert(tombsOnDisk().isEmpty, s"tombstone not swept after $i drains")
     assert(!manifest().contains("t_tdcase"))
-    // swept ⇒ the MANIFEST-referenced runs physically hold no seed key
-    // (read the run parquet raw, bypassing the reader-side anti-join;
-    // one-generation retention keeps superseded dirs, so manifest
-    // names only)
+    // swept ⇒ the pre-retraction copies are physically gone, while the
+    // RE-ADMITTED copy's key (source-scoped past the retraction bound)
+    // legitimately survives — the value-identical key must appear in
+    // the manifest-referenced runs EXACTLY ONCE
     val seedHash = Seq(0L -> seed).toDF("doc_id", "text")
       .select(org.apache.spark.sql.functions.md5(
         org.apache.spark.sql.functions.col("text").cast("binary")))
       .head().getString(0)
+    // .distinct: hashes and bands sections use the SAME run naming
+    // scheme, and this regex sees both — without it every hashes dir
+    // is read twice and every key double-counted
     val liveRuns = "\\{\"name\": \"(run_[^\"]+)\"".r
-      .findAllMatchIn(manifest()).map(_.group(1)).toSeq
+      .findAllMatchIn(manifest()).map(_.group(1)).toSeq.distinct
     val liveKeys = liveRuns
       .map(n => spark.read.option("basePath", s"$t/idx/hashes/$n")
         .parquet(s"$t/idx/hashes/$n").select("h"))
       .reduceOption(_ union _)
-      .map(_.collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
-    assert(!liveKeys.contains(seedHash),
-      "a completed sweep proves every live run is physically clean")
-    // post-sweep: the seed is genuinely forgotten — first re-feed is
-    // admitted and re-indexed, the NEXT copy is flagged again
+      .map(_.collect().map(_.getString(0)).toSeq).getOrElse(Seq.empty)
+    assert(liveKeys.count(_ == seedHash) === 1,
+      "the re-admitted copy's key must survive the sweep exactly once")
+    // post-sweep: the re-admitted copy is IN the corpus, so every later
+    // arrival screens against it
     feedFile(50L -> seed)
     gate()
-    feedFile(51L -> seed)
-    gate()
-    assert(decisions()(50L), "post-sweep arrival must be admitted")
-    assert(!decisions()(51L), "the index must screen the seed again")
+    assert(!decisions()(50L),
+      "post-sweep arrival must screen against the re-admitted copy")
   }
 
   test("annindex: ingest an embeddings feed then query top-k through " +

@@ -407,6 +407,51 @@ class AnnIngestSpec extends AnyFunSuite {
       "re-ingest after the sweep is visible")
   }
 
+  test("takedown tombstones are SOURCE-scoped: a vec_id re-ingested " +
+    "after the delete is visible immediately — not hidden until the " +
+    "sweep — and compaction keeps the fresh row while dropping the " +
+    "pre-delete copies") {
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_ann21").toString
+    val idx = s"$t/idx"
+    AnnIngest.ingestBatch(vecs(0 until 20), 0L, idx, nCells = 4)
+    AnnIngest.compact(spark, idx, 0L)
+    AnnIngest.delete(spark, idx, Seq(5L).toDF("vec_id"), "gone")
+    def ids() = AnnIngest.readIndex(spark, idx, None)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(!ids().contains(5L), "pre-delete copy excluded immediately")
+    // recycle the id with FRESH content while the tombstone is live
+    AnnIngest.ingestBatch(vecs(5 until 6), 1L, idx, nCells = 4)
+    assert(ids().count(_ == 5L) === 1,
+      "the re-ingest must be visible IMMEDIATELY, not after the sweep")
+    // compaction folds the fresh row through the scoped anti-join —
+    // live view exactly-once (the pre-delete copy stays PHYSICALLY in
+    // run_0 until a merge rewrites it; the reader anti-join hides it)
+    AnnIngest.compact(spark, idx, 1L)
+    assert(ids().sorted === (0L until 20L).sorted,
+      "live view: every id exactly once, including the recycled one")
+    // a 20-row batch lands the fold in run_0's size class: the merge
+    // cascade rewrites the pre-application run — the scoped clean
+    // drops the pre-delete copy and KEEPS the fresh one
+    AnnIngest.ingestBatch(vecs(20 until 40), 2L, idx, nCells = 4)
+    AnnIngest.compact(spark, idx, 2L)
+    val m = IngestIndex.readManifest(spark, idx)
+    val raw = m.runs("vectors").map(r =>
+      spark.read.option("basePath", s"$idx/vectors/${r.name}")
+        .parquet(s"$idx/vectors/${r.name}"))
+      .reduce(_ unionByName _).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(raw.count(_ == 5L) === 1,
+      "the merge must keep the post-delete re-ingest and drop the " +
+        "pre-delete copy")
+    // the tombstone still runs its normal lifecycle to the sweep
+    AnnIngest.compact(spark, idx, 3L)
+    AnnIngest.compact(spark, idx, 4L)
+    assert(AnnIngest.tombDirs(spark, idx).isEmpty, "swept")
+    assert(ids().sorted === (0L until 40L).sorted)
+  }
+
   test("split-cell local retrain: hot cells re-cluster into appended " +
     "sub-centroids, <20% of index rows are rewritten, the pre-split " +
     "run survives by name, and the argmin-cell contract holds under " +

@@ -339,10 +339,12 @@ class IngestIndexSpec extends AnyFunSuite {
       s"wide run must filter on the full prefix:\n$plan")
   }
 
-  test("retraction: tombstoned content is re-admitted while the " +
-    "tombstone lives (standing exclusion), compaction physically drops " +
-    "its keys and sweeps one generation later, and content seen after " +
-    "the sweep indexes and screens normally again") {
+  test("retraction is SOURCE-scoped: the first re-arrival of retracted " +
+    "content is re-admitted AND re-indexed — later arrivals are flagged " +
+    "as its duplicates (an unscoped exclusion admitted every arrival " +
+    "until the sweep), compaction keeps the re-ingested key while " +
+    "dropping the pre-retraction copies, and the tombstone still " +
+    "sweeps on schedule") {
     val t = java.nio.file.Files.createTempDirectory("graft_ii10").toString
     val idx = s"$t/idx"; val out = s"$t/out"
     val seed = "retract me this exact document text please now"
@@ -355,17 +357,25 @@ class IngestIndexSpec extends AnyFunSuite {
     StreamOps.ingestBatch(docs(3L -> seed), 1L, idx, out)
     assert(d(out).contains((3L, true, true, false))) // flagged pre-retract
     StreamOps.retractDocs(docs(99L -> seed), idx, "takedown")
-    // re-admitted immediately, and again while the tombstone lives —
-    // even though batch 2's own keys re-entered the delta state
+    // the first re-arrival is re-admitted (the takedown semantic) and
+    // its keys re-enter the index as PRIOR STATE: the retraction's
+    // source bound scopes the exclusion to pre-retraction sources, so
+    // the NEXT arrival is flagged as a duplicate of the re-admitted
+    // copy — the corpus never accumulates duplicate kept docs
     StreamOps.ingestBatch(docs(4L -> seed), 2L, idx, out)
     StreamOps.ingestBatch(docs(5L -> seed), 3L, idx, out)
     assert(d(out).contains((4L, false, false, true)))
-    assert(d(out).contains((5L, false, false, true)))
+    assert(d(out).contains((5L, true, true, false)),
+      "the second post-retraction arrival must screen against the first")
     // the unrelated doc's keys are untouched by the retraction
     StreamOps.ingestBatch(docs(
       6L -> "other content entirely unrelated to the seed"), 4L, idx, out)
     assert(d(out).contains((6L, true, true, false)))
-    // compaction applies the tombstone: physical runs hold no seed key
+    // compaction applies the tombstone source-scoped: the folded run
+    // physically KEEPS the re-ingested seed key (it is live prior
+    // state) — only the pre-retraction copies are dropped, which the
+    // value-identical key cannot distinguish, so the assertion is
+    // exactly-once presence
     IngestIndex.compact(spark, idx, 4L)
     val m = IngestIndex.readManifest(spark, idx)
     assert(m.runs("tombs_hashes").map(_.name) === Seq("t_takedown"))
@@ -374,7 +384,8 @@ class IngestIndexSpec extends AnyFunSuite {
     val rawRun = spark.read
       .option("basePath", s"$idx/hashes/${m.runs("hashes").head.name}")
       .parquet(s"$idx/hashes/${m.runs("hashes").head.name}")
-    assert(rawRun.filter(col("h") === seedHash).count() === 0L)
+    assert(rawRun.filter(col("h") === seedHash).count() === 1L,
+      "the re-ingested key must survive compaction exactly once")
     // next compaction LOGICALLY sweeps (manifest entry -> tswept, the
     // files stay one reader-grace generation), the one after deletes
     StreamOps.ingestBatch(docs(
@@ -394,11 +405,12 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(IngestIndex.tombDirs(spark, idx, "hashes").isEmpty)
     assert(IngestIndex.readManifest(spark, idx).runs
       .get("tswept_hashes").isEmpty)
-    // post-sweep: the seed is genuinely forgotten — first arrival is
-    // admitted, indexes, and the NEXT copy is flagged again
+    // post-sweep: the re-admitted copy (doc 4) is still IN the corpus,
+    // so further arrivals keep screening against it — the sweep removes
+    // the tombstone's bookkeeping, never the legitimate index entry
     StreamOps.ingestBatch(docs(8L -> seed), 7L, idx, out)
     StreamOps.ingestBatch(docs(9L -> seed), 8L, idx, out)
-    assert(d(out).contains((8L, false, false, true)))
+    assert(d(out).contains((8L, true, true, false)))
     assert(d(out).contains((9L, true, true, false)))
   }
 
