@@ -1236,7 +1236,7 @@ object QueriesText {
         |       ELSE auth0 END AS auth,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    regexp_replace(rest0, '#.*$', ''),
-        |    'utm_[^&]*&', '', 'g'),
+        |    '([?&])(utm_[^&]*&)+', '\1', 'g'),
         |    '[?&]utm_[^&]*$', ''),
         |    '\?$', ''),
         |    '/$', '') AS rest

@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object AutoType {
 
-  val CategoricalThreshold = 256 // distincts below this + low parse ratio → C
+  /** Backtick-quote an identifier for the parsed stack() expr — same
+    * rule as Correlation.qid: "a|b", spaces, leading digits and
+    * embedded backticks must not break the parse. */
+  private def qid(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  private def qlit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   /** Long-format typing report: (col_name, n_distinct, n_null, numeric_cnt,
     * total_cnt, col_kind) — kind decision per the reference thresholds:
@@ -26,7 +33,8 @@ object AutoType {
   def profile(df: DataFrame, cols: Seq[String],
               approxDistinct: Boolean = false): DataFrame = {
     val stackExpr = "stack(" + cols.length + ", " +
-      cols.map(c => s"'$c', cast($c as string)").mkString(", ") +
+      cols.map(c => s"${qlit(c)}, cast(${qid(c)} as string)")
+        .mkString(", ") +
       ") as (col_name, v)"
     val distinctAgg =
       if (approxDistinct) approx_count_distinct(col("v"), 0.02)
@@ -42,7 +50,9 @@ object AutoType {
       .withColumn("col_kind",
         when(col("n_distinct") <= 2, lit("N"))
           .when(col("numeric_cnt") >= col("total_cnt") * 0.95, lit("N"))
-          .when(col("n_distinct") < CategoricalThreshold, lit("C"))
+          // everything non-numeric is C regardless of cardinality —
+          // the reference has no high-cardinality kind either; the old
+          // distinct<256 branch and its threshold constant were dead
           .otherwise(lit("C")))
   }
 }

@@ -70,9 +70,12 @@ object Correlation {
       val pairs = for {
         i <- cols.indices; j <- (i + 1) until cols.length
       } yield (cols(i), cols(j))
+      // double cast inside the unpivot — same int-product wrap guard
+      // as pearsonStack (the gramian path already computes in double)
       val stackExpr = "stack(" + pairs.length + ", " +
         pairs.map { case (a, b) =>
-          s"${qlit(a)}, ${qlit(b)}, ${qid(a)}, ${qid(b)}" }.mkString(", ") +
+          s"${qlit(a)}, ${qlit(b)}, CAST(${qid(a)} AS DOUBLE), " +
+            s"CAST(${qid(b)} AS DOUBLE)" }.mkString(", ") +
         ") as (col_a, col_b, x, y)"
       df.select(expr(stackExpr))
         .filter(col("x").isNotNull && col("y").isNotNull)
@@ -142,9 +145,14 @@ object Correlation {
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.length
     } yield (cols(i), cols(j))
+    // cast to double INSIDE the unpivot: the gramian path already
+    // computes in double, and sum(x*y) over raw IntegerType columns
+    // multiplies in int — wrapping silently around 2^31 and corrupting
+    // r on integer data below the wideK dispatch threshold
     val stackExpr = "stack(" + pairs.length + ", " +
       pairs.map { case (a, b) =>
-        s"${qlit(s"$a|$b")}, ${qid(a)}, ${qid(b)}" }.mkString(", ") +
+        s"${qlit(s"$a|$b")}, CAST(${qid(a)} AS DOUBLE), " +
+          s"CAST(${qid(b)} AS DOUBLE)" }.mkString(", ") +
       ") as (pair, x, y)"
     df.select(expr(stackExpr))
       // pairwise-complete: every aggregate (including n) must range over

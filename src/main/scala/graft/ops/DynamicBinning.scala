@@ -25,7 +25,12 @@ object DynamicBinning {
   def rebin(df: DataFrame, valueCol: String, isPos: Column,
             fineK: Int = 100, maxBins: Int = 10,
             minShare: Double = 0.03): Seq[Bin] = {
-    val Array(mn, mx) = df.agg(min(valueCol), max(valueCol)).head()
+    // cast in the agg: min/max of an IntegerType column returns
+    // java.lang.Integer and the bare asInstanceOf[Double] threw a
+    // ClassCastException deep in row decoding
+    val Array(mn, mx) = df
+      .agg(min(col(valueCol).cast("double")),
+        max(col(valueCol).cast("double"))).head()
       .toSeq.map(_.asInstanceOf[Double]).toArray
     val bounds = Binning.equalInterval(mn, mx, fineK)
     val counts = Binning.binCounts(df, valueCol, bounds, isPos)

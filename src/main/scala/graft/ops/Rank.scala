@@ -28,33 +28,13 @@ object Rank {
     * 1-based, ties averaged). Shuffles O(distinct) rows, never O(rows);
     * the prefix sum crosses partitions via collected per-partition totals
     * (one long per partition on the driver). */
-  def avgRanks(df: DataFrame, c: String): DataFrame = {
-    val spark = df.sparkSession
-    val counts = df.select(col(c).cast("double").as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy("v").agg(count(lit(1)).as("cnt"))
-    val parts = math.max(counts.rdd.getNumPartitions, 1)
-    val sorted = counts.repartitionByRange(parts, col("v").asc)
-      .sortWithinPartitions(col("v").asc)
-      .select("v", "cnt").rdd
-      .map(r => (r.getDouble(0), r.getLong(1)))
-    sorted.cache()
-    val partSums = sorted
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.map(_._2).sum)))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _)
-    val ranked = sorted.mapPartitionsWithIndex { (i, it) =>
-      var below = offsets(i)
-      it.map { case (v, cnt) =>
-        val r = below + (cnt + 1) / 2.0 // exact: int + multiple of 0.5
-        below += cnt
-        (v, r)
-      }
-    }
-    val out = spark.createDataFrame(ranked).toDF("v", "avg_rank")
-    sorted.unpersist(false)
-    out
-  }
+  def avgRanks(df: DataFrame, c: String): DataFrame =
+    // derived from the raw counts form — ONE offset-ranking machinery
+    // to maintain, and the average-rank formula is exact in IEEE
+    // double (int + multiple of 0.5 below 2^52)
+    rankCounts(df, c)
+      .select(col("v"),
+        (col("n_below") + (col("cnt") + 1) / 2.0).as("avg_rank"))
 
   /** (value, n_below, cnt) per distinct value — the raw form behind
     * [[avgRanks]]; min-rank = n_below + 1, percent-rank =

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Temporal joins Spark's DataFrame API lacks as built-ins: point-in-time
   * (as-of) join and interval (range) join — both re-expressed as single-
@@ -55,29 +55,37 @@ object TemporalJoin {
     def rType(c: String) = rSchema(rSchema.fieldIndex(c)).dataType
 
     val backward = direction == "backward"
-    // the matched right row's own ts rides along as one more carried
-    // value so the tolerance cut can be applied row-locally after the fill
+    // ALL carried values (the matched right row's own ts included, so
+    // the tolerance cut can be applied row-locally after the fill)
+    // travel as ONE struct: filling each column independently with
+    // last(_, ignoreNulls) would backfill a NULL field of the latest
+    // matching right row from an OLDER right row — a composite row
+    // that never existed, violating the point-in-time contract. The
+    // struct is null for left rows (skipped by ignoreNulls) and
+    // non-null for every right row, even one whose fields are all null.
+    val valsType = StructType(
+      StructField("__mts", org.apache.spark.sql.types.LongType) +:
+        rightVals.map(c => StructField(c, rType(c))))
+    def asofField(c: String) = col("__asof").getField(c) // dot-safe names
     val l = left.select(
       key.map(col) ++ Seq(
         col(leftTs).cast("long").as("__ts"), lit(1).as("__side"),
         lit(null).cast(rType(rightTie)).as("__tie"),
         struct(left.columns.toIndexedSeq.map(col): _*).as("__row"),
-        lit(null).cast("long").as("__v___mts")) ++
-        rightVals.map(c => lit(null).cast(rType(c)).as(s"__v_$c")): _*)
+        lit(null).cast(valsType).as("__vals")): _*)
     val r = right.select(
       key.map(col) ++ Seq(
         col(rightTs).cast("long").as("__ts"), lit(0).as("__side"),
         col(rightTie).as("__tie"),
         lit(null).cast(leftPayload).as("__row"),
-        col(rightTs).cast("long").as("__v___mts")) ++
-        rightVals.map(c => col(c).as(s"__v_$c")): _*)
+        struct(col(rightTs).cast("long").as("__mts") +:
+          rightVals.map(c => col(c).as(c)): _*).as("__vals")): _*)
 
     // backward: right (side 0) sorts before left at equal ts → `<=` holds,
     // and last() over the preceding frame picks the max-tie right row of a
     // tied group. forward is the mirror: left first at equal ts (side
     // desc), following frame, first() → earliest right at-or-after with
     // the MIN tie at a tied boundary instant.
-    val carried = rightVals :+ "__mts"
     val w0 = Window.partitionBy(key.map(col): _*)
     val w =
       if (backward)
@@ -86,22 +94,21 @@ object TemporalJoin {
       else
         w0.orderBy(col("__ts").asc, col("__side").desc, col("__tie").asc)
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    def pick(c: String): Column =
-      if (backward) last(col(s"__v_$c"), ignoreNulls = true).over(w)
-      else first(col(s"__v_$c"), ignoreNulls = true).over(w)
+    val picked =
+      if (backward) last(col("__vals"), ignoreNulls = true).over(w)
+      else first(col("__vals"), ignoreNulls = true).over(w)
     val filled = l.unionByName(r).select(
-      (col("__side") +: col("__ts") +: col("__row") +:
-        carried.map(c => pick(c).as(s"asof_$c"))): _*)
+      col("__side"), col("__ts"), col("__row"), picked.as("__asof"))
     val dist =
-      if (backward) col("__ts") - col("asof___mts")
-      else col("asof___mts") - col("__ts")
+      if (backward) col("__ts") - asofField("__mts")
+      else asofField("__mts") - col("__ts")
     def cut(c: Column): Column = tolerance match {
       case None      => c
       case Some(tol) => when(dist <= tol, c) // null dist → null (no match)
     }
     filled.filter(col("__side") === 1)
       .select(col("__row.*") +:
-        rightVals.map(c => cut(col(s"asof_$c")).as(s"asof_$c")): _*)
+        rightVals.map(c => cut(asofField(c)).as(s"asof_$c")): _*)
   }
 
   /** Interval (range) join: every `points` row against every `intervals`

@@ -58,7 +58,10 @@ object Validate {
     val aggCols = (count(lit(1)).as("__n") +:
       rowLocal.zipWithIndex.map { case ((_, e), i) => e.as(s"__m$i") }) ++
       uniques.zipWithIndex.map { case (u, i) =>
-        countDistinct(u.cols.head, u.cols.tail: _*).as(s"__u$i")
+        // distinct over a STRUCT of the key columns: bare countDistinct
+        // drops any row containing a NULL key field, reading perfectly
+        // unique data with nulls as a uniqueness violation
+        countDistinct(struct(u.cols.map(col): _*)).as(s"__u$i")
       }
     val row = df.agg(aggCols.head, aggCols.tail: _*).head()
     val n = row.getAs[Long]("__n")

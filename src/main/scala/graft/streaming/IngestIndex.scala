@@ -725,7 +725,7 @@ object IngestIndex {
     * are anti-joined out — a no-op plan when none exist. */
   private[streaming] def readPruned(sp: SparkSession, pr: Prior,
       keyName: String, hps: Option[Seq[String]]): DataFrame = {
-    val runs = pr.runs.map { d =>
+    def prunedRun(d: String) = {
       val full = sp.read.option("basePath", d).parquet(d)
       // suspect prefixes are collected at the MAX width; truncate to
       // this run's own width (self-described by its name) so the isin
@@ -733,20 +733,33 @@ object IngestIndex {
       val w = widthOf(d.split("/").last)
       hps.fold(full)(ps =>
         full.filter(col("hp").isin(ps.map(_.take(1 + w)).distinct: _*)))
-        .select(col(keyName), lit(srcIdOf(d)).as("src_id"))
     }
-    // deltas read per-dir so each key carries its SOURCE id — the
-    // retraction anti-join is source-scoped (a key re-ingested after
-    // the retraction must stay visible as dup-screen prior state)
-    val deltas = pr.deltas.map(d => sp.read.parquet(d)
-      .select(col(keyName), lit(srcIdOf(d)).as("src_id")))
-    val all = (runs ++ deltas)
-      .reduceOption(_ union _)
-      .getOrElse(sp.emptyDataFrame
-        .select(lit("").as(keyName), lit(0L).as("src_id")).limit(0))
-    (if (pr.tombs.isEmpty) all
-     else antiJoinTombs(all, readTombs(sp, pr.tombs, keyName),
-       keyName, pr.tombs)).drop("src_id")
+    if (pr.tombs.isEmpty) {
+      // the steady no-retraction path keeps the cheapest plan: one
+      // multi-path delta scan, no per-source bookkeeping
+      (pr.runs.map(prunedRun(_).select(col(keyName))) ++ (
+        if (pr.deltas.isEmpty) None
+        else Some(sp.read.parquet(pr.deltas: _*).select(col(keyName)))))
+        .reduceOption(_ union _)
+        .getOrElse(sp.emptyDataFrame
+          .select(lit("").as(keyName)).limit(0))
+    } else {
+      // a retraction is pending: every key carries its SOURCE id so
+      // the anti-join can scope the exclusion to pre-retraction
+      // sources (a key re-ingested after the retraction must stay
+      // visible as dup-screen prior state) — deltas read per-dir for
+      // the per-source tag, a cost paid only while a tombstone lives
+      val frames =
+        pr.runs.map(d => prunedRun(d)
+          .select(col(keyName), lit(srcIdOf(d)).as("src_id"))) ++
+        pr.deltas.map(d => sp.read.parquet(d)
+          .select(col(keyName), lit(srcIdOf(d)).as("src_id")))
+      val all = frames.reduceOption(_ union _)
+        .getOrElse(sp.emptyDataFrame
+          .select(lit("").as(keyName), lit(0L).as("src_id")).limit(0))
+      antiJoinTombs(all, readTombs(sp, pr.tombs, keyName),
+        keyName, pr.tombs).drop("src_id")
+    }
   }
 
   /** Row-count ceiling under which a live tombstone set is broadcast
@@ -943,8 +956,11 @@ object IngestIndex {
       // after the retraction keeps living in the index as dup-screen
       // prior state, so later arrivals of the re-admitted content are
       // still flagged as duplicates
+      // with no live tombstone the fold/merge inputs stay in the
+      // cheapest shape (single multi-path scans, no per-source tag);
+      // the scoped shape is paid only while a retraction is pending
       val clean: DataFrame => DataFrame =
-        if (tombPaths.isEmpty) df => df.drop("src_id")
+        if (tombPaths.isEmpty) identity
         else {
           val ids = readTombs(sp, tombPaths, keyName)
           df => antiJoinTombs(df, ids, keyName, tombPaths).drop("src_id")
@@ -953,9 +969,12 @@ object IngestIndex {
       var mergedRows = 0L
       if (deltas.nonEmpty) {
         val r = writeRun(sp, indexDir, kind, keyName, nextName(),
-          clean(deltas.map { case (id, d) => sp.read.parquet(d)
-            .select(col(keyName), lit(id).as("src_id")) }
-            .reduce(_ union _)))
+          clean(
+            if (tombPaths.isEmpty)
+              sp.read.parquet(deltas.map(_._2): _*).select(keyName)
+            else deltas.map { case (id, d) => sp.read.parquet(d)
+              .select(col(keyName), lit(id).as("src_id")) }
+              .reduce(_ union _)))
         folded = r.rows
         if (r.rows > 0) runs :+= r
       }
@@ -976,12 +995,13 @@ object IngestIndex {
       while (pair.isDefined) {
         val i = pair.get
         val (a, b) = (sorted(i), sorted(i + 1))
+        def side(r: Run) = {
+          val df = readRun(sp, indexDir, kind, keyName, r)
+          if (tombPaths.isEmpty) df
+          else df.withColumn("src_id", lit(srcIdOf(r.name)))
+        }
         val merged = writeRun(sp, indexDir, kind, keyName, nextName(),
-          clean(
-            readRun(sp, indexDir, kind, keyName, a)
-              .withColumn("src_id", lit(srcIdOf(a.name)))
-              .union(readRun(sp, indexDir, kind, keyName, b)
-                .withColumn("src_id", lit(srcIdOf(b.name))))))
+          clean(side(a).union(side(b))))
         mergedRows += a.rows + b.rows
         // a fully-tombstoned merge yields zero rows — drop it (the
         // unreferenced dir is swept below) instead of looping on an

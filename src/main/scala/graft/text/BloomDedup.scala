@@ -25,11 +25,16 @@ import org.apache.spark.util.sketch.BloomFilter
   * to the exact anti-join ([[TextOps]] dedup-apply path). */
 object BloomDedup {
 
-  /** Build a Bloom filter over `keyCol` of `seen`. */
+  /** Build a Bloom filter over `keyCol` of `seen`. The key is cast to
+    * STRING before insertion because [[probe]] hashes strings: without
+    * the cast, an integral keyCol is inserted via putLong and every
+    * string probe misses — false negatives on every previously-seen
+    * key, the one failure mode the screen promises cannot happen. */
   def build(seen: DataFrame, keyCol: String,
             expectedItems: Long = 1L << 20,
             fpp: Double = 0.01): BloomFilter =
-    seen.stat.bloomFilter(keyCol, expectedItems, fpp)
+    seen.select(col(keyCol).cast("string").as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
 
   /** Flag every `incoming` row whose `keyCol` might appear in `seen`:
     * `maybe_seen = false` ⇒ guaranteed new. */

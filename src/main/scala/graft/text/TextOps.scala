@@ -315,7 +315,10 @@ object TextOps {
   def dedupKeepBest(docs: DataFrame, pairs: DataFrame,
                     score: Column, rounds: Int = 3): DataFrame = {
     val labels = dedupClusters(pairs, rounds)
-    val scored = docs.select(col("doc_id"), score.cast("long").as("score"))
+    // double, not long: a [0,1]-scaled quality score cast to long
+    // truncates every value to 0 and the "best" keeper silently
+    // degenerates to min-doc_id (struct max orders doubles fine)
+    val scored = docs.select(col("doc_id"), score.cast("double").as("score"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
     val best = scored.groupBy("cluster")
@@ -584,7 +587,15 @@ object TextOps {
     val rest0 = regexp_extract(u,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
     val noFrag = regexp_replace(rest0, "#.*$", "")
-    val noUtmMid = regexp_replace(noFrag, "utm_[^&]*&", "")
+    // anchored at ? or & (kept via $1): the bare "utm_[^&]*&" also
+    // matched a utm_ SUBSTRING inside another parameter's name or
+    // value ("?q=utm_test&b=1" -> "?q=b=1"), merging distinct URLs
+    // into one canonical form. The (...)+ group removes a RUN of
+    // consecutive utm params in one pass — with the anchor consumed
+    // per-match, the second of "?utm_a=1&utm_b=2" would survive
+    // (scanning resumes past the replacement, lookbehind is not
+    // portable to RE2 for the oracle)
+    val noUtmMid = regexp_replace(noFrag, "([?&])(utm_[^&]*&)+", "$1")
     val noUtmEnd = regexp_replace(noUtmMid, "[?&]utm_[^&]*$", "")
     val noQmark = regexp_replace(noUtmEnd, "\\?$", "")
     val noSlash = regexp_replace(noQmark, "/$", "")

@@ -679,6 +679,28 @@ class Round7OpsSpec extends AnyFunSuite {
       s"exact duplicate of doc 1 is fully covered -> empty: ${r(4L)}")
   }
 
+  test("BloomDedup build/probe agree for NON-string keys: a long keyCol " +
+    "is cast to string on BOTH sides, so every previously-seen key " +
+    "probes true (the unfixed putLong/mightContainString mismatch made " +
+    "EVERY probe a false negative)") {
+    val seen = spark.range(100).toDF("k") // LongType key
+    val flagged = graft.text.BloomDedup.flagSeen(seen, seen, "k")
+    assert(flagged.filter(!org.apache.spark.sql.functions
+      .col("maybe_seen")).count() === 0L,
+      "zero false negatives is the screen's contract")
+  }
+
+  test("dedupKeepBest honors FRACTIONAL quality scores: 0.97 beats 0.12 " +
+    "(the long cast truncated both to 0 and min-doc_id won)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, 0.12), (2L, 0.97)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val m = graft.text.TextOps.dedupKeepBest(docs, pairs, col("q"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(m(2L) && !m(1L), "the higher fractional score must win")
+  }
+
   test("TextOps.dedupKeepBest keeps the best-scoring member per cluster " +
     "(min id on ties), singletons keep themselves, plan has no Window") {
     import org.apache.spark.sql.functions._

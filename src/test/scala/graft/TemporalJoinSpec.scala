@@ -41,6 +41,35 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(out(6L) === ((None, None)))
   }
 
+  test("asOfJoin is point-in-time ROW-atomic: a null field of the latest " +
+    "matching right row stays null — it must never be backfilled from an " +
+    "older right row into a composite state that never existed") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, 3L)).toDF("event_id", "user_id", "ts")
+    val snap = Seq(
+      (10L, 1L, 1L, Some(1.0), Some(2.0)),
+      (10L, 2L, 2L, None, Some(3.0)) // latest row: a is NULL
+    ).toDF("user_id", "ts", "src_id", "a", "b")
+    val row = TemporalJoin.asOfJoin(left, snap, Seq("user_id"),
+        "ts", "ts", Seq("a", "b"), rightTie = "src_id")
+      .select("asof_a", "asof_b").head()
+    assert(row.isNullAt(0),
+      "asof_a must be the LATEST row's null, not the older row's 1.0")
+    assert(row.getDouble(1) === 3.0)
+    // forward direction: same atomicity through first(ignoreNulls)
+    val fwd = Seq((1L, 10L, 0L)).toDF("event_id", "user_id", "ts")
+    val fsnap = Seq(
+      (10L, 1L, 1L, None, Some(5.0)), // earliest at-or-after: a NULL
+      (10L, 2L, 2L, Some(9.0), Some(6.0))
+    ).toDF("user_id", "ts", "src_id", "a", "b")
+    val frow = TemporalJoin.asOfJoin(fwd, fsnap, Seq("user_id"),
+        "ts", "ts", Seq("a", "b"), rightTie = "src_id",
+        direction = "forward")
+      .select("asof_a", "asof_b").head()
+    assert(frow.isNullAt(0) && frow.getDouble(1) === 5.0)
+  }
+
   test("asOfJoin plan: one hash exchange on the key, no broadcast of the " +
     "right side, no single-partition exchange") {
     val s = spark

@@ -32,6 +32,23 @@ class ValidateCountMinSpec extends AnyFunSuite {
     assert(got(("foreign_key", "id")) === (250000L, 0L)) // id=4 orphan
   }
 
+  test("Validate.Unique is null-aware: unique keys WITH a null row pass " +
+    "(countDistinct's null-drop read them as a violation), while two " +
+    "null-keyed rows are a genuine collision") {
+    import graft.ops.Validate._
+    import spark.implicits._
+    val ok = Seq(Some(1L), Some(2L), None).toDF("k")
+    val gotOk = graft.ops.Validate.run(ok, Seq(Unique(Seq("k"))))
+      .collect().head
+    assert(gotOk.getLong(3) === 1L,
+      s"unique data with one null key must pass: $gotOk")
+    val dup = Seq(Some(1L), None, None).toDF("k")
+    val gotDup = graft.ops.Validate.run(dup, Seq(Unique(Seq("k"))))
+      .collect().head
+    assert(gotDup.getLong(3) === 0L,
+      s"two null-keyed rows collide downstream and must flag: $gotDup")
+  }
+
   test("CountMin: estimates never undercount, stay within the eps bound, " +
     "and split sketches merge bit-identically") {
     val d = 4; val w = 256
