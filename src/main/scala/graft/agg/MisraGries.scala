@@ -26,7 +26,11 @@ final class MisraGries(k: Int)
   override def zero: Map[String, Long] = Map.empty
 
   override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
-    b.get(x) match {
+    // null-gate like HllAgg/CountMinAgg: a null item would become a
+    // null Map key and fail the buffer encoder at the partial-agg
+    // shuffle — nulls simply do not count
+    if (x == null) b
+    else b.get(x) match {
       case Some(c) => b.updated(x, c + 1)
       case None if b.size < k => b.updated(x, 1L)
       case None =>

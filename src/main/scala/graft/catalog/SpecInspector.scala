@@ -32,9 +32,20 @@ object SpecInspector {
       fail(prefix + "is null or empty - " + path)
     else if (path.trim.contains("~"))
       fail(prefix + "contains ~, which is not allowed - " + path)
-    else if (!new java.io.File(path).exists())
+    else if (!pathExists(path))
       fail(prefix + "doesn't exist - " + path)
     else Ok
+
+  /** Existence probe through the Hadoop FS API so hdfs://, s3a:// and
+    * other schemes resolve (a java.io.File probe reads every
+    * distributed path as missing and the pre-flight inspector would
+    * block a valid cluster run). Bare local paths behave as before. */
+  private def pathExists(path: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path.trim)
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .exists(p)
+    } catch { case _: Exception => false }
 
   /** Column-role bookkeeping (ModelInspector.checkColumnConf,
     * ModelInspector.java:213-261): the target must not be meta /

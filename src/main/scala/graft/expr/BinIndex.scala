@@ -26,18 +26,25 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * values route to the catalog's missing-last bin by `coalesce` at the
   * call site, same as the CASE chains).
   */
-case class BinIndex(child: Expression, bounds: Array[Double])
+case class BinIndex(child: Expression, bounds: Seq[Double])
     extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
 
+  // Seq, not Array, as the case-class parameter: an Array field gives
+  // reference equals/hashCode, so two semantically identical BinIndex
+  // expressions never compare equal and common-subexpression
+  // elimination / exchange reuse are silently defeated. The hot paths
+  // (interpreted eval + codegen) still search a primitive array.
+  @transient private lazy val arr: Array[Double] = bounds.toArray
+
   private def search(v: Double): Int = {
     // upper bound: number of boundaries <= v
     var lo = 0
-    var hi = bounds.length
+    var hi = arr.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (bounds(mid) <= v) lo = mid + 1 else hi = mid
+      if (arr(mid) <= v) lo = mid + 1 else hi = mid
     }
     lo
   }
@@ -49,7 +56,7 @@ case class BinIndex(child: Expression, bounds: Array[Double])
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       // hoist the boundary array into the generated class once
-      val arr = ctx.addReferenceObj("binBounds", bounds, "double[]")
+      val arr = ctx.addReferenceObj("binBounds", this.arr, "double[]")
       val lo = ctx.freshName("lo")
       val hi = ctx.freshName("hi")
       val mid = ctx.freshName("mid")
@@ -72,5 +79,5 @@ object BinIndex {
   /** Column API: bin index of `v` (double) in the sorted `bounds`. */
   def of(v: Column, bounds: Seq[Double]): Column =
     GraftBridge.column(BinIndex(
-      GraftBridge.expression(v.cast("double")), bounds.toArray))
+      GraftBridge.expression(v.cast("double")), bounds.toIndexedSeq))
 }

@@ -154,7 +154,14 @@ object Jexl {
       else if (c.isDigit || (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
         val start = i
         while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
-        out += Num(s.substring(start, i).toDouble)
+        val numTxt = s.substring(start, i)
+        // wrap the NumberFormatException ("1.2.3") in ParseError: the
+        // lenient filter path catches ONLY ParseError, and a raw NFE
+        // crashed the job instead of disabling the bad filter
+        out += Num(try numTxt.toDouble catch {
+          case _: NumberFormatException =>
+            throw ParseError(s"bad numeric literal '$numTxt' in: $s")
+        })
       } else if (c == '"' || c == '\'') {
         val q = c; i += 1; val start = i
         while (i < n && s.charAt(i) != q) i += 1

@@ -56,8 +56,14 @@ object Score {
     * step of a later round) can reload and score identically — the exact
     * doubles survive via Double.toString/parseDouble round-trip. */
   def exportJson(models: Seq[LinearModel]): String = {
+    // escape names: a column containing a quote or backslash would
+    // otherwise emit invalid JSON that importJson cannot parse
+    // (exportPmml already escapes via esc)
+    def jesc(c: String): String =
+      c.replace("\\", "\\\\").replace("\"", "\\\"")
     def one(m: LinearModel): String = {
-      val ws = m.weights.map { case (c, w) => s"""{"col":"$c","w":$w}""" }
+      val ws = m.weights
+        .map { case (c, w) => s"""{"col":"${jesc(c)}","w":$w}""" }
         .mkString("[", ",", "]")
       s"""{"weights":$ws,"bias":${m.bias}}"""
     }

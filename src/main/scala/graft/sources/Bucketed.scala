@@ -33,16 +33,19 @@ object Bucketed {
     // across sessions; overwrite alone then fails LOCATION_ALREADY_EXISTS —
     // drop both the entry and any orphaned directory first
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // Hadoop FS, not java.io.File: the warehouse may be hdfs://, s3a://
+    // or any other scheme — a local-File probe silently no-ops there
+    // and the orphaned LOCATION resurfaces as LOCATION_ALREADY_EXISTS,
+    // the exact cross-session failure this cleanup exists to prevent.
+    // Database-qualified names live under <db>.db/ in the warehouse.
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val loc = new java.io.File(warehouse, table.toLowerCase)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(loc)
+    val rel = table.toLowerCase.split("\\.") match {
+      case Array(db, t) => s"$db.db/$t"
+      case _            => table.toLowerCase
     }
+    val loc = new org.apache.hadoop.fs.Path(warehouse, rel)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

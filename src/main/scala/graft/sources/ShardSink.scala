@@ -53,26 +53,37 @@ object ShardSink {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     require(Set("jsonl", "parquet")(format), s"unknown format $format")
     val spark = docs.sparkSession
-    val withShard = docs.withColumn("shard", shardCol(numShards))
-    val arranged = withShard
-      .repartition(numShards, col("shard"))
-      .sortWithinPartitions("shard", "doc_id")
-    val w = arranged.write.mode("overwrite").partitionBy("shard")
-    format match {
-      case "jsonl"   => w.option("compression", "gzip").json(outDir)
-      case "parquet" => w.parquet(outDir)
-    }
-    val manifest = manifestOf(withShard)
-    val rows = manifest.collect()
-    val json = rows.map { r =>
+    // persist: the shard write and the manifest aggregation otherwise
+    // each re-read the source corpus (two full scans + double the md5
+    // work per export)
+    val withShard = docs.withColumn("shard", shardCol(numShards)).persist()
+    try {
+      val arranged = withShard
+        .repartition(numShards, col("shard"))
+        .sortWithinPartitions("shard", "doc_id")
+      val w = arranged.write.mode("overwrite").partitionBy("shard")
+      format match {
+        case "jsonl"   => w.option("compression", "gzip").json(outDir)
+        case "parquet" => w.parquet(outDir)
+      }
+      val manifest = manifestOf(withShard)
+      val json = manifestJson(manifest.collect())
+      writeText(spark, s"$outDir/manifest.json", json)
+      manifest
+    } finally { withShard.unpersist(false); () }
+  }
+
+  /** ONE manifest-row rendering for writer and verifier: verification
+    * compares the stored text byte-for-byte, so two hand-kept copies of
+    * this string builder would silently fail every valid export the
+    * moment one of them changed. */
+  private def manifestJson(rows: Array[org.apache.spark.sql.Row]): String =
+    rows.map { r =>
       s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
         s""""n_tokens":${r.getLong(2)},"min_doc_id":${r.getLong(3)},""" +
         s""""max_doc_id":${r.getLong(4)},""" +
         s""""content_sum":"${r.getString(5)}"}"""
     }.mkString("[\n", ",\n", "\n]\n")
-    writeText(spark, s"$outDir/manifest.json", json)
-    manifest
-  }
 
   /** Re-read an exported shard dir and recompute the manifest — returns
     * (manifest, matches) where `matches` is true iff it equals the stored
@@ -89,13 +100,7 @@ object ShardSink {
     val recomputed =
       manifestOf(df.withColumn("shard", col("shard").cast("long")))
     val stored = readText(spark, s"$outDir/manifest.json")
-    val recomputedJson = recomputed.collect().map { r =>
-      s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
-        s""""n_tokens":${r.getLong(2)},"min_doc_id":${r.getLong(3)},""" +
-        s""""max_doc_id":${r.getLong(4)},""" +
-        s""""content_sum":"${r.getString(5)}"}"""
-    }.mkString("[\n", ",\n", "\n]\n")
-    (recomputed, stored == recomputedJson)
+    (recomputed, stored == manifestJson(recomputed.collect()))
   }
 
   /** Manifest publish via write-temp-then-rename(OVERWRITE) — the same

@@ -137,8 +137,11 @@ object Train {
       .setEstimatorParamMaps(grid)
       .setNumFolds(numFolds)
       .setSeed(42L)
+    // materialize once, same as fit(): k-fold x grid re-executes the
+    // projection lineage (numFolds x gridSize + 1) times otherwise
     val data = df.select(features.map(col) :+
       label.cast("double").as("label"): _*)
+      .transform(graft.Ckpt.truncate(_))
     val model = cv.fit(data)
     (model.bestModel.asInstanceOf[PipelineModel], model.avgMetrics.max)
   }

@@ -72,6 +72,15 @@ class JexlSpec extends AnyFunSuite {
     assert(rows.filter(Jexl.filter("qty >>>> garbage((")).count() === 4)
   }
 
+  test("lenient mode also survives a malformed NUMERIC literal: the " +
+    "lexer's NumberFormatException wraps into ParseError so the broken " +
+    "filter is disabled instead of crashing the job") {
+    assert(rows.filter(Jexl.filter("qty == 1.2.3")).count() === 4)
+    intercept[Jexl.ParseError] {
+      rows.filter(Jexl.filter("qty == 1.2.3", strict = true)).count()
+    }
+  }
+
   test("strict mode throws on a broken expression") {
     intercept[Jexl.ParseError] {
       rows.filter(Jexl.filter("qty >>>> garbage((", strict = true)).count()

@@ -106,6 +106,12 @@ class Round2OpsSpec extends AnyFunSuite {
     val back = graft.score.Score.importJson(
       graft.score.Score.exportJson(models))
     assert(back === models)
+    // a column name carrying a quote and a backslash must survive the
+    // JSON round trip (the unescaped interpolation emitted bad JSON)
+    val hostile = Seq(graft.score.Score.LinearModel(
+      Seq("txn\"usd\\x" -> 0.5), 0.1))
+    assert(graft.score.Score.importJson(
+      graft.score.Score.exportJson(hostile)) === hostile)
     val d = Seq((1.0, 2.0), (-0.5, 3.5)).toDF("a", "b")
     val s1 = d.select(models.head.score.as("s")).collect().map(_.getDouble(0))
     val s2 = d.select(back.head.score.as("s")).collect().map(_.getDouble(0))

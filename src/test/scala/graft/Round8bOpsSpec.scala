@@ -109,6 +109,13 @@ class Round8bOpsSpec extends AnyFunSuite {
     val k = 8
     val shuffled = new scala.util.Random(7).shuffle(items)
     val df = shuffled.toDF("t").repartition(4)
+    // null items must be gated, not become null Map keys that fail
+    // the buffer encoder at the partial-agg shuffle
+    val withNulls = df.union(Seq.fill(5)(null: String).toDF("t"))
+    val nn = withNulls.agg(graft.agg.MisraGries.sketch(k)(col("t")).as("hh"))
+      .select(explode(col("hh")).as("e")).select(col("e._1"))
+      .collect().map(_.getString(0))
+    assert(!nn.contains(null), "null never enters the sketch")
     val got = df.agg(graft.agg.MisraGries.sketch(k)(col("t")).as("hh"))
       .select(explode(col("hh")).as("e"))
       .select(col("e._1"), col("e._2"))
