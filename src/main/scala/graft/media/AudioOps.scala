@@ -98,6 +98,7 @@ object AudioOps {
                       thresholdMeanAbs: Long = 8192L,
                       idCol: String = "doc_id",
                       payloadCol: String = "payload"): DataFrame = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))

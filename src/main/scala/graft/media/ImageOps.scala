@@ -114,53 +114,22 @@ object ImageOps {
       .toDF()
   }
 
-  /** aHash a single payload; None when not a decodable image. */
-  def aHashOne(bytes: Array[Byte]): Option[Long] = {
-    if (bytes == null || bytes.isEmpty) return None
-    try {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null || img.getWidth < 1 || img.getHeight < 1) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val pooled = new Array[Long](64)
-        var cy = 0
-        while (cy < 8) {
-          var cx = 0
-          while (cx < 8) {
-            val x0 = cx * w / 8; val x1 = math.max((cx + 1) * w / 8, x0 + 1)
-            val y0 = cy * h / 8; val y1 = math.max((cy + 1) * h / 8, y0 + 1)
-            var sum = 0.0
-            var y = y0
-            while (y < h.min(y1)) {
-              var x = x0
-              while (x < w.min(x1)) {
-                val rgb = img.getRGB(x, y)
-                sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-                  (rgb & 0xff)) / 3.0
-                x += 1
-              }
-              y += 1
-            }
-            val cnt = (h.min(y1) - y0).toLong * (w.min(x1) - x0)
-            pooled(cy * 8 + cx) = math.floor(sum / cnt).toLong
-            cx += 1
-          }
-          cy += 1
-        }
-        val total = pooled.sum
-        var hash = 0L
-        var b = 0
-        while (b < 64) {
-          if (64L * pooled(b) >= total) hash |= (1L << b)
-          b += 1
-        }
-        Some(hash)
+  /** aHash a single payload; None when not a decodable image. The
+    * 8x8 pooling IS [[resizeOne]] — one copy of the box-filter
+    * arithmetic, so a boundary fix there can never silently diverge
+    * the hash (the "aHash is pure arithmetic in key" oracle contract
+    * depends on the two agreeing). */
+  def aHashOne(bytes: Array[Byte]): Option[Long] =
+    resizeOne(bytes, 8, 8).map { case (_, _, pooled) =>
+      val total = pooled.sum
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        if (64L * pooled(b) >= total) hash |= (1L << b)
+        b += 1
       }
-    } catch {
-      case _: Exception => None
+      hash
     }
-  }
 
   /** Near-duplicate image pairs: aHash + banded hamming join
     * ([[graft.text.TextOps.hashBandPairs]]) — same candidate policy as
@@ -246,6 +215,10 @@ object ImageOps {
   /** Box-filter one payload to tw×th pooled gray cells (row-major). */
   def resizeOne(bytes: Array[Byte], tw: Int,
                 th: Int): Option[(Long, Long, Array[Long])] = {
+    // zero/negative targets would return an EMPTY pooled array marked
+    // decode_ok (luma_min = Long.MaxValue nonsense downstream) or
+    // throw NegativeArraySizeException inside an executor task
+    require(tw >= 1 && th >= 1, s"target must be >= 1x1, got ${tw}x$th")
     if (bytes == null || bytes.isEmpty) return None
     try {
       val img = ImageIO.read(new ByteArrayInputStream(bytes))

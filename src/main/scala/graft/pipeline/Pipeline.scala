@@ -62,11 +62,14 @@ object Pipeline {
     * catalog, no data scan. */
   def varselBy(catalog: Seq[ColumnProfile], topN: Int,
                metric: ColumnProfile => Double): Seq[ColumnProfile] = {
+    // isCandidate already excludes ForceRemove (and meta/weight) — no
+    // second flag filter, which would wrongly imply ForceRemove columns
+    // could reach the ranking
     val ranked = catalog
       .filter(p => p.isCandidate)
       .sortBy(p => (-metric(p), p.columnName))
     val keep = (catalog.filter(_.flag.contains(ColumnFlag.ForceSelect)) ++
-      ranked.filterNot(_.flag.contains(ColumnFlag.ForceRemove)).take(topN))
+      ranked.take(topN))
       .map(_.columnName).toSet
     catalog.map(p => p.copy(finalSelect = keep(p.columnName)))
   }
@@ -85,8 +88,7 @@ object Pipeline {
       ka >= kb && ia >= ib && (ka > kb || ia > ib)
     }
     val kept = scala.collection.mutable.LinkedHashSet[String]()
-    var remaining = catalog
-      .filter(p => p.isCandidate && !p.flag.contains(ColumnFlag.ForceRemove))
+    var remaining = catalog.filter(_.isCandidate) // subsumes ForceRemove
     while (kept.size < topN && remaining.nonEmpty) {
       val front = remaining
         .filterNot(p => remaining.exists(q => dominates(q, p)))

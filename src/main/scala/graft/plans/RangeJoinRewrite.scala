@@ -109,14 +109,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConj(cond)
-      val hasCrossEquality = conjuncts.exists {
-        case EqualTo(a, b) =>
-          (a.references.subsetOf(left.outputSet) &&
-            b.references.subsetOf(right.outputSet)) ||
-          (a.references.subsetOf(right.outputSet) &&
-            b.references.subsetOf(left.outputSet))
-        case _ => false
-      }
+      // no explicit cross-equality guard is needed: the rewrite fires
+      // only on EXACTLY two conjuncts that both parse as range bounds
+      // (pairUp below), so a condition carrying an equi key either has
+      // length != 2 or fails the bound parse — an equality conjunct can
+      // never coexist with a firing rewrite
       // a single comparison is ambiguous in isolation (`ts >= lo` is both
       // "ts lower-bounded" and "lo upper-bounded"), so pair the two
       // conjuncts: one must read as p >= lo and the other as p <= hi for
@@ -145,7 +142,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
           case _ => None
         }
       val rewrite =
-        if (hasCrossEquality || conjuncts.length != 2) None
+        if (conjuncts.length != 2) None
         else pairUp(conjuncts(0), conjuncts(1))
           .orElse(pairUp(conjuncts(1), conjuncts(0)))
       rewrite match {
@@ -163,10 +160,26 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
               catOf(p.dataType).contains(Stamp) ||
               conf.getConfString(BucketKey, null) != null =>
           val isStamp = catOf(p.dataType).contains(Stamp)
-          val bucket = Literal(
-            (if (isStamp) conf.getConfString(BucketTsKey, "3600000000")
-             else conf.getConfString(BucketKey, "3600000000000")).toLong,
-            LongType)
+          // validate the conf value LOUDLY at plan time: bucket = 0
+          // makes IntegralDivide return null under non-ANSI semantics,
+          // Sequence(null, ...) drops every interval row, and the
+          // rewritten join silently returns ZERO rows — a
+          // misconfiguration must never corrupt answers
+          val (bKey, bRaw) =
+            if (isStamp) (BucketTsKey,
+              conf.getConfString(BucketTsKey, "3600000000"))
+            else (BucketKey, conf.getConfString(BucketKey, "3600000000000"))
+          val bVal =
+            try bRaw.toLong
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"$bKey must be a positive long, got '$bRaw'")
+            }
+          if (bVal <= 0)
+            throw new IllegalArgumentException(
+              s"$bKey must be positive, got $bVal — a zero/negative " +
+                "bucket would silently empty the rewritten range join")
+          val bucket = Literal(bVal, LongType)
           // interval side: explode to covered cells
           // timeZoneId must be pinned: Sequence is TimeZoneAwareExpression
           // and stays unresolved without it (even for pure-long bounds)

@@ -20,20 +20,40 @@ object StreamOps {
     * batch footer is sniffed once driver-side (one footer read, no data
     * scan) to pin it; the normalization itself is a narrow projection. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physical = spark.read.parquet(s"$dir/events.parquet").schema
+    val physical = sniffSchema(spark, s"$dir/events.parquet")
     val raw = spark.readStream
       .schema(physical)
       // file-stream sources need a directory: stream the sf dir with a
       // glob restricted to the events table
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    normalizeTs(raw, physical)
+  }
+
+  /** Footer sniff with the nanos legacy conf set FIRST — the conf must
+    * precede the very first parquet footer resolution of the session,
+    * or a TIMESTAMP(NANOS) events table throws "Illegal Parquet type"
+    * (DataFrameReader resolves footers eagerly). ONE place for the
+    * set-then-read ordering, used by every event-feed reader here. */
+  private def sniffSchema(spark: SparkSession, path: String,
+      recursive: Boolean = false)
+      : org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val r = spark.read
+    (if (recursive) r.option("recursiveFileLookup", "true") else r)
+      .parquet(path).schema
+  }
+
+  /** Normalize the feed's `ts` to raw nanos — LongType passes through,
+    * a timestamp-typed column converts. ONE copy of the match: the
+    * normalization was hand-kept in three readers. */
+  private def normalizeTs(raw: DataFrame,
+      physical: org.apache.spark.sql.types.StructType): DataFrame =
     physical("ts").dataType match {
       case LongType => raw // already raw nanos
       case _ => raw.withColumn("ts",
         expr("unix_micros(cast(ts as timestamp)) * 1000"))
     }
-  }
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -78,8 +98,15 @@ object StreamOps {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name).groupBy("source")
+    // materialize the per-source rollup and FREE the sink — the memory
+    // table holds every distinct (source, text) pair, O(corpus bytes)
+    // pinned for the session while only the counts are needed
+    val plan = spark.table(name).groupBy("source")
       .agg(count(lit(1)).as("n_distinct_texts"))
+    val rows = plan.collect().toIndexedSeq
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), plan.schema)
     }
 
   /** Streaming corpus quality gate: [[graft.text.TextOps.corpusFilter]]
@@ -348,23 +375,18 @@ object StreamOps {
                            checkpoint: Option[String] = None): DataFrame =
     withStatePartitions(spark, 8) {
     require(keys.nonEmpty, "dedup keys must be non-empty")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // `dir` is a directory OF event-schema parquet files (a feed), not
     // the mixed-table sf dir. With `checkpoint` set, repeated invocations
     // resume the SAME stream: state (and the watermark) persist across
     // runs, each run drains only newly-arrived files — the deployment
     // shape of an incremental crawl-feed dedup, and what lets the spec
     // drive watermark expiry batch by batch.
-    val physical = spark.read.parquet(dir).schema
+    val physical = sniffSchema(spark, dir)
     val name = s"stream_dedup_wm_${counter.incrementAndGet()}"
     val raw = spark.readStream
       .schema(physical)
       .parquet(dir)
-    val events = (physical("ts").dataType match {
-      case LongType => raw
-      case _ => raw.withColumn("ts",
-        expr("unix_micros(cast(ts as timestamp)) * 1000"))
-    })
+    val events = normalizeTs(raw, physical)
       .withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))
       .withWatermark("ts_ts", delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
@@ -596,9 +618,15 @@ object StreamOps {
         // compaction cadence outside the emptiness check: an empty
         // micro-batch still consumes a batchId, and empty files aligned
         // with the boundary must not defer compaction forever
+        // compact STRICTLY-EARLIER deltas only (batchId - 1): folding
+        // the current batch into the runs would let a crash-replay of
+        // this batchId (crash after foreachBatch, before the offset
+        // commit) see its own keys as prior state and flag the whole
+        // replayed batch as duplicates — the retry must stay
+        // bit-identical. The current delta folds at the next boundary.
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
             IngestIndex.nonEmpty(batch.sparkSession, indexDir))
-          IngestIndex.compact(batch.sparkSession, indexDir, batchId)
+          IngestIndex.compact(batch.sparkSession, indexDir, batchId - 1)
         ()
       }
     // a real deployment passes `checkpoint` so a restart resumes from
@@ -703,8 +731,13 @@ object StreamOps {
     // sentinel rows derive from a REAL source row so the staged files all
     // share one physical schema (a hand-built LONG ts against a
     // TIMESTAMP source would misread and the watermark would never move)
+    // conf-before-footer through the shared sniff: this was the one
+    // reader that resolved the events footer BEFORE setting the nanos
+    // legacy conf — a deterministic first-call crash on a
+    // TIMESTAMP(NANOS) events table in a fresh session
+    val rawSchema = sniffSchema(spark, s"$dir/events.parquet")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val tsIsLong = raw.schema("ts").dataType == LongType
+    val tsIsLong = rawSchema("ts").dataType == LongType
     val maxRow = raw.orderBy(col("ts").desc).limit(1)
     def writeSentinel(n: Int): Unit = {
       maxRow
@@ -729,16 +762,10 @@ object StreamOps {
         srcDir.resolve(s"sentinel$n.parquet"))
     }
     def src() = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val physical = spark.read
-        .option("recursiveFileLookup", "true").parquet(srcDir.toString).schema
+      val physical = sniffSchema(spark, srcDir.toString, recursive = true)
       val raw = spark.readStream.schema(physical)
         .option("recursiveFileLookup", "true").parquet(srcDir.toString)
-      val norm = physical("ts").dataType match {
-        case LongType => raw
-        case _ => raw.withColumn("ts",
-          expr("unix_micros(cast(ts as timestamp)) * 1000"))
-      }
+      val norm = normalizeTs(raw, physical)
       // watermark BEFORE the type filter: the sentinel advances it even
       // though no join side keeps sentinel rows
       norm.withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))

@@ -44,5 +44,14 @@ object Harness {
     try s.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     catch { case _: Throwable => () }
+    // memory-sink temp views: the streaming helpers register one
+    // stream_<n> table per invocation, each pinning its full result set
+    // in memory for the session lifetime — across a 256-query bench
+    // session that is leaked storage nothing else reclaims
+    try s.catalog.listTables().collect()
+      .filter(t => t.isTemporary &&
+        (t.name.startsWith("stream_") || t.name.startsWith("warm_")))
+      .foreach(t => s.catalog.dropTempView(t.name))
+    catch { case _: Throwable => () }
   }
 }
