@@ -50,7 +50,19 @@ object Ckpt {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
         val key = Integer.valueOf(System.identityHashCode(sc))
-        if (lastRoot.put(key, d) != d || sc.getCheckpointDir.isEmpty)
+        // the context's CURRENT dir must also still live under our
+        // root: external code may have re-pointed the global slot at a
+        // foreign dir since we last set it, and skipping the set then
+        // would silently checkpoint there instead of the configured one
+        val curUnderRoot = sc.getCheckpointDir.exists { cur =>
+          val parent = new org.apache.hadoop.fs.Path(cur).getParent
+          parent != null && {
+            val want = new org.apache.hadoop.fs.Path(d)
+            val fs = want.getFileSystem(sc.hadoopConfiguration)
+            fs.makeQualified(parent) == fs.makeQualified(want)
+          }
+        }
+        if (lastRoot.put(key, d) != d || !curUnderRoot)
           sc.setCheckpointDir(d)
         df.checkpoint()
       case None => df.localCheckpoint(true)

@@ -56,11 +56,19 @@ object Score {
     * step of a later round) can reload and score identically — the exact
     * doubles survive via Double.toString/parseDouble round-trip. */
   def exportJson(models: Seq[LinearModel]): String = {
-    // escape names: a column containing a quote or backslash would
-    // otherwise emit invalid JSON that importJson cannot parse
-    // (exportPmml already escapes via esc)
-    def jesc(c: String): String =
-      c.replace("\\", "\\\\").replace("\"", "\\\"")
+    // escape names: a column containing a quote, backslash or control
+    // character (newline/tab/U+0000-U+001F) would otherwise emit
+    // invalid JSON that importJson cannot parse
+    def jesc(c: String): String = {
+      val sb = new StringBuilder(c.length)
+      c.foreach {
+        case '\\'             => sb.append("\\\\")
+        case '"'              => sb.append("\\\"")
+        case ch if ch < 0x20  => sb.append(f"\\u${ch.toInt}%04x")
+        case ch               => sb.append(ch)
+      }
+      sb.toString
+    }
     def one(m: LinearModel): String = {
       val ws = m.weights
         .map { case (c, w) => s"""{"col":"${jesc(c)}","w":$w}""" }

@@ -67,9 +67,13 @@ object ShardSink {
         case "parquet" => w.parquet(outDir)
       }
       val manifest = manifestOf(withShard)
-      val json = manifestJson(manifest.collect())
-      writeText(spark, s"$outDir/manifest.json", json)
-      manifest
+      val rows = manifest.collect()
+      writeText(spark, s"$outDir/manifest.json", manifestJson(rows))
+      // return the ALREADY-COLLECTED rows as a local frame: the lazy
+      // `manifest` plan would re-scan the full corpus (+ the md5 work)
+      // on any caller action, after the persist below is gone
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        manifest.schema)
     } finally { withShard.unpersist(false); () }
   }
 

@@ -113,11 +113,14 @@ object AnnIngest {
     val tmp = centroidsPath(indexDir, s"$name.tmp")
     val out = f.create(tmp, true)
     try out.write(txt.getBytes("UTF-8")) finally out.close()
-    val dst = centroidsPath(indexDir, name)
-    f.delete(dst, false)
-    if (!f.rename(tmp, dst))
-      throw new IllegalStateException(
-        s"failed to publish quantizer $name at $indexDir")
+    // rename with OVERWRITE (same commit discipline as the manifest):
+    // a delete-then-rename pair has a window where NO quantizer file
+    // exists — a crash there would make a restart retrain a fresh
+    // frozen quantizer while existing rows keep cells assigned by the
+    // lost one
+    IngestIndex.renameOverwrite(f,
+      sp.sparkContext.hadoopConfiguration, tmp,
+      centroidsPath(indexDir, name))
   }
 
   /** Name of the manifest-committed quantizer file, if retrain-at-

@@ -205,10 +205,18 @@ object IngestIndex {
       s"""{"maxCompacted": ${m.maxCompacted}$centsJson, "runs": $runsJson}"""
         .getBytes("UTF-8"))
     finally out.close()
+    renameOverwrite(fs, sp.sparkContext.hadoopConfiguration, tmp, dst)
+  }
+
+  /** Atomic-publish rename: tmp → dst with OVERWRITE semantics, so a
+    * concurrent reader sees the old file or the new one, never a gap or
+    * a truncation. Shared by the manifest and the ANN quantizer. */
+  private[streaming] def renameOverwrite(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      tmp: Path, dst: Path): Unit = {
     val qTmp = fs.makeQualified(tmp)
     val qDst = fs.makeQualified(dst)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      qDst.toUri, sp.sparkContext.hadoopConfiguration)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(qDst.toUri, conf)
     fc.rename(qTmp, qDst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
@@ -635,7 +643,17 @@ object IngestIndex {
       keyName: String): DataFrame =
     dirs.map { d =>
       val df = sp.read.parquet(d)
-      val keyCol = df.columns.filterNot(_ == "tb_bound").head
+      val nonBound = df.columns.filterNot(_ == "tb_bound")
+      // select the key BY NAME when present; a single-column legacy dir
+      // (written under the caller's own key name) stays readable, but a
+      // dir with extra columns and no `keyName` fails loudly instead of
+      // silently treating an arbitrary column as the retraction key
+      val keyCol =
+        if (nonBound.contains(keyName)) keyName
+        else if (nonBound.length == 1) nonBound.head
+        else throw new IllegalStateException(
+          s"tombstone dir $d has no '$keyName' column and an ambiguous " +
+            s"schema [${df.columns.mkString(", ")}]")
       val bound =
         if (df.columns.contains("tb_bound")) col("tb_bound").cast("long")
         else lit(Long.MaxValue)

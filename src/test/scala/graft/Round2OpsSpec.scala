@@ -112,6 +112,12 @@ class Round2OpsSpec extends AnyFunSuite {
       Seq("txn\"usd\\x" -> 0.5), 0.1))
     assert(graft.score.Score.importJson(
       graft.score.Score.exportJson(hostile)) === hostile)
+    // control characters (newline/tab/U+0001) must also survive —
+    // jesc previously passed them through raw, emitting invalid JSON
+    val ctl = Seq(graft.score.Score.LinearModel(
+      Seq("a\nb\tc\u0001d" -> -2.5), 0.0))
+    assert(graft.score.Score.importJson(
+      graft.score.Score.exportJson(ctl)) === ctl)
     val d = Seq((1.0, 2.0), (-0.5, 3.5)).toDF("a", "b")
     val s1 = d.select(models.head.score.as("s")).collect().map(_.getDouble(0))
     val s2 = d.select(back.head.score.as("s")).collect().map(_.getDouble(0))

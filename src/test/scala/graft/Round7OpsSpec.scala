@@ -67,6 +67,32 @@ class Round7OpsSpec extends AnyFunSuite {
       "unset conf -> local default (no reliable dir)")
   }
 
+  test("Ckpt.truncate re-points the context when external code moved " +
+    "the global checkpoint slot to a foreign dir between truncations") {
+    import spark.implicits._
+    val mine = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_mine").toString
+    val foreign = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_foreign").toString
+    def files(d: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally s.close()
+    }
+    spark.conf.set(graft.Ckpt.DirKey, mine)
+    try {
+      graft.Ckpt.truncate(Seq(1, 2, 3).toDF("x")).count()
+      val afterFirst = files(mine)
+      assert(afterFirst > 0, "first truncate lands in the configured dir")
+      // external code re-points the ONE global slot (same root cached)
+      spark.sparkContext.setCheckpointDir(foreign)
+      graft.Ckpt.truncate(Seq(4, 5, 6).toDF("x")).count()
+      assert(files(mine) > afterFirst,
+        "truncate must detect the foreign slot and re-set the " +
+          "configured root instead of checkpointing into the foreign dir")
+    } finally spark.conf.unset(graft.Ckpt.DirKey)
+  }
+
   test("dedupClustersIterative with a reliable checkpoint dir: same " +
     "clusters, rounds materialized as files (the 100-TB path is a flag)") {
     import spark.implicits._

@@ -785,4 +785,32 @@ class IngestIndexSpec extends AnyFunSuite {
     }
     assert(!fs.exists(lease))
   }
+
+  test("readTombs selects the key BY NAME: a tombstone dir with extra " +
+    "columns reads the named key, and one missing it fails loudly " +
+    "instead of positionally guessing a column") {
+    import spark.implicits._
+    val root = s"/tmp/graft_tombs_spec_${java.util.UUID.randomUUID()}"
+    // modern shape: (h, tb_bound) — read by name even with a decoy
+    // column ordered FIRST
+    Seq(("x1", 7L, 3L), ("x2", 9L, 3L)).toDF("decoy", "h", "tb_bound")
+      .select(col("decoy"), col("h"), col("tb_bound"))
+      .write.parquet(s"$root/t_named")
+    val named = IngestIndex.readTombs(spark, Seq(s"$root/t_named"), "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(named === Seq((7L, 3L), (9L, 3L)))
+    // legacy shape: single key column under the caller's own name,
+    // no bound — still readable, bound defaults to MaxValue
+    Seq(4L, 5L).toDF("legacy_key").write.parquet(s"$root/t_legacy")
+    val legacy = IngestIndex.readTombs(spark, Seq(s"$root/t_legacy"), "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(legacy === Seq((4L, Long.MaxValue), (5L, Long.MaxValue)))
+    // ambiguous: extra columns and NO 'h' — must throw, not guess
+    Seq(("a", 1L)).toDF("not_key", "also_not")
+      .write.parquet(s"$root/t_ambig")
+    val ex = intercept[IllegalStateException] {
+      IngestIndex.readTombs(spark, Seq(s"$root/t_ambig"), "h").collect()
+    }
+    assert(ex.getMessage.contains("no 'h' column"))
+  }
 }
