@@ -1041,7 +1041,14 @@ object Cli {
         // per-expression match counts — ONE aggregation pass, no output
         // data flow to disturb
         val n = opts.getOrElse("n", "100").toInt
-        val exprs = opts("filter").split(";").map(_.trim).filter(_.nonEmpty)
+        // same --filtersep-aware split as the spec builder: the dry-run
+        // must tokenize EXACTLY like the run it is previewing, or a
+        // filter containing a literal ';' dry-runs as two broken
+        // expressions and then runs as one working one
+        val exprs = opts("filter")
+          .split(java.util.regex.Pattern.quote(
+            opts.getOrElse("filtersep", ";")))
+          .map(_.trim).filter(_.nonEmpty)
         require(exprs.nonEmpty, "test needs --filter 'expr1;expr2;...'")
         val aggs = count(lit(1)).as("n_records") +:
           exprs.toSeq.zipWithIndex.map { case (e, i) =>

@@ -61,6 +61,35 @@ object AnnIngest {
     * production callers size via [[cellsFor]]. */
   val DefaultCells = 16
 
+  /** Session conf key selecting the AT-REST vector codec for the
+    * index's run/delta writes: `f64` (default — `array<double>`,
+    * lossless for any input) or `f32` (`array<float>` — HALF the
+    * vector bytes at rest, which at 10⁹ × 1024-dim is ~4 TB saved per
+    * index and a byte-bound serving scan read twice as fast).
+    *
+    * Loss model: when the source embeddings are float32 — the common
+    * case for learned embeddings, and the `embeddings` table's own
+    * type — the f32 round-trip is EXACT (float→double→float is the
+    * identity on representable values), so queries are bit-identical
+    * to f64 storage. Double-born vectors round to the nearest float
+    * (half-ulp per component); opt-in by design.
+    *
+    * Decoding is SCHEMA-driven: every index read casts `e` back to
+    * `array<double>` (a no-op cast Catalyst removes under f64), so an
+    * index may MIX runs written under either codec — the flag only
+    * matters to writers, and a reader session needs no conf at all. */
+  val VectorCodecKey = "spark.sql.graft.ann.vectorCodec"
+
+  /** Apply the session's at-rest codec to a (vec_id, e, norm, cell)
+    * frame about to be written as a run/delta. */
+  private def encodeVec(sp: SparkSession, df: DataFrame): DataFrame =
+    sp.conf.getOption(VectorCodecKey).getOrElse("f64") match {
+      case "f64" => df
+      case "f32" => df.withColumn("e", col("e").cast("array<float>"))
+      case other => throw new IllegalArgumentException(
+        s"$VectorCodecKey must be f64|f32, got '$other'")
+    }
+
   /** Standard IVF cell count for an EXPECTED corpus size: ~sqrt(n)
     * (cell size ≈ cell count balances probe cost against assignment
     * selectivity), clamped to [1, 65536] so the probed-cell partition
@@ -192,7 +221,7 @@ object AnnIngest {
     val cents = ensureCentroids(batch, indexDir, nCells)
     val assigned = graft.sim.Ivf.assignCells(
       graft.sim.Similarity.prep(batch), cents)
-    assigned
+    encodeVec(batch.sparkSession, assigned)
       .repartition(col("cell")) // ~one file per populated cell partition
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/vectors/batch=$batchId")
@@ -428,7 +457,10 @@ object AnnIngest {
       indexDir: String, cells: Option[Seq[Int]]): DataFrame = {
     val (runs, deltas) = liveWith(m, sp, indexDir, Long.MaxValue)
     val frames = (runs ++ deltas).map { d =>
+      // codec decode: f32-written runs come back as array<double>
+      // (no-op cast under f64, removed by SimplifyCasts)
       val full = sp.read.option("basePath", d).parquet(d)
+        .withColumn("e", col("e").cast("array<double>"))
       cells.fold(full)(cs => full.filter(col("cell").isin(cs: _*)))
         .withColumn("src_id", lit(srcIdOf(d)))
     }
@@ -451,6 +483,13 @@ object AnnIngest {
     org.apache.spark.sql.types.StructField("cell",
       org.apache.spark.sql.types.IntegerType)))
 
+  /** Partition-column-only read schema for footer counts and run-count
+    * read-backs: no data columns at all, so the read is codec-agnostic
+    * by construction (and provably never touches vector bytes). */
+  private val cellOnlySchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.IntegerType)))
+
   /** Write `df` (vec_id, e, norm, cell) as the cell-partitioned run
     * `name` and return its manifest entry. Explicit-schema read-back:
     * a fully-tombstoned input writes an empty partitioned dir, and a
@@ -459,10 +498,11 @@ object AnnIngest {
   private def writeRun(sp: SparkSession, indexDir: String, name: String,
       df: DataFrame): Run = {
     val dir = s"${vectorsDir(indexDir)}/$name"
-    df.select(col("vec_id"), col("e"), col("norm"), col("cell"))
+    encodeVec(sp, df.select(col("vec_id"), col("e"), col("norm"),
+        col("cell")))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
-    Run(name, sp.read.option("basePath", dir).schema(vecSchema)
+    Run(name, sp.read.option("basePath", dir).schema(cellOnlySchema)
       .parquet(dir).count())
   }
 
@@ -472,7 +512,8 @@ object AnnIngest {
     * columns explicitly, so src_id never reaches disk. */
   private def readRunDir(sp: SparkSession, d: String): DataFrame =
     sp.read.option("basePath", d).parquet(d)
-      .select(col("vec_id"), col("e"), col("norm"), col("cell"))
+      .select(col("vec_id"), col("e").cast("array<double>").as("e"),
+        col("norm"), col("cell"))
       .withColumn("src_id", lit(srcIdOf(d)))
 
   private def sizeClass(rows: Long): Int =
@@ -527,7 +568,8 @@ object AnnIngest {
     val counts = liveCounts.getOrElse {
       val (runs, deltas) = live(sp, indexDir, Long.MaxValue)
       (runs ++ deltas)
-        .map(d => sp.read.option("basePath", d).schema(vecSchema).parquet(d))
+        .map(d =>
+          sp.read.option("basePath", d).schema(cellOnlySchema).parquet(d))
         .reduceOption(_ unionByName _)
         .map(_.groupBy("cell").agg(count(lit(1)).as("n"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
@@ -869,7 +911,7 @@ object AnnIngest {
         val counts: Option[Map[Int, Long]] = healedCounts.orElse {
           val footer = runs.map(r =>
             sp.read.option("basePath", s"${vectorsDir(indexDir)}/${r.name}")
-              .schema(vecSchema)
+              .schema(cellOnlySchema)
               .parquet(s"${vectorsDir(indexDir)}/${r.name}"))
             .reduceOption(_ unionByName _)
             .map(_.groupBy("cell").agg(count(lit(1)).as("n")).collect()

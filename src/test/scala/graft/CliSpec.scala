@@ -282,6 +282,18 @@ class CliSpec extends AnyFunSuite {
       "pos" -> "R", "neg" -> "A,N", "candidates" -> "x",
       "filter" -> "l_quantity > 0", "n" -> "50"))
     assert(all.head.endsWith("50 of 50 records matched"))
+    // --filtersep must tokenize the dry-run exactly like the run it
+    // previews: one expression containing a literal ';' stays ONE
+    // expression under a custom separator (the hard-coded ';' split
+    // dry-ran it as two broken halves)
+    val sep = Cli.run(spark, "test", Map(
+      "data" -> data, "target" -> "l_returnflag",
+      "pos" -> "R", "neg" -> "A,N", "candidates" -> "x",
+      "filtersep" -> "@@",
+      "filter" -> "l_returnflag == 'R;x' @@ l_quantity > 0", "n" -> "50"))
+    assert(sep.length === 2, s"'R;x' must stay one expression: $sep")
+    assert(sep(0).endsWith("0 of 50 records matched"))
+    assert(sep(1).endsWith("50 of 50 records matched"))
   }
 
   test("export: writes a parseable PMML with the selected predictors") {

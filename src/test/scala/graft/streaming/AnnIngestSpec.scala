@@ -926,6 +926,57 @@ class AnnIngestSpec extends AnyFunSuite {
     }.getMessage.contains("reserved"))
   }
 
+  test("f32 at-rest codec: deltas AND compacted runs store " +
+    "array<float>, every read decodes to array<double>, float-born " +
+    "inputs query bit-identically to f64 storage, and a MIXED-codec " +
+    "index stays correct through compaction") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    def elemType(dir: String) = spark.read.parquet(dir)
+      .schema("e").dataType.asInstanceOf[ArrayType].elementType
+    val t = java.nio.file.Files.createTempDirectory("graft_annc").toString
+    val f32 = s"$t/f32"; val f64 = s"$t/f64"
+    spark.conf.set(AnnIngest.VectorCodecKey, "f32")
+    try {
+      AnnIngest.ingestBatch(vecs(0 until 30), 0L, f32, nCells = 4)
+      AnnIngest.ingestBatch(vecs(30 until 60), 1L, f32, nCells = 4)
+      assert(elemType(s"$f32/vectors/batch=0") === FloatType,
+        "delta writes must store the f32 codec")
+      AnnIngest.compact(spark, f32, 1L)
+      val runDir = new java.io.File(s"$f32/vectors").listFiles()
+        .map(_.getName).filter(_.startsWith("run_")).sorted.head
+      assert(elemType(s"$f32/vectors/$runDir") === FloatType,
+        "compacted runs must keep the f32 codec")
+      assert(AnnIngest.readIndex(spark, f32, None)
+        .schema("e").dataType.asInstanceOf[ArrayType]
+        .elementType === DoubleType,
+        "reads must decode to double regardless of the at-rest codec")
+    } finally spark.conf.unset(AnnIngest.VectorCodecKey)
+    // f64 dual over the same corpus (deterministic quantizer → same
+    // cells): float-born embeddings make the f32 round-trip exact, so
+    // the two indexes must answer bit-identically
+    AnnIngest.ingestBatch(vecs(0 until 30), 0L, f64, nCells = 4)
+    AnnIngest.ingestBatch(vecs(30 until 60), 1L, f64, nCells = 4)
+    AnnIngest.compact(spark, f64, 1L)
+    def top(dir: String) = AnnIngest.queryTopK(spark, dir,
+      vecs(0 until 10), k = 3, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(top(f32) === top(f64))
+    // mixed codec: a later f64-session batch lands in the f32 index
+    // and the next compaction merges across codecs without drama
+    AnnIngest.ingestBatch(vecs(60 until 80), 2L, f32, nCells = 4)
+    assert(elemType(s"$f32/vectors/batch=2") === DoubleType)
+    AnnIngest.compact(spark, f32, 2L)
+    val all = AnnIngest.readIndex(spark, f32, None)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all === (0L until 80L))
+    // a bad codec value fails loudly at write time
+    spark.conf.set(AnnIngest.VectorCodecKey, "f16")
+    try intercept[IllegalArgumentException] {
+      AnnIngest.ingestBatch(vecs(80 until 90), 3L, f32, nCells = 4)
+    } finally spark.conf.unset(AnnIngest.VectorCodecKey)
+  }
+
   test("write lease: a held lease makes ingest/compact/delete fail " +
     "loudly with the index untouched; the lease releases after each op") {
     val s = spark
