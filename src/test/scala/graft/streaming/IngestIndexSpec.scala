@@ -786,6 +786,41 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(!fs.exists(lease))
   }
 
+  test("streaming INNER plans pass the mechanical plan lint: the gate's " +
+    "routed probe, the index reader, and the ANN query path carry no " +
+    "cartesian/BNLJ/unpushed-scan anti-pattern (PLAN_LINT.md covers the " +
+    "registered batch queries; this covers the foreachBatch internals " +
+    "those queries hide behind driver-side collects)") {
+    import org.apache.spark.sql.functions.{expr, md5}
+    def lint(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val findings = graft.tools.PlanLint.lintPlan(tag,
+        df.queryExecution.sparkPlan)
+      assert(findings.isEmpty, s"$tag flagged: $findings")
+    }
+    // gate: two batches + a compaction, then lint the probe's plan
+    val t = java.nio.file.Files.createTempDirectory("graft_ii_pl").toString
+    val idx = s"$t/idx"
+    mkBatches(2).foreach { case (id, b) =>
+      StreamOps.ingestBatch(b, id, idx, s"$t/out")
+    }
+    IngestIndex.compact(spark, idx, 1L)
+    val keys = docs(900L -> "probe text one", 901L -> "probe text two")
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+    lint("gate_probe", IngestIndex.probeRows(spark,
+      IngestIndex.prior(spark, idx, "hashes", 2L), keys, "h"))
+    // ANN index: two batches + a compaction, then lint reader + query
+    val aidx = s"$t/ann"
+    val emb = { val s0 = spark; import s0.implicits._
+      (0L until 60L).map(i => (i, Array.tabulate(8)(d =>
+        math.sin(i * 31 + d * 7)))).toDF("vec_id", "embedding") }
+    AnnIngest.ingestBatch(emb.filter(col("vec_id") < 30), 0L, aidx, 4)
+    AnnIngest.ingestBatch(emb.filter(col("vec_id") >= 30), 1L, aidx, 4)
+    AnnIngest.compact(spark, aidx, 1L)
+    lint("ann_read", AnnIngest.readIndex(spark, aidx, None))
+    lint("ann_query", AnnIngest.queryTopK(spark, aidx,
+      emb.filter(expr("vec_id % 7 = 0")), k = 3, nProbe = 2))
+  }
+
   test("readTombs selects the key BY NAME: a tombstone dir with extra " +
     "columns reads the named key, and one missing it fails loudly " +
     "instead of positionally guessing a column") {
