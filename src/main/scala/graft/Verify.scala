@@ -11,9 +11,32 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,2,1536] runs the WHOLE oracle
+    // gate on real multi-JVM executors (the multi-executor smoke the
+    // local[n] default cannot give); executors are fresh JVMs and need
+    // the compiled classes + the driver's module opens on their own
+    // command lines (see tools.CkptDrill)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    val builder =
+      if (!master.startsWith("local-cluster")) builder0
+      else {
+        if (!sys.env.contains("SPARK_HOME"))
+          System.setProperty("spark.test.home", "/opt/spark")
+        val opens = Seq("java.lang", "java.lang.invoke",
+          "java.lang.reflect", "java.io", "java.net", "java.nio",
+          "java.util", "java.util.concurrent",
+          "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+          "sun.security.action", "sun.util.calendar")
+          .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" ")
+        builder0
+          .config("spark.executor.extraClassPath", new java.io.File(
+            "target/scala-2.13/classes").getAbsolutePath)
+          .config("spark.executor.extraJavaOptions", opens)
+      }
+    val spark = builder
       // JVM JIT refuses methods past ~8KB bytecode: a whole-stage method
       // bigger than that runs INTERPRETED (measured 18x on wide-expression
       // plans). Make Spark fall back to per-operator codegen there.
