@@ -54,8 +54,18 @@ object CodecProbe {
         emb(0L, 200L), k = 3, nProbe = 2).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
           r.getDouble(3))).sorted.toSeq
+      // the serving-scan claim, measured: a full-index vector scan
+      // (read every e, fold it) is byte-bound — min of 3 reps
+      val scanS = (1 to 3).map { _ =>
+        val t1 = System.nanoTime()
+        graft.streaming.AnnIngest.readIndex(spark, idx, None)
+          .select(expr("sum(aggregate(e, 0.0d, (a, x) -> a + x))"))
+          .collect()
+        (System.nanoTime() - t1) / 1e9
+      }.min
       println(f"[codec] $codec born=$born n=$n dim=$dim cells=$cells " +
-        f"vector_bytes=$bytes ingest_compact_s=$sec%.1f")
+        f"vector_bytes=$bytes ingest_compact_s=$sec%.1f " +
+        f"full_scan_s=$scanS%.2f")
       (codec, bytes, top)
     }
     spark.conf.unset(graft.streaming.AnnIngest.VectorCodecKey)
