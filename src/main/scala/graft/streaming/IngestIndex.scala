@@ -765,13 +765,23 @@ object IngestIndex {
       // a retraction is pending: every key carries its SOURCE id so
       // the anti-join can scope the exclusion to pre-retraction
       // sources (a key re-ingested after the retraction must stay
-      // visible as dup-screen prior state) — deltas read per-dir for
-      // the per-source tag, a cost paid only while a tombstone lives
+      // visible as dup-screen prior state). Delta dirs are NAMED
+      // `batch=<id>`, so ONE multi-path read with their parent as
+      // basePath recovers the source id as a partition column — the
+      // same single-scan shape as the no-tombstone path (per-dir
+      // reads here made sustained takedown pressure cost ~1.6x and
+      // GROW with the live-dir count; IngestSoak retractEvery A/B)
       val frames =
         pr.runs.map(d => prunedRun(d)
-          .select(col(keyName), lit(srcIdOf(d)).as("src_id"))) ++
-        pr.deltas.map(d => sp.read.parquet(d)
-          .select(col(keyName), lit(srcIdOf(d)).as("src_id")))
+          .select(col(keyName), lit(srcIdOf(d)).as("src_id"))) ++ (
+          if (pr.deltas.isEmpty) Nil
+          else {
+            val parent = pr.deltas.head.substring(0,
+              pr.deltas.head.lastIndexOf('/'))
+            Seq(sp.read.option("basePath", parent)
+              .parquet(pr.deltas: _*)
+              .select(col(keyName), col("batch").cast("long").as("src_id")))
+          })
       val all = frames.reduceOption(_ union _)
         .getOrElse(sp.emptyDataFrame
           .select(lit("").as(keyName), lit(0L).as("src_id")).limit(0))
@@ -990,9 +1000,16 @@ object IngestIndex {
           clean(
             if (tombPaths.isEmpty)
               sp.read.parquet(deltas.map(_._2): _*).select(keyName)
-            else deltas.map { case (id, d) => sp.read.parquet(d)
-              .select(col(keyName), lit(id).as("src_id")) }
-              .reduce(_ union _)))
+            else {
+              // same single multi-path scan as readPruned's scoped
+              // branch: `batch=<id>` dir names ARE the source ids, so
+              // basePath recovers them as a partition column
+              val dirs = deltas.map(_._2)
+              val parent = dirs.head.substring(0,
+                dirs.head.lastIndexOf('/'))
+              sp.read.option("basePath", parent).parquet(dirs: _*)
+                .select(col(keyName), col("batch").cast("long").as("src_id"))
+            }))
         folded = r.rows
         if (r.rows > 0) runs :+= r
       }

@@ -20,29 +20,40 @@ import org.apache.spark.sql.functions._
   *     dupPct=0 for the adversarial linear-growth regime.
   *
   * Usage: runMain graft.tools.IngestSoak [numBatches] [docsPerBatch]
-  *        [compactEvery] [dupPct] — defaults 64 512 16 10.
+  *        [compactEvery] [dupPct] [retractEvery] — defaults 64 512 16 10 0.
   * Output: one line per batch `batch=<id> ms=<t>`, a line per
   * compaction with its CompactStats (folded vs merged vs total rows),
   * then a summary comparing mean ms of the first and last quartile of
-  * batches. Results recorded in BENCH_SCALE.md. */
+  * batches. Results recorded in BENCH_SCALE.md.
+  *
+  * `retractEvery` > 0 arms TAKEDOWN WAVES: every k batches a fifth of
+  * an earlier batch's unique docs is retracted, so the soak measures
+  * the TRANSIENT screening cost while tombstones are LIVE (the scoped
+  * anti-join shape probes pay between a retraction and its sweep) —
+  * the summary splits steady-batch means by tombstone-live vs
+  * tombstone-free, quantifying the "transient by the sweep lifecycle"
+  * claim the r13 no-tombstone fast path left as prose. */
 object IngestSoak {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(64)
     val perBatch = args.lift(1).map(_.toInt).getOrElse(512)
     val compactEvery = args.lift(2).map(_.toInt).getOrElse(16)
     val dupPct = args.lift(3).map(_.toInt).getOrElse(10)
+    val retractEvery = args.lift(4).map(_.toInt).getOrElse(0)
     val spark = Harness.session()
     import spark.implicits._
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_ingest_soak").toString
     var compactLines = Vector.empty[String]
-    val times = (0 until n).map { b =>
-      val rows = (0 until perBatch).map { i =>
+    def isShared(b: Int, i: Int): Boolean =
+      b > 0 && dupPct > 0 && i % math.max(1, 100 / dupPct) == 0
+    def mkRows(b: Int): Seq[(Long, String)] =
+      (0 until perBatch).map { i =>
         val id = b.toLong * perBatch + i
         // dupPct% of each batch duplicates a doc from an EARLIER batch
         // (suspect path); the rest are unique (bloom-clean fast path)
         val text =
-          if (b > 0 && dupPct > 0 && i % math.max(1, 100 / dupPct) == 0)
+          if (isShared(b, i))
             s"shared corpus document number ${i / 10} body text " +
               s"with stable words ${(0 until 30).map(j => s"w${(i / 10 + j) % 97}").mkString(" ")}"
           else
@@ -50,7 +61,25 @@ object IngestSoak {
               (0 until 30).map(j => s"t${(id + j * 31) % 9973}").mkString(" ")
         (id, text)
       }
-      val df = rows.toDF("doc_id", "text").repartition(8)
+    def tombsLive(): Boolean = Seq("hashes", "bands").exists { k =>
+      val d = new java.io.File(s"$tmp/idx/tombs_$k")
+      d.isDirectory && d.listFiles().exists(_.getName.startsWith("t_"))
+    }
+    var tombFlags = Vector.empty[Boolean]
+    val times = (0 until n).map { b =>
+      // takedown wave BEFORE the batch (its cost is not screen cost):
+      // a fifth of batch (b-2)'s UNIQUE docs — unique so the retraction
+      // does not eat keys other docs legitimately share
+      if (retractEvery > 0 && b >= 2 && b % retractEvery == 0) {
+        val victims = mkRows(b - 2).zipWithIndex
+          .collect { case ((id, tx), i)
+            if !isShared(b - 2, i) && i % 5 == 0 => (id, tx) }
+        graft.streaming.StreamOps.retractDocs(
+          victims.toDF("doc_id", "text"), s"$tmp/idx", s"wave$b")
+        println(s"retract at=$b n=${victims.length}")
+      }
+      tombFlags :+= tombsLive()
+      val df = mkRows(b).toDF("doc_id", "text").repartition(8)
       val t0 = System.nanoTime()
       graft.streaming.StreamOps.ingestBatch(df, b.toLong,
         s"$tmp/idx", s"$tmp/out")
@@ -84,6 +113,18 @@ object IngestSoak {
     println(f"steadyFirstQMeanMs=$firstQ%.1f steadyLastQMeanMs=$lastQ%.1f " +
       f"ratio=${lastQ / firstQ}%.2f " +
       f"decisions=$total kept=$kept dupPct=$dupPct")
+    if (retractEvery > 0) {
+      // transient-cost split: steady batches screened WHILE tombstones
+      // were live vs tombstone-free
+      val steadyIdx = (steadyFrom until n).filterNot(b =>
+        compactEvery > 0 && (b + 1) % compactEvery == 0)
+      val (livB, freeB) = steadyIdx.partition(tombFlags(_))
+      def mean(xs: Seq[Int]) =
+        if (xs.isEmpty) 0.0 else xs.map(times(_).toDouble).sum / xs.length
+      println(f"tombLiveBatches=${livB.length} meanMs=${mean(livB)}%.1f " +
+        f"tombFreeBatches=${freeB.length} meanMs=${mean(freeB)}%.1f " +
+        f"transientRatio=${mean(livB) / math.max(mean(freeB), 1e-9)}%.2f")
+    }
     compactLines.foreach(l => println(s"summary $l"))
     spark.stop()
   }
