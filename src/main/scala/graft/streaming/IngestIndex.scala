@@ -635,13 +635,35 @@ object IngestIndex {
   }
 
   /** Live retraction tombstones of one kind, normalized to
-    * (`keyName`, tb_bound) — dirs are read one by one because a legacy
-    * dir (pre-scoping) lacks the bound column and a multi-path read
-    * would not reconcile the schemas; the legacy default MaxValue =
-    * "exclude from every source", the pre-scoping behavior. */
+    * (`keyName`, tb_bound).
+    *
+    * Fast path: production dirs all carry the key under `keyName`, so
+    * ONE mergeSchema multi-path read covers every live dir (under
+    * sustained takedown pressure the per-dir loop put one scan relation
+    * per live dir into EVERY probe plan — part of the measured
+    * wave-regime tax). mergeSchema reconciles legacy dirs missing
+    * `tb_bound` (their rows read null → MaxValue = "exclude from every
+    * source", the pre-scoping behavior). A null key in the fast read
+    * means some dir holds its key under a DIFFERENT name — silently
+    * keeping the null row would stop that tombstone from excluding
+    * anything, so that fails loudly; an all-legacy call (no `keyName`
+    * anywhere) falls back to the per-dir loop. */
   private[streaming] def readTombs(sp: SparkSession, dirs: Seq[String],
-      keyName: String): DataFrame =
-    dirs.map { d =>
+      keyName: String): DataFrame = {
+    val fast = sp.read.option("mergeSchema", "true").parquet(dirs: _*)
+    if (fast.columns.contains(keyName)) {
+      val bound =
+        if (fast.columns.contains("tb_bound"))
+          coalesce(col("tb_bound").cast("long"), lit(Long.MaxValue))
+        else lit(Long.MaxValue)
+      val out = fast.select(col(keyName), bound.as("tb_bound"))
+      if (!out.filter(col(keyName).isNull).isEmpty)
+        throw new IllegalStateException(
+          s"tombstone dirs ${dirs.mkString(", ")} mix key column names " +
+            s"— some rows have no '$keyName'; rewrite the odd dir under " +
+            "the index's key column")
+      out
+    } else dirs.map { d =>
       val df = sp.read.parquet(d)
       val nonBound = df.columns.filterNot(_ == "tb_bound")
       // select the key BY NAME when present; a single-column legacy dir
@@ -659,6 +681,7 @@ object IngestIndex {
         else lit(Long.MaxValue)
       df.select(col(keyCol).as(keyName), bound.as("tb_bound"))
     }.reduce(_ unionByName _)
+  }
 
   /** Live (not yet swept) tombstone dirs of `kind`. */
   private[streaming] def tombDirs(sp: SparkSession, indexDir: String,
