@@ -60,16 +60,62 @@ import graft.pipeline.Pipeline
   */
 object Cli {
 
-  private def parseArgs(args: Array[String]): Map[String, String] = {
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     // strict pairing: every token must be a --flag followed by a value —
     // a silently shifted/dropped pair would misconfigure the whole run
-    args.grouped(2).map {
+    val pairs = args.grouped(2).map {
       case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
         k.drop(2) -> v
       case bad => throw new IllegalArgumentException(
         s"expected '--flag value' pairs, got '${bad.mkString(" ")}'")
-    }.toMap
+    }.toSeq
+    // a repeated flag is almost always a copy-paste slip; last-wins
+    // would silently drop the earlier value
+    val dups = pairs.groupBy(_._1).collect {
+      case (k, vs) if vs.length > 1 => k }
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(
+        s"duplicate flag(s): ${dups.toSeq.sorted.map("--" + _).mkString(", ")}")
+    pairs.toMap
   }
+
+  /** Flags the shared lazy spec/data context can read under any verb. */
+  private val SharedFlags = Set("data", "spec", "target", "pos", "neg",
+    "weight", "filter", "filtersep", "normtype", "topn", "candidates",
+    "out")
+
+  /** Per-verb flag whitelist: a flag in neither this set nor
+    * [[SharedFlags]] fails loudly up front. A typo'd flag silently
+    * doing nothing misconfigures the whole run — exactly the r14
+    * `test --filtersep` defect class, enforced structurally here. */
+  private[graft] val VerbFlags: Map[String, Set[String]] = Map(
+    "new" -> Set(),
+    "run" -> Set("catalog"),
+    "init" -> Set("catalog"),
+    "stats" -> Set("catalog", "corr", "drift", "hll", "merge", "psi",
+      "rebin", "sketch", "threshold", "topk", "topkn", "topkout"),
+    "norm" -> Set("catalog", "format", "shuffle"),
+    "eval" -> Set("buckets", "catalog", "confmat", "delete", "list",
+      "new", "norm", "perf", "run", "scale", "score", "scoreout",
+      "sets", "switch"),
+    "export" -> Set("algo", "bags", "catalog", "metric", "trees",
+      "type"),
+    "varsel" -> Set("catalog", "list", "method", "recover", "reset"),
+    "train" -> Set("algo", "catalog", "cmd", "workdir"),
+    "posttrain" -> Set("calibrate", "catalog"),
+    "encode" -> Set("catalog", "depth"),
+    "combo" -> Set("algos", "catalog"),
+    "test" -> Set("n"),
+    "inspect" -> Set("binalgo", "binmethod", "forceremove",
+      "forceselect", "meta", "sets"),
+    "validate" -> Set("fk", "inset", "minrate", "notnull", "range",
+      "unique"),
+    "warehouse" -> Set("drop", "prune"),
+    "gate" -> Set("checkpoint", "compactevery", "feed", "index",
+      "intra", "retract", "tag"),
+    "annindex" -> Set("cells", "checkpoint", "compactevery", "delete",
+      "feed", "fold", "index", "k", "nprobe", "query", "retrain",
+      "split", "tag"))
 
   /** Backtick-quote a flag-sourced plain column name for the JEXL path
     * (idempotent: already-quoted input passes through). Names containing a
@@ -93,6 +139,17 @@ object Cli {
   /** Testable entry: returns the lines it would print. */
   def run(spark: SparkSession, verb: String,
           opts: Map[String, String]): Seq[String] = {
+    // fail-fast flag audit BEFORE any work: an unknown verb falls
+    // through to the dispatch's own loud error below
+    VerbFlags.get(verb).foreach { allowed =>
+      val unknown = opts.keySet -- allowed -- SharedFlags
+      if (unknown.nonEmpty)
+        throw new IllegalArgumentException(
+          s"unknown flag(s) for '$verb': " +
+            unknown.toSeq.sorted.map("--" + _).mkString(", ") +
+            s" (known: ${(allowed ++ SharedFlags).toSeq.sorted
+              .mkString(", ")})")
+    }
     // `shifu new` writes the spec file and needs no data/spec context
     if (verb == "new") {
       val starter = DataSpec(

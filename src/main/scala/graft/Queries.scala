@@ -53,6 +53,22 @@ object QueryUtil {
        |      ELSE 0 END""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.ops.Binning.longWeight]]: floor of the
+    * clamped double, THEN the integer cast — identical op order, and
+    * floor() sidesteps the truncate-vs-round cast divergence between
+    * the engines. */
+  def longWeightSql(c: String,
+      bound: Double = 4.611686018427387904e18): String =
+    s"""CAST(floor(CASE WHEN $c > $bound THEN $bound
+       |  WHEN $c < -$bound THEN -$bound ELSE $c END) AS BIGINT)""".stripMargin
+
+  /** 2^40 — mirror of [[graft.ops.Binning.MilsClamp]]. */
+  val milsClamp: Double = 1099511627776.0
+
+  /** Milli-unit measure of an event `value`, overflow-clamped the same
+    * way in both engines (see Binning.longWeight). */
+  def milsSql(c: String): String = longWeightSql(s"$c * 1000", milsClamp)
+
   /** Driver-side l_quantity equal-interval boundaries (matches binCaseSql). */
   def quantityBounds(d: DataFrame, k: Int): Seq[Double] = {
     val Array(mn, mx) = d

@@ -43,7 +43,7 @@ object QueriesBinning2 {
     },
     oracle = Some(
       s"""WITH g AS (SELECT l_extendedprice AS v,
-         |             sum(CAST(l_quantity AS BIGINT)) AS wv
+         |             sum(${QueryUtil.longWeightSql("l_quantity")}) AS wv
          |           FROM lineitem GROUP BY v),
          |c AS (SELECT v, sum(wv) OVER (ORDER BY v) AS cw FROM g),
          |t AS (SELECT sum(wv) AS tot FROM g),

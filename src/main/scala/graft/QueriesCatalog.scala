@@ -23,17 +23,23 @@ object QueriesCatalog {
         weight = col("l_quantity"), pctAccuracy = Int.MaxValue, full = true)
       import s.implicits._
       def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      // undefined metrics surface as NaN, never a crash: extreme values
+      // (1e300) overflow the moment sums to Inf, making stdDev — and so
+      // skew/kurt — undefined (None); the oracle's raw-sum formulas
+      // propagate the same NaN. The reference stores null in
+      // ColumnStats for exactly these. (Fuzz gate: edge-mode None.get.)
+      def g(o: Option[Double]) = r6(o.getOrElse(Double.NaN))
       cols.map { c =>
         val p = profiles(c)
         val st = p.stats
         (p.columnName, st.totalCount, st.missingCount,
-          st.min.get, st.max.get,
-          r6(st.mean.get), r6(st.stdDev.get),
-          r6(st.p25.get), r6(st.median.get), r6(st.p75.get),
+          st.min.getOrElse(Double.NaN), st.max.getOrElse(Double.NaN),
+          g(st.mean), g(st.stdDev),
+          g(st.p25), g(st.median), g(st.p75),
           r6(st.missingPercentage),
-          r6(st.skewness.get), r6(st.kurtosis.get),
-          r6(st.ks.get), r6(st.iv.get),
-          r6(st.weightedKs.get), r6(st.weightedIv.get),
+          g(st.skewness), g(st.kurtosis),
+          g(st.ks), g(st.iv),
+          g(st.weightedKs), g(st.weightedIv),
           p.binning.binBoundary.length.toLong)
       }.toDF("column_name", "total_cnt", "missing_cnt", "min_v", "max_v",
         "mean_v", "std_v", "p25_v", "median_v", "p75_v", "miss_pct",

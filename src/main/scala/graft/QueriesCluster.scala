@@ -112,8 +112,8 @@ object QueriesCluster {
   private val streamEnrich: Q = Q(
     fn = (s, dir) => graft.streaming.StreamOps.staticEnrichJoin(s, dir),
     oracle = Some(
-      """SELECT c_mktsegment, event_type, count(*)::BIGINT AS n,
-        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+      s"""SELECT c_mktsegment, event_type, count(*)::BIGINT AS n,
+        |  CAST(sum(${QueryUtil.milsSql("value")}) AS BIGINT)
         |    AS sum_mils
         |FROM events JOIN customer ON c_custkey = user_id
         |GROUP BY 1, 2

@@ -159,7 +159,11 @@ object QueriesHybrid {
     fn = (s, dir) => {
       val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val d = li(s, dir)
-      val srow = floor(scoreCol + lit(0.5)).cast("long")
+      // clamped score units (fuzz: floor saturates to Long.Max on
+      // 1e300 and the bin sums ANSI-overflow; 2^40 leaves ~8e6 rows of
+      // long-sum headroom per bin, mirrored in the oracle)
+      val srow = graft.ops.Binning.longWeight(scoreCol + lit(0.5),
+        graft.ops.Binning.MilsClamp)
       val mmCols = feats.flatMap(c =>
         Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
       val mm = d.agg(mmCols.head, mmCols.tail: _*).head()
@@ -172,11 +176,15 @@ object QueriesHybrid {
       val withBins = d.select(binCols :+ srow.as("s"): _*)
       val stackExpr = "stack(" + feats.length + ", " +
         feats.map(c => s"'$c', b_$c").mkString(", ") + ") as (feature, bin)"
+      // integer division on the driver: DuckDB's `//` truncates toward
+      // zero exactly like Java's `/` (verified: -7//2 = -3), so the
+      // mean-score bucket matches even for clamped negative scores
       val bas = withBins.select(expr(stackExpr), col("s"))
         .groupBy("feature", "bin")
-        .agg(expr("sum(s) div count(1)").as("bscore"))
+        .agg(sum("s").as("ss"), count(lit(1)).as("cnt"))
         .collect()
-        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          r.getLong(2) / r.getLong(3)).toMap
       // literal per-bin score lookup: bin ids 0..binK+1 (missing-last)
       val scoreOf = feats.map { c =>
         val arr = (0 to binK + 1).map(b => bas.getOrElse((c, b), 0L))
@@ -238,11 +246,12 @@ object QueriesHybrid {
       s"""WITH mm AS (SELECT $mmSel FROM lineitem),
          |b AS (SELECT
          |        $binSel,
-         |        CAST(floor(($scoreSql) + 0.5) AS BIGINT) AS s
+         |        ${QueryUtil.longWeightSql(s"(($scoreSql) + 0.5)",
+                    QueryUtil.milsClamp)} AS s
          |      FROM lineitem, mm),
          |u AS (
          |  $unions),
-         |bas AS (SELECT feature, bin, sum(s)::BIGINT // count(*) AS bscore
+         |bas AS (SELECT feature, bin, sum(s)::BIGINT // count(*)::BIGINT AS bscore
          |        FROM u GROUP BY feature, bin),
          |r AS (SELECT $sSel
          |      FROM b

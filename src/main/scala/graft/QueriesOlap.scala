@@ -197,15 +197,19 @@ object QueriesOlap {
         .orderBy(col("ms").asc, col("event_id").asc)
         .rowsBetween(-2, Window.currentRow)
       events(s, dir)
+        // overflow-clamped mils (fuzz: Spark floor(1e303) SATURATES to
+        // Long.Max, then the window sum ANSI-overflows; DuckDB's cast
+        // errors outright — both engines clamp identically instead)
         .withColumn("mils",
-          expr("CAST(floor(value * 1000) AS BIGINT)"))
+          graft.ops.Binning.longWeight(col("value") * 1000,
+            graft.ops.Binning.MilsClamp))
         .select(col("event_id"), col("user_id"),
           sum("mils").over(w).as("roll_mils"),
           count(lit(1)).over(w).as("n_frame"))
     },
     oracle = Some(
-      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
-        |  CAST(floor(value * 1000) AS BIGINT) AS mils FROM events)
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |  ${QueryUtil.milsSql("value")} AS mils FROM events)
         |SELECT event_id, user_id,
         |  CAST(sum(mils) OVER (PARTITION BY user_id ORDER BY ms, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_mils,

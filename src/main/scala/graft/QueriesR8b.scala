@@ -137,8 +137,10 @@ object QueriesR8b {
         s"""WITH $vCte,
            |q AS (SELECT e, norm FROM v WHERE vec_id = 0),
            |relt AS (SELECT v.vec_id,
-           |    list_sum(list_transform(list_zip(v.e, q.e),
-           |      pr -> pr[1] * pr[2])) / (v.norm * q.norm) AS rel
+           |    CASE WHEN v.norm * q.norm > 0 THEN
+           |      list_sum(list_transform(list_zip(v.e, q.e),
+           |        pr -> pr[1] * pr[2])) / (v.norm * q.norm)
+           |      ELSE 0.0 END AS rel
            |  FROM v, q WHERE v.vec_id <> 0),
            |cand AS (SELECT vec_id, rel FROM (
            |    SELECT vec_id, rel,
@@ -147,8 +149,10 @@ object QueriesR8b {
            |cv AS (SELECT c.vec_id, c.rel, v.e, v.norm
            |       FROM cand c JOIN v ON v.vec_id = c.vec_id),
            |sim AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
-           |    list_sum(list_transform(list_zip(a.e, b.e),
-           |      pr -> pr[1] * pr[2])) / (a.norm * b.norm) AS s
+           |    CASE WHEN a.norm * b.norm > 0 THEN
+           |      list_sum(list_transform(list_zip(a.e, b.e),
+           |        pr -> pr[1] * pr[2])) / (a.norm * b.norm)
+           |      ELSE 0.0 END AS s
            |  FROM cv a JOIN cv b ON a.vec_id <> b.vec_id),
            |p1 AS (SELECT vec_id, rel, 1 AS rank, 0.7 * rel AS score
            |       FROM cv ORDER BY rel DESC, vec_id LIMIT 1),

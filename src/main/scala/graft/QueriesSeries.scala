@@ -60,7 +60,11 @@ object QueriesSeries {
     fn = (s, dir) => {
       val daily = events(s, dir)
         .withColumn("day", expr("ms div 86400000"))
-        .withColumn("mils", expr("CAST(floor(value * 1000) AS BIGINT)"))
+        // overflow-clamped mils — see q_rolling; 2^40/row leaves ~8e6
+        // rows of long-sum headroom per day-user group
+        .withColumn("mils",
+          graft.ops.Binning.longWeight(col("value") * 1000,
+            graft.ops.Binning.MilsClamp))
         .groupBy("user_id", "day")
         .agg(sum("mils").as("day_mils"), count(lit(1)).as("day_n"))
       val w = Window.partitionBy("user_id").orderBy(col("day"))
@@ -70,9 +74,9 @@ object QueriesSeries {
         sum("day_n").over(w).as("n_7d"))
     },
     oracle = Some(
-      """WITH daily AS (
+      s"""WITH daily AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
-        |    sum(CAST(floor(value * 1000) AS BIGINT)) AS day_mils,
+        |    sum(${QueryUtil.milsSql("value")}) AS day_mils,
         |    count(*)::BIGINT AS day_n
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id, day,
@@ -94,7 +98,13 @@ object QueriesSeries {
     fn = (s, dir) => {
       val d = events(s, dir)
         .withColumn("x", expr("CAST(ms div 86400000 - 19700 AS DOUBLE)"))
-        .withColumn("y", expr("floor(value * 1000)"))
+        // clamped mils as DOUBLE: Spark floor(double) yields a
+        // SATURATING long (sum(y) overflowed on 1e303), DuckDB floor
+        // stays double — the shared 2^40 clamp is < 2^53 so the
+        // long→double round-trip is exact and both engines agree
+        .withColumn("y",
+          graft.ops.Binning.longWeight(col("value") * 1000,
+            graft.ops.Binning.MilsClamp).cast("double"))
       d.groupBy("user_id")
         .agg(count(lit(1)).cast("double").as("n"),
           sum("x").as("sx"), sum("y").as("sy"),
@@ -108,9 +118,10 @@ object QueriesSeries {
             .as("slope_mils_per_day"))
     },
     oracle = Some(
-      """WITH d AS (SELECT user_id,
+      s"""WITH d AS (SELECT user_id,
         |    CAST(epoch_ms(ts) // 86400000 - 19700 AS DOUBLE) AS x,
-        |    floor(value * 1000) AS y FROM events),
+        |    CAST(${QueryUtil.milsSql("value")} AS DOUBLE) AS y
+        |  FROM events),
         |g AS (SELECT user_id, count(*)::DOUBLE AS n, sum(x) AS sx,
         |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
         |    count(DISTINCT x) AS nd

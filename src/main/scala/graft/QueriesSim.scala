@@ -19,8 +19,9 @@ object QueriesSim {
     oracle = Some(
       s"""WITH $vCte,
          |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
-         |  list_sum(list_transform(list_zip(a.e, b.e), pr -> pr[1] * pr[2]))
-         |    / (a.norm * b.norm) AS cos
+         |  CASE WHEN a.norm * b.norm > 0 THEN
+         |    list_sum(list_transform(list_zip(a.e, b.e), pr -> pr[1] * pr[2]))
+         |      / (a.norm * b.norm) ELSE 0.0 END AS cos
          |  FROM v a, v b WHERE a.vec_id <> b.vec_id),
          |r AS (SELECT vec_id, nb_id, cos,
          |  row_number() OVER (PARTITION BY vec_id
@@ -51,8 +52,9 @@ object QueriesSim {
          |  FROM sg a JOIN sg b
          |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id <> b.vec_id),
          |p AS (SELECT c.vec_id, c.nb_id,
-         |  list_sum(list_transform(list_zip(va.e, vb.e), pr -> pr[1] * pr[2]))
-         |    / (va.norm * vb.norm) AS cos
+         |  CASE WHEN va.norm * vb.norm > 0 THEN
+         |    list_sum(list_transform(list_zip(va.e, vb.e), pr -> pr[1] * pr[2]))
+         |      / (va.norm * vb.norm) ELSE 0.0 END AS cos
          |  FROM cand c
          |  JOIN v va ON c.vec_id = va.vec_id
          |  JOIN v vb ON c.nb_id = vb.vec_id),
@@ -126,8 +128,9 @@ object QueriesSim {
          |  FROM sg a JOIN sg b
          |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
          |p AS (SELECT c.keep_id, c.dup_id,
-         |  list_sum(list_transform(list_zip(va.e, vb.e), pr -> pr[1] * pr[2]))
-         |    / (va.norm * vb.norm) AS cos
+         |  CASE WHEN va.norm * vb.norm > 0 THEN
+         |    list_sum(list_transform(list_zip(va.e, vb.e), pr -> pr[1] * pr[2]))
+         |      / (va.norm * vb.norm) ELSE 0.0 END AS cos
          |  FROM cand c
          |  JOIN v va ON c.keep_id = va.vec_id
          |  JOIN v vb ON c.dup_id = vb.vec_id)
@@ -165,8 +168,9 @@ object QueriesSim {
        |  FROM sg a JOIN sg b
        |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id <> b.vec_id),
        |lp AS (SELECT c.vec_id, c.nb_id,
-       |  list_sum(list_transform(list_zip(va.e, vb.e), pr -> pr[1] * pr[2]))
-       |    / (va.norm * vb.norm) AS cos
+       |  CASE WHEN va.norm * vb.norm > 0 THEN
+       |    list_sum(list_transform(list_zip(va.e, vb.e), pr -> pr[1] * pr[2]))
+       |      / (va.norm * vb.norm) ELSE 0.0 END AS cos
        |  FROM cand c
        |  JOIN v va ON c.vec_id = va.vec_id
        |  JOIN v vb ON c.nb_id = vb.vec_id),
@@ -175,8 +179,9 @@ object QueriesSim {
        |                     ORDER BY cos DESC, nb_id) AS rank
        |  FROM lp),
        |ep AS (SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
-       |  list_sum(list_transform(list_zip(a.e, b.e), pr -> pr[1] * pr[2]))
-       |    / (a.norm * b.norm) AS cos
+       |  CASE WHEN a.norm * b.norm > 0 THEN
+       |    list_sum(list_transform(list_zip(a.e, b.e), pr -> pr[1] * pr[2]))
+       |      / (a.norm * b.norm) ELSE 0.0 END AS cos
        |  FROM v a, v b WHERE a.vec_id <> b.vec_id),
        |er AS (SELECT vec_id, nb_id,
        |  row_number() OVER (PARTITION BY vec_id
@@ -411,8 +416,9 @@ object QueriesSim {
         val b = v.select(col("vec_id").as("nb_id"), col("e").as("eb"),
           col("norm").as("nb"))
         val exactIds = a.join(b, col("vec_id") < col("nb_id"))
-          .withColumn("cos", graft.expr.DotProduct.dot(col("ea"), col("eb"))
-            / (col("na") * col("nb")))
+          .withColumn("cos", Similarity.cosine(
+            graft.expr.DotProduct.dot(col("ea"), col("eb")),
+            col("na"), col("nb")))
           .filter(col("cos") >= 0.35)
           .select(explode(array(col("vec_id"), col("nb_id"))).as("vec_id"))
           .distinct()
@@ -830,7 +836,16 @@ object QueriesSim {
       val doomed = typed.filter(
         col("vec_id") % 4 === 2 && col("vec_id") % 20 =!= 2)
         .select("vec_id")
-      val nDel = doomed.count()
+      // one pass over the input table covers both totals the contracts
+      // need (total ingested, rows doomed below) — the drill's wall
+      // time is action-count x fixed overhead, so counts are fused
+      val tot = typed.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+          .when(col("vec_id") % 4 === 2 && col("vec_id") % 20 =!= 2, 1L)
+          .otherwise(0L)).as("ndel")).head()
+      val nDel = tot.getLong(1)
       graft.streaming.AnnIngest.delete(s, s"$tmp/index", doomed, "drain")
       graft.streaming.AnnIngest.compact(s, s"$tmp/index", 5L,
         foldColdBelow = 0.5)
@@ -842,19 +857,31 @@ object QueriesSim {
       val manifestTxt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$tmp/index/manifest.json")), "UTF-8")
       val foldTombRecorded = manifestTxt.contains("t_split_f5")
-      val n = typed.count() - nDel
+      val n = tot.getLong(0) - nDel
       val idx = graft.streaming.AnnIngest
         .readIndex(s, s"$tmp/index", None).persist()
       val expect = graft.sim.Ivf.assignCells(
         idx.select("vec_id", "e", "norm"), cents)
         .select(col("vec_id"), col("cell").as("cell_x"))
-      val mismatches = idx.join(expect, Seq("vec_id"))
-        .filter(col("cell") =!= col("cell_x")).count()
       val deadSlots = cents.indices.filter(c => cents(c)(0).isNaN)
-      val deadEmpty = deadSlots.isEmpty ||
-        idx.filter(col("cell").isin(deadSlots: _*)).count() == 0L
-      val liveOnce = idx.count() == n &&
-        idx.select("vec_id").distinct().count() == n
+      // contracts (3)(4)(5) fused into ONE aggregation over the
+      // persisted index frame: argmin mismatches, rows in dead slots,
+      // live row count, distinct live ids
+      val fns = org.apache.spark.sql.functions
+      val deadCond =
+        if (deadSlots.isEmpty) fns.lit(false)
+        else col("cell").isin(deadSlots: _*)
+      val stats = idx.join(expect, Seq("vec_id"))
+        .agg(
+          fns.sum(fns.when(col("cell") =!= col("cell_x"), 1L)
+            .otherwise(0L)).as("mism"),
+          fns.sum(fns.when(deadCond, 1L).otherwise(0L)).as("dead_rows"),
+          fns.count(fns.lit(1)).as("cnt"),
+          fns.countDistinct(col("vec_id")).as("dcnt"))
+        .head()
+      val mismatches = stats.getLong(0)
+      val deadEmpty = stats.getLong(1) == 0L
+      val liveOnce = stats.getLong(2) == n && stats.getLong(3) == n
       // surviving sample: unshifted every-7th + the shifted residue
       val sample = typed.filter(
         (col("vec_id") % 4 =!= 2 && col("vec_id") % 7 === 0) ||

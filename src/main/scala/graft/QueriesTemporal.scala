@@ -284,8 +284,10 @@ object QueriesTemporal {
     oracle = Some(
       """WITH keyed AS (
         |  SELECT source, doc_id,
-        |    pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
-        |        / 4294967296.0, 1.0 / n_chars) AS k
+        |    CASE WHEN n_chars > 0 THEN
+        |      pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+        |          / 4294967296.0, 1.0 / n_chars)
+        |    ELSE 0.0 END AS k
         |  FROM documents),
         |ranked AS (
         |  SELECT source, doc_id, k, row_number() OVER (

@@ -62,6 +62,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (sys.env.contains("SPARK_GRAFT_STACK")) e.printStackTrace()
       }
       // same hygiene as Bench: operator-internal persists must not
       // accumulate across the 247-query session

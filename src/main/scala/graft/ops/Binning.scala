@@ -60,28 +60,66 @@ object Binning {
     (Double.NegativeInfinity +: raw).distinct.toArray
   }
 
+  /** ANSI-safe integer weight: floor of the double, clamped to ±2^62
+    * (exactly double-representable, safely inside long range) instead
+    * of an ANSI CAST_OVERFLOW crash on an absurd-but-present weight —
+    * one bad row must not kill a corpus-wide stats pass (found by the
+    * differential fuzz gate's 1e300 weights). NULL stays NULL (the
+    * when-chain propagates it), so sum() keeps skipping missing
+    * weights. Oracle mirror: QueryUtil.longWeightSql.
+    *
+    * Spark's floor(double) SATURATES to Long.MaxValue instead of
+    * erroring, so without the clamp a single absurd row poisons every
+    * downstream long sum into an ANSI ARITHMETIC_OVERFLOW.
+    *
+    * `bound` picks the headroom trade-off: the 2^62 default keeps
+    * nearly the full long range per row (callers must then accumulate
+    * in decimal(38,0)); [[MilsClamp]] (2^40) leaves ~8.4e6 rows of
+    * plain-long-sum headroom for windowed/grouped milli-unit sums. */
+  private[graft] def longWeight(w: Column,
+      bound: Double = 4.611686018427387904e18): Column = {
+    val c = lit(bound)
+    floor(when(w > c, c).when(w < -c, -c).otherwise(w)).cast("long")
+  }
+
+  /** 2^40 — the clamp for milli-unit measures that flow into plain
+    * long window/group sums (see [[longWeight]]). */
+  private[graft] val MilsClamp: Double = 1099511627776.0
+
   /** WeightEqual* boundaries (reference `ModelStatsConf.java:34-36`
     * WeightEqualPositive/Negative/Total): value v_j such that the running
     * INTEGER weight first reaches j/k of the total. Fully distributed:
     * groupBy(value) compresses ties (RANGE-frame semantics for free),
     * range-repartition orders the distinct values, per-partition totals →
     * driver offsets → one flatMap emits each crossed threshold. All
-    * comparisons are exact long arithmetic (`cw·k ≥ j·tot`) — no FP
+    * comparisons are exact integer arithmetic (`cw·k ≥ j·tot`) — no FP
     * summation order anywhere, so any engine agrees bit-for-bit. */
   def weightedEqualBounds(df: DataFrame, valueCol: String, weight: Column,
                           k: Int): Seq[(Int, Double)] = {
+    // the per-value sums and all running/threshold arithmetic are
+    // 128-bit exact (decimal(38,0) on the wire, BigInt on the driver):
+    // clamped per-row weights are ≤ 2^62, so a corpus-wide long sum —
+    // and especially the cw·k threshold products — can overflow long
+    // while staying comfortably inside 38 digits. DuckDB's
+    // sum(BIGINT) → HUGEINT matches exactly. (Fuzz gate: 1e300
+    // weights overflowed the old all-long pipeline.)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // coalesce: a value group whose every weight is NULL sums to NULL
+    // — it carries zero mass, not a driver NPE
     val g = df.groupBy(col(valueCol).as("v"))
-      .agg(sum(weight.cast("long")).as("wv"))
+      .agg(coalesce(sum(longWeight(weight).cast(dec)),
+        lit(0).cast(dec)).as("wv"))
     val parts = math.max(df.rdd.getNumPartitions, 1)
     val rdd = g.repartitionByRange(parts, col("v"))
       .sortWithinPartitions("v")
       .select("v", "wv").rdd
-      .map(r => (r.getDouble(0), r.getLong(1)))
+      .map(r => (r.getDouble(0),
+        BigInt(r.getDecimal(1).toBigInteger)))
     rdd.cache()
     val partTotals = rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.map(_._2).sum)))
       .collect().sortBy(_._1).map(_._2)
-    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val offsets = partTotals.scanLeft(BigInt(0))(_ + _)
     val tot = offsets.last
     val bounds = rdd.mapPartitionsWithIndex { (i, it) =>
       var cum = offsets(i)
@@ -89,8 +127,8 @@ object Binning {
         val prev = cum
         cum += w
         // thresholds j with prev·k < j·tot ≤ cum·k, 1 ≤ j ≤ k-1
-        (1 until k).filter(j => prev * k < j.toLong * tot &&
-          j.toLong * tot <= cum * k).map(j => (j, v))
+        (1 until k).filter(j => prev * k < tot * j &&
+          tot * j <= cum * k).map(j => (j, v))
       }
     }.collect().sortBy(_._1).toSeq
     rdd.unpersist(false)

@@ -170,7 +170,12 @@ object TemporalJoin {
     // oracle reproduces u bit-for-bit from the same md5 prefix
     val u = (conv(substring(md5(id.cast("string").cast("binary")), 1, 8),
       16, 10).cast("double") + 0.5) / 4294967296.0
-    val key = pow(u, lit(1.0) / weight.cast("double"))
+    // A-ES assumes w > 0; a non-positive or missing weight gets key 0
+    // — never outranks a real item, never a division-by-zero crash
+    // (fuzz gate: n_chars = 0), never the w<0 inversion that would
+    // outrank everything (u^(1/w) = 1/u^(1/|w|) > 1)
+    val w = weight.cast("double")
+    val key = when(w > 0, pow(u, lit(1.0) / w)).otherwise(lit(0.0))
     df.select(group.as("grp"), key.as("aes_key"), id.as("id"))
       .groupBy("grp")
       .agg(graft.agg.TopKAgg.topK(k)(col("aes_key"), col("id")).as("top"))

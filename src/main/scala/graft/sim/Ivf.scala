@@ -192,7 +192,7 @@ object Ivf {
           .select("vec_id", "nb_id")
     val (va, vb) = Similarity.reattachSides(v)
     val pairs = cand.join(va, "vec_id").join(vb, "nb_id")
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", Similarity.cosine(dot(col("ea"), col("eb")), col("na"), col("nb")))
     Similarity.topKSelect(pairs, k)
   }
 }

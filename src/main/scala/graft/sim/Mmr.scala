@@ -38,7 +38,7 @@ object Mmr {
     val qn = qRow.getDouble(1)
     val qCol = array(qe.map(lit): _*)
     val rel = v.filter(col("vec_id") =!= queryId)
-      .withColumn("rel", dot(col("e"), qCol) / (col("norm") * lit(qn)))
+      .withColumn("rel", Similarity.cosine(dot(col("e"), qCol), col("norm"), lit(qn)))
     // bounded global top-nCand candidate pool, then re-attach vectors
     val cand = rel.groupBy()
       .agg(TopKAgg.topK(nCand)(col("rel"), col("vec_id")).as("c"))
@@ -59,7 +59,9 @@ object Mmr {
       s
     }
     val sim = Array.tabulate(n, n)((i, j) =>
-      if (i == j) 1.0 else dotA(es(i), es(j)) / (ns(i) * ns(j)))
+      if (i == j) 1.0
+      else if (ns(i) * ns(j) > 0.0) dotA(es(i), es(j)) / (ns(i) * ns(j))
+      else 0.0) // zero-norm contract — see Similarity.cosine
     val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Long, Double, Double)]

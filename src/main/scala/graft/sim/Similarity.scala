@@ -38,6 +38,17 @@ object Similarity {
       .withColumn("norm", sqrt(dot(col("e"), col("e"))))
   }
 
+  /** Cosine with the zero-vector contract: a zero-norm side has no
+    * direction, so its similarity to ANYTHING is defined as 0.0 —
+    * never NaN, never an ANSI division-by-zero crash (zero vectors DO
+    * occur in real corpora: dead embeddings, padded rows). A zero
+    * vector therefore never outranks a real neighbor; it can still
+    * appear in a top-k tail at cos 0, tie-broken by id as usual.
+    * Found by the differential fuzz gate (edge-mode zero vectors took
+    * down the whole ANN family under ANSI mode). */
+  def cosine(dotCol: Column, na: Column, nb: Column): Column =
+    when(na * nb > lit(0.0), dotCol / (na * nb)).otherwise(lit(0.0))
+
   /** (vec_id, rank, nb_id, cos_r) from candidate pair rows carrying a
     * `cos` column — bounded top-k agg + posexplode, ordering identical to
     * row_number over (cos desc, nb_id asc). */
@@ -68,7 +79,7 @@ object Similarity {
     val b = v.select(col("vec_id").as("nb_id"), col("e").as("eb"),
       col("norm").as("nb"))
     val pairs = a.join(b, col("vec_id") =!= col("nb_id"))
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", cosine(dot(col("ea"), col("eb")), col("na"), col("nb")))
     topKSelect(pairs, k)
   }
 
@@ -156,7 +167,7 @@ object Similarity {
     val v = prep(emb)
     val (va, vb) = reattachSides(v)
     cand.join(va, "vec_id").join(vb, "nb_id")
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", cosine(dot(col("ea"), col("eb")), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_id").as("keep_id"), col("nb_id").as("dup_id"),
         round(col("cos"), 6).as("cos_r"))
@@ -204,7 +215,7 @@ object Similarity {
     val v = prep(emb)
     val (va, vb) = reattachSides(v)
     val pairs = cand.join(va, "vec_id").join(vb, "nb_id")
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", cosine(dot(col("ea"), col("eb")), col("na"), col("nb")))
     topKSelect(pairs, k)
   }
 

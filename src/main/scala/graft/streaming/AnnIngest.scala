@@ -1089,7 +1089,7 @@ object AnnIngest {
       .join(q.select(col("vec_id"), col("e").as("ea"),
         col("norm").as("na")), Seq("vec_id"))
       .join(idx, Seq("cell"))
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", graft.sim.Similarity.cosine(dot(col("ea"), col("eb")), col("na"), col("nb")))
     pairs.groupBy("vec_id")
       .agg(graft.agg.TopKAgg.topK(k)(col("cos"), col("nb_id")).as("nn"))
       .select(col("vec_id"), posexplode(col("nn")).as(Seq("p", "nb")))

@@ -402,12 +402,38 @@ object IngestIndex {
     * DEPLOYMENT NOTE (object stores): the protocol needs atomic
     * create-if-absent and atomic rename — true on HDFS and ABFS, NOT
     * on S3A (create(p, false) is check-then-create and rename is
-    * copy+delete there). On S3, point `indexDir` at an HDFS/ABFS
-    * path or front the bucket with a consistency layer; even if two
-    * S3 writers slip past the lease, the commit-time [[fenceCheck]]
-    * downgrades silent interleaving to a loud failed commit. */
+    * copy+delete there). Acquisition ENFORCES this: an s3a/s3n/s3
+    * `indexDir` fails loudly unless
+    * `spark.sql.graft.lease.allowNonAtomicStore=true` (session conf;
+    * external writers set `graft.lease.allowNonAtomicStore` in the
+    * Hadoop conf) explicitly accepts that the commit-time
+    * [[fenceCheck]] — which downgrades silent interleaving to a loud
+    * failed commit — is the only interleaving defense there. On S3,
+    * prefer an HDFS/ABFS `indexDir` or a consistency layer. */
   def withWriterLease[T](sp: SparkSession, indexDir: String)(body: => T): T =
-    withWriterLeaseFs(fsFor(sp, indexDir), indexDir)(body)
+    withWriterLeaseFs(fsFor(sp, indexDir), indexDir,
+      sp.conf.get("spark.sql.graft.lease.allowNonAtomicStore", "false")
+        .toBoolean)(body)
+
+  /** Schemes whose create-if-absent / rename are NOT atomic — the
+    * lease protocol's cross-process mutual exclusion silently degrades
+    * there (see the deployment note on [[withWriterLease]]). */
+  private val NonAtomicSchemes = Set("s3a", "s3n", "s3")
+
+  /** Fail acquisition on a store that cannot give the lease protocol
+    * its atomicity, unless explicitly waived. */
+  private def requireAtomicStore(fs: FileSystem, indexDir: String,
+      allow: Boolean): Unit = {
+    val scheme = Option(fs.getScheme).map(_.toLowerCase).getOrElse("")
+    if (NonAtomicSchemes(scheme) && !allow)
+      throw new IllegalStateException(
+        s"writer lease on $indexDir: filesystem scheme '$scheme' has no " +
+          "atomic create-if-absent/rename, so the lease protocol cannot " +
+          "guarantee writer mutual exclusion there. Point the index at an " +
+          "HDFS/ABFS path, or set " +
+          "spark.sql.graft.lease.allowNonAtomicStore=true to accept the " +
+          "commit-time fence check as the only interleaving defense.")
+  }
 
   /** [[withWriterLease]] against an explicit FileSystem — the whole
     * protocol is metadata-only (create-if-absent, stat, rename,
@@ -415,7 +441,10 @@ object IngestIndex {
     * participate. `tools.LeaseProbe` drives this from a separate JVM;
     * the cross-process drill in IngestIndexSpec rides on it. */
   private[graft] def withWriterLeaseFs[T](fs: FileSystem,
-      indexDir: String)(body: => T): T = {
+      indexDir: String, allowNonAtomic: Boolean = false)(body: => T): T = {
+    requireAtomicStore(fs, indexDir, allowNonAtomic ||
+      (fs.getConf != null &&
+        fs.getConf.getBoolean("graft.lease.allowNonAtomicStore", false)))
     val key = fs.makeQualified(new Path(indexDir)).toString
     val me = Thread.currentThread().getId
     // ALL same-process acquisition/release state changes happen under
@@ -644,26 +673,17 @@ object IngestIndex {
     * wave-regime tax). mergeSchema reconciles legacy dirs missing
     * `tb_bound` (their rows read null → MaxValue = "exclude from every
     * source", the pre-scoping behavior). A null key in the fast read
-    * means some dir holds its key under a DIFFERENT name — silently
-    * keeping the null row would stop that tombstone from excluding
-    * anything, so that fails loudly; an all-legacy call (no `keyName`
-    * anywhere) falls back to the per-dir loop. */
+    * means some dir holds its key under a DIFFERENT (legacy) name —
+    * silently keeping the null row would stop that tombstone from
+    * excluding anything, so such a set is served by the per-dir loop
+    * (which renames a single-column legacy dir to `keyName`) instead.
+    * The null-key validation is one small job, cached per live dir-set
+    * (tombstone dirs are immutable; sweeps change the SET and thus the
+    * cache key), so steady-state probe-plan builds stay lazy. */
   private[streaming] def readTombs(sp: SparkSession, dirs: Seq[String],
       keyName: String): DataFrame = {
     val fast = sp.read.option("mergeSchema", "true").parquet(dirs: _*)
-    if (fast.columns.contains(keyName)) {
-      val bound =
-        if (fast.columns.contains("tb_bound"))
-          coalesce(col("tb_bound").cast("long"), lit(Long.MaxValue))
-        else lit(Long.MaxValue)
-      val out = fast.select(col(keyName), bound.as("tb_bound"))
-      if (!out.filter(col(keyName).isNull).isEmpty)
-        throw new IllegalStateException(
-          s"tombstone dirs ${dirs.mkString(", ")} mix key column names " +
-            s"— some rows have no '$keyName'; rewrite the odd dir under " +
-            "the index's key column")
-      out
-    } else dirs.map { d =>
+    def slow = dirs.map { d =>
       val df = sp.read.parquet(d)
       val nonBound = df.columns.filterNot(_ == "tb_bound")
       // select the key BY NAME when present; a single-column legacy dir
@@ -681,7 +701,32 @@ object IngestIndex {
         else lit(Long.MaxValue)
       df.select(col(keyCol).as(keyName), bound.as("tb_bound"))
     }.reduce(_ unionByName _)
+    if (!fast.columns.contains(keyName)) slow
+    else {
+      val ck = (keyName +: dirs.sorted).mkString(" ")
+      val fastOk = Option(tombFastOk.get(ck)).map(_.booleanValue)
+        .getOrElse {
+          val v = fast.filter(col(keyName).isNull).isEmpty
+          if (tombFastOk.size > 256) tombFastOk.clear()
+          tombFastOk.put(ck, java.lang.Boolean.valueOf(v))
+          v
+        }
+      if (fastOk) {
+        val bound =
+          if (fast.columns.contains("tb_bound"))
+            coalesce(col("tb_bound").cast("long"), lit(Long.MaxValue))
+          else lit(Long.MaxValue)
+        fast.select(col(keyName), bound.as("tb_bound"))
+      } else slow
+    }
   }
+
+  /** Per-dir-set verdict cache for [[readTombs]]'s fast path: true =
+    * every dir carries the key under the index's key name, the single
+    * mergeSchema scan is sound; false = mixed legacy naming, per-dir
+    * loop. Bounded the same way as the Bloom sidecar cache. */
+  private val tombFastOk =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Live (not yet swept) tombstone dirs of `kind`. */
   private[streaming] def tombDirs(sp: SparkSession, indexDir: String,
@@ -728,7 +773,22 @@ object IngestIndex {
     val all = runBlooms ++ deltaBlooms
     val blooms = if (all.forall(_.isDefined)) Some(all.flatten) else None
     Prior(runs.map(r => s"$indexDir/$kind/${r.name}"),
-      deltas.map(_._2), blooms, tombDirs(sp, indexDir, kind))
+      deltas.map(_._2), blooms, liveTombDirs(sp, indexDir, kind, m))
+  }
+
+  /** Tombstone dirs a CURRENT-manifest reader must anti-join: all t_*
+    * dirs on disk EXCEPT the logically-swept (tswept_<kind>) ones —
+    * those stay on disk one generation for in-flight readers of the
+    * PREVIOUS manifest, but their exclusions are proven applied to
+    * every source this manifest references (the sweep condition), so a
+    * new probe plan drops them and reaches the tombstone-free fast
+    * path a whole generation earlier. (tools.IngestSoak classifies its
+    * batches with this same definition.) */
+  private[graft] def liveTombDirs(sp: SparkSession, indexDir: String,
+      kind: String, manifest: Manifest = null): Seq[String] = {
+    val m = if (manifest != null) manifest else readManifest(sp, indexDir)
+    val swept = m.runs.getOrElse(s"tswept_$kind", Nil).map(_.name).toSet
+    tombDirs(sp, indexDir, kind).filterNot(d => swept(d.split("/").last))
   }
 
   /** Exact copy of a Bloom filter (serialize round-trip — the public
@@ -799,6 +859,13 @@ object IngestIndex {
           .select(col(keyName), lit(srcIdOf(d)).as("src_id"))) ++ (
           if (pr.deltas.isEmpty) Nil
           else {
+            // the basePath trick REQUIRES every delta dir to be named
+            // `batch=<id>` — guaranteed today because deltaDirs lists
+            // only batch=* dirs; if delta naming ever changes, fail
+            // here rather than silently reading a wrong src_id scope
+            require(pr.deltas.forall(_.split("/").last.startsWith("batch=")),
+              s"delta dirs must be batch=<id>-named for the partition-" +
+                s"column src_id recovery: ${pr.deltas.mkString(", ")}")
             val parent = pr.deltas.head.substring(0,
               pr.deltas.head.lastIndexOf('/'))
             Seq(sp.read.option("basePath", parent)

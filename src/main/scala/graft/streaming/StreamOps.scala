@@ -851,7 +851,9 @@ object StreamOps {
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
     val joined = eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"),
-        expr("CAST(floor(value * 1000) AS BIGINT)").as("mils"))
+        // overflow-clamped mils (see q_rolling — floor saturates)
+        graft.ops.Binning.longWeight(col("value") * 1000,
+          graft.ops.Binning.MilsClamp).as("mils"))
       .join(dim, Seq("user_id")) // inner: unmatched users drop, per batch
     val q = joined.writeStream
       .outputMode("append")

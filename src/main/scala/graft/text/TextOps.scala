@@ -532,16 +532,23 @@ object TextOps {
     val toks = split(col("text"), " ")
     val stopCnt = size(filter(toks,
       t => t.isin(enStopwords.map(lit): _*))).cast("long")
+    // ratios over an EMPTY text are undefined → NULL, matching DuckDB's
+    // x/0 (ANSI Spark would crash instead; fuzz gate, edge mode).
+    // mean_tok_len/stopword_ratio divide by size(split(...)) which is
+    // always ≥ 1 (split of '' is ['']).
+    val nChars = length(col("text"))
     docs.select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
-      length(col("text")).cast("long").as("n_chars"),
+      nChars.cast("long").as("n_chars"),
       (length(regexp_replace(col("text"), " ", "")).cast("double") /
         size(toks)).as("mean_tok_len"),
-      (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
-        length(col("text"))).as("digit_ratio"),
-      (length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double") /
-        length(col("text"))).as("upper_ratio"),
+      when(nChars > 0,
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+          nChars).as("digit_ratio"),
+      when(nChars > 0,
+        length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double") /
+          nChars).as("upper_ratio"),
       round(stopCnt.cast("double") / size(toks), 6).as("stopword_ratio"))
   }
 
@@ -842,7 +849,7 @@ object TextOps {
       } ++ dupNs.map { n =>
         val st = coalesce(element_at(col("cov"), lit(n)),
           array().cast("array<int>"))
-        val covered = filter(sequence(lit(1), size(col("toks"))),
+        val covered = filter(seq1(size(col("toks"))),
           j => exists(st, i => i <= j && j < i + n))
         val chars = coalesce(aggregate(covered, lit(0L),
           (a, j) => a + length(element_at(col("toks"), j))), lit(0L))
@@ -889,6 +896,13 @@ object TextOps {
     docs.select(col("doc_id"),
       filter(split(col("text"), " "), t => t =!= "").as("toks"))
 
+  /** `sequence(1, n)` that is EMPTY for n < 1: Spark's sequence(1, 0)
+    * counts DOWN to [1, 0], so an empty token array would otherwise
+    * feed invalid indices into element_at (ANSI crash on every empty/
+    * whitespace-only document — found by the fuzz gate's edge mode). */
+  private def seq1(n: Column): Column =
+    when(n >= 1, sequence(lit(1), n)).otherwise(array().cast("array<int>"))
+
   /** (doc_id, i, h): md5 of every k-token window, position-stamped. */
   private def spanWindows(base: DataFrame, k: Int): DataFrame =
     base.filter(size(col("toks")) >= k)
@@ -906,7 +920,7 @@ object TextOps {
     base.join(starts, Seq("doc_id"), "left")
       .withColumn("st", coalesce(col("starts"),
         array().cast("array<int>")))
-      .withColumn("kept", filter(sequence(lit(1), size(col("toks"))),
+      .withColumn("kept", filter(seq1(size(col("toks"))),
         j => !exists(col("st"), i => i <= j && j < i + k)))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -1553,11 +1567,14 @@ object TextOps {
     val ctrl = (length(col("text")) -
       length(regexp_replace(col("text"),
         "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""))).cast("long")
+    // empty text → undefined ratio → NULL (and a NULL is_clean), the
+    // same as DuckDB's x/0; ANSI Spark would crash (fuzz gate)
+    val ratio = when(n > 0, (repl + ctrl) / n)
     docs.select(col("doc_id"),
         repl.as("n_replacement"), ctrl.as("n_control"),
         length(col("text")).cast("long").as("n_chars"),
-        round((repl + ctrl) / n, 6).as("bad_ratio"),
-        ((repl + ctrl) / n <= maxBadRatio).as("is_clean"))
+        round(ratio, 6).as("bad_ratio"),
+        (ratio <= maxBadRatio).as("is_clean"))
   }
 
   /** CCNet head/middle/tail perplexity bucketing: score every doc with the

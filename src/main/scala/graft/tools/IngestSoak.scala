@@ -61,10 +61,14 @@ object IngestSoak {
               (0 until 30).map(j => s"t${(id + j * 31) % 9973}").mkString(" ")
         (id, text)
       }
-    def tombsLive(): Boolean = Seq("hashes", "bands").exists { k =>
-      val d = new java.io.File(s"$tmp/idx/tombs_$k")
-      d.isDirectory && d.listFiles().exists(_.getName.startsWith("t_"))
-    }
+    // live = what a probe plan actually anti-joins: t_* dirs minus the
+    // logically-swept set the manifest records (those linger on disk
+    // one extra generation and would otherwise dilute transientRatio)
+    def tombsLive(): Boolean =
+      new java.io.File(s"$tmp/idx").isDirectory &&
+        Seq("hashes", "bands").exists(k =>
+          graft.streaming.IngestIndex
+            .liveTombDirs(spark, s"$tmp/idx", k).nonEmpty)
     var tombFlags = Vector.empty[Boolean]
     val times = (0 until n).map { b =>
       // takedown wave BEFORE the batch (its cost is not screen cost):

@@ -24,6 +24,17 @@ object Train {
     new VectorAssembler().setInputCols(features.toArray)
       .setOutputCol("features")
 
+  /** Non-finite feature guard: NULL/NaN/±Inf feature values become 0.0.
+    * MLlib's VectorAssembler hard-rejects non-finite entries, so one
+    * absurd row (1e300² = Inf — fuzz gate) would otherwise kill a
+    * corpus-wide fit. 0.0 is the reference's missing-feature value
+    * after normalization (zscale missing → mean → 0). */
+  private def finiteFeature(c: String): Column = {
+    val d = col(c).cast("double")
+    when(d.isNull || isnan(d) || d === Double.PositiveInfinity ||
+      d === Double.NegativeInfinity, 0.0).otherwise(d).as(c)
+  }
+
   def logistic(df: DataFrame, features: Seq[String], label: Column,
                maxIter: Int = 20): Trained = {
     val lr = new LogisticRegression().setMaxIter(maxIter)
@@ -96,7 +107,7 @@ object Train {
       .setLabelCol("label").setFeaturesCol("features")
     val ovr = new OneVsRest().setClassifier(base)
       .setLabelCol("label").setFeaturesCol("features").setParallelism(4)
-    val data = df.select(features.map(col) :+
+    val data = df.select(features.map(finiteFeature) :+
       label.cast("double").as("label"): _*)
       // k per-class fits + the transform all replay this otherwise
       .transform(graft.Ckpt.truncate(_))
@@ -108,7 +119,7 @@ object Train {
 
   private def fit(df: DataFrame, features: Seq[String], label: Column,
                   pipeline: Pipeline): Trained = {
-    val data = df.select(features.map(col) :+
+    val data = df.select(features.map(finiteFeature) :+
       label.cast("double").as("label"): _*)
       // fit, transform and the AUC evaluator each replay this projection
       // from the scan otherwise — materialize it once
@@ -139,7 +150,7 @@ object Train {
       .setSeed(42L)
     // materialize once, same as fit(): k-fold x grid re-executes the
     // projection lineage (numFolds x gridSize + 1) times otherwise
-    val data = df.select(features.map(col) :+
+    val data = df.select(features.map(finiteFeature) :+
       label.cast("double").as("label"): _*)
       .transform(graft.Ckpt.truncate(_))
     val model = cv.fit(data)
@@ -158,7 +169,7 @@ object Train {
     * pass, like comboScore). Returns (prediction, label) rows. */
   def oneVsOne(df: DataFrame, features: Seq[String], label: Column,
                maxIter: Int = 20): DataFrame = {
-    val data = df.select(features.map(col) :+
+    val data = df.select(features.map(finiteFeature) :+
       label.cast("double").as("label"): _*)
     val classes = data.select("label").distinct()
       .collect().map(_.getDouble(0)).sorted

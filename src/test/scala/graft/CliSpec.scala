@@ -1220,4 +1220,67 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("arg fuzzer: random flag soups either parse to exactly the " +
+    "typed pairs or fail loudly — never a silently shifted, dropped, " +
+    "or last-wins-merged configuration; typo'd flags fail per-verb " +
+    "before any work") {
+    val rnd = new scala.util.Random(20260816L)
+    val flagPool = Seq("--data", "--catalog", "--out", "--filter",
+      "--filtersep", "--n", "--target", "--badtypo", "--fitler")
+    val valuePool = Seq("x.parquet", "/tmp/p with space/f.json", "a;b",
+      "'quoted'", "--", "7", "", "日本語", "a|b")
+    (0 until 400).foreach { _ =>
+      val toks = (0 until rnd.nextInt(7)).map { _ =>
+        if (rnd.nextBoolean()) flagPool(rnd.nextInt(flagPool.length))
+        else valuePool(rnd.nextInt(valuePool.length))
+      }.toArray
+      // reference semantics: strict '--flag value' pairs, no duplicates
+      val ps = toks.grouped(2).toSeq
+      val expected: Option[Map[String, String]] =
+        if (ps.forall(p => p.length == 2 && p(0).startsWith("--") &&
+          !p(1).startsWith("--"))) {
+          val kv = ps.map(p => p(0).drop(2) -> p(1))
+          if (kv.map(_._1).distinct.length == kv.length) Some(kv.toMap)
+          else None
+        } else None
+      (expected, scala.util.Try(Cli.parseArgs(toks))) match {
+        case (Some(m), scala.util.Success(got)) =>
+          assert(got === m, s"args=[${toks.mkString(" ")}]")
+        case (None, scala.util.Failure(e)) =>
+          assert(e.isInstanceOf[IllegalArgumentException],
+            s"args=[${toks.mkString(" ")}] threw ${e.getClass}")
+        case (exp, got) =>
+          fail(s"args=[${toks.mkString(" ")}] expected=$exp got=$got")
+      }
+    }
+    // duplicate flags fail loudly instead of last-wins
+    val dup = intercept[IllegalArgumentException](
+      Cli.parseArgs(Array("--data", "a", "--data", "b")))
+    assert(dup.getMessage.contains("--data"))
+    // parse is order-independent
+    assert(Cli.parseArgs(Array("--a", "1", "--b", "2")) ===
+      Cli.parseArgs(Array("--b", "2", "--a", "1")))
+    // the per-verb audit rejects a typo'd flag BEFORE any work, for
+    // every verb, with the flag named
+    Cli.VerbFlags.keys.foreach { v =>
+      val e = intercept[IllegalArgumentException](
+        Cli.run(spark, v, Map("definitelynotaflag" -> "1")))
+      assert(e.getMessage.contains("definitelynotaflag"),
+        s"verb $v: ${e.getMessage}")
+    }
+    // a verb's own known flags pass the audit (later failures are
+    // allowed — bogus values — but never as 'unknown flag')
+    Cli.VerbFlags.foreach { case (v, fl) =>
+      fl.foreach { f =>
+        scala.util.Try(
+          Cli.run(spark, v, Map(f -> "zz_nonexistent_94"))) match {
+          case scala.util.Failure(e: IllegalArgumentException) =>
+            assert(!e.getMessage.contains("unknown flag"),
+              s"$v --$f: ${e.getMessage}")
+          case _ => ()
+        }
+      }
+    }
+  }
+
 }

@@ -616,6 +616,55 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(IngestIndex.readManifest(spark, idx).maxCompacted === 0L)
   }
 
+  test("S3A lease enforcement: acquiring the writer lease on a " +
+    "non-atomic store scheme (s3a/s3n) fails loudly at acquisition; " +
+    "the explicit allowNonAtomicStore waiver (per-call param from the " +
+    "session conf, or the Hadoop conf key for external writers) " +
+    "re-admits it") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_s3a").toString
+    // the LeaseProbe seam takes an explicit FileSystem, so a local FS
+    // masquerading as s3a drills the probe without a real object store
+    class FakeScheme(scheme: String)
+        extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = scheme
+    }
+    def mk(scheme: String, allowViaConf: Boolean) = {
+      val fs = new FakeScheme(scheme)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      if (allowViaConf)
+        conf.setBoolean("graft.lease.allowNonAtomicStore", true)
+      fs.initialize(java.net.URI.create("file:///"), conf)
+      fs
+    }
+    val e = intercept[IllegalStateException] {
+      IngestIndex.withWriterLeaseFs(mk("s3a", allowViaConf = false), idx) {
+        fail("body must not run on a refused store")
+      }
+    }
+    assert(e.getMessage.contains("allowNonAtomicStore"),
+      s"refusal must name the waiver conf, got: ${e.getMessage}")
+    intercept[IllegalStateException] {
+      IngestIndex.withWriterLeaseFs(mk("s3n", allowViaConf = false), idx)(())
+    }
+    // per-call waiver — the channel withWriterLease feeds from
+    // spark.sql.graft.lease.allowNonAtomicStore
+    var ran = false
+    IngestIndex.withWriterLeaseFs(mk("s3a", allowViaConf = false), idx,
+      allowNonAtomic = true) { ran = true }
+    assert(ran, "waived acquisition must run the body")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idx, "_writer.lease")),
+      "waived acquisition still releases")
+    // Hadoop-conf waiver — the external-writer (no SparkSession) channel
+    var ran2 = false
+    IngestIndex.withWriterLeaseFs(mk("s3a", allowViaConf = true), idx) {
+      ran2 = true
+    }
+    assert(ran2)
+    // a normal local-FS acquisition is untouched by the probe
+    IngestIndex.withWriterLease(spark, idx)(())
+  }
+
   test("corruption fails fast: a manifest-referenced run dir missing " +
     "on disk throws instead of silently probing without it, and a " +
     "legacy single-base manifest is refused outright") {
