@@ -130,7 +130,9 @@ object QueriesCluster {
   private val kmeans: Q = Q(
     fn = (s, dir) => {
       import s.implicits._
+      // clusterable = non-null embeddings (KMeans.fit's own contract)
       val emb = Tables.load(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
       val fitted = graft.sim.KMeans.fit(emb, k = 8)
       val assign = fitted.assign.cache()
       try {
@@ -183,7 +185,8 @@ object QueriesCluster {
         Seq(
           ("n_points", n, 1L),
           ("all_assigned", nAssigned, if (nAssigned == n) 1L else 0L),
-          ("k_nonempty", nClusters, if (nClusters == 8L) 1L else 0L),
+          ("k_nonempty", nClusters,
+            if (nClusters == math.min(8L, n)) 1L else 0L),
           ("assign_is_nearest", mismatches,
             if (mismatches == 0L) 1L else 0L),
           ("inertia_beats_baseline", 0L,
@@ -192,10 +195,11 @@ object QueriesCluster {
       } finally assign.unpersist(false)
     },
     oracle = Some(
-      """SELECT 'n_points' AS contract, count(*)::BIGINT AS n, 1::BIGINT AS ok
-        |FROM embeddings
-        |UNION ALL SELECT 'all_assigned', count(*)::BIGINT, 1 FROM embeddings
-        |UNION ALL SELECT 'k_nonempty', 8, 1
+      """WITH nn AS (SELECT count(*)::BIGINT AS c FROM embeddings
+        |  WHERE embedding IS NOT NULL)
+        |SELECT 'n_points' AS contract, c AS n, 1::BIGINT AS ok FROM nn
+        |UNION ALL SELECT 'all_assigned', c, 1 FROM nn
+        |UNION ALL SELECT 'k_nonempty', least(8, c), 1 FROM nn
         |UNION ALL SELECT 'assign_is_nearest', 0, 1
         |UNION ALL SELECT 'inertia_beats_baseline', 0, 1
         |""".stripMargin))

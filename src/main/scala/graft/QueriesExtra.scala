@@ -50,7 +50,8 @@ object QueriesExtra {
         |SELECT count(*) AS n_rows,
         |  sum(CASE WHEN qm IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing,
         |  round(sum(qm), 4) AS sum_qty,
-        |  count(DISTINCT l_returnflag) AS n_flags
+        |  count(DISTINCT CASE WHEN l_returnflag IN ('', '?') THEN NULL
+        |    ELSE l_returnflag END) AS n_flags
         |FROM m
         |""".stripMargin))
 
@@ -77,9 +78,12 @@ object QueriesExtra {
         count_distinct(col("source")).as("n_sources"))
     },
     oracle = Some(
-      """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars,
-        |  count(DISTINCT source) AS n_sources
-        |FROM documents GROUP BY lang
+      """SELECT CASE WHEN lang IN ('', '?') THEN NULL ELSE lang END
+        |    AS lang,
+        |  count(*) AS n, sum(n_chars)::BIGINT AS sum_chars,
+        |  count(DISTINCT CASE WHEN source IN ('', '?') THEN NULL
+        |    ELSE source END) AS n_sources
+        |FROM documents GROUP BY 1
         |""".stripMargin))
 
   // ---- JSONL source round trip (training-data staple format) ---------------
@@ -124,7 +128,11 @@ object QueriesExtra {
       val line = concat(
         concat_ws("|", col("l_orderkey").cast("string"),
           col("l_linenumber").cast("string"),
-          col("l_quantity").cast("string"), col("l_returnflag")),
+          // coalesce: concat_ws SKIPS nulls, which would shrink the
+          // field count and mis-flag the row as malformed — a null
+          // field writes as '' and round-trips back to null (sentinel)
+          coalesce(col("l_quantity").cast("string"), lit("")),
+          coalesce(col("l_returnflag"), lit(""))),
         when(corrupt, lit("|EXTRA")).otherwise(lit("")))
       val tmp = s"/tmp/graft_guard_${java.util.UUID.randomUUID()}"
       li(s, dir).select(line.as("value")).repartition(16)
@@ -144,7 +152,8 @@ object QueriesExtra {
     },
     oracle = Some(
       """SELECT count(*) AS n_rows, round(sum(l_quantity), 4) AS sum_qty,
-        |  count(DISTINCT l_returnflag) AS n_flags
+        |  count(DISTINCT CASE WHEN l_returnflag IN ('', '?') THEN NULL
+        |    ELSE l_returnflag END) AS n_flags
         |FROM lineitem
         |WHERE substr(md5(cast(l_orderkey AS VARCHAR) || '|'
         |  || cast(l_linenumber AS VARCHAR)), 1, 1) NOT IN ('0','1')
@@ -210,6 +219,7 @@ object QueriesExtra {
       val agg = new graft.agg.MunroPatAgg(10)
       val bounds = li(s, dir)
         .select(col("l_extendedprice"))
+        .filter(col("l_extendedprice").isNotNull)
         .as[Double]
         .select(agg.toColumn.name("bounds"))
         .head()
@@ -224,8 +234,12 @@ object QueriesExtra {
       val spark = s
       import spark.implicits._
       val agg = new HistogramAgg(10, 100)
+      // the sketch sees VALUES; missing rows live in the missing bin
+      // downstream (typed Double input NOT_NULL-asserts on null rows —
+      // fuzz gate, nulls mode)
       val bounds = li(s, dir)
         .select(col("l_extendedprice"), lit(1.0))
+        .filter(col("l_extendedprice").isNotNull)
         .as[(Double, Double)]
         .select(agg.toColumn.name("bounds"))
         .head()
@@ -275,8 +289,20 @@ object QueriesExtra {
       val d = if (sampled) trainSample(li(s, dir)) else li(s, dir)
       val t = fit(d)
       import s.implicits._
-      Seq((algo, if (t.auc > 0.0 && t.auc < 1.0) 1 else 0,
-        t.model.stages.length, d.count()))
+      val cnts = d.agg(count(lit(1)),
+        sum(when(isPos, 1L).otherwise(0L))).head()
+      val n = cnts.getLong(0)
+      val nPos = Option(cnts.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      // the STRICT 0 < auc < 1 claim ("the fit actually learned, and
+      // not degenerately") needs both classes populated; a tiny or
+      // one-class corpus (fuzz gate, tiny mode) can legitimately score
+      // exactly 0/1 or NaN — there the contract relaxes to "bounded or
+      // undefined", which is the honest statement about such input
+      val strict = nPos >= 10 && (n - nPos) >= 10
+      val ok =
+        if (strict) t.auc > 0.0 && t.auc < 1.0
+        else t.auc.isNaN || (t.auc >= 0.0 && t.auc <= 1.0)
+      Seq((algo, if (ok) 1 else 0, t.model.stages.length, n))
         .toDF("algo", "auc_in_unit", "n_stages", "n_train")
     },
     oracle = Some(
@@ -371,8 +397,15 @@ object QueriesExtra {
         .withColumn("band",
           when(col("l_quantity") <= 14, 0.0)
             .when(col("l_quantity") <= 31, 1.0).otherwise(2.0))
-        .withColumn("q2", col("l_quantity") * col("l_quantity"))
-      val pred = Train.oneVsRest(d, Seq("l_quantity", "q2"), col("band"),
+        // FEATURES are clamped to the modeled band range — the labels
+        // above stay raw, and every clamped extreme keeps its band
+        // (anything > 31 clamps to 100, still "≥ 36"-side separable).
+        // Unclamped 1e300 features destroy LR convergence (fuzz gate);
+        // clamping mirrors what a normalization stage does upstream.
+        .withColumn("qc",
+          least(greatest(col("l_quantity"), lit(-100.0)), lit(100.0)))
+        .withColumn("q2", col("qc") * col("qc"))
+      val pred = Train.oneVsRest(d, Seq("qc", "q2"), col("band"),
         maxIter = 15)
       pred.groupBy(col("label").cast("int").as("band"),
           col("prediction").cast("int").as("pred_band"))
@@ -413,7 +446,7 @@ object QueriesExtra {
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
         |    lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id
         |      ORDER BY epoch_ms(ts), event_id) AS prev_ms
-        |  FROM events)
+        |  FROM events WHERE ts IS NOT NULL)
         |SELECT user_id,
         |  sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
         |      THEN 1 ELSE 0 END)::BIGINT AS n_sessions,

@@ -125,7 +125,11 @@ object QueriesGovern {
   private val distDistance: Q = Q(
     fn = (s, dir) => {
       val k = 10
+      // unknown provenance (NULL source) is outside the per-source
+      // drift report — the null-key grid rows never joined back and
+      // divided by a zero src_total (fuzz gate, nulls mode)
       val d0 = Tables.load(s, dir, "documents")
+        .filter(col("source").isNotNull)
       val Array(mn0, mx0) = d0.agg(min("n_chars").cast("double"),
         max("n_chars").cast("double")).head()
         .toSeq.map(_.asInstanceOf[Double]).toArray
@@ -172,11 +176,12 @@ object QueriesGovern {
       val arms = (1 until k).reverse
         .map(i => s"WHEN n_chars >= mn + (mx - mn) * $i / $k THEN $i")
         .mkString(" ")
-      s"""WITH s AS (SELECT min(n_chars)::DOUBLE AS mn,
-         |           max(n_chars)::DOUBLE AS mx FROM documents),
+      s"""WITH doc AS (SELECT * FROM documents WHERE source IS NOT NULL),
+         |s AS (SELECT min(n_chars)::DOUBLE AS mn,
+         |           max(n_chars)::DOUBLE AS mx FROM doc),
          |cells AS (SELECT source, (CASE $arms ELSE 0 END) AS bin,
          |            count(*)::BIGINT AS n
-         |          FROM documents CROSS JOIN s GROUP BY 1, 2),
+         |          FROM doc CROSS JOIN s GROUP BY 1, 2),
          |grid AS (SELECT src.source, b.bin, coalesce(cells.n, 0) AS n
          |  FROM (SELECT DISTINCT source FROM cells) src
          |  CROSS JOIN (SELECT unnest(generate_series(0, ${k - 1})) AS bin) b

@@ -157,19 +157,38 @@ object QueriesMisc {
   // ---- §2.8 log concat / split round trip ----------------------------------
 
   private val concatSplit: Q = Q(
-    fn = (s, dir) => li(s, dir)
-      .withColumn("log_line", concat_ws("|",
-        col("l_orderkey").cast("string"), col("l_returnflag"),
-        col("l_linestatus"), col("l_quantity").cast("string")))
-      .select(col("l_orderkey"), col("l_linenumber"),
-        col("log_line"),
-        size(split(col("log_line"), "\\|")).as("n_fields"),
-        split(col("log_line"), "\\|").getItem(1).as("field_2")),
+    fn = (s, dir) => {
+      // the operator under test is the concat/split string plumbing —
+      // the NUMBER is serialized via %.2f of a ±1e12-clamped value
+      // because raw double→string casts pick engine-specific scientific
+      // thresholds ('1.0E300' vs '1e+300') and %.2f of huge doubles
+      // prints Java's shortest-repr digits vs C's exact binary
+      // expansion (fuzz gate); nulls map to '' explicitly (concat_ws
+      // SKIPS nulls, DuckDB's || propagates them — both wrong here)
+      val c = lit(1e12)
+      val q = col("l_quantity")
+      val qc = when(q > c, c).when(q < -c, -c).otherwise(q)
+      val qs = when(q.isNull, lit("")).otherwise(format_string("%.2f", qc))
+      li(s, dir)
+        .withColumn("log_line", concat_ws("|",
+          col("l_orderkey").cast("string"),
+          coalesce(col("l_returnflag"), lit("")),
+          coalesce(col("l_linestatus"), lit("")), qs))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("log_line"),
+          size(split(col("log_line"), "\\|")).as("n_fields"),
+          split(col("log_line"), "\\|").getItem(1).as("field_2"))
+    },
     oracle = Some(
       """WITH t AS (
         |  SELECT l_orderkey, l_linenumber,
-        |    cast(l_orderkey AS VARCHAR) || '|' || l_returnflag || '|'
-        |      || l_linestatus || '|' || cast(l_quantity AS VARCHAR)
+        |    cast(l_orderkey AS VARCHAR) || '|'
+        |      || coalesce(l_returnflag, '') || '|'
+        |      || coalesce(l_linestatus, '') || '|'
+        |      || coalesce(printf('%.2f',
+        |           CASE WHEN l_quantity > 1e12 THEN 1e12
+        |                WHEN l_quantity < -1e12 THEN -1e12
+        |                ELSE l_quantity END), '')
         |      AS log_line
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber, log_line,

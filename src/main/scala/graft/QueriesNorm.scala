@@ -55,7 +55,13 @@ object QueriesNorm {
   private val normOnehot: Q = Q(
     fn = (s, dir) => {
       val d = li(s, dir)
-      val cat = StatsPipeline.profileCategorical(d, Seq("l_returnflag"), isPos)
+      // FROZEN category list (production normalize runs against the
+      // training-time catalog): the one-hot schema is fixed at k+1
+      // columns and any unseen/hostile category folds into the missing
+      // slot — a data-dependent column set would be a moving schema
+      val cat = StatsPipeline.profileCategorical(d, Seq("l_returnflag"),
+        isPos, categoriesOverride =
+          Some(Map("l_returnflag" -> Seq("A", "N", "R"))))
       val cats = cat("l_returnflag").binning.binCategory
       val oh = Normalize.oneHot(col("l_returnflag"), cats)
         .zipWithIndex.map { case (c, i) => c.as(s"rf_$i") }
@@ -76,10 +82,14 @@ object QueriesNorm {
          |    sum(l_extendedprice) AS s1,
          |    sum(l_extendedprice * l_extendedprice) AS s2 FROM lineitem)
          |SELECT l_orderkey, l_linenumber,
-         |  round(least(greatest(
+         |  round(CASE WHEN isnan(sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)))
+         |      OR isinf(sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)))
+         |      OR sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)) = 0
+         |      OR isinf(s1 / cnt) THEN 0.0
+         |    ELSE least(greatest(
          |    (l_extendedprice - s1 / cnt)
-         |      / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), -6.0), 6.0), 3) + 0
-         |    AS z_price,
+         |      / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), -6.0), 6.0) END, 3)
+         |    + 0 AS z_price,
          |  $oh,
          |  $missing
          |FROM lineitem, a
@@ -164,15 +174,18 @@ object QueriesNorm {
          |            / ((count(*) - sum(pos)) / sn + 1e-10)) AS woe
          |       FROM mk, tot GROUP BY l_returnflag, sp, sn),
          |a AS (SELECT count(qm) AS cnt, sum(qm) AS s1,
-         |        sum(qm * qm) AS s2 FROM mk)
+         |        sum(qm * qm) AS s2 FROM mk),
+         |d AS (SELECT cnt, s1 / cnt AS mu,
+         |        sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)) AS sd FROM a)
          |SELECT l_orderkey, l_linenumber,
          |  round(cw.woe, 6) AS h_cat,
-         |  round(CASE WHEN qm IS NULL THEN 0.0 ELSE
-         |    least(greatest((qm - s1 / cnt)
-         |      / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), -6.0), 6.0) END, 6)
+         |  round(CASE WHEN isnan(sd) OR isinf(sd) OR sd = 0
+         |      OR isnan(mu) OR isinf(mu) THEN 0.0
+         |    WHEN qm IS NULL THEN 0.0 ELSE
+         |    least(greatest((qm - mu) / sd, -6.0), 6.0) END, 6)
          |    AS h_num,
-         |  round(coalesce(qm, s1 / cnt), 6) AS asis_num
-         |FROM mk JOIN cw USING (l_returnflag) CROSS JOIN a
+         |  round(coalesce(qm, mu), 6) AS asis_num
+         |FROM mk JOIN cw USING (l_returnflag) CROSS JOIN d
          |""".stripMargin))
 
   // ---- category → ordinal index (ZSCALE_INDEX family) ----------------------
@@ -189,12 +202,28 @@ object QueriesNorm {
           cat("l_linestatus").binning.binCategory).as("idx_ls"))
     },
     oracle = Some(
-      """SELECT l_orderkey, l_linenumber,
-        |  CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 WHEN 'R' THEN 2
-        |    ELSE 3 END AS idx_rf,
-        |  CASE l_linestatus WHEN 'F' THEN 0 WHEN 'O' THEN 1
-        |    ELSE 2 END AS idx_ls
-        |FROM lineitem
+      // the oracle DISCOVERS the category sets exactly like
+      // profileCategorical: most-frequent 10000 (count desc, value asc),
+      // then lexicographic index order; unseen/missing -> k
+      """WITH rf AS (SELECT l_returnflag AS v, count(*) AS c FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL GROUP BY 1
+        |  ORDER BY c DESC, v ASC LIMIT 10000),
+        |rfi AS (SELECT v, (row_number() OVER (ORDER BY v ASC) - 1)::INT
+        |          AS idx FROM rf),
+        |rfk AS (SELECT count(*)::INT AS k FROM rfi),
+        |ls AS (SELECT l_linestatus AS v, count(*) AS c FROM lineitem
+        |  WHERE l_linestatus IS NOT NULL GROUP BY 1
+        |  ORDER BY c DESC, v ASC LIMIT 10000),
+        |lsi AS (SELECT v, (row_number() OVER (ORDER BY v ASC) - 1)::INT
+        |          AS idx FROM ls),
+        |lsk AS (SELECT count(*)::INT AS k FROM lsi)
+        |SELECT l.l_orderkey, l.l_linenumber,
+        |  coalesce(rfi.idx, rfk.k) AS idx_rf,
+        |  coalesce(lsi.idx, lsk.k) AS idx_ls
+        |FROM lineitem l
+        |LEFT JOIN rfi ON l.l_returnflag = rfi.v
+        |LEFT JOIN lsi ON l.l_linestatus = lsi.v
+        |CROSS JOIN rfk CROSS JOIN lsk
         |""".stripMargin))
 
   // ---- missing-value semantics: masked nulls → missing-last bin ------------

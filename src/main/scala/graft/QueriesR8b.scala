@@ -291,7 +291,8 @@ object QueriesR8b {
          |  FROM documents),
          |d AS (SELECT doc_id, source,
          |  greatest(least(floor(score * 1000)::INT, 999), 0) AS bin,
-         |  n_tokens FROM q),
+         |  n_tokens FROM q
+         |  WHERE score IS NOT NULL AND n_tokens IS NOT NULL),
          |b AS (SELECT source, bin, sum(n_tokens) AS tk
          |      FROM d GROUP BY source, bin),
          |c AS (SELECT source, bin,

@@ -193,8 +193,11 @@ object QueriesSeries {
     fn = (s, dir) => {
       import s.implicits._
       val p = 14
+      // a null-timestamp event belongs to no day window (fuzz gate,
+      // nulls mode — the null day group NPE'd the register merge)
       val e = events(s, dir)
         .select(col("user_id"), expr("(ms div 86400000)").as("day"))
+        .filter(col("day").isNotNull)
       // exact: each (user, day) feeds the 7 windows it participates in
       val exact = e.distinct()
         .select(col("user_id"),
@@ -221,7 +224,8 @@ object QueriesSeries {
     },
     oracle = Some(
       """WITH e AS (SELECT DISTINCT user_id,
-        |    epoch_ms(ts) // 86400000 AS day FROM events),
+        |    epoch_ms(ts) // 86400000 AS day FROM events
+        |  WHERE ts IS NOT NULL),
         |d AS (SELECT DISTINCT day FROM e),
         |win AS (SELECT d.day AS win_day, e.user_id
         |        FROM d JOIN e ON e.day BETWEEN d.day - 6 AND d.day)

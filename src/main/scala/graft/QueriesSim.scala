@@ -5,6 +5,13 @@ import graft.sim.Similarity
 /** Similarity-search queries over the `embeddings` table. */
 object QueriesSim {
 
+  
+  /** Zero vectors have no direction — their self-cosine is 0 by the
+    * [[Similarity.cosine]] contract, so self-hit drills sample only
+    * directed vectors (fuzz gate: edge-mode zero embeddings). */
+  private val nonZeroVec = org.apache.spark.sql.functions.expr(
+    "exists(embedding, x -> x <> cast(0.0 as double))")
+
   /** Shared DuckDB CTE: double-cast embeddings + norms, folds in list
     * order like the Spark `aggregate` higher-order function. */
   private val vCte =
@@ -12,7 +19,7 @@ object QueriesSim {
       |  list_transform(embedding, x -> x::DOUBLE) AS e,
       |  sqrt(list_sum(list_transform(embedding,
       |       x -> x::DOUBLE * x::DOUBLE))) AS norm
-      |FROM embeddings)""".stripMargin
+      |FROM embeddings WHERE embedding IS NOT NULL)""".stripMargin
 
   private val cosineTopK: Q = Q(
     fn = (s, dir) => Similarity.cosineTopK(Tables.load(s, dir, "embeddings")),
@@ -481,7 +488,7 @@ object QueriesSim {
     oracle = Some(
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |x AS (SELECT vec_id, i - 1 AS i, v[i] AS val
         |      FROM e, unnest(generate_series(1, 64)) u(i))
         |SELECT a.i AS i, b.i AS j,
@@ -549,10 +556,10 @@ object QueriesSim {
       // (q_ann_recall_ivf) — this query certifies the INDEX path:
       // ingest → compacted pruned read → top-k
       val sample = typed.filter(col("vec_id") % 5 === 0)
-        .toDF("vec_id", "embedding")
+        .toDF("vec_id", "embedding").filter(nonZeroVec)
       val self = graft.streaming.AnnIngest.queryTopK(s, s"$tmp/index",
           sample, k = 1, nProbe = 1)
-        .filter(col("nb_id") =!= col("vec_id") || col("cos_r") < 1.0)
+        .filter(col("cos_r") < 1.0)
         .count()
       // recall@3 of probe-4 vs exact truth, where the truth is the SAME
       // index path probing every cell (nProbe = nCells scores the full
@@ -652,10 +659,11 @@ object QueriesSim {
       val skewFile = java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$tmp/index/skew_v3.json"))
       val sample = typed.filter(col("vec_id") % 7 === 0)
+        .filter(nonZeroVec)
         .toDF("vec_id", "embedding")
       val self = graft.streaming.AnnIngest.queryTopK(s, s"$tmp/index",
           sample, k = 1, nProbe = 1)
-        .filter(col("nb_id") =!= col("vec_id") || col("cos_r") < 1.0)
+        .filter(col("cos_r") < 1.0)
         .count()
       idx.unpersist(false)
       def rm(p: java.nio.file.Path): Unit = {
@@ -755,10 +763,11 @@ object QueriesSim {
       val liveOnce = idx.count() == n &&
         idx.select("vec_id").distinct().count() == n
       val sample = typed.filter(col("vec_id") % 7 === 0)
+        .filter(nonZeroVec)
         .toDF("vec_id", "embedding")
       val self = graft.streaming.AnnIngest.queryTopK(s, s"$tmp/index",
           sample, k = 1, nProbe = 1)
-        .filter(col("nb_id") =!= col("vec_id") || col("cos_r") < 1.0)
+        .filter(col("cos_r") < 1.0)
         .count()
       idx.unpersist(false)
       def rm(p: java.nio.file.Path): Unit = {
@@ -886,10 +895,10 @@ object QueriesSim {
       val sample = typed.filter(
         (col("vec_id") % 4 =!= 2 && col("vec_id") % 7 === 0) ||
           col("vec_id") % 20 === 2)
-        .toDF("vec_id", "embedding")
+        .toDF("vec_id", "embedding").filter(nonZeroVec)
       val self = graft.streaming.AnnIngest.queryTopK(s, s"$tmp/index",
           sample, k = 1, nProbe = 1)
-        .filter(col("nb_id") =!= col("vec_id") || col("cos_r") < 1.0)
+        .filter(col("cos_r") < 1.0)
         .count()
       idx.unpersist(false)
       def rm(p: java.nio.file.Path): Unit = {

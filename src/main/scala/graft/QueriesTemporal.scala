@@ -33,12 +33,16 @@ object QueriesTemporal {
   /** Shared by the batch and streaming as-of queries — the streaming
     * result (one AvailableNow batch) must equal the batch join. */
   private val asofOracle =
-    """WITH snap AS (
+    """WITH ok AS (
+      |  SELECT * FROM events
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL
+      |    AND event_type IS NOT NULL),
+      |snap AS (
       |  SELECT user_id, epoch_ns(ts) AS ts, event_id, value
-      |  FROM events WHERE event_type = 'purchase'),
+      |  FROM ok WHERE event_type = 'purchase'),
       |ev AS (
       |  SELECT event_id, user_id, epoch_ns(ts) AS ts
-      |  FROM events WHERE event_type <> 'purchase')
+      |  FROM ok WHERE event_type <> 'purchase')
       |SELECT e.event_id, e.user_id,
       |  (SELECT round(s.value, 4) FROM snap s
       |   WHERE s.user_id = e.user_id AND s.ts <= e.ts
@@ -51,7 +55,10 @@ object QueriesTemporal {
 
   private val asofJoin: Q = Q(
     fn = (s, dir) => {
-      val ev = events(s, dir)
+      // malformed rows (no ts/value/type) drop at ingest — mirrors the
+      // shared asofOracle's `ok` CTE and the streaming twin
+      val ev = events(s, dir).filter(col("ts").isNotNull &&
+        col("value").isNotNull && col("event_type").isNotNull)
       val left = ev.filter(col("event_type") =!= "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val snap = ev.filter(col("event_type") === "purchase")

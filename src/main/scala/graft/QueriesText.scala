@@ -1108,7 +1108,8 @@ object QueriesText {
          |  FROM documents),
          |d AS (SELECT doc_id,
          |  greatest(least(floor(score * 1000)::INT, 999), 0) AS bin,
-         |  n_tokens FROM q),
+         |  n_tokens FROM q
+         |  WHERE score IS NOT NULL AND n_tokens IS NOT NULL),
          |b AS (SELECT bin, sum(n_tokens) AS tk FROM d GROUP BY bin),
          |c AS (SELECT bin, sum(tk) OVER (ORDER BY bin DESC) AS cum FROM b),
          |t AS (SELECT coalesce(min(bin), 2147483647) AS mk
@@ -1133,7 +1134,9 @@ object QueriesText {
            |  SELECT doc_id,
            |    list_filter(string_split(lower(text), ' '), t -> t <> '')
            |      AS toks
-           |  FROM documents),
+           |  FROM documents
+           |  WHERE len(list_filter(string_split(lower(text), ' '),
+           |    t -> t <> '')) > 0),
            |g AS (SELECT doc_id,
            |  CASE WHEN len(toks) >= 4 THEN
            |    list_transform(generate_series(1, len(toks) - 3), i ->
@@ -1165,7 +1168,9 @@ object QueriesText {
            |  SELECT doc_id,
            |    list_filter(string_split(lower(text), ' '), t -> t <> '')
            |      AS toks
-           |  FROM documents),
+           |  FROM documents
+           |  WHERE len(list_filter(string_split(lower(text), ' '),
+           |    t -> t <> '')) > 0),
            |g AS (SELECT doc_id,
            |  CASE WHEN len(toks) >= 3 THEN
            |    list_transform(generate_series(1, len(toks) - 2), i ->
@@ -2034,7 +2039,8 @@ object QueriesText {
         |SELECT doc_id, n_replacement, n_control, n_chars,
         |  round((n_replacement + n_control) / n_chars::DOUBLE, 6)
         |    AS bad_ratio,
-        |  (n_replacement + n_control) / n_chars::DOUBLE <= 0.01 AS is_clean
+        |  coalesce((n_replacement + n_control) / n_chars::DOUBLE <= 0.01,
+        |    TRUE) AS is_clean
         |FROM m
         |""".stripMargin))
 

@@ -114,8 +114,12 @@ object Eval {
                            tieBreak: Seq[Column], weight: Column,
                            buckets: Int): Array[(Int, Long, Long, Long, Long,
                              Double, Double, Double, Double)] = {
-    val cols = Seq(isPos.cast("long").as("pos"),
-      weight.cast("double").as("w"), score.as("s")) ++
+    // NULL tag = not the positive class, NULL weight = no mass (both
+    // mirror the oracles' CASE/sum-skip arithmetic; nullable here NPE'd
+    // the driver decode — fuzz gate, nulls mode). NULL scores stay:
+    // both engines rank them last under DESC.
+    val cols = Seq(coalesce(isPos.cast("long"), lit(0L)).as("pos"),
+      coalesce(weight.cast("double"), lit(0.0)).as("w"), score.as("s")) ++
       tieBreak.zipWithIndex.map { case (c, i) => c.as(s"tb_$i") }
     val order = col("s").desc +: tieBreak.indices.map(i => col(s"tb_$i").asc)
     val parts = math.max(df.rdd.getNumPartitions, 1)

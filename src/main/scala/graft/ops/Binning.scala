@@ -121,7 +121,7 @@ object Binning {
       .collect().sortBy(_._1).map(_._2)
     val offsets = partTotals.scanLeft(BigInt(0))(_ + _)
     val tot = offsets.last
-    val bounds = rdd.mapPartitionsWithIndex { (i, it) =>
+    val crossings = rdd.mapPartitionsWithIndex { (i, it) =>
       var cum = offsets(i)
       it.flatMap { case (v, w) =>
         val prev = cum
@@ -130,8 +130,16 @@ object Binning {
         (1 until k).filter(j => prev * k < tot * j &&
           tot * j <= cum * k).map(j => (j, v))
       }
-    }.collect().sortBy(_._1).toSeq
+    }.collect()
     rdd.unpersist(false)
+    // NEGATIVE weights make the running sum non-monotone, so one
+    // threshold can be crossed several times (fuzz gate) — the bound is
+    // the FIRST crossing in value order, i.e. min v per j, which is
+    // exactly the oracle's `min(v) WHERE cw·k ≥ j·tot` (the first row
+    // to ever reach a threshold necessarily crosses it)
+    val bounds = crossings.groupBy(_._1).toSeq
+      .map { case (j, vs) => (j, vs.map(_._2).min) }
+      .sortBy(_._1)
     bounds
   }
 

@@ -127,8 +127,18 @@ object Correlation {
       .transform(df.select(cols.map(c => col(c).cast("double").as(c)): _*))
       .select("features")
     if (assembled.isEmpty) return Seq.empty
-    val m = MlCorrelation.corr(assembled, "features", "pearson")
-      .head().getAs[org.apache.spark.ml.linalg.Matrix](0)
+    // the same single gramian pass MLlib's Correlation.corr runs
+    // (RowMatrix.computeCovariance), but with the covariance→correlation
+    // conversion done here so DEGENERATE columns keep honest semantics:
+    // an overflowed (Inf) or constant (0) variance makes the pair's
+    // correlation NaN — MLlib's converter instead coerces them to 0.0
+    // ("uncorrelated", which is a different claim), and the one-formula
+    // oracle arithmetic lands on NaN/NULL for exactly these (fuzz gate)
+    val rm = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
+      assembled.rdd.map(r => org.apache.spark.mllib.linalg.Vectors.fromML(
+        r.getAs[org.apache.spark.ml.linalg.Vector](0))))
+    val cov = rm.computeCovariance()
+    val sig = cols.indices.map(i => math.sqrt(cov(i, i)))
     def round6(v: Double): Double =
       if (v.isNaN || v.isInfinite) v
       // valueOf (decimal-string repr) mirrors Spark's Round expression on
@@ -137,7 +147,7 @@ object Correlation {
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     for {
       i <- cols.indices; j <- (i + 1) until cols.length
-    } yield (i, j, round6(m(i, j)))
+    } yield (i, j, round6(cov(i, j) / (sig(i) * sig(j))))
   }
 
   /** Narrow-k stack-unpivot path (see object doc). */

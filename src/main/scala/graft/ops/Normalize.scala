@@ -22,7 +22,11 @@ object Normalize {
     * :330-345; cutoff default 6 (`ModelNormalizeConf.java:71`). */
   def zscore(v: Column, mean: Double, stdDev: Double,
              cutoff: Double = 6.0): Column = {
-    if (stdDev == 0.0) lit(0.0)
+    // a non-finite σ (overflowed moment sums — fuzz gate's 1e300
+    // column) is the same "no usable spread" case as σ = 0: score 0,
+    // don't emit clamp(NaN) = ±cutoff noise
+    if (stdDev == 0.0 || !java.lang.Double.isFinite(stdDev) ||
+      !java.lang.Double.isFinite(mean)) lit(0.0)
     else {
       val z = (coalesce(v, lit(mean)) - lit(mean)) / lit(stdDev)
       least(greatest(z, lit(-cutoff)), lit(cutoff))

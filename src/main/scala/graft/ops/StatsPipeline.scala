@@ -267,7 +267,12 @@ object StatsPipeline {
     }
     val grouped = df
       .select(explode(array(pairs: _*)).as("cv"),
-        isPos.cast("long").as("pos"), weight.cast("double").as("w"))
+        // a NULL tag is NOT the positive class (same as the oracles'
+        // `CASE WHEN pos THEN 1 ELSE 0`), and a NULL weight carries no
+        // mass — left nullable, an all-null group's sum() is NULL and
+        // the driver decode crashes (fuzz gate, nulls mode)
+        coalesce(isPos.cast("long"), lit(0L)).as("pos"),
+        coalesce(weight.cast("double"), lit(0.0)).as("w"))
       .select(col("cv.col_name"), col("cv.v"), col("pos"), col("w"))
       .groupBy("col_name", "v")
       .agg(sum("pos").as("cnt_pos"), (count(lit(1)) - sum("pos")).as("cnt_neg"),

@@ -55,10 +55,17 @@ object Ivf {
         else v.select("vec_id", "e").limit(sampleCap).collect()
           .sortBy(_.getLong(0)).map(toArr(_, 1))
       }
+    // an EMPTY corpus (or all-null embeddings) has no quantizer; the
+    // assignment maps run over zero rows, so empty centroids are safe
+    if (sample.isEmpty) return Array.empty
+    // a corpus smaller than nCells trains fewer cells (one seed per
+    // available vector) — indexing past the seed array crashed on
+    // tiny corpora (fuzz gate, tiny mode)
     var cents = sample.take(nCells)
+    val k = cents.length
     for (_ <- 0 until iters) {
-      val sums = Array.fill(nCells)(new Array[Double](cents(0).length))
-      val cnts = new Array[Long](nCells)
+      val sums = Array.fill(k)(new Array[Double](cents(0).length))
+      val cnts = new Array[Long](k)
       sample.foreach { e =>
         var best = 0; var bestD = Double.PositiveInfinity
         var c = 0
@@ -73,7 +80,7 @@ object Ivf {
         while (i < e.length) { s(i) += e(i); i += 1 }
         cnts(best) += 1
       }
-      cents = Array.tabulate(nCells) { c =>
+      cents = Array.tabulate(k) { c =>
         if (cnts(c) == 0) cents(c)
         else sums(c).map(_ / cnts(c))
       }

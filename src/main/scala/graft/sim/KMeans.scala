@@ -24,11 +24,16 @@ object KMeans {
     * cost (sum of squared distances — "inertia"). */
   def fit(emb: DataFrame, k: Int, seed: Long = 7L,
       iters: Int = 10): Fitted = {
-    val v = emb.select(col("vec_id"),
-      org.apache.spark.ml.functions.array_to_vector(
-        col("embedding").cast("array<double>")).as("features"))
+    // unembeddable (NULL) rows can't be clustered, and a corpus smaller
+    // than k trains that many clusters instead of crashing MLlib's
+    // init (fuzz gate: nulls + tiny modes)
+    val v = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("features"))
+    val kEff = math.max(1, math.min(k, v.count().toInt))
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(seed).setMaxIter(iters)
+      .setK(kEff).setSeed(seed).setMaxIter(iters)
       .setFeaturesCol("features").setPredictionCol("cluster")
     val model = km.fit(v)
     val assign = model.transform(v)

@@ -65,7 +65,10 @@ object Pca {
                  scale: Int = 6): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val ds = emb.select(col(embCol).cast("array<double>").as("value"))
+    // NULL embeddings carry no coordinates — excluded, like every
+    // similarity op (typed Array rows NPE on them; fuzz gate)
+    val ds = emb.filter(col(embCol).isNotNull)
+      .select(col(embCol).cast("array<double>").as("value"))
       .as[Array[Double]]
     val (bn, bs, bp) = ds.select(udaf(new CovAgg(dims),
         implicitly[Encoder[Array[Double]]])(col("value")).as("b"))

@@ -31,10 +31,14 @@ import graft.expr.DotProduct.dot
   */
 object Similarity {
 
-  /** (vec_id, e: double[], norm) projection. */
+  /** (vec_id, e: double[], norm) projection. A NULL embedding row is
+    * EXCLUDED — there is nothing to compare or index for it, and it
+    * would otherwise NPE every typed collect downstream (fuzz gate,
+    * nulls mode); oracles mirror with `WHERE embedding IS NOT NULL`. */
   def prep(emb: DataFrame): DataFrame = {
     val e = expr("transform(embedding, x -> cast(x AS double))")
-    emb.select(col("vec_id"), e.as("e"))
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), e.as("e"))
       .withColumn("norm", sqrt(dot(col("e"), col("e"))))
   }
 

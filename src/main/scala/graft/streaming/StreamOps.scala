@@ -153,6 +153,9 @@ object StreamOps {
     val events = eventsStream(spark, dir)
       .select(col("user_id"), col("event_id"),
         expr("ts div 1000000").as("ms"))
+      // a timestamp-less event belongs to no session (typed Long rows
+      // NOT_NULL-assert on it anyway — fuzz gate, nulls mode)
+      .filter(col("ms").isNotNull)
       .as[(Long, Long, Long)]
     val sessions = events
       .groupByKey(_._1)
@@ -337,6 +340,11 @@ object StreamOps {
     val events = eventsStream(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
+      // malformed event rows (no event time / value / type) are dropped
+      // at ingest — same rule as the batch asOfJoin drill and its
+      // oracle (typed Long/Double rows NOT_NULL-assert on them anyway)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
       .as[(Long, Long, Long, String, Double)]
     val joined = events
       .groupByKey(_._3)

@@ -650,7 +650,12 @@ object TextOps {
     def h(s: Column): Column =
       conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
     val toksC = filter(split(lower(col("text")), " "), t => t =!= "")
+    // a token-less (empty/whitespace/null) doc has nothing to
+    // fingerprint — emitting h('') would bucket every empty doc into
+    // one giant spurious dup group (fuzz gate; exact dedup already
+    // owns identical-empty documents)
     val base = docs.select(col("doc_id"), toksC.as("toks"))
+      .filter(size(col("toks")) > 0)
     val grams = when(size(col("toks")) >= k,
         transform(sequence(lit(1), size(col("toks")) - (k - 1)),
           i => h(array_join(slice(col("toks"), i, lit(k)), " "))))
@@ -1063,10 +1068,15 @@ object TextOps {
   def selectTopMass(docs: DataFrame, score: Column, tokensCol: Column,
                     budget: Long, nBins: Int = 1000): DataFrame = {
     require(nBins > 0 && budget >= 0, s"bad nBins=$nBins budget=$budget")
+    // null-PRESERVING clamp (least/greatest skip nulls, which silently
+    // promoted a NULL score into the TOP bin — fuzz gate, nulls mode);
+    // docs with no score or no token count can't be budgeted: excluded
+    val rawBin = floor(score * nBins).cast("int")
     val d = docs.select(col("doc_id"),
-      greatest(least(floor(score * nBins).cast("int"), lit(nBins - 1)),
-        lit(0)).as("bin"),
+      when(rawBin > nBins - 1, nBins - 1).when(rawBin < 0, 0)
+        .otherwise(rawBin).as("bin"),
       tokensCol.cast("long").as("n_tokens"))
+      .filter(col("bin").isNotNull && col("n_tokens").isNotNull)
     val bins = d.groupBy("bin").agg(sum("n_tokens").as("tk"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
     var cum = 0L
@@ -1093,10 +1103,14 @@ object TextOps {
                             nBins: Int = 1000): DataFrame = {
     require(nBins > 0 && budgetPerSource >= 0,
       s"bad nBins=$nBins budget=$budgetPerSource")
+    // same null discipline as selectTopMass (null-preserving clamp +
+    // unscoreable docs excluded)
+    val rawBin = floor(score * nBins).cast("int")
     val d = docs.select(col("doc_id"), col("source"),
-      greatest(least(floor(score * nBins).cast("int"), lit(nBins - 1)),
-        lit(0)).as("bin"),
+      when(rawBin > nBins - 1, nBins - 1).when(rawBin < 0, 0)
+        .otherwise(rawBin).as("bin"),
       tokensCol.cast("long").as("n_tokens"))
+      .filter(col("bin").isNotNull && col("n_tokens").isNotNull)
     val perSource = d.groupBy("source", "bin").agg(sum("n_tokens").as("tk"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
       .groupBy(_._1)
@@ -1567,14 +1581,16 @@ object TextOps {
     val ctrl = (length(col("text")) -
       length(regexp_replace(col("text"),
         "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""))).cast("long")
-    // empty text → undefined ratio → NULL (and a NULL is_clean), the
-    // same as DuckDB's x/0; ANSI Spark would crash (fuzz gate)
+    // empty text → undefined ratio → NULL, same as DuckDB's x/0 (ANSI
+    // Spark would crash — fuzz gate); is_clean is CONCRETE true there
+    // (zero chars hold zero bad bytes), because a NULL boolean would
+    // round-trip differently through parquet vs the oracle harness
     val ratio = when(n > 0, (repl + ctrl) / n)
     docs.select(col("doc_id"),
         repl.as("n_replacement"), ctrl.as("n_control"),
         length(col("text")).cast("long").as("n_chars"),
         round(ratio, 6).as("bad_ratio"),
-        (ratio <= maxBadRatio).as("is_clean"))
+        coalesce(ratio <= maxBadRatio, lit(true)).as("is_clean"))
   }
 
   /** CCNet head/middle/tail perplexity bucketing: score every doc with the

@@ -109,6 +109,9 @@ object Train {
       .setLabelCol("label").setFeaturesCol("features").setParallelism(4)
     val data = df.select(features.map(finiteFeature) :+
       label.cast("double").as("label"): _*)
+      // unlabeled rows can't be trained on (MLlib raises on NULL/NaN
+      // labels): exclude them, the reference's invalid-tag filter shape
+      .filter(col("label").isNotNull && !isnan(col("label")))
       // k per-class fits + the transform all replay this otherwise
       .transform(graft.Ckpt.truncate(_))
     val pipeline = new Pipeline()
@@ -121,6 +124,9 @@ object Train {
                   pipeline: Pipeline): Trained = {
     val data = df.select(features.map(finiteFeature) :+
       label.cast("double").as("label"): _*)
+      // unlabeled rows can't be trained on (MLlib raises on NULL/NaN
+      // labels): exclude them, the reference's invalid-tag filter shape
+      .filter(col("label").isNotNull && !isnan(col("label")))
       // fit, transform and the AUC evaluator each replay this projection
       // from the scan otherwise — materialize it once
       .transform(graft.Ckpt.truncate(_))
@@ -152,6 +158,9 @@ object Train {
     // projection lineage (numFolds x gridSize + 1) times otherwise
     val data = df.select(features.map(finiteFeature) :+
       label.cast("double").as("label"): _*)
+      // unlabeled rows can't be trained on (MLlib raises on NULL/NaN
+      // labels): exclude them, the reference's invalid-tag filter shape
+      .filter(col("label").isNotNull && !isnan(col("label")))
       .transform(graft.Ckpt.truncate(_))
     val model = cv.fit(data)
     (model.bestModel.asInstanceOf[PipelineModel], model.avgMetrics.max)
@@ -171,6 +180,9 @@ object Train {
                maxIter: Int = 20): DataFrame = {
     val data = df.select(features.map(finiteFeature) :+
       label.cast("double").as("label"): _*)
+      // unlabeled rows can't be trained on (MLlib raises on NULL/NaN
+      // labels): exclude them, the reference's invalid-tag filter shape
+      .filter(col("label").isNotNull && !isnan(col("label")))
     val classes = data.select("label").distinct()
       .collect().map(_.getDouble(0)).sorted
     require(classes.length >= 2,
