@@ -162,8 +162,15 @@ if mode == "edge":
     props_mut = mut('props', 'event_id', 23, 0.08, hostile_props)
     etype_mut = mut('event_type', 'event_id', 21, 0.05,
                     ["''", "'CLICK'", "('a' || chr(9) || 'b')"])
+    # event ts jitters stay within +-3 days: the streaming windows'
+    # WATERMARK contract (late data beyond the delay is dropped) is real
+    # engine semantics the batch-SQL oracle cannot express — an epoch or
+    # year-2199 event would "correctly" drop everything else. Extreme
+    # timestamps are still fuzzed via lineitem/orders (no watermarks).
+    ts_jitter = ["ts - INTERVAL 3 DAY", "ts + INTERVAL 3 DAY",
+                 "ts - INTERVAL 1 HOUR", "ts + INTERVAL '1' SECOND"]
     sel["events"] = f"""
-      SELECT event_id, {mut('ts', 'event_id', 20, 0.05, HOSTILE_TS)} AS ts,
+      SELECT event_id, {mut('ts', 'event_id', 20, 0.05, ts_jitter)} AS ts,
              user_id,
              {etype_mut} AS event_type,
              {mut('value', 'event_id', 22, 0.06, HOSTILE_NUM)} AS value,

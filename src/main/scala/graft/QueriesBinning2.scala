@@ -44,7 +44,8 @@ object QueriesBinning2 {
     oracle = Some(
       s"""WITH g AS (SELECT l_extendedprice AS v,
          |             sum(${QueryUtil.longWeightSql("l_quantity")}) AS wv
-         |           FROM lineitem GROUP BY v),
+         |           FROM lineitem
+         |           WHERE l_extendedprice IS NOT NULL GROUP BY v),
          |c AS (SELECT v, sum(wv) OVER (ORDER BY v) AS cw FROM g),
          |t AS (SELECT sum(wv) AS tot FROM g),
          |j AS (SELECT unnest(generate_series(1, ${binK - 1})) AS jn)

@@ -133,17 +133,21 @@ object QueriesCatalog {
     },
     oracle = Some(
       s"""WITH b AS (
-         |  SELECT l_linestatus AS category,
+         |  SELECT coalesce(l_linestatus, '__missing__') AS category,
          |    CASE WHEN $posCond THEN 1 ELSE 0 END AS pos,
-         |    l_quantity AS w
+         |    coalesce(l_quantity, 0.0) AS w
          |  FROM lineitem),
-         |bins AS (
+         |bins0 AS (
          |  SELECT category, sum(pos)::BIGINT AS cp,
          |    (count(*) - sum(pos))::BIGINT AS cn,
          |    sum(CASE WHEN pos = 1 THEN w ELSE 0.0 END) AS wp,
          |    sum(CASE WHEN pos = 1 THEN 0.0 ELSE w END) AS wn
          |  FROM b GROUP BY category
          |  UNION ALL SELECT '__missing__', 0, 0, 0.0, 0.0),
+         |bins AS (
+         |  SELECT category, sum(cp)::BIGINT AS cp, sum(cn)::BIGINT AS cn,
+         |    sum(wp) AS wp, sum(wn) AS wn
+         |  FROM bins0 GROUP BY category),
          |tot AS (SELECT sum(wp) AS swp, sum(wn) AS swn FROM bins)
          |SELECT category, cp AS cnt_pos, cn AS cnt_neg,
          |  round(wp, 4) AS w_pos, round(wn, 4) AS w_neg,

@@ -231,7 +231,8 @@ object QueriesCluster {
         .mkString(" ")
       s"""WITH s AS (SELECT min(l_extendedprice) AS mn,
          |           max(l_extendedprice) AS mx FROM lineitem)
-         |SELECT (CASE $arms ELSE 0 END)::BIGINT AS bin,
+         |SELECT (CASE WHEN l_extendedprice IS NULL THEN $k
+         |  $arms ELSE 0 END)::BIGINT AS bin,
          |  count(*)::BIGINT AS n
          |FROM lineitem CROSS JOIN s GROUP BY 1
          |""".stripMargin

@@ -369,11 +369,14 @@ object QueriesEval {
         i <- corrCols.indices; j <- (i + 1) until corrCols.length
       } yield (corrCols(i), corrCols(j))
       pairs.map { case (x, y) =>
+        // pairwise-complete, the stack path's convention: each pair
+        // uses every row where BOTH its columns are present
         s"""SELECT '$x|$y' AS pair,
            |  round((count(*) * sum($x * $y) - sum($x) * sum($y))
            |    / sqrt((count(*) * sum($x * $x) - sum($x) * sum($x))
            |         * (count(*) * sum($y * $y) - sum($y) * sum($y))), 6) AS corr
-           |FROM lineitem""".stripMargin
+           |FROM lineitem
+           |WHERE $x IS NOT NULL AND $y IS NOT NULL""".stripMargin
       }.mkString("\nUNION ALL\n") + "\n"
     })
 
@@ -392,6 +395,11 @@ object QueriesEval {
       val pairs = for {
         i <- wideCorrCols.indices; j <- (i + 1) until wideCorrCols.length
       } yield (wideCorrCols(i) + "::DOUBLE", wideCorrCols(j) + "::DOUBLE")
+      // LISTWISE deletion to match the gramian's handleInvalid=skip:
+      // rows with ANY null column are out for EVERY pair (the stack
+      // path's pairwise convention is the q_correlation oracle)
+      val listwise = wideCorrCols
+        .map(c => s"$c IS NOT NULL").mkString(" AND ")
       pairs.map { case (x, y) =>
         // ::DOUBLE up front: the int columns would otherwise sum exactly
         // in DuckDB HUGEINT while Spark accumulates in double
@@ -399,7 +407,7 @@ object QueriesEval {
            |  round((count(*) * sum($x * $y) - sum($x) * sum($y))
            |    / sqrt((count(*) * sum($x * $x) - sum($x) * sum($x))
            |         * (count(*) * sum($y * $y) - sum($y) * sum($y))), 6) AS corr
-           |FROM lineitem""".stripMargin
+           |FROM lineitem WHERE $listwise""".stripMargin
       }.mkString("\nUNION ALL\n") + "\n"
     })
 

@@ -59,10 +59,11 @@ object QueriesEval2 {
         |         sum(l_extendedprice * l_extendedprice) AS s2
         |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-07-01')
         |SELECT l_orderkey, l_linenumber,
-        |  round(least(greatest(
-        |    (l_extendedprice - s1 / cnt)
-        |      / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), -6.0), 6.0), 3) + 0
-        |    AS z_eval
+        |  round(CASE WHEN l_extendedprice IS NULL THEN 0.0
+        |    ELSE least(greatest(
+        |      (l_extendedprice - s1 / cnt)
+        |        / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), -6.0), 6.0)
+        |    END, 3) + 0 AS z_eval
         |FROM lineitem, tr
         |WHERE l_shipdate >= TIMESTAMP '1995-07-01'
         |""".stripMargin))
@@ -102,8 +103,16 @@ object QueriesEval2 {
       // FLOAT7: 7 decimal digits (reference's default text precision)
       round(col("l_extendedprice") * (lit(1) - col("l_discount")), 7).as("f7")),
     oracle = Some(
+      // the float32 cast is IEEE: a double beyond float range
+      // SATURATES to +-Inf in Spark, while DuckDB's ::REAL errors —
+      // the CASE encodes the IEEE behavior portably (cutover at the
+      // max-float/2^128 midpoint, ties-to-even -> Inf)
       """SELECT l_orderkey, l_linenumber,
-        |  l_extendedprice::REAL::DOUBLE AS f32,
+        |  CASE WHEN l_extendedprice >= 3.4028235677973366e38
+        |         THEN 'Infinity'::DOUBLE
+        |       WHEN l_extendedprice <= -3.4028235677973366e38
+        |         THEN '-Infinity'::DOUBLE
+        |       ELSE l_extendedprice::REAL::DOUBLE END AS f32,
         |  round(l_extendedprice * (1 - l_discount), 7) AS f7
         |FROM lineitem
         |""".stripMargin))

@@ -31,9 +31,13 @@ object QueriesEvents {
 
   private val sessionize: Q = Q(
     fn = (s, dir) => {
+      // an event with no timestamp has no place on a timeline (and the
+      // engines order nulls differently: Spark ASC nulls-first, DuckDB
+      // nulls-last — fuzz gate, nulls mode)
       Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_id"),
           expr("ts div 1000000").as("ms"))
+        .filter(col("ms").isNotNull)
         .withColumn("prev_ms", lag("ms", 1).over(
           Window.partitionBy("user_id").orderBy(col("ms").asc,
             col("event_id").asc)))
@@ -49,7 +53,7 @@ object QueriesEvents {
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
         |    lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id
         |      ORDER BY epoch_ms(ts), event_id) AS prev_ms
-        |  FROM events)
+        |  FROM events WHERE ts IS NOT NULL)
         |SELECT user_id,
         |  sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
         |      THEN 1 ELSE 0 END)::BIGINT AS n_sessions,

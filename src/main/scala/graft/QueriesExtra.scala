@@ -270,7 +270,7 @@ object QueriesExtra {
          |  sum(CASE WHEN $posCond THEN 1 ELSE 0 END)::BIGINT AS total_pos,
          |  (count(*) - sum(CASE WHEN $posCond THEN 1 ELSE 0 END))::BIGINT
          |    AS total_neg
-         |FROM lineitem
+         |FROM lineitem WHERE l_quantity IS NOT NULL
          |""".stripMargin))
 
   // ---- §7.8 MLlib training (capability parity + invariants) ----------------
@@ -433,7 +433,7 @@ object QueriesExtra {
     oracle = Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         |""".stripMargin))
 
   // ---- §2.11 stateful streaming sessionization (mapGroupsWithState) --------
@@ -465,13 +465,14 @@ object QueriesExtra {
       val arms = (1 until k).reverse
         .map(i => s"WHEN value >= mn + (mx - mn) * $i / $k THEN $i")
         .mkString("\n      ")
-      s"""WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+      s"""WITH ok AS (SELECT * FROM events WHERE ts IS NOT NULL),
+         |mm AS (SELECT min(value) AS mn, max(value) AS mx FROM ok),
          |b AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
          |        AS hour_start,
          |      CASE WHEN value IS NULL THEN $k
          |      $arms
          |      ELSE 0 END AS bin_id
-         |      FROM events, mm),
+         |      FROM ok, mm),
          |counts AS (SELECT hour_start, bin_id, count(*) AS c FROM b
          |           GROUP BY 1, 2),
          |wa AS (SELECT hour_start, bin_id,

@@ -97,7 +97,12 @@ object QueriesGovern {
           |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
           |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
           |  count(*) AS n,
-          |  CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty
+          |  CAST(floor(CASE
+          |    WHEN sum(l_quantity) > 4.611686018427387904e18
+          |      THEN 4.611686018427387904e18
+          |    WHEN sum(l_quantity) < -4.611686018427387904e18
+          |      THEN -4.611686018427387904e18
+          |    ELSE sum(l_quantity) END) AS BIGINT) AS sum_qty
           |FROM li_gs
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
           |  (l_returnflag), ())
@@ -108,7 +113,12 @@ object QueriesGovern {
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
         |  count(*) AS n,
-        |  CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty
+        |  CAST(floor(CASE
+        |    WHEN sum(l_quantity) > 4.611686018427387904e18
+        |      THEN 4.611686018427387904e18
+        |    WHEN sum(l_quantity) < -4.611686018427387904e18
+        |      THEN -4.611686018427387904e18
+        |    ELSE sum(l_quantity) END) AS BIGINT) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), ())

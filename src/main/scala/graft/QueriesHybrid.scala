@@ -92,7 +92,8 @@ object QueriesHybrid {
     oracle = Some(
       """SELECT month(l_shipdate) AS unit,
         |  round(sum(l_quantity) / count(l_quantity), 6) AS unit_mean,
-        |  round(sum(CASE WHEN substr(md5(cast(l_orderkey AS VARCHAR) || '|'
+        |  round(sum(CASE WHEN l_quantity IS NULL
+        |      OR substr(md5(cast(l_orderkey AS VARCHAR) || '|'
         |      || cast(l_linenumber AS VARCHAR)), 1, 1) = '0'
         |    THEN 1.0 ELSE 0.0 END) / count(*), 6) AS missing_rate,
         |  count(*) AS n
@@ -181,7 +182,8 @@ object QueriesHybrid {
       // mean-score bucket matches even for clamped negative scores
       val bas = withBins.select(expr(stackExpr), col("s"))
         .groupBy("feature", "bin")
-        .agg(sum("s").as("ss"), count(lit(1)).as("cnt"))
+        .agg(coalesce(sum("s"), lit(0L)).as("ss"),
+          count(lit(1)).as("cnt"))
         .collect()
         .map(r => (r.getString(0), r.getInt(1)) ->
           r.getLong(2) / r.getLong(3)).toMap

@@ -102,15 +102,19 @@ object QueriesOlap {
     * engines). */
   private val scd2Q: Q = Q(
     fn = (s, dir) => {
+      // a version row without an effective date can't be sequenced
+      // (null-ordering also differs across engines — fuzz gate)
       val log = Tables.load(s, dir, "orders")
         .withColumn("from_ms", expr("unix_micros(cast(o_orderdate as timestamp)) div 1000"))
+        .filter(col("from_ms").isNotNull)
       graft.ops.Snapshot.scd2(log, "o_custkey", col("from_ms"),
         Seq(col("from_ms").asc, col("o_orderkey").asc),
         Seq("o_orderkey", "o_orderstatus"))
     },
     oracle = Some(
       """WITH log AS (SELECT o_custkey, o_orderkey, o_orderstatus,
-        |  epoch_ms(o_orderdate) AS from_ms FROM orders)
+        |  epoch_ms(o_orderdate) AS from_ms FROM orders
+        |  WHERE o_orderdate IS NOT NULL)
         |SELECT o_custkey, o_orderkey, o_orderstatus,
         |  from_ms AS valid_from,
         |  coalesce(lead(from_ms, 1) OVER (PARTITION BY o_custkey
@@ -197,6 +201,7 @@ object QueriesOlap {
         .orderBy(col("ms").asc, col("event_id").asc)
         .rowsBetween(-2, Window.currentRow)
       events(s, dir)
+        .filter(col("ms").isNotNull) // no event time -> no frame slot
         // overflow-clamped mils (fuzz: Spark floor(1e303) SATURATES to
         // Long.Max, then the window sum ANSI-overflows; DuckDB's cast
         // errors outright — both engines clamp identically instead)
@@ -209,7 +214,8 @@ object QueriesOlap {
     },
     oracle = Some(
       s"""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
-        |  ${QueryUtil.milsSql("value")} AS mils FROM events)
+        |  ${QueryUtil.milsSql("value")} AS mils FROM events
+        |  WHERE ts IS NOT NULL)
         |SELECT event_id, user_id,
         |  CAST(sum(mils) OVER (PARTITION BY user_id ORDER BY ms, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_mils,

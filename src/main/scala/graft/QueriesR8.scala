@@ -354,10 +354,12 @@ object QueriesR8 {
     oracle = Some(
       """WITH p AS (
         |  SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms
-        |  FROM events WHERE event_type = 'purchase'),
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND ts IS NOT NULL),
         |c AS (
         |  SELECT user_id, epoch_ms(ts) AS c_ms
-        |  FROM events WHERE event_type <> 'purchase')
+        |  FROM events WHERE event_type <> 'purchase'
+        |    AND ts IS NOT NULL)
         |SELECT p_id, count(*)::BIGINT AS n_context
         |FROM p JOIN c USING (user_id)
         |WHERE c_ms >= p_ms - 1800000 AND c_ms <= p_ms
@@ -370,7 +372,8 @@ object QueriesR8 {
   private val streamSliding: Q = Q(
     fn = (s, dir) => graft.streaming.StreamOps.slidingCounts(s, dir),
     oracle = Some(
-      """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms FROM events),
+      """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms FROM events
+      |  WHERE ts IS NOT NULL),
         |w AS (SELECT event_type,
         |        (ms // 1800000 - k) * 1800000 AS start_ms
         |      FROM e, (SELECT unnest(generate_series(0, 1)) AS k) ks)

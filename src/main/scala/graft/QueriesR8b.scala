@@ -181,8 +181,11 @@ object QueriesR8b {
       val preds = model.predictions.toArray
       val monotone = preds.zip(preds.drop(1)).forall { case (a, b) => a <= b }
       val in01 = preds.forall(p => p >= -1e-12 && p <= 1.0 + 1e-12)
+      // same row universe as the fit: scoreless rows out, null tag = 0
       val applied = graft.train.Calibrate(d, scoreCol, model)
-        .select(col("calibrated"), isPos.cast("double").as("y"))
+        .select(col("calibrated"),
+          coalesce(isPos.cast("double"), lit(0.0)).as("y"))
+        .filter(col("calibrated").isNotNull)
       val r = applied.agg(
         avg("calibrated").as("mc"), avg("y").as("my"),
         avg(pow(col("calibrated") - col("y"), 2)).as("bCal"),

@@ -238,11 +238,14 @@ object QueriesR8c {
         |    quantile_disc(l_extendedprice, 0.95) AS p95
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber,
-        |  round(least(greatest(
-        |    (l_quantity - q50) / (q75 - q25), -6.0), 6.0), 6)
+        |  round(CASE WHEN q75 - q25 <= 0 OR l_quantity IS NULL THEN 0.0
+        |    ELSE least(greatest(
+        |      (l_quantity - q50) / (q75 - q25), -6.0), 6.0) END, 6)
         |    AS robust_qty,
-        |  round(least(greatest(l_extendedprice, p05), p95), 6)
-        |    AS wins_price
+        |  round(CASE WHEN l_extendedprice IS NULL THEN NULL
+        |    WHEN l_extendedprice > p95 THEN p95
+        |    WHEN l_extendedprice < p05 THEN p05
+        |    ELSE l_extendedprice END, 6) AS wins_price
         |FROM lineitem CROSS JOIN q
         |""".stripMargin))
 

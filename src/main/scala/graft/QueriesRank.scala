@@ -25,7 +25,9 @@ object QueriesRank {
       graft.ops.Rank.spearman(li(s, dir), "l_quantity", "l_extendedprice"),
     oracle = Some(
       """WITH d AS (SELECT l_quantity::DOUBLE AS xv,
-        |    l_extendedprice::DOUBLE AS yv FROM lineitem),
+        |    l_extendedprice::DOUBLE AS yv FROM lineitem
+        |    WHERE l_quantity IS NOT NULL
+        |      AND l_extendedprice IS NOT NULL),
         |rn AS (SELECT xv, yv,
         |    row_number() OVER (ORDER BY xv) AS rnx,
         |    row_number() OVER (ORDER BY yv) AS rny FROM d),
@@ -49,7 +51,9 @@ object QueriesRank {
       Tables.load(s, dir, "customer"), "c_mktsegment", "c_nationkey"),
     oracle = Some(
       """WITH o AS (SELECT c_mktsegment AS a, c_nationkey AS b,
-        |    count(*)::DOUBLE AS n FROM customer GROUP BY 1, 2),
+        |    count(*)::DOUBLE AS n FROM customer
+        |    WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+        |    GROUP BY 1, 2),
         |ma AS (SELECT a, sum(n) AS na FROM o GROUP BY a),
         |mb AS (SELECT b, sum(n) AS nb FROM o GROUP BY b),
         |t AS (SELECT sum(n) AS nt, count(DISTINCT a)::DOUBLE AS r,
@@ -152,7 +156,7 @@ object QueriesRank {
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
         |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
         |      ORDER BY epoch_ms(ts), event_id) AS prev_ms
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |s AS (SELECT user_id, ms,
         |    sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000
         |        THEN 1 ELSE 0 END)
@@ -173,8 +177,11 @@ object QueriesRank {
     * to the oracle's explicit (rank−1) arithmetic. */
   private val percentRank: Q = Q(
     fn = (s, dir) => {
+      // percent-rank of a missing value is undefined: excluded, and
+      // the (n-1) denominator counts only ranked rows (fuzz gate)
       val d = li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").cast("double").as("v"))
+        .filter(col("v").isNotNull)
       val rc = graft.ops.Rank.rankCounts(d, "v")
       val n = d.count()
       d.join(graft.ops.PlanHints.gatedBroadcast(rc.select("v", "n_below")),
@@ -187,7 +194,7 @@ object QueriesRank {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(floor(1e6 * (rank() OVER (ORDER BY l_extendedprice) - 1)
         |    / (count(*) OVER () - 1)) AS BIGINT) AS pr_ppm
-        |FROM lineitem
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL
         |""".stripMargin))
 
   // ---- pairwise MI redundancy matrix (mRMR's second ingredient) ------------

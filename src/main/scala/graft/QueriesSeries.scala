@@ -25,6 +25,7 @@ object QueriesSeries {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ms").asc, col("event_id").asc)
       val cells = events(s, dir)
+        .filter(col("ms").isNotNull) // no event time -> no sequence slot
         .withColumn("prev_type", lag("event_type", 1).over(w))
         .filter(col("prev_type").isNotNull)
         .groupBy("prev_type", "event_type")
@@ -40,7 +41,7 @@ object QueriesSeries {
         |  SELECT user_id, event_type, epoch_ms(ts) AS ms,
         |    lag(event_type) OVER (PARTITION BY user_id
         |      ORDER BY epoch_ms(ts), event_id) AS prev_type
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |cells AS (SELECT prev_type, event_type, count(*)::BIGINT AS n
         |          FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
         |SELECT prev_type, event_type, n,
@@ -59,6 +60,7 @@ object QueriesSeries {
   private val rollingTime: Q = Q(
     fn = (s, dir) => {
       val daily = events(s, dir)
+        .filter(col("ms").isNotNull) // no event time -> no day bucket
         .withColumn("day", expr("ms div 86400000"))
         // overflow-clamped mils — see q_rolling; 2^40/row leaves ~8e6
         // rows of long-sum headroom per day-user group
@@ -78,7 +80,7 @@ object QueriesSeries {
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
         |    sum(${QueryUtil.milsSql("value")}) AS day_mils,
         |    count(*)::BIGINT AS day_n
-        |  FROM events GROUP BY 1, 2)
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
         |SELECT user_id, day,
         |  CAST(sum(day_mils) OVER (PARTITION BY user_id ORDER BY day
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
@@ -276,9 +278,10 @@ object QueriesSeries {
       graft.streaming.StreamOps.purchaseContextJoinOuter(s, dir),
     oracle = Some(
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ns(ts) AS pts
-        |           FROM events WHERE event_type = 'purchase'),
+        |           FROM events
+        |           WHERE event_type = 'purchase' AND ts IS NOT NULL),
         |c AS (SELECT user_id, epoch_ns(ts) AS cts FROM events
-        |      WHERE event_type <> 'purchase')
+        |      WHERE event_type <> 'purchase' AND ts IS NOT NULL)
         |SELECT p.p_id, count(c.cts)::BIGINT AS n_context
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
         |  AND c.cts >= p.pts - 1800000000000 AND c.cts <= p.pts
@@ -293,7 +296,11 @@ object QueriesSeries {
     * purchase after first click". Same one-window plan as backward. */
   private val timeToPurchase: Q = Q(
     fn = (s, dir) => {
+      // null-ts events have no timeline position (fuzz gate); the
+      // latency subtraction runs at ms grain BEFORE differencing so a
+      // [1900, 2199] pair stays inside long range in both engines
       val ev = Tables.load(s, dir, "events")
+        .filter(col("ts").isNotNull)
       val left = ev.filter(col("event_type") =!= "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val right = ev.filter(col("event_type") === "purchase")
@@ -304,19 +311,21 @@ object QueriesSeries {
           rightTie = "p_id", direction = "forward")
         .select(col("event_id"),
           coalesce(col("asof_p_id"), lit(-1L)).as("next_purchase"),
-          coalesce(expr("(asof_pts - ts) div 1000000"), lit(-1L))
-            .as("latency_ms"))
+          coalesce(expr("(asof_pts div 1000000) - (ts div 1000000)"),
+            lit(-1L)).as("latency_ms"))
     },
     oracle = Some(
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts
-        |           FROM events WHERE event_type <> 'purchase'),
+        |           FROM events
+        |           WHERE event_type <> 'purchase' AND ts IS NOT NULL),
         |p AS (SELECT user_id, epoch_ns(ts) AS pts, event_id AS p_id
-        |      FROM events WHERE event_type = 'purchase')
+        |      FROM events
+        |      WHERE event_type = 'purchase' AND ts IS NOT NULL)
         |SELECT e.event_id,
         |  coalesce((SELECT p.p_id FROM p
         |    WHERE p.user_id = e.user_id AND p.pts >= e.ts
         |    ORDER BY p.pts ASC, p.p_id ASC LIMIT 1), -1) AS next_purchase,
-        |  coalesce((SELECT (p.pts - e.ts) // 1000000 FROM p
+        |  coalesce((SELECT (p.pts // 1000000) - (e.ts // 1000000) FROM p
         |    WHERE p.user_id = e.user_id AND p.pts >= e.ts
         |    ORDER BY p.pts ASC, p.p_id ASC LIMIT 1), -1) AS latency_ms
         |FROM e

@@ -100,9 +100,13 @@ object QueriesSim {
           .as("cos_unsorted"),
         max(when(abs(col("cos_r")) > 1.000001, 1).otherwise(0))
           .as("cos_oob")).head()
-      val ok = inv.getInt(0) == 0 && inv.getInt(1) >= 1 &&
-        inv.getInt(2) <= 3 && inv.getInt(3) == 0 && inv.getInt(4) == 0 &&
-        inv.getInt(5) == 0
+      // a tiny corpus can legitimately emit NO neighbor rows (every
+      // vector alone in its cell under single-probe) — the aggregates
+      // are then all NULL and the invariants are vacuously true
+      val ok = inv.isNullAt(0) ||
+        (inv.getInt(0) == 0 && inv.getInt(1) >= 1 &&
+          inv.getInt(2) <= 3 && inv.getInt(3) == 0 && inv.getInt(4) == 0 &&
+          inv.getInt(5) == 0)
       import s.implicits._
       Seq(((if (ok) 1 else 0), emb.count())).toDF("topk_ok", "n_emb")
     },
@@ -377,7 +381,7 @@ object QueriesSim {
         |  SELECT vec_id,
         |    list_transform(embedding,
         |      x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |p AS (
         |  SELECT a.vec_id, b.vec_id AS nb_id,
         |    len(list_filter(list_zip(a.bits, b.bits),
@@ -467,7 +471,8 @@ object QueriesSim {
     },
     oracle = Some(
       """WITH v AS (SELECT vec_id,
-        |  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+        |  WHERE embedding IS NOT NULL),
         |x AS (SELECT vec_id, d.dim AS dim, e[d.dim + 1] AS val
         |      FROM v, (SELECT unnest(generate_series(0, 63)) AS dim) d),
         |r AS (SELECT dim, min(val) AS lo, max(val) AS hi FROM x GROUP BY dim)

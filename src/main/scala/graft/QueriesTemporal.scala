@@ -121,7 +121,7 @@ object QueriesTemporal {
     * the range join as the bare inequality join DuckDB runs via IEJoin. */
   private val rangeJoinQ: Q = Q(
     fn = (s, dir) => {
-      val ev = events(s, dir)
+      val ev = events(s, dir).filter(col("ts").isNotNull)
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").asc, col("event_id").asc)
       val windows = ev.filter(col("event_type") === "error")
@@ -143,7 +143,7 @@ object QueriesTemporal {
     oracle = Some(
       s"""WITH err AS (
          |  SELECT user_id, event_id, epoch_ns(ts) AS ts
-         |  FROM events WHERE event_type = 'error'),
+         |  FROM events WHERE event_type = 'error' AND ts IS NOT NULL),
          |lagd AS (
          |  SELECT user_id, event_id, ts, lag(ts) OVER (
          |    PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM err),
@@ -157,7 +157,8 @@ object QueriesTemporal {
          |  SELECT user_id AS owner, win_id,
          |    min(ts) - ${PAD_NS} AS lo, max(ts) + ${PAD_NS} AS hi
          |  FROM wid GROUP BY 1, 2),
-         |e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events)
+         |e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events
+         |      WHERE ts IS NOT NULL)
          |SELECT w.owner, w.win_id, count(*) AS n_events,
          |  count(DISTINCT e.user_id) AS n_users
          |FROM w JOIN e ON e.ts BETWEEN w.lo AND w.hi

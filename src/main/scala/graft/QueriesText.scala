@@ -9,7 +9,8 @@ object QueriesText {
   /** DuckDB CTEs mirroring TextOps.shingles: distinct 3-gram word shingles
     * (short docs → whole text). */
   private val shingleCte =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE text IS NOT NULL),
       |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
       |  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
       |       i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
@@ -519,7 +520,8 @@ object QueriesText {
   private val dedupKeepBestQ: Q = Q(
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
-      val d = docs(s, dir)
+      // null-text docs have no content to score or dedup — ingest drop
+      val d = docs(s, dir).filter(col("text").isNotNull)
       // the pair graph feeds dedupKeepBest's 3-round unrolled CC, whose
       // plan references `pairs` once per round — persist so the
       // MinHash/banding pass runs ONCE, not 3× (the r9 bench's
@@ -561,7 +563,8 @@ object QueriesText {
          |${round("l2", "l3")},
          |j AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster,
          |             length(d.text)::BIGINT AS score
-         |      FROM documents d LEFT JOIN l3 l ON d.doc_id = l.doc_id),
+         |      FROM documents d LEFT JOIN l3 l ON d.doc_id = l.doc_id
+         |      WHERE d.text IS NOT NULL),
          |b1 AS (SELECT cluster, max(score) AS bs FROM j GROUP BY cluster),
          |b2 AS (SELECT j.cluster, min(j.doc_id) AS bid
          |       FROM j JOIN b1 ON j.cluster = b1.cluster AND j.score = b1.bs
@@ -923,10 +926,12 @@ object QueriesText {
       // 5 lexicographically-smallest shingles of doc 0 — sorted first
       // because DuckDB's list_distinct does NOT preserve occurrence
       // order, so any "first N" selection must be order-insensitive
+      // headOption: a shingle-less doc 0 (null text — fuzz gate) means
+      // an EMPTY benchmark, so nothing can be contaminated
       val bench = TextOps
         .withShingles(d.filter(col("doc_id") === 0), respread = false)
-        .select(expr("slice(array_sort(sh), 1, 5)").as("b")).head()
-        .getSeq[String](0)
+        .select(expr("slice(array_sort(sh), 1, 5)").as("b"))
+        .collect().headOption.map(_.getSeq[String](0)).getOrElse(Seq.empty)
       TextOps.contamination(d, bench)
     },
     oracle = Some {
@@ -1333,17 +1338,25 @@ object QueriesText {
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
       import s.implicits._
-      val d = docs(s, dir).select(col("doc_id"),
-        md5(col("text").cast("binary")).as("fp"))
+      // ground truth is FINGERPRINT membership, not id parity: an
+      // odd-id doc sharing its text with a seen even-id doc is a TRUE
+      // positive (fuzz gate: duplicate-heavy fixtures read ~100% "fp
+      // rate" under the parity proxy); null-text docs have no
+      // fingerprint to screen
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
       val seen = d.filter(col("doc_id") % 2 === 0)
+      val truth = seen.select(col("fp").as("sfp")).distinct()
       val m = graft.text.BloomDedup
         .flagSeen(seen, d, "fp", expectedItems = 1L << 16, fpp = 0.01)
+        .join(truth, col("fp") === col("sfp"), "left")
+        .withColumn("in_seen", col("sfp").isNotNull)
         .agg(
-          sum(when(col("doc_id") % 2 === 0 && !col("maybe_seen"), 1)
+          sum(when(col("in_seen") && !col("maybe_seen"), 1)
             .otherwise(0)).as("fn"),
-          sum(when(col("doc_id") % 2 =!= 0 && col("maybe_seen"), 1)
+          sum(when(!col("in_seen") && col("maybe_seen"), 1)
             .otherwise(0)).as("fp_cnt"),
-          sum(when(col("doc_id") % 2 =!= 0, 1).otherwise(0)).as("neg"))
+          sum(when(!col("in_seen"), 1).otherwise(0)).as("neg"))
         .head()
       val fpRate = m.getLong(1).toDouble / math.max(m.getLong(2), 1L)
       Seq(
@@ -1641,7 +1654,8 @@ object QueriesText {
          |    (strpos('0123456789abcdef',
          |       substr(md5(cast(doc_id AS VARCHAR)), 6, 1)) - 1)::BIGINT
          |      AS shard,
-         |    md5(cast(doc_id AS VARCHAR) || '|' || text) AS m
+         |    md5(cast(doc_id AS VARCHAR) || '|' || coalesce(text, ''))
+         |      AS m
          |  FROM documents)
          |SELECT shard, count(*)::BIGINT AS n_docs,
          |  sum(n_toks)::BIGINT AS n_tokens,
@@ -1986,8 +2000,10 @@ object QueriesText {
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
       val q = TextOps.quality(docs(s, dir))
+      // scoreless (null-text) docs can't be ranked (fuzz gate)
       val withSrc = docs(s, dir).select(col("doc_id"), col("source"))
         .join(q.select(col("doc_id"), col("stopword_ratio")), "doc_id")
+        .filter(col("stopword_ratio").isNotNull)
       TextOps.domainTopK(withSrc, col("source"), col("stopword_ratio"), 25)
     },
     oracle = Some {
@@ -2001,7 +2017,7 @@ object QueriesText {
          |r AS (SELECT doc_id, source, s,
          |  row_number() OVER (PARTITION BY source ORDER BY s DESC, doc_id)
          |    AS rank
-         |  FROM q)
+         |  FROM q WHERE s IS NOT NULL)
          |SELECT source AS domain, rank, doc_id, s AS score
          |FROM r WHERE rank <= 25
          |""".stripMargin
@@ -2087,7 +2103,10 @@ object QueriesText {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val next = d.filter(col("doc_id") % 10 =!= 9)
         .select(col("doc_id"),
-          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+          // coalesce: a null-text doc must still CHANGE when edited
+          // (concat(NULL, ...) is NULL = "not changed at all")
+          when(col("doc_id") % 10 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" v2")))
             .otherwise(col("text")).as("text"))
         .unionByName(d.filter(col("doc_id") % 10 === 5)
           .select((col("doc_id") + 1000000).as("doc_id"),
@@ -2119,8 +2138,12 @@ object QueriesText {
       try {
         val n = d.count()
         val byteTotal = d.agg(sum("n_bytes")).head().getLong(0)
-        val bad = d.filter(col("n_compressed") <= 0 ||
-          col("ratio_ppm") <= 0 || col("ratio_ppm") > 2000000L).count()
+        // the ratio bound is meaningful once deflate's fixed header
+        // amortizes — a 1-byte doc "compresses" to 9 bytes (9e6 ppm)
+        // without anything being wrong (fuzz gate, edge mode)
+        val bad = d.filter(col("n_bytes") >= 64 &&
+          (col("n_compressed") <= 0 ||
+            col("ratio_ppm") <= 0 || col("ratio_ppm") > 2000000L)).count()
         // planted contract: "ab" * 2000 must compress below every real
         // doc's ratio percentile — repetition detection actually fires
         val repeated = ("ab" * 2000)

@@ -177,11 +177,18 @@ object QueriesValidate {
       graft.ops.SkewJoin.saltedJoin(fact, dim, "s_suppkey", salt = 8)
         .groupBy("s_suppkey", "s_nationkey")
         .agg(count(lit(1)).as("n_items"),
-          expr("CAST(floor(sum(l_quantity)) AS BIGINT)").as("sum_qty"))
+          // overflow-clamped: floor SATURATES in Spark, ::BIGINT errors
+          // in DuckDB (fuzz gate, 1e300 quantities)
+          graft.ops.Binning.longWeight(sum("l_quantity")).as("sum_qty"))
     },
     oracle = Some(
       """SELECT s_suppkey, s_nationkey, count(*)::BIGINT AS n_items,
-        |  CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty
+        |  CAST(floor(CASE
+        |      WHEN sum(l_quantity) > 4.611686018427387904e18
+        |        THEN 4.611686018427387904e18
+        |      WHEN sum(l_quantity) < -4.611686018427387904e18
+        |        THEN -4.611686018427387904e18
+        |      ELSE sum(l_quantity) END) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1, 2
         |""".stripMargin))

@@ -120,12 +120,15 @@ object QueriesWeighted {
     oracle = Some(
       s"""WITH k AS (
          |  SELECT substr(md5(cast(l_orderkey AS VARCHAR) || '|'
-         |    || cast(l_linenumber AS VARCHAR)), 1, 1) AS h FROM lineitem),
+         |    || cast(l_linenumber AS VARCHAR)), 1, 1) AS h,
+         |    l_quantity AS q FROM lineitem),
          |u AS (
          |  SELECT 'c_heavy' AS col_name,
-         |    CASE WHEN h <> '0' THEN 1.0 ELSE 0.0 END AS miss FROM k
+         |    CASE WHEN h <> '0' OR q IS NULL THEN 1.0 ELSE 0.0 END
+         |      AS miss FROM k
          |  UNION ALL
-         |  SELECT 'c_light', CASE WHEN h = '0' THEN 1.0 ELSE 0.0 END FROM k)
+         |  SELECT 'c_light',
+         |    CASE WHEN h = '0' OR q IS NULL THEN 1.0 ELSE 0.0 END FROM k)
          |SELECT col_name, round(sum(miss) / count(*), 6) AS missing_rate,
          |  CASE WHEN round(sum(miss) / count(*), 6) <= 0.9 THEN 1 ELSE 0 END
          |    AS kept

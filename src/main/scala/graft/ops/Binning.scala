@@ -105,8 +105,10 @@ object Binning {
     // weights overflowed the old all-long pipeline.)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     // coalesce: a value group whose every weight is NULL sums to NULL
-    // — it carries zero mass, not a driver NPE
-    val g = df.groupBy(col(valueCol).as("v"))
+    // — it carries zero mass, not a driver NPE; a NULL VALUE has no
+    // place on the boundary axis at all (fuzz gate, nulls mode)
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
       .agg(coalesce(sum(longWeight(weight).cast(dec)),
         lit(0).cast(dec)).as("wv"))
     val parts = math.max(df.rdd.getNumPartitions, 1)

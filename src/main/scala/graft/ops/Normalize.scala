@@ -54,7 +54,10 @@ object Normalize {
     * value transform, not an imputation. */
   def winsorize(v: Column, lo: Double, hi: Double): Column = {
     require(lo <= hi, s"winsorize bounds inverted: $lo > $hi")
-    least(greatest(v, lit(lo)), lit(hi))
+    // when-chain, NOT least/greatest: those SKIP nulls, so a missing
+    // value silently clamped to `lo` — violating the null contract
+    // above (found by the fuzz gate's nulls mode)
+    when(v > hi, lit(hi)).when(v < lo, lit(lo)).otherwise(v)
   }
 
   /** WoE lookup: bin the value, map to per-bin woe; missing → last-bin woe.

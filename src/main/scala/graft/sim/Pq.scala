@@ -80,7 +80,10 @@ object Pq {
       }
       cs
     }
-    Codebooks(m, ksub, dsub, cents)
+    // EFFECTIVE ksub: a sample smaller than ksub trains that many
+    // centroids per subspace — recording the nominal ksub made every
+    // LUT/decode tabulate index past the codebook (fuzz gate, tiny)
+    Codebooks(m, cents(0).length, dsub, cents)
   }
 
   /** (vec_id, codes: array<int>, err: ||e − decode(codes)||²) — one

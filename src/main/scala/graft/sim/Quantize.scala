@@ -137,7 +137,9 @@ object Quantize {
     * to the banded-hamming bucket path instead. */
   def hammingTopK(emb: DataFrame, dims: Int, k: Int = 3): DataFrame = {
     val words = (dims + 63) / 64
-    val c = binarize(emb, dims)
+    // NULL embeddings have no sign bits — excluded like every
+    // similarity op (Similarity.prep)
+    val c = binarize(emb.filter(col("embedding").isNotNull), dims)
     // flatten code words to scalar columns so the hot pair loop carries
     // longs, not arrays, and stays in whole-stage codegen.
     // The probe side RESPREADS first: NLJ parallelism = stream-side

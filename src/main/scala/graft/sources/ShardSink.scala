@@ -33,8 +33,12 @@ object ShardSink {
           .cast("long")).as("n_tokens"),
         min("doc_id").as("min_doc_id"),
         max("doc_id").as("max_doc_id"),
+        // coalesce: concat_ws SKIPS a null text, silently hashing the
+        // bare doc_id — a null-text doc's audit line is defined as the
+        // hash of the empty document instead (fuzz gate, nulls mode)
         sum(conv(substring(md5(concat_ws("|",
-            col("doc_id").cast("string"), col("text")).cast("binary")),
+            col("doc_id").cast("string"), coalesce(col("text"), lit("")))
+            .cast("binary")),
           1, 15), 16, 10).cast("decimal(20,0)"))
           .cast("string").as("content_sum"))
       .orderBy("shard")

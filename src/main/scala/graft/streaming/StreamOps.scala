@@ -542,9 +542,13 @@ object StreamOps {
         .withColumn("kept", !col("dup_exact") && !col("dup_near"))
       decisions.write.mode("overwrite")
         .parquet(s"$outDir/batch=$batchId")
-      IngestIndex.writeDelta(batchHashes.select("h").distinct(),
+      // a NULL key (null-text doc: md5(NULL) = NULL, no shingles) can
+      // never be probed — keep it out of the index and its Blooms
+      IngestIndex.writeDelta(
+        batchHashes.select("h").filter(col("h").isNotNull).distinct(),
         indexDir, "hashes", batchId)
-      IngestIndex.writeDelta(batchBandKeys.select("bk").distinct(),
+      IngestIndex.writeDelta(
+        batchBandKeys.select("bk").filter(col("bk").isNotNull).distinct(),
         indexDir, "bands", batchId)
     } finally { bands.unpersist(false); b.unpersist(false); () }
   }

@@ -57,12 +57,18 @@ object QualityModel {
     val labeled = docs.select(col("doc_id"),
       label.cast("double").as("label"))
     val nb = numBuckets
+    // RIGHT join onto the labeled doc list: a token-less doc (empty or
+    // null text) has no n-gram rows but must still be SCORED — it gets
+    // the empty feature vector (bias-only score) instead of silently
+    // vanishing from the output (fuzz gate: full-coverage contract)
     val data = hashedNgramFeatures(docs, numBuckets)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("bucket").as("_1"), col("cnt").as("_2")))
         .as("bc"))
-      .join(labeled, "doc_id")
-      .select(col("doc_id"), col("label"), col("bc"))
+      .join(labeled, Seq("doc_id"), "right")
+      .select(col("doc_id"), col("label"),
+        coalesce(col("bc"), array().cast(
+          "array<struct<_1:bigint,_2:bigint>>")).as("bc"))
       .as[(Long, Double, Seq[(Long, Long)])]
       .map { case (id, l, bc) =>
         val sorted = bc.sortBy(_._1)

@@ -55,6 +55,11 @@ object TextOps {
     * `respread = true` for explode/pair-heavy consumers (see [[spread]]). */
   def withShingles(docs: DataFrame, respread: Boolean = true): DataFrame =
     (if (respread) spread(docs) else docs)
+      // a NULL text has no shingles: without this, every null-text doc
+      // got the SAME constant signature (shingle of concat_ws over
+      // null = '') and the LSH bucket of all of them exploded into
+      // n² spurious near-dup pairs (fuzz gate, nulls mode)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shinglesOf("toks").as("sh"))
 
@@ -1680,13 +1685,21 @@ object TextOps {
     * computed as narrow maps; at 100 TB this is the cheapest possible
     * shape since every byte must be hashed at least once. */
   def snapshotDiff(prev: DataFrame, next: DataFrame): DataFrame = {
-    val a = prev.select(col("doc_id"), md5(col("text").cast("binary")).as("h_prev"))
-    val b = next.select(col("doc_id"), md5(col("text").cast("binary")).as("h_next"))
+    // presence rides EXPLICIT flags, not hash nullability — md5(NULL
+    // text) is NULL, which misread a null-text doc present in BOTH
+    // snapshots as "added" (fuzz gate, nulls mode); the null-safe <=>
+    // keeps null text == null text as "unchanged"
+    val a = prev.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h_prev"),
+      lit(true).as("in_prev"))
+    val b = next.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h_next"),
+      lit(true).as("in_next"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("h_prev").isNull, "added")
-          .when(col("h_next").isNull, "deleted")
-          .when(col("h_prev") === col("h_next"), "unchanged")
+        when(col("in_prev").isNull, "added")
+          .when(col("in_next").isNull, "deleted")
+          .when(col("h_prev") <=> col("h_next"), "unchanged")
           .otherwise("changed").as("status"))
   }
   /** Compressibility row (see [[compressibility]]). */

@@ -24,8 +24,11 @@ object Calibrate {
   /** Fit an isotonic calibrator from `score` to binary `isPos`. */
   def isotonicFit(df: DataFrame, score: Column,
                   isPos: Column): IsotonicRegressionModel = {
+    // rows with no score or no label can't calibrate anything (the
+    // fit raises on NULL/NaN labels — fuzz gate, nulls mode)
     val d = df.select(score.cast("double").as("s"),
-      isPos.cast("double").as("label"))
+      coalesce(isPos.cast("double"), lit(0.0)).as("label"))
+      .filter(col("s").isNotNull && !isnan(col("s")))
     new IsotonicRegression()
       .setFeaturesCol("sv").setLabelCol("label").setPredictionCol("p")
       .fit(new VectorAssembler().setInputCols(Array("s"))

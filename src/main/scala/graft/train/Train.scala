@@ -409,8 +409,13 @@ object Train {
       val Seq(a, b) = pair; s"x_${a}_$b"
     }
     val data = df.select(
-      (deepCols.map(col) ++ wideCols.map(c => col(c).cast("string").as(c))
+      (deepCols.map(finiteFeature)
+        ++ wideCols.map(c => col(c).cast("string").as(c))
         ++ crosses) :+ label.cast("double").as("label"): _*)
+      // same hygiene as fit(): unlabeled rows can't be trained on, and
+      // the deep tower's inner fit must see the SAME rows as the wide
+      // head (fuzz gate, nulls mode)
+      .filter(col("label").isNotNull && !isnan(col("label")))
     val deep = nn(data, deepCols, col("label") === 1, hidden, maxIter)
     // the deep model's forward pass is otherwise replayed by the wide
     // fit, the transform AND the evaluator — materialize it once
