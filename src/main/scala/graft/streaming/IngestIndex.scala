@@ -576,6 +576,13 @@ object IngestIndex {
     bloomCache.remove(p.toString); ()
   }
 
+  /** Driver-resident cache sizes, for the soak harnesses' leak gauges
+    * (tools.IngestSoak records them per compaction): Bloom sidecars
+    * must track the live run/delta set (log n by size-tiering + hard
+    * cap), tombFastOk the live tombstone dir-sets. */
+  private[graft] def driverCacheSizes: (Int, Int) =
+    (bloomCache.size, tombFastOk.size)
+
   /** Write one batch's delta of `kind` (distinct single-column `key`
     * rows) plus its Bloom sidecar, both in overwrite mode so a
     * foreachBatch retry leaves them bit-identical. The sidecar is
@@ -817,6 +824,15 @@ object IngestIndex {
     groups.map(bf => graft.text.BloomDedup.probe(df, bf, key))
       .reduceOption(_ || _).getOrElse(lit(false))
   }
+
+  /** Full current-manifest read of `kind` — the reader-side serving
+    * frame with no Bloom pre-screen (hps = None) and the live-tombstone
+    * anti-join applied. Drill seam for the cross-process MVCC drill
+    * (tools.ReaderProbe): the plan — and its pinned file listing — is
+    * built against the manifest as of THIS call. */
+  private[graft] def readAll(sp: SparkSession, indexDir: String,
+      kind: String, keyName: String): DataFrame =
+    readPruned(sp, prior(sp, indexDir, kind, Long.MaxValue), keyName, None)
 
   /** Read prior `kind` rows as a single-column `keyName` frame, pruned:
     * only run partitions whose `hp` appears in `hps` are scanned

@@ -94,8 +94,18 @@ object IngestSoak {
           b.toLong)
         val cMs = (System.nanoTime() - c0) / 1000000
         val h = st("hashes")
+        // driver-heap + driver-cache gauges: the "is driver-resident
+        // index state bounded?" evidence (r14 verdict missing #3).
+        // Heap is read WITHOUT a forced GC (that would skew timings);
+        // the cache entry counts are the leak-proxy that matters —
+        // Bloom sidecars must track the log(n) live-run set.
+        val rt = Runtime.getRuntime
+        val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+        val (nBloom, nTombV) =
+          graft.streaming.IngestIndex.driverCacheSizes
         compactLines :+= (s"compact at=$b ms=$cMs " +
-          s"folded=${h.folded} merged=${h.merged} total=${h.total}")
+          s"folded=${h.folded} merged=${h.merged} total=${h.total} " +
+          s"heapMb=$heapMb bloomCache=$nBloom tombVerdicts=$nTombV")
         println(compactLines.last)
       }
       println(s"batch=$b ms=$screenMs")

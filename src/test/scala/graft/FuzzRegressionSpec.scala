@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression pins for the engine defects the differential fuzz gate
+  * (scripts/fuzz_gate.py, FUZZ.md) surfaced in round 15 — each test is
+  * the minimal adversarial input that used to crash or silently
+  * corrupt a result. The gate itself re-runs whole fixtures; these
+  * keep the root causes from regressing without a DuckDB in the loop. */
+class FuzzRegressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def emb(rows: (Long, Seq[Float])*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("zero-norm cosine contract: a zero vector scores 0 against " +
+    "everything instead of an ANSI divide-by-zero, and never outranks " +
+    "a real neighbor") {
+    val d = emb(
+      0L -> Seq(1f, 0f, 0f), 1L -> Seq(0.9f, 0.1f, 0f),
+      2L -> Seq(0f, 0f, 0f))
+    val top = graft.sim.Similarity.cosineTopK(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // vec 0's best neighbor is 1 (cos ~0.994), the zero vector trails at 0
+    val v0 = top.filter(_._1 == 0L).sortBy(_._2)
+    assert(v0.head._3 === 1L && v0.head._4 > 0.9)
+    assert(v0(1)._3 === 2L && v0(1)._4 === 0.0)
+    // the zero vector's own neighbors all score exactly 0
+    assert(top.filter(_._1 == 2L).forall(_._4 === 0.0))
+  }
+
+  test("NULL embeddings are excluded from every similarity surface " +
+    "(prep, kmeans, covariance, hamming) instead of NPEing typed rows") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, Some(Seq(1f, 2f, 3f, 4f))), (1L, None),
+      (2L, Some(Seq(4f, 3f, 2f, 1f))))
+      .toDF("vec_id", "embedding")
+    assert(graft.sim.Similarity.prep(d).count() === 2)
+    val km = graft.sim.KMeans.fit(d, k = 8) // also: k clamps to n
+    assert(km.assign.count() === 2)
+    assert(graft.sim.Quantize.hammingTopK(d, dims = 4, k = 1)
+      .filter(col("vec_id") === 1L || col("nb_id") === 1L).count() === 0)
+  }
+
+  test("floor(huge double) SATURATES in Spark — longWeight clamps " +
+    "before floor so downstream long sums never overflow") {
+    val s = spark
+    import s.implicits._
+    // raw floor saturates silently: the clamp must keep sums finite
+    val d = Seq(1e300, -1e300, 25.0, Double.MinPositiveValue)
+      .toDF("v")
+    val summed = d.agg(sum(graft.ops.Binning.longWeight(
+      col("v") * 1000, graft.ops.Binning.MilsClamp))).head().getLong(0)
+    assert(summed === 25000L) // +clamp -clamp cancel; tiny floors to 0
+  }
+
+  test("weightedEqualBounds: negative weights cross a threshold more " +
+    "than once — the bound is the FIRST crossing; null values/weights " +
+    "carry nothing; totals accumulate in 128-bit") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1.0, 6.0), (2.0, -5.0), (3.0, 6.0), // cum 6, 1, 7: crosses 50% twice
+      (4.0, 1.0),
+      (5.0, Double.NaN)).toDF("v", "w")
+      .withColumn("w", when(isnan(col("w")), lit(null)).otherwise(col("w")))
+      .unionByName(Seq((Option.empty[Double], Option(3.0)))
+        .toDF("v", "w"))
+    val b = graft.ops.Binning.weightedEqualBounds(d, "v", col("w"), 2)
+    // tot = 8, j=1 threshold = 4: running sum 6 -> 1 -> 7 -> 8 crosses
+    // it at v=1.0 AND AGAIN at v=3.0 — the bound is the first (min v)
+    assert(b === Seq((1, 1.0)))
+  }
+
+  test("sequence(1, 0) counts DOWN in Spark — scrubs emit empty docs " +
+    "unharmed instead of indexing element_at past an empty token array") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "a b c d e f g h a b c d e f g h"), (1L, ""),
+      (2L, "   "), (3L, (null: String))).toDF("doc_id", "text")
+    val out = graft.text.TextOps.scrubSelfRepeats(d, k = 4)
+    assert(out.count() >= 3) // no crash; empty docs pass through
+    assert(out.filter(col("doc_id") === 1L)
+      .head().getAs[String]("scrubbed_text") === "")
+  }
+
+  test("winsorize keeps nulls null (least/greatest would clamp a " +
+    "missing value to the LOW bound)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(Option(5.0), None, Option(100.0)).toDF("v")
+    val out = d.select(
+      graft.ops.Normalize.winsorize(col("v"), 1.0, 10.0).as("w"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq === Seq(Some(5.0), None, Some(10.0)))
+  }
+
+  test("snapshotDiff: a null-text doc present in both snapshots is " +
+    "'unchanged', not 'added' (presence must not ride hash nullability)") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq((1L, (null: String)), (2L, "x")).toDF("doc_id", "text")
+    val next = Seq((1L, (null: String)), (2L, "y")).toDF("doc_id", "text")
+    val m = graft.text.TextOps.snapshotDiff(prev, next).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "unchanged", 2L -> "changed"))
+  }
+
+  test("null-text docs produce NO minhash signatures (they used to " +
+    "share one constant signature and LSH-pair with each other n²)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, (null: String)), (2L, (null: String)),
+      (3L, "real content words here")).toDF("doc_id", "text")
+    assert(graft.text.TextOps.minhash(d).count() === 1)
+    assert(graft.text.TextOps
+      .lshPairs(graft.text.TextOps.minhash(d)).count() === 0)
+  }
+
+  test("SemDedup keeper invariant survives a dup chain deeper than the " +
+    "fixed-3-round CC (converging min-label propagation)") {
+    val s = spark
+    import s.implicits._
+    // a 6-link PATH at threshold 0.99: adjacent cosines sit just above
+    // it, two-apart just below — component diameter 6 > the old fixed
+    // 3 rounds, so the non-converging CC left node 3 both "keeper of
+    // 6" and "pruned under 0"
+    def v(i: Int): Seq[Float] = {
+      val base = Array.fill(8)(0f); base(0) = 1f
+      base(1) = i * 0.12f
+      base.toSeq
+    }
+    val d = emb((0 to 6).map(i => i.toLong -> v(i)): _*)
+    val pruned = graft.sim.SemDedup.prune(d, threshold = 0.99, nCells0 = 1)
+    val prunedIds = pruned.select("vec_id").collect().map(_.getLong(0)).toSet
+    val keepers = pruned.select("keep_id").collect().map(_.getLong(0)).toSet
+    assert(keepers.intersect(prunedIds).isEmpty,
+      s"keepers must never be pruned: $keepers vs $prunedIds")
+  }
+
+  test("Pq codebooks record the EFFECTIVE ksub when the sample is " +
+    "smaller than nominal — encode/decode stays in bounds") {
+    val s = spark
+    import s.implicits._
+    val d = emb((0L to 4L).map(i =>
+      i -> Seq.tabulate(8)(j => (i + j).toFloat)): _*)
+    val v = graft.sim.Similarity.prep(d)
+    val cb = graft.sim.Pq.train(v, m = 2, ksub = 16, iters = 2)
+    assert(cb.ksub === 5)
+    assert(graft.sim.Pq.encode(v, cb).count() === 5)
+  }
+
+  test("training ignores rows with NULL labels or non-finite features " +
+    "instead of aborting the fit") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1.0, 1e300, Option(true)), (2.0, 2.0, Option(false)),
+      (3.0, Double.PositiveInfinity, Option(true)),
+      (4.0, 4.0, Option.empty[Boolean]),
+      (1.5, 1.0, Option(true)), (2.5, 3.0, Option(false)),
+      (1.2, 1.0, Option(true)), (2.2, 3.0, Option(false)),
+      (1.7, 1.0, Option(true)), (2.7, 3.0, Option(false)))
+      .toDF("a", "b", "tag")
+    val t = graft.train.Train.logistic(d, Seq("a", "b"),
+      col("tag") === true, maxIter = 5)
+    assert(!t.auc.isNaN)
+  }
+
+  test("A-ES weighted sampling: non-positive weights get key 0 — never " +
+    "a crash (w=0) and never the 1/u inversion that outranks " +
+    "everything (w<0)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "g", 100L), (2L, "g", 0L), (3L, "g", -50L),
+      (4L, "g", 80L)).toDF("id", "grp", "w")
+    val top = graft.ops.TemporalJoin.weightedSample(
+      d, col("grp"), col("id"), col("w"), k = 4).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // the two positive-weight ids rank first; zero/negative trail at 0
+    assert(top.take(2).map(_._2).toSet === Set(1L, 4L))
+    assert(top.drop(2).forall(_._3 === 0.0))
+  }
+}

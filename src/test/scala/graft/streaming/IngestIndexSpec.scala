@@ -756,6 +756,87 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(hashDeltas === hashDeltas.distinct)
   }
 
+  test("CROSS-PROCESS MVCC drill: a reader JVM that PLANNED against " +
+    "manifest K (pinning its file listing) still executes correctly " +
+    "after this process compacts and sweeps to K+1 — the one-" +
+    "generation retention claim across real process boundaries, for " +
+    "both the gate index and the ANN index") {
+    val t = java.nio.file.Files.createTempDirectory("graft_mvcc").toString
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    // a full Spark session in the child JVM needs the same module
+    // opens the build gives this one
+    val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util",
+      "java.util.concurrent", "java.util.concurrent.atomic",
+      "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+      "sun.util.calendar")
+      .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
+    def reader(kind: String, idx: String, flags: String): Process =
+      new ProcessBuilder(
+        (Seq(javaBin, "-Xmx1g") ++ opens ++ Seq("-cp", cp,
+          "-Dspark.ui.enabled=false",
+          "graft.tools.ReaderProbe", kind, idx, flags)): _*).start()
+    def await(p: java.nio.file.Path, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 90000
+      while (!java.nio.file.Files.exists(p) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(java.nio.file.Files.exists(p), s"$what never appeared")
+    }
+    def rowsOf(p: Process): Long = {
+      assert(p.waitFor(90, java.util.concurrent.TimeUnit.SECONDS),
+        "reader probe hung")
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      if (p.exitValue() != 0) {
+        val err = new String(p.getErrorStream.readAllBytes(), "UTF-8")
+        fail(s"reader died (exit ${p.exitValue()}):\n$out\n" +
+          err.linesIterator.toSeq.takeRight(30).mkString("\n"))
+      }
+      out.linesIterator.collectFirst {
+        case l if l.startsWith("ROWS=") => l.drop(5).toLong
+      }.getOrElse(fail(s"no ROWS in: $out"))
+    }
+
+    // ---- gate index: manifest K = compact(1) with deltas 2-3 live
+    val gIdx = s"$t/gidx"
+    mkBatches(4).foreach { case (id, b) =>
+      StreamOps.ingestBatch(b, id, gIdx, s"$t/gout") }
+    IngestIndex.compact(spark, gIdx, 1L)
+    val gFlags = s"$t/gflags"
+    val gr = reader("gate", gIdx, gFlags)
+    await(java.nio.file.Paths.get(gFlags, "planned"), "gate plan marker")
+    // expected rows as of K, computed BEFORE the next generation
+    val expected = IngestIndex.readAll(spark, gIdx, "hashes", "h").count()
+    // the writer moves on: K+1 folds deltas 2-3 and supersedes runs;
+    // its cleanup deletes PRE-K leftovers, keeping K's dirs one more
+    // generation for exactly this in-flight reader
+    IngestIndex.compact(spark, gIdx, 3L)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(gFlags, "swept"), "ok")
+    assert(rowsOf(gr) === expected,
+      "the stale-plan reader must see manifest K's exact content")
+
+    // ---- ANN index: same protocol through AnnIngest.readIndex
+    val s2 = spark
+    import s2.implicits._
+    def vecs(from: Int, n: Int) = (from until from + n)
+      .map(i => (i.toLong, Seq.tabulate(8)(j => (i * 17 + j) * 0.01)))
+      .toDF("vec_id", "embedding")
+    val aIdx = s"$t/aidx"
+    AnnIngest.ingestBatch(vecs(0, 40), 0L, aIdx, nCells = 4)
+    AnnIngest.ingestBatch(vecs(40, 40), 1L, aIdx, nCells = 4)
+    AnnIngest.compact(spark, aIdx, 1L)
+    val aFlags = s"$t/aflags"
+    val ar = reader("ann", aIdx, aFlags)
+    await(java.nio.file.Paths.get(aFlags, "planned"), "ann plan marker")
+    AnnIngest.ingestBatch(vecs(80, 40), 2L, aIdx, nCells = 4)
+    AnnIngest.compact(spark, aIdx, 2L)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(aFlags, "swept"), "ok")
+    assert(rowsOf(ar) === 80L,
+      "the stale ANN reader must see exactly manifest K's 80 live rows")
+  }
+
   test("CROSS-PROCESS lease drill: a second JVM (tools.LeaseProbe) is " +
     "refused while this process would be, its heartbeat is visible " +
     "across process boundaries, and its release frees the index — the " +
