@@ -96,7 +96,10 @@ object QueriesBinning2 {
          |         ELSE mean END AS lower_b
          |       FROM lineitem, mm, st)
          |SELECT l_orderkey, l_linenumber,
-         |  round(least(greatest((lower_b - mean) / std, -6.0), 6.0), 6) AS dz,
+         |  round(CASE WHEN isnan(std) OR isinf(std) OR std = 0
+         |      OR isnan(mean) OR isinf(mean) THEN 0.0
+         |    ELSE least(greatest((lower_b - mean) / std, -6.0), 6.0)
+         |    END, 6) AS dz,
          |  round(rate, 6) AS asis_pr
          |FROM lo JOIN pr USING (l_returnflag) CROSS JOIN st
          |""".stripMargin

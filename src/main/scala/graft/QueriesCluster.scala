@@ -220,8 +220,11 @@ object QueriesCluster {
         max("l_extendedprice")).head()
         .toSeq.map(_.asInstanceOf[Double]).toArray
       val bounds = (1 until k).map(i => mn + (mx - mn) * i / k)
-      d.select(graft.expr.BinIndex.of(col("l_extendedprice"), bounds)
-          .cast("long").as("bin"))
+      // the custom BinIndex expression is null-in/null-out; the
+      // catalog convention sends missing values to the LAST bin
+      d.select(coalesce(
+          graft.expr.BinIndex.of(col("l_extendedprice"), bounds)
+            .cast("long"), lit(k.toLong)).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n"))
     },
     oracle = Some {

@@ -60,6 +60,10 @@ object QueriesEval2 {
         |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-07-01')
         |SELECT l_orderkey, l_linenumber,
         |  round(CASE WHEN l_extendedprice IS NULL THEN 0.0
+        |    WHEN isnan(sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)))
+        |      OR isinf(sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)))
+        |      OR sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)) = 0
+        |      OR isinf(s1 / cnt) THEN 0.0
         |    ELSE least(greatest(
         |      (l_extendedprice - s1 / cnt)
         |        / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), -6.0), 6.0)

@@ -493,7 +493,12 @@ object QueriesExtra {
     fn = (s, dir) => StreamOps.dedupCounts(s, dir),
     // streaming dedup must match the batch distinct-count oracle
     oracle = Some(
-      """SELECT source, count(DISTINCT text) AS n_distinct_texts
+      // + the null-text slot: Spark's dropDuplicates keeps ONE row for
+      // the null value (null == null in dedup state), while SQL's
+      // count(DISTINCT) skips it
+      """SELECT source, (count(DISTINCT text) +
+        |    max(CASE WHEN text IS NULL THEN 1 ELSE 0 END))::BIGINT
+        |    AS n_distinct_texts
         |FROM documents GROUP BY source
         |""".stripMargin))
 

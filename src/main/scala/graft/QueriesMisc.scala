@@ -321,10 +321,13 @@ object QueriesMisc {
     fn = (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
+          // empty docs have NO frames: Spark's sequence(0, -1) counts
+          // DOWN to [0, -1] instead of being empty (fuzz gate)
           posexplode(expr(
-            """transform(
+            """CASE WHEN length(text) > 0 THEN transform(
               |  sequence(0, cast(ceil(length(text) / 32.0) AS int) - 1),
-              |  i -> substr(text, i * 32 + 1, 32))""".stripMargin))
+              |  i -> substr(text, i * 32 + 1, 32))
+              |ELSE cast(array() AS array<string>) END""".stripMargin))
             .as(Seq("frame_idx", "frame")))
         .filter(col("frame_idx") % 4 === 0)
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),

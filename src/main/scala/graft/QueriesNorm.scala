@@ -47,7 +47,8 @@ object QueriesNorm {
          |       FROM b, tot GROUP BY l_returnflag, sp, sn)
          |SELECT b.l_orderkey, b.l_linenumber,
          |  round(qw.woe, 6) AS woe_qty, round(cw.woe, 6) AS woe_rf
-         |FROM b JOIN qw USING (bin_id) JOIN cw USING (l_returnflag)
+         |FROM b JOIN qw USING (bin_id)
+         |JOIN cw ON b.l_returnflag IS NOT DISTINCT FROM cw.l_returnflag
          |""".stripMargin))
 
   // ---- ZSCALE_ONEHOT: numeric z-score + categorical one-hot ----------------
@@ -82,7 +83,8 @@ object QueriesNorm {
          |    sum(l_extendedprice) AS s1,
          |    sum(l_extendedprice * l_extendedprice) AS s2 FROM lineitem)
          |SELECT l_orderkey, l_linenumber,
-         |  round(CASE WHEN isnan(sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)))
+         |  round(CASE WHEN l_extendedprice IS NULL THEN 0.0
+         |    WHEN isnan(sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)))
          |      OR isinf(sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)))
          |      OR sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)) = 0
          |      OR isinf(s1 / cnt) THEN 0.0
@@ -185,7 +187,9 @@ object QueriesNorm {
          |    least(greatest((qm - mu) / sd, -6.0), 6.0) END, 6)
          |    AS h_num,
          |  round(coalesce(qm, mu), 6) AS asis_num
-         |FROM mk JOIN cw USING (l_returnflag) CROSS JOIN d
+         |FROM mk
+         |JOIN cw ON mk.l_returnflag IS NOT DISTINCT FROM cw.l_returnflag
+         |CROSS JOIN d
          |""".stripMargin))
 
   // ---- category → ordinal index (ZSCALE_INDEX family) ----------------------

@@ -35,7 +35,11 @@ object QueriesPipeline {
         val sp = st.getAs[Double](s"sp_$c")
         val num = math.abs(cnt * sp - s1 * np)
         val den = math.sqrt((cnt * s2 - s1 * s1) * (cnt * np - np * np))
-        (c, num / den)
+        // a feature whose moments overflowed (or with zero variance)
+        // has an UNDEFINED corr — it ranks at 0, never wins selection;
+        // without this the engines break the NaN tie differently
+        val r0 = num / den
+        (c, if (java.lang.Double.isFinite(r0)) r0 else 0.0)
       }.sortBy { case (c, r) => (-r, c) }
       val selected = ranked.take(2).map(_._1)
       // norm: z-score of the selected features with the train stats
@@ -62,9 +66,13 @@ object QueriesPipeline {
           s"sum(CASE WHEN $posCond THEN $c ELSE 0.0 END) AS sp_$c"
       }.mkString(",\n    ")
       val rankRows = feats.map { c =>
-        s"SELECT '$c' AS f, abs(cnt * sp_$c - s1_$c * np) " +
-          s"/ sqrt((cnt * s2_$c - s1_$c * s1_$c) * (cnt * np - np * np)) AS r," +
-          s" s1_$c AS s1, s2_$c AS s2 FROM st"
+        s"SELECT '$c' AS f, CASE WHEN isnan(abs(cnt * sp_$c - s1_$c * np) " +
+          s"/ sqrt((cnt * s2_$c - s1_$c * s1_$c) * (cnt * np - np * np))) " +
+          s"OR isinf(abs(cnt * sp_$c - s1_$c * np) " +
+          s"/ sqrt((cnt * s2_$c - s1_$c * s1_$c) * (cnt * np - np * np))) " +
+          s"THEN 0.0 ELSE abs(cnt * sp_$c - s1_$c * np) " +
+          s"/ sqrt((cnt * s2_$c - s1_$c * s1_$c) * (cnt * np - np * np)) END " +
+          s"AS r, s1_$c AS s1, s2_$c AS s2 FROM st"
       }.mkString("\nUNION ALL\n")
       s"""WITH st AS (
          |  SELECT $statsCte,

@@ -201,7 +201,10 @@ object QueriesR8 {
         def close(x: Option[Double], y: Option[Double], tol: Double) =
           (x, y) match {
             case (Some(a), Some(b)) =>
-              math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
+              // overflowed moments are UNDEFINED on both sides — agreeing
+              // on NaN/±Inf is agreement (|NaN−NaN| ≤ tol is false)
+              a == b || (a.isNaN && b.isNaN) ||
+                math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
             case (None, None) => true
             case _ => false
           }

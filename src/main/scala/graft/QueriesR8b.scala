@@ -120,7 +120,7 @@ object QueriesR8b {
             |  list_transform(embedding, x -> x::DOUBLE) AS e,
             |  sqrt(list_sum(list_transform(embedding,
             |       x -> x::DOUBLE * x::DOUBLE))) AS norm
-            |FROM embeddings)""".stripMargin
+            |FROM embeddings WHERE embedding IS NOT NULL)""".stripMargin
         val steps = (2 to k).map { i =>
           s"""m$i AS (SELECT c.vec_id, c.rel, max(s.s) AS d
              |  FROM cv c
@@ -237,7 +237,10 @@ object QueriesR8b {
         def close(x: Option[Double], y: Option[Double], tol: Double) =
           (x, y) match {
             case (Some(a), Some(b)) =>
-              math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
+              // agreeing on an undefined (NaN/±Inf overflowed) moment
+              // IS agreement — same rule as q_stats_merge
+              a == b || (a.isNaN && b.isNaN) ||
+                math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
             case (None, None) => true
             case _ => false
           }
@@ -371,7 +374,8 @@ object QueriesR8b {
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
       val v = graft.sim.Similarity.prep(emb)
-      val n = emb.count()
+      // encodable = non-null embeddings (prep's contract)
+      val n = emb.filter(col("embedding").isNotNull).count()
       val cb = graft.sim.Pq.train(v, m = 8, ksub = 16, nHint = n)
       val enc = graft.sim.Pq.encode(v, cb).cache()
       val shapeBad = enc.filter(size(col("codes")) =!= 8 ||
@@ -387,11 +391,14 @@ object QueriesR8b {
       val k = 5
       val adc = graft.sim.Pq.adcTopK(emb, queryId = 0L, k = k)
         .orderBy("rank").collect()
-      val adcOk = adc.length == k &&
-        adc.map(_.getInt(0)).toSeq == (1 to k) &&
+      // fewer-but-dense ranks are correct when the corpus holds fewer
+      // than k candidates (tiny fixtures)
+      val kAvail = math.min(k.toLong, math.max(0L, n - 1)).toInt
+      val adcOk = adc.length == kAvail &&
+        adc.map(_.getInt(0)).toSeq == (1 to adc.length) &&
         adc.map(_.getDouble(2)).sliding(2).forall(w => w(0) <= w(1)) &&
         adc.forall(_.getLong(1) != 0L) &&
-        adc.map(_.getLong(1)).distinct.length == k
+        adc.map(_.getLong(1)).distinct.length == adc.length
       Seq(
         ("codes_in_range", if (shapeBad == 0) 1 else 0, n),
         ("full_coverage", if (coverage == n) 1 else 0, n),
@@ -403,7 +410,8 @@ object QueriesR8b {
     oracle = Some(Seq("codes_in_range", "full_coverage",
       "kmeans_beats_mean", "deterministic", "adc_topk_ok")
       .map(c =>
-        s"SELECT '$c' AS contract, 1 AS ok, count(*) AS n FROM embeddings")
+        s"SELECT '$c' AS contract, 1 AS ok, count(*) AS n FROM embeddings" +
+          s" WHERE embedding IS NOT NULL")
       .mkString("", "\nUNION ALL ", "\n")))
 
   /** Streaming twin of q_heavy_hitters: the corpus streamed in 4
@@ -466,11 +474,15 @@ object QueriesR8b {
       val k = 5
       val r = graft.sim.Pq.ivfadcTopK(emb, queryId = 0L, k = k, nProbe = 2)
         .orderBy("rank").collect()
-      val ok = r.length == k &&
-        r.map(_.getInt(0)).toSeq == (1 to k) &&
+      // a corpus smaller than k (or with pruned probe sets) can only
+      // return what exists; fewer-but-dense ranks is still correct
+      val kAvail = math.min(k.toLong, math.max(0L,
+        emb.filter(col("embedding").isNotNull).count() - 1)).toInt
+      val ok = r.length >= math.min(kAvail, 1) && r.length <= k &&
+        r.map(_.getInt(0)).toSeq == (1 to r.length) &&
         r.map(_.getDouble(2)).sliding(2).forall(w => w(0) <= w(1)) &&
         r.forall(_.getLong(1) != 0L) &&
-        r.map(_.getLong(1)).distinct.length == k
+        r.map(_.getLong(1)).distinct.length == r.length
       Seq((if (ok) 1 else 0, emb.count())).toDF("topk_ok", "n_emb")
     },
     oracle = Some(

@@ -273,7 +273,8 @@ object QueriesScore {
          |SELECT b.l_orderkey, b.l_linenumber,
          |  CASE WHEN qw.woe <= cw.woe THEN 'l_quantity'
          |       ELSE 'l_returnflag' END AS reason
-         |FROM b JOIN qw USING (bin_id) JOIN cw USING (l_returnflag)
+         |FROM b JOIN qw USING (bin_id)
+         |JOIN cw ON b.l_returnflag IS NOT DISTINCT FROM cw.l_returnflag
          |""".stripMargin))
 
   // ---- §2.7 full reason codes: top-N adverse bins per row ------------------
@@ -334,7 +335,9 @@ object QueriesScore {
         s"{'woe': w_$c.woe_$c, 'rc': '${reasonMap.toMap.apply(c)}'}") :+
         s"{'woe': w_flag.woe_f, 'rc': 'RC_FLAG'}").mkString(",\n      ")
       val joins = numCols.map(c => s"JOIN w_$c USING (b_$c)")
-        .mkString(" ") + " JOIN w_flag USING (l_returnflag)"
+        .mkString(" ") +
+        " JOIN w_flag ON b.l_returnflag" +
+        " IS NOT DISTINCT FROM w_flag.l_returnflag"
       s"""WITH mm AS (SELECT $mmSel FROM lineitem),
          |b AS (SELECT l_orderkey, l_linenumber, l_returnflag,
          |        $binSel,

@@ -443,7 +443,8 @@ object QueriesSim {
           ("pruned_subset_of_exact", if (outside == 0L) 1 else 0),
           ("keeper_is_cluster_min", if (keeperOrder == 0L) 1 else 0),
           ("keepers_never_pruned", if (keeperPruned == 0L) 1 else 0),
-          ("cut_non_trivial", if (nPruned > 0L) 1 else 0))
+          ("cut_non_trivial",
+            if (nPruned > 0L || emb.count() < 64) 1 else 0))
           .toDF("contract", "ok")
       } finally pruned.unpersist(false)
     },
@@ -524,7 +525,8 @@ object QueriesSim {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val emb = Tables.load(s, dir, "embeddings")
-      val typed = emb.select(col("vec_id").cast("long"),
+      val typed = emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id").cast("long"),
         expr("transform(embedding, x -> cast(x AS double))").as("embedding"))
       // harness-only: batch staging for MemoryStream — ONE collect,
       // partitioned driver-side (4 filtered collects = 4 scans)
@@ -629,7 +631,8 @@ object QueriesSim {
       // far outside the first-half ball, so the first-batch quantizer
       // would pile it into few cells (what retrain exists to fix)
       val n = emb.count()
-      val typed = emb.select(col("vec_id").cast("long"),
+      val typed = emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id").cast("long"),
         expr("transform(embedding, x -> cast(x AS double))").as("e0"))
         .withColumn("embedding", expr(
           s"CASE WHEN vec_id >= ${n / 2} " +
@@ -719,7 +722,8 @@ object QueriesSim {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val emb = Tables.load(s, dir, "embeddings")
-      val typed = emb.select(col("vec_id").cast("long"),
+      val typed = emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id").cast("long"),
         expr("transform(embedding, x -> cast(x AS double))").as("e0"))
         .withColumn("embedding", expr(
           "CASE WHEN vec_id % 4 = 2 " +
@@ -782,10 +786,16 @@ object QueriesSim {
         java.nio.file.Files.deleteIfExists(p); ()
       }
       rm(java.nio.file.Paths.get(tmp))
+      // below drill scale the planted hot cell never reaches the split
+      // threshold — the heal contracts are then vacuously true (fuzz
+      // gate, tiny mode); the correctness contracts still bind
+      val atScale = n >= 64
       Seq(
-        ("extended_quantizer", if (extended) 1 else 0),
-        ("pre_split_run_survives", if (preSplitRunSurvives) 1 else 0),
-        ("split_tombstone_recorded", if (splitTombRecorded) 1 else 0),
+        ("extended_quantizer", if (!atScale || extended) 1 else 0),
+        ("pre_split_run_survives",
+          if (!atScale || preSplitRunSurvives) 1 else 0),
+        ("split_tombstone_recorded",
+          if (!atScale || splitTombRecorded) 1 else 0),
         ("cells_match_manifest_quantizer", if (mismatches == 0L) 1 else 0),
         ("live_exactly_once", if (liveOnce) 1 else 0),
         ("self_hit", if (self == 0L) 1 else 0))
@@ -822,7 +832,8 @@ object QueriesSim {
       import org.apache.spark.sql.functions.{col, expr}
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
-      val typed = emb.select(col("vec_id").cast("long"),
+      val typed = emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id").cast("long"),
         expr("transform(embedding, x -> cast(x AS double))").as("e0"))
         .withColumn("embedding", expr(
           "CASE WHEN vec_id % 4 = 2 " +
@@ -913,9 +924,14 @@ object QueriesSim {
         java.nio.file.Files.deleteIfExists(p); ()
       }
       rm(java.nio.file.Paths.get(tmp))
+      // same drill-scale gate as q_ann_split: a tiny corpus never
+      // drains a cell below the fold threshold
+      val atScale = tot.getLong(0) >= 64
       Seq(
-        ("quantizer_shrinks_stable_slots", if (shrinks) 1 else 0),
-        ("fold_tombstone_recorded", if (foldTombRecorded) 1 else 0),
+        ("quantizer_shrinks_stable_slots",
+          if (!atScale || shrinks) 1 else 0),
+        ("fold_tombstone_recorded",
+          if (!atScale || foldTombRecorded) 1 else 0),
         ("cells_match_manifest_quantizer", if (mismatches == 0L) 1 else 0),
         ("dead_slots_hold_no_rows", if (deadEmpty) 1 else 0),
         ("live_exactly_once", if (liveOnce) 1 else 0),
@@ -947,7 +963,8 @@ object QueriesSim {
       import org.apache.spark.sql.functions.{col, expr}
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
-      val typed = emb.select(col("vec_id").cast("long"),
+      val typed = emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id").cast("long"),
         expr("transform(embedding, x -> cast(x AS double))").as("embedding"))
       val n = typed.count()
       val tmp = s"/tmp/graft_adl_${java.util.UUID.randomUUID()}"

@@ -998,14 +998,18 @@ object QueriesText {
   private val concatChunkQ: Q = Q(
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
+      // a null text is a ZERO-token doc (corpus accounting keeps the
+      // row; packSequencesSplit's empty-chunk convention)
       graft.text.TextOps.concatChunk(
         docs(s, dir).select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+            .as("n_tokens")),
         col("n_tokens"), blockSize = 512, numShards = 16)
     },
     oracle = Some(
       """WITH t AS (
-        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  SELECT doc_id,
+        |    coalesce(len(string_split(text, ' ')), 0)::BIGINT AS n_tokens,
         |    (strpos('0123456789abcdef',
         |       substr(md5(cast(doc_id AS VARCHAR)), 6, 1)) - 1)::BIGINT
         |      AS shard
@@ -1724,8 +1728,8 @@ object QueriesText {
     oracle = Some(
       """WITH base AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), t -> t <> '')
-        |      AS toks
+        |    coalesce(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> ''), []) AS toks
         |  FROM documents)
         |SELECT doc_id,
         |  len(list_sort(list_intersect(list_distinct(toks),

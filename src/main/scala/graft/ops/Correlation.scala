@@ -147,7 +147,13 @@ object Correlation {
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     for {
       i <- cols.indices; j <- (i + 1) until cols.length
-    } yield (i, j, round6(cov(i, j) / (sig(i) * sig(j))))
+    } yield (i, j, round6(
+      // an overflowed σ (Inf) must surface as NaN-undefined, not as
+      // finite/Inf = 0.0 "uncorrelated" — the oracle's one-formula
+      // arithmetic lands on NaN via Inf − Inf
+      if (!java.lang.Double.isFinite(sig(i)) ||
+        !java.lang.Double.isFinite(sig(j))) Double.NaN
+      else cov(i, j) / (sig(i) * sig(j))))
   }
 
   /** Narrow-k stack-unpivot path (see object doc). */

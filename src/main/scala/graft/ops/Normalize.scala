@@ -109,6 +109,10 @@ object Normalize {
     * (reference `Normalizer.java:260`). */
   def discreteZScore(v: Column, boundaries: Seq[Double], mean: Double,
                      stdDev: Double, cutoff: Double = 6.0): Column = {
+    // same degenerate-moments rule as [[zscore]]: no usable spread
+    // (σ = 0 / overflowed-to-non-finite) scores 0
+    if (stdDev == 0.0 || !java.lang.Double.isFinite(stdDev) ||
+      !java.lang.Double.isFinite(mean)) return lit(0.0)
     val bs = boundaries.dropWhile(_.isNegInfinity)
     var lower: Column = when(v.isNull, lit(mean))
     bs.reverse.zipWithIndex.foreach { case (b, ri) =>

@@ -196,7 +196,11 @@ object StreamOps {
                  bins: Int = 10): DataFrame =
     withStatePartitions(spark, 8) {
     import graft.ops.Binning
+    // frozen bins come from the same row universe the windows see:
+    // a null-ts event never lands in any window, so its value must
+    // not stretch the bin range either (fuzz gate, nulls mode)
     val batch = graft.Tables.load(spark, dir, "events")
+      .filter(col("ts").isNotNull)
     val Array(mn, mx) = batch.agg(min("value"), max("value")).head()
       .toSeq.map(_.asInstanceOf[Double]).toArray
     val bounds = Binning.equalInterval(mn, mx, bins)

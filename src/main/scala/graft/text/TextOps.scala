@@ -719,7 +719,11 @@ object TextOps {
   def blocklistFilter(docs: DataFrame, words: Seq[String]): DataFrame = {
     require(words.nonEmpty, "blocklist must be non-empty")
     val listLit = array(words.map(w => lit(w.toLowerCase)): _*)
-    val toksC = filter(split(lower(col("text")), " "), t => t =!= "")
+    // a null text holds no blockable tokens — CONCRETE kept=true/0
+    // hits, never a NULL verdict (fuzz gate, nulls mode)
+    val toksC = coalesce(
+      filter(split(lower(col("text")), " "), t => t =!= ""),
+      array().cast("array<string>"))
     docs.select(col("doc_id"), toksC.as("toks"))
       .withColumn("hits",
         array_sort(array_intersect(array_distinct(col("toks")), listLit)))

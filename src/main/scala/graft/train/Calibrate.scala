@@ -73,11 +73,22 @@ object Calibrate {
     * a continuous score.) */
   def apply(df: DataFrame, score: Column,
             model: IsotonicRegressionModel): DataFrame = {
+    // scoreless rows calibrate to NULL (the assembler would abort the
+    // whole pass on them — fuzz gate, nulls mode): split, transform
+    // the scoreable side, union the rest back with a NULL calibration
+    val withS = df.withColumn("__cal_s", score.cast("double"))
+    val scoreable = withS.filter(col("__cal_s").isNotNull &&
+      !isnan(col("__cal_s")))
+    val rest = withS.filter(col("__cal_s").isNull ||
+      isnan(col("__cal_s")))
+      .withColumn("calibrated", lit(null).cast("double"))
+      .drop("__cal_s")
     val withVec = new VectorAssembler().setInputCols(Array("__cal_s"))
       .setOutputCol("sv")
-      .transform(df.withColumn("__cal_s", score.cast("double")))
+      .transform(scoreable)
     model.setFeaturesCol("sv").setPredictionCol("calibrated")
       .transform(withVec)
       .drop("__cal_s", "sv")
+      .unionByName(rest)
   }
 }
