@@ -101,7 +101,9 @@ object QueriesBinning2 {
          |    ELSE least(greatest((lower_b - mean) / std, -6.0), 6.0)
          |    END, 6) AS dz,
          |  round(rate, 6) AS asis_pr
-         |FROM lo JOIN pr USING (l_returnflag) CROSS JOIN st
+         |FROM lo
+         |JOIN pr ON lo.l_returnflag IS NOT DISTINCT FROM pr.l_returnflag
+         |CROSS JOIN st
          |""".stripMargin
     })
 

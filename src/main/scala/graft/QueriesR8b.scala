@@ -202,10 +202,14 @@ object QueriesR8b {
         .toDF("contract", "ok", "n")
     },
     oracle = Some(
-      """SELECT 'monotone' AS contract, 1 AS ok, count(*) AS n FROM lineitem
-        |UNION ALL SELECT 'probs_in_01', 1, count(*) FROM lineitem
-        |UNION ALL SELECT 'mean_preserving', 1, count(*) FROM lineitem
-        |UNION ALL SELECT 'brier_improves', 1, count(*) FROM lineitem
+      // n = the calibratable rows: the fit and apply both exclude
+      // rows whose score expression is NULL (missing price/discount)
+      """WITH ok AS (SELECT count(*) AS n FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL)
+        |SELECT 'monotone' AS contract, 1 AS ok, n FROM ok
+        |UNION ALL SELECT 'probs_in_01', 1, n FROM ok
+        |UNION ALL SELECT 'mean_preserving', 1, n FROM ok
+        |UNION ALL SELECT 'brier_improves', 1, n FROM ok
         |""".stripMargin))
 
   // ---- streaming incremental catalog maintenance ---------------------------

@@ -630,7 +630,7 @@ object QueriesSim {
       // second half of the id space shifts by +8 in every dimension —
       // far outside the first-half ball, so the first-batch quantizer
       // would pile it into few cells (what retrain exists to fix)
-      val n = emb.count()
+      val n = emb.filter(col("embedding").isNotNull).count()
       val typed = emb.filter(col("embedding").isNotNull)
         .select(col("vec_id").cast("long"),
         expr("transform(embedding, x -> cast(x AS double))").as("e0"))
