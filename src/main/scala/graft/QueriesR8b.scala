@@ -400,7 +400,8 @@ object QueriesR8b {
       val kAvail = math.min(k.toLong, math.max(0L, n - 1)).toInt
       val adcOk = adc.length == kAvail &&
         adc.map(_.getInt(0)).toSeq == (1 to adc.length) &&
-        adc.map(_.getDouble(2)).sliding(2).forall(w => w(0) <= w(1)) &&
+        adc.map(_.getDouble(2)).sliding(2)
+          .forall(w => w.length < 2 || w(0) <= w(1)) &&
         adc.forall(_.getLong(1) != 0L) &&
         adc.map(_.getLong(1)).distinct.length == adc.length
       Seq(
@@ -484,7 +485,8 @@ object QueriesR8b {
         emb.filter(col("embedding").isNotNull).count() - 1)).toInt
       val ok = r.length >= math.min(kAvail, 1) && r.length <= k &&
         r.map(_.getInt(0)).toSeq == (1 to r.length) &&
-        r.map(_.getDouble(2)).sliding(2).forall(w => w(0) <= w(1)) &&
+        r.map(_.getDouble(2)).sliding(2)
+          .forall(w => w.length < 2 || w(0) <= w(1)) &&
         r.forall(_.getLong(1) != 0L) &&
         r.map(_.getLong(1)).distinct.length == r.length
       Seq((if (ok) 1 else 0, emb.count())).toDF("topk_ok", "n_emb")
