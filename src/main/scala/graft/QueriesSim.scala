@@ -984,8 +984,10 @@ object QueriesSim {
         liveNow.filter(col("vec_id") % 10 === 0).count() == 0L
       liveNow.unpersist(false)
       // (2) a deleted vector can no longer be its own top-1
+      // orderBy before limit: an unordered limit is not a stable row
+      // set across executions (see AnnIngest.queryTopK's snapshot note)
       val delSample = typed.filter(col("vec_id") % 10 === 0)
-        .limit(20).toDF("vec_id", "embedding")
+        .orderBy("vec_id").limit(20).toDF("vec_id", "embedding")
       val selfHits = graft.streaming.AnnIngest.queryTopK(s, idx,
           delSample, k = 1, nProbe = 8)
         .filter(col("nb_id") === col("vec_id")).count()

@@ -1078,7 +1078,16 @@ object AnnIngest {
     val cents = centroidsOf(m, sp, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no centroids at $indexDir — ingest at least one batch first"))
-    val q = graft.sim.Similarity.prep(queries)
+    // ONE materialization of the query set: this plan embeds `queries`
+    // three times (probe assignment, the pruning collect, the vector
+    // re-attach join), and a caller-supplied NON-DETERMINISTIC frame —
+    // an unordered limit(), a sample — would otherwise evaluate to a
+    // DIFFERENT row set in each, silently joining to empty/partial
+    // results. local[n] masks it (stable partition arrival order); the
+    // r15 multi-JVM soak surfaced it as nondeterministic zero-row
+    // queries. localCheckpoint is eager + lineage-truncating, so every
+    // use sees the same snapshot; query sets are small by contract.
+    val q = graft.sim.Similarity.prep(queries).localCheckpoint(true)
     val probes = graft.sim.Ivf.assignProbes(q, cents, nProbe)
     val cells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ nCells values

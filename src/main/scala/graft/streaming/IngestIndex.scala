@@ -1186,7 +1186,13 @@ object IngestIndex {
     // delete of a missing dir is a no-op and nothing is re-applied.
     Kinds.foreach { kind =>
       m.runs.getOrElse(s"tswept_$kind", Nil).foreach { tb =>
-        fs.delete(new Path(s"${tombsDir(indexDir, kind)}/${tb.name}"), true)
+        val dir = s"${tombsDir(indexDir, kind)}/${tb.name}"
+        fs.delete(new Path(dir), true)
+        // evict the fast-path verdicts that referenced this dir —
+        // without it the cache grows one dir-SET key per retraction
+        // wave until the wholesale 256-cap clear (the r15 soak's
+        // driver-state gauge caught the linear creep)
+        tombFastOk.keySet.removeIf(_.contains(dir))
         ()
       }
     }

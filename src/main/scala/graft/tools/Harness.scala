@@ -12,9 +12,31 @@ object Harness {
 
   def session(cpus: String =
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,2,2048] runs any tool on real
+    // multi-JVM executors (the soak battery's wire-format evidence) —
+    // same recipe as graft.Verify: fresh executor JVMs need the
+    // compiled classes and the module opens on their own command lines
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    val builderM =
+      if (!master.startsWith("local-cluster")) builder0
+      else {
+        if (!sys.env.contains("SPARK_HOME"))
+          System.setProperty("spark.test.home", "/opt/spark")
+        val opens = Seq("java.lang", "java.lang.invoke",
+          "java.lang.reflect", "java.io", "java.net", "java.nio",
+          "java.util", "java.util.concurrent",
+          "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+          "sun.security.action", "sun.util.calendar")
+          .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" ")
+        builder0
+          .config("spark.executor.extraClassPath", new java.io.File(
+            "target/scala-2.13/classes").getAbsolutePath)
+          .config("spark.executor.extraJavaOptions", opens)
+      }
+    val spark = builderM
       // JVM JIT refuses methods past ~8KB bytecode: a whole-stage method
       // bigger than that runs INTERPRETED (measured 18x on
       // wide-expression plans) — fall back to per-operator codegen there

@@ -46,7 +46,17 @@ object HealSoak {
             "sin(id * 131 + d * 17) AS float))").as("embedding"))
     }
     def queryMs(tag: String): Unit = {
-      val q = batchDf(0).limit(200)
+      // DETERMINISTIC query set — never `limit` without an order: an
+      // unordered GlobalLimit is not a stable row set, and a plan that
+      // embeds it twice (probe side + re-attach side of queryTopK)
+      // joins two DIFFERENT 200-row subsets on multi-JVM executors,
+      // nondeterministically matching zero rows. local[n] masks it
+      // (single process, stable partition arrival order); the r15
+      // multi-JVM soak caught it as silent empty/partial results.
+      val q = spark.range(0L, 200L)
+        .select(col("id").as("vec_id"), expr(
+          s"transform(sequence(0, 31), d -> cast(0.0 + 1.0 * " +
+            "sin(id * 131 + d * 17) AS float))").as("embedding"))
       val t0 = System.nanoTime()
       val rows = graft.streaming.AnnIngest
         .queryTopK(spark, idx, q, k = 3, nProbe = 1).count()
