@@ -50,7 +50,7 @@ object QueriesBinning2 {
          |t AS (SELECT sum(wv) AS tot FROM g),
          |j AS (SELECT unnest(generate_series(1, ${binK - 1})) AS jn)
          |SELECT jn AS j, min(v) AS bound
-         |FROM c, t, j WHERE cw * $binK >= jn * tot GROUP BY jn
+         |FROM c, t, j WHERE tot > 0 AND cw * $binK >= jn * tot GROUP BY jn
          |""".stripMargin))
 
   // ---- §2.8 DISCRETE_ZSCORE + ASIS_PR (exact-arithmetic variants) ----------

@@ -123,6 +123,12 @@ object Binning {
       .collect().sortBy(_._1).map(_._2)
     val offsets = partTotals.scanLeft(BigInt(0))(_ + _)
     val tot = offsets.last
+    // zero/negative total mass (all-zero or net-negative weights) has no
+    // meaningful j/k thresholds — the crossing predicate below would never
+    // fire while a naive `cw·k ≥ j·tot` oracle still selects min(v). Both
+    // sides declare the quantile axis undefined and return no bounds
+    // (oracle mirrors with `tot > 0` in its WHERE).
+    if (tot <= 0) { rdd.unpersist(false); return Seq.empty }
     val crossings = rdd.mapPartitionsWithIndex { (i, it) =>
       var cum = offsets(i)
       it.flatMap { case (v, w) =>

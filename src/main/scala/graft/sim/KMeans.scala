@@ -31,7 +31,14 @@ object KMeans {
       .select(col("vec_id"),
         org.apache.spark.ml.functions.array_to_vector(
           col("embedding").cast("array<double>")).as("features"))
-    val kEff = math.max(1, math.min(k, v.count().toInt))
+    val n = v.count()
+    // empty corpus (zero rows / all-null embeddings): MLlib's fit throws
+    // on zero rows even with k=1 — return the empty Fitted instead
+    // (mirrors Ivf.train's empty-sample early return)
+    if (n == 0L)
+      return Fitted(v.select(col("vec_id"), lit(0L).as("cluster")),
+        Array.empty, 0.0)
+    val kEff = math.max(1, math.min(k, n.toInt))
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(kEff).setSeed(seed).setMaxIter(iters)
       .setFeaturesCol("features").setPredictionCol("cluster")

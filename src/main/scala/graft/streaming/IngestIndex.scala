@@ -1192,7 +1192,10 @@ object IngestIndex {
         // without it the cache grows one dir-SET key per retraction
         // wave until the wholesale 256-cap clear (the r15 soak's
         // driver-state gauge caught the linear creep)
-        tombFastOk.keySet.removeIf(_.contains(dir))
+        // exact dir-token match: the key is the space-joined dir SET, and
+        // substring matching would also evict .../t_10 when .../t_1 dies
+        // (over-eviction is correct but re-runs the validation job)
+        tombFastOk.keySet.removeIf(_.split(' ').contains(dir))
         ()
       }
     }

@@ -201,8 +201,14 @@ object StreamOps {
     // not stretch the bin range either (fuzz gate, nulls mode)
     val batch = graft.Tables.load(spark, dir, "events")
       .filter(col("ts").isNotNull)
-    val Array(mn, mx) = batch.agg(min("value"), max("value")).head()
-      .toSeq.map(_.asInstanceOf[Double]).toArray
+    // min/max are NULL when the (null-ts-filtered) batch is empty or
+    // `value` is all-NULL — fall back to a degenerate [0,1] range
+    // instead of a driver NPE; the stream then sees zero rows anyway
+    // (same nulls-mode defect class as the r15 fuzz burn-down)
+    val mmRow = batch.agg(min("value"), max("value")).head()
+    val (mn, mx) =
+      if (mmRow.isNullAt(0) || mmRow.isNullAt(1)) (0.0, 1.0)
+      else (mmRow.getDouble(0), mmRow.getDouble(1))
     val bounds = Binning.equalInterval(mn, mx, bins)
     val name = s"stream_psi_${counter.incrementAndGet()}"
     val events = eventsStream(spark, dir)

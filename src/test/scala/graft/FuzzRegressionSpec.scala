@@ -78,6 +78,29 @@ class FuzzRegressionSpec extends AnyFunSuite {
     assert(b === Seq((1, 1.0)))
   }
 
+  test("weightedEqualBounds: zero/negative total mass has no quantile " +
+    "axis — engine and oracle both emit NO bounds (r16 ADVICE)") {
+    val s = spark
+    import s.implicits._
+    val zero = Seq((1.0, 0.0), (2.0, 0.0)).toDF("v", "w")
+    assert(graft.ops.Binning.weightedEqualBounds(
+      zero, "v", col("w"), 4) === Seq.empty)
+    val neg = Seq((1.0, 2.0), (2.0, -5.0)).toDF("v", "w")
+    assert(graft.ops.Binning.weightedEqualBounds(
+      neg, "v", col("w"), 4) === Seq.empty)
+  }
+
+  test("KMeans.fit on an empty / all-null-embedding corpus returns the " +
+    "empty Fitted instead of crashing MLlib (r16 ADVICE)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, Option.empty[Seq[Float]]),
+      (1L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    val km = graft.sim.KMeans.fit(d, k = 4)
+    assert(km.assign.count() === 0L)
+    assert(km.centroids.isEmpty && km.inertia === 0.0)
+  }
+
   test("sequence(1, 0) counts DOWN in Spark — scrubs emit empty docs " +
     "unharmed instead of indexing element_at past an empty token array") {
     val s = spark
