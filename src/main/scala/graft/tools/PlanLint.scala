@@ -114,11 +114,31 @@ object PlanLint {
     }
   }
 
+  /** Subtrees whose ROW SET is not a function of the data alone — an
+    * unordered `limit` (any n rows is a legal answer, and a re-execution
+    * on real executor JVMs picks a DIFFERENT n rows) or a `sample`
+    * (stable only while its input partitioning is). One such subtree
+    * executed once is fine; the SAME one evaluated in 2+ places of a
+    * plan silently joins/unions two different row sets — the r15
+    * multi-JVM landmine (AnnIngest.queryTopK embedded its caller's
+    * `.limit(600)` frame three times and nondeterministically returned
+    * 0/591/600 rows; local[n] masks it completely). */
+  private def nondetRowSet(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    p match {
+      // limit over sorted input pins the row set; over unsorted it's
+      // "any n" (TakeOrderedAndProjectExec never reaches here)
+      case g: GlobalLimitExec => !g.child.exists(_.isInstanceOf[SortExec])
+      case _: SampleExec => true
+      case _ => false
+    }
+  }
+
   def lintPlan(name: String, plan: SparkPlan): Seq[Finding] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.joins.{
       BroadcastNestedLoopJoinExec, CartesianProductExec}
-    plan.collect {
+    val structural = plan.collect {
       case _: CartesianProductExec =>
         Finding(name, "cartesian", "CartesianProductExec in plan")
       case j: BroadcastNestedLoopJoinExec
@@ -132,6 +152,20 @@ object PlanLint {
           s"pushable dataFilters=${s.dataFilters.filter(pushable)
             .map(_.sql).mkString(",")}")
     }
+    // nondet-frame reuse: group every nondeterministic-row-set subtree
+    // by canonical form; 2+ occurrences means the plan RE-EXECUTES it
+    // (a ReusedExchangeExec duplicate doesn't re-walk the subtree, so
+    // genuinely-shared shuffle output never false-positives here)
+    val nondetReuse = plan.collect { case p if nondetRowSet(p) => p }
+      .groupBy(_.canonicalized).filter(_._2.sizeIs >= 2)
+      .map { case (_, occ) =>
+        Finding(name, "nondet_reuse",
+          s"${occ.head.nodeName} subtree (unordered limit/sample) " +
+            s"evaluated ${occ.size}x in one plan — each execution is a " +
+            "different legal row set on real executors; snapshot it " +
+            "(localCheckpoint) or sort before the limit")
+      }.toSeq
+    structural ++ nondetReuse
   }
 
   def main(args: Array[String]): Unit = {

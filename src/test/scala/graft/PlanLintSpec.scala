@@ -62,6 +62,40 @@ class PlanLintSpec extends AnyFunSuite {
       s"expected a flag, got ${lint(joined)}")
   }
 
+  test("nondet_reuse: an unordered .limit embedded 2+ times in one plan " +
+    "flags (the r15 queryTopK landmine shape); sorted limits, single " +
+    "uses, and snapshots stay clean") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    // the pre-fix queryTopK shape: one unordered-limit frame consumed
+    // by two subplans (self-join probe + re-attach) — each execution a
+    // different legal row set on real executor JVMs
+    val frame = li.limit(100)
+    val reused = frame.join(frame.groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("s")), "l_orderkey")
+    assert(lint(reused).map(_.kind).contains("nondet_reuse"),
+      s"got ${lint(reused)}")
+    // sample reuse flags the same way
+    val samp = li.sample(0.5, 7L)
+    assert(lint(samp.unionByName(samp)).map(_.kind)
+      .contains("nondet_reuse"))
+    // a SORTED limit is a pinned row set — reuse is fine
+    val sorted = li.orderBy("l_orderkey", "l_quantity").limit(100)
+    assert(!lint(sorted.join(sorted.groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("s")), "l_orderkey"))
+      .map(_.kind).contains("nondet_reuse"))
+    // single use is fine (any n rows is a legal answer once)
+    assert(!lint(frame.groupBy("l_orderkey").count())
+      .map(_.kind).contains("nondet_reuse"))
+    // the production fix — snapshotting the frame — lints clean
+    val snap = frame.localCheckpoint(true)
+    assert(lint(snap.join(snap.groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("s")), "l_orderkey")) === Nil)
+    // two DIFFERENT limits are two independent answers, not a reuse
+    assert(!lint(li.limit(100).unionByName(li.limit(50)))
+      .map(_.kind).contains("nondet_reuse"))
+  }
+
   test("the shipped whitelist matches the committed PLAN_LINT.md " +
     "verdict: every allowed key names a registered query, no key " +
     "repeats, and the committed report's whitelist count equals its " +
