@@ -35,12 +35,25 @@ def sh(cmd, **kw):
 
 
 def run_one(mode, seed, only=None):
-    fix = f"{WORK}/{mode}_{seed}"
-    outd = f"{WORK}/out_{mode}_{seed}"
-    g = sh(["python3", "scripts/gen_fuzz.py", str(seed), fix, mode])
-    if g.returncode != 0:
-        print(g.stdout, g.stderr)
-        sys.exit(f"gen_fuzz failed for {mode}:{seed}")
+    """`mode` may be composite, e.g. 'skew+nulls': each stage's output
+    dir becomes the next stage's base — nulls applied ON TOP of the
+    skewed tables (interaction coverage: null-heavy hot keys hit the
+    salted/banded paths differently than either mode alone)."""
+    tag = mode.replace("+", "_")
+    fix = f"{WORK}/{tag}_{seed}"
+    outd = f"{WORK}/out_{tag}_{seed}"
+    base = None  # gen_fuzz defaults to sf0.001
+    stages = mode.split("+")
+    for i, m in enumerate(stages):
+        dst = fix if i == len(stages) - 1 else f"{fix}__stage{i}"
+        cmd = ["python3", "scripts/gen_fuzz.py", str(seed), dst, m]
+        if base:
+            cmd.append(base)
+        g = sh(cmd)
+        if g.returncode != 0:
+            print(g.stdout, g.stderr)
+            sys.exit(f"gen_fuzz failed for {m} in {mode}:{seed}")
+        base = dst
     cmd = ["scripts/run.sh", "graft.Verify", fix, outd]
     if only:
         cmd.append(only)

@@ -729,6 +729,34 @@ object StreamOps {
       .agg(count(lit(1)).as("n_context"))
     }
 
+  /** The left-outer interval-join STREAM over a staged event-feed dir —
+    * the lazy plan [[purchaseContextJoinOuter]] drains and the
+    * interleaving fuzz restarts at seeded boundaries. Watermarks attach
+    * BEFORE the type filters so a far-future sentinel row advances them
+    * without joining. */
+  private[streaming] def outerJoinFrames(spark: SparkSession,
+      srcDir: String, windowMin: Int): DataFrame = {
+    def src() = {
+      val physical = sniffSchema(spark, srcDir, recursive = true)
+      val raw = spark.readStream.schema(physical)
+        .option("recursiveFileLookup", "true").parquet(srcDir)
+      val norm = normalizeTs(raw, physical)
+      norm.withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))
+        .withWatermark("ts_ts", "1 hour")
+    }
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_ts").as("p_ts"))
+    val context = src().filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("c_user"), col("ts_ts").as("c_ts"))
+    purchases.join(context,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMin MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("p_id"), col("c_ts"))
+  }
+
   /** LEFT-OUTER stream-stream interval join: like [[purchaseContextJoin]]
     * but purchases with NO context events in the window still emit
     * (n_context = 0). Outer rows flush only when BOTH watermarks pass
@@ -783,29 +811,7 @@ object StreamOps {
       java.nio.file.Files.move(part,
         srcDir.resolve(s"sentinel$n.parquet"))
     }
-    def src() = {
-      val physical = sniffSchema(spark, srcDir.toString, recursive = true)
-      val raw = spark.readStream.schema(physical)
-        .option("recursiveFileLookup", "true").parquet(srcDir.toString)
-      val norm = normalizeTs(raw, physical)
-      // watermark BEFORE the type filter: the sentinel advances it even
-      // though no join side keeps sentinel rows
-      norm.withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))
-        .withWatermark("ts_ts", "1 hour")
-    }
-    def joined() = {
-      val purchases = src().filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-          col("ts_ts").as("p_ts"))
-      val context = src().filter(col("event_type") =!= "purchase")
-        .select(col("user_id").as("c_user"), col("ts_ts").as("c_ts"))
-      purchases.join(context,
-        col("p_user") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMin MINUTES") &&
-          col("c_ts") <= col("p_ts"),
-        "left_outer")
-        .select(col("p_id"), col("c_ts"))
-    }
+    def joined() = outerJoinFrames(spark, srcDir.toString, windowMin)
     // outer-null rows emit one batch AFTER the watermark passes them, and
     // AvailableNow never runs an empty flush batch — so: run to
     // completion once (sentinel 1 advances the watermark), then drop a
