@@ -69,6 +69,35 @@ object QueryUtil {
     * way in both engines (see Binning.longWeight). */
   def milsSql(c: String): String = longWeightSql(s"$c * 1000", milsClamp)
 
+  /** Exact revenue measure: the row score in round-half-up 1e-4 units
+    * (score is a product of two 2-decimal columns, so *10000 is
+    * integer-valued up to one ulp), overflow-clamped at ±2^40 like
+    * [[graft.ops.Binning.longWeight]]. Row-local identical IEEE op
+    * order in both engines → identical longs → the SUM is exact
+    * integer math with NO summation-order sensitivity. A plain
+    * `round(sum(double), 2)` can flip its last digit when the true sum
+    * sits within accumulated ulp of a .005 boundary (r16 fuzz,
+    * skew x nulls: one hot-group revenue landed on 3082571.305). */
+  def scoreTenthMilsCol: Column = {
+    val x = scoreCol * lit(10000.0)
+    val b = lit(milsClamp)
+    floor(when(x > b, b).when(x < -b, -b).otherwise(x) + lit(0.5))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+  }
+  def scoreTenthMilsSql: String =
+    s"""CAST(floor((CASE WHEN ($scoreSql) * 10000.0 > $milsClamp
+       |  THEN $milsClamp
+       |  WHEN ($scoreSql) * 10000.0 < -$milsClamp THEN -$milsClamp
+       |  ELSE ($scoreSql) * 10000.0 END) + 0.5) AS BIGINT)""".stripMargin
+
+  /** round(sum/1e4, 2) of [[scoreTenthMilsCol]] — the exact-revenue
+    * rollup (sum as decimal(38,0) ↔ DuckDB HUGEINT, then one division
+    * and round on the same double in both engines). */
+  def revenueExact(c: Column): Column =
+    round(sum(c).cast("double") / lit(10000.0), 2)
+  def revenueExactSql: String =
+    s"round(CAST(sum($scoreTenthMilsSql) AS DOUBLE) / 10000.0, 2)"
+
   /** Driver-side l_quantity equal-interval boundaries (matches binCaseSql). */
   def quantityBounds(d: DataFrame, k: Int): Seq[Double] = {
     val Array(mn, mx) = d

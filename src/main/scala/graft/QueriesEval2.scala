@@ -104,8 +104,12 @@ object QueriesEval2 {
       col("l_orderkey"), col("l_linenumber"),
       // FLOAT32: round-trip through float32 (NormalizeUDF FLOAT32 mode)
       col("l_extendedprice").cast("float").cast("double").as("f32"),
-      // FLOAT7: 7 decimal digits (reference's default text precision)
-      round(col("l_extendedprice") * (lit(1) - col("l_discount")), 7).as("f7")),
+      // FLOAT7: 7 decimal digits (reference's default text precision).
+      // + 0.0 normalizes NEGATIVE ZERO (neg price x zero discount-factor
+      // = -0.0): Spark's round collapses it to +0.0, DuckDB's preserves
+      // the sign bit, and the driver hash tells them apart (r16 fuzz)
+      (round(col("l_extendedprice") * (lit(1) - col("l_discount")), 7)
+        + lit(0.0)).as("f7")),
     oracle = Some(
       // the float32 cast is IEEE: a double beyond float range
       // SATURATES to +-Inf in Spark, while DuckDB's ::REAL errors —
@@ -117,7 +121,7 @@ object QueriesEval2 {
         |       WHEN l_extendedprice <= -3.4028235677973366e38
         |         THEN '-Infinity'::DOUBLE
         |       ELSE l_extendedprice::REAL::DOUBLE END AS f32,
-        |  round(l_extendedprice * (1 - l_discount), 7) AS f7
+        |  round(l_extendedprice * (1 - l_discount), 7) + 0.0 AS f7
         |FROM lineitem
         |""".stripMargin))
 

@@ -21,12 +21,16 @@ object QueriesMisc {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(scoreCol), 2).as("revenue"),
+        // exact integer-scaled revenue (QueryUtil.revenueExact): a
+        // double-sum's rounded last digit is summation-order-sensitive
+        // at .005 boundaries — r16 fuzz flipped this very query
+        .agg(QueryUtil.revenueExact(QueryUtil.scoreTenthMilsCol)
+            .as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"),
           count(lit(1)).as("n_lines"))
     },
     oracle = Some(
-      s"""SELECT n_name, round(sum($scoreSql), 2) AS revenue,
+      s"""SELECT n_name, ${QueryUtil.revenueExactSql} AS revenue,
          |  count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_lines
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey

@@ -872,6 +872,13 @@ object QueriesSim {
           .otherwise(0L)).as("ndel")).head()
       val nDel = tot.getLong(1)
       graft.streaming.AnnIngest.delete(s, s"$tmp/index", doomed, "drain")
+      // pre-fold live rows + cells, pinned eagerly (the fold rewrites
+      // the files this lazy plan would re-list): the tombstone contract
+      // below is exact only against what actually needed relocating
+      val preFold = graft.streaming.AnnIngest
+        .readIndex(s, s"$tmp/index", None)
+        .select(col("vec_id"), col("cell").as("pre_cell"))
+        .localCheckpoint(true)
       graft.streaming.AnnIngest.compact(s, s"$tmp/index", 5L,
         foldColdBelow = 0.5)
       val cents = graft.streaming.AnnIngest
@@ -907,6 +914,18 @@ object QueriesSim {
       val mismatches = stats.getLong(0)
       val deadEmpty = stats.getLong(1) == 0L
       val liveOnce = stats.getLong(2) == n && stats.getLong(3) == n
+      // computed while idx/the index files still exist (rm below): the
+      // engine writes a fold tombstone ONLY when the fold relocated
+      // rows (commitHeal's reloc.rows > 0 — nothing to retract
+      // otherwise); on degenerate corpora (r16 fuzz, skew x nulls: 60%
+      // identical vectors) the drained cells can be EMPTY at fold time,
+      // deadening slots without movers. The contract is exact:
+      // tombstone required iff some pre-fold row sat in a now-dead
+      // slot and survived (i.e. was relocated).
+      val relocated =
+        if (deadSlots.isEmpty) 0L
+        else preFold.filter(col("pre_cell").isin(deadSlots: _*))
+          .join(idx.select("vec_id"), Seq("vec_id"), "left_semi").count()
       // surviving sample: unshifted every-7th + the shifted residue
       val sample = typed.filter(
         (col("vec_id") % 4 =!= 2 && col("vec_id") % 7 === 0) ||
@@ -931,7 +950,7 @@ object QueriesSim {
         ("quantizer_shrinks_stable_slots",
           if (!atScale || shrinks) 1 else 0),
         ("fold_tombstone_recorded",
-          if (!atScale || foldTombRecorded) 1 else 0),
+          if (!atScale || relocated == 0L || foldTombRecorded) 1 else 0),
         ("cells_match_manifest_quantizer", if (mismatches == 0L) 1 else 0),
         ("dead_slots_hold_no_rows", if (deadEmpty) 1 else 0),
         ("live_exactly_once", if (liveOnce) 1 else 0),

@@ -41,8 +41,14 @@ object TargetEncode {
       .withColumn("__t", target.cast("long"))
     val g = rows.agg(sum("__t").as("p"), count(lit(1)).as("n")).head()
     val prior = g.getLong(0).toDouble / g.getLong(1)
+    // coalesce: a (cat, fold) cell whose EVERY target is NULL sums to
+    // NULL, which would poison enc for the cell and silently fall back
+    // to the prior — a null target carries zero positive mass but the
+    // row still counts (r16 fuzz, skew x nulls: a collapsed hot key put
+    // an entire cell behind one null-flag slice)
     val perFold = rows.groupBy("__cat", "fold")
-      .agg(sum("__t").as("fold_pos"), count(lit(1)).as("fold_n"))
+      .agg(coalesce(sum("__t"), lit(0L)).as("fold_pos"),
+        count(lit(1)).as("fold_n"))
     // per-category totals from the already-tiny fold table
     val perCat = perFold.groupBy("__cat")
       .agg(sum("fold_pos").as("all_pos"), sum("fold_n").as("all_n"))

@@ -101,6 +101,34 @@ class FuzzRegressionSpec extends AnyFunSuite {
     assert(km.centroids.isEmpty && km.inertia === 0.0)
   }
 
+  test("TargetEncode: a (cat, fold) cell whose EVERY target is NULL " +
+    "carries zero positive mass instead of poisoning enc to the prior " +
+    "(r16 fuzz, skew x nulls collapsed a hot key behind one null slice)") {
+    val s = spark
+    import s.implicits._
+    // keys chosen so md5-fold spreads them; cat 'a' has one cell whose
+    // only row has a null target — enc for that cell must be the real
+    // OOF value (all_pos - 0 + prior*m)/(all_n - fold_n + m), never null
+    val d = Seq(
+      (1L, "a", Some(1)), (2L, "a", Some(0)), (3L, "a", None),
+      (4L, "b", Some(1)), (5L, "b", Some(0)), (6L, "b", Some(1)))
+      .toDF("id", "cat", "t")
+    val out = graft.ops.TargetEncode.oofMean(d, col("cat"),
+      col("t").cast("int"), col("id").cast("string"), folds = 3,
+      smoothing = 2.0)
+    assert(out.filter(col("enc").isNull).count() === 0L)
+    // prior over non-null targets: 3/6 (sum skips the null, count doesn't)
+    val prior = 3.0 / 6
+    // if row 3's cell is alone in its (cat, fold), its enc is the
+    // full-category mass: (1 - 0 + prior*2)/(2 - 1 + 2)
+    val r3 = out.filter(col("id") === 3L).head()
+    val othersA = out.filter(col("cat") === "a" && col("id") =!= 3L)
+      .select("enc").collect().map(_.getDouble(0))
+    assert(!r3.isNullAt(r3.fieldIndex("enc")))
+    assert((othersA :+ r3.getDouble(r3.fieldIndex("enc")))
+      .forall(e => e >= 0.0 && e <= 1.0))
+  }
+
   test("sequence(1, 0) counts DOWN in Spark — scrubs emit empty docs " +
     "unharmed instead of indexing element_at past an empty token array") {
     val s = spark
