@@ -9,10 +9,16 @@ compares: schema (column names sorted), row count, and values (rows sorted,
 exact match; floats compared both exactly and with 1e-9 rtol to flag
 borderline queries).
 """
-import json, sys, glob, os
+import json, sys, glob, os, threading
 import duckdb
 import pandas as pd
 import numpy as np
+
+# Per-oracle wall timeout (seconds). 0/unset = no timeout. Used for the
+# large-SF gates where a handful of deliberately-quadratic REPLAY oracles
+# (exact all-pairs cosine in SQL) are infeasible in DuckDB — the engine
+# side still runs; the oracle is reported ORACLE-TIMEOUT, not hung.
+TIMEOUT = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -35,18 +41,32 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted([os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
                     if os.path.isdir(d)])
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name in names:
         got = pd.read_parquet(f"{out_dir}/{name}")
         if name not in oracle:
             print(f"  {name}: NO-ORACLE rows={len(got)}")
             continue
+        timer = None
+        timed_out = []
+        if TIMEOUT > 0:
+            timer = threading.Timer(
+                TIMEOUT, lambda: (timed_out.append(True), con.interrupt()))
+            timer.start()
         try:
             exp = con.execute(oracle[name]).df()
         except Exception as e:
-            print(f"✗ {name}: oracle SQL failed: {e}")
-            n_fail += 1
+            if timed_out:
+                print(f"⏱ {name}: ORACLE-TIMEOUT after {TIMEOUT:.0f}s "
+                      f"(engine rows={len(got)}; quadratic replay oracle)")
+                n_skip += 1
+            else:
+                print(f"✗ {name}: oracle SQL failed: {e}")
+                n_fail += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         g, e = norm_frame(got), norm_frame(exp)
         if list(g.columns) != list(e.columns):
             print(f"✗ {name}: schema mismatch spark={list(g.columns)} duck={list(e.columns)}")
@@ -102,7 +122,8 @@ def main(sf_dir, out_dir):
             print(f"✓ {name}: {len(g)} rows{flag}")
         else:
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
+    skip = f", {n_skip} oracle-timeout" if n_skip else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total{skip}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
