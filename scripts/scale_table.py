@@ -30,15 +30,22 @@ for q, rs in runs.items():
         continue
     (d0, n0, t0), (d1, n1, t1) = rs[0], rs[1]
     ratio = t1 / t0 if t0 > 0 else float("inf")
-    rows_out.append((q, t0, t1, ratio))
+    rratio = int(n1) / max(1, int(n0))
+    rows_out.append((q, t0, t1, ratio, n0, n1, rratio))
 
 rows_out.sort(key=lambda r: -r[3])
-flagged = [r for r in rows_out if r[3] > growth]
-print(f"| query | sf0.1 s | sf1 s | ratio |")
-print(f"|---|---|---|---|")
-for q, t0, t1, ratio in rows_out:
-    mark = " **<- super-linear**" if ratio > growth else ""
-    print(f"| {q} | {t0:.2f} | {t1:.2f} | {ratio:.1f}x{mark} |")
+# a query whose OUTPUT grew at least as fast as its wall time is
+# output-bound (the fixture's planted near-dup groups make pair-emitting
+# answers grow ~quadratically in group size) — not a plan defect
+flagged = [r for r in rows_out if r[3] > growth and r[6] < r[3]]
+print(f"| query | sf0.1 s | sf1 s | wall ratio | rows ratio |")
+print(f"|---|---|---|---|---|")
+for q, t0, t1, ratio, n0, n1, rr in rows_out:
+    mark = ""
+    if ratio > growth:
+        mark = (" output-bound" if rr >= ratio
+                else " **<- super-linear**")
+    print(f"| {q} | {t0:.2f} | {t1:.2f} | {ratio:.1f}x | {rr:.0f}x{mark} |")
 tot0 = sum(r[1] for r in rows_out)
 tot1 = sum(r[2] for r in rows_out)
 print(f"\ntotal: sf0.1 {tot0:.1f}s -> sf1 {tot1:.1f}s "

@@ -88,7 +88,11 @@ object QueriesR8b {
             .stripMargin).as("sm"))
         .select(col("gid"), col("pos").cast("int").as("pos"),
           col("n_chunks"),
-          round(col("sm") / col("n_chunks"), 6).as("mean_r"))
+          // + 0.0 normalizes a NEGATIVE-ZERO mean (all-negative tiny
+          // chunks rounding to -0.0): Spark and DuckDB disagree on the
+          // sign bit's survival through round, and the driver hash
+          // tells -0.0 from 0.0 (r16 sf1 gate)
+          (round(col("sm") / col("n_chunks"), 6) + lit(0.0)).as("mean_r"))
     },
     oracle = Some(
       """WITH e AS (SELECT vec_id // 10 AS gid, vec_id,
@@ -96,7 +100,7 @@ object QueriesR8b {
         |    generate_subscripts(embedding, 1) - 1 AS pos
         |  FROM embeddings)
         |SELECT gid, pos::INT AS pos, count(*) AS n_chunks,
-        |  round(list_sum(array_agg(x ORDER BY vec_id)) / count(*), 6)
+        |  round(list_sum(array_agg(x ORDER BY vec_id)) / count(*), 6) + 0.0
         |    AS mean_r
         |FROM e GROUP BY gid, pos
         |""".stripMargin))
