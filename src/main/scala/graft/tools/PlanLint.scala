@@ -116,8 +116,10 @@ object PlanLint {
 
   /** Subtrees whose ROW SET is not a function of the data alone — an
     * unordered `limit` (any n rows is a legal answer, and a re-execution
-    * on real executor JVMs picks a DIFFERENT n rows) or a `sample`
-    * (stable only while its input partitioning is). One such subtree
+    * on real executor JVMs picks a DIFFERENT n rows), a `sample`
+    * (stable only while its input partitioning is), or a
+    * first/last/any_value aggregate over unordered input (an arbitrary
+    * row per group). One such subtree
     * executed once is fine; the SAME one evaluated in 2+ places of a
     * plan silently joins/unions two different row sets — the r15
     * multi-JVM landmine (AnnIngest.queryTopK embedded its caller's
@@ -125,11 +127,24 @@ object PlanLint {
     * 0/591/600 rows; local[n] masks it completely). */
   private def nondetRowSet(p: SparkPlan): Boolean = {
     import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AnyValue, First, Last}
     p match {
       // limit over sorted input pins the row set; over unsorted it's
       // "any n" (TakeOrderedAndProjectExec never reaches here)
       case g: GlobalLimitExec => !g.child.exists(_.isInstanceOf[SortExec])
       case _: SampleExec => true
+      // first/any_value/last over unordered input picks an arbitrary
+      // row per group — same re-execution hazard as the unordered
+      // limit (fine when the picked column is constant per group, but
+      // the plan can't prove that; whitelist such cases explicitly)
+      case a: BaseAggregateExec
+          if a.aggregateExpressions.exists(_.aggregateFunction match {
+            case _: First | _: Last | _: AnyValue => true
+            case _ => false
+          }) =>
+        !a.child.exists(_.isInstanceOf[SortExec])
       case _ => false
     }
   }
@@ -160,7 +175,8 @@ object PlanLint {
       .groupBy(_.canonicalized).filter(_._2.sizeIs >= 2)
       .map { case (_, occ) =>
         Finding(name, "nondet_reuse",
-          s"${occ.head.nodeName} subtree (unordered limit/sample) " +
+          s"${occ.head.nodeName} subtree (unordered limit/sample/" +
+            "first-pick agg) " +
             s"evaluated ${occ.size}x in one plan — each execution is a " +
             "different legal row set on real executors; snapshot it " +
             "(localCheckpoint) or sort before the limit")

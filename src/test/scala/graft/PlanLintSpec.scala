@@ -96,6 +96,30 @@ class PlanLintSpec extends AnyFunSuite {
       .map(_.kind).contains("nondet_reuse"))
   }
 
+  test("nondet_reuse: a first/any_value aggregate over unordered input " +
+    "reused 2+ times flags (arbitrary row per group, and even a reused " +
+    "exchange's fetch order varies per consumer); a deterministic-agg " +
+    "reuse or a sorted first stays clean") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val pick = li.groupBy("l_orderkey").agg(first("l_quantity").as("q"))
+    assert(lint(pick.unionByName(pick)).map(_.kind)
+      .contains("nondet_reuse"), s"got ${lint(pick.unionByName(pick))}")
+    // single use is one legal answer — clean
+    assert(!lint(pick).map(_.kind).contains("nondet_reuse"))
+    // a deterministic aggregate reused is just a shared subplan
+    val det = li.groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+    assert(!lint(det.unionByName(det)).map(_.kind)
+      .contains("nondet_reuse"))
+    // first over SORTED input is pinned (the sort survives below the
+    // order-dependent agg) — reuse is fine
+    val sortedPick = li.orderBy("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey").agg(first("l_quantity").as("q"))
+    assert(!lint(sortedPick.unionByName(sortedPick)).map(_.kind)
+      .contains("nondet_reuse"),
+      s"got ${lint(sortedPick.unionByName(sortedPick))}")
+  }
+
   test("the shipped whitelist matches the committed PLAN_LINT.md " +
     "verdict: every allowed key names a registered query, no key " +
     "repeats, and the committed report's whitelist count equals its " +
