@@ -19,6 +19,12 @@ Modes (all deterministic in <seed> via duckdb hash()):
   skew  — one giant key: 85% of lineitem on one order, 70% of documents
           byte-identical text, 80% of events on user 0, 60% of
           embeddings one identical vector; mass value ties.
+  nan   — non-finite doubles (NaN/+Inf/-Inf), negative zero, denormals
+          and max-double injected at ~5% into every DOUBLE column and
+          into embedding vectors. NOT oracle-comparable (engines
+          legitimately differ on NaN ordering/equality) — consumed by
+          scripts/nan_gate.py, which asserts no-crash + run-to-run
+          self-consistency instead of a DuckDB diff.
 
 Usage: python3 scripts/gen_fuzz.py <seed> <outdir> <mode> [base_dir]
 """
@@ -270,6 +276,62 @@ elif mode == "tiny":
                        f"ORDER BY l_orderkey, l_linenumber LIMIT {nl}")
     sel["orders"] = (f"SELECT * FROM {src('orders')} o WHERE o.o_orderkey IN "
                      f"(SELECT l_orderkey FROM ({sel['lineitem']}) _l)")
+
+elif mode == "nan":
+    # Non-finite pool: quiet NaN, both infinities, negative zero, the
+    # smallest denormal, max double. These are all representable in
+    # parquet DOUBLE and survive the frozen-schema CAST unchanged.
+    NONFIN = ["'NaN'::DOUBLE", "'Infinity'::DOUBLE",
+              "'-Infinity'::DOUBLE", "-0.0", "5e-324",
+              "1.7976931348623157e308"]
+    k = "l_orderkey * 7 + l_linenumber"
+    sel["lineitem"] = f"""
+      SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+             {mut('l_quantity', k, 1, 0.05, NONFIN)} AS l_quantity,
+             {mut('l_extendedprice', k, 2, 0.05, NONFIN)} AS l_extendedprice,
+             {mut('l_discount', k, 3, 0.05, NONFIN)} AS l_discount,
+             {mut('l_tax', k, 4, 0.04, NONFIN)} AS l_tax,
+             l_returnflag, l_linestatus, l_shipdate
+      FROM {src('lineitem')}"""
+    sel["orders"] = f"""
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             {mut('o_totalprice', 'o_orderkey', 10, 0.05, NONFIN)} AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM {src('orders')}"""
+    sel["customer"] = f"""
+      SELECT c_custkey, c_name, c_nationkey,
+             {mut('c_acctbal', 'c_custkey', 20, 0.06, NONFIN)} AS c_acctbal,
+             c_mktsegment
+      FROM {src('customer')}"""
+    sel["supplier"] = f"""
+      SELECT s_suppkey, s_name, s_nationkey,
+             {mut('s_acctbal', 's_suppkey', 25, 0.06, NONFIN)} AS s_acctbal
+      FROM {src('supplier')}"""
+    sel["part"] = f"""
+      SELECT p_partkey, p_name, p_brand, p_type, p_size,
+             {mut('p_retailprice', 'p_partkey', 30, 0.06, NONFIN)} AS p_retailprice
+      FROM {src('part')}"""
+    sel["events"] = f"""
+      SELECT event_id, ts, user_id, event_type,
+             {mut('value', 'event_id', 40, 0.06, NONFIN)} AS value,
+             props
+      FROM {src('events')}"""
+    # embeddings: whole-vector NaN, x*Inf (mixes +-Inf with NaN where
+    # x=0), and a single poisoned leading component
+    sel["embeddings"] = f"""
+      SELECT vec_id,
+             CASE WHEN {u('vec_id', 50)} < 0.02
+                    THEN list_transform(embedding,
+                           x -> CAST('NaN' AS FLOAT))
+                  WHEN {u('vec_id', 50)} < 0.04
+                    THEN list_transform(embedding,
+                           x -> CAST(x * 'Infinity'::FLOAT AS FLOAT))
+                  WHEN {u('vec_id', 50)} < 0.06
+                    THEN list_concat([CAST('NaN' AS FLOAT)],
+                           embedding[2:])
+                  ELSE embedding END AS embedding,
+             label
+      FROM {src('embeddings')}"""
 
 elif mode == "skew":
     big_ord = ("(SELECT min(l_orderkey) FROM "

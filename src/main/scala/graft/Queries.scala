@@ -98,6 +98,18 @@ object QueryUtil {
   def revenueExactSql: String =
     s"round(CAST(sum($scoreTenthMilsSql) AS DOUBLE) / 10000.0, 2)"
 
+  /** Render a driver-collected double as a Spark-SQL DOUBLE literal.
+    * The usual `s"${v}D"` form (D-suffixed so `0.1` doesn't parse as
+    * DECIMAL) has no spelling for non-finite values — "InfinityD" /
+    * "NaND" parse as column references and fail resolution (NaN gate).
+    * Those render as string casts instead; downstream bin arithmetic
+    * then degrades to NaN comparisons → ELSE arms, never a crash. */
+  def dlit(v: Double): String =
+    if (v.isNaN) "CAST('NaN' AS DOUBLE)"
+    else if (v == Double.PositiveInfinity) "CAST('Infinity' AS DOUBLE)"
+    else if (v == Double.NegativeInfinity) "CAST('-Infinity' AS DOUBLE)"
+    else s"${v}D"
+
   /** Driver-side l_quantity equal-interval boundaries (matches binCaseSql). */
   def quantityBounds(d: DataFrame, k: Int): Seq[Double] = {
     val Array(mn, mx) = d

@@ -130,9 +130,11 @@ object QueriesCluster {
   private val kmeans: Q = Q(
     fn = (s, dir) => {
       import s.implicits._
-      // clusterable = non-null embeddings (KMeans.fit's own contract)
+      // clusterable = KMeans.fit's own row universe (non-null, every
+      // coordinate finite) so the audit/baseline cover exactly the
+      // fitted rows (NaN gate)
       val emb = Tables.load(s, dir, "embeddings")
-        .filter(col("embedding").isNotNull)
+        .filter(graft.sim.KMeans.clusterable(col("embedding")))
       val fitted = graft.sim.KMeans.fit(emb, k = 8)
       val assign = fitted.assign.cache()
       try {
@@ -196,7 +198,8 @@ object QueriesCluster {
     },
     oracle = Some(
       """WITH nn AS (SELECT count(*)::BIGINT AS c FROM embeddings
-        |  WHERE embedding IS NOT NULL)
+        |  WHERE embedding IS NOT NULL AND len(list_filter(embedding,
+        |    x -> x IS NULL OR isnan(x) OR isinf(x))) = 0)
         |SELECT 'n_points' AS contract, c AS n, 1::BIGINT AS ok FROM nn
         |UNION ALL SELECT 'all_assigned', c, 1 FROM nn
         |UNION ALL SELECT 'k_nonempty', least(8, c), 1 FROM nn

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
   * sampling, chunk→doc embedding pooling, MMR diversified re-ranking,
   * and isotonic score calibration. */
 object QueriesR8b {
-  import QueryUtil.{docs, li, isPos, scoreCol}
+  import QueryUtil.{docs, li, isPos, scoreCol, scoreSql}
 
   // ---- ORC source/sink (§2.1 depth: the second columnar format) ------------
 
@@ -208,8 +208,9 @@ object QueriesR8b {
     oracle = Some(
       // n = the calibratable rows: the fit and apply both exclude
       // rows whose score expression is NULL (missing price/discount)
-      """WITH ok AS (SELECT count(*) AS n FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL)
+      // or non-finite (Calibrate.finiteScore — NaN gate)
+      s"""WITH ok AS (SELECT count(*) AS n FROM lineitem
+        |  WHERE ($scoreSql) IS NOT NULL AND isfinite($scoreSql))
         |SELECT 'monotone' AS contract, 1 AS ok, n FROM ok
         |UNION ALL SELECT 'probs_in_01', 1, n FROM ok
         |UNION ALL SELECT 'mean_preserving', 1, n FROM ok

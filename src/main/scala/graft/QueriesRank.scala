@@ -105,10 +105,11 @@ object QueriesRank {
         .selectExpr("pos",
           s"stack(${miFeatures.size}, $stackArgs) AS (feature, v)")
       val binCase = miFeatures.map { f =>
-        // D-suffixed literals: a bare `0.1` parses as DECIMAL in Spark SQL
-        // and the decimal boundary arithmetic diverges from the oracle's
-        // IEEE-double math
-        val (mn, mx) = (s"${bnd("mn", f)}D", s"${bnd("mx", f)}D")
+        // dlit: D-suffixed literals (a bare `0.1` parses as DECIMAL in
+        // Spark SQL and the decimal boundary arithmetic diverges from
+        // the oracle's IEEE-double math), non-finite bounds as casts
+        val (mn, mx) =
+          (QueryUtil.dlit(bnd("mn", f)), QueryUtil.dlit(bnd("mx", f)))
         s"WHEN feature = '$f' THEN (CASE ${binArmSqls("v", mn, mx)} ELSE 0 END)"
       }.mkString(" ")
       val cells = stacked
@@ -211,8 +212,8 @@ object QueriesRank {
         Seq(min(col(f)).as(s"mn_$f"), max(col(f)).as(s"mx_$f")))
       val bounds = d.agg(boundCols.head, boundCols.tail: _*).head()
       def binExpr(f: String): String = {
-        val mn = s"${bounds.getAs[Double](s"mn_$f")}D"
-        val mx = s"${bounds.getAs[Double](s"mx_$f")}D"
+        val mn = QueryUtil.dlit(bounds.getAs[Double](s"mn_$f"))
+        val mx = QueryUtil.dlit(bounds.getAs[Double](s"mx_$f"))
         val arms = (1 until k).reverse
           .map(i => s"WHEN $f >= $mn + ($mx - $mn) * $i / $k THEN $i")
           .mkString(" ")

@@ -19,15 +19,26 @@ object KMeans {
   final case class Fitted(assign: DataFrame,
       centroids: Array[Array[Double]], inertia: Double)
 
+  /** Clusterable vector: non-null with every coordinate present and
+    * finite (MLlib's fit asserts finiteness; a NULL coordinate NPEs
+    * the vector conversion). Callers auditing the fit should use the
+    * same predicate so their row universe matches the model's. */
+  def clusterable(e: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    e.isNotNull && forall(e.cast("array<double>"), x =>
+      !isnan(x) && x =!= lit(Double.PositiveInfinity) &&
+        x =!= lit(Double.NegativeInfinity))
+
   /** Fit k clusters on `emb.embedding` (Array[Float]); returns
     * (vec_id, cluster) assignments, centroid matrix, and the training
     * cost (sum of squared distances — "inertia"). */
   def fit(emb: DataFrame, k: Int, seed: Long = 7L,
       iters: Int = 10): Fitted = {
-    // unembeddable (NULL) rows can't be clustered, and a corpus smaller
-    // than k trains that many clusters instead of crashing MLlib's
-    // init (fuzz gate: nulls + tiny modes)
-    val v = emb.filter(col("embedding").isNotNull)
+    // unembeddable rows can't be clustered ([[clusterable]]: NULL
+    // vectors — fuzz gate nulls mode; NaN/±Inf coordinates — NaN
+    // gate); a corpus smaller than k trains that many clusters
+    // instead of crashing MLlib's init (fuzz gate: tiny mode)
+    val v = emb.filter(clusterable(col("embedding")))
       .select(col("vec_id"),
         org.apache.spark.ml.functions.array_to_vector(
           col("embedding").cast("array<double>")).as("features"))

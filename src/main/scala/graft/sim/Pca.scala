@@ -82,8 +82,12 @@ object Pca {
     } yield {
       val off = i * dims - i * (i - 1) / 2 + (j - i)
       val cov = (bp(off) - bs(i) * bs(j) / n) / (n - 1)
-      (i.toLong, j.toLong, BigDecimal(cov)
-        .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // non-finite co-moments (NaN/Inf coordinates in the corpus)
+      // surface as-is — BigDecimal cannot represent them (NaN gate)
+      val rounded = if (java.lang.Double.isFinite(cov)) BigDecimal(cov)
+        .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else cov
+      (i.toLong, j.toLong, rounded)
     }
     spark.createDataFrame(rows).toDF("i", "j", "cov")
   }

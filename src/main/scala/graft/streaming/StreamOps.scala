@@ -333,9 +333,13 @@ object StreamOps {
         if (st.forall(s => e._2 > s.ts || (e._2 == s.ts && e._1 > s.srcId)))
           st = Some(AsOfState(e._2, e._1, e._5))
       } else {
-        // HALF_UP to match the batch query's round(value, 4)
-        out += ((e._1, user, st.map(s => BigDecimal(s.value)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
+        // HALF_UP to match the batch query's round(value, 4); a
+        // non-finite purchase value passes through unchanged exactly
+        // like Spark's round (BigDecimal can't represent it — NaN gate)
+        out += ((e._1, user, st.map(s =>
+          if (java.lang.Double.isFinite(s.value)) BigDecimal(s.value)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          else s.value),
           st.map(_.srcId)))
       }
     }

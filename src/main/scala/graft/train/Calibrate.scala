@@ -21,14 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Calibrate {
 
+  /** Calibratable score: non-null and finite. Written null-safe so its
+    * NEGATION is also the exact complement (a NULL score makes the
+    * naive `s =!= Inf` conjunct NULL, which `filter` drops on BOTH
+    * sides — losing rows instead of routing them to the NULL arm). */
+  private def finiteScore(s: Column): Column =
+    s.isNotNull && !isnan(s) &&
+      s =!= lit(Double.PositiveInfinity) &&
+      s =!= lit(Double.NegativeInfinity)
+
   /** Fit an isotonic calibrator from `score` to binary `isPos`. */
   def isotonicFit(df: DataFrame, score: Column,
                   isPos: Column): IsotonicRegressionModel = {
     // rows with no score or no label can't calibrate anything (the
-    // fit raises on NULL/NaN labels — fuzz gate, nulls mode)
+    // fit raises on NULL/NaN labels — fuzz gate, nulls mode; MLlib's
+    // assembler also rejects ±Infinity scores — NaN gate)
     val d = df.select(score.cast("double").as("s"),
       coalesce(isPos.cast("double"), lit(0.0)).as("label"))
-      .filter(col("s").isNotNull && !isnan(col("s")))
+      .filter(finiteScore(col("s")))
     new IsotonicRegression()
       .setFeaturesCol("sv").setLabelCol("label").setPredictionCol("p")
       .fit(new VectorAssembler().setInputCols(Array("s"))
@@ -73,14 +83,13 @@ object Calibrate {
     * a continuous score.) */
   def apply(df: DataFrame, score: Column,
             model: IsotonicRegressionModel): DataFrame = {
-    // scoreless rows calibrate to NULL (the assembler would abort the
-    // whole pass on them — fuzz gate, nulls mode): split, transform
-    // the scoreable side, union the rest back with a NULL calibration
+    // scoreless/non-finite rows calibrate to NULL (the assembler would
+    // abort the whole pass on them — fuzz gate nulls mode, NaN gate):
+    // split, transform the scoreable side, union the rest back with a
+    // NULL calibration
     val withS = df.withColumn("__cal_s", score.cast("double"))
-    val scoreable = withS.filter(col("__cal_s").isNotNull &&
-      !isnan(col("__cal_s")))
-    val rest = withS.filter(col("__cal_s").isNull ||
-      isnan(col("__cal_s")))
+    val scoreable = withS.filter(finiteScore(col("__cal_s")))
+    val rest = withS.filter(!finiteScore(col("__cal_s")))
       .withColumn("calibrated", lit(null).cast("double"))
       .drop("__cal_s")
     val withVec = new VectorAssembler().setInputCols(Array("__cal_s"))

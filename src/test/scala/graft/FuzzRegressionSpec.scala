@@ -239,4 +239,67 @@ class FuzzRegressionSpec extends AnyFunSuite {
     assert(top.take(2).map(_._2).toSet === Set(1L, 4L))
     assert(top.drop(2).forall(_._3 === 0.0))
   }
+
+  // ---- round-16 NaN gate (scripts/nan_gate.py): non-finite inputs must
+  // degrade to NaN/NULL/excluded rows, never throw -----------------------
+
+  test("kmeans excludes non-finite vectors (MLlib's fit asserts " +
+    "finiteness) and still clusters the finite rest") {
+    val d = emb(
+      0L -> Seq(1f, 0f), 1L -> Seq(Float.NaN, 1f),
+      2L -> Seq(Float.PositiveInfinity, 0f), 3L -> Seq(0f, 1f))
+    val f = graft.sim.KMeans.fit(d, k = 2)
+    assert(f.assign.select("vec_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 3L))
+  }
+
+  test("covariance passes a non-finite co-moment through as NaN " +
+    "instead of crashing BigDecimal rounding") {
+    val d = emb(0L -> Seq(1f, Float.NaN), 1L -> Seq(2f, 1f),
+      2L -> Seq(3f, 2f))
+    val cov = graft.sim.Pca.covariance(d, dims = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cov((0L, 0L)) === 1.0) // finite column stays exact
+    assert(cov((1L, 1L)).isNaN && cov((0L, 1L)).isNaN)
+  }
+
+  test("isotonic calibration: ±Infinity scores are uncalibratable — " +
+    "excluded from the fit, calibrated to NULL on apply (the MLlib " +
+    "assembler used to abort the whole pass)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1.0, 1), (2.0, 0), (1.5, 1), (2.5, 0),
+      (Double.PositiveInfinity, 1), (Double.NegativeInfinity, 0),
+      (Double.NaN, 1)).toDF("s", "y")
+    val m = graft.train.Calibrate.isotonicFit(d, col("s"), col("y") === 1)
+    val out = graft.train.Calibrate(d, col("s"), m)
+    assert(out.filter(col("calibrated").isNotNull).count() === 4L)
+    assert(out.count() === 7L) // non-finite rows survive with NULL
+  }
+
+  test("streaming as-of state: a non-finite purchase value passes " +
+    "through un-rounded (like Spark's round) instead of crashing the " +
+    "flatMapGroupsWithState function") {
+    val (out, st) = graft.streaming.StreamOps.asOfGroup(1L, Vector(
+      (1L, 10L, 1L, "purchase", Double.PositiveInfinity),
+      (2L, 20L, 1L, "click", 0.0),
+      (3L, 30L, 1L, "purchase", Double.NaN),
+      (4L, 40L, 1L, "view", 0.0)), None)
+    assert(out.map(_._1) === Vector(2L, 4L))
+    assert(out(0)._3.contains(Double.PositiveInfinity))
+    assert(out(1)._3.exists(_.isNaN))
+    assert(st.exists(_.value.isNaN)) // newest purchase won the state
+  }
+
+  test("dlit renders non-finite driver-collected bounds as parseable " +
+    "SQL casts — \"InfinityD\" used to resolve as a column reference") {
+    assert(QueryUtil.dlit(1.5) === "1.5D")
+    val r = spark.range(1).selectExpr(
+      s"${QueryUtil.dlit(Double.NaN)} AS a",
+      s"${QueryUtil.dlit(Double.PositiveInfinity)} AS b",
+      s"${QueryUtil.dlit(Double.NegativeInfinity)} AS c").head()
+    assert(r.getDouble(0).isNaN)
+    assert(r.getDouble(1) === Double.PositiveInfinity)
+    assert(r.getDouble(2) === Double.NegativeInfinity)
+  }
 }
