@@ -110,6 +110,18 @@ object QueryUtil {
     else if (v == Double.NegativeInfinity) "CAST('-Infinity' AS DOUBLE)"
     else s"${v}D"
 
+  /** DuckDB `ln` mirroring Scala/Java `math.log` (the engine's WoE/IV
+    * driver math): DuckDB ERRORS on non-positive input where math.log
+    * returns -Infinity (0) or NaN (negative). Weighted bin masses can
+    * go negative under hostile weights (r16 fuzz, tiny+edge: negative
+    * l_quantity), so every weighted-mass oracle ln goes through this.
+    * A NULL argument also lands on the NaN arm — the driver math has
+    * no null ratios, only 0/0 = NaN. */
+  def lnSql(x: String): String =
+    s"(CASE WHEN ($x) > 0 THEN ln($x) " +
+      s"WHEN ($x) = 0 THEN '-Infinity'::DOUBLE " +
+      s"ELSE 'NaN'::DOUBLE END)"
+
   /** Driver-side l_quantity equal-interval boundaries (matches binCaseSql). */
   def quantityBounds(d: DataFrame, k: Int): Seq[Double] = {
     val Array(mn, mx) = d

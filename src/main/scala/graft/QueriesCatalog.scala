@@ -88,7 +88,8 @@ object QueriesCatalog {
            |  SELECT round(100 * max(abs(cump - cumn)), 6) AS ks,
            |    round(sum((p - n) * ln((p + 1e-10) / (n + 1e-10))), 6) AS iv,
            |    round(100 * max(abs(cumpw - cumnw)), 6) AS w_ks,
-           |    round(sum((pw - nw) * ln((pw + 1e-10) / (nw + 1e-10))), 6)
+           |    round(sum((pw - nw) *
+           |      ${lnSql("(pw + 1e-10) / (nw + 1e-10)")}), 6)
            |      AS w_iv
            |  FROM r),
            |d AS (
@@ -151,7 +152,8 @@ object QueriesCatalog {
          |tot AS (SELECT sum(wp) AS swp, sum(wn) AS swn FROM bins)
          |SELECT category, cp AS cnt_pos, cn AS cnt_neg,
          |  round(wp, 4) AS w_pos, round(wn, 4) AS w_neg,
-         |  round(ln((wp / swp + 1e-10) / (wn / swn + 1e-10)), 6) AS w_woe
+         |  round(${lnSql("(wp / swp + 1e-10) / (wn / swn + 1e-10)")}, 6)
+         |    AS w_woe
          |FROM bins, tot
          |""".stripMargin))
 

@@ -88,7 +88,7 @@ object QueriesWeighted {
          |    sum(cn / sn) OVER (ORDER BY bin_id) AS cumn
          |  FROM bins, tot)
          |SELECT round(100 * max(abs(cump - cumn)), 6) AS w_ks,
-         |  round(sum((p - n) * ln((p + 1e-10) / (n + 1e-10))), 6) AS w_iv
+         |  round(sum((p - n) * ${QueryUtil.lnSql("(p + 1e-10) / (n + 1e-10)")}), 6) AS w_iv
          |FROM r
          |""".stripMargin
     })
