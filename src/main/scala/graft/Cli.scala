@@ -1403,6 +1403,17 @@ object Cli {
       // engine's declared intent, so it is excluded session-wide.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
+      // let AQE coalesce shuffles that CONSUME cached frames too (off
+      // upstream by default): every persist()-using operator otherwise
+      // pins full-width post-shuffle stages on its consumers — dozens
+      // of near-empty tasks per job on small inputs, with no effect at
+      // scale where AQE keeps them wide by size. Interleaved A/B (r16,
+      // AbConf): q_dedup_keep_best 0.63x, q_ann_recall_ivf 0.81x,
+      // q_dedup_cc 0.90x, no reproducible regression. Deliberate
+      // repartition(n) respreads are size-exempt from coalescing
+      // (REPARTITION_BY_NUM), so the BNLJ parallelism contracts hold.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)

@@ -49,6 +49,11 @@ object Verify {
       // engine's declared intent, so it is excluded session-wide.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
+      // AQE coalescing for consumers of cached frames — see the
+      // buildSession twin in graft.Cli for the measured rationale;
+      // Verify runs the SAME plans the bench times
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -424,7 +424,11 @@ object TextOps {
     * possibly-negative term is added. */
   def simhash(docs: DataFrame, bits: Int = 64): DataFrame = {
     require(bits <= 64, "fingerprint is packed into one LONG")
-    val toks = docs.select(col("doc_id"),
+    // pair-heavy-consumer shape: the per-token explode + 64 md5-digit
+    // extractions dominate, so a single-split scan serializes them on
+    // one core (see [[spread]] — no-op at production split counts);
+    // the bit votes are integer sums, exact under any partitioning
+    val toks = graft.ops.Spread.widen(docs).select(col("doc_id"),
       explode(split(col("text"), " ")).as("t"))
       .withColumn("h", md5(col("t").cast("binary")))
     val bitCols = (0 until bits).map { j =>

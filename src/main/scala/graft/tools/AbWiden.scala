@@ -1,0 +1,33 @@
+package graft.tools
+
+/** Same-session A/B for the Spread.widen sites: alternates the
+  * `spark.sql.graft.widen` runtime conf OFF/ON per rep (2 reps each
+  * after one discarded warm rep per mode) and prints min seconds per
+  * mode — immune to the box's cross-window throughput swings.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... scripts/run.sh graft.tools.AbWiden q_a q_b ... */
+object AbWiden {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Harness.session()
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    args.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      def once(widen: Boolean): Double = {
+        spark.conf.set(graft.ops.Spread.Key, widen.toString)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val t = (System.nanoTime() - t0) / 1e9
+        Harness.dropLeftovers(spark)
+        t
+      }
+      once(false); once(true) // plan/codegen warm-up, both shapes
+      val offs = Seq(once(false), once(false))
+      val ons = Seq(once(true), once(true))
+      val off = offs.min; val on = ons.min
+      println(f"[abwiden] $name%-26s off=$off%6.2f on=$on%6.2f " +
+        f"ratio=${on / off}%5.2f")
+    }
+    spark.stop()
+  }
+}

@@ -49,6 +49,10 @@ object Harness {
       // engine's declared intent, so it is excluded session-wide.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
+      // AQE coalescing for consumers of cached frames — see the
+      // buildSession twin in graft.Cli for the measured rationale
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
