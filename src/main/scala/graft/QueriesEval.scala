@@ -217,7 +217,10 @@ object QueriesEval {
         when(substring(key, j + 1, 1).isin(accept: _*), lit(j))
           .otherwise(lit(null))
       }: _*)
-      li(s, dir)
+      // respread the single-split scan before the 3x md5 + explode
+      // fan-out (guide §2.5; no-op at production split counts)
+      graft.ops.Spread.widen(
+          li(s, dir).select("l_orderkey", "l_linenumber", "l_quantity"))
         .select(col("l_quantity"),
           explode(filter(bagArr, c => c.isNotNull)).as("bag_id"))
         .groupBy("bag_id")

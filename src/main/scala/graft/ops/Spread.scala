@@ -27,4 +27,35 @@ object Spread {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
+
+  /** Explicit-width keyed exchange in front of a groupBy whose OUTPUT
+    * stage carries a pair/variant fan-out: REPARTITION_BY_NUM is exempt
+    * from AQE coalescing, so the declared width sticks where AQE's
+    * size-based coalescing — blind to downstream fan-out — would pack
+    * the byte-small bucket table into one partition and serialize the
+    * n² work. max(cores, configured shuffle width) never narrows the
+    * production exchange. */
+  def fanoutExchange(df: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    if (!df.sparkSession.conf.get(Key, "true").toBoolean) return df
+    val s = df.sparkSession
+    val width = math.max(s.sparkContext.defaultParallelism,
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    df.repartition(width, keys: _*)
+  }
+
+  /** Deliberate respread for EXPLODE-FAN-OUT consumers (the BNLJ-stream
+    * doctrine, r11): when per-row downstream work dwarfs the row itself
+    * (deletion-variant explosion, n-gram fan-out), AQE's size-based
+    * coalescing is blind to it and will pack a byte-tiny input into one
+    * partition, serializing the fan-out. `repartition(n)` is
+    * REPARTITION_BY_NUM, which AQE never coalesces, so the declared
+    * width sticks. Never shrinks: at production width this keeps the
+    * larger existing partitioning. */
+  def force(df: DataFrame): DataFrame = {
+    if (!df.sparkSession.conf.get(Key, "true").toBoolean) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val cur = df.rdd.getNumPartitions
+    if (cur < target) df.repartition(target) else df
+  }
 }

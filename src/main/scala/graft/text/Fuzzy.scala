@@ -31,7 +31,12 @@ object Fuzzy {
           |    i -> concat(substring(t, 1, i - 1),
           |                substring(t, i + 1, length(t) - i))))"""
           .stripMargin)).as("v"))
-    variants.groupBy("v")
+    // explicit-width bucket shuffle: the stage reading this exchange
+    // carries the pair fan-out + levenshtein filter, which AQE
+    // coalescing would otherwise serialize (interleaved A/B r16: ~3x
+    // on q_fuzzy_join) — see Spread.fanoutExchange
+    graft.ops.Spread.fanoutExchange(variants, Seq(col("v")))
+      .groupBy("v")
       .agg(array_sort(collect_set(col("t"))).as("ts"))
       .filter(size(col("ts")) > 1 && size(col("ts")) <= bucketCap)
       .select(explode(expr(

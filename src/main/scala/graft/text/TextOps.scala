@@ -88,8 +88,13 @@ object TextOps {
     * emission is what's bounded, in the same single scan. */
   private def groupedPairs(keyed: DataFrame, keyCols: Seq[String],
                            idCol: String,
-                           maxGroup: Option[Int] = None): DataFrame =
-    keyed.groupBy(keyCols.map(col): _*)
+                           maxGroup: Option[Int] = None): DataFrame = {
+    // explicit-width bucket shuffle: the stage reading this exchange
+    // carries the in-group pair fan-out, which AQE coalescing would
+    // otherwise serialize (the q_fuzzy_join finding, r16) — see
+    // Spread.fanoutExchange
+    graft.ops.Spread.fanoutExchange(keyed, keyCols.map(col))
+      .groupBy(keyCols.map(col): _*)
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1 &&
         maxGroup.map(c => size(col("ids")) <= c).getOrElse(lit(true)))
@@ -98,6 +103,7 @@ object TextOps {
           |  transform(slice(ids, i + 2, size(ids) - i - 1),
           |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+  }
 
   /** LSH banding: group the k minhashes into bands of `rowsPerBand`, hash
     * each band, and emit candidate pairs sharing any band bucket. One

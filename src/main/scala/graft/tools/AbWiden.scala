@@ -22,9 +22,12 @@ object AbWiden {
         t
       }
       once(false); once(true) // plan/codegen warm-up, both shapes
-      val offs = Seq(once(false), once(false))
-      val ons = Seq(once(true), once(true))
-      val off = offs.min; val on = ons.min
+      // interleaved (see AbConf): sequential blocks bias ~10-20%
+      // against the later mode as session heat accumulates
+      val reps = (1 to 3).flatMap(_ => Seq(false -> once(false),
+        true -> once(true)))
+      val off = reps.collect { case (false, t) => t }.min
+      val on = reps.collect { case (true, t) => t }.min
       println(f"[abwiden] $name%-26s off=$off%6.2f on=$on%6.2f " +
         f"ratio=${on / off}%5.2f")
     }
