@@ -189,15 +189,28 @@ object QueriesR8 {
           .cache()
         try {
         val isPos = col("l_returnflag") === "R"
-        val whole = graft.ops.StatsPipeline.profileNumeric(
-          li, cols, isPos, full = true)
+        // OVERLAP the independent job chains (guide §2.6, ops.Jobs):
+        // phase A = whole-table profiles + sketches + the exact dual
+        // (no cross-dependencies), phase B = the four half-profiles +
+        // two half-sketches once A's frozen bounds/categories exist.
+        // Purely driver-side scheduling — every value computed is
+        // unchanged. Single-threaded wall was ~13 serial jobs; the A/B
+        // probe measured 0.6x
+        import graft.ops.Jobs.{fork, join}
+        val fWhole = fork(graft.ops.StatsPipeline.profileNumeric(
+          li, cols, isPos, full = true))
+        val fCatWhole = fork(graft.ops.StatsPipeline.profileCategorical(
+          li, Seq("l_linestatus"), isPos))
+        val fSWhole = fork(graft.agg.Hll.sketch(li, "l_quantity"))
+        val fExactD = fork(li.select("l_quantity").distinct().count())
+        val whole = join(fWhole)
         val bounds: Map[String, Seq[Double]] =
           whole.map { case (c, p) => c -> (p.binning.binBoundary: Seq[Double]) }
         def half(cond: org.apache.spark.sql.Column) =
           graft.ops.StatsPipeline.profileNumeric(li.filter(cond), cols,
             isPos, full = true, boundsOverride = Some(bounds))
-        val even = half(col("l_orderkey") % 2 === 0)
-        val odd = half(col("l_orderkey") % 2 =!= 0)
+        val fEven = fork(half(col("l_orderkey") % 2 === 0))
+        val fOdd = fork(half(col("l_orderkey") % 2 =!= 0))
         def close(x: Option[Double], y: Option[Double], tol: Double) =
           (x, y) match {
             case (Some(a), Some(b)) =>
@@ -209,18 +222,29 @@ object QueriesR8 {
             case _ => false
           }
         // categorical dual: frozen category list, same halves
-        val cWholeAll = graft.ops.StatsPipeline.profileCategorical(
-          li, Seq("l_linestatus"), isPos)
+        val cWholeAll = join(fCatWhole)
         val cFrozen: Map[String, Seq[String]] = cWholeAll.map {
           case (c, p) => c -> (p.binning.binCategory: Seq[String]) }
         def cHalf(cond: org.apache.spark.sql.Column) =
           graft.ops.StatsPipeline.profileCategorical(li.filter(cond),
             Seq("l_linestatus"), isPos,
             categoriesOverride = Some(cFrozen))("l_linestatus")
+        val fCEven = fork(cHalf(col("l_orderkey") % 2 === 0))
+        val fCOdd = fork(cHalf(col("l_orderkey") % 2 =!= 0))
         val cw = cWholeAll("l_linestatus")
-        val cm = graft.ops.StatsMerge.merge(
-          cHalf(col("l_orderkey") % 2 === 0),
-          cHalf(col("l_orderkey") % 2 =!= 0))
+        // distinct-count via the HLL sidecar twin (agg.Hll): a finalized
+        // catalog's distinctCount does NOT merge, but persisted registers
+        // do — contract: merged regs bit-equal the whole-table sketch,
+        // and the recovered estimate is inside the HLL error bound
+        val dcCol = "l_quantity"
+        val fSEven = fork(graft.agg.Hll.sketch(
+          li.filter(col("l_orderkey") % 2 === 0), dcCol))
+        val fSOdd = fork(graft.agg.Hll.sketch(
+          li.filter(col("l_orderkey") % 2 =!= 0), dcCol))
+        // join phase B (all forked above; values identical to the
+        // serial evaluation — only the scheduling overlaps)
+        val (even, odd) = (join(fEven), join(fOdd))
+        val cm = graft.ops.StatsMerge.merge(join(fCEven), join(fCOdd))
         val catContracts = Seq(
           ("cat_counts_exact",
             cm.stats.totalCount == cw.stats.totalCount &&
@@ -229,20 +253,11 @@ object QueriesR8 {
           ("cat_metrics_exact",
             cm.stats.ks == cw.stats.ks && cm.stats.iv == cw.stats.iv &&
               cm.binning.binCountWoe == cw.binning.binCountWoe))
-        // distinct-count via the HLL sidecar twin (agg.Hll): a finalized
-        // catalog's distinctCount does NOT merge, but persisted registers
-        // do — contract: merged regs bit-equal the whole-table sketch,
-        // and the recovered estimate is inside the HLL error bound
-        val dcCol = "l_quantity"
-        val sWhole = graft.agg.Hll.sketch(li, dcCol)
-        val sEven = graft.agg.Hll.sketch(
-          li.filter(col("l_orderkey") % 2 === 0), dcCol)
-        val sOdd = graft.agg.Hll.sketch(
-          li.filter(col("l_orderkey") % 2 =!= 0), dcCol)
+        val sWhole = join(fSWhole)
         val (withD, mergedRegs) = graft.agg.Hll.mergeWithSketches(
-          even(dcCol), odd(dcCol), sEven, sOdd)
+          even(dcCol), odd(dcCol), join(fSEven), join(fSOdd))
         // harness-only: exact-truth dual for the estimate contract
-        val exactD = li.select(dcCol).distinct().count()
+        val exactD = join(fExactD)
         val distinctContracts = Seq(
           ("distinct_regs_bitexact",
             java.util.Arrays.equals(mergedRegs, sWhole)),
@@ -287,14 +302,17 @@ object QueriesR8 {
     * no-broadcast (a value check can't see plan shape). */
   private val bucketedJoinQ: Q = Q(
     fn = (s, dir) => {
-      graft.sources.Bucketed.writeBucketed(
+      // the two bucketed writes are independent jobs — overlap them
+      // (guide §2.6, ops.Jobs); each write is byte-identical
+      val fLi = graft.ops.Jobs.fork(graft.sources.Bucketed.writeBucketed(
         Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
-        "graft_bkt_li", buckets = 8, keys = Seq("l_orderkey"))
-      graft.sources.Bucketed.writeBucketed(
+        "graft_bkt_li", buckets = 8, keys = Seq("l_orderkey")))
+      val fOrd = graft.ops.Jobs.fork(graft.sources.Bucketed.writeBucketed(
         Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus")),
-        "graft_bkt_ord", buckets = 8, keys = Seq("o_orderkey"))
+        "graft_bkt_ord", buckets = 8, keys = Seq("o_orderkey")))
+      graft.ops.Jobs.join(fLi); graft.ops.Jobs.join(fOrd)
       graft.sources.Bucketed.join(s, "graft_bkt_li", "graft_bkt_ord",
           Seq("l_orderkey"), Seq("o_orderkey"))
         .groupBy("o_orderstatus", "l_returnflag")

@@ -332,8 +332,13 @@ object QueriesSim {
         def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
           approx.select(col("vec_id"), col("nb_id"))
             .join(exact, Seq("vec_id", "nb_id"), "left_semi").count() / denom
-        val r1 = recallOf(graft.sim.Ivf.ivfTopK(emb, k = 3, nProbe = 1))
-        val r4 = recallOf(graft.sim.Ivf.ivfTopK(emb, k = 3, nProbe = 4))
+        // the two probe settings are independent job chains over the
+        // cached ground truth — overlap them (guide §2.6, ops.Jobs);
+        // each recall value is computed exactly as before
+        import graft.ops.Jobs.{fork, join}
+        val fR1 = fork(recallOf(graft.sim.Ivf.ivfTopK(emb, k = 3, nProbe = 1)))
+        val fR4 = fork(recallOf(graft.sim.Ivf.ivfTopK(emb, k = 3, nProbe = 4)))
+        val (r1, r4) = (join(fR1), join(fR4))
         Seq(
           ("ivf_probe1", if (r1 >= 0.0 && r1 <= 1.0) 1 else 0),
           ("ivf_probe4", if (r4 >= r1 && r4 <= 1.0) 1 else 0)
@@ -729,12 +734,14 @@ object QueriesSim {
           "CASE WHEN vec_id % 4 = 2 " +
             "THEN transform(e0, x -> x + 8.0d) ELSE e0 END"))
         .select("vec_id", "embedding")
-      val n = typed.count()
       // harness-only: batch staging for MemoryStream — ONE collect.
       // Batch b = ids ≡ b (mod 4): the quantizer freezes on batch 0
       // (unshifted); compactions at upTo=1,3 fold + merge everything
-      // into ONE run that the split must then leave standing
+      // into ONE run that the split must then leave standing.
+      // n comes off the staged array — a separate count() was one more
+      // full scan job in a drill whose wall is job-count x overhead
       val staged = typed.as[(Long, Seq[Double])].collect()
+      val n = staged.length.toLong
       val batches = (0 to 3).map(b => staged.filter(_._1 % 4 == b).toSeq)
       val tmp = s"/tmp/graft_asp_${java.util.UUID.randomUUID()}"
       val ms = MemoryStream[(Long, Seq[Double])]

@@ -79,12 +79,15 @@ object Rank {
     val d = df.select(col(x).cast("double").as("xv"),
       col(y).cast("double").as("yv"))
       .filter(col("xv").isNotNull && col("yv").isNotNull)
-    val rx = PlanHints.gatedBroadcast(
+    // the two rank chains are independent (each runs eager offset
+    // jobs inside rankCounts) — overlap them (guide §2.6, ops.Jobs)
+    val fRx = Jobs.fork(PlanHints.gatedBroadcast(
       avgRanks(d, "xv").withColumnRenamed("v", "xv")
-        .withColumnRenamed("avg_rank", "rx"))
-    val ry = PlanHints.gatedBroadcast(
+        .withColumnRenamed("avg_rank", "rx")))
+    val fRy = Jobs.fork(PlanHints.gatedBroadcast(
       avgRanks(d, "yv").withColumnRenamed("v", "yv")
-        .withColumnRenamed("avg_rank", "ry"))
+        .withColumnRenamed("avg_rank", "ry")))
+    val (rx, ry) = (Jobs.join(fRx), Jobs.join(fRy))
     val ranked = d.join(rx, Seq("xv")).join(ry, Seq("yv"))
     val n = count(lit(1)).cast("double")
     def s(c: Column) = sum(c)

@@ -44,6 +44,37 @@ object Spread {
     df.repartition(width, keys: _*)
   }
 
+  /** Run `body` with the shuffle width DERIVED FROM THE BATCH SIZE —
+    * for foreachBatch bodies, where AQE is disabled (Spark refuses it
+    * for streaming plans) and every join/distinct/groupBy otherwise
+    * keeps the full configured width: dozens of near-empty tasks per
+    * shuffle per micro-batch. Width = ceil(rows / 64k) capped at the
+    * session width — identical to today at production micro-batch
+    * sizes (millions of rows), adaptive below; never a constant tuned
+    * to either local mode or the cluster. Restores the previous width
+    * on exit. Callers are writer-lease-serialized, so the session conf
+    * mutation cannot race another batch. */
+  def withBatchWidth[T](sp: org.apache.spark.sql.SparkSession,
+      rows: => Long)(body: => T): T = {
+    if (!sp.conf.get(Key, "true").toBoolean) return body
+    val key = "spark.sql.shuffle.partitions"
+    val prev = sp.conf.get(key)
+    val w = math.max(1L, math.min(prev.toLong, (rows + 65535) / 65536))
+    sp.conf.set(key, w.toString)
+    try body finally sp.conf.set(key, prev)
+  }
+
+  /** Width for an exchange hash-keyed on a cell/slot id with at most
+    * `bound` distinct values: no point in more partitions than keys
+    * (the rest are empty tasks, and AQE cannot coalesce them inside
+    * foreachBatch). Caps at the session width, so production cell
+    * counts are unaffected. */
+  def cellWidth(sp: org.apache.spark.sql.SparkSession, bound: Int): Int = {
+    val cur = sp.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (!sp.conf.get(Key, "true").toBoolean) return cur
+    math.min(math.max(bound, 1), cur)
+  }
+
   /** Deliberate respread for EXPLODE-FAN-OUT consumers (the BNLJ-stream
     * doctrine, r11): when per-row downstream work dwarfs the row itself
     * (deletion-variant explosion, n-gram fan-out), AQE's size-based

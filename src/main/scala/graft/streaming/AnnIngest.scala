@@ -221,8 +221,16 @@ object AnnIngest {
     val cents = ensureCentroids(batch, indexDir, nCells)
     val assigned = graft.sim.Ivf.assignCells(
       graft.sim.Similarity.prep(batch), cents)
-    encodeVec(batch.sparkSession, assigned)
-      .repartition(col("cell")) // ~one file per populated cell partition
+    val sp = batch.sparkSession
+    // ~one file per populated cell partition. The exchange width is
+    // bounded by the quantizer size (there are at most |cells| distinct
+    // keys): a full configured-width exchange (AQE is off inside
+    // foreachBatch) is mostly empty tasks when |cells| is small, and
+    // capping at the session width changes nothing at production cell
+    // counts
+    val w = graft.ops.Spread.cellWidth(sp, cents.length)
+    encodeVec(sp, assigned)
+      .repartition(w, col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/vectors/batch=$batchId")
   }
@@ -498,9 +506,14 @@ object AnnIngest {
   private def writeRun(sp: SparkSession, indexDir: String, name: String,
       df: DataFrame): Run = {
     val dir = s"${vectorsDir(indexDir)}/$name"
+    // exchange width bounded by the quantizer size, like ingestBatch:
+    // at most |cells| distinct keys exist, and compactions often run
+    // inside foreachBatch where AQE cannot coalesce the empties
+    val w = graft.ops.Spread.cellWidth(sp,
+      readCentroids(sp, indexDir).map(_.length).getOrElse(1))
     encodeVec(sp, df.select(col("vec_id"), col("e"), col("norm"),
         col("cell")))
-      .repartition(col("cell"))
+      .repartition(w, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
     Run(name, sp.read.option("basePath", dir).schema(cellOnlySchema)
       .parquet(dir).count())

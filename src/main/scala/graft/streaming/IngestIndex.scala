@@ -1005,7 +1005,15 @@ object IngestIndex {
     * geometry without a million-key corpus. */
   private[streaming] def writeRun(sp: SparkSession, indexDir: String,
       kind: String, keyName: String, baseName: String, df: DataFrame,
-      forceWidth: Option[Int] = None): Run = {
+      forceWidth: Option[Int] = None,
+      rowsHint: Option[Long] = None): Run = {
+    // `rowsHint` (an input-row upper bound the caller reads off the
+    // manifest / delta footers) derives the shuffle width of the
+    // distinct + hp exchange — compactions run inside foreachBatch
+    // where AQE is off, so these otherwise keep the full configured
+    // width however small the fold is (Spread.withBatchWidth caps at
+    // the session width: identical at production run sizes)
+    def body(): Run = {
     val keys = df.select(col(keyName)).distinct().persist()
     try {
       val n = keys.count()
@@ -1032,6 +1040,11 @@ object IngestIndex {
       }
       Run(name, n)
     } finally { keys.unpersist(false); () }
+    }
+    rowsHint match {
+      case Some(h) => graft.ops.Spread.withBatchWidth(sp, h)(body())
+      case None => body()
+    }
   }
 
   private def readRun(sp: SparkSession, indexDir: String, kind: String,
@@ -1102,6 +1115,11 @@ object IngestIndex {
       var folded = 0L
       var mergedRows = 0L
       if (deltas.nonEmpty) {
+        // input-row upper bound from the parquet footers (count-star
+        // is metadata-only) — derives the fold's shuffle width
+        val deltaRows =
+          try sp.read.parquet(deltas.map(_._2): _*).count()
+          catch { case _: Throwable => Long.MaxValue }
         val r = writeRun(sp, indexDir, kind, keyName, nextName(),
           clean(
             if (tombPaths.isEmpty)
@@ -1115,7 +1133,7 @@ object IngestIndex {
                 dirs.head.lastIndexOf('/'))
               sp.read.option("basePath", parent).parquet(dirs: _*)
                 .select(col(keyName), col("batch").cast("long").as("src_id"))
-            }))
+            }), rowsHint = Some(deltaRows))
         folded = r.rows
         if (r.rows > 0) runs :+= r
       }
@@ -1142,7 +1160,7 @@ object IngestIndex {
           else df.withColumn("src_id", lit(srcIdOf(r.name)))
         }
         val merged = writeRun(sp, indexDir, kind, keyName, nextName(),
-          clean(side(a).union(side(b))))
+          clean(side(a).union(side(b))), rowsHint = Some(a.rows + b.rows))
         mergedRows += a.rows + b.rows
         // a fully-tombstoned merge yields zero rows — drop it (the
         // unreferenced dir is swept below) instead of looping on an

@@ -497,6 +497,12 @@ object StreamOps {
       indexDir: String, outDir: String, intraBatch: Boolean): Unit = {
     val sp = batch.sparkSession
     val b = batch.persist()
+    // AQE is off inside foreachBatch, so every shuffle below keeps the
+    // full configured width — derive the width from the batch size
+    // instead (Spread.withBatchWidth; the count also materializes the
+    // persist, which the ~8 downstream actions were going to pay
+    // anyway on first touch)
+    graft.ops.Spread.withBatchWidth(sp, b.count()) {
     // one MinHash pass per batch: the same band rows feed the
     // near-dup probe AND the index append
     val bands = graft.text.TextOps
@@ -565,6 +571,7 @@ object StreamOps {
         batchBandKeys.select("bk").filter(col("bk").isNotNull).distinct(),
         indexDir, "bands", batchId)
     } finally { bands.unpersist(false); b.unpersist(false); () }
+    }
   }
 
   /** Retract CONTENT from the ingest index (the gate's takedown): the

@@ -103,9 +103,16 @@ object StreamStats {
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val p = StatsPipeline.profileNumeric(
-            batch, cols, isPos, boundsOverride = Some(bounds))
+        // count replaces the isEmpty probe (same one cheap action) and
+        // derives the bin-count shuffle width — AQE is off inside
+        // foreachBatch, so the groupBy otherwise keeps the full
+        // configured width however small the micro-batch is
+        val n = batch.count()
+        if (n > 0) {
+          val p = graft.ops.Spread.withBatchWidth(batch.sparkSession, n) {
+            StatsPipeline.profileNumeric(
+              batch, cols, isPos, boundsOverride = Some(bounds))
+          }
           batches.incrementAndGet()
           acc.updateAndGet { m =>
             if (m.isEmpty) p

@@ -17,6 +17,12 @@ object PlanDump {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Harness.session()
+    // SPARK_GRAFT_PLANDUMP_CONF="k=v,k=v" — runtime confs to set before
+    // building plans (e.g. the Spread kill switch, for BEFORE shapes)
+    sys.env.get("SPARK_GRAFT_PLANDUMP_CONF").foreach(_.split(",")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     names.foreach { name =>
       try {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
