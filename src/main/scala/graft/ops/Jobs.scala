@@ -12,13 +12,17 @@ import scala.concurrent.duration.Duration
   * cluster. Results are whatever each thunk computes — determinism is
   * untouched, only WHEN the jobs run changes.
   *
-  * Bounded daemon pool: a driver thread per in-flight job chain, NOT
-  * per task; 8 chains in flight is plenty to fill a tail (guide:
-  * "2-3 jobs in flight is plenty" — we allow a few more because these
-  * chains are single-task jobs at bench scale). */
+  * Cached (elastic) daemon pool: a driver thread per in-flight job
+  * chain, NOT per task. A FIXED pool here can deadlock: QueriesR8
+  * already peaks at 8 concurrent chains and Rank.spearman itself
+  * forks, so a forking operator called from inside a forked chain
+  * would starve a bounded pool with every thread blocked in
+  * Await.result. The cached pool grows on demand (threads are cheap,
+  * they just block on Spark actions; actual job concurrency is
+  * bounded by the call sites, ≤ ~10 chains) and shrinks when idle. */
 object Jobs {
   private lazy val pool = ExecutionContext.fromExecutorService(
-    java.util.concurrent.Executors.newFixedThreadPool(8,
+    java.util.concurrent.Executors.newCachedThreadPool(
       new java.util.concurrent.ThreadFactory {
         private val n = new java.util.concurrent.atomic.AtomicInteger
         def newThread(r: Runnable): Thread = {

@@ -59,7 +59,13 @@ object Spread {
     if (!sp.conf.get(Key, "true").toBoolean) return body
     val key = "spark.sql.shuffle.partitions"
     val prev = sp.conf.get(key)
-    val w = math.max(1L, math.min(prev.toLong, (rows + 65535) / 65536))
+    // saturate: a caller whose size probe failed passes Long.MaxValue
+    // ("unknown, keep full width") — the naive +65535 would overflow
+    // negative and clamp the width to 1, serializing the shuffle
+    val prevW = prev.toLong
+    val w =
+      if (rows >= prevW * 65536L) prevW
+      else math.max(1L, math.min(prevW, (rows + 65535) / 65536))
     sp.conf.set(key, w.toString)
     try body finally sp.conf.set(key, prev)
   }

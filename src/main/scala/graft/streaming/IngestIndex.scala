@@ -117,6 +117,19 @@ object IngestIndex {
                             runs: Map[String, Seq[Run]],
                             cents: Option[String] = None)
 
+  /** Upper bound on the live index's row count from the manifest alone
+    * (metadata-only — no Spark job): summed run counts of the two key
+    * kinds. Unfolded deltas are excluded; they are batch-sized and the
+    * caller adds its own batch. Used to size foreachBatch shuffle
+    * widths: the batch body joins against the ACCUMULATED index, so a
+    * trickle batch into a large production index must not serialize
+    * the index-facing shuffles to one partition. */
+  private[streaming] def liveRowsBound(sp: SparkSession,
+      indexDir: String): Long =
+    readManifest(sp, indexDir).runs
+      .filter { case (k, _) => Kinds.contains(k) }
+      .values.flatten.map(_.rows).sum
+
   /** The manifest is the single commit point of a compaction; it is a
     * 1-line JSON file, rewritten atomically-enough (create + rename by
     * the FS client) and tiny to re-read per batch. */

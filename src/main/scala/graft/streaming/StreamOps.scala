@@ -498,11 +498,15 @@ object StreamOps {
     val sp = batch.sparkSession
     val b = batch.persist()
     // AQE is off inside foreachBatch, so every shuffle below keeps the
-    // full configured width — derive the width from the batch size
+    // full configured width — derive the width from the INPUT size
     // instead (Spread.withBatchWidth; the count also materializes the
     // persist, which the ~8 downstream actions were going to pay
-    // anyway on first touch)
-    graft.ops.Spread.withBatchWidth(sp, b.count()) {
+    // anyway on first touch). The body also joins against the
+    // accumulated index, so the bound includes the manifest's live-row
+    // count (metadata-only): a trickle batch into a large index keeps
+    // the index-facing shuffles wide.
+    graft.ops.Spread.withBatchWidth(sp,
+      b.count() + IngestIndex.liveRowsBound(sp, indexDir)) {
     // one MinHash pass per batch: the same band rows feed the
     // near-dup probe AND the index append
     val bands = graft.text.TextOps

@@ -19,10 +19,18 @@ object AbConf {
       def once(v: String): Double = {
         spark.conf.set(key, v)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        // a crashed rep must NOT be timed (a fast failure would be
+        // reported as a huge "speedup") — mark it invalid instead
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            println(s"[abconf] $name FAILED under $key=$v: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+          }
         val t = (System.nanoTime() - t0) / 1e9
         Harness.dropLeftovers(spark)
-        t
+        if (ok) t else Double.NaN
       }
       once(offV); once(onV) // plan/codegen warm-up, both shapes
       // INTERLEAVED reps: sequential off-then-on blocks systematically
@@ -31,10 +39,15 @@ object AbConf {
       // drift and min-of-3 cancels it
       val reps = (1 to 3).flatMap(_ => Seq(false -> once(offV),
         true -> once(onV)))
-      val off = reps.collect { case (false, t) => t }.min
-      val on = reps.collect { case (true, t) => t }.min
-      println(f"[abconf] $name%-26s off=$off%6.2f on=$on%6.2f " +
-        f"ratio=${on / off}%5.2f   ($key $offV->$onV)")
+      val offs = reps.collect { case (false, t) if !t.isNaN => t }
+      val ons = reps.collect { case (true, t) if !t.isNaN => t }
+      if (offs.isEmpty || ons.isEmpty)
+        println(s"[abconf] $name INVALID (a mode failed every rep)")
+      else {
+        val (off, on) = (offs.min, ons.min)
+        println(f"[abconf] $name%-26s off=$off%6.2f on=$on%6.2f " +
+          f"ratio=${on / off}%5.2f   ($key $offV->$onV)")
+      }
     }
     spark.stop()
   }

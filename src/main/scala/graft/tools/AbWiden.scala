@@ -16,20 +16,32 @@ object AbWiden {
       def once(widen: Boolean): Double = {
         spark.conf.set(graft.ops.Spread.Key, widen.toString)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        // crashed reps are invalid, not fast (see AbConf)
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            println(s"[abwiden] $name FAILED under widen=$widen: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+          }
         val t = (System.nanoTime() - t0) / 1e9
         Harness.dropLeftovers(spark)
-        t
+        if (ok) t else Double.NaN
       }
       once(false); once(true) // plan/codegen warm-up, both shapes
       // interleaved (see AbConf): sequential blocks bias ~10-20%
       // against the later mode as session heat accumulates
       val reps = (1 to 3).flatMap(_ => Seq(false -> once(false),
         true -> once(true)))
-      val off = reps.collect { case (false, t) => t }.min
-      val on = reps.collect { case (true, t) => t }.min
-      println(f"[abwiden] $name%-26s off=$off%6.2f on=$on%6.2f " +
-        f"ratio=${on / off}%5.2f")
+      val offs = reps.collect { case (false, t) if !t.isNaN => t }
+      val ons = reps.collect { case (true, t) if !t.isNaN => t }
+      if (offs.isEmpty || ons.isEmpty)
+        println(s"[abwiden] $name INVALID (a mode failed every rep)")
+      else {
+        val (off, on) = (offs.min, ons.min)
+        println(f"[abwiden] $name%-26s off=$off%6.2f on=$on%6.2f " +
+          f"ratio=${on / off}%5.2f")
+      }
     }
     spark.stop()
   }

@@ -16,19 +16,24 @@ object PlanTime {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
       Harness.dropLeftovers(spark)
       val t0 = System.nanoTime()
-      val df =
-        try fn(spark, sfDir)
+      // per-iteration control flow, NOT `return`: a non-local return
+      // from inside foreach would abort main on the first bad query,
+      // silently skipping the rest (and spark.stop())
+      val built =
+        try Some(fn(spark, sfDir))
         catch { case e: Throwable =>
-          println(s"[plantime] $name build FAILED: ${e.getMessage}"); return }
-      val tBuild = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      df.queryExecution.executedPlan // force analysis+optimization+planning
-      val tPlan = (System.nanoTime() - t1) / 1e9
-      val t2 = System.nanoTime()
-      try df.count() catch { case _: Throwable => () }
-      val tExec = (System.nanoTime() - t2) / 1e9
-      println(f"[plantime] $name%-28s build=$tBuild%6.2f plan=$tPlan%6.2f " +
-        f"exec=$tExec%6.2f")
+          println(s"[plantime] $name build FAILED: ${e.getMessage}"); None }
+      built.foreach { df =>
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan // force analysis+optimize+planning
+        val tPlan = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        try df.count() catch { case _: Throwable => () }
+        val tExec = (System.nanoTime() - t2) / 1e9
+        println(f"[plantime] $name%-28s build=$tBuild%6.2f " +
+          f"plan=$tPlan%6.2f exec=$tExec%6.2f")
+      }
       Harness.dropLeftovers(spark)
     }
     spark.stop()
