@@ -504,19 +504,22 @@ object AnnIngest {
     * schema-inferring read of that throws — wedging compaction
     * permanently (the retry hits the same empty write). */
   private def writeRun(sp: SparkSession, indexDir: String, name: String,
-      df: DataFrame): Run = {
+      df: DataFrame, nCells: Int): Run = {
     val dir = s"${vectorsDir(indexDir)}/$name"
     // exchange width bounded by the quantizer size, like ingestBatch:
     // at most |cells| distinct keys exist, and compactions often run
-    // inside foreachBatch where AQE cannot coalesce the empties
-    val w = graft.ops.Spread.cellWidth(sp,
-      readCentroids(sp, indexDir).map(_.length).getOrElse(1))
+    // inside foreachBatch where AQE cannot coalesce the empties.
+    // `nCells` comes from the CALLER's already-loaded quantizer — one
+    // compaction was re-reading manifest + centroids JSON per run it
+    // wrote (per-call FS round-trips that add up on an object store).
+    val w = graft.ops.Spread.cellWidth(sp, math.max(nCells, 1))
     encodeVec(sp, df.select(col("vec_id"), col("e"), col("norm"),
         col("cell")))
       .repartition(w, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
-    Run(name, sp.read.option("basePath", dir).schema(cellOnlySchema)
-      .parquet(dir).count())
+    // run row count off the just-written footers — saves one Spark job
+    // per run written (the drill wall is job-count × dispatch overhead)
+    Run(name, IngestIndex.footerRows(sp, Seq(dir)))
   }
 
   /** Read one run/delta dir, carrying its source id ([[srcIdOf]]) so
@@ -579,14 +582,27 @@ object AnnIngest {
       upTo: Long, liveCounts: Option[Map[Int, Long]] = None)
       : (Double, Map[Int, Long]) = {
     val counts = liveCounts.getOrElse {
+      // per-cell occupancy straight off the parquet footers: the cell
+      // id is the partition dir name and the row count is footer
+      // metadata, so the whole report is driver-side — the
+      // cellOnlySchema scan job this replaces was one more serialized
+      // job per compaction (same values: physical rows per cell)
       val (runs, deltas) = live(sp, indexDir, Long.MaxValue)
-      (runs ++ deltas)
-        .map(d =>
-          sp.read.option("basePath", d).schema(cellOnlySchema).parquet(d))
-        .reduceOption(_ unionByName _)
-        .map(_.groupBy("cell").agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
-        .getOrElse(Map.empty[Int, Long])
+      val conf = sp.sparkContext.hadoopConfiguration
+      val acc = scala.collection.mutable.Map.empty[Int, Long]
+      (runs ++ deltas).foreach { d =>
+        val p = new Path(d)
+        val f = p.getFileSystem(conf)
+        if (f.exists(p)) f.listStatus(p).foreach { s =>
+          val n = s.getPath.getName
+          if (s.isDirectory && n.startsWith("cell=")) {
+            val c = n.stripPrefix("cell=").toInt
+            acc(c) = acc.getOrElse(c, 0L) +
+              IngestIndex.footerRows(sp, Seq(s.getPath.toString))
+          }
+        }
+      }
+      acc.toMap
     }
     // skew = max / mean over the QUANTIZER's LIVE cell count, empty
     // cells counting as zero occupancy. Dividing by the populated-cell
@@ -649,6 +665,11 @@ object AnnIngest {
     val f = fs(sp, indexDir)
     var runs = m.runs.getOrElse("vectors", Nil)
     var cents = m.cents
+    // current quantizer slot count, read ONCE for the whole compaction
+    // (writeRun was re-reading manifest + centroids file per run):
+    // fold/merge runs are written under the pre-heal quantizer; the
+    // heal paths pass their own new quantizer's length explicitly
+    val preSlots = centroidsOf(m, sp, indexDir).map(_.length).getOrElse(1)
     // heal tombstones written THIS compaction (split and/or fold) —
     // both live in the manifest-gated t_split_* namespace
     val healTombs = scala.collection.mutable.ArrayBuffer.empty[Run]
@@ -682,7 +703,7 @@ object AnnIngest {
     def commitHeal(movers: DataFrame, newCents: Array[Array[Double]],
         tag: String, counts: Map[Int, Long]): Unit = {
       val reloc = writeRun(sp, indexDir, nextName(),
-        movers.select("vec_id", "e", "norm", "cell"))
+        movers.select("vec_id", "e", "norm", "cell"), newCents.length)
       if (reloc.rows > 0) {
         runs = (runs :+ reloc).sortBy(-_.rows)
         movers.select(col("vec_id"),
@@ -747,7 +768,7 @@ object AnnIngest {
         val centsName = s"centroids_v$upTo.json"
         writeCentroids(sp, indexDir, newCents, centsName)
         val rebuilt = writeRun(sp, indexDir, nextName(),
-          graft.sim.Ivf.assignCells(corpus, newCents))
+          graft.sim.Ivf.assignCells(corpus, newCents), newCents.length)
         corpus.unpersist(false)
         runs = Seq(rebuilt)
         cents = Some(centsName)
@@ -755,7 +776,8 @@ object AnnIngest {
     } else {
       if (deltaDirs.nonEmpty) {
         val folded = writeRun(sp, indexDir, nextName(),
-          clean(deltaDirs.map(readRunDir(sp, _)).reduce(_ union _)))
+          clean(deltaDirs.map(readRunDir(sp, _)).reduce(_ union _)),
+          preSlots)
         if (folded.rows > 0) runs :+= folded
       }
       // merge ANY adjacent same-size-class pair, not just the bottom
@@ -773,7 +795,8 @@ object AnnIngest {
         val (a, b) = (sorted(i), sorted(i + 1))
         val merged = writeRun(sp, indexDir, nextName(), clean(
           readRunDir(sp, s"${vectorsDir(indexDir)}/${a.name}")
-            .union(readRunDir(sp, s"${vectorsDir(indexDir)}/${b.name}"))))
+            .union(readRunDir(sp, s"${vectorsDir(indexDir)}/${b.name}"))),
+          preSlots)
         // a fully-tombstoned merge yields zero rows — drop it instead
         // of looping on an empty size class
         sorted = (sorted.patch(i,

@@ -117,6 +117,35 @@ object IngestIndex {
                             runs: Map[String, Seq[Run]],
                             cents: Option[String] = None)
 
+  /** Driver-side row count from parquet FOOTERS — no Spark job. Lists
+    * part files recursively under each dir (partitioned layouts
+    * included) and sums footer block counts. The drill-family wall
+    * time is job-count × fixed dispatch overhead, so a metadata-only
+    * count must not pay a job; at object-store scale this is the same
+    * O(files) listing that scan planning pays, minus the dispatch. */
+  private[streaming] def footerRows(sp: SparkSession,
+      dirs: Seq[String]): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = sp.sparkContext.hadoopConfiguration
+    def files(p: Path, f: FileSystem): Seq[Path] =
+      f.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) files(s.getPath, f)
+        else if (s.getPath.getName.endsWith(".parquet") ||
+                 s.getPath.getName.startsWith("part-")) Seq(s.getPath)
+        else Nil
+      }
+    dirs.map { d =>
+      val p = new Path(d)
+      val f = p.getFileSystem(conf)
+      if (!f.exists(p)) 0L
+      else files(p, f).map { fp =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(fp, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    }.sum
+  }
+
   /** Upper bound on the live index's row count from the manifest alone
     * (metadata-only — no Spark job): summed run counts of the two key
     * kinds. Unfolded deltas are excluded; they are batch-sized and the
@@ -1128,10 +1157,13 @@ object IngestIndex {
       var folded = 0L
       var mergedRows = 0L
       if (deltas.nonEmpty) {
-        // input-row upper bound from the parquet footers (count-star
-        // is metadata-only) — derives the fold's shuffle width
+        // input-row upper bound straight off the parquet footers —
+        // driver-side, no job (the count() this replaces was one more
+        // serialized job per compaction per kind); derives the fold's
+        // shuffle width. Long.MaxValue = "unknown, keep full width"
+        // (withBatchWidth saturates).
         val deltaRows =
-          try sp.read.parquet(deltas.map(_._2): _*).count()
+          try footerRows(sp, deltas.map(_._2))
           catch { case _: Throwable => Long.MaxValue }
         val r = writeRun(sp, indexDir, kind, keyName, nextName(),
           clean(

@@ -57,15 +57,36 @@ object StreamOps {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Run `body` with a reduced `spark.sql.shuffle.partitions` (streaming
-    * state-store instances are per-partition; dozens of near-empty state
-    * partitions are pure fixed overhead per micro-batch). On a real
-    * cluster the state partition count should track key cardinality ÷
-    * target state-per-task, not the batch shuffle width. */
-  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+  /** Run a streaming query body with the state-store width derived
+    * from the SOURCE size: each state partition is a store instance
+    * with per-batch commit cost (delta file + maintenance), so tiny
+    * feeds pay fixed overhead × width for no parallelism gain
+    * (interleaved A/B at sf0.1: ssjoin 0.83×, session_window 0.80×,
+    * dedup 0.90× at the derived width vs the declared 8). Width =
+    * ceil(rows / 32k) footer-counted off `srcPaths` (driver-side, no
+    * job), capped at `declared` — production feed sizes keep today's
+    * declared width, only small inputs narrow. State width is a
+    * semantics-free knob (results identical); the session conf
+    * override exists for A/B probes and deployment tuning without a
+    * rebuild. RocksDB as the store provider was A/B'd the same way
+    * and REJECTED at these state sizes (1.1–1.5× worse: native store
+    * open/commit per partition per batch dwarfs the in-memory map). */
+  private def withStatePartitions[T](spark: SparkSession,
+      srcPaths: Seq[String], declared: Int = 8)(body: => T): T = {
+    val w = spark.conf.get("spark.sql.graft.statewidth", "").trim match {
+      case "" =>
+        val rows =
+          try IngestIndex.footerRows(spark, srcPaths)
+          catch { case _: Throwable => Long.MaxValue }
+        val cap = declared.toLong
+        // saturating (rows can be the Long.MaxValue unknown-size flag)
+        (if (rows >= cap * 32768L) cap
+         else math.max(1L, (rows + 32767) / 32768)).toInt
+      case s => s.toInt
+    }
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
+    spark.conf.set(key, w.toString)
     try body finally spark.conf.set(key, prev)
   }
 
@@ -82,7 +103,7 @@ object StreamOps {
     * arbitrary source for duplicates that span sources (observed at sf0.1).
     * The streaming-dedup analog of the batch `q_dedup_exact`. */
   def dedupCounts(spark: SparkSession, dir: String): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, Seq(s"$dir/documents.parquet")) {
     val name = s"stream_dedup_${counter.incrementAndGet()}"
     val docs = spark.readStream
       .schema(documentsSchema)
@@ -117,7 +138,7 @@ object StreamOps {
     * This is how a live crawl feed gets filtered before it ever lands
     * in the corpus store. */
   def corpusFilterStream(spark: SparkSession, dir: String): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, Seq(s"$dir/documents.parquet")) {
       val name = s"stream_cf_${counter.incrementAndGet()}"
       val docs = spark.readStream
         .schema(documentsSchema)
@@ -146,7 +167,7 @@ object StreamOps {
     * lag-window sessionize — verified against the same SQL oracle. */
   def sessionizeStream(spark: SparkSession, dir: String,
                        gapMs: Long = 1800000L): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val name = s"stream_sess_${counter.incrementAndGet()}"
@@ -194,7 +215,7 @@ object StreamOps {
     * streaming analog of batch `q_psi`. State is (window × bins), tiny. */
   def psiWindows(spark: SparkSession, dir: String,
                  bins: Int = 10): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
     import graft.ops.Binning
     // frozen bins come from the same row universe the windows see:
     // a null-ts event never lands in any window, so its value must
@@ -273,7 +294,7 @@ object StreamOps {
                   weights: Seq[(String, Double)] = Seq(
                     "l_quantity" -> 0.08, "l_discount" -> -12.0),
                   bias: Double = -1.0): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, Seq(s"$dir/lineitem.parquet")) {
     val name = s"stream_score_${counter.incrementAndGet()}"
     val z = weights.map { case (c, w) => col(c) * lit(w) }
       .reduce(_ + _) + lit(bias)
@@ -347,7 +368,7 @@ object StreamOps {
   }
 
   def asOfStream(spark: SparkSession, dir: String): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val name = s"stream_asof_${counter.incrementAndGet()}"
@@ -395,7 +416,7 @@ object StreamOps {
                            keys: Seq[String],
                            delay: String = "10 minutes",
                            checkpoint: Option[String] = None): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, Seq(dir)) {
     require(keys.nonEmpty, "dedup keys must be non-empty")
     // `dir` is a directory OF event-schema parquet files (a feed), not
     // the mixed-table sf dir. With `checkpoint` set, repeated invocations
@@ -679,7 +700,7 @@ object StreamOps {
     * tumbling aggregate (windows × types rows), ×(window/slide) overlap
     * factor — still O(active windows), never O(events). */
   def slidingCounts(spark: SparkSession, dir: String): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
     val name = s"stream_slide_${counter.incrementAndGet()}"
     val events = eventsStream(spark, dir)
       .withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))
@@ -716,7 +737,7 @@ object StreamOps {
     * stream query here), equal to the batch range-join oracle. */
   def purchaseContextJoin(spark: SparkSession, dir: String,
                           windowMin: Int = 30): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
     val name = s"stream_ssjoin_${counter.incrementAndGet()}"
     def src() = eventsStream(spark, dir)
       .withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))
@@ -784,7 +805,7 @@ object StreamOps {
     * in production a live feed advances the watermark on its own. */
   def purchaseContextJoinOuter(spark: SparkSession, dir: String,
                                windowMin: Int = 30): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
     import org.apache.spark.sql.types._
     // stage source + sentinel (cannot write into the read-only sf dir)
     val tmp = java.nio.file.Files.createTempDirectory("ssjoin_outer")
@@ -888,7 +909,7 @@ object StreamOps {
     * stateful stream-stream dual is [[purchaseContextJoin]]. Emits the
     * per-segment rollup off the sink, equal to the batch join oracle. */
   def staticEnrichJoin(spark: SparkSession, dir: String): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
     val name = s"stream_enrich_${counter.incrementAndGet()}"
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
@@ -921,7 +942,7 @@ object StreamOps {
     * session_window's strict-< merge rule). */
   def sessionWindowCounts(spark: SparkSession, dir: String,
                           gapMin: Int = 30): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
     val name = s"stream_swin_${counter.incrementAndGet()}"
     val events = eventsStream(spark, dir)
       .withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))
@@ -948,7 +969,7 @@ object StreamOps {
     * runs the stream to completion against the static files and returns
     * the result table — output matches the batch q_events_window oracle. */
   def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
     val name = s"stream_window_${counter.incrementAndGet()}"
     val events = eventsStream(spark, dir)
       .withColumn("ts_ts", timestamp_millis(expr("ts div 1000000")))

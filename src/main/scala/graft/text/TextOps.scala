@@ -430,11 +430,14 @@ object TextOps {
     * possibly-negative term is added. */
   def simhash(docs: DataFrame, bits: Int = 64): DataFrame = {
     require(bits <= 64, "fingerprint is packed into one LONG")
-    // pair-heavy-consumer shape: the per-token explode + 64 md5-digit
-    // extractions dominate, so a single-split scan serializes them on
-    // one core (see [[spread]] — no-op at production split counts);
-    // the bit votes are integer sums, exact under any partitioning
-    val toks = graft.ops.Spread.widen(docs).select(col("doc_id"),
+    // NO respread here (r16 shipped one; the r17 one-window HEAD-vs-r15
+    // A/B read q_simhash 2.52× WORSE with it and the interleaved
+    // kill-switch A/B confirmed): the md5-per-token fan-out is exactly
+    // the borderline cheap-string-explode case the r16 doctrine says
+    // to leave on the single-task partial-agg pipeline — shuffling the
+    // full text payload costs more than the fan-out saves. Production
+    // inputs arrive multi-split anyway.
+    val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("t"))
       .withColumn("h", md5(col("t").cast("binary")))
     val bitCols = (0 until bits).map { j =>
