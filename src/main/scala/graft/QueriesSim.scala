@@ -774,10 +774,21 @@ object QueriesSim {
       val expect = graft.sim.Ivf.assignCells(
         idx.select("vec_id", "e", "norm"), cents)
         .select(col("vec_id"), col("cell").as("cell_x"))
-      val mismatches = idx.join(expect, Seq("vec_id"))
-        .filter(col("cell") =!= col("cell_x")).count()
-      val liveOnce = idx.count() == n &&
-        idx.select("vec_id").distinct().count() == n
+      // contracts (4)(5) fused into ONE aggregation over the persisted
+      // index frame (same shape as q_ann_fold's stats): expect is a
+      // pure narrow map over idx, so the inner join preserves row
+      // multiplicity — a duplicated/missing id fails cnt == n exactly
+      // as the separate counts did
+      val fnsS = org.apache.spark.sql.functions
+      val statsS = idx.join(expect, Seq("vec_id"))
+        .agg(
+          fnsS.sum(fnsS.when(col("cell") =!= col("cell_x"), 1L)
+            .otherwise(0L)).as("mism"),
+          fnsS.count(fnsS.lit(1)).as("cnt"),
+          fnsS.countDistinct(col("vec_id")).as("dcnt"))
+        .head()
+      val mismatches = if (statsS.isNullAt(0)) 0L else statsS.getLong(0)
+      val liveOnce = statsS.getLong(1) == n && statsS.getLong(2) == n
       val sample = typed.filter(col("vec_id") % 7 === 0)
         .filter(nonZeroVec)
         .toDF("vec_id", "embedding")
@@ -877,7 +888,7 @@ object QueriesSim {
         org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
           .when(col("vec_id") % 4 === 2 && col("vec_id") % 20 =!= 2, 1L)
           .otherwise(0L)).as("ndel")).head()
-      val nDel = tot.getLong(1)
+      val nDel = if (tot.isNullAt(1)) 0L else tot.getLong(1) // 0-row sum
       graft.streaming.AnnIngest.delete(s, s"$tmp/index", doomed, "drain")
       // pre-fold live rows + cells, pinned eagerly (the fold rewrites
       // the files this lazy plan would re-list): the tombstone contract
@@ -918,8 +929,8 @@ object QueriesSim {
           fns.count(fns.lit(1)).as("cnt"),
           fns.countDistinct(col("vec_id")).as("dcnt"))
         .head()
-      val mismatches = stats.getLong(0)
-      val deadEmpty = stats.getLong(1) == 0L
+      val mismatches = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+      val deadEmpty = stats.isNullAt(1) || stats.getLong(1) == 0L
       val liveOnce = stats.getLong(2) == n && stats.getLong(3) == n
       // computed while idx/the index files still exist (rm below): the
       // engine writes a fold tombstone ONLY when the fold relocated
@@ -992,7 +1003,16 @@ object QueriesSim {
       val typed = emb.filter(col("embedding").isNotNull)
         .select(col("vec_id").cast("long"),
         expr("transform(embedding, x -> cast(x AS double))").as("embedding"))
-      val n = typed.count()
+      // one pass over the input covers both totals (total rows, rows
+      // doomed below) — drill wall is action-count × fixed overhead,
+      // so the two counts are fused (same shape as q_ann_fold's tot)
+      val fns = org.apache.spark.sql.functions
+      val tot = typed.agg(
+        fns.count(fns.lit(1)).as("n"),
+        fns.sum(fns.when(col("vec_id") % 10 === 0, 1L).otherwise(0L))
+          .as("ndel")).head()
+      val n = tot.getLong(0)
+      val nDel = if (tot.isNullAt(1)) 0L else tot.getLong(1) // sum of 0 rows
       val tmp = s"/tmp/graft_adl_${java.util.UUID.randomUUID()}"
       val idx = s"$tmp/index"
       graft.streaming.AnnIngest.ingestBatch(
@@ -1001,14 +1021,16 @@ object QueriesSim {
         typed.filter(col("vec_id") % 2 === 1), 1L, idx, nCells = 8)
       val doomed = typed.filter(col("vec_id") % 10 === 0)
         .select("vec_id")
-      val nDel = doomed.count()
       graft.streaming.AnnIngest.delete(s, idx, doomed, "takedown")
-      // (1) immediate exclusion over the delta-only state
-      val liveNow = graft.streaming.AnnIngest.readIndex(s, idx, None)
-        .select("vec_id").persist()
-      val immediateOk = liveNow.count() == n - nDel &&
-        liveNow.filter(col("vec_id") % 10 === 0).count() == 0L
-      liveNow.unpersist(false)
+      // (1) immediate exclusion over the delta-only state — count and
+      // survivor check fused into ONE aggregation (no persist needed:
+      // the frame is consumed by a single action)
+      val liveStats = graft.streaming.AnnIngest.readIndex(s, idx, None)
+        .agg(fns.count(fns.lit(1)).as("cnt"),
+          fns.sum(fns.when(col("vec_id") % 10 === 0, 1L).otherwise(0L))
+            .as("doomed_left")).head()
+      val immediateOk = liveStats.getLong(0) == n - nDel &&
+        (liveStats.isNullAt(1) || liveStats.getLong(1) == 0L)
       // (2) a deleted vector can no longer be its own top-1
       // orderBy before limit: an unordered limit is not a stable row
       // set across executions (see AnnIngest.queryTopK's snapshot note)
@@ -1028,13 +1050,15 @@ object QueriesSim {
           .filter(_.getFileName.toString.startsWith("run_"))
           .map(_.toString).toSeq
       }
-      val rawRun = runDirs.map(d =>
+      // same single-aggregation fusion as the immediate check above
+      val rawStats = runDirs.map(d =>
         s.read.option("basePath", d).parquet(d))
         .reduce(_ unionByName _)
-        .select("vec_id").persist()
-      val physicalOk = rawRun.count() == n - nDel &&
-        rawRun.filter(col("vec_id") % 10 === 0).count() == 0L
-      rawRun.unpersist(false)
+        .agg(fns.count(fns.lit(1)).as("cnt"),
+          fns.sum(fns.when(col("vec_id") % 10 === 0, 1L).otherwise(0L))
+            .as("doomed_left")).head()
+      val physicalOk = rawStats.getLong(0) == n - nDel &&
+        (rawStats.isNullAt(1) || rawStats.getLong(1) == 0L)
       // (4) logical sweep (gen+1), physical delete (gen+2), then
       // re-ingest one deleted id
       graft.streaming.AnnIngest.compact(s, idx, 2L)

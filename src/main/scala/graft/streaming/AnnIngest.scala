@@ -582,27 +582,8 @@ object AnnIngest {
       upTo: Long, liveCounts: Option[Map[Int, Long]] = None)
       : (Double, Map[Int, Long]) = {
     val counts = liveCounts.getOrElse {
-      // per-cell occupancy straight off the parquet footers: the cell
-      // id is the partition dir name and the row count is footer
-      // metadata, so the whole report is driver-side — the
-      // cellOnlySchema scan job this replaces was one more serialized
-      // job per compaction (same values: physical rows per cell)
       val (runs, deltas) = live(sp, indexDir, Long.MaxValue)
-      val conf = sp.sparkContext.hadoopConfiguration
-      val acc = scala.collection.mutable.Map.empty[Int, Long]
-      (runs ++ deltas).foreach { d =>
-        val p = new Path(d)
-        val f = p.getFileSystem(conf)
-        if (f.exists(p)) f.listStatus(p).foreach { s =>
-          val n = s.getPath.getName
-          if (s.isDirectory && n.startsWith("cell=")) {
-            val c = n.stripPrefix("cell=").toInt
-            acc(c) = acc.getOrElse(c, 0L) +
-              IngestIndex.footerRows(sp, Seq(s.getPath.toString))
-          }
-        }
-      }
-      acc.toMap
+      cellFootersOf(sp, runs ++ deltas)
     }
     // skew = max / mean over the QUANTIZER's LIVE cell count, empty
     // cells counting as zero occupancy. Dividing by the populated-cell
@@ -631,6 +612,30 @@ object AnnIngest {
       (s"""{"skew": $skewTxt, "cells": $body}""").getBytes("UTF-8"))
     finally out.close()
     (skew, counts)
+  }
+
+  /** Per-cell PHYSICAL occupancy straight off the parquet footers —
+    * driver-side, no Spark job: the cell id is the partition dir name
+    * and the row count is footer metadata. Same values as the
+    * cellOnlySchema scan this replaces (physical rows per cell, no
+    * tombstone anti-join). */
+  private def cellFootersOf(sp: SparkSession, dirs: Seq[String])
+      : Map[Int, Long] = {
+    val conf = sp.sparkContext.hadoopConfiguration
+    val acc = scala.collection.mutable.Map.empty[Int, Long]
+    dirs.foreach { d =>
+      val p = new Path(d)
+      val f = p.getFileSystem(conf)
+      if (f.exists(p)) f.listStatus(p).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && n.startsWith("cell=")) {
+          val c = n.stripPrefix("cell=").toInt
+          acc(c) = acc.getOrElse(c, 0L) +
+            IngestIndex.footerRows(sp, Seq(s.getPath.toString))
+        }
+      }
+    }
+    acc.toMap
   }
 
   /** Fold the new deltas (id ≤ `upTo`) into a run and binary-counter
@@ -679,10 +684,15 @@ object AnnIngest {
     var healedCounts: Option[Map[Int, Long]] = None
     def adjustCounts(pre: Map[Int, Long],
         movers: DataFrame): Map[Int, Long] = {
-      def tally(c: String) = movers.groupBy(c)
+      // ONE aggregation job for both tallies (was two collects over
+      // the persisted movers — the drill wall is job-count × dispatch)
+      val pairs = movers.groupBy("old_cell", "cell")
         .agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val out = tally("old_cell"); val in = tally("cell")
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val out = pairs.groupBy(_._1).map { case (c, xs) =>
+        c -> xs.map(_._3).sum }
+      val in = pairs.groupBy(_._2).map { case (c, xs) =>
+        c -> xs.map(_._3).sum }
       (pre.keySet ++ in.keySet).map { c =>
         c -> (pre.getOrElse(c, 0L) - out.getOrElse(c, 0L) +
           in.getOrElse(c, 0L))
@@ -945,14 +955,11 @@ object AnnIngest {
         // fold entirely), so the fold never re-reads what the split
         // just counted
         val counts: Option[Map[Int, Long]] = healedCounts.orElse {
-          val footer = runs.map(r =>
-            sp.read.option("basePath", s"${vectorsDir(indexDir)}/${r.name}")
-              .schema(cellOnlySchema)
-              .parquet(s"${vectorsDir(indexDir)}/${r.name}"))
-            .reduceOption(_ unionByName _)
-            .map(_.groupBy("cell").agg(count(lit(1)).as("n")).collect()
-              .map(r => r.getInt(0) -> r.getLong(1)).toMap)
-            .getOrElse(Map.empty[Int, Long])
+          // physical pre-check straight off the footers (driver-side,
+          // no job — was a cellOnlySchema scan job per fold-armed
+          // compaction)
+          val footer = cellFootersOf(sp,
+            runs.map(r => s"${vectorsDir(indexDir)}/${r.name}"))
           val fMean = footer.values.sum.toDouble / math.max(live.size, 1)
           // while tombstones are LIVE, physical counts overstate live
           // occupancy (a takedown wave that just drained a cell is
