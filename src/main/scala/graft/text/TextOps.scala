@@ -380,9 +380,61 @@ object TextOps {
     // spark.sql.graft.checkpointDir conf decides (reliable vs local)
     def ckpt(df: DataFrame): DataFrame =
       graft.Ckpt.truncate(df, explicit = checkpointDir)
+    val sp = pairs.sparkSession
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = ckpt(fwd.union(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // SMALL-GRAPH CUT (guide §8.4 decide-small): the duplicate graph is
+    // usually tiny relative to the corpus (edges = confirmed near-dup
+    // pairs), and each distributed round costs 2 checkpoints + a
+    // convergence count — a serialized job stream that dominates the
+    // drill-family wall. Up to `spark.sql.graft.ccLocalEdges` edges
+    // (default 1M ≈ 16 MB collected — broadcast-relation territory)
+    // the component minimum is computed exactly by a driver union-find
+    // instead: same labels, any diameter, two jobs total. 0 disables
+    // (the specs pin the distributed loop through it); long-id graphs
+    // only — any other id type falls through to the loop.
+    val localCap =
+      sp.conf.get("spark.sql.graft.ccLocalEdges", "1000000").toLong
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && localCap > 0 && edges.count() <= localCap) {
+      import sp.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      edges.unpersist(false)
+      // union-find with path halving; cluster = component minimum
+      // (identical to the loop's converged min-label)
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent.getOrElse(x, x)
+          parent(x) = parent.getOrElse(p, p)
+          x = parent.getOrElse(x, x)
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.iterator.map(_._1).toArray.distinct
+      val mins = scala.collection.mutable.LongMap.empty[Long]
+      nodes.foreach { id =>
+        val r = find(id)
+        mins(r) = math.min(mins.getOrElse(r, id), id)
+      }
+      val out = nodes.map(id => (id, mins(find(id))))
+      return sp.createDataFrame(
+        sp.sparkContext.parallelize(
+          out.toIndexedSeq.map(t => org.apache.spark.sql.Row(t._1, t._2)),
+          math.max(1, out.length / 500000)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.LongType))))
+    }
     var labels = ckpt(edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")))
     var changed = 1L

@@ -101,6 +101,9 @@ object CkptDrill {
       })
       killer.setDaemon(true)
       killer.start()
+      // this drill exists to exercise the DISTRIBUTED loop across
+      // executor loss — disable the small-graph driver cut
+      spark.conf.set("spark.sql.graft.ccLocalEdges", "0")
       val t0 = System.nanoTime()
       val res = graft.text.TextOps.dedupClustersIterative(pairs)
       val expected = (floor(col("doc_id") / 1000000L) * 1000000L)
